@@ -1,13 +1,49 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.FirehoseTransform
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship: run the full Firehose wire-format pipeline end-to-end on
+    * sf0.001 — events table -> CWL envelopes (to_json/gzip/base64) ->
+    * decode/dispatch/transform (A3-A11) -> size governor (A12).
+    * Exercises the whole reference data path; driver smoke-checks rows>0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val events = Tables.events(spark, dir)
+    // One envelope per user: their events as logEvents, in event order.
+    val envelopes = events
+      .withColumn("ev", struct(
+        col("event_id").cast("string").as("id"),
+        (unix_timestamp(col("ts")) * 1000).as("timestamp"),
+        concat(lit("Hello "), col("event_type"), lit(" "), col("props")).as("message")))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("event_id").as("k"), col("ev").as("v")))).as("sorted"))
+      .select(col("user_id"), expr("transform(sorted, x -> x.v)").as("logEvents"))
+      .select(
+        col("user_id"),
+        struct(
+          lit("DATA_MESSAGE").as("messageType"),
+          lit("123456789012").as("owner"),
+          lit("/ex-aws-firehose").as("logGroup"),
+          concat(lit("user-"), col("user_id")).as("logStream"),
+          array(lit("ex-aws-firehose")).as("subscriptionFilters"),
+          col("logEvents").as("logEvents")).as("envelope"))
+    val framed = FirehoseTransform.frameRecords(envelopes, col("user_id"), col("envelope"))
+    FirehoseTransform.sizeGovernor(FirehoseTransform.transform(framed))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    queriesRelational.RelationalQueries.all
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    queriesRelational.RelationalQueries.oracle
 }
