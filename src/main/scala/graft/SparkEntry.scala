@@ -38,12 +38,17 @@ object SparkEntry {
     FirehoseTransform.sizeGovernor(FirehoseTransform.transform(framed))
   }
 
+  private def allQ: Seq[queriesRelational.RelationalQueries.Q] =
+    queriesRelational.RelationalQueries.list ++
+      queriesStreaming.StreamingQueries.list
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    queriesRelational.RelationalQueries.all
+    allQ.map(q => q.name -> q.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    queriesRelational.RelationalQueries.oracle
+    allQ.flatMap(q => q.oracle.map(o =>
+      q.name -> o.stripMargin.trim.replaceAll("\\s+", " "))).toMap
 }

@@ -1,0 +1,86 @@
+package graft.queriesStreaming
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.queriesRelational.RelationalQueries.Q
+import graft.streaming.StreamingOps
+
+/** Batch-mode oracle corpus for the streaming operators (B32-B35): the
+  * same StreamingOps functions run over the events table as a batch
+  * DataFrame; DuckDB replicates the window semantics in SQL
+  * (gaps-and-islands for session windows). Streaming execution of the
+  * identical code paths is covered by StreamingSpec.
+  */
+object StreamingQueries {
+
+  /** B32: 1-hour tumbling windows per event_type. Spark's window() is
+    * epoch-aligned, so win_start == date_trunc('hour', ts).
+    */
+  private val q31 = Q("q31_tumbling_window", (s, dir) => {
+    StreamingOps.tumblingAgg(Tables.events(s, dir), "ts", "1 hour", col("event_type"))
+      .orderBy(col("win_start"), col("event_type"))
+  }, Some("""
+    SELECT epoch_us(date_trunc('hour', ts)) AS win_start, event_type,
+           count(*) AS n,
+           CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS DOUBLE)/100.0 AS value_sum
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY win_start, event_type"""))
+
+  /** B32: sliding windows, 2-hour size / 1-hour slide — every event
+    * lands in exactly two windows; the oracle unions the two shifted
+    * tumbling assignments.
+    */
+  private val q32 = Q("q32_sliding_window", (s, dir) => {
+    StreamingOps.slidingAgg(Tables.events(s, dir), "ts", "2 hours", "1 hour")
+      .orderBy(col("win_start"))
+  }, Some("""
+    SELECT win_start, count(*) AS n FROM (
+      SELECT epoch_us(date_trunc('hour', ts)) AS win_start FROM events
+      UNION ALL
+      SELECT epoch_us(date_trunc('hour', ts) - INTERVAL 1 HOUR) AS win_start FROM events
+    ) GROUP BY win_start ORDER BY win_start"""))
+
+  /** B33: per-user session windows with a 4-hour inactivity gap; the
+    * oracle derives the same sessions with a gaps-and-islands window
+    * construction (new-session flag -> running island id -> group).
+    * Spark's session end = last event + gap.
+    */
+  private val q33 = Q("q33_session_window", (s, dir) => {
+    StreamingOps.sessionAgg(Tables.events(s, dir), "ts", "4 hours", "user_id")
+      .orderBy(col("user_id"), col("sess_start"))
+  }, Some("""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 4 HOUR OR
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events),
+    islands AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      FROM flagged)
+    SELECT user_id,
+           epoch_us(min(ts)) AS sess_start,
+           epoch_us(max(ts) + INTERVAL 4 HOUR) AS sess_end,
+           count(*) AS n
+    FROM islands GROUP BY user_id, sess_id
+    ORDER BY user_id, sess_start"""))
+
+  /** B35: dedup on a key subset (batch form of dropDuplicates; the
+    * arbitrary-row-choice nondeterminism is avoided by projecting to
+    * the deduped keys only).
+    */
+  private val q34 = Q("q34_dedup_keys", (s, dir) => {
+    StreamingOps.dedup(Tables.events(s, dir).select("user_id", "event_type"),
+      Seq("user_id", "event_type"))
+      .orderBy(col("user_id"), col("event_type"))
+  }, Some("""
+    SELECT DISTINCT user_id, event_type FROM events
+    ORDER BY user_id, event_type"""))
+
+  val list: Seq[Q] = Seq(q31, q32, q33, q34)
+}

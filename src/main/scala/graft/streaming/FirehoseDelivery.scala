@@ -1,0 +1,136 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.envelope.Envelope
+import graft.functions.codecs
+import graft.operators.FirehoseTransform
+
+/** The delivery pipeline: what Kinesis Firehose + the Lambda transform +
+  * the S3 sink do together (reference main.tf:11-62 + lambda/main.py),
+  * re-expressed as one Structured Streaming query.
+  *
+  *   file source (JSON-lines {recordId, data})        -- A2
+  *     -> transform (A3-A11) + size governor (A12)
+  *     -> foreachBatch multi-sink:
+  *          primary/   decoded payload text            -- A15
+  *          backup/    raw source records              -- A16 (s3_backup_mode)
+  *          failed/    ProcessingFailed side channel   -- A17
+  *          re-ingest  Dropped payloads -> input dir   -- A13 (self-loop)
+  *
+  * Exactly-once story: every sink write lands under `batchId=N`
+  * subdirectories with overwrite mode, so a replayed micro-batch (after
+  * recovery from the checkpoint) overwrites its own output instead of
+  * duplicating it — the idempotent multi-write the managed service
+  * provided for free (SURVEY.md §7 step 3).
+  *
+  * Scale notes: the transform is a narrow pipeline (no shuffle); the
+  * size governor is batch-local state by construction, so no global
+  * state store is needed; sinks write partitioned by batch with file
+  * rotation handled by the file source's own maxFilesPerTrigger
+  * batching. At 100 TB/day this runs with a large trigger parallelism —
+  * nothing in the plan is single-threaded except the governor's
+  * per-delivery-batch fold, which is bounded by the 4 MB cap by design.
+  */
+object FirehoseDelivery {
+
+  case class Config(
+      inputDir: String,
+      outputDir: String,
+      checkpointDir: String,
+      triggerMs: Long = 60000L, // buffer_interval = 60 s (main.tf:18)
+      sizeCap: Long = 4000000L, // soft cap (main.py:147)
+      maxAttempts: Int = 20, // re-ingest retry budget (main.py:156)
+      permissive: Boolean = true,
+      availableNow: Boolean = false) {
+    def primaryDir: String = s"$outputDir/primary"
+    def backupDir: String = s"$outputDir/backup"
+    def failedDir: String = s"$outputDir/processing-failed"
+  }
+
+  import Envelope.Result._
+
+  /** One micro-batch through the full reference pipeline. Public so the
+    * batch path and tests can drive it without a streaming context.
+    */
+  def processBatch(batch: DataFrame, batchId: Long, conf: Config): Unit = {
+    val spark = batch.sparkSession
+    // The batch is traversed by four sinks: materialize the (narrow)
+    // transform once instead of recomputing it per sink.
+    val governed = FirehoseTransform.sizeGovernor(
+      FirehoseTransform.transform(batch, conf.permissive), conf.sizeCap)
+      .persist()
+    try {
+      // A15 primary: Firehose writes the transformed record bytes; our
+      // payloads are newline-terminated text (delimiters are the
+      // transform's job, main.py:42-44), so the S3-shaped object is a
+      // text file. The text writer appends one "\n" per row, so the
+      // payload's own trailing delimiter is stripped to keep the byte
+      // stream identical to the reference's concatenation.
+      governed.filter(col("result") === Ok)
+        .select(regexp_replace(unbase64(col("data")).cast("string"), "\\n$", "").as("value"))
+        .write.mode(SaveMode.Overwrite)
+        .text(s"${conf.primaryDir}/batchId=$batchId")
+      // A16 backup: raw source records, untransformed (s3_backup_mode
+      // = Enabled, main.tf:27-41).
+      batch.write.mode(SaveMode.Overwrite)
+        .json(s"${conf.backupDir}/batchId=$batchId")
+      // A17 error side channel (main.py:36-38).
+      governed.filter(col("result") === ProcessingFailed)
+        .select(col("recordId"))
+        .write.mode(SaveMode.Overwrite)
+        .json(s"${conf.failedDir}/batchId=$batchId")
+      // A13 re-ingest self-loop: Dropped payloads go back into the
+      // stream. The payload is wrapped as a JSON *string* (gzip+b64)
+      // so it re-enters through the bare-string branch of the
+      // transform (main.py:80-85 receiving side, 148-151 sending).
+      // (base64 alphabet contains no JSON-escapable characters, so the
+      // JSON string literal is plain quoting)
+      val toReingest = governed.filter(col("result") === Dropped)
+        .select(
+          concat(lit(s"reingest-$batchId-"), col("recordId")).as("recordId"),
+          codecs.base64Unchunked(codecs.gzip(encode(
+            concat(lit("\""), col("reingest_data"), lit("\"")), "UTF-8"))).as("data"))
+      if (!toReingest.isEmpty) {
+        putRecords(toReingest, s"${conf.inputDir}/reingest-batch-$batchId",
+          attemptsMade = 0, maxAttempts = conf.maxAttempts)
+      }
+    } finally governed.unpersist()
+  }
+
+  /** Bounded-retry write (putRecords, lambda/main.py:101-128): retries
+    * the failed write up to maxAttempts, raising after exhaustion. File
+    * writes fail atomically (no partial-subset accounting needed — the
+    * per-record ErrorCode protocol of put_record_batch collapses to
+    * all-or-nothing for a file commit).
+    */
+  private[streaming] def putRecords(records: DataFrame, path: String,
+      attemptsMade: Int, maxAttempts: Int): Unit = {
+    try records.write.mode(SaveMode.Overwrite).json(path)
+    catch {
+      case e: Exception =>
+        if (attemptsMade + 1 < maxAttempts)
+          putRecords(records, path, attemptsMade + 1, maxAttempts)
+        else throw new RuntimeException(
+          s"Could not put records after $maxAttempts attempts. ${e.getMessage}", e)
+    }
+  }
+
+  /** Start the streaming delivery query. */
+  def start(spark: SparkSession, conf: Config): StreamingQuery = {
+    val source = spark.readStream
+      .schema(Envelope.RECORD_SCHEMA)
+      // re-ingest writes land as subdirectories of the input dir
+      .option("recursiveFileLookup", "true")
+      .json(conf.inputDir)
+    val writer = source.writeStream
+      .foreachBatch((batch: DataFrame, batchId: Long) => processBatch(batch, batchId, conf))
+      .option("checkpointLocation", conf.checkpointDir)
+    val triggered =
+      if (conf.availableNow) writer.trigger(Trigger.AvailableNow())
+      else writer.trigger(Trigger.ProcessingTime(conf.triggerMs))
+    triggered.start()
+  }
+}

@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.{FirehoseDelivery, StreamingOps}
+
+/** End-to-end streaming smoke mirroring the reference's `make test`
+  * (put_test_log_to_log_stream.sh): inject a wire-format record, run
+  * the delivery query, observe the three sink prefixes + re-ingest loop.
+  */
+class StreamingSpec extends SparkSpec {
+  import Fixtures._
+
+  private def tmp(): String = Files.createTempDirectory("graft-stream").toString
+
+  private def writeRecords(dir: String, file: String, recs: Seq[(String, String)]): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    val lines = recs.map { case (id, data) => s"""{"recordId":"$id","data":"$data"}""" }
+    Files.write(Paths.get(dir, file), lines.mkString("\n").getBytes("UTF-8"))
+  }
+
+  private def runOnce(conf: FirehoseDelivery.Config): Unit = {
+    val q = FirehoseDelivery.start(spark, conf)
+    q.awaitTermination(120000)
+    assert(!q.isActive)
+  }
+
+  test("e2e: Hello record delivered transformed to primary, raw to backup, nothing failed") {
+    val base = tmp()
+    val conf = FirehoseDelivery.Config(s"$base/in", s"$base/out", s"$base/ck", availableNow = true)
+    writeRecords(conf.inputDir, "events-1.json",
+      Seq(record("r1", envelopeJson("DATA_MESSAGE", Seq("Hello Firehose! 2026-08-12")))))
+    runOnce(conf)
+    val primary = spark.read.text(conf.primaryDir).collect().map(_.getString(0))
+    assert(primary.toSeq == Seq("Hell Yeah Firehose! 2026-08-12"))
+    val backup = spark.read.json(conf.backupDir)
+    assert(backup.count() == 1 && backup.select("recordId").head().getString(0) == "r1")
+    val failed = spark.read.json(conf.failedDir)
+    assert(failed.isEmpty || failed.count() == 0)
+  }
+
+  test("e2e: control message lands in processing-failed, not primary") {
+    val base = tmp()
+    val conf = FirehoseDelivery.Config(s"$base/in", s"$base/out", s"$base/ck", availableNow = true)
+    writeRecords(conf.inputDir, "events-1.json",
+      Seq(record("c1", envelopeJson("CONTROL_MESSAGE", Seq())),
+        record("d1", envelopeJson("DATA_MESSAGE", Seq("Hello both")))))
+    runOnce(conf)
+    val failed = spark.read.json(conf.failedDir).select("recordId").collect().map(_.getString(0))
+    assert(failed.toSeq == Seq("c1"))
+    val primary = spark.read.text(conf.primaryDir).collect().map(_.getString(0))
+    assert(primary.toSeq == Seq("Hell Yeah both"))
+  }
+
+  test("e2e: oversize records re-ingested as bare strings and delivered on the next run") {
+    val base = tmp()
+    // tiny cap so the 2nd record overflows
+    val conf = FirehoseDelivery.Config(s"$base/in", s"$base/out", s"$base/ck",
+      sizeCap = 40L, availableNow = true)
+    writeRecords(conf.inputDir, "events-1.json",
+      Seq(record("r1", envelopeJson("DATA_MESSAGE", Seq("Hello first"))),
+        record("r2", envelopeJson("DATA_MESSAGE", Seq("Hello second")))))
+    runOnce(conf)
+    // r2 dropped and re-queued into the input dir
+    val reingestFiles = new java.io.File(conf.inputDir).listFiles()
+      .filter(_.getName.startsWith("reingest-batch-"))
+    assert(reingestFiles.nonEmpty)
+    // second incremental run picks it up from the checkpoint
+    runOnce(conf)
+    val primary = spark.read.text(conf.primaryDir).collect().map(_.getString(0)).sorted
+    // re-ingested record passes through the bare-string branch: its
+    // payload is the already-transformed base64 (reference semantics:
+    // Dropped data comes back and is passed through unchanged, Ok).
+    assert(primary.contains("Hell Yeah first"))
+    val okPayloads = spark.read.json(s"${conf.primaryDir}")
+    assert(primary.length >= 2)
+  }
+
+  test("streaming tumbling window + watermark over a rate-limited file stream") {
+    val base = tmp()
+    // stream the events table itself: copy parquet as streaming source
+    val events = Tables.events(spark, sfDir)
+    events.write.mode("overwrite").parquet(s"$base/stream-in")
+    val stream = spark.readStream.schema(events.schema).parquet(s"$base/stream-in")
+    val agg = StreamingOps.tumblingAggWatermarked(stream, "ts", "1 hour", "2 hours", col("event_type"))
+    val q = agg.writeStream.outputMode("append").format("memory").queryName("tumble_out")
+      .option("checkpointLocation", s"$base/ck2").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // append mode emits only watermark-closed windows; all but the last
+    // couple of hours of a 30-day dataset are closed.
+    val got = spark.table("tumble_out").count()
+    val batch = StreamingOps.tumblingAgg(events, "ts", "1 hour", col("event_type")).count()
+    assert(got > 0 && got <= batch)
+    assert(got >= batch - 10) // only trailing windows may be held back
+  }
+
+  test("streaming dedup within watermark") {
+    val base = tmp()
+    val events = Tables.events(spark, sfDir).select("ts", "user_id", "event_type")
+    events.write.mode("overwrite").parquet(s"$base/in")
+    val stream = spark.readStream.schema(events.schema).parquet(s"$base/in")
+    val deduped = StreamingOps.dedup(stream, Seq("user_id", "event_type"), Some(("ts", "1 hour")))
+    val q = deduped.writeStream.outputMode("append").format("memory").queryName("dedup_out")
+      .option("checkpointLocation", s"$base/ck").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("dedup_out").select("user_id", "event_type").distinct().count()
+    val want = events.select("user_id", "event_type").distinct().count()
+    assert(got == want)
+  }
+}
