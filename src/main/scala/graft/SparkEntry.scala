@@ -40,7 +40,8 @@ object SparkEntry {
 
   private def allQ: Seq[queriesRelational.RelationalQueries.Q] =
     queriesRelational.RelationalQueries.list ++
-      queriesStreaming.StreamingQueries.list
+      queriesStreaming.StreamingQueries.list ++
+      queriesExt.DedupQueries.list
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.{transform => transformArray}
+
+/** Deduplication operators for large-scale training-data pipelines:
+  * exact (hash-groupBy), MinHash+LSH banding, SimHash, n-gram Jaccard.
+  *
+  * 100 TB design: every operator reduces to hash-partitioned groupBy /
+  * equi-join — no global sorts, no cross products. The LSH band join is
+  * the scale path: candidate generation shuffles on (band, signature)
+  * keys so work is distributed by bucket; only candidates (a tiny
+  * fraction of n^2) reach the exact-Jaccard verification. Hash seeds
+  * are fixed constants for cross-run determinism.
+  */
+object Dedup {
+
+  /** First 48 bits of md5 as a positive long — a deterministic string
+    * hash computable identically in any engine (hex -> base-10), unlike
+    * Spark's murmur3 `hash()` which is engine-specific.
+    */
+  def hash48(s: Column): Column =
+    conv(substring(md5(encode(s, "UTF-8")), 1, 12), 16, 10).cast("long")
+
+  /** Fixed MinHash seed pairs (a_k * h + b_k mod P). */
+  val MINHASH_A: Seq[Long] = Seq(2971L, 6011L, 9103L, 3301L, 7873L, 4409L, 9973L, 5087L)
+  val MINHASH_B: Seq[Long] = Seq(1409L, 2003L, 3947L, 4241L, 5443L, 6367L, 7237L, 8147L)
+  val MINHASH_P: Long = 1000000007L
+
+  /** Word n-gram shingles (default 3) of a whitespace-tokenized text
+    * column (referenced by name — the lambda indexes into the token
+    * array, which needs an expression over the named column).
+    */
+  def wordShingles(textCol: String, n: Int = 3): Column = {
+    val toks = s"split($textCol, ' ')"
+    when(size(split(col(textCol), " ")) >= n,
+      expr(s"transform(sequence(1, size($toks) - ${n - 1}), " +
+        s"i -> concat_ws(' ', ${(0 until n).map(j => s"$toks[i - 1 + $j]").mkString(", ")}))"))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Character n-gram shingles. */
+  def charShingles(textCol: String, n: Int = 4): Column =
+    when(length(col(textCol)) >= n,
+      expr(s"transform(sequence(1, length($textCol) - ${n - 1}), i -> substr($textCol, i, $n))"))
+      .otherwise(array().cast("array<string>"))
+
+  /** Exact dedup: group identical payloads by content hash, keep the
+    * smallest id (deterministic winner). Map-side partial aggregation
+    * makes this one shuffle of (hash, min-id, count) — not of payloads.
+    */
+  def exact(df: DataFrame, idCol: String, payload: Column): DataFrame =
+    df.groupBy(md5(encode(payload, "UTF-8")).as("content_hash"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signatures: k per-document minima of seeded hash functions
+    * over the shingle set. One narrow projection — no shuffle, no UDF;
+    * the shingle hash is computed once and reused across the k
+    * signature lanes.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, shingles: Column, k: Int = 8): DataFrame = {
+    require(k <= MINHASH_A.length)
+    val withHashes = df
+      .withColumn("_shingle_hashes", transformArray(array_distinct(shingles), s => hash48(s)))
+    val sigs = (0 until k).map { i =>
+      array_min(transformArray(col("_shingle_hashes"),
+        h => (lit(MINHASH_A(i)) * h + lit(MINHASH_B(i))) % lit(MINHASH_P))).as(s"sig$i")
+    }
+    withHashes.select((col(idCol) +: sigs): _*)
+  }
+
+  /** LSH banding: split the k signatures into bands of `rowsPerBand`,
+    * emit one (band_idx, band_key) row per band per doc. Candidate
+    * pairs are an equi-join on the band key — shuffle-partitioned by
+    * bucket, never O(n^2).
+    */
+  def lshBands(sigs: DataFrame, idCol: String, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val nBands = k / rowsPerBand
+    val bands = (0 until nBands).map { b =>
+      val key = concat_ws(":",
+        (lit(b.toString) +: (0 until rowsPerBand).map(r => col(s"sig${b * rowsPerBand + r}"))): _*)
+      struct(lit(b).as("band_idx"), key.as("band_key"))
+    }
+    sigs.select(col(idCol), explode(array(bands: _*)).as("band"))
+      .select(col(idCol), col("band.band_idx"), col("band.band_key"))
+  }
+
+  /** Candidate pairs from shared LSH buckets (id1 < id2, distinct). */
+  def lshCandidates(bands: DataFrame, idCol: String): DataFrame = {
+    val a = bands.select(col(idCol).as("id1"), col("band_idx"), col("band_key"))
+    val b = bands.select(col(idCol).as("id2"), col("band_idx"), col("band_key"))
+    a.join(b, Seq("band_idx", "band_key"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+  }
+
+  /** Exact Jaccard between two shingle-set columns (set semantics). */
+  def jaccard(a: Column, b: Column): Column = {
+    val da = array_distinct(a)
+    val db = array_distinct(b)
+    size(array_intersect(da, db)).cast("double") / size(array_union(da, db))
+  }
+
+  /** Full MinHash+LSH near-dup pipeline: signatures -> bands ->
+    * candidates -> exact-Jaccard verification >= threshold.
+    */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val withShingles = df.select(col(idCol), array_distinct(wordShingles(textCol)).as("_sh"))
+    val sigs = minhashSignatures(withShingles, idCol, col("_sh"), k)
+    val candidates = lshCandidates(lshBands(sigs, idCol, k, rowsPerBand), idCol)
+    val s1 = withShingles.select(col(idCol).as("id1"), col("_sh").as("_sh1"))
+    val s2 = withShingles.select(col(idCol).as("id2"), col("_sh").as("_sh2"))
+    candidates.join(s1, "id1").join(s2, "id2")
+      .withColumn("jac", jaccard(col("_sh1"), col("_sh2")))
+      .filter(col("jac") >= threshold)
+      .select(col("id1"), col("id2"),
+        (floor(col("jac") * 1000000 + lit(0.5)) / lit(1000000.0)).as("jaccard"))
+  }
+
+  /** 16-bit SimHash over the distinct-token set: per bit, the sign of
+    * sum(+1/-1) votes from each token hash. Explode + single groupBy:
+    * one shuffle of (doc, 16 counters) with map-side combine.
+    */
+  def simhash16(df: DataFrame, idCol: String, text: Column): DataFrame = {
+    val exploded = df
+      .select(col(idCol), explode(array_distinct(split(text, " "))).as("_tok"))
+      .withColumn("_h", hash48(col("_tok")))
+    val bitVotes = (0 until 16).map { b =>
+      sum(when(shiftright(col("_h"), b) % 2 === 1, 1).otherwise(-1)).as(s"_bit$b")
+    }
+    val simhash = (0 until 16).map { b =>
+      when(col(s"_bit$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    exploded.groupBy(col(idCol))
+      .agg(bitVotes.head, bitVotes.tail: _*)
+      .select(col(idCol), simhash.as("simhash"))
+  }
+}

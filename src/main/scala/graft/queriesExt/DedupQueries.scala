@@ -1,0 +1,130 @@
+package graft.queriesExt
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Dedup
+import graft.queriesRelational.RelationalQueries.Q
+
+/** Oracle corpus for the dedup operators (SURVEY.md §2 B38-B39 + the
+  * training-data-pipeline extensions). The DuckDB oracle replicates
+  * MinHash/SimHash exactly: both engines hash shingles with
+  * hex(md5)[0:12] -> int48 and the same fixed seed constants, so
+  * signatures — and therefore candidate pairs — are hash-identical.
+  */
+object DedupQueries {
+
+  // DuckDB fragments mirroring Dedup.scala's constants/functions.
+  private val H48 = "CAST(concat('0x', substr(md5(%s), 1, 12)) AS BIGINT)"
+  private def shinglesSql(textExpr: String): String =
+    s"list_distinct(list_transform(range(1, greatest(len(string_split($textExpr, ' ')) - 1, 1)), " +
+      s"i -> concat_ws(' ', string_split($textExpr, ' ')[i], string_split($textExpr, ' ')[i+1], string_split($textExpr, ' ')[i+2])))"
+  private def sigSql(i: Int): String =
+    s"list_min(list_transform(hs, h -> (${Dedup.MINHASH_A(i)} * h + ${Dedup.MINHASH_B(i)}) % ${Dedup.MINHASH_P})) AS sig$i"
+  private val sigsCte =
+    s"""WITH sh AS (
+      SELECT doc_id, ${shinglesSql("text")} AS s FROM documents),
+    hsed AS (
+      SELECT doc_id, s, list_transform(s, g -> ${H48.format("g")}) AS hs FROM sh),
+    sigs AS (
+      SELECT doc_id, ${(0 until 8).map(sigSql).mkString(", ")} FROM hsed)"""
+
+  /** B38: exact dedup via content-hash groupBy. */
+  private val q40 = Q("q40_exact_dedup", (s, dir) => {
+    Dedup.exact(Tables.load(s, dir, "documents"), "doc_id", col("text"))
+      .orderBy(col("keeper"))
+  }, Some("""
+    SELECT md5(text) AS content_hash, min(doc_id) AS keeper, count(*) AS n_copies
+    FROM documents GROUP BY md5(text) ORDER BY keeper"""))
+
+  /** B39: MinHash signatures (8 seeded hash lanes over 3-gram shingles). */
+  private val q41 = Q("q41_minhash_sig", (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    Dedup.minhashSignatures(
+      docs.select(col("doc_id"), Dedup.wordShingles("text").as("_sh")),
+      "doc_id", col("_sh"))
+      .orderBy(col("doc_id"))
+  }, Some(s"""
+    $sigsCte
+    SELECT * FROM sigs ORDER BY doc_id"""))
+
+  /** B39: the full LSH pipeline — band join candidates, exact-Jaccard
+    * verification at 0.5. The shuffle is on band keys; candidate count
+    * << n^2 (25 true pairs out of 124k possible at sf0.01).
+    */
+  private val q42 = Q("q42_lsh_neardup", (s, dir) => {
+    Dedup.minhashNearDups(Tables.load(s, dir, "documents"), "doc_id", "text", 0.5)
+      .orderBy(col("id1"), col("id2"))
+  }, Some(s"""
+    $sigsCte,
+    bands AS (
+      SELECT doc_id, b.band_idx,
+             CASE b.band_idx
+               WHEN 0 THEN concat_ws(':', '0', sig0, sig1)
+               WHEN 1 THEN concat_ws(':', '1', sig2, sig3)
+               WHEN 2 THEN concat_ws(':', '2', sig4, sig5)
+               ELSE        concat_ws(':', '3', sig6, sig7) END AS band_key
+      FROM sigs, (SELECT unnest(range(4)) AS band_idx) b),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      FROM bands a JOIN bands b USING (band_idx, band_key)
+      WHERE a.doc_id < b.doc_id),
+    verified AS (
+      SELECT id1, id2,
+             CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE) /
+             len(list_distinct(list_concat(s1.s, s2.s))) AS jac
+      FROM cands JOIN sh s1 ON s1.doc_id = id1 JOIN sh s2 ON s2.doc_id = id2)
+    SELECT id1, id2, floor(jac * 1000000 + 0.5) / 1000000.0 AS jaccard
+    FROM verified WHERE jac >= 0.5 ORDER BY id1, id2"""))
+
+  /** B39: 16-bit SimHash fingerprints (explode + one groupBy shuffle of
+    * 16 counters, map-side combined).
+    */
+  private val q43 = Q("q43_simhash", (s, dir) => {
+    Dedup.simhash16(Tables.load(s, dir, "documents"), "doc_id", col("text"))
+      .orderBy(col("doc_id"))
+  }, Some(s"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+    hashed AS (
+      SELECT doc_id, ${H48.format("tok")} AS h FROM toks),
+    votes AS (
+      SELECT doc_id,
+             ${(0 until 16).map(b => s"sum(CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END) AS bit$b").mkString(", ")}
+      FROM hashed GROUP BY doc_id)
+    SELECT doc_id,
+           ${(0 until 16).map(b => s"CASE WHEN bit$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")} AS simhash
+    FROM votes ORDER BY doc_id"""))
+
+  /** N-gram (character 4-gram) Jaccard near-dup, blocked by language —
+    * the blocking key bounds pair growth (block-local O(b^2), global
+    * O(n * b)); at 100 TB the block key is the shuffle partition key.
+    */
+  private val q44 = Q("q44_char_ngram_jaccard", (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), array_distinct(Dedup.charShingles("text", 4)).as("_sh"))
+    val a = docs.select(col("lang"), col("doc_id").as("id1"), col("_sh").as("_sh1"))
+    val b = docs.select(col("lang"), col("doc_id").as("id2"), col("_sh").as("_sh2"))
+    a.join(b, Seq("lang"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("jac", Dedup.jaccard(col("_sh1"), col("_sh2")))
+      .filter(col("jac") >= 0.5)
+      .select(col("id1"), col("id2"), col("lang"),
+        (floor(col("jac") * 1000000 + lit(0.5)) / lit(1000000.0)).as("jaccard"))
+      .orderBy(col("id1"), col("id2"))
+  }, Some("""
+    WITH sh AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(range(1, greatest(len(text) - 2, 1)),
+               i -> substr(text, i, 4))) AS s
+      FROM documents)
+    SELECT a.doc_id AS id1, b.doc_id AS id2, a.lang,
+           floor(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                 len(list_distinct(list_concat(a.s, b.s))) * 1000000 + 0.5) / 1000000.0 AS jaccard
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+          len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+    ORDER BY id1, id2"""))
+
+  val list: Seq[Q] = Seq(q40, q41, q42, q43, q44)
+}

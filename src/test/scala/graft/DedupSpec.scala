@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup keeps smallest id per identical payload") {
+    val df = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (4L, "aaa")).toDF("id", "text")
+    val out = Dedup.exact(df, "id", col("text")).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 1L))
+  }
+
+  test("minhash: identical texts share all signatures; disjoint texts differ") {
+    val df = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h"),
+      (3L, "q r s t u v w x")).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(
+      df.select(col("doc_id"), Dedup.wordShingles("text").as("_sh")), "doc_id", col("_sh"))
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+  }
+
+  test("lsh pipeline finds a true near-dup pair and skips unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = base + " tomorrow"
+    val far = "completely different content with no shared shingles at all whatsoever here"
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(df, "doc_id", "text", 0.5)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("simhash: near-identical token sets give close fingerprints (hamming)") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (3L, "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    val sh = Dedup.simhash16(df, "doc_id", col("text")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(2L)) <= hamming(sh(1L), sh(3L)))
+  }
+
+  test("shingles: short texts yield empty arrays, no errors") {
+    val df = Seq((1L, "one two"), (2L, "abc")).toDF("doc_id", "text")
+    val w = df.select(Dedup.wordShingles("text").as("s")).collect()
+    assert(w.forall(_.getSeq[String](0).isEmpty))
+    val c = df.filter($"doc_id" === 2L).select(Dedup.charShingles("text", 4).as("s")).collect()
+    assert(c.head.getSeq[String](0).isEmpty)
+  }
+}
