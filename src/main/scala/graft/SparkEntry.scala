@@ -41,7 +41,8 @@ object SparkEntry {
   private def allQ: Seq[queriesRelational.RelationalQueries.Q] =
     queriesRelational.RelationalQueries.list ++
       queriesStreaming.StreamingQueries.list ++
-      queriesExt.DedupQueries.list
+      queriesExt.DedupQueries.list ++
+      queriesExt.SimilarityQueries.list
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed Aggregator exemplar (SURVEY.md §2 B46): per-group centroid of
+  * fixed-dimension embedding vectors. The buffer is a mutable running
+  * (sum-vector, count) pair — merged associatively across partitions,
+  * so the aggregation distributes with map-side partials like any
+  * built-in agg.
+  */
+class CentroidAggregator(dim: Int)
+    extends Aggregator[Seq[Float], (Array[Double], Long), Seq[Double]] {
+
+  override def zero: (Array[Double], Long) = (new Array[Double](dim), 0L)
+
+  override def reduce(b: (Array[Double], Long), v: Seq[Float]): (Array[Double], Long) = {
+    val (sums, n) = b
+    var i = 0
+    while (i < dim && i < v.length) { sums(i) += v(i); i += 1 }
+    (sums, n + 1)
+  }
+
+  override def merge(x: (Array[Double], Long), y: (Array[Double], Long)): (Array[Double], Long) = {
+    val (sx, nx) = x
+    val (sy, ny) = y
+    var i = 0
+    while (i < dim) { sx(i) += sy(i); i += 1 }
+    (sx, nx + ny)
+  }
+
+  override def finish(b: (Array[Double], Long)): Seq[Double] = {
+    val (sums, n) = b
+    if (n == 0) Seq.fill(dim)(0.0) else sums.map(_ / n).toSeq
+  }
+
+  override def bufferEncoder: Encoder[(Array[Double], Long)] =
+    Encoders.tuple(Encoders.javaSerialization(classOf[Array[Double]]), Encoders.scalaLong)
+
+  override def outputEncoder: Encoder[Seq[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+}

@@ -1,0 +1,152 @@
+package graft.queriesExt
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.CentroidAggregator
+import graft.operators.Similarity
+import graft.queriesRelational.RelationalQueries.Q
+
+/** Oracle corpus for similarity search + vector ops (B40-B41, B44,
+  * B46). Cosines are bit-identical across engines: both sides compute
+  * dot products as sequential left folds in double (Spark `aggregate`,
+  * DuckDB `list_reduce`), so even rankings agree exactly; quantized
+  * outputs (floor(x*1e6+0.5)/1e6) make that robustness visible.
+  */
+object SimilarityQueries {
+
+  // DuckDB fragments
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  /** B44: vector norms via higher-order functions (no UDF). */
+  private val q45 = Q("q45_vector_norms", (s, dir) => {
+    val e = Tables.load(s, dir, "embeddings")
+    e.select(col("vec_id"),
+      Similarity.q6(Similarity.dot(col("embedding"), col("embedding"))).as("dot_self"),
+      Similarity.q6(Similarity.norm(col("embedding"))).as("l2_norm"))
+      .orderBy(col("vec_id"))
+  }, Some(s"""
+    SELECT vec_id,
+           floor(${dotSql("embedding", "embedding")} * 1000000 + 0.5) / 1000000.0 AS dot_self,
+           floor(sqrt(${dotSql("embedding", "embedding")}) * 1000000 + 0.5) / 1000000.0 AS l2_norm
+    FROM embeddings ORDER BY vec_id"""))
+
+  /** B40: brute-force cosine top-k — query set broadcast, corpus
+    * scanned once, per-query ranked window.
+    */
+  private val q46 = Q("q46_bruteforce_topk", (s, dir) => {
+    val e = Tables.load(s, dir, "embeddings")
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+      .orderBy(col("query_id"), col("rank"))
+  }, Some(s"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id, ${cosSql("q.qv", "c.embedding")} AS cos
+      FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank,
+             floor(cos * 1000000 + 0.5) / 1000000.0 AS cos_sim
+      FROM scored)
+    SELECT query_id, neighbor_id, rank, cos_sim FROM ranked
+    WHERE rank <= 5 ORDER BY query_id, rank"""))
+
+  /** B41: random-hyperplane LSH signature (the scale path for ANN). */
+  private val q47 = Q("q47_lsh_bucket", (s, dir) => {
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), Similarity.lshBucket(col("embedding"), 8, 64).as("bucket"))
+      .orderBy(col("vec_id"))
+  }, Some {
+    val projs = (0 until 8).map { j =>
+      val plane = s"list_transform(range(1, 65), i -> CAST((CAST(concat('0x', substr(md5(concat('${j}_', CAST(i - 1 AS VARCHAR))), 1, 12)) AS BIGINT) % 2001 - 1000) AS DOUBLE))"
+      s"CASE WHEN list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * $plane[i]), (x, y) -> x + y) > 0 THEN ${1L << j} ELSE 0 END"
+    }
+    s"""
+    SELECT vec_id, ${projs.mkString(" + ")} AS bucket
+    FROM embeddings ORDER BY vec_id"""
+  })
+
+  /** B41: ANN candidate pairs via bucket equi-join with exact cosine
+    * verification — the join is hash-partitioned on the bucket key.
+    */
+  private val q48 = Q("q48_ann_pairs", (s, dir) => {
+    Similarity.annBucketPairs(Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
+      .orderBy(col("id1"), col("id2"))
+  }, Some {
+    val projs = (0 until 8).map { j =>
+      val plane = s"list_transform(range(1, 65), i -> CAST((CAST(concat('0x', substr(md5(concat('${j}_', CAST(i - 1 AS VARCHAR))), 1, 12)) AS BIGINT) % 2001 - 1000) AS DOUBLE))"
+      s"CASE WHEN list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * $plane[i]), (x, y) -> x + y) > 0 THEN ${1L << j} ELSE 0 END"
+    }
+    s"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, ${projs.mkString(" + ")} AS bucket FROM embeddings)
+    SELECT a.vec_id AS id1, b.vec_id AS id2, a.bucket,
+           floor(${cosSql("a.embedding", "b.embedding")} * 1000000 + 0.5) / 1000000.0 AS cos_sim
+    FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ORDER BY id1, id2"""
+  })
+
+  /** B46: typed Aggregator exemplar — per-label centroid, exploded to
+    * (label, dim, value) rows. Distributes with map-side partials like
+    * a built-in agg (merge is associative vector addition).
+    */
+  private val q49 = Q("q49_centroids", (s, dir) => {
+    val centroid = udaf(new CentroidAggregator(64))
+    Tables.load(s, dir, "embeddings")
+      .groupBy(col("label"))
+      .agg(centroid(col("embedding")).as("ctr"))
+      .select(col("label"), posexplode(col("ctr")).as(Seq("dim", "v")))
+      .select(col("label"), col("dim").cast("long").as("dim"),
+        Similarity.q6(col("v")).as("centroid"))
+      .orderBy(col("label"), col("dim"))
+  }, Some("""
+    SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+           floor(avg(CAST(embedding[i] AS DOUBLE)) * 1000000 + 0.5) / 1000000.0 AS centroid
+    FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+    GROUP BY label, i ORDER BY label, dim"""))
+
+  /** B44: nearest-centroid assignment — centroids (10 rows) broadcast
+    * against the corpus, argmin by quantized L2^2 with label tiebreak.
+    */
+  private val q50 = Q("q50_nearest_centroid", (s, dir) => {
+    val centroid = udaf(new CentroidAggregator(64))
+    val e = Tables.load(s, dir, "embeddings")
+    val ctrs = e.groupBy(col("label").as("c_label"))
+      .agg(centroid(col("embedding")).as("ctr"))
+    val dist = aggregate(
+      zip_with(col("embedding"), col("ctr"),
+        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+      lit(0.0), (acc, x) => acc + x)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("qdist"), col("c_label"))
+    e.crossJoin(broadcast(ctrs))
+      .withColumn("qdist", Similarity.q6(dist))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_label").as("nearest_label"), col("qdist").as("dist"))
+      .orderBy(col("vec_id"))
+  }, Some("""
+    WITH cent AS (
+      SELECT label AS c_label, i,
+             avg(CAST(embedding[i] AS DOUBLE)) AS c
+      FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+      GROUP BY label, i),
+    dists AS (
+      SELECT e.vec_id, cent.c_label,
+             floor(sum((CAST(e.embedding[cent.i] AS DOUBLE) - cent.c) *
+                       (CAST(e.embedding[cent.i] AS DOUBLE) - cent.c)) * 1000000 + 0.5) / 1000000.0 AS qdist
+      FROM embeddings e CROSS JOIN cent
+      GROUP BY e.vec_id, cent.c_label),
+    ranked AS (
+      SELECT vec_id, c_label, qdist,
+             row_number() OVER (PARTITION BY vec_id ORDER BY qdist, c_label) AS rn
+      FROM dists)
+    SELECT vec_id, c_label AS nearest_label, qdist AS dist
+    FROM ranked WHERE rn = 1 ORDER BY vec_id"""))
+
+  val list: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50)
+}
