@@ -42,7 +42,8 @@ object SparkEntry {
     queriesRelational.RelationalQueries.list ++
       queriesStreaming.StreamingQueries.list ++
       queriesExt.DedupQueries.list ++
-      queriesExt.SimilarityQueries.list
+      queriesExt.SimilarityQueries.list ++
+      queriesExt.TextQueries.list
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: media as opaque BINARY payloads + typed
+  * metadata, with decode/feature-extract/resize as batch-shaped
+  * partition transforms.
+  *
+  * The real codecs (image/audio/video decode) are STUBBED — this
+  * container has no media libraries — behind `decodeStub`, which
+  * produces a deterministic fake "pixel" buffer from the payload
+  * bytes. Everything around the stub is real and load-bearing:
+  *  - the schema contract (binary payload + width/height/channels),
+  *  - the batch iteration shape (`grouped(batchSize)` inside
+  *    mapPartitions — the same amortization Arrow/pandas batches give
+  *    a Python `mapInPandas` decode),
+  *  - the partitioning story: decode is a narrow per-partition pass;
+  *    payload bytes never shuffle. At 100 TB, media rows are stored
+  *    with metadata in columns so pruning/filter pushdown works
+  *    WITHOUT reading payload bytes (parquet column projection skips
+  *    the binary column entirely for metadata-only queries).
+  */
+object Multimodal {
+
+  case class MediaRecord(
+      media_id: Long,
+      kind: String,
+      payload: Array[Byte],
+      width: Int,
+      height: Int,
+      channels: Int)
+
+  case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Long,
+      mean_prefix: Double, // mean of the first 64 decoded values
+      histogram: Seq[Long]) // 4-bucket value histogram
+
+  /** Synthesize a media table from the documents corpus: the UTF-8
+    * payload stands in for encoded image bytes; metadata derived
+    * deterministically from doc stats.
+    */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      lit("image").as("kind"),
+      encode(col("text"), "UTF-8").as("payload"),
+      (col("n_chars") % 640).cast("int").as("width"),
+      (col("n_chars") % 480).cast("int").as("height"),
+      lit(3).as("channels"))
+
+  /** STUB decode: a real implementation would invoke an image codec
+    * here (e.g. via JNI or a vectorized Python `mapInPandas` worker).
+    * The deterministic fake returns the payload bytes as the "decoded"
+    * value buffer, so downstream feature logic is exercised for real.
+    */
+  private[operators] def decodeStub(payload: Array[Byte]): Array[Int] =
+    payload.map(b => b & 0xff)
+
+  /** Batch-shaped feature extraction: iterate each partition in
+    * `batchSize` chunks (the Arrow-batch shape), decode via the stub,
+    * compute features in JVM code. Narrow — no shuffle, payloads
+    * stay partition-local.
+    */
+  def extractFeatures(media: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { m =>
+          val values = decodeStub(m.payload)
+          val prefix = values.take(64)
+          val mean = if (prefix.isEmpty) 0.0 else prefix.map(_.toDouble).sum / prefix.length
+          val hist = new Array[Long](4)
+          values.foreach(v => hist(v / 64) += 1)
+          MediaFeatures(m.media_id, m.kind, values.length.toLong,
+            math.floor(mean * 1000000 + 0.5) / 1000000.0, hist.toSeq)
+        }
+      }
+    }
+  }
+
+  /** STUB resize: metadata-only transform (a real kernel would
+    * resample the decoded buffer); demonstrates that metadata
+    * operations never touch payload bytes — Catalyst prunes the
+    * binary column out of the scan when only metadata is selected.
+    */
+  def resizeMeta(media: DataFrame, maxW: Int, maxH: Int): DataFrame =
+    media.withColumn("scale",
+      least(lit(maxW) / greatest(col("width"), lit(1)),
+        lit(maxH) / greatest(col("height"), lit(1)), lit(1.0)))
+      .withColumn("out_width", floor(col("width") * col("scale")).cast("int"))
+      .withColumn("out_height", floor(col("height") * col("scale")).cast("int"))
+      .drop("scale")
+
+  /** Frame sampling stub for video-kind media: pick every k-th frame
+    * index from the metadata frame count — pure metadata arithmetic,
+    * the payload-decode of selected frames is the stubbed step.
+    */
+  def sampleFrameIndexes(nFrames: Int, everyK: Int): Seq[Int] =
+    (0 until nFrames by everyK).toSeq
+}

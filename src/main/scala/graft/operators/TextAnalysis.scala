@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.{transform => transformArray, filter => filterArray}
+
+/** Text-analysis operators for training-data pipelines: language ID
+  * (marker-token scoring), quality scoring, token counting
+  * (whitespace + regex "BPE-ish"), and rolling-hash fingerprinting.
+  * All pure column expressions — narrow, codegen'd, shuffle-free.
+  */
+object TextAnalysis {
+
+  /** Marker stopword profiles for the five corpus languages. A
+    * lightweight n-gram/stopword heuristic: per language, count tokens
+    * hitting the marker set; predict the argmax (ties -> lexicographic
+    * language code). Real-world profiles would be larger; the operator
+    * shape (k marker-set scores + argmax, one pass) is the same.
+    */
+  val MARKERS: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
+    "es" -> Seq("el", "la", "de", "y", "es", "un", "que"),
+    "fr" -> Seq("le", "la", "et", "est", "un", "une", "dans"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2", "you3", "wo3"))
+
+  def tokens(textCol: String): Column = split(col(textCol), " ")
+
+  /** Count of tokens present in a fixed marker set. */
+  def markerScore(toks: Column, markers: Seq[String]): Column =
+    size(filterArray(toks, t => t.isInCollection(markers))).cast("long")
+
+  /** Language-ID: per-language marker scores + argmax prediction. */
+  def languageId(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(textCol)
+    val scored = MARKERS.foldLeft(df) { case (acc, (lang, markers)) =>
+      acc.withColumn(s"score_$lang", markerScore(toks, markers))
+    }
+    // argmax with lexicographic tiebreak: fold over (score, lang) pairs
+    val best = MARKERS.map { case (lang, _) =>
+      struct(col(s"score_$lang").as("s"), lit(lang).as("l"))
+    }.reduceLeft { (a, b) =>
+      when(b.getField("s") > a.getField("s"), b).otherwise(a)
+    }
+    scored.withColumn("pred_lang", best.getField("l"))
+  }
+
+  /** Quality metrics: token stats, stopword ratio, digit ratio and a
+    * composite score in [0,1]. Quantized (1e-6) for reproducibility.
+    */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(textCol)
+    val q6 = (c: Column) => floor(c * 1000000 + lit(0.5)) / lit(1000000.0)
+    val nToks = size(toks).cast("long")
+    val avgTokLen = aggregate(transformArray(toks, t => length(t).cast("long")),
+      lit(0L), (a, x) => a + x).cast("double") / nToks
+    val stopRatio = markerScore(toks, MARKERS.flatMap(_._2)).cast("double") / nToks
+    val digitRatio = (length(col(textCol)) -
+      length(regexp_replace(col(textCol), "[0-9]", ""))).cast("double") / length(col(textCol))
+    val lenScore = least(nToks.cast("double") / lit(100.0), lit(1.0))
+    val composite = lenScore * (lit(1.0) - digitRatio) *
+      least(avgTokLen / lit(8.0), lit(1.0))
+    df.select(col("doc_id"),
+      nToks.as("n_tokens"),
+      q6(avgTokLen).as("avg_token_len"),
+      q6(stopRatio).as("stopword_ratio"),
+      q6(digitRatio).as("digit_ratio"),
+      q6(composite).as("quality"))
+  }
+
+  /** Token counting: whitespace tokens, regex word-run tokens (a
+    * BPE-ish lower-bound segmentation: alpha runs + digit runs +
+    * single punctuation), and the distinct-token ratio.
+    */
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(textCol)
+    val q6 = (c: Column) => floor(c * 1000000 + lit(0.5)) / lit(1000000.0)
+    df.select(col("doc_id"),
+      size(toks).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(col(textCol), lit("[a-zA-Z]+|[0-9]+"), lit(0))).cast("long").as("re_tokens"),
+      size(array_distinct(toks)).cast("long").as("distinct_tokens"),
+      q6(size(array_distinct(toks)).cast("double") / size(toks)).as("distinct_ratio"))
+  }
+
+  /** Rolling polynomial fingerprint (Karp-Rabin over token hashes):
+    * fp = foldLeft(0) { (acc, h) => (acc * 31 + h) mod P } — order
+    * sensitive by design (captures token sequence, not just the set).
+    */
+  def fingerprint(textCol: String): Column = {
+    val hs = transformArray(tokens(textCol), t => Dedup.hash48(t))
+    aggregate(hs, lit(0L), (acc, h) => (acc * 31 + h) % lit(Dedup.MINHASH_P))
+  }
+}

@@ -1,0 +1,160 @@
+package graft.queriesExt
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Dedup, TextAnalysis}
+import graft.queriesRelational.RelationalQueries.Q
+
+/** Oracle corpus for text analysis (B42-B43 + lang-ID / quality /
+  * token-count / fingerprint) and the multimodal metadata path.
+  */
+object TextQueries {
+
+  private val allMarkers = TextAnalysis.MARKERS.flatMap(_._2)
+  private def markerList(ms: Seq[String]): String =
+    ms.map(m => s"'$m'").mkString("[", ", ", "]")
+
+  /** Language-ID marker scoring + argmax prediction. */
+  private val q51 = Q("q51_langid", (s, dir) => {
+    TextAnalysis.languageId(Tables.load(s, dir, "documents"), "text")
+      .select((col("doc_id") +: col("lang").as("true_lang") +:
+        TextAnalysis.MARKERS.map { case (l, _) => col(s"score_$l") } :+
+        col("pred_lang")): _*)
+      .orderBy(col("doc_id"))
+  }, Some {
+    val scores = TextAnalysis.MARKERS.map { case (l, ms) =>
+      s"CAST(len(list_filter(string_split(text, ' '), t -> list_contains(${markerList(ms)}, t))) AS BIGINT) AS score_$l"
+    }
+    // argmax via left fold over (score, lang) with strict > (first max wins)
+    val arg = TextAnalysis.MARKERS.map { case (l, _) => s"{'s': score_$l, 'l': '$l'}" }
+      .reduceLeft((a, b) => s"(CASE WHEN ($b).s > ($a).s THEN $b ELSE $a END)")
+    s"""
+    WITH scored AS (
+      SELECT doc_id, lang AS true_lang, ${scores.mkString(", ")}
+      FROM documents)
+    SELECT doc_id, true_lang, ${TextAnalysis.MARKERS.map(m => s"score_${m._1}").mkString(", ")},
+           ($arg).l AS pred_lang
+    FROM scored ORDER BY doc_id"""
+  })
+
+  /** Quality scoring: token stats + composite. */
+  private val q52 = Q("q52_quality", (s, dir) => {
+    TextAnalysis.qualityScore(Tables.load(s, dir, "documents"), "text")
+      .orderBy(col("doc_id"))
+  }, Some(s"""
+    WITH t AS (
+      SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+    m AS (
+      SELECT doc_id, text,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(list_reduce(list_concat([0], list_transform(toks, x -> len(x))), (a, b) -> a + b) AS DOUBLE) / len(toks) AS atl,
+             CAST(len(list_filter(toks, x -> list_contains(${markerList(allMarkers)}, x))) AS DOUBLE) / len(toks) AS sr,
+             CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / len(text) AS dr,
+             least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS ls
+      FROM t)
+    SELECT doc_id, n_tokens,
+           floor(atl * 1000000 + 0.5) / 1000000.0 AS avg_token_len,
+           floor(sr * 1000000 + 0.5) / 1000000.0 AS stopword_ratio,
+           floor(dr * 1000000 + 0.5) / 1000000.0 AS digit_ratio,
+           floor(ls * (1.0 - dr) * least(atl / 8.0, 1.0) * 1000000 + 0.5) / 1000000.0 AS quality
+    FROM m ORDER BY doc_id"""))
+
+  /** Token counting: whitespace vs regex segmentation vs distinct. */
+  private val q53 = Q("q53_token_counts", (s, dir) => {
+    TextAnalysis.tokenCounts(Tables.load(s, dir, "documents"), "text")
+      .orderBy(col("doc_id"))
+  }, Some("""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+')) AS BIGINT) AS re_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS distinct_tokens,
+           floor(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+                 len(string_split(text, ' ')) * 1000000 + 0.5) / 1000000.0 AS distinct_ratio
+    FROM documents ORDER BY doc_id"""))
+
+  /** Rolling-hash document fingerprint (order-sensitive). */
+  private val q54 = Q("q54_fingerprint", (s, dir) => {
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprint("text").as("fingerprint"))
+      .orderBy(col("doc_id"))
+  }, Some(s"""
+    SELECT doc_id,
+           list_reduce(
+             list_concat([CAST(0 AS BIGINT)],
+               list_transform(string_split(text, ' '),
+                 t -> CAST(concat('0x', substr(md5(t), 1, 12)) AS BIGINT))),
+             (acc, h) -> (acc * 31 + h) % ${Dedup.MINHASH_P}) AS fingerprint
+    FROM documents ORDER BY doc_id"""))
+
+  /** B43: TF-IDF-shaped term/document frequency table over the corpus
+    * (explode + two hash aggregations; the canonical text-index build).
+    */
+  private val q55 = Q("q55_tf_idf", (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val nDocs = docs.count()
+    val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(df_, "term")
+      .select(col("term"), col("doc_id"), col("tf"),
+        col("df"),
+        (floor(col("tf") * log(lit(nDocs.toDouble) / col("df")) * 1000000 + lit(0.5)) / lit(1000000.0)).as("tfidf"))
+      .filter(col("df") >= 100)
+      .orderBy(col("term"), col("doc_id"))
+  }, Some("""
+    WITH tf AS (
+      SELECT term, doc_id, count(*) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY term, doc_id),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+    SELECT term, doc_id, tf, df,
+           floor(tf * ln(n_docs / df) * 1000000 + 0.5) / 1000000.0 AS tfidf
+    FROM tf JOIN dfreq USING (term), n
+    WHERE df >= 100
+    ORDER BY term, doc_id"""))
+
+  /** Multimodal metadata path: binary payload + typed metadata; the
+    * oracle checks payload length, content hash, metadata arithmetic
+    * and the decoded-prefix mean (the feature the decode stub
+    * computes) — all without the oracle needing a media codec, since
+    * the stand-in payload is the UTF-8 text itself.
+    */
+  private val q56 = Q("q56_multimodal_meta", (s, dir) => {
+    import graft.operators.Multimodal
+    val media = Multimodal.mediaFromDocuments(Tables.load(s, dir, "documents"))
+    val resized = Multimodal.resizeMeta(media, 320, 240)
+    resized.select(
+      col("media_id"),
+      length(col("payload")).cast("long").as("n_bytes"),
+      sha2(col("payload"), 256).as("payload_sha"),
+      col("width").cast("long").as("width"),
+      col("out_width").cast("long").as("out_width"),
+      col("out_height").cast("long").as("out_height"),
+      (floor(aggregate(
+        expr("transform(sequence(1, least(length(payload), 64)), i -> ascii(substr(cast(payload as string), i, 1)))"),
+        lit(0L), (a, x) => a + x).cast("double") / least(length(col("payload")), lit(64)) * 1000000 + lit(0.5)) / lit(1000000.0)).as("mean_prefix"))
+      .orderBy(col("media_id"))
+  }, Some("""
+    WITH media AS (
+      SELECT doc_id AS media_id, text,
+             CAST(n_chars % 640 AS BIGINT) AS width,
+             CAST(n_chars % 480 AS BIGINT) AS height
+      FROM documents),
+    resized AS (
+      SELECT *, least(320.0 / greatest(width, 1), 240.0 / greatest(height, 1), 1.0) AS scale
+      FROM media)
+    SELECT media_id,
+           CAST(len(text) AS BIGINT) AS n_bytes,
+           sha256(text) AS payload_sha,
+           width,
+           CAST(floor(width * scale) AS BIGINT) AS out_width,
+           CAST(floor(height * scale) AS BIGINT) AS out_height,
+           floor(CAST(list_reduce(list_concat([0], list_transform(range(1, least(len(text), 64) + 1),
+                   i -> ord(substr(text, i, 1)))), (a, b) -> a + b) AS DOUBLE) /
+                 least(len(text), 64) * 1000000 + 0.5) / 1000000.0 AS mean_prefix
+    FROM resized ORDER BY media_id"""))
+
+  val list: Seq[Q] = Seq(q51, q52, q53, q54, q55, q56)
+}
