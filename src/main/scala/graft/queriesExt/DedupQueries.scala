@@ -21,13 +21,37 @@ object DedupQueries {
       s"i -> concat_ws(' ', string_split($textExpr, ' ')[i], string_split($textExpr, ' ')[i+1], string_split($textExpr, ' ')[i+2])))"
   private def sigSql(i: Int): String =
     s"list_min(list_transform(hs, h -> (${Dedup.MINHASH_A(i)} * h + ${Dedup.MINHASH_B(i)}) % ${Dedup.MINHASH_P})) AS sig$i"
-  private val sigsCte =
+  private def sigsCteFor(shingleExpr: String): String =
     s"""WITH sh AS (
-      SELECT doc_id, ${shinglesSql("text")} AS s FROM documents),
+      SELECT doc_id, $shingleExpr AS s FROM documents),
     hsed AS (
       SELECT doc_id, s, list_transform(s, g -> ${H48.format("g")}) AS hs FROM sh),
     sigs AS (
       SELECT doc_id, ${(0 until 8).map(sigSql).mkString(", ")} FROM hsed)"""
+
+  private val sigsCte = sigsCteFor(shinglesSql("text"))
+
+  /** Shared LSH band-join + verify SQL tail (parameterized threshold). */
+  private def lshTailSql(threshold: Double): String = s"""
+    bands AS (
+      SELECT doc_id, b.band_idx,
+             CASE b.band_idx
+               WHEN 0 THEN concat_ws(':', '0', sig0, sig1)
+               WHEN 1 THEN concat_ws(':', '1', sig2, sig3)
+               WHEN 2 THEN concat_ws(':', '2', sig4, sig5)
+               ELSE        concat_ws(':', '3', sig6, sig7) END AS band_key
+      FROM sigs, (SELECT unnest(range(4)) AS band_idx) b),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      FROM bands a JOIN bands b USING (band_idx, band_key)
+      WHERE a.doc_id < b.doc_id),
+    verified AS (
+      SELECT id1, id2,
+             CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE) /
+             len(list_distinct(list_concat(s1.s, s2.s))) AS jac
+      FROM cands JOIN sh s1 ON s1.doc_id = id1 JOIN sh s2 ON s2.doc_id = id2)
+    SELECT id1, id2, floor(jac * 1000000 + 0.5) / 1000000.0 AS jaccard
+    FROM verified WHERE jac >= $threshold ORDER BY id1, id2"""
 
   /** B38: exact dedup via content-hash groupBy. */
   private val q40 = Q("q40_exact_dedup", (s, dir) => {
@@ -56,26 +80,7 @@ object DedupQueries {
     Dedup.minhashNearDups(Tables.load(s, dir, "documents"), "doc_id", "text", 0.5)
       .orderBy(col("id1"), col("id2"))
   }, Some(s"""
-    $sigsCte,
-    bands AS (
-      SELECT doc_id, b.band_idx,
-             CASE b.band_idx
-               WHEN 0 THEN concat_ws(':', '0', sig0, sig1)
-               WHEN 1 THEN concat_ws(':', '1', sig2, sig3)
-               WHEN 2 THEN concat_ws(':', '2', sig4, sig5)
-               ELSE        concat_ws(':', '3', sig6, sig7) END AS band_key
-      FROM sigs, (SELECT unnest(range(4)) AS band_idx) b),
-    cands AS (
-      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-      FROM bands a JOIN bands b USING (band_idx, band_key)
-      WHERE a.doc_id < b.doc_id),
-    verified AS (
-      SELECT id1, id2,
-             CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE) /
-             len(list_distinct(list_concat(s1.s, s2.s))) AS jac
-      FROM cands JOIN sh s1 ON s1.doc_id = id1 JOIN sh s2 ON s2.doc_id = id2)
-    SELECT id1, id2, floor(jac * 1000000 + 0.5) / 1000000.0 AS jaccard
-    FROM verified WHERE jac >= 0.5 ORDER BY id1, id2"""))
+    $sigsCte, ${lshTailSql(0.5)}"""))
 
   /** B39: 16-bit SimHash fingerprints (explode + one groupBy shuffle of
     * 16 counters, map-side combined).
@@ -96,35 +101,23 @@ object DedupQueries {
            ${(0 until 16).map(b => s"CASE WHEN bit$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")} AS simhash
     FROM votes ORDER BY doc_id"""))
 
-  /** N-gram (character 4-gram) Jaccard near-dup, blocked by language —
-    * the blocking key bounds pair growth (block-local O(b^2), global
-    * O(n * b)); at 100 TB the block key is the shuffle partition key.
+  /** Character n-gram Jaccard near-dup via the SAME LSH candidate path
+    * (MinHash over char shingles). Two scale lessons are baked in:
+    * (1) the first cut blocked by language and verified all in-block
+    * pairs — 461 s at sf0.1 (the 2k-doc 'en' block alone is 2.4M pairs
+    * x 800-element set ops); LSH candidates fix the quadratic.
+    * (2) shingle width must exceed the vocabulary's shared-substring
+    * scale or buckets saturate: 4-gram shingles on this corpus put
+    * 3.3M of 12.5M possible pairs in shared buckets (every doc shares
+    * common 4-grams); 12-gram shingles (~2 words) cut that to 4.9k
+    * candidates while finding the same 25 true pairs.
     */
   private val q44 = Q("q44_char_ngram_jaccard", (s, dir) => {
-    val docs = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), array_distinct(Dedup.charShingles("text", 4)).as("_sh"))
-    val a = docs.select(col("lang"), col("doc_id").as("id1"), col("_sh").as("_sh1"))
-    val b = docs.select(col("lang"), col("doc_id").as("id2"), col("_sh").as("_sh2"))
-    a.join(b, Seq("lang"))
-      .filter(col("id1") < col("id2"))
-      .withColumn("jac", Dedup.jaccard(col("_sh1"), col("_sh2")))
-      .filter(col("jac") >= 0.5)
-      .select(col("id1"), col("id2"), col("lang"),
-        (floor(col("jac") * 1000000 + lit(0.5)) / lit(1000000.0)).as("jaccard"))
+    Dedup.minhashNearDupsOn(Tables.load(s, dir, "documents"), "doc_id",
+      Dedup.charShingles("text", 12), 0.5)
       .orderBy(col("id1"), col("id2"))
-  }, Some("""
-    WITH sh AS (
-      SELECT doc_id, lang,
-             list_distinct(list_transform(range(1, greatest(len(text) - 2, 1)),
-               i -> substr(text, i, 4))) AS s
-      FROM documents)
-    SELECT a.doc_id AS id1, b.doc_id AS id2, a.lang,
-           floor(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-                 len(list_distinct(list_concat(a.s, b.s))) * 1000000 + 0.5) / 1000000.0 AS jaccard
-    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-          len(list_distinct(list_concat(a.s, b.s))) >= 0.5
-    ORDER BY id1, id2"""))
+  }, Some(s"""
+    ${sigsCteFor("list_distinct(list_transform(range(1, greatest(len(text) - 10, 1)), i -> substr(text, i, 12)))")}, ${lshTailSql(0.5)}"""))
 
   val list: Seq[Q] = Seq(q40, q41, q42, q43, q44)
 }
