@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.plans.{EliminateCodecRoundTrip, GraftExtensions}
+import graft.queriesRelational.RelationalQueries
+
+/** Plan-quality assertions: the properties that make these operators
+  * survive a 100x scale-up — filters reaching the parquet scan, small
+  * dims broadcast, whole-stage codegen, column pruning.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02 predicates are pushed to the parquet scan") {
+    val plan = planOf("q02_predicates")
+    assert(plan.contains("PushedFilters:") &&
+      (plan.contains("In(o_orderstatus") || plan.contains("IsNotNull(o_orderdate)")),
+      s"expected pushed filters in:\n$plan")
+  }
+
+  test("q06 star join broadcasts all three dimensions") {
+    val plan = planOf("q06_broadcast_star")
+    val n = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(n == 3, s"expected 3 broadcast joins, got $n:\n$plan")
+  }
+
+  test("q01 aggregation runs inside whole-stage codegen with partial aggregation") {
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
+    df.collect() // materialize so AQE finalizes the plan
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n)" is the WholeStageCodegen marker in the final plan
+    assert(plan.contains("*("), s"expected codegen stages:\n$plan")
+    assert(plan.contains("partial_"), s"expected map-side partial agg:\n$plan")
+  }
+
+  test("q01 scan reads only the referenced columns (pruning)") {
+    val plan = planOf("q01_pricing_summary")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"),
+      s"expected pruned schema, got: $readSchema")
+  }
+
+  test("q19 global sort+limit plans as TakeOrderedAndProject (no full sort)") {
+    val plan = planOf("q19_top100")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("custom codec expressions stay inside whole-stage codegen") {
+    val df = Tables.load(spark, sfDir, "documents")
+      .select(graft.functions.codecs.gunzip(
+        graft.functions.codecs.gzip(encode(col("text"), "UTF-8"))).as("b"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), plan)
+  }
+
+  test("EliminateCodecRoundTrip rewrites gunzip(gzip(x)) to x") {
+    // getOrCreate() would return the suite session (ignoring
+    // withExtensions), so build a sibling session over the same
+    // SparkContext and restore the active session afterwards.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val ext = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val df = ext.read.parquet(s"$sfDir/documents.parquet")
+        .select(graft.functions.codecs.gunzip(
+          graft.functions.codecs.gzip(encode(col("text"), "UTF-8"))).cast("string").as("t"))
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(!optimized.contains("gunzip"), s"round-trip not eliminated:\n$optimized")
+      // and SQL registration via injectFunction works:
+      ext.read.parquet(s"$sfDir/documents.parquet").limit(1).createOrReplaceTempView("d1")
+      val viaSql = ext.sql("SELECT cast(gunzip(gzip(encode(text, 'UTF-8'))) as string) AS t FROM d1")
+      assert(viaSql.collect().head.getString(0).nonEmpty)
+    } finally {
+      SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
+    }
+  }
+
+  test("lsh near-dup plan contains no CartesianProduct or BroadcastNestedLoopJoin") {
+    val plan = planOf("q42_lsh_neardup")
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("oracle SQL exists for every query except declared rows-only ops") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == Set("q29_approx_distinct"), s"unexpected rows-only: $rowsOnly")
+  }
+}
