@@ -55,19 +55,25 @@ object Dedup {
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
 
   /** MinHash signatures: k per-document minima of seeded hash functions
-    * over the shingle set. One narrow projection — no shuffle, no UDF;
-    * the shingle hash is computed once and reused across the k
-    * signature lanes.
+    * over the shingle set.
+    *
+    * Shape: explode -> project(hash) -> groupBy(min x k). The explode
+    * materializes one row per shingle so the md5 hash is computed ONCE
+    * and shared by all k lanes — the array-lambda formulation
+    * (array_min(transform(hashes, ...)) x k over a hash array column)
+    * gets CollapseProject'd into k copies of the md5 work, measured 5x
+    * slower at sf0.1. The k minima combine map-side (partial agg), so
+    * the shuffle carries k longs per doc, not the shingles.
     */
   def minhashSignatures(df: DataFrame, idCol: String, shingles: Column, k: Int = 8): DataFrame = {
     require(k <= MINHASH_A.length)
-    val withHashes = df
-      .withColumn("_shingle_hashes", transformArray(array_distinct(shingles), s => hash48(s)))
+    val exploded = df
+      .select(col(idCol), explode_outer(array_distinct(shingles)).as("_s"))
+      .select(col(idCol), hash48(col("_s")).as("_h"))
     val sigs = (0 until k).map { i =>
-      array_min(transformArray(col("_shingle_hashes"),
-        h => (lit(MINHASH_A(i)) * h + lit(MINHASH_B(i))) % lit(MINHASH_P))).as(s"sig$i")
+      min((lit(MINHASH_A(i)) * col("_h") + lit(MINHASH_B(i))) % lit(MINHASH_P)).as(s"sig$i")
     }
-    withHashes.select((col(idCol) +: sigs): _*)
+    exploded.groupBy(col(idCol)).agg(sigs.head, sigs.tail: _*)
   }
 
   /** LSH banding: split the k signatures into bands of `rowsPerBand`,

