@@ -40,6 +40,7 @@ object SparkEntry {
 
   private def allQ: Seq[queriesRelational.RelationalQueries.Q] =
     queriesRelational.RelationalQueries.list ++
+      queriesRelational.SqlQueries.list ++
       queriesStreaming.StreamingQueries.list ++
       queriesExt.DedupQueries.list ++
       queriesExt.SimilarityQueries.list ++
