@@ -136,6 +136,45 @@ object RelationalQueries {
     GROUP BY c_custkey
     ORDER BY c_custkey"""))
 
+  /** B8: right outer (events side preserved) — written right-outer to
+    * exercise the plan shape; equivalent left-outer is q04.
+    */
+  private val q60 = Q("q60_right_outer", (s, dir) => {
+    val o = t(s, dir, "orders").filter(col("o_totalprice") > 250000)
+    val c = t(s, dir, "customer")
+    o.join(c, o("o_custkey") === c("c_custkey"), "right_outer")
+      .groupBy(c("c_custkey"))
+      .agg(count(o("o_orderkey")).as("n_big_orders"))
+      .orderBy(col("c_custkey"))
+  }, Some("""
+    SELECT c_custkey, count(o_orderkey) AS n_big_orders
+    FROM (SELECT * FROM orders WHERE o_totalprice > 250000) o
+      RIGHT JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey ORDER BY c_custkey"""))
+
+  /** B8: full outer join — suppliers and customers per nation, either
+    * side may be absent.
+    */
+  private val q61 = Q("q61_full_outer", (s, dir) => {
+    val sup = t(s, dir, "supplier").groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    val cust = t(s, dir, "customer").groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"))
+    sup.join(cust, sup("s_nationkey") === cust("c_nationkey"), "full_outer")
+      .select(
+        coalesce(sup("s_nationkey"), cust("c_nationkey")).as("nationkey"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"))
+      .orderBy(col("nationkey"))
+  }, Some("""
+    WITH sup AS (SELECT s_nationkey, count(*) AS n_suppliers FROM supplier GROUP BY s_nationkey),
+    cust AS (SELECT c_nationkey, count(*) AS n_customers FROM customer GROUP BY c_nationkey)
+    SELECT coalesce(s_nationkey, c_nationkey) AS nationkey,
+           coalesce(n_suppliers, 0) AS n_suppliers,
+           coalesce(n_customers, 0) AS n_customers
+    FROM sup FULL OUTER JOIN cust ON s_nationkey = c_nationkey
+    ORDER BY nationkey"""))
+
   /** B9: left-semi (EXISTS) and left-anti (NOT EXISTS), disjoint union. */
   private val q05 = Q("q05_semi_anti", (s, dir) => {
     val c = t(s, dir, "customer")
@@ -554,7 +593,7 @@ object RelationalQueries {
 
   val list: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30)
+    q25, q26, q27, q28, q29, q30, q60, q61)
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
     list.map(q => q.name -> q.fn).toMap
