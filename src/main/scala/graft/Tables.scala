@@ -7,8 +7,12 @@ object Tables {
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS); self-heal sessions that
+    // were built without the legacy conf (it is runtime-settable).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
   /** events with its TIMESTAMP(NANOS) `ts` column (read as long nanos
     * under spark.sql.legacy.parquet.nanosAsLong) converted to a proper

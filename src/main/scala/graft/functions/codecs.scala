@@ -41,6 +41,42 @@ object CodecUtil {
     */
   def gunzipOrNull(bytes: Array[Byte]): Array[Byte] =
     try gunzip(bytes) catch { case _: java.io.IOException => null }
+
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 48 bits of md5 as a positive long — numerically identical
+    * to parsing the first 12 hex chars of the md5 digest (big-endian),
+    * i.e. `conv(substr(md5(s), 1, 12), 16, 10)`, without materializing
+    * the hex string.
+    */
+  def hash48(utf8: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val d = md5Digest.get()
+    d.reset()
+    val bytes = d.digest(utf8.getBytes)
+    ((bytes(0) & 0xffL) << 40) | ((bytes(1) & 0xffL) << 32) |
+      ((bytes(2) & 0xffL) << 24) | ((bytes(3) & 0xffL) << 16) |
+      ((bytes(4) & 0xffL) << 8) | (bytes(5) & 0xffL)
+  }
+}
+
+/** 48-bit md5 prefix of a STRING column as a positive long — the
+  * engine-portable string hash used by MinHash/SimHash/fingerprints
+  * (DuckDB replicates it as hex-substring parsing; see
+  * Dedup.hash48 scaladoc). Native because it sits in the innermost
+  * loop of dedup: one call per shingle.
+  */
+case class Hash48(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hash48"
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullSafeEval(v: Any): Any =
+    CodecUtil.hash48(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CodecUtil.hash48($c)")
+  override protected def withNewChildInternal(c: Expression): Hash48 = copy(child = c)
 }
 
 /** Base for binary->binary codec expressions. Null-intolerant (null in,
@@ -124,6 +160,9 @@ object codecs {
 
   def base64Unchunked(c: Column): Column =
     shims.column(Base64Unchunked(shims.expression(c)))
+
+  def hash48(c: Column): Column =
+    shims.column(Hash48(shims.expression(c)))
 
   /** Register `gzip`/`gunzip` for use from SQL text. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

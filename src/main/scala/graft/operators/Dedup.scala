@@ -17,11 +17,13 @@ import org.apache.spark.sql.functions.{transform => transformArray}
 object Dedup {
 
   /** First 48 bits of md5 as a positive long — a deterministic string
-    * hash computable identically in any engine (hex -> base-10), unlike
-    * Spark's murmur3 `hash()` which is engine-specific.
+    * hash computable identically in any engine (the oracle replicates
+    * it as `CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT)`),
+    * unlike Spark's murmur3 `hash()` which is engine-specific. Backed
+    * by the native [[graft.functions.Hash48]] expression (md5 bytes
+    * folded directly — no hex-string round trip in the shingle loop).
     */
-  def hash48(s: Column): Column =
-    conv(substring(md5(encode(s, "UTF-8")), 1, 12), 16, 10).cast("long")
+  def hash48(s: Column): Column = graft.functions.codecs.hash48(s)
 
   /** Fixed MinHash seed pairs (a_k * h + b_k mod P). */
   val MINHASH_A: Seq[Long] = Seq(2971L, 6011L, 9103L, 3301L, 7873L, 4409L, 9973L, 5087L)
