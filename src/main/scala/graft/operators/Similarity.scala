@@ -83,6 +83,44 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** IVF-style ANN: partition the corpus into cells by nearest
+    * centroid (the inverted file), then answer queries by probing only
+    * the `nprobe` nearest cells. At 100 TB the corpus is stored
+    * bucketed by cell id, so a query touches nprobe/k of the data;
+    * centroids (k rows) broadcast everywhere.
+    *
+    * Composition: centroid table (from CentroidAggregator or any
+    * k-means) -> cell assignment (broadcast argmin) -> candidate join
+    * on cell id -> exact cosine top-k.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    // centroids: (cell: Int, ctr: Array[Double])
+    def l2sq(v: Column, c: Column): Column =
+      aggregate(zip_with(v, c, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (acc, x) => acc + x)
+    val cellW = Window.partitionBy(col("_id")).orderBy(col("_d"), col("cell"))
+    def assign(df: DataFrame, n: Int): DataFrame =
+      df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+        .crossJoin(broadcast(centroids))
+        .withColumn("_d", q6(l2sq(col("_v"), col("ctr"))))
+        .withColumn("_rn", row_number().over(cellW))
+        .filter(col("_rn") <= n)
+        .select(col("_id"), col("_v"), col("cell"))
+    val corpusCells = assign(corpus, 1)
+      .select(col("_id").as("neighbor_id"), col("_v").as("_cv"), col("cell"))
+    val queryCells = assign(queries, nprobe)
+      .select(col("_id").as("query_id"), col("_v").as("_qv"), col("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("_cos").desc, col("neighbor_id"))
+    queryCells.join(corpusCells, "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("_cos", cosine(col("_qv"), col("_cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), q6(col("_cos")).as("cos_sim"))
+  }
+
   /** ANN via LSH bucket equi-join: candidate pairs share a bucket;
     * exact cosine computed only for candidates.
     */

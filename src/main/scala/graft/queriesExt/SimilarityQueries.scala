@@ -148,5 +148,54 @@ object SimilarityQueries {
     SELECT vec_id, c_label AS nearest_label, qdist AS dist
     FROM ranked WHERE rn = 1 ORDER BY vec_id"""))
 
-  val list: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50)
+  /** B41 scale path #2: IVF ANN — corpus bucketed by nearest-centroid
+    * cell, queries probe the 2 nearest cells only. Composes the
+    * Aggregator centroids with the broadcast argmin assignment; at
+    * 100 TB the corpus is stored bucketed by cell so a query reads
+    * nprobe/k of the data.
+    */
+  private val q62 = Q("q62_ivf_ann", (s, dir) => {
+    val centroid = udaf(new CentroidAggregator(64))
+    val e = Tables.load(s, dir, "embeddings")
+    val centroids = e.groupBy(col("label").cast("int").as("cell"))
+      .agg(centroid(col("embedding")).as("ctr"))
+    Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), centroids,
+      "vec_id", "embedding", k = 5, nprobe = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }, Some(s"""
+    WITH cent AS (
+      SELECT label AS cell, i, avg(CAST(embedding[i] AS DOUBLE)) AS c
+      FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+      GROUP BY label, i),
+    dists AS (
+      SELECT e.vec_id, cent.cell,
+             floor(sum((CAST(e.embedding[cent.i] AS DOUBLE) - cent.c) *
+                       (CAST(e.embedding[cent.i] AS DOUBLE) - cent.c)) * 1000000 + 0.5) / 1000000.0 AS qdist
+      FROM embeddings e CROSS JOIN cent
+      GROUP BY e.vec_id, cent.cell),
+    ranked_cells AS (
+      SELECT vec_id, cell,
+             row_number() OVER (PARTITION BY vec_id ORDER BY qdist, cell) AS crn
+      FROM dists),
+    corpus_cells AS (
+      SELECT r.vec_id AS neighbor_id, e.embedding AS cv, r.cell
+      FROM ranked_cells r JOIN embeddings e ON e.vec_id = r.vec_id
+      WHERE r.crn = 1),
+    query_cells AS (
+      SELECT r.vec_id AS query_id, e.embedding AS qv, r.cell
+      FROM ranked_cells r JOIN embeddings e ON e.vec_id = r.vec_id
+      WHERE r.crn <= 2 AND r.vec_id < 10),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id, ${cosSql("q.qv", "c.cv")} AS cos
+      FROM query_cells q JOIN corpus_cells c USING (cell)
+      WHERE c.neighbor_id <> q.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank,
+             floor(cos * 1000000 + 0.5) / 1000000.0 AS cos_sim
+      FROM scored)
+    SELECT query_id, neighbor_id, rank, cos_sim FROM ranked
+    WHERE rank <= 5 ORDER BY query_id, rank"""))
+
+  val list: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q62)
 }
