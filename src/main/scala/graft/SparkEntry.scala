@@ -15,25 +15,7 @@ object SparkEntry {
     */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
-    val events = Tables.events(spark, dir)
-    // One envelope per user: their events as logEvents, in event order.
-    val envelopes = events
-      .withColumn("ev", struct(
-        col("event_id").cast("string").as("id"),
-        (unix_timestamp(col("ts")) * 1000).as("timestamp"),
-        concat(lit("Hello "), col("event_type"), lit(" "), col("props")).as("message")))
-      .groupBy(col("user_id"))
-      .agg(sort_array(collect_list(struct(col("event_id").as("k"), col("ev").as("v")))).as("sorted"))
-      .select(col("user_id"), expr("transform(sorted, x -> x.v)").as("logEvents"))
-      .select(
-        col("user_id"),
-        struct(
-          lit("DATA_MESSAGE").as("messageType"),
-          lit("123456789012").as("owner"),
-          lit("/ex-aws-firehose").as("logGroup"),
-          concat(lit("user-"), col("user_id")).as("logStream"),
-          array(lit("ex-aws-firehose")).as("subscriptionFilters"),
-          col("logEvents").as("logEvents")).as("envelope"))
+    val envelopes = queriesExt.PipelineQueries.envelopes(spark, dir)
     val framed = FirehoseTransform.frameRecords(envelopes, col("user_id"), col("envelope"))
     FirehoseTransform.sizeGovernor(FirehoseTransform.transform(framed))
   }
@@ -44,7 +26,8 @@ object SparkEntry {
       queriesStreaming.StreamingQueries.list ++
       queriesExt.DedupQueries.list ++
       queriesExt.SimilarityQueries.list ++
-      queriesExt.TextQueries.list
+      queriesExt.TextQueries.list ++
+      queriesExt.PipelineQueries.list
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,90 @@
+package graft.queriesExt
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.FirehoseTransform
+import graft.queriesRelational.RelationalQueries.Q
+
+/** End-to-end pipeline correctness as an oracle query, plus the as-of
+  * join pattern.
+  */
+object PipelineQueries {
+
+  /** Build the flagship wire-format pipeline input: one CWL envelope
+    * per user with their events as logEvents in event_id order
+    * (shared by SparkEntry.entry and q63).
+    */
+  def envelopes(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    events
+      .withColumn("ev", struct(
+        col("event_id").cast("string").as("id"),
+        (unix_timestamp(col("ts")) * 1000).as("timestamp"),
+        concat(lit("Hello "), col("event_type"), lit(" "), col("props")).as("message")))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("event_id").as("k"), col("ev").as("v")))).as("sorted"))
+      .select(col("user_id"), expr("transform(sorted, x -> x.v)").as("logEvents"))
+      .select(
+        col("user_id"),
+        struct(
+          lit("DATA_MESSAGE").as("messageType"),
+          lit("123456789012").as("owner"),
+          lit("/ex-aws-firehose").as("logGroup"),
+          concat(lit("user-"), col("user_id")).as("logStream"),
+          array(lit("ex-aws-firehose")).as("subscriptionFilters"),
+          col("logEvents").as("logEvents")).as("envelope"))
+  }
+
+  /** The WHOLE reference data path, oracle-checked: envelope framing
+    * (to_json -> gzip -> base64) -> decode -> dispatch -> per-event
+    * transform -> order-preserving re-assembly -> base64. The gzip leg
+    * cancels inside the pipeline, so DuckDB can replicate the final
+    * payload with string aggregation + to_base64 — an independent
+    * engine confirming the full A3-A11 chain byte-for-byte.
+    */
+  private val q63 = Q("q63_pipeline_e2e", (s, dir) => {
+    val framed = FirehoseTransform.frameRecords(
+      envelopes(s, dir), col("user_id"), col("envelope"))
+    FirehoseTransform.transform(framed)
+      .select(col("recordId"), col("result"), col("data"))
+      .orderBy(col("recordId"))
+  }, Some("""
+    SELECT CAST(user_id AS VARCHAR) AS recordId, 'Ok' AS result,
+           to_base64(encode(string_agg(
+             'Hell Yeah ' || event_type || ' ' || props || chr(10), ''
+             ORDER BY event_id))) AS data
+    FROM events GROUP BY user_id ORDER BY recordId"""))
+
+  /** As-of join, composed per SURVEY.md §4 preference (a) — no custom
+    * plan node needed: for every purchase event, the most recent click
+    * by the same user at or before it. Union-tag + running last_value
+    * over (user, time) — one shuffle on the user key, linear in events,
+    * vs. a range-join formulation that explodes quadratically inside
+    * hot keys.
+    */
+  private val q64 = Q("q64_asof_join", (s, dir) => {
+    val events = Tables.events(s, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .filter(col("event_type").isin("purchase", "click"))
+      .withColumn("click_id", when(col("event_type") === "click", col("event_id")))
+      .withColumn("last_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("last_click_id"))
+      .orderBy(col("purchase_id"))
+  }, Some("""
+    SELECT event_id AS purchase_id, user_id, last_click_id FROM (
+      SELECT event_id, user_id, event_type,
+             last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id
+      FROM events WHERE event_type IN ('purchase', 'click'))
+    WHERE event_type = 'purchase' ORDER BY purchase_id"""))
+
+  val list: Seq[Q] = Seq(q63, q64)
+}
