@@ -30,23 +30,16 @@ object Dedup {
   val MINHASH_B: Seq[Long] = Seq(1409L, 2003L, 3947L, 4241L, 5443L, 6367L, 7237L, 8147L)
   val MINHASH_P: Long = 1000000007L
 
-  /** Word n-gram shingles (default 3) of a whitespace-tokenized text
-    * column (referenced by name — the lambda indexes into the token
-    * array, which needs an expression over the named column).
+  /** Word n-gram shingles (default 3) over single-space tokenization.
+    * Native expression — the array-lambda formulation re-tokenizes the
+    * text per element (see graft.functions.ShingleExpression scaladoc).
     */
-  def wordShingles(textCol: String, n: Int = 3): Column = {
-    val toks = s"split($textCol, ' ')"
-    when(size(split(col(textCol), " ")) >= n,
-      expr(s"transform(sequence(1, size($toks) - ${n - 1}), " +
-        s"i -> concat_ws(' ', ${(0 until n).map(j => s"$toks[i - 1 + $j]").mkString(", ")}))"))
-      .otherwise(array().cast("array<string>"))
-  }
+  def wordShingles(textCol: String, n: Int = 3): Column =
+    graft.functions.shingles.wordShingles(col(textCol), n)
 
   /** Character n-gram shingles. */
   def charShingles(textCol: String, n: Int = 4): Column =
-    when(length(col(textCol)) >= n,
-      expr(s"transform(sequence(1, length($textCol) - ${n - 1}), i -> substr($textCol, i, $n))"))
-      .otherwise(array().cast("array<string>"))
+    graft.functions.shingles.charShingles(col(textCol), n)
 
   /** Exact dedup: group identical payloads by content hash, keep the
     * smallest id (deterministic winner). Map-side partial aggregation
