@@ -390,6 +390,48 @@ object RelationalQueries {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     ORDER BY o_orderkey"""))
 
+  /** B20: RANGE frame — trailing-30-day order total per customer
+    * (value-based frame, not row-based; ordered on epoch days).
+    */
+  private val q65 = Q("q65_range_frame", (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("_days"))
+      .rangeBetween(-30L, 0L)
+    t(s, dir, "orders")
+      .withColumn("_days", datediff(col("o_orderdate"), to_date(lit("1990-01-01"))).cast("long"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        (sum(floor(col("o_totalprice") * 100 + lit(0.5))).over(w) / lit(100.0)).as("trailing_30d"),
+        count(lit(1)).over(w).as("n_in_window"))
+      .orderBy(col("o_orderkey"))
+  }, Some("""
+    SELECT o_orderkey, o_custkey,
+           CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) OVER w AS DOUBLE)/100.0 AS trailing_30d,
+           count(*) OVER w AS n_in_window
+    FROM (SELECT *, datediff('day', DATE '1990-01-01', o_orderdate) AS d FROM orders)
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY d RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+    ORDER BY o_orderkey"""))
+
+  /** B16-adjacent: pivot (orders per status as columns) — Spark
+    * `pivot` with an explicit value list; the oracle uses conditional
+    * aggregation, the engine-portable formulation.
+    */
+  private val q66 = Q("q66_pivot", (s, dir) => {
+    t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .select(col("o_custkey"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy(col("o_custkey"))
+  }, Some("""
+    SELECT o_custkey,
+           count(*) FILTER (o_orderstatus = 'F') AS n_f,
+           count(*) FILTER (o_orderstatus = 'O') AS n_o,
+           count(*) FILTER (o_orderstatus = 'P') AS n_p
+    FROM orders GROUP BY o_custkey ORDER BY o_custkey"""))
+
   /** B21: top-k per group via ranked window + filter (no global sort). */
   private val q18 = Q("q18_topk_per_group", (s, dir) => {
     val w = Window.partitionBy(col("o_custkey"))
@@ -593,7 +635,7 @@ object RelationalQueries {
 
   val list: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q60, q61)
+    q25, q26, q27, q28, q29, q30, q60, q61, q65, q66)
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
     list.map(q => q.name -> q.fn).toMap

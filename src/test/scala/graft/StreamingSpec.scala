@@ -97,6 +97,35 @@ class StreamingSpec extends SparkSpec {
     assert(got >= batch - 10) // only trailing windows may be held back
   }
 
+  test("stream-stream interval join: purchases joined to prior clicks within 1 hour") {
+    val base = tmp()
+    val events = Tables.events(spark, sfDir).select("ts", "user_id", "event_type", "event_id")
+    events.write.mode("overwrite").parquet(s"$base/in")
+    def src = spark.readStream.schema(events.schema).parquet(s"$base/in")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val joined = purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+    val q = joined.writeStream.outputMode("append").format("memory").queryName("ss_join")
+      .option("checkpointLocation", s"$base/ck").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("ss_join").count()
+    // batch equivalence
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"))
+    val c = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val want = p.join(c, col("user_id") === col("c_user") &&
+      col("c_ts") <= col("p_ts") && col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")).count()
+    assert(got == want, s"stream-stream join $got vs batch $want")
+  }
+
   test("streaming dedup within watermark") {
     val base = tmp()
     val events = Tables.events(spark, sfDir).select("ts", "user_id", "event_type")
