@@ -39,35 +39,43 @@ object FirehoseTransform {
   def transformLogEvent(message: Column): Column =
     concat(replace(message, lit("Hello"), lit("Hell Yeah")), lit("\n"))
 
-  /** Decode + dispatch + transform (processRecords, lambda/main.py:72-98). */
+  /** Decode + dispatch + transform (processRecords, lambda/main.py:72-98).
+    *
+    * The decode chain (`gunzip . unbase64`) and the JSON parse are
+    * bound to intermediate columns and every downstream expression
+    * references THOSE columns — CollapseProject refuses to inline
+    * non-cheap expressions referenced more than once, so gunzip and
+    * from_json each run once per record instead of once per consuming
+    * expression (the dispatch CASEs reference them ~6 times).
+    */
   def transform(records: DataFrame, permissive: Boolean = true): DataFrame = {
     val payload = codecs.gunzip(unbase64(col("data")), lenient = permissive)
-    val text = payload.cast("string")
-    // PERMISSIVE from_json: corrupt JSON => null struct.
-    val env = from_json(text, Envelope.ENVELOPE_SCHEMA)
+
+    val decoded = records
+      .withColumn("_text", payload.cast("string"))
+      // PERMISSIVE from_json: corrupt JSON => null struct.
+      .withColumn("_env", from_json(col("_text"), Envelope.ENVELOPE_SCHEMA))
+
     // Re-ingested data comes back as a bare JSON string (main.py:80-85):
     // json.loads yields a str; pass it through unchanged with result Ok.
-    val isBareString = text.rlike("^\\s*\"")
-    val bareValue = get_json_object(text, "$")
+    val isBareString = col("_text").rlike("^\\s*\"")
+    val bareValue = get_json_object(col("_text"), "$")
     val transformed = codecs.base64Unchunked(encode(
-      array_join(transformArray(env.getField("logEvents"), e => transformLogEvent(e.getField("message"))), ""),
+      array_join(transformArray(col("_env.logEvents"), e => transformLogEvent(e.getField("message"))), ""),
       "UTF-8"))
 
-    records
-      .withColumn("_text", text)
-      .withColumn("_env", env)
-      .select(
-        col("recordId"),
-        when(isBareString, lit(Ok))
-          .when(col("_env").isNull || col("_env.messageType").isNull, lit(ProcessingFailed))
-          .when(col("_env.messageType") =!= "DATA_MESSAGE", lit(ProcessingFailed))
-          .otherwise(lit(Ok))
-          .as("result"),
-        when(isBareString, bareValue)
-          .when(col("_env").isNull || col("_env.messageType").isNull, lit(null))
-          .when(col("_env.messageType") =!= "DATA_MESSAGE", lit(null))
-          .otherwise(transformed)
-          .as("data"))
+    decoded.select(
+      col("recordId"),
+      when(isBareString, lit(Ok))
+        .when(col("_env").isNull || col("_env.messageType").isNull, lit(ProcessingFailed))
+        .when(col("_env.messageType") =!= "DATA_MESSAGE", lit(ProcessingFailed))
+        .otherwise(lit(Ok))
+        .as("result"),
+      when(isBareString, bareValue)
+        .when(col("_env").isNull || col("_env.messageType").isNull, lit(null))
+        .when(col("_env.messageType") =!= "DATA_MESSAGE", lit(null))
+        .otherwise(transformed)
+        .as("data"))
   }
 
   /** Size governor (handler, lambda/main.py:137-151): running

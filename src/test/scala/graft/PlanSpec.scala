@@ -88,6 +88,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("transform evaluates gunzip and from_json once per record (no CollapseProject duplication)") {
+    // file-backed source: a local relation would be constant-folded
+    val records = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").cast("string").as("recordId"), col("text").as("data"))
+    val df = graft.operators.FirehoseTransform.transform(records)
+    val plan = df.queryExecution.optimizedPlan.toString
+    val gunzips = "gunzip".r.findAllIn(plan).length
+    val parses = "from_json".r.findAllIn(plan).length
+    assert(gunzips == 1, s"gunzip appears $gunzips times in:\n$plan")
+    assert(parses == 1, s"from_json appears $parses times in:\n$plan")
+  }
+
   test("lsh near-dup plan contains no CartesianProduct or BroadcastNestedLoopJoin") {
     val plan = planOf("q42_lsh_neardup")
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
