@@ -50,13 +50,15 @@ object SqlQueries {
       SELECT p_partkey, p_type, p_retailprice
       FROM part p
       WHERE p_retailprice >= 1.05 * (
-        SELECT avg(p_retailprice) FROM part q WHERE q.p_type = p.p_type)
+        SELECT floor(avg(p_retailprice) * 1000000 + 0.5) / 1000000.0
+        FROM part q WHERE q.p_type = p.p_type)
       ORDER BY p_partkey""")
   }, Some("""
     SELECT p_partkey, p_type, p_retailprice
     FROM part p
     WHERE p_retailprice >= 1.05 * (
-      SELECT avg(p_retailprice) FROM part q WHERE q.p_type = p.p_type)
+      SELECT floor(avg(p_retailprice) * 1000000 + 0.5) / 1000000.0
+      FROM part q WHERE q.p_type = p.p_type)
     ORDER BY p_partkey"""))
 
   /** Uncorrelated IN-subquery + aggregate filter in SQL text. */

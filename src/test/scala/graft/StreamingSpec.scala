@@ -97,6 +97,26 @@ class StreamingSpec extends SparkSpec {
     assert(got >= batch - 10) // only trailing windows may be held back
   }
 
+  test("streaming session windows close under the watermark and match batch sessions") {
+    val base = tmp()
+    val events = Tables.events(spark, sfDir)
+    events.write.mode("overwrite").parquet(s"$base/in")
+    val stream = spark.readStream.schema(events.schema).parquet(s"$base/in")
+    val agg = StreamingOps.sessionAgg(
+      stream.withWatermark("ts", "6 hours"), "ts", "4 hours", "user_id")
+    val q = agg.writeStream.outputMode("append").format("memory").queryName("sess_out")
+      .option("checkpointLocation", s"$base/ck").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("sess_out")
+    val batch = StreamingOps.sessionAgg(events, "ts", "4 hours", "user_id")
+    // closed sessions emitted by the stream are a subset of (and nearly
+    // all of) the batch sessions, identical where emitted
+    val joined = got.join(batch.withColumnRenamed("n", "n_batch"),
+      Seq("user_id", "sess_start", "sess_end"))
+    assert(got.count() > 0 && joined.count() == got.count())
+    assert(joined.filter(col("n") =!= col("n_batch")).count() == 0)
+  }
+
   test("stream-stream interval join: purchases joined to prior clicks within 1 hour") {
     val base = tmp()
     val events = Tables.events(spark, sfDir).select("ts", "user_id", "event_type", "event_id")
