@@ -633,9 +633,34 @@ object RelationalQueries {
            CAST(len(string_split(text,' ')[1]) AS BIGINT) AS first_token_len
     FROM documents ORDER BY doc_id"""))
 
+  /** B24/B25/B26/B28/B29 leftovers: trim/lower, epoch seconds, natural
+    * log, map_values aggregation, json_tuple-style multi-extract.
+    */
+  private val q67 = Q("q67_scalar_misc", (s, dir) => {
+    val m = map_from_entries(transformArray(array_distinct(split(col("text"), " ")),
+      x => struct(x.as("key"), length(x).cast("long").as("value"))))
+    Tables.events(s, dir)
+      .join(t(s, dir, "documents"), col("event_id") === col("doc_id"))
+      .select(col("event_id"),
+        lower(trim(substring(col("text"), 1, 16))).as("prefix_lc"),
+        unix_timestamp(col("ts")).as("epoch_s"),
+        rN(log(col("n_chars").cast("double")), 6).as("ln_chars"),
+        aggregate(map_values(m), lit(0L), (a, x) => a + x).as("sum_tok_lens"),
+        get_json_object(col("props"), "$.k").cast("long").as("k1"))
+      .orderBy(col("event_id"))
+  }, Some("""
+    SELECT event_id,
+           lower(trim(substring(text, 1, 16))) AS prefix_lc,
+           CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+           floor(ln(CAST(n_chars AS DOUBLE)) * 1000000 + 0.5) / 1000000.0 AS ln_chars,
+           CAST(list_reduce(list_concat([0], list_transform(list_distinct(string_split(text, ' ')), x -> len(x))), (a, b) -> a + b) AS BIGINT) AS sum_tok_lens,
+           CAST(props->>'$.k' AS BIGINT) AS k1
+    FROM events JOIN documents ON event_id = doc_id
+    ORDER BY event_id"""))
+
   val list: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q60, q61, q65, q66)
+    q25, q26, q27, q28, q29, q30, q60, q61, q65, q66, q67)
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
     list.map(q => q.name -> q.fn).toMap

@@ -40,4 +40,27 @@ object StatefulOps {
     records.groupByKey(_.key)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(updateQuota(quota))
   }
+
+  case class Decision(key: String, size: Long, accepted: Boolean, usedAfter: Long)
+
+  /** flatMapGroupsWithState variant: emit one PER-RECORD admission
+    * decision instead of a per-key batch summary (the shape needed when
+    * downstream routing must act on individual records, like the
+    * reference's per-record Dropped marking).
+    */
+  def quotaDecisions(records: Dataset[Keyed], quota: Long): Dataset[Decision] = {
+    import records.sparkSession.implicits._
+    records.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, values: Iterator[Keyed], state: GroupState[Long]) =>
+          var used = state.getOption.getOrElse(0L)
+          val out = values.map { v =>
+            val ok = used + v.size <= quota
+            if (ok) used += v.size
+            Decision(key, v.size, ok, used)
+          }.toVector
+          state.update(used)
+          out.iterator
+      }
+  }
 }

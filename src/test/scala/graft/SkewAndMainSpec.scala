@@ -28,6 +28,30 @@ class SkewSpec extends SparkSpec {
   }
 }
 
+class FlatMapStateSpec extends SparkSpec {
+  import graft.streaming.StatefulOps
+  import graft.streaming.StatefulOps.Keyed
+  import spark.implicits._
+
+  test("flatMapGroupsWithState emits per-record admission decisions across batches") {
+    val base = java.nio.file.Files.createTempDirectory("graft-fms").toString
+    Seq(Keyed("a", 60L), Keyed("a", 30L)).toDS().coalesce(1).write.json(s"$base/in/f1")
+    Seq(Keyed("a", 30L)).toDS().coalesce(1).write.json(s"$base/in/f2")
+    val stream = spark.readStream.schema("key STRING, size LONG")
+      .option("maxFilesPerTrigger", "1").option("recursiveFileLookup", "true")
+      .json(s"$base/in").as[Keyed]
+    val q = StatefulOps.quotaDecisions(stream, quota = 100L)
+      .writeStream.outputMode("append").format("memory").queryName("fms_out")
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val rows = spark.table("fms_out").as[StatefulOps.Decision].collect().sortBy(_.usedAfter)
+    // 60 accepted, 30 accepted (90), second-batch 30 rejected (would be 120)
+    assert(rows.map(_.accepted).toSeq == Seq(true, true, false))
+    assert(rows.last.usedAfter == 90L)
+  }
+}
+
 /** Drives graft.Main --once end-to-end: the runnable pipeline. */
 class MainSpec extends SparkSpec {
   import Fixtures._
