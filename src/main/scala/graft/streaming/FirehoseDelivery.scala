@@ -41,6 +41,7 @@ object FirehoseDelivery {
       outputDir: String,
       checkpointDir: String,
       triggerMs: Long = 60000L, // buffer_interval = 60 s (main.tf:18)
+      flushBytes: Long = 5L * 1024 * 1024, // buffer_size default 5 MB (BASELINE.md)
       sizeCap: Long = 4000000L, // soft cap (main.py:147)
       maxAttempts: Int = 20, // re-ingest retry budget (main.py:156)
       permissive: Boolean = true,
@@ -69,8 +70,18 @@ object FirehoseDelivery {
       // text file. The text writer appends one "\n" per row, so the
       // payload's own trailing delimiter is stripped to keep the byte
       // stream identical to the reference's concatenation.
-      governed.filter(col("result") === Ok)
+      // Firehose flushes on buffer_interval OR buffer_size, whichever
+      // first; the time side is the trigger, the size side is file
+      // rotation: split the batch into ~flushBytes-sized objects.
+      val ok = governed.filter(col("result") === Ok)
         .select(regexp_replace(unbase64(col("data")).cast("string"), "\\n$", "").as("value"))
+      val okBytes = ok.agg(sum(length(col("value")))).head().getAs[Any](0) match {
+        case null => 0L
+        case n: Long => n
+        case n: Number => n.longValue()
+      }
+      val nFiles = math.max(1, math.ceil(okBytes.toDouble / conf.flushBytes).toInt)
+      ok.repartition(nFiles)
         .write.mode(SaveMode.Overwrite)
         .text(s"${conf.primaryDir}/batchId=$batchId")
       // A16 backup: raw source records, untransformed (s3_backup_mode

@@ -97,6 +97,22 @@ class StreamingSpec extends SparkSpec {
     assert(got >= batch - 10) // only trailing windows may be held back
   }
 
+  test("size-based flush: batch larger than flushBytes rotates into multiple files") {
+    val base = tmp()
+    val conf = FirehoseDelivery.Config(s"$base/in", s"$base/out", s"$base/ck",
+      flushBytes = 2000L, availableNow = true)
+    val big = "y" * 1500
+    writeRecords(conf.inputDir, "f.json",
+      (1 to 4).map(i => record(s"r$i", envelopeJson("DATA_MESSAGE", Seq(big)))))
+    runOnce(conf)
+    val files = new java.io.File(s"${conf.primaryDir}/batchId=0").listFiles()
+      .filter(_.getName.startsWith("part-"))
+    // ~6KB of payload with a 2KB flush size -> 3 files
+    assert(files.length >= 2, s"expected rotation, got ${files.length} file(s)")
+    val lines = spark.read.text(conf.primaryDir).count()
+    assert(lines == 4)
+  }
+
   test("streaming session windows close under the watermark and match batch sessions") {
     val base = tmp()
     val events = Tables.events(spark, sfDir)
