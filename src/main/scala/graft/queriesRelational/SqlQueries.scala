@@ -79,5 +79,29 @@ object SqlQueries {
       AND o_totalprice > 150000
     ORDER BY o_orderkey"""))
 
-  val list: Seq[Q] = Seq(q57, q58, q59)
+  /** B16: explicit GROUPING SETS with grouping() disambiguation (the
+    * third shape besides rollup q11 / cube q12).
+    */
+  private val q68 = Q("q68_grouping_sets", (s, dir) => {
+    Tables.registerAll(s, dir)
+    s.sql("""
+      SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             coalesce(o_orderpriority, 'ALL') AS priority,
+             CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+             CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+             count(*) AS n
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY status, priority""")
+  }, Some("""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+           count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY status, priority"""))
+
+  val list: Seq[Q] = Seq(q57, q58, q59, q68)
 }
