@@ -24,9 +24,13 @@ object Bench {
       val t0 = System.nanoTime()
       // noop sink: evaluates every output column of the full plan
       // (count() would let Catalyst prune the projections under test)
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val failed =
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); false }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name: ${e.getMessage}"); true
+        }
+      // sentinel -1 so a crashed query can't masquerade as a fast one
+      name -> (if (failed) -1.0 else (System.nanoTime() - t0) / 1e9)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

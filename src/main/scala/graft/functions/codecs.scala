@@ -72,6 +72,12 @@ case class Hash48(child: Expression) extends UnaryExpression {
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "hash48"
   override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires STRING input, got ${child.dataType.catalogString}")
   override def nullSafeEval(v: Any): Any =
     CodecUtil.hash48(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -141,6 +147,12 @@ case class Base64Unchunked(child: Expression) extends UnaryExpression {
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "base64_unchunked"
   override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires BINARY input, got ${child.dataType.catalogString}")
   override def nullSafeEval(v: Any): Any =
     org.apache.spark.unsafe.types.UTF8String.fromString(
       java.util.Base64.getEncoder.encodeToString(v.asInstanceOf[Array[Byte]]))

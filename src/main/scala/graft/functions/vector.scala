@@ -30,6 +30,11 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       s"dot_product requires array inputs, got ${other.catalogString}")
   }
 
+  // A null ELEMENT makes the whole result null (matching the
+  // zip_with/aggregate formulation, where a null product poisons the
+  // fold); mismatched lengths fold over the common prefix.
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
       case ArrayType(FloatType | DoubleType | IntegerType | LongType, _) => true
@@ -56,6 +61,7 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += get(a, i, ta) * get(b, i, tb)
       i += 1
     }
@@ -80,6 +86,7 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
         int $n = java.lang.Math.min($a.numElements(), $b.numElements());
         double $acc = 0.0;
         for (int $i = 0; $i < $n; $i++) {
+          if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
           $acc += ${accessor(ta, a, i)} * ${accessor(tb, b, i)};
         }
         ${ev.value} = $acc;

@@ -83,7 +83,12 @@ object Dedup {
         (lit(b.toString) +: (0 until rowsPerBand).map(r => col(s"sig${b * rowsPerBand + r}"))): _*)
       struct(lit(b).as("band_idx"), key.as("band_key"))
     }
-    sigs.select(col(idCol), explode(array(bands: _*)).as("band"))
+    // docs with no shingles have all-null signatures; concat_ws skips
+    // nulls, so without this filter every such doc would share band
+    // keys "0".."3" and candidate generation would go quadratic in the
+    // short-doc count — the exact blowup banding exists to avoid.
+    sigs.filter(col("sig0").isNotNull)
+      .select(col(idCol), explode(array(bands: _*)).as("band"))
       .select(col(idCol), col("band.band_idx"), col("band.band_key"))
   }
 

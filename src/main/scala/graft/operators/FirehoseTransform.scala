@@ -64,9 +64,13 @@ object FirehoseTransform {
       array_join(transformArray(col("_env.logEvents"), e => transformLogEvent(e.getField("message"))), ""),
       "UTF-8"))
 
+    // A bare-string payload whose JSON is malformed (quote-prefixed
+    // but unparsable) must fail like any other corrupt input, not pass
+    // through as Ok with null data.
     decoded.select(
       col("recordId"),
-      when(isBareString, lit(Ok))
+      when(isBareString && bareValue.isNull, lit(ProcessingFailed))
+        .when(isBareString, lit(Ok))
         .when(col("_env").isNull || col("_env.messageType").isNull, lit(ProcessingFailed))
         .when(col("_env.messageType") =!= "DATA_MESSAGE", lit(ProcessingFailed))
         .otherwise(lit(Ok))

@@ -69,13 +69,15 @@ object FirehoseDelivery {
       // transform's job, main.py:42-44), so the S3-shaped object is a
       // text file. The text writer appends one "\n" per row, so the
       // payload's own trailing delimiter is stripped to keep the byte
-      // stream identical to the reference's concatenation.
+      // stream identical to the reference's concatenation. (\n\z, not
+      // \n$: Java's $ also matches BEFORE a final newline, which would
+      // strip two delimiters from payloads ending in an empty event.)
       // Firehose flushes on buffer_interval OR buffer_size, whichever
       // first; the time side is the trigger, the size side is file
       // rotation: split the batch into ~flushBytes-sized objects.
       val ok = governed.filter(col("result") === Ok)
-        .select(regexp_replace(unbase64(col("data")).cast("string"), "\\n$", "").as("value"))
-      val okBytes = ok.agg(sum(length(col("value")))).head().getAs[Any](0) match {
+        .select(regexp_replace(unbase64(col("data")).cast("string"), "\\n\\z", "").as("value"))
+      val okBytes = ok.agg(sum(octet_length(col("value")))).head().getAs[Any](0) match {
         case null => 0L
         case n: Long => n
         case n: Number => n.longValue()

@@ -47,6 +47,16 @@ class DedupSpec extends SparkSpec {
     assert(hamming(sh(1L), sh(2L)) <= hamming(sh(1L), sh(3L)))
   }
 
+  test("docs with no shingles are excluded from LSH banding (no shared null-band bucket)") {
+    val df = Seq((1L, "too short"), (2L, "also tiny"), (3L, "x"),
+      (4L, "a proper document with enough words to shingle normally today"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(df, "doc_id", "text", 0.0)
+      .select("id1", "id2").collect()
+    // the three shingle-less docs must not pair with each other
+    assert(!pairs.exists(r => r.getLong(0) <= 3 && r.getLong(1) <= 3))
+  }
+
   test("shingles: short texts yield empty arrays, no errors") {
     val df = Seq((1L, "one two"), (2L, "abc")).toDF("doc_id", "text")
     val w = df.select(Dedup.wordShingles("text").as("s")).collect()

@@ -88,6 +88,21 @@ class FirehoseTransformSpec extends SparkSpec {
     assert(out("r1").getString(1) == "ProcessingFailed")
   }
 
+  test("quote-prefixed but malformed bare string -> ProcessingFailed, not Ok-with-null") {
+    val out = run(Seq(record("r1", "\"truncated")))
+    assert(out("r1").getString(1) == "ProcessingFailed")
+    assert(out("r1").isNullAt(2))
+  }
+
+  test("payload ending in an empty event keeps both trailing newlines through the sink strip") {
+    // transform yields "a\n\n"; sink strips exactly ONE \n (the one the
+    // text writer re-adds) — \n$ would eat two (Java $ matches before a
+    // final line terminator)
+    val payload = "a\n\n"
+    val stripped = payload.replaceAll("\\n\\z", "")
+    assert(stripped == "a\n")
+  }
+
   test("size governor: records past 4MB cumulative marked Dropped, payload queued (main.py:137-151)") {
     val big = "x" * 900000
     val records = (1 to 6).map(i => record(s"r$i", envelopeJson("DATA_MESSAGE", Seq(big))))

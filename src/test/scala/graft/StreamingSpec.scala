@@ -75,7 +75,6 @@ class StreamingSpec extends SparkSpec {
     // payload is the already-transformed base64 (reference semantics:
     // Dropped data comes back and is passed through unchanged, Ok).
     assert(primary.contains("Hell Yeah first"))
-    val okPayloads = spark.read.json(s"${conf.primaryDir}")
     assert(primary.length >= 2)
   }
 
