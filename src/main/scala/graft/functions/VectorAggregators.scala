@@ -35,7 +35,10 @@ class CentroidAggregator(dim: Int)
   }
 
   override def bufferEncoder: Encoder[(Array[Double], Long)] =
-    Encoders.tuple(Encoders.javaSerialization(classOf[Array[Double]]), Encoders.scalaLong)
+    // native unsafe-array encoding — the buffer crosses the map-side
+    // partial -> shuffle -> merge boundary on every group, so Java
+    // serialization here would dominate the aggregation cost
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Double], Long)]()
 
   override def outputEncoder: Encoder[Seq[Double]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()

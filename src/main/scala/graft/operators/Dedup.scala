@@ -77,6 +77,8 @@ object Dedup {
     * bucket, never O(n^2).
     */
   def lshBands(sigs: DataFrame, idCol: String, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    require(k % rowsPerBand == 0,
+      s"rowsPerBand=$rowsPerBand must divide k=$k or trailing signature lanes are silently unused")
     val nBands = k / rowsPerBand
     val bands = (0 until nBands).map { b =>
       val key = concat_ws(":",
@@ -101,12 +103,13 @@ object Dedup {
       .select(col("id1"), col("id2")).distinct()
   }
 
-  /** Exact Jaccard between two shingle-set columns (set semantics). */
-  def jaccard(a: Column, b: Column): Column = {
-    val da = array_distinct(a)
-    val db = array_distinct(b)
-    size(array_intersect(da, db)).cast("double") / size(array_union(da, db))
-  }
+  /** Exact Jaccard between two shingle columns. Set semantics come
+    * from array_intersect/array_union themselves (both return distinct
+    * elements regardless of input duplicates), so no extra
+    * array_distinct pass is paid per comparison.
+    */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
   /** Full MinHash+LSH near-dup pipeline: signatures -> bands ->
     * candidates -> exact-Jaccard verification >= threshold.

@@ -73,11 +73,16 @@ object FirehoseTransform {
         .when(isBareString, lit(Ok))
         .when(col("_env").isNull || col("_env.messageType").isNull, lit(ProcessingFailed))
         .when(col("_env.messageType") =!= "DATA_MESSAGE", lit(ProcessingFailed))
+        // DATA_MESSAGE without logEvents: the reference would raise on
+        // data['logEvents']; permissive mode fails the record rather
+        // than emitting Ok-with-null-data.
+        .when(col("_env.logEvents").isNull, lit(ProcessingFailed))
         .otherwise(lit(Ok))
         .as("result"),
       when(isBareString, bareValue)
         .when(col("_env").isNull || col("_env.messageType").isNull, lit(null))
         .when(col("_env.messageType") =!= "DATA_MESSAGE", lit(null))
+        .when(col("_env.logEvents").isNull, lit(null))
         .otherwise(transformed)
         .as("data"))
   }

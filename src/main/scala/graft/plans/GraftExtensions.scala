@@ -19,12 +19,10 @@ import graft.functions.{Gunzip, Gzip}
   * runs in the operator-optimization batch via injectOptimizerRule.
   */
 object EliminateCodecRoundTrip extends Rule[LogicalPlan] {
-  private def rewrite(e: Expression): Expression = e.transformUp {
-    case Gunzip(Gzip(child), _) => child
-  }
-
   override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.transformAllExpressions { case e => rewrite(e) }
+    plan.transformAllExpressions {
+      case Gunzip(Gzip(child), _) => child
+    }
 }
 
 /** SparkSessionExtensions entry point: registers the codec functions

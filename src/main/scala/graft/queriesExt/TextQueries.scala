@@ -125,16 +125,20 @@ object TextQueries {
     import graft.operators.Multimodal
     val media = Multimodal.mediaFromDocuments(Tables.load(s, dir, "documents"))
     val resized = Multimodal.resizeMeta(media, 320, 240)
-    resized.select(
-      col("media_id"),
-      length(col("payload")).cast("long").as("n_bytes"),
-      sha2(col("payload"), 256).as("payload_sha"),
-      col("width").cast("long").as("width"),
-      col("out_width").cast("long").as("out_width"),
-      col("out_height").cast("long").as("out_height"),
-      (floor(aggregate(
-        expr("transform(sequence(1, least(length(payload), 64)), i -> ascii(substr(cast(payload as string), i, 1)))"),
-        lit(0L), (a, x) => a + x).cast("double") / least(length(col("payload")), lit(64)) * 1000000 + lit(0.5)) / lit(1000000.0)).as("mean_prefix"))
+    // metrics computed on CHARACTERS of the decoded payload on both
+    // sides (length(binary) is bytes in Spark vs len(text) chars in
+    // DuckDB — mixing the units diverges on any non-ASCII document)
+    resized.withColumn("_chars", length(col("payload").cast("string")).cast("long"))
+      .select(
+        col("media_id"),
+        col("_chars").as("n_chars"),
+        sha2(col("payload"), 256).as("payload_sha"),
+        col("width").cast("long").as("width"),
+        col("out_width").cast("long").as("out_width"),
+        col("out_height").cast("long").as("out_height"),
+        (floor(aggregate(
+          expr("transform(sequence(1, least(length(cast(payload as string)), 64)), i -> ascii(substr(cast(payload as string), i, 1)))"),
+          lit(0L), (a, x) => a + x).cast("double") / least(col("_chars"), lit(64)) * 1000000 + lit(0.5)) / lit(1000000.0)).as("mean_prefix"))
       .orderBy(col("media_id"))
   }, Some("""
     WITH media AS (
@@ -146,7 +150,7 @@ object TextQueries {
       SELECT *, least(320.0 / greatest(width, 1), 240.0 / greatest(height, 1), 1.0) AS scale
       FROM media)
     SELECT media_id,
-           CAST(len(text) AS BIGINT) AS n_bytes,
+           CAST(len(text) AS BIGINT) AS n_chars,
            sha256(text) AS payload_sha,
            width,
            CAST(floor(width * scale) AS BIGINT) AS out_width,

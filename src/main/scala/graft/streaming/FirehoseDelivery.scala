@@ -99,13 +99,18 @@ object FirehoseDelivery {
       // stream. The payload is wrapped as a JSON *string* (gzip+b64)
       // so it re-enters through the bare-string branch of the
       // transform (main.py:80-85 receiving side, 148-151 sending).
-      // (base64 alphabet contains no JSON-escapable characters, so the
-      // JSON string literal is plain quoting)
+      // Pipeline-generated payloads are base64 text, but a dropped
+      // bare-string record can contain arbitrary characters — escape
+      // the JSON string properly (backslash first, then quote and the
+      // common control characters).
+      val escaped = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        col("reingest_data"),
+        "\\\\", "\\\\\\\\"), "\"", "\\\\\""), "\n", "\\\\n"), "\r", "\\\\r")
       val toReingest = governed.filter(col("result") === Dropped)
         .select(
           concat(lit(s"reingest-$batchId-"), col("recordId")).as("recordId"),
           codecs.base64Unchunked(codecs.gzip(encode(
-            concat(lit("\""), col("reingest_data"), lit("\"")), "UTF-8"))).as("data"))
+            concat(lit("\""), escaped, lit("\"")), "UTF-8"))).as("data"))
       if (!toReingest.isEmpty) {
         putRecords(toReingest, s"${conf.inputDir}/reingest-batch-$batchId",
           attemptsMade = 0, maxAttempts = conf.maxAttempts)
