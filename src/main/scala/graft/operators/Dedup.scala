@@ -136,7 +136,7 @@ object Dedup {
       .withColumn("jac", jaccard(col("_sh1"), col("_sh2")))
       .filter(col("jac") >= threshold)
       .select(col("id1"), col("id2"),
-        (floor(col("jac") * 1000000 + lit(0.5)) / lit(1000000.0)).as("jaccard"))
+        graft.functions.quantize.q6(col("jac")).as("jaccard"))
   }
 
   /** 16-bit SimHash over the distinct-token set: per bit, the sign of

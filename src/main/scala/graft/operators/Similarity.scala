@@ -35,10 +35,8 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** floor(x*1e6+0.5)/1e6 — the cross-engine quantizer (see
-    * RelationalQueries.r2).
-    */
-  def q6(c: Column): Column = floor(c * 1000000 + lit(0.5)) / lit(1000000.0)
+  /** The cross-engine quantizer (see graft.functions.quantize). */
+  def q6(c: Column): Column = graft.functions.quantize.q6(c)
 
   /** Brute-force cosine top-k: every query vector against the full
     * corpus; ties broken by corpus id. Query side must be small (it is

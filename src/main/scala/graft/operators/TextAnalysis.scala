@@ -50,7 +50,7 @@ object TextAnalysis {
     */
   def qualityScore(df: DataFrame, textCol: String): DataFrame = {
     val toks = tokens(textCol)
-    val q6 = (c: Column) => floor(c * 1000000 + lit(0.5)) / lit(1000000.0)
+    val q6 = graft.functions.quantize.q6 _
     val nToks = size(toks).cast("long")
     val avgTokLen = aggregate(transformArray(toks, t => length(t).cast("long")),
       lit(0L), (a, x) => a + x).cast("double") / nToks
@@ -74,7 +74,7 @@ object TextAnalysis {
     */
   def tokenCounts(df: DataFrame, textCol: String): DataFrame = {
     val toks = tokens(textCol)
-    val q6 = (c: Column) => floor(c * 1000000 + lit(0.5)) / lit(1000000.0)
+    val q6 = graft.functions.quantize.q6 _
     df.select(col("doc_id"),
       size(toks).cast("long").as("ws_tokens"),
       size(regexp_extract_all(col(textCol), lit("[a-zA-Z]+|[0-9]+"), lit(0))).cast("long").as("re_tokens"),

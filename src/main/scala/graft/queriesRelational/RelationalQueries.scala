@@ -38,12 +38,9 @@ object RelationalQueries {
     * aggregation under any partitioning) cannot perturb the result.
     * The oracle SQL uses the same formulation.
     */
-  private def r2(c: Column): Column = floor(c * 100 + lit(0.5)) / lit(100.0)
+  private def r2(c: Column): Column = graft.functions.quantize.q2(c)
 
-  private def rN(c: Column, n: Int): Column = {
-    val p = math.pow(10, n)
-    floor(c * p + lit(0.5)) / lit(p)
-  }
+  private def rN(c: Column, n: Int): Column = graft.functions.quantize.qN(c, n)
 
   /** Exact sum via integer cents: deterministic under any partitioning. */
   private def sumCents(c: Column): Column =
