@@ -81,6 +81,55 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** Quantized squared-L2 between a vector and a centroid, as a
+    * sequential left fold in double (cross-engine deterministic).
+    */
+  def l2sq(v: Column, c: Column): Column =
+    aggregate(zip_with(v, c, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** All centroids folded into ONE row holding a sorted array of
+    * (cell, ctr) structs — the broadcast side of the per-row argmin.
+    * `array_sort` pins the order (collect_list order is partition-
+    * dependent) so the fold's tie-break is deterministic.
+    */
+  def centroidArray(centroids: DataFrame): DataFrame =
+    centroids.agg(array_sort(
+      collect_list(struct(col("cell"), col("ctr")))).as("_ctrs"))
+
+  /** Per-row nearest-centroid argmin over a broadcast centroid array:
+    * a left fold keeping the (cell, dist) with strictly smaller
+    * quantized distance, so ties resolve to the lowest cell (the array
+    * is cell-ascending) — exactly `row_number() OVER (ORDER BY dist,
+    * cell) = 1`, but computed as a NARROW expression: no crossJoin
+    * row explosion, no window, no shuffle of the corpus. At 100 TB the
+    * old window formulation shuffled |corpus|x|centroids| rows on the
+    * id key; this touches each row once where it already lives.
+    */
+  def nearestCentroid(vec: Column, ctrs: Column): Column = {
+    val first = element_at(ctrs, 1)
+    val init = struct(first.getField("cell").as("cell"),
+      q6(l2sq(vec, first.getField("ctr"))).as("dist"))
+    aggregate(slice(ctrs, lit(2), size(ctrs) - 1), init, (acc, c) => {
+      val d = q6(l2sq(vec, c.getField("ctr")))
+      when(d < acc.getField("dist"),
+        struct(c.getField("cell").as("cell"), d.as("dist"))).otherwise(acc)
+    })
+  }
+
+  /** Nearest-centroid cell assignment for a whole corpus: broadcast
+    * the one-row centroid array and evaluate the argmin per row. The
+    * only join is a BroadcastNestedLoopJoin against a single row —
+    * the corpus is never shuffled or replicated.
+    */
+  def assignCells(df: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+      .crossJoin(broadcast(centroidArray(centroids)))
+      .withColumn("_best", nearestCentroid(col("_v"), col("_ctrs")))
+      .select(col("_id"), col("_v"),
+        col("_best.cell").as("cell"), col("_best.dist").as("dist"))
+
   /** IVF-style ANN: partition the corpus into cells by nearest
     * centroid (the inverted file), then answer queries by probing only
     * the `nprobe` nearest cells. At 100 TB the corpus is stored
@@ -88,27 +137,25 @@ object Similarity {
     * centroids (k rows) broadcast everywhere.
     *
     * Composition: centroid table (from CentroidAggregator or any
-    * k-means) -> cell assignment (broadcast argmin) -> candidate join
-    * on cell id -> exact cosine top-k.
+    * k-means) -> cell assignment (per-row broadcast argmin — see
+    * [[assignCells]], zero corpus shuffle) -> candidate join on cell
+    * id -> exact cosine top-k. Only the QUERY side (small by contract,
+    * like [[bruteForceTopK]]'s broadcast side) uses a windowed top-
+    * nprobe ranking; its shuffle is bounded by |queries| x |cells|.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
     // centroids: (cell: Int, ctr: Array[Double])
-    def l2sq(v: Column, c: Column): Column =
-      aggregate(zip_with(v, c, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-        lit(0.0), (acc, x) => acc + x)
-    val cellW = Window.partitionBy(col("_id")).orderBy(col("_d"), col("cell"))
-    def assign(df: DataFrame, n: Int): DataFrame =
-      df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
-        .crossJoin(broadcast(centroids))
-        .withColumn("_d", q6(l2sq(col("_v"), col("ctr"))))
-        .withColumn("_rn", row_number().over(cellW))
-        .filter(col("_rn") <= n)
-        .select(col("_id"), col("_v"), col("cell"))
-    val corpusCells = assign(corpus, 1)
+    val cellW = Window.partitionBy(col("query_id")).orderBy(col("_d"), col("cell"))
+    val corpusCells = assignCells(corpus, centroids, idCol, vecCol)
       .select(col("_id").as("neighbor_id"), col("_v").as("_cv"), col("cell"))
-    val queryCells = assign(queries, nprobe)
-      .select(col("_id").as("query_id"), col("_v").as("_qv"), col("cell"))
+    val queryCells = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("_d", q6(l2sq(col("_qv"), col("ctr"))))
+      .withColumn("_rn", row_number().over(cellW))
+      .filter(col("_rn") <= nprobe)
+      .select(col("query_id"), col("_qv"), col("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("_cos").desc, col("neighbor_id"))
     queryCells.join(corpusCells, "cell")

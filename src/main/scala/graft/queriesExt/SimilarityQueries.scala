@@ -108,26 +108,21 @@ object SimilarityQueries {
     FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
     GROUP BY label, i ORDER BY label, dim"""))
 
-  /** B44: nearest-centroid assignment — centroids (10 rows) broadcast
-    * against the corpus, argmin by quantized L2^2 with label tiebreak.
+  /** B44: nearest-centroid assignment — the 10 centroids fold into a
+    * single broadcast array row and the argmin is a per-row expression
+    * ([[Similarity.nearestCentroid]]): zero corpus shuffle, vs the
+    * round-1 crossJoin + `row_number() OVER (PARTITION BY vec_id)`
+    * which shuffled |corpus|x|centroids| rows. PlanSpec asserts the
+    * executed plan has no Window and no hash exchange on vec_id.
     */
   private val q50 = Q("q50_nearest_centroid", (s, dir) => {
     val centroid = udaf(new CentroidAggregator(64))
     val e = Tables.load(s, dir, "embeddings")
-    val ctrs = e.groupBy(col("label").as("c_label"))
+    val ctrs = e.groupBy(col("label").as("cell"))
       .agg(centroid(col("embedding")).as("ctr"))
-    val dist = aggregate(
-      zip_with(col("embedding"), col("ctr"),
-        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
-      lit(0.0), (acc, x) => acc + x)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id"))
-      .orderBy(col("qdist"), col("c_label"))
-    e.crossJoin(broadcast(ctrs))
-      .withColumn("qdist", Similarity.q6(dist))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("c_label").as("nearest_label"), col("qdist").as("dist"))
+    Similarity.assignCells(e, ctrs, "vec_id", "embedding")
+      .select(col("_id").as("vec_id"), col("cell").as("nearest_label"),
+        col("dist"))
       .orderBy(col("vec_id"))
   }, Some("""
     WITH cent AS (

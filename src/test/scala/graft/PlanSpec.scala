@@ -105,6 +105,29 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("q50 nearest-centroid assignment is a narrow per-row argmin (no window, no corpus shuffle)") {
+    val plan = planOf("q50_nearest_centroid")
+    // round 1 planned crossJoin + row_number() OVER (PARTITION BY
+    // vec_id): a Window over an Exchange hashpartitioning(vec_id) that
+    // shuffled |corpus| x |centroids| rows. The argmin fold removes
+    // both; the only remaining exchanges are the tiny centroid agg and
+    // the final range-sort.
+    assert(!plan.contains("Window"), s"unexpected Window in:\n${plan.take(3000)}")
+    assert(!plan.contains("hashpartitioning(vec_id"),
+      s"corpus shuffled on vec_id in:\n${plan.take(3000)}")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"expected single-row broadcast join in:\n${plan.take(3000)}")
+  }
+
+  test("q62 IVF corpus cell-assignment has no window over the corpus id") {
+    val plan = planOf("q62_ivf_ann")
+    // exactly one Window remains: the per-QUERY top-k ranking
+    // (partitioned by query_id, bounded by the query set); the corpus
+    // side must not be window-ranked or shuffled for assignment.
+    assert(!plan.contains("hashpartitioning(_id"),
+      s"corpus shuffled for cell assignment in:\n${plan.take(3000)}")
+  }
+
   test("oracle SQL exists for every query except declared rows-only ops") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("q29_approx_distinct"), s"unexpected rows-only: $rowsOnly")
