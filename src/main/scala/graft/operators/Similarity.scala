@@ -68,18 +68,30 @@ object Similarity {
     java.lang.Long.parseLong(hex, 16) % 2001L - 1000L
   }
 
+  /** Hyperplane `j` as a literal array column (md5-derived, so any
+    * engine reproduces it).
+    */
+  private def planeLit(j: Int, dim: Int): Column =
+    lit((0 until dim).map(i => planeComponent(j, i).toDouble).toArray)
+
   /** Random-hyperplane LSH bucket id: sign bit of the projection onto
     * each of `nPlanes` fixed hyperplanes. One narrow projection per
     * row; no shuffle.
     */
-  def lshBucket(vec: Column, nPlanes: Int, dim: Int): Column = {
-    val planes = (0 until nPlanes).map { j =>
-      lit((0 until dim).map(i => planeComponent(j, i).toDouble).toArray)
-    }
+  def lshBucket(vec: Column, nPlanes: Int, dim: Int): Column =
     (0 until nPlanes).map { j =>
-      when(dot(vec, planes(j)) > 0, lit(1L << j)).otherwise(lit(0L))
+      when(dot(vec, planeLit(j, dim)) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
-  }
+
+  /** Signature of band `b`: `bitsPerBand` sign bits of projections
+    * onto globally-numbered hyperplanes (plane j = b*bitsPerBand + i),
+    * so band signatures and [[lshBucket]] share one plane family.
+    */
+  def bandSignature(vec: Column, band: Int, bitsPerBand: Int, dim: Int): Column =
+    (0 until bitsPerBand).map { i =>
+      when(dot(vec, planeLit(band * bitsPerBand + i, dim)) > 0,
+        lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
 
   /** Quantized squared-L2 between a vector and a centroid, as a
     * sequential left fold in double (cross-engine deterministic).
@@ -166,8 +178,13 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), q6(col("_cos")).as("cos_sim"))
   }
 
-  /** ANN via LSH bucket equi-join: candidate pairs share a bucket;
-    * exact cosine computed only for candidates.
+  /** ANN via single-bucket LSH equi-join: candidate pairs share the
+    * one `nPlanes`-bit bucket; exact cosine computed only for
+    * candidates. With a FIXED plane count the 2^nPlanes bucket space
+    * does not grow with the corpus, so within-bucket pairs grow
+    * ~n^2/2^nPlanes — fine for bounded corpora; the corpus-size-aware
+    * scale path is [[bandedAnnPairs]], which sizes bits-per-band to
+    * the corpus and adds a hot-bucket guardrail.
     */
   def annBucketPairs(df: DataFrame, idCol: String, vecCol: String,
       nPlanes: Int = 8, dim: Int = 64): DataFrame = {
@@ -178,6 +195,55 @@ object Similarity {
     a.join(b, Seq("bucket"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"), col("bucket"),
+        q6(cosine(col("_v1"), col("_v2"))).as("cos_sim"))
+  }
+
+  /** Corpus-size-aware ANN candidates: banded hyperplane signatures
+    * (the [[Dedup.lshBands]] pattern applied to vectors) + an optional
+    * bucket-occupancy guardrail.
+    *
+    * Sizing rule (documented in SCALE.md): expected bucket occupancy
+    * under uniform signatures is n / 2^bitsPerBand per band, so choose
+    * bitsPerBand ~ log2(n / targetOccupancy). Candidate-pair work is
+    * then ~ nBands * n * targetOccupancy / 2 — LINEAR in n at fixed
+    * occupancy, vs ~n^2/2^nPlanes for the fixed single bucket. More
+    * bands raise recall (a true neighbor pair is found if it agrees
+    * on ALL bits of ANY band); `maxBucket` caps the damage from
+    * non-uniform (clustered) data by dropping pathological buckets,
+    * the standard LSH hot-bucket guard.
+    *
+    * Shuffle discipline: the band explode carries (id, band, sig) —
+    * never the vectors; embeddings are re-joined only for the
+    * candidate pairs that survive.
+    */
+  def bandedAnnPairs(df: DataFrame, idCol: String, vecCol: String,
+      nBands: Int = 4, bitsPerBand: Int = 4, dim: Int = 64,
+      maxBucket: Option[Int] = None): DataFrame = {
+    val bandStructs = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        bandSignature(col(vecCol), b, bitsPerBand, dim).as("sig"))
+    }
+    val bands = df
+      .select(col(idCol), explode(array(bandStructs: _*)).as("_b"))
+      .select(col(idCol), col("_b.band"), col("_b.sig"))
+    val pruned = maxBucket match {
+      case Some(cap) =>
+        val small = bands.groupBy(col("band"), col("sig"))
+          .agg(count(lit(1)).as("_n")).filter(col("_n") <= cap)
+        bands.join(small, Seq("band", "sig"))
+          .select(col(idCol), col("band"), col("sig"))
+      case None => bands
+    }
+    val a = pruned.select(col("band"), col("sig"), col(idCol).as("id1"))
+    val b = pruned.select(col("band"), col("sig"), col(idCol).as("id2"))
+    val candidates = a.join(b, Seq("band", "sig"))
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("shared_bands"))
+    val e1 = df.select(col(idCol).as("id1"), col(vecCol).as("_v1"))
+    val e2 = df.select(col(idCol).as("id2"), col(vecCol).as("_v2"))
+    candidates.join(e1, "id1").join(e2, "id2")
+      .select(col("id1"), col("id2"), col("shared_bands"),
         q6(cosine(col("_v1"), col("_v2"))).as("cos_sim"))
   }
 }

@@ -89,6 +89,39 @@ object SimilarityQueries {
     ORDER BY id1, id2"""
   })
 
+  /** B41 scale path: banded hyperplane signatures with per-band
+    * equi-join — bucket space sized by bits-per-band (corpus-size-
+    * aware, see Similarity.bandedAnnPairs scaladoc + SCALE.md), pairs
+    * deduped with a shared-band count, vectors re-joined only for
+    * surviving candidates.
+    */
+  private val q69 = Q("q69_banded_ann", (s, dir) => {
+    Similarity.bandedAnnPairs(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+      nBands = 4, bitsPerBand = 4)
+      .orderBy(col("id1"), col("id2"))
+  }, Some {
+    def sigSql(band: Int, bits: Int): String = (0 until bits).map { i =>
+      val j = band * bits + i
+      val plane = s"list_transform(range(1, 65), d -> CAST((CAST(concat('0x', substr(md5(concat('${j}_', CAST(d - 1 AS VARCHAR))), 1, 12)) AS BIGINT) % 2001 - 1000) AS DOUBLE))"
+      s"CASE WHEN list_reduce(list_transform(range(1, 65), d -> CAST(embedding[d] AS DOUBLE) * $plane[d]), (x, y) -> x + y) > 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString(" + ")
+    val bandSelects = (0 until 4).map { b =>
+      s"SELECT vec_id, $b AS band, ${sigSql(b, 4)} AS sig FROM embeddings"
+    }.mkString(" UNION ALL ")
+    s"""
+    WITH bands AS ($bandSelects),
+    cand AS (
+      SELECT a.vec_id AS id1, b.vec_id AS id2, CAST(count(*) AS BIGINT) AS shared_bands
+      FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+      GROUP BY 1, 2)
+    SELECT c.id1, c.id2, c.shared_bands,
+           floor(${cosSql("e1.embedding", "e2.embedding")} * 1000000 + 0.5) / 1000000.0 AS cos_sim
+    FROM cand c
+      JOIN embeddings e1 ON e1.vec_id = c.id1
+      JOIN embeddings e2 ON e2.vec_id = c.id2
+    ORDER BY id1, id2"""
+  })
+
   /** B46: typed Aggregator exemplar — per-label centroid, exploded to
     * (label, dim, value) rows. Distributes with map-side partials like
     * a built-in agg (merge is associative vector addition).
@@ -192,5 +225,5 @@ object SimilarityQueries {
     SELECT query_id, neighbor_id, rank, cos_sim FROM ranked
     WHERE rank <= 5 ORDER BY query_id, rank"""))
 
-  val list: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q62)
+  val list: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q62, q69)
 }

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+
+  test("nearestCentroid fold matches the windowed argmin semantics (min dist, min cell on ties)") {
+    // two centroids equidistant from v -> lowest cell must win
+    val ctrs = Seq((2, Array(1.0, 0.0)), (1, Array(0.0, 1.0)), (3, Array(10.0, 10.0)))
+      .toDF("cell", "ctr")
+    val corpus = Seq((100L, vec(0.5, 0.5))).toDF("id", "v")
+    val out = Similarity.assignCells(corpus, ctrs, "id", "v").collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Int]("cell") == 1, "tie must break to the lowest cell")
+  }
+
+  test("assignCells agrees with brute-force argmin on real embeddings") {
+    val e = Tables.load(spark, sfDir, "embeddings").limit(50)
+    val centroid = udaf(new graft.functions.CentroidAggregator(64))
+    val ctrs = Tables.load(spark, sfDir, "embeddings")
+      .groupBy(col("label").as("cell"))
+      .agg(centroid(col("embedding")).as("ctr"))
+    val fold = Similarity.assignCells(e, ctrs, "vec_id", "embedding")
+      .select(col("_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Int]("cell")).toMap
+    // reference: explicit crossJoin + min over collected rows
+    val ctrRows = ctrs.collect().map(r =>
+      r.getAs[Int]("cell") -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    val eRows = e.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    eRows.foreach { case (id, v) =>
+      val best = ctrRows.map { case (cell, c) =>
+        val d = v.zip(c).foldLeft(0.0) { case (acc, (x, y)) => acc + (x.toDouble - y) * (x.toDouble - y) }
+        (math.floor(d * 1e6 + 0.5) / 1e6, cell)
+      }.min
+      assert(fold(id) == best._2, s"vec $id: fold=${fold(id)} brute=${best._2}")
+    }
+  }
+
+  test("bandedAnnPairs maxBucket guardrail drops hot buckets") {
+    // 40 identical vectors land in one bucket per band; 2 distinct
+    // vectors elsewhere. With the cap, the hot bucket's ~780 pairs
+    // disappear; without it they dominate.
+    val hot = (1L to 40L).map(i => (i, vec(1.0, 1.0, 1.0, 1.0)))
+    val cold = Seq((101L, vec(-1.0, -1.0, -1.0, -1.0)), (102L, vec(-1.0, -1.0, -1.0, -0.9)))
+    val df = (hot ++ cold).toDF("id", "v")
+    val unguarded = Similarity.bandedAnnPairs(df, "id", "v", nBands = 2, bitsPerBand = 2, dim = 4)
+    val guarded = Similarity.bandedAnnPairs(df, "id", "v", nBands = 2, bitsPerBand = 2, dim = 4,
+      maxBucket = Some(10))
+    val unguardedHotPairs = unguarded.filter(col("id1") <= 40 && col("id2") <= 40).count()
+    val guardedHotPairs = guarded.filter(col("id1") <= 40 && col("id2") <= 40).count()
+    assert(unguardedHotPairs >= 780L, s"expected the hot-bucket blowup, got $unguardedHotPairs")
+    assert(guardedHotPairs == 0L, s"cap must drop the hot bucket, got $guardedHotPairs")
+    // the cold pair survives if it shares a band bucket
+    assert(guarded.filter(col("id1") === 101L && col("id2") === 102L).count() ==
+      unguarded.filter(col("id1") === 101L && col("id2") === 102L).count())
+  }
+
+  test("banded signatures: shared_bands counts agreeing bands exactly") {
+    val df = Seq((1L, vec(1.0, 2.0, 3.0, 4.0)), (2L, vec(1.0, 2.0, 3.0, 4.0)))
+      .toDF("id", "v")
+    val out = Similarity.bandedAnnPairs(df, "id", "v", nBands = 3, bitsPerBand = 2, dim = 4)
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("shared_bands") == 3L, "identical vectors agree on every band")
+    assert(out.head.getAs[Double]("cos_sim") == 1.0)
+  }
+}
