@@ -118,6 +118,16 @@ object Dedup {
       threshold: Double, k: Int = 8, rowsPerBand: Int = 2): DataFrame =
     minhashNearDupsOn(df, idCol, wordShingles(textCol), threshold, k, rowsPerBand)
 
+  /** The (id, distinct-shingle-array) frame every MinHash stage
+    * consumes. Exposed so callers can compute it ONCE — persist it or
+    * write it as a table — and feed [[minhashNearDupsPrepared]] /
+    * [[minhashSignatures]] from the same materialization instead of
+    * re-deriving shingles per query (the q41/q42/q44 family shares
+    * this stage; see DedupQueries.shingled).
+    */
+  def prepareShingles(df: DataFrame, idCol: String, shingles: Column): DataFrame =
+    df.select(col(idCol), array_distinct(shingles).as("_sh"))
+
   /** Generalized near-dup pipeline over an arbitrary shingle column
     * (word n-grams, char n-grams, ...): LSH candidates -> exact
     * Jaccard. Never materializes all pairs — the only join is the
@@ -126,8 +136,18 @@ object Dedup {
     * ~5 s for identical output).
     */
   def minhashNearDupsOn(df: DataFrame, idCol: String, shingles: Column,
+      threshold: Double, k: Int = 8, rowsPerBand: Int = 2): DataFrame =
+    minhashNearDupsPrepared(prepareShingles(df, idCol, shingles), idCol,
+      threshold, k, rowsPerBand)
+
+  /** Near-dup pipeline over a pre-built `(idCol, _sh)` shingle frame
+    * (see [[prepareShingles]]). The frame is referenced THREE times in
+    * the DAG (signatures, and both sides of the verify join) — pass a
+    * persisted/materialized frame and the shingle derivation runs
+    * once, not three times.
+    */
+  def minhashNearDupsPrepared(withShingles: DataFrame, idCol: String,
       threshold: Double, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val withShingles = df.select(col(idCol), array_distinct(shingles).as("_sh"))
     val sigs = minhashSignatures(withShingles, idCol, col("_sh"), k)
     val candidates = lshCandidates(lshBands(sigs, idCol, k, rowsPerBand), idCol)
     val s1 = withShingles.select(col(idCol).as("id1"), col("_sh").as("_sh1"))

