@@ -100,9 +100,18 @@ object FirehoseTransform {
     * streaming it runs inside foreachBatch on micro-batches bounded by
     * the delivery batch size — the single-partition window below is a
     * faithful per-delivery-batch fold, not a global sort of the world.
+    * Two guards keep it from being misapplied to an unbounded frame:
+    * streaming inputs are rejected eagerly (apply per micro-batch via
+    * foreachBatch instead), and any batch larger than `maxBatchRows`
+    * fails the job at runtime via `raise_error` rather than silently
+    * single-partition-sorting the world.
     */
   def sizeGovernor(transformed: DataFrame, cap: Long = 4000000L,
-      orderCol: Option[Column] = None): DataFrame = {
+      orderCol: Option[Column] = None, maxBatchRows: Long = 1000000L): DataFrame = {
+    require(!transformed.isStreaming,
+      "sizeGovernor is a batch-local fold (single-partition running sum); " +
+        "apply it to each micro-batch inside foreachBatch, not to a streaming frame")
+    require(maxBatchRows > 0, s"maxBatchRows must be positive, got $maxBatchRows")
     val ord = orderCol.getOrElse(monotonically_increasing_id())
     val w = Window.orderBy(col("_ord"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -110,11 +119,16 @@ object FirehoseTransform {
       .otherwise(length(col("data")).cast("long") + length(col("recordId")).cast("long"))
     transformed
       .withColumn("_ord", ord)
+      // same window spec as _cum -> computed by the same Window operator
+      .withColumn("_rn", row_number().over(w))
       .withColumn("_cum", sum(recSize).over(w))
       .withColumn("_drop", col("result") =!= ProcessingFailed && col("_cum") > cap)
       .select(
         col("recordId"),
-        when(col("_drop"), lit(Dropped)).otherwise(col("result")).as("result"),
+        when(col("_rn") > maxBatchRows, raise_error(concat(
+            lit(s"sizeGovernor: batch exceeds maxBatchRows=$maxBatchRows rows "),
+            lit("— this operator is a batch-local fold; bound the batch or raise the limit"))))
+          .when(col("_drop"), lit(Dropped)).otherwise(col("result")).as("result"),
         when(col("_drop"), lit(null)).otherwise(col("data")).as("data"),
         when(col("_drop"), col("data")).as("reingest_data"))
   }

@@ -92,14 +92,18 @@ object TextQueries {
     */
   private val q55 = Q("q55_tf_idf", (s, dir) => {
     val docs = Tables.load(s, dir, "documents")
-    val nDocs = docs.count()
+    // corpus size as a broadcast one-row aggregate INSIDE the plan —
+    // a driver-side docs.count() here would scan the table eagerly on
+    // every query build (an extra full pass at 100 TB) and bake a
+    // stale constant into the plan
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
     val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    tf.join(df_, "term")
+    tf.join(df_, "term").crossJoin(broadcast(n))
       .select(col("term"), col("doc_id"), col("tf"),
         col("df"),
-        (floor(col("tf") * log(lit(nDocs.toDouble) / col("df")) * 1000000 + lit(0.5)) / lit(1000000.0)).as("tfidf"))
+        (floor(col("tf") * log(col("n_docs") / col("df")) * 1000000 + lit(0.5)) / lit(1000000.0)).as("tfidf"))
       .filter(col("df") >= 100)
       .orderBy(col("term"), col("doc_id"))
   }, Some("""

@@ -139,6 +139,24 @@ class FirehoseTransformSpec extends SparkSpec {
     assert(governed.count(_.getString(1) == "ProcessingFailed") == 1)
   }
 
+  test("size governor rejects a streaming frame eagerly (batch-local contract)") {
+    val stream = spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+      .selectExpr("cast(value as string) as recordId", "'Ok' as result", "'x' as data")
+    val e = intercept[IllegalArgumentException] {
+      FirehoseTransform.sizeGovernor(stream)
+    }
+    assert(e.getMessage.contains("foreachBatch"))
+  }
+
+  test("size governor fails fast when the batch exceeds maxBatchRows") {
+    val records = (1 to 10).map(i => (s"r$i", "Ok", "payload"))
+      .toDF("recordId", "result", "data")
+    val e = intercept[Exception] {
+      FirehoseTransform.sizeGovernor(records, maxBatchRows = 5L).collect()
+    }
+    assert(e.getMessage.contains("maxBatchRows"))
+  }
+
   test("frameRecords round-trips through transform") {
     val df = Seq(("id1", "Hello roundtrip")).toDF("rid", "msg")
     val framed = FirehoseTransform.frameRecords(
