@@ -37,7 +37,15 @@ object Bench {
     // failures carry a -1 sentinel; keep them out of the total so a
     // crashed query cannot lower the headline number
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Sustained streaming throughput through the delivery pipeline
+    // (records/sec + per-batch latency under Trigger.ProcessingTime);
+    // failure -> null, never a fake number
+    val stream =
+      try graft.streaming.ThroughputBench.run(spark, sfDir).json
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] stream: ${e.getMessage}"); "null"
+      }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stream":$stream,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -45,7 +45,10 @@ object FirehoseDelivery {
       sizeCap: Long = 4000000L, // soft cap (main.py:147)
       maxAttempts: Int = 20, // re-ingest retry budget (main.py:156)
       permissive: Boolean = true,
-      availableNow: Boolean = false) {
+      availableNow: Boolean = false,
+      // source batching: files per micro-batch (None = all available);
+      // the bench uses this to shape sustained multi-batch runs
+      maxFilesPerTrigger: Option[Int] = None) {
     def primaryDir: String = s"$outputDir/primary"
     def backupDir: String = s"$outputDir/backup"
     def failedDir: String = s"$outputDir/processing-failed"
@@ -138,11 +141,12 @@ object FirehoseDelivery {
 
   /** Start the streaming delivery query. */
   def start(spark: SparkSession, conf: Config): StreamingQuery = {
-    val source = spark.readStream
+    val reader = spark.readStream
       .schema(Envelope.RECORD_SCHEMA)
       // re-ingest writes land as subdirectories of the input dir
       .option("recursiveFileLookup", "true")
-      .json(conf.inputDir)
+    conf.maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val source = reader.json(conf.inputDir)
     val writer = source.writeStream
       .foreachBatch((batch: DataFrame, batchId: Long) => processBatch(batch, batchId, conf))
       .option("checkpointLocation", conf.checkpointDir)
