@@ -103,5 +103,108 @@ object SqlQueries {
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     ORDER BY status, priority"""))
 
-  val list: Seq[Q] = Seq(q57, q58, q59, q68)
+  /** TPC-H Q2-shaped min-cost-supplier lookup (no partsupp table in
+    * this corpus, so lineitem is the part-supplier link): correlated
+    * scalar MIN subquery against the outer part key, de-correlated by
+    * Catalyst into an aggregate + join. DISTINCT because a supplier
+    * can hit the per-part minimum on several lineitems.
+    */
+  private val q70 = Q("q70_min_cost_supplier", (s, dir) => {
+    Tables.registerAll(s, dir)
+    s.sql("""
+      SELECT DISTINCT p_partkey, p_type, s_suppkey, s_name, l_extendedprice AS min_price
+      FROM part JOIN lineitem ON l_partkey = p_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+      WHERE p_size = 15
+        AND l_extendedprice = (
+          SELECT min(l2.l_extendedprice) FROM lineitem l2
+          WHERE l2.l_partkey = p_partkey)
+      ORDER BY p_partkey, s_suppkey""")
+  }, Some("""
+    SELECT DISTINCT p_partkey, p_type, s_suppkey, s_name, l_extendedprice AS min_price
+    FROM part JOIN lineitem ON l_partkey = p_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+    WHERE p_size = 15
+      AND l_extendedprice = (
+        SELECT min(l2.l_extendedprice) FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey)
+    ORDER BY p_partkey, s_suppkey"""))
+
+  /** TPC-H Q8-shaped market share: 6-way join inside a derived table,
+    * conditional aggregation over it, exact-cents revenue so the
+    * share division is bit-identical across engines.
+    */
+  private val q71 = Q("q71_market_share", (s, dir) => {
+    Tables.registerAll(s, dir)
+    s.sql("""
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(floor(CAST(sum(CASE WHEN nation = 'NATION_1' THEN rev_cents ELSE 0 END) AS DOUBLE)
+                   / sum(rev_cents) * 1000000 + 0.5) AS DOUBLE) / 1000000.0 AS mkt_share
+      FROM (
+        SELECT o_orderdate,
+               CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS rev_cents,
+               n2.n_name AS nation
+        FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN region ON n1.n_regionkey = r_regionkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'AMERICA') t
+      GROUP BY year(o_orderdate)
+      ORDER BY o_year""")
+  }, Some("""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(floor(CAST(sum(CASE WHEN nation = 'NATION_1' THEN rev_cents ELSE 0 END) AS DOUBLE)
+                 / sum(rev_cents) * 1000000 + 0.5) AS DOUBLE) / 1000000.0 AS mkt_share
+    FROM (
+      SELECT o_orderdate,
+             CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS rev_cents,
+             n2.n_name AS nation
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA') t
+    GROUP BY year(o_orderdate)
+    ORDER BY o_year"""))
+
+  /** TPC-H Q20-shaped nesting: IN-subquery over a grouped derived
+    * table whose filter is a correlated scalar SUM against the full
+    * link table — two de-correlation levels plus an inner IN on part.
+    * (0.12 threshold: discriminating but non-empty at sf0.01 AND
+    * sf0.1 — 48 and 76 suppliers respectively.)
+    */
+  private val q72 = Q("q72_part_share_suppliers", (s, dir) => {
+    Tables.registerAll(s, dir)
+    s.sql("""
+      SELECT s_suppkey, s_name FROM supplier
+      WHERE s_suppkey IN (
+        SELECT sp.l_suppkey FROM (
+          SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+          FROM lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+          GROUP BY l_suppkey, l_partkey) sp
+        WHERE sp.qty > 0.12 * (
+          SELECT sum(l2.l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = sp.l_partkey))
+      ORDER BY s_suppkey""")
+  }, Some("""
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE s_suppkey IN (
+      SELECT sp.l_suppkey FROM (
+        SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        GROUP BY l_suppkey, l_partkey) sp
+      WHERE sp.qty > 0.12 * (
+        SELECT sum(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = sp.l_partkey))
+    ORDER BY s_suppkey"""))
+
+  val list: Seq[Q] = Seq(q57, q58, q59, q68, q70, q71, q72)
 }
