@@ -159,6 +159,25 @@ object Dedup {
         graft.functions.quantize.q6(col("jac")).as("jaccard"))
   }
 
+  /** Embedding-cosine near-dup dedup — the vector-space member of the
+    * dedup family (exact / MinHash / SimHash / char-ngram / cosine).
+    * Candidates come from corpus-size-aware banded vector LSH
+    * ([[Similarity.bandedAnnPairs]] — never all-pairs), survivors are
+    * cosine-verified at `threshold`, and the keep rule is the standard
+    * greedy lowest-id representative: a row is dropped iff it has a
+    * smaller-id neighbor at or above the threshold (anti-join on the
+    * id2 side of id1<id2 pairs). Returns the KEPT rows.
+    */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nBands: Int = 4, bitsPerBand: Int = 4,
+      dim: Int = 64): DataFrame = {
+    val dups = Similarity
+      .bandedAnnPairs(df, idCol, vecCol, nBands, bitsPerBand, dim)
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id2").as(idCol)).distinct()
+    df.join(dups, Seq(idCol), "left_anti")
+  }
+
   /** 16-bit SimHash over the distinct-token set: per bit, the sign of
     * sum(+1/-1) votes from each token hash. Explode + single groupBy:
     * one shuffle of (doc, 16 counters) with map-side combine.

@@ -95,21 +95,28 @@ object SimilarityQueries {
     * deduped with a shared-band count, vectors re-joined only for
     * surviving candidates.
     */
+  /** DuckDB mirror of Similarity.bandSignature/bandedAnnPairs' band
+    * explode: one UNION ALL branch per band, each computing the
+    * bits-per-band signature from the shared md5-derived plane family.
+    */
+  private def bandsSql(nBands: Int, bits: Int): String = {
+    def sigSql(band: Int): String = (0 until bits).map { i =>
+      val j = band * bits + i
+      val plane = s"list_transform(range(1, 65), d -> CAST((CAST(concat('0x', substr(md5(concat('${j}_', CAST(d - 1 AS VARCHAR))), 1, 12)) AS BIGINT) % 2001 - 1000) AS DOUBLE))"
+      s"CASE WHEN list_reduce(list_transform(range(1, 65), d -> CAST(embedding[d] AS DOUBLE) * $plane[d]), (x, y) -> x + y) > 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString(" + ")
+    (0 until nBands).map { b =>
+      s"SELECT vec_id, $b AS band, ${sigSql(b)} AS sig FROM embeddings"
+    }.mkString(" UNION ALL ")
+  }
+
   private val q69 = Q("q69_banded_ann", (s, dir) => {
     Similarity.bandedAnnPairs(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
       nBands = 4, bitsPerBand = 4)
       .orderBy(col("id1"), col("id2"))
   }, Some {
-    def sigSql(band: Int, bits: Int): String = (0 until bits).map { i =>
-      val j = band * bits + i
-      val plane = s"list_transform(range(1, 65), d -> CAST((CAST(concat('0x', substr(md5(concat('${j}_', CAST(d - 1 AS VARCHAR))), 1, 12)) AS BIGINT) % 2001 - 1000) AS DOUBLE))"
-      s"CASE WHEN list_reduce(list_transform(range(1, 65), d -> CAST(embedding[d] AS DOUBLE) * $plane[d]), (x, y) -> x + y) > 0 THEN ${1L << i} ELSE 0 END"
-    }.mkString(" + ")
-    val bandSelects = (0 until 4).map { b =>
-      s"SELECT vec_id, $b AS band, ${sigSql(b, 4)} AS sig FROM embeddings"
-    }.mkString(" UNION ALL ")
     s"""
-    WITH bands AS ($bandSelects),
+    WITH bands AS (${bandsSql(4, 4)}),
     cand AS (
       SELECT a.vec_id AS id1, b.vec_id AS id2, CAST(count(*) AS BIGINT) AS shared_bands
       FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
@@ -225,5 +232,35 @@ object SimilarityQueries {
     SELECT query_id, neighbor_id, rank, cos_sim FROM ranked
     WHERE rank <= 5 ORDER BY query_id, rank"""))
 
-  val list: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q62, q69)
+  /** Dedup-family member in vector space: embedding-cosine near-dup
+    * with the greedy lowest-id keep rule. Candidates from the banded
+    * LSH (q69's plane family — never all-pairs), cosine-verified at
+    * 0.35, duplicates removed by anti-join. Output = the KEPT corpus.
+    */
+  private val q73 = Q("q73_embedding_neardup", (s, dir) => {
+    import graft.operators.Dedup
+    Dedup.embeddingNearDups(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+      threshold = 0.35, nBands = 4, bitsPerBand = 4)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+      .orderBy(col("vec_id"))
+  }, Some {
+    s"""
+    WITH bands AS (${bandsSql(4, 4)}),
+    cand AS (
+      SELECT a.vec_id AS id1, b.vec_id AS id2
+      FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+      GROUP BY 1, 2),
+    dups AS (
+      SELECT DISTINCT c.id2
+      FROM cand c
+        JOIN embeddings e1 ON e1.vec_id = c.id1
+        JOIN embeddings e2 ON e2.vec_id = c.id2
+      WHERE floor(${cosSql("e1.embedding", "e2.embedding")} * 1000000 + 0.5) / 1000000.0 >= 0.35)
+    SELECT e.vec_id, CAST(e.label AS BIGINT) AS label
+    FROM embeddings e
+    WHERE e.vec_id NOT IN (SELECT id2 FROM dups)
+    ORDER BY e.vec_id"""
+  })
+
+  val list: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q62, q69, q73)
 }
