@@ -100,4 +100,41 @@ object Multimodal {
     */
   def sampleFrameIndexes(nFrames: Int, everyK: Int): Seq[Int] =
     (0 until nFrames by everyK).toSeq
+
+  /** Synthesize a video media table from the documents corpus: the
+    * UTF-8 payload stands in for the encoded stream; frame count and
+    * fps are deterministic metadata (a real ingest would read them
+    * from the container header — metadata columns, not payload bytes).
+    */
+  def videoFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      lit("video").as("kind"),
+      encode(col("text"), "UTF-8").as("payload"),
+      ((col("n_chars") % 240) + 1).cast("int").as("n_frames"),
+      lit(24).as("fps"))
+
+  /** Sample every k-th frame of each video: `sequence` + `explode` on
+    * the METADATA frame count (narrow, no payload IO for the index
+    * arithmetic), then the per-frame decode — stubbed here as reading
+    * one deterministic "pixel" (the codepoint at a frame-derived
+    * payload offset); a real codec would seek+decode the frame at the
+    * same spot in the pipeline. Output grain: one row per sampled
+    * frame, payload never shuffled (the explode carries metadata
+    * only; the stub reads the payload on the original row's
+    * partition).
+    */
+  def sampleFrames(video: DataFrame, everyK: Int): DataFrame = {
+    val text = col("payload").cast("string")
+    val nChars = length(text)
+    val pos = (col("frame_idx") * lit(37)) % nChars
+    video
+      .select(col("media_id"), col("n_frames"), col("fps"), col("payload"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(everyK))).as("frame_idx"))
+      .select(
+        col("media_id"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        (col("frame_idx").cast("double") / col("fps")).as("t_sec"),
+        ascii(substring(text, (pos + 1).cast("int"), lit(1))).cast("long").as("frame_probe"))
+  }
 }

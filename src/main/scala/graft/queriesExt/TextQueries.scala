@@ -164,5 +164,29 @@ object TextQueries {
                  least(len(text), 64) * 1000000 + 0.5) / 1000000.0 AS mean_prefix
     FROM resized ORDER BY media_id"""))
 
-  val list: Seq[Q] = Seq(q51, q52, q53, q54, q55, q56)
+  /** Multimodal frame sampling: every 24th frame (1/s at 24 fps) of
+    * each synthetic video — sequence+explode on metadata frame counts,
+    * per-frame decode stubbed as a deterministic payload probe. The
+    * oracle replays the index arithmetic and the probe with
+    * range/unnest + ord.
+    */
+  private val q74 = Q("q74_frame_sample", (s, dir) => {
+    import graft.operators.Multimodal
+    val video = Multimodal.videoFromDocuments(Tables.load(s, dir, "documents"))
+    Multimodal.sampleFrames(video, everyK = 24)
+      .orderBy(col("media_id"), col("frame_idx"))
+  }, Some("""
+    WITH video AS (
+      SELECT doc_id AS media_id, text,
+             CAST(n_chars % 240 + 1 AS INT) AS n_frames, 24 AS fps
+      FROM documents),
+    frames AS (
+      SELECT media_id, text, fps, unnest(range(0, n_frames, 24)) AS frame_idx
+      FROM video)
+    SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(frame_idx AS DOUBLE) / fps AS t_sec,
+           CAST(ord(substr(text, CAST((frame_idx * 37) % len(text) AS INT) + 1, 1)) AS BIGINT) AS frame_probe
+    FROM frames ORDER BY media_id, frame_idx"""))
+
+  val list: Seq[Q] = Seq(q51, q52, q53, q54, q55, q56, q74)
 }
