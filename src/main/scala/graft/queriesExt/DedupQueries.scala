@@ -28,6 +28,16 @@ object DedupQueries {
   private val shingleCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, String, String), org.apache.spark.sql.DataFrame]
 
+  /** Unpersist and drop every cached shingle frame. Long-lived
+    * services that cycle SparkSessions should call this on session
+    * teardown — entries are keyed by session identity and would
+    * otherwise pin dead sessions' cached frames.
+    */
+  def clearShingleCache(): Unit = {
+    shingleCache.values.forEach(df => df.unpersist())
+    shingleCache.clear()
+  }
+
   private def shingled(s: org.apache.spark.sql.SparkSession, dir: String,
       kind: String): org.apache.spark.sql.DataFrame =
     shingleCache.computeIfAbsent((System.identityHashCode(s), dir, kind), _ => {

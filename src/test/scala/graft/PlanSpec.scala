@@ -128,6 +128,30 @@ class PlanSpec extends SparkSpec {
       s"corpus shuffled for cell assignment in:\n${plan.take(3000)}")
   }
 
+  test("q55 query construction runs no table-scan job (corpus count folded into the plan)") {
+    // round 1 ran docs.count() eagerly while BUILDING the query — an
+    // extra full-table pass at 100 TB before the job even starts. The
+    // only job a build may launch is read.parquet's one-task footer/
+    // schema read; the eager count() regression would add a second.
+    @volatile var jobs = 0
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      SparkEntry.queries("q55_tf_idf")(spark, sfDir)
+      Thread.sleep(500) // listener events post asynchronously
+      assert(jobs <= 1, s"query construction launched $jobs Spark jobs " +
+        "(expected at most the parquet schema read)")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("q73 embedding near-dup plans without a cartesian product") {
+    val plan = planOf("q73_embedding_neardup")
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("oracle SQL exists for every query except declared rows-only ops") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("q29_approx_distinct"), s"unexpected rows-only: $rowsOnly")
