@@ -27,6 +27,7 @@ object SparkEntry {
       queriesExt.DedupQueries.list ++
       queriesExt.SimilarityQueries.list ++
       queriesExt.TextQueries.list ++
+      queriesExt.CorpusQueries.list ++
       queriesExt.PipelineQueries.list
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: deterministic
+  * stratified sampling and context-window sequence packing.
+  *
+  * 100 TB design: sampling is a narrow per-row filter (hash + map
+  * lookup, zero shuffle — it composes with the scan and prunes data
+  * BEFORE any downstream shuffle); packing shuffles once on the shard
+  * key and then runs a per-shard window in token order, which is how
+  * production packers operate (pack within shards, never a global
+  * order over the corpus).
+  */
+object CorpusOps {
+
+  /** Deterministic stratified sampling: keep a row iff
+    * hash48(id) mod `buckets` < rate(stratum) * buckets. The hash is
+    * the repo-wide md5-prefix ([[Dedup.hash48]]), so the SAME rows are
+    * selected on every engine, every run, any partitioning — unlike
+    * `TABLESAMPLE`/`rand()`, which are nondeterministic and
+    * partitioning-dependent. Per-stratum rates let a pipeline
+    * down-weight over-represented languages/sources.
+    *
+    * Scale: a codegen'd filter on a scan — no shuffle, no state; the
+    * sampled fraction prunes IO-adjacent (after the scan but before
+    * any join/agg in the same stage).
+    */
+  def stratifiedSample(df: DataFrame, idCol: Column, stratumCol: Column,
+      rates: Map[String, Double], defaultRate: Double,
+      buckets: Int = 1000): DataFrame = {
+    val bucket = pmod(Dedup.hash48(idCol.cast("string")), lit(buckets.toLong))
+    val rateCol = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
+      when(stratumCol === k, lit(v)).otherwise(acc)
+    }
+    df.withColumn("sample_bucket", bucket)
+      .filter(col("sample_bucket") < rateCol * buckets)
+  }
+
+  /** Context-window sequence packing, contiguous-chop style: within
+    * each shard (`shardCol`), lay documents end-to-end in `orderCol`
+    * order and cut every `budget` tokens. Each document reports its
+    * global token offset in the shard and the first/last sequence it
+    * lands in (a document longer than the remaining room SPANS the
+    * boundary — the standard concat-then-chop packing used by LLM
+    * pre-training loaders, where attention masks handle the splice).
+    *
+    * Shape: one shuffle on the shard key, then a running-sum window
+    * per shard. The window is per-shard, never global — shards are the
+    * unit of parallelism, exactly like production packers that pack
+    * per input shard. Skew guard: shard sizes are bounded by upstream
+    * sharding, and the window state is one long.
+    */
+  def packSequences(df: DataFrame, idCol: Column, shardCol: Column,
+      tokenCountCol: Column, budget: Int): DataFrame = {
+    val w = Window.partitionBy(shardCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(
+        idCol,
+        shardCol,
+        tokenCountCol.cast("long").as("n_tok"))
+      .withColumn("start_off", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("seq_first", floor(col("start_off") / budget).cast("long"))
+      .withColumn("seq_last",
+        floor((col("start_off") + col("n_tok") - 1) / budget).cast("long"))
+      .withColumn("spans_boundary", (col("seq_last") > col("seq_first")).cast("int"))
+  }
+}

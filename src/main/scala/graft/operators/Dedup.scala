@@ -178,6 +178,114 @@ object Dedup {
     df.join(dups, Seq(idCol), "left_anti")
   }
 
+  /** Connected components over a near-dup pair list — turns pairwise
+    * "A duplicates B" edges into per-document cluster assignments, the
+    * step a real corpus-dedup pipeline needs between candidate pairs
+    * and "keep one representative per cluster" (pairs alone under-merge:
+    * A~B, B~C must collapse to one cluster even if A~C was never a
+    * candidate).
+    *
+    * Algorithm: distributed min-label propagation with pointer jumping.
+    * Each round does (1) neighbor-min — every node takes the smallest
+    * label among itself and its neighbors (equi-join on edges + groupBy
+    * min, both hash-partitioned on node id) — and (2) pointer jumping —
+    * `label := label(label)` (a self-join), which contracts chains
+    * geometrically, so convergence is O(log diameter) rounds, not
+    * O(diameter). Each round's frame is `localCheckpoint`ed to truncate
+    * lineage (an iterative plan would otherwise grow a round's worth of
+    * joins per iteration and choke Catalyst).
+    *
+    * 100 TB design: per round, the shuffles carry (node, label) pairs —
+    * |V|+|E| longs, never payloads; the driver-side work per round is
+    * one boolean convergence aggregate (`isEmpty` on the changed set),
+    * which is the standard pattern for iterative graph algorithms
+    * (GraphX/Pregel do the same). The input here is the *near-dup pair
+    * list* (tiny relative to the corpus: proportional to duplicate
+    * density), not the corpus itself.
+    *
+    * Returns (id, cluster_rep, cluster_size) for every node that
+    * appears in `pairs`; `cluster_rep` is the smallest member id
+    * (deterministic representative — the "keeper" under the standard
+    * lowest-id keep rule).
+    */
+  def connectedComponents(pairs: DataFrame, idCol1: String = "id1",
+      idCol2: String = "id2", maxIter: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = pairs.select(col(idCol1).as("a"), col(idCol2).as("b"))
+      .union(pairs.select(col(idCol2).as("a"), col(idCol1).as("b")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("rep"))
+      .localCheckpoint()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxIter) {
+      // (1) neighbor-min: smallest rep among self and neighbors
+      val nbrMin = edges
+        .join(labels.select(col("id").as("b"), col("rep")), "b")
+        .groupBy(col("a").as("id")).agg(min(col("rep")).as("nrep"))
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+        .localCheckpoint() // referenced twice by the jump's self-join
+      // (2) pointer jumping: rep := rep(rep) — contracts label chains
+      val jumped = stepped.alias("l")
+        .join(stepped.select(col("id").as("rep"), col("rep").as("rep2")).alias("r"),
+          Seq("rep"), "left")
+        .select(col("id"), least(col("rep"), coalesce(col("rep2"), col("rep"))).as("rep"))
+        .localCheckpoint()
+      converged = jumped.join(labels.withColumnRenamed("rep", "old"), "id")
+        .filter(col("rep") =!= col("old")).isEmpty
+      labels = jumped
+      round += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds " +
+      "(pointer jumping converges in O(log diameter) — raise maxIter only for pathological graphs)")
+    edges.unpersist()
+    val sizes = labels.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "rep")
+      .select(col("id"), col("rep").as("cluster_rep"), col("cluster_size"))
+  }
+
+  /** Segment-level exact dedup (the C4/RefinedWeb "line dedup" move,
+    * over fixed token windows since this corpus has no newlines): chop
+    * each document into `segTokens`-token segments, drop every segment
+    * whose exact text occurred earlier in the corpus (first occurrence
+    * by (doc_id, seg_idx) wins), and re-assemble the survivors in
+    * order.
+    *
+    * Shape: posexplode(segments) -> one shuffle partitioned by segment
+    * text (window row_number picks the first occurrence) -> groupBy doc
+    * to re-assemble. The segment shuffle carries (segment, doc, idx)
+    * tuples — the same inverted-index shape as TF-IDF — and the
+    * re-assembly agg is map-side combinable. No driver actions, no
+    * all-pairs anything: cost is O(total segments), hash-partitioned.
+    */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+      segTokens: Int = 10): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val nSegs = ceil(size(toks) / lit(segTokens.toDouble)).cast("int")
+    val segs = transformArray(
+      sequence(lit(0), nSegs - 1),
+      i => array_join(slice(toks, i * segTokens + 1, lit(segTokens)), " "))
+    val exploded = df
+      .select(col(idCol), posexplode(segs).as(Seq("seg_idx", "seg")))
+    val firstWins = exploded.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("seg")).orderBy(col(idCol), col("seg_idx"))))
+    firstWins
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transformArray(
+            array_sort(collect_list(when(col("rn") === 1,
+              struct(col("seg_idx"), col("seg"))))),
+            x => x("seg")),
+          " ").as("kept_text"))
+  }
+
   /** 16-bit SimHash over the distinct-token set: per bit, the sign of
     * sum(+1/-1) votes from each token hash. Explode + single groupBy:
     * one shuffle of (doc, 16 counters) with map-side combine.

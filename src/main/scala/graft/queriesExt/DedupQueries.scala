@@ -67,8 +67,11 @@ object DedupQueries {
 
   private val sigsCte = sigsCteFor(shinglesSql("text"))
 
-  /** Shared LSH band-join + verify SQL tail (parameterized threshold). */
-  private def lshTailSql(threshold: Double): String = s"""
+  /** Shared LSH band-join + verify CTEs (parameterized threshold),
+    * ending in a `pairs` CTE so both the pair queries (q42/q44) and the
+    * clustering query (q75) build on the same fragment.
+    */
+  private def lshCtesSql(threshold: Double): String = s"""
     bands AS (
       SELECT doc_id, b.band_idx,
              CASE b.band_idx
@@ -85,9 +88,14 @@ object DedupQueries {
       SELECT id1, id2,
              CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE) /
              len(list_distinct(list_concat(s1.s, s2.s))) AS jac
-      FROM cands JOIN sh s1 ON s1.doc_id = id1 JOIN sh s2 ON s2.doc_id = id2)
+      FROM cands JOIN sh s1 ON s1.doc_id = id1 JOIN sh s2 ON s2.doc_id = id2),
+    pairs AS (
+      SELECT id1, id2, jac FROM verified WHERE jac >= $threshold)"""
+
+  private def lshTailSql(threshold: Double): String = s"""
+    ${lshCtesSql(threshold)}
     SELECT id1, id2, floor(jac * 1000000 + 0.5) / 1000000.0 AS jaccard
-    FROM verified WHERE jac >= $threshold ORDER BY id1, id2"""
+    FROM pairs ORDER BY id1, id2"""
 
   /** B38: exact dedup via content-hash groupBy. */
   private val q40 = Q("q40_exact_dedup", (s, dir) => {
@@ -151,5 +159,63 @@ object DedupQueries {
   }, Some(s"""
     ${sigsCteFor("list_distinct(list_transform(range(1, greatest(len(text) - 10, 1)), i -> substr(text, i, 12)))")}, ${lshTailSql(0.5)}"""))
 
-  val list: Seq[Q] = Seq(q40, q41, q42, q43, q44)
+  /** Connected-components clustering over the q42 near-dup pairs: the
+    * step between pairwise candidates and "keep one representative per
+    * cluster" (pairs under-merge transitive duplicates). Spark side is
+    * Dedup.connectedComponents (min-label propagation + pointer
+    * jumping, O(log diameter) rounds); the oracle computes the same
+    * components with a recursive transitive-closure CTE over the same
+    * LSH-verified pairs.
+    */
+  private val q75 = Q("q75_dedup_clusters", (s, dir) => {
+    val pairs = Dedup
+      .minhashNearDupsPrepared(shingled(s, dir, "word3"), "doc_id", 0.5)
+      .select(col("id1"), col("id2"))
+    Dedup.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("cluster_rep"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }, Some(s"""
+    ${sigsCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, ${lshCtesSql(0.5)},
+    undirected AS (
+      SELECT id1 AS s, id2 AS d FROM pairs
+      UNION ALL SELECT id2, id1 FROM pairs),
+    nodes AS (SELECT DISTINCT s AS id FROM undirected),
+    reach AS (
+      SELECT id, id AS r FROM nodes
+      UNION
+      SELECT u.s AS id, reach.r FROM undirected u JOIN reach ON reach.id = u.d),
+    comp AS (SELECT id AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY id)
+    SELECT doc_id, cluster_rep,
+           count(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+    FROM comp ORDER BY doc_id"""))
+
+  /** Segment-level exact dedup (C4-style "line dedup" over 10-token
+    * windows): drop every segment whose exact text occurred earlier in
+    * the corpus, re-assemble survivors. One shuffle partitioned by
+    * segment text + one map-side-combinable re-assembly agg.
+    */
+  private val q77 = Q("q77_segment_dedup", (s, dir) => {
+    Dedup.segmentDedup(Tables.load(s, dir, "documents"), "doc_id", "text", 10)
+      .orderBy(col("doc_id"))
+  }, Some("""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    segs AS (
+      SELECT doc_id, CAST(unnest(range(CAST(ceil(len(toks) / 10.0) AS INT))) AS INT) AS seg_idx, toks
+      FROM t),
+    seg2 AS (
+      SELECT doc_id, seg_idx,
+             array_to_string(toks[seg_idx * 10 + 1 : seg_idx * 10 + 10], ' ') AS seg
+      FROM segs),
+    ranked AS (
+      SELECT doc_id, seg_idx, seg,
+             row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+      FROM seg2)
+    SELECT doc_id,
+           count(*) AS n_segments,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx), '') AS kept_text
+    FROM ranked GROUP BY doc_id ORDER BY doc_id"""))
+
+  val list: Seq[Q] = Seq(q40, q41, q42, q43, q44, q75, q77)
 }

@@ -614,6 +614,36 @@ object RelationalQueries {
         approx_count_distinct(col("l_orderkey")).as("approx_orders"))
   }, None)
 
+  /** B13/B15 extension: exact percentiles (quartiles + p90 of extended
+    * price, median quantity) per return flag. Spark's `percentile` and
+    * DuckDB's `quantile_cont` both interpolate linearly at rank
+    * p*(n-1), so the quantized values hash-match. Exact percentile
+    * sorts within each group — at 100 TB prefer approx_percentile
+    * (t-digest, mergeable map-side) unless exactness is contractual;
+    * the ApproxSpec asserts the approx variant's error bound against
+    * this exact one.
+    */
+  private val q76 = Q("q76_percentiles", (s, dir) => {
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        rN(percentile(col("l_extendedprice"), lit(0.25)), 4).as("p25_price"),
+        rN(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50_price"),
+        rN(percentile(col("l_extendedprice"), lit(0.75)), 4).as("p75_price"),
+        rN(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90_price"),
+        rN(percentile(col("l_quantity"), lit(0.5)), 4).as("med_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }, Some("""
+    SELECT l_returnflag,
+           floor(quantile_cont(l_extendedprice, 0.25) * 10000 + 0.5) / 10000.0 AS p25_price,
+           floor(quantile_cont(l_extendedprice, 0.5)  * 10000 + 0.5) / 10000.0 AS p50_price,
+           floor(quantile_cont(l_extendedprice, 0.75) * 10000 + 0.5) / 10000.0 AS p75_price,
+           floor(quantile_cont(l_extendedprice, 0.9)  * 10000 + 0.5) / 10000.0 AS p90_price,
+           floor(quantile_cont(l_quantity, 0.5) * 10000 + 0.5) / 10000.0 AS med_qty,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   /** B28: map functions (build a map from entries, then inspect). */
   private val q30 = Q("q30_map_funcs", (s, dir) => {
     val m = map_from_entries(transformArray(array_distinct(split(col("text"), " ")),
@@ -657,7 +687,7 @@ object RelationalQueries {
 
   val list: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q60, q61, q65, q66, q67)
+    q25, q26, q27, q28, q29, q30, q60, q61, q65, q66, q67, q76)
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
     list.map(q => q.name -> q.fn).toMap

@@ -64,4 +64,32 @@ class DedupSpec extends SparkSpec {
     val c = df.filter($"doc_id" === 2L).select(Dedup.charShingles("text", 4).as("s")).collect()
     assert(c.head.getSeq[String](0).isEmpty)
   }
+
+  test("connected components merges transitive chains and keeps clusters apart") {
+    // chain 1-2-3 (1~3 never a direct pair), separate pair 10-11,
+    // plus a long path 20..25 to exercise pointer jumping
+    val pairs = (Seq((1L, 2L), (2L, 3L), (10L, 11L)) ++
+      (20L until 25L).map(i => (i, i + 1))).toDF("id1", "id2")
+    val out = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == (1L, 3L) && out(2L) == (1L, 3L) && out(3L) == (1L, 3L))
+    assert(out(10L) == (10L, 2L) && out(11L) == (10L, 2L))
+    (20L to 25L).foreach(i => assert(out(i) == (20L, 6L)))
+    assert(out.size == 11)
+  }
+
+  test("segment dedup drops repeated segments, keeps first occurrence, reassembles in order") {
+    // doc 1: segments "a b c" + "d e f"; doc 2 repeats doc 1's first
+    // segment then has its own; doc 3 is entirely doc 1's segments
+    val df = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c x y z"),
+      (3L, "d e f a b c")).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(df, "doc_id", "text", segTokens = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((2L, 2L, "a b c d e f")))
+    assert(out(2L) == ((2L, 1L, "x y z")))
+    // doc 3's "d e f" and "a b c" both occurred in doc 1 (smaller doc_id)
+    assert(out(3L) == ((2L, 0L, "")))
+  }
 }

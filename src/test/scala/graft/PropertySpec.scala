@@ -84,6 +84,16 @@ class ApproxSpec extends SparkSpec {
     assert(math.abs(approxParts - exactParts).toDouble / exactParts < 0.05)
     assert(math.abs(approxOrders - exactOrders).toDouble / exactOrders < 0.05)
   }
+
+  test("approx_percentile within 1% of exact percentile (q76's scale path)") {
+    val li = Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
+    val row = li.agg(
+      percentile(col("l_extendedprice"), lit(0.5)).as("exact"),
+      approx_percentile(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx")).head()
+    val (exact, approx) = (row.getDouble(0), row.getDouble(1))
+    assert(math.abs(approx - exact) / exact < 0.01,
+      s"approx median $approx vs exact $exact")
+  }
 }
 
 /** B4: partitioned parquet sink + partition-pruned read-back. */
