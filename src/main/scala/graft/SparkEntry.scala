@@ -28,6 +28,7 @@ object SparkEntry {
       queriesExt.SimilarityQueries.list ++
       queriesExt.TextQueries.list ++
       queriesExt.CorpusQueries.list ++
+      queriesExt.CurationQueries.list ++
       queriesExt.PipelineQueries.list
 
   /** One entry per implemented operator from SURVEY.md §2. */

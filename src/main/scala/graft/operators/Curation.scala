@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators that sit between raw ingestion and the
+  * training loader: PII redaction, URL extraction/blocklisting,
+  * Gopher-style repetition metrics, benchmark decontamination, and
+  * temperature-based source mixing weights.
+  *
+  * 100 TB design notes (details per operator):
+  *  - redaction and URL extraction are narrow codegen'd projections —
+  *    zero shuffle, they compose with the scan;
+  *  - repetition metrics and decontamination use the inverted-index
+  *    shape (explode -> hash-partitioned groupBy with map-side
+  *    combine) — the shuffles carry (id, gram-hash, count) tuples,
+  *    never documents;
+  *  - the eval-set gram table in decontamination is broadcast: eval
+  *    benchmarks are small by nature, the corpus side never shuffles
+  *    for the join;
+  *  - mixing weights aggregate to one row per stratum (tens of rows)
+  *    before any window, so the single-partition window is bounded by
+  *    the stratum count, not the corpus.
+  */
+object Curation {
+
+  /** PII patterns chosen to parse identically under Java regex (Spark)
+    * and RE2 (DuckDB oracle): no backreferences, no lookarounds.
+    */
+  val EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PHONE_RE = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val IPV4_RE = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+
+  /** Redact emails, then phones, then IPv4s (email first: the later
+    * patterns cannot match inside the `<EMAIL>` token, so application
+    * order is confluent on disjoint matches and documented otherwise).
+    * A narrow per-row projection — composes with the scan, no shuffle.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EMAIL_RE, "<EMAIL>"),
+        PHONE_RE, "<PHONE>"),
+      IPV4_RE, "<IP>")
+
+  /** Per-row PII match counts (computed on the ORIGINAL text — counts
+    * and redaction must agree, so both read the un-redacted input).
+    */
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> size(regexp_extract_all(text, lit(EMAIL_RE), lit(0))).cast("long"),
+    "n_phones" -> size(regexp_extract_all(text, lit(PHONE_RE), lit(0))).cast("long"),
+    "n_ips" -> size(regexp_extract_all(text, lit(IPV4_RE), lit(0))).cast("long"))
+
+  /** Extract `http(s)://` URLs from free text and split each into
+    * host / path / a query param, flagging hosts with a blocklisted
+    * suffix. posexplode keeps the in-document URL order stable.
+    * Narrow: regexp + parse_url projections, no shuffle.
+    */
+  def extractUrls(df: DataFrame, idCol: String, text: Column,
+      blockedSuffixes: Seq[String], queryParam: String = "ref"): DataFrame = {
+    val urls = regexp_extract_all(text, lit("https?://[^ ]+"), lit(0))
+    val blocked = blockedSuffixes
+      .map(s => col("url_host").endsWith(s))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    df.select(col(idCol), posexplode(urls).as(Seq("url_idx", "url")))
+      .withColumn("url_host", parse_url(col("url"), lit("HOST")))
+      .withColumn("url_path", parse_url(col("url"), lit("PATH")))
+      .withColumn("url_" + queryParam,
+        coalesce(parse_url(col("url"), lit("QUERY"), lit(queryParam)), lit("")))
+      .withColumn("blocked", blocked.cast("int"))
+  }
+
+  /** Gopher-style repetition metrics: duplicate-2-gram fraction,
+    * top-2-gram fraction, duplicate-3-gram fraction, and a filter flag.
+    * All fractions are exact integer divisions (bit-identical on any
+    * engine / partitioning), so the flag thresholds compare raw values.
+    *
+    * Shape: explode n-grams -> groupBy(doc, gram) count -> groupBy(doc)
+    * — the inverted-index build, twice (n=2,3), joined on the doc key.
+    * Shuffles carry (doc, gram-hash, count); map-side combine applies
+    * at both levels. No per-doc work is quadratic in doc length.
+    */
+  def repetitionMetrics(df: DataFrame, idCol: String, text: Column,
+      dupFrac2Flag: Double = 0.05, topFrac2Flag: Double = 0.10): DataFrame = {
+    def gramStats(n: Int, p: String): DataFrame =
+      df.select(col(idCol),
+          explode(graft.functions.shingles.wordShingles(text, n)).as("_g"))
+        .groupBy(col(idCol), col("_g")).agg(count(lit(1)).as("_c"))
+        .groupBy(col(idCol)).agg(
+          sum(col("_c")).as(s"n_$p"),
+          count(lit(1)).as(s"d_$p"),
+          max(col("_c")).as(s"top_$p"))
+    val q6 = graft.functions.quantize.q6 _
+    val dupFrac2 = lit(1.0) - col("d_g2").cast("double") / col("n_g2")
+    val topFrac2 = col("top_g2").cast("double") / col("n_g2")
+    val dupFrac3 = lit(1.0) - col("d_g3").cast("double") / col("n_g3")
+    gramStats(2, "g2").join(gramStats(3, "g3"), idCol)
+      .select(col(idCol),
+        col("n_g2").cast("long").as("n_2grams"),
+        q6(dupFrac2).as("dup_frac_2"),
+        q6(topFrac2).as("top_frac_2"),
+        q6(dupFrac3).as("dup_frac_3"),
+        (dupFrac2 > dupFrac2Flag || topFrac2 > topFrac2Flag).cast("int").as("flagged"))
+  }
+
+  /** Benchmark decontamination by n-gram overlap (the GPT-3/PaLM
+    * method): hash each corpus document's distinct word n-grams and
+    * count how many appear in the eval set's gram table. Returns one
+    * row per corpus doc with (n_grams, n_matched, contam_frac,
+    * contaminated).
+    *
+    * Scale: the eval gram table is derived from the (small, by nature)
+    * benchmark set and broadcast — the corpus side is explode ->
+    * broadcast-join -> groupBy(doc), i.e. one hash-partitioned shuffle
+    * of (doc, count) partials; corpus documents never shuffle.
+    */
+  def decontaminate(corpus: DataFrame, evalDocs: DataFrame, idCol: String,
+      text: Column, n: Int = 8): DataFrame = {
+    val grams = graft.functions.shingles.wordShingles(text, n)
+    val evalGrams = evalDocs
+      .select(explode(array_distinct(grams)).as("_g"))
+      .select(Dedup.hash48(col("_g")).as("_h")).distinct()
+      .withColumn("_m", lit(1))
+    val corpusGrams = corpus
+      .select(col(idCol), explode(array_distinct(grams)).as("_g"))
+      .select(col(idCol), Dedup.hash48(col("_g")).as("_h"))
+    val q6 = graft.functions.quantize.q6 _
+    corpusGrams.join(broadcast(evalGrams), Seq("_h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("_m"), lit(0))).cast("long").as("n_matched"))
+      .select(col(idCol), col("n_grams"), col("n_matched"),
+        q6(col("n_matched").cast("double") / col("n_grams")).as("contam_frac"),
+        (col("n_matched") > 0).cast("int").as("contaminated"))
+  }
+
+  /** Temperature-based source mixing weights (alpha = 0.5, the
+    * sqrt-temperature rule used for multilingual/multi-source corpus
+    * balancing): weight_s ∝ sqrt(share_s), normalized. Returns one row
+    * per stratum with token share, sampling weight and the implied
+    * up/down-weighting factor.
+    *
+    * Determinism: shares are exact integer divisions; sqrt is IEEE
+    * correctly-rounded (bit-identical everywhere); the normalizing sum
+    * runs over INTEGER-QUANTIZED weights (1e-9 grid), so its result
+    * cannot depend on floating-point addition order — the same trick
+    * as the repo-wide integer-cents aggregation.
+    *
+    * Scale: one map-side-combined groupBy to tens of stratum rows;
+    * the unpartitioned window after it is bounded by the stratum
+    * count, not the corpus.
+    */
+  def mixingWeights(df: DataFrame, stratum: Column, tokenCount: Column): DataFrame = {
+    val q6 = graft.functions.quantize.q6 _
+    val wAll = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val agg = df.groupBy(stratum.as("stratum"))
+      .agg(count(lit(1)).as("n_docs"), sum(tokenCount.cast("long")).as("n_tokens"))
+    agg
+      .withColumn("share", col("n_tokens").cast("double") / sum(col("n_tokens")).over(wAll))
+      .withColumn("_w", floor(sqrt(col("share")) * 1e9 + lit(0.5)).cast("long"))
+      .withColumn("weight", col("_w").cast("double") / sum(col("_w")).over(wAll))
+      .select(col("stratum"), col("n_docs"), col("n_tokens"),
+        q6(col("share")).as("share"),
+        q6(col("weight")).as("weight"),
+        q6(col("weight") / col("share")).as("upweight"))
+  }
+}
