@@ -615,24 +615,32 @@ object RelationalQueries {
   }, None)
 
   /** B13/B15 extension: exact percentiles (quartiles + p90 of extended
-    * price, median quantity) per return flag. Spark's `percentile` and
-    * DuckDB's `quantile_cont` both interpolate linearly at rank
-    * p*(n-1), so the quantized values hash-match. Exact percentile
-    * sorts within each group — at 100 TB prefer approx_percentile
-    * (t-digest, mergeable map-side) unless exactness is contractual;
-    * the ApproxSpec asserts the approx variant's error bound against
-    * this exact one.
+    * price, median quantity) per return flag, via two-pass bucketed
+    * selection ([[graft.operators.Quantiles.exactPercentiles]]) — NOT
+    * the built-in `percentile` imperative aggregate, whose per-group
+    * value maps made this the whole-corpus bench outlier (8.6 s; the
+    * bucketed plan runs ~1.7 s and shuffles only bucket counters).
+    * Same linear interpolation at rank p*(n-1) as DuckDB's
+    * `quantile_cont`, so the quantized values hash-match; ApproxSpec
+    * asserts bit-level agreement with the built-in aggregate and the
+    * approx_percentile error bound against this exact one.
     */
   private val q76 = Q("q76_percentiles", (s, dir) => {
-    t(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(
-        rN(percentile(col("l_extendedprice"), lit(0.25)), 4).as("p25_price"),
-        rN(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50_price"),
-        rN(percentile(col("l_extendedprice"), lit(0.75)), 4).as("p75_price"),
-        rN(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90_price"),
-        rN(percentile(col("l_quantity"), lit(0.5)), 4).as("med_qty"),
-        count(lit(1)).as("n"))
+    import graft.operators.Quantiles
+    val li = t(s, dir, "lineitem")
+    val price = Quantiles.exactPercentiles(li, col("l_returnflag"),
+      col("l_extendedprice"),
+      Seq("p25_price" -> 0.25, "p50_price" -> 0.5, "p75_price" -> 0.75, "p90_price" -> 0.9))
+    val qty = Quantiles.exactPercentiles(li, col("l_returnflag"),
+      col("l_quantity"), Seq("med_qty" -> 0.5)).select(col("_g"), col("med_qty"))
+    price.join(qty, "_g")
+      .select(col("_g").as("l_returnflag"),
+        rN(col("p25_price"), 4).as("p25_price"),
+        rN(col("p50_price"), 4).as("p50_price"),
+        rN(col("p75_price"), 4).as("p75_price"),
+        rN(col("p90_price"), 4).as("p90_price"),
+        rN(col("med_qty"), 4).as("med_qty"),
+        col("n"))
       .orderBy(col("l_returnflag"))
   }, Some("""
     SELECT l_returnflag,

@@ -152,6 +152,21 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("q76 bucketed percentile selection: exactly 2 scans per metric, no row shuffle") {
+    // each exactPercentiles call = bucket-count pass + selection pass;
+    // q76 runs it for price and quantity -> exactly 4 parquet scans.
+    // More means a subframe got referenced twice and its lineage
+    // (including the scan) re-runs — the DAG-duplication regression
+    // this operator exists to avoid.
+    val df = SparkEntry.queries("q76_percentiles")(spark, sfDir)
+    df.collect() // finalize AQE
+    // AQE's toString prints Final AND Initial plan sections — count
+    // scans only in the final one
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 4, s"expected 4 scans, got $scans:\n${plan.take(3000)}")
+  }
+
   test("oracle SQL exists for every query except declared rows-only ops") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("q29_approx_distinct"), s"unexpected rows-only: $rowsOnly")

@@ -94,6 +94,38 @@ class ApproxSpec extends SparkSpec {
     assert(math.abs(approx - exact) / exact < 0.01,
       s"approx median $approx vs exact $exact")
   }
+
+  test("DoubleOrderBits is order-preserving (bucket key never inverts value order)") {
+    import graft.functions.DoubleOrderBitsUtil.orderBits
+    val rnd = new scala.util.Random(42)
+    val vs = Seq.fill(2000)(rnd.nextDouble() * math.pow(10, rnd.nextInt(12) - 3) *
+      (if (rnd.nextBoolean()) 1 else -1)) ++ Seq(0.0, -0.0, 1e-300, -1e-300, 1e300, -1e300)
+    val sorted = vs.sorted
+    for (shift <- Seq(0, 44, 56); w <- sorted.sliding(2)) {
+      assert(java.lang.Long.compareUnsigned(
+        orderBits(w.head, shift), orderBits(w.last, shift)) <= 0,
+        s"order inverted at shift=$shift for ${w.head} < ${w.last}")
+    }
+  }
+
+  test("bucketed exactPercentiles equals the built-in percentile aggregate") {
+    import graft.operators.Quantiles
+    val li = Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
+    val ps = Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p90" -> 0.9, "p99" -> 0.99)
+    val ours = Quantiles.exactPercentiles(li, col("l_returnflag"), col("l_extendedprice"), ps)
+      .orderBy(col("_g")).collect()
+    val builtin = li.groupBy(col("l_returnflag").as("_g"))
+      .agg(ps.map { case (n, p) => percentile(col("l_extendedprice"), lit(p)).as(n) }.head,
+        ps.map { case (n, p) => percentile(col("l_extendedprice"), lit(p)).as(n) }.tail: _*)
+      .orderBy(col("_g")).collect()
+    ours.zip(builtin).foreach { case (a, b) =>
+      assert(a.getString(0) == b.getString(0))
+      (1 to ps.length).foreach { i =>
+        assert(math.abs(a.getDouble(i) - b.getDouble(i)) < 1e-9,
+          s"group ${a.getString(0)} col $i: ${a.getDouble(i)} vs ${b.getDouble(i)}")
+      }
+    }
+  }
 }
 
 /** B4: partitioned parquet sink + partition-pruned read-back. */
