@@ -429,6 +429,28 @@ object RelationalQueries {
            count(*) FILTER (o_orderstatus = 'P') AS n_p
     FROM orders GROUP BY o_custkey ORDER BY o_custkey"""))
 
+  /** B16/B47 reshaping: unpivot (melt) wide metric columns into
+    * (metric, value) rows — the inverse of q66's pivot. Spark's
+    * `unpivot` plans as a generator expansion (narrow, no shuffle);
+    * the oracle replays it as UNION ALL. Values pass through
+    * unchanged (no arithmetic), so doubles compare exactly.
+    */
+  private val q86 = Q("q86_unpivot", (s, dir) => {
+    t(s, dir, "part")
+      .select(col("p_partkey"),
+        col("p_retailprice").cast("double").as("retailprice"),
+        col("p_size").cast("double").as("size"))
+      .unpivot(Array(col("p_partkey")), Array(col("retailprice"), col("size")),
+        "metric", "value")
+      .orderBy(col("p_partkey"), col("metric"))
+  }, Some("""
+    SELECT p_partkey, 'retailprice' AS metric, CAST(p_retailprice AS DOUBLE) AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
+    FROM part
+    ORDER BY p_partkey, metric"""))
+
   /** B21: top-k per group via ranked window + filter (no global sort). */
   private val q18 = Q("q18_topk_per_group", (s, dir) => {
     val w = Window.partitionBy(col("o_custkey"))
@@ -695,7 +717,7 @@ object RelationalQueries {
 
   val list: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q60, q61, q65, q66, q67, q76)
+    q25, q26, q27, q28, q29, q30, q60, q61, q65, q66, q67, q76, q86)
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
     list.map(q => q.name -> q.fn).toMap

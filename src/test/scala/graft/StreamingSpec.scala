@@ -42,6 +42,24 @@ class StreamingSpec extends SparkSpec {
     assert(failed.isEmpty || failed.count() == 0)
   }
 
+  test("batch replay is idempotent: re-running processBatch(id) leaves one copy per sink") {
+    // checkpoint recovery re-runs the last uncommitted batch with the
+    // SAME batchId — the exactly-once story depends on every sink
+    // write being an overwrite keyed by that id (SCALE.md "idempotent
+    // under replay"). Drive processBatch directly, twice.
+    val base = tmp()
+    val conf = FirehoseDelivery.Config(s"$base/in", s"$base/out", s"$base/ck", availableNow = true)
+    writeRecords(s"$base/raw", "b.json",
+      Seq(record("r1", envelopeJson("DATA_MESSAGE", Seq("Hello replay"))),
+        record("r2", envelopeJson("DATA_MESSAGE", Seq("Hello again")))))
+    val batch = spark.read.schema("recordId STRING, data STRING").json(s"$base/raw")
+    FirehoseDelivery.processBatch(batch, 7L, conf)
+    FirehoseDelivery.processBatch(batch, 7L, conf) // replay after simulated crash
+    val primary = spark.read.text(conf.primaryDir).collect().map(_.getString(0)).sorted
+    assert(primary.toSeq == Seq("Hell Yeah again", "Hell Yeah replay"))
+    assert(spark.read.json(conf.backupDir).count() == 2)
+  }
+
   test("e2e: control message lands in processing-failed, not primary") {
     val base = tmp()
     val conf = FirehoseDelivery.Config(s"$base/in", s"$base/out", s"$base/ck", availableNow = true)
