@@ -13,13 +13,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up the JVM/codegen/parquet-reader paths so the first
-    // measured query is not charged for JIT + class loading.
+    // measured query is not charged for JIT + class loading. Every
+    // query runs once at sf0.001 first: round-1/2 benches showed
+    // 3-25 s first-run outliers (q26, q22) that were pure JIT/classload
+    // noise on trivial plans — warming per-query code paths at toy
+    // scale (~20 s total) removes that term from the measurement.
     Tables.all.foreach { t =>
       try Tables.load(spark, sfDir, t).count() catch { case _: Throwable => }
     }
-    try SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
-      .write.mode("overwrite").format("noop").save()
-    catch { case _: Throwable => }
+    val warmDir = "/root/testdata/sf0.001"
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
+      catch { case _: Throwable => }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: evaluates every output column of the full plan
