@@ -21,11 +21,16 @@ object Bench {
     Tables.all.foreach { t =>
       try Tables.load(spark, sfDir, t).count() catch { case _: Throwable => }
     }
-    val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => }
-    }
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if (new java.io.File(warmDir).isDirectory) {
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warmup $name: ${e.getMessage}")
+        }
+      }
+    } else System.err.println(
+      s"[bench] warmup dir $warmDir missing — timings will include first-run JIT noise")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: evaluates every output column of the full plan

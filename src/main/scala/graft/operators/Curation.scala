@@ -56,10 +56,17 @@ object Curation {
     * host / path / a query param, flagging hosts with a blocklisted
     * suffix. posexplode keeps the in-document URL order stable.
     * Narrow: regexp + parse_url projections, no shuffle.
+    *
+    * Matching runs to the next whitespace (never across lines), then
+    * trailing sentence punctuation is stripped — "see http://x.bad.net,
+    * then..." must parse host "x.bad.net", not "x.bad.net," (which
+    * would also dodge a suffix blocklist).
     */
   def extractUrls(df: DataFrame, idCol: String, text: Column,
       blockedSuffixes: Seq[String], queryParam: String = "ref"): DataFrame = {
-    val urls = regexp_extract_all(text, lit("https?://[^ ]+"), lit(0))
+    val urls = transform(
+      regexp_extract_all(text, lit("https?://[^\\s]+"), lit(0)),
+      u => regexp_replace(u, "[.,;:!?'\")\\]]+$", ""))
     val blocked = blockedSuffixes
       .map(s => col("url_host").endsWith(s))
       .reduceOption(_ || _).getOrElse(lit(false))
@@ -92,12 +99,17 @@ object Curation {
           count(lit(1)).as(s"d_$p"),
           max(col("_c")).as(s"top_$p"))
     val q6 = graft.functions.quantize.q6 _
-    val dupFrac2 = lit(1.0) - col("d_g2").cast("double") / col("n_g2")
-    val topFrac2 = col("top_g2").cast("double") / col("n_g2")
-    val dupFrac3 = lit(1.0) - col("d_g3").cast("double") / col("n_g3")
-    gramStats(2, "g2").join(gramStats(3, "g3"), idCol)
+    // fractions are 0 (not absent) for docs too short to have n-grams:
+    // a curation pipeline keeping flagged=0 rows must pass short docs
+    // through, not silently lose them to an inner join / empty explode
+    val dupFrac2 = coalesce(lit(1.0) - col("d_g2").cast("double") / col("n_g2"), lit(0.0))
+    val topFrac2 = coalesce(col("top_g2").cast("double") / col("n_g2"), lit(0.0))
+    val dupFrac3 = coalesce(lit(1.0) - col("d_g3").cast("double") / col("n_g3"), lit(0.0))
+    df.select(col(idCol))
+      .join(gramStats(2, "g2"), Seq(idCol), "left")
+      .join(gramStats(3, "g3"), Seq(idCol), "left")
       .select(col(idCol),
-        col("n_g2").cast("long").as("n_2grams"),
+        coalesce(col("n_g2"), lit(0L)).cast("long").as("n_2grams"),
         q6(dupFrac2).as("dup_frac_2"),
         q6(topFrac2).as("top_frac_2"),
         q6(dupFrac3).as("dup_frac_3"),
@@ -126,13 +138,19 @@ object Curation {
       .select(col(idCol), explode(array_distinct(grams)).as("_g"))
       .select(col(idCol), Dedup.hash48(col("_g")).as("_h"))
     val q6 = graft.functions.quantize.q6 _
-    corpusGrams.join(broadcast(evalGrams), Seq("_h"), "left")
+    val perDoc = corpusGrams.join(broadcast(evalGrams), Seq("_h"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
         sum(coalesce(col("_m"), lit(0))).cast("long").as("n_matched"))
-      .select(col(idCol), col("n_grams"), col("n_matched"),
-        q6(col("n_matched").cast("double") / col("n_grams")).as("contam_frac"),
-        (col("n_matched") > 0).cast("int").as("contaminated"))
+    // docs shorter than n tokens have no grams: they are CLEAN rows
+    // (n_grams=0, contaminated=0), not absent ones — a keep-set built
+    // from this output must include them
+    corpus.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        q6(coalesce(col("n_matched").cast("double") / col("n_grams"), lit(0.0))).as("contam_frac"),
+        (coalesce(col("n_matched"), lit(0L)) > 0).cast("int").as("contaminated"))
   }
 
   /** Temperature-based source mixing weights (alpha = 0.5, the

@@ -64,6 +64,12 @@ object Quantiles {
     // window sorts _b as a SIGNED long, and the full 64-bit order key
     // is only unsigned-comparable
     require(shift >= 1 && shift < 64, s"shift $shift out of [1, 64)")
+    require(ps.nonEmpty, "at least one percentile required")
+    // out-of-range fractions would silently produce null output
+    // columns (their rank matches no bucket interval) — fail eagerly
+    ps.foreach { case (name, p) =>
+      require(p >= 0.0 && p <= 1.0, s"percentile $name=$p out of [0, 1]")
+    }
     val bucket = graft.functions.orderbits.doubleOrderBits(col("_v"), shift)
     val rows = df.select(group.as("_g"), value.cast("double").as("_v"))
       .filter(col("_v").isNotNull)

@@ -144,15 +144,16 @@ object CurationQueries {
       FROM t),
     c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g),
     s3 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n3, count(*) AS d3 FROM c3 GROUP BY doc_id)
-    SELECT s2.doc_id,
-           n2 AS n_2grams,
-           floor((1.0 - CAST(d2 AS DOUBLE) / n2) * 1000000 + 0.5) / 1000000.0 AS dup_frac_2,
-           floor(CAST(top2 AS DOUBLE) / n2 * 1000000 + 0.5) / 1000000.0 AS top_frac_2,
-           floor((1.0 - CAST(d3 AS DOUBLE) / n3) * 1000000 + 0.5) / 1000000.0 AS dup_frac_3,
-           CAST((1.0 - CAST(d2 AS DOUBLE) / n2) > 0.05
-                OR (CAST(top2 AS DOUBLE) / n2) > 0.10 AS INT) AS flagged
-    FROM s2 JOIN s3 ON s2.doc_id = s3.doc_id
-    ORDER BY s2.doc_id"""))
+    SELECT d.doc_id,
+           coalesce(n2, 0) AS n_2grams,
+           floor(coalesce(1.0 - CAST(d2 AS DOUBLE) / n2, 0.0) * 1000000 + 0.5) / 1000000.0 AS dup_frac_2,
+           floor(coalesce(CAST(top2 AS DOUBLE) / n2, 0.0) * 1000000 + 0.5) / 1000000.0 AS top_frac_2,
+           floor(coalesce(1.0 - CAST(d3 AS DOUBLE) / n3, 0.0) * 1000000 + 0.5) / 1000000.0 AS dup_frac_3,
+           CAST(coalesce(1.0 - CAST(d2 AS DOUBLE) / n2, 0.0) > 0.05
+                OR coalesce(CAST(top2 AS DOUBLE) / n2, 0.0) > 0.10 AS INT) AS flagged
+    FROM documents d LEFT JOIN s2 ON d.doc_id = s2.doc_id
+                     LEFT JOIN s3 ON d.doc_id = s3.doc_id
+    ORDER BY d.doc_id"""))
 
   // --------------------------------------------- q84 decontamination
   /** Benchmark decontamination: corpus docs (doc_id % 97 != 0) checked
@@ -180,10 +181,13 @@ object CurationQueries {
              CAST(sum(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
       FROM h LEFT JOIN ev ON h.h = ev.h
       WHERE h.doc_id % 97 <> 0 GROUP BY h.doc_id)
-    SELECT doc_id, n_grams, n_matched,
-           floor(CAST(n_matched AS DOUBLE) / n_grams * 1000000 + 0.5) / 1000000.0 AS contam_frac,
-           CAST(n_matched > 0 AS INT) AS contaminated
-    FROM c ORDER BY doc_id"""))
+    SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams,
+           coalesce(n_matched, 0) AS n_matched,
+           floor(coalesce(CAST(n_matched AS DOUBLE) / n_grams, 0.0) * 1000000 + 0.5) / 1000000.0 AS contam_frac,
+           CAST(coalesce(n_matched, 0) > 0 AS INT) AS contaminated
+    FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id
+    WHERE d.doc_id % 97 <> 0
+    ORDER BY d.doc_id"""))
 
   // --------------------------------------------- q85 mixing weights
   /** sqrt-temperature source mixing weights. The normalizing sum runs

@@ -671,7 +671,7 @@ object RelationalQueries {
            floor(quantile_cont(l_extendedprice, 0.75) * 10000 + 0.5) / 10000.0 AS p75_price,
            floor(quantile_cont(l_extendedprice, 0.9)  * 10000 + 0.5) / 10000.0 AS p90_price,
            floor(quantile_cont(l_quantity, 0.5) * 10000 + 0.5) / 10000.0 AS med_qty,
-           count(*) AS n
+           count(l_extendedprice) AS n
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   /** B28: map functions (build a map from entries, then inspect). */

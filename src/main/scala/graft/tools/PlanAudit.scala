@@ -1,3 +1,5 @@
+package graft.tools
+
 object PlanAudit extends App {
   val spark = org.apache.spark.sql.SparkSession.builder()
     .master("local[4]").config("spark.sql.shuffle.partitions", "4")

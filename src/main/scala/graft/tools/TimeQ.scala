@@ -1,5 +1,7 @@
+package graft.tools
+
 /** Dev tool: time named SparkEntry queries at sf0.1 (warm + measured
-  * run each) through the noop sink — `sbt "runMain TimeQ q76_percentiles"`.
+  * run each) through the noop sink — `sbt "runMain graft.tools.TimeQ q76_percentiles"`.
   */
 object TimeQ extends App {
   val spark = org.apache.spark.sql.SparkSession.builder()

@@ -28,6 +28,30 @@ class CurationSpec extends SparkSpec {
     assert(out(2).getString(4) == "edge <IP> <PHONE> end")
   }
 
+  test("extractUrls strips trailing punctuation so blocklisted hosts cannot slip the flag") {
+    val df = Seq((1L, "go to http://x.bad-ads.net, then\nhttps://ok.example.com/p.")).toDF("id", "t")
+    val out = Curation.extractUrls(df, "id", col("t"), Seq(".bad-ads.net"))
+      .orderBy("url_idx").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[String]("url_host") == "x.bad-ads.net") // not "x.bad-ads.net,"
+    assert(out(0).getAs[Int]("blocked") == 1)
+    assert(out(1).getAs[String]("url") == "https://ok.example.com/p") // newline ends the match
+  }
+
+  test("repetitionMetrics and decontaminate keep short docs as clean rows, not absent ones") {
+    val short2 = Seq((1L, "a b"), (2L, "only"), (3L, "x y z w")).toDF("id", "t")
+    val rep = Curation.repetitionMetrics(short2, "id", col("t")).orderBy("id").collect()
+    assert(rep.length == 3) // 1- and 2-token docs still present
+    assert(rep(1).getAs[Long]("n_2grams") == 0L)
+    assert(rep(1).getAs[Int]("flagged") == 0)
+    val decon = Curation.decontaminate(short2,
+      Seq((0L, (1 to 12).map("e" + _).mkString(" "))).toDF("id", "t"),
+      "id", col("t"), n = 8).orderBy("id").collect()
+    assert(decon.length == 3) // all shorter than 8 tokens, all clean
+    assert(decon.forall(r => r.getAs[Long]("n_grams") == 0L &&
+      r.getAs[Int]("contaminated") == 0 && r.getAs[Double]("contam_frac") == 0.0))
+  }
+
   test("extractUrls splits components and flags blocklisted hosts") {
     val df = Seq((7L, "x https://a.example.com/p/1?ref=r2 y http://bad.bad-ads.net/z t"))
       .toDF("id", "t")
