@@ -286,6 +286,49 @@ object Dedup {
           " ").as("kept_text"))
   }
 
+  /** Content-defined segment dedup — the shift-robust sibling of
+    * [[segmentDedup]]. Fixed windows misalign after a single token
+    * insertion (every later window shifts, so no downstream segment
+    * matches); content-defined boundaries (cut BEFORE tokens whose
+    * hash is 0 mod `avgTokens` — Karp-Rabin content chunking at token
+    * granularity, the rsync/LBFS move) are a function of local content
+    * only, so segment streams re-synchronize right after an edit.
+    *
+    * Shape: posexplode tokens -> per-doc running-sum window assigns
+    * segment ids (the shuffle carries (doc, pos, token) — the TF-IDF
+    * inverted-index volume) -> groupBy (doc, segment) re-assembles
+    * segment text (order via array_sort on (pos, token) structs, never
+    * bare collect_list order) -> first corpus occurrence of each
+    * segment text wins (window by segment, ordered by (doc, seg)) ->
+    * groupBy doc re-assembles survivors. No stage is quadratic in
+    * anything; all shuffles are hash-partitioned.
+    */
+  def cdcDedup(df: DataFrame, idCol: String, textCol: String,
+      avgTokens: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+    val seg = toks.withColumn("boundary",
+        when(pmod(hash48(col("tok")), lit(avgTokens.toLong)) === 0, 1L).otherwise(0L))
+      .withColumn("seg_idx", sum(col("boundary")).over(
+        w.partitionBy(col(idCol)).orderBy(col("pos"))
+          .rowsBetween(w.unboundedPreceding, w.currentRow)))
+    val segs = seg.groupBy(col(idCol), col("seg_idx"))
+      .agg(array_join(transformArray(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        x => x("tok")), " ").as("seg"))
+    val firstWins = segs.withColumn("rn",
+      row_number().over(w.partitionBy(col("seg")).orderBy(col(idCol), col("seg_idx"))))
+    firstWins.groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        array_join(transformArray(
+          array_sort(collect_list(when(col("rn") === 1,
+            struct(col("seg_idx"), col("seg"))))),
+          x => x("seg")), " ").as("kept_text"))
+  }
+
   /** 16-bit SimHash over the distinct-token set: per bit, the sign of
     * sum(+1/-1) votes from each token hash. Explode + single groupBy:
     * one shuffle of (doc, 16 counters) with map-side combine.

@@ -217,5 +217,40 @@ object DedupQueries {
            coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx), '') AS kept_text
     FROM ranked GROUP BY doc_id ORDER BY doc_id"""))
 
-  val list: Seq[Q] = Seq(q40, q41, q42, q43, q44, q75, q77)
+  /** Content-defined chunking dedup: boundaries cut where a token's
+    * hash is 0 mod 8, so segment streams re-synchronize after
+    * insertions (fixed windows — q77 — misalign everything downstream
+    * of an edit). Same first-occurrence-wins + reassembly contract as
+    * q77.
+    */
+  private val q87 = Q("q87_cdc_dedup", (s, dir) => {
+    Dedup.cdcDedup(Tables.load(s, dir, "documents"), "doc_id", "text", 8)
+      .orderBy(col("doc_id"))
+  }, Some(s"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    tok AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+               i -> {'pos': i, 'tok': toks[i]})) AS s
+      FROM t),
+    f AS (
+      SELECT doc_id, s.pos AS pos, s.tok AS tok,
+             CASE WHEN ${H48.format("s.tok")} % 8 = 0 THEN 1 ELSE 0 END AS boundary
+      FROM tok),
+    sg AS (
+      SELECT doc_id, pos, tok,
+             sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos) AS seg_idx
+      FROM f),
+    segs AS (
+      SELECT doc_id, seg_idx, string_agg(tok, ' ' ORDER BY pos) AS seg
+      FROM sg GROUP BY doc_id, seg_idx),
+    ranked AS (
+      SELECT doc_id, seg_idx, seg,
+             row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+      FROM segs)
+    SELECT doc_id, count(*) AS n_segments,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx), '') AS kept_text
+    FROM ranked GROUP BY doc_id ORDER BY doc_id"""))
+
+  val list: Seq[Q] = Seq(q40, q41, q42, q43, q44, q75, q77, q87)
 }

@@ -206,5 +206,27 @@ object SqlQueries {
         WHERE l2.l_partkey = sp.l_partkey))
     ORDER BY s_suppkey"""))
 
-  val list: Seq[Q] = Seq(q57, q58, q59, q68, q70, q71, q72)
+  /** Correlated EXISTS + NOT EXISTS (TPC-H Q4/Q22 shape): customers
+    * with at least one urgent order but no high-line-count order.
+    * Catalyst de-correlates both predicates into semi/anti joins —
+    * the SQL-text route to the B9 operators, exercised together.
+    */
+  private val q88 = Q("q88_exists_pair", (s, dir) => {
+    Tables.registerAll(s, dir)
+    s.sql(SQL_Q88)
+  }, Some(SQL_Q88))
+
+  private lazy val SQL_Q88 = """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c_custkey
+          AND (SELECT count(*) FROM lineitem WHERE l_orderkey = o.o_orderkey) > 6)
+    ORDER BY c_custkey"""
+
+  val list: Seq[Q] = Seq(q57, q58, q59, q68, q70, q71, q72, q88)
 }

@@ -92,4 +92,24 @@ class DedupSpec extends SparkSpec {
     // doc 3's "d e f" and "a b c" both occurred in doc 1 (smaller doc_id)
     assert(out(3L) == ((2L, 0L, "")))
   }
+
+  test("cdc dedup boundaries resync after an insertion (fixed windows do not)") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val shifted = "INSERTED " + base // one token prepended
+    val df = Seq((1L, base), (2L, shifted)).toDF("doc_id", "text")
+
+    // content-defined: every boundary is a function of local tokens,
+    // so after the first segment the streams re-align and doc 2's
+    // tail segments all dedup against doc 1's
+    val cdc = Dedup.cdcDedup(df, "doc_id", "text", avgTokens = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val (cdcSegs2, cdcKept2) = cdc(2L)
+    assert(cdcKept2 <= 1, s"cdc should dedup the whole shared tail, kept $cdcKept2 of $cdcSegs2")
+
+    // fixed windows: the prepended token shifts every 10-token window,
+    // so NOTHING dedups
+    val fixed = Dedup.segmentDedup(df, "doc_id", "text", segTokens = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(fixed(2L) == 5L, s"fixed windows misalign: all of doc 2's segments stay")
+  }
 }
