@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column handling: media as opaque BINARY payloads + typed
@@ -113,6 +113,47 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("payload"),
       ((col("n_chars") % 240) + 1).cast("int").as("n_frames"),
       lit(24).as("fps"))
+
+  /** Synthesize an audio media table from the documents corpus: the
+    * UTF-8 payload stands in for encoded audio; sample rate and
+    * sample count are deterministic metadata (a real ingest reads
+    * them from the container header).
+    */
+  def audioFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      lit("audio").as("kind"),
+      encode(col("text"), "UTF-8").as("payload"),
+      lit(16000).as("sample_rate"),
+      ((col("n_chars") * 137) % 100000 + 16000).cast("int").as("n_samples"))
+
+  /** Fixed-hop audio windowing (the STFT/feature-frame layout step):
+    * one row per `winSamples`-sample window, with start time and a
+    * stubbed per-window energy probe (mean of 4 deterministic payload
+    * reads — a real DSP kernel would decode PCM and compute RMS/FFT at
+    * the same spot). The window grid is METADATA arithmetic
+    * (sequence+explode on sample counts — no payload IO); the probe
+    * reads the payload on the original row's partition, so payload
+    * bytes never shuffle.
+    */
+  def sampleAudioWindows(audio: DataFrame, winSamples: Int): DataFrame = {
+    val text = col("payload").cast("string")
+    val nChars = length(text)
+    def probeAt(off: Column): Column =
+      ascii(substring(text, (off % nChars + 1).cast("int"), lit(1))).cast("long")
+    val probes = (0 until 4).map(k => probeAt(col("win_idx") * 31 + k * 7))
+    audio
+      .select(col("media_id"), col("sample_rate"), col("n_samples"), col("payload"),
+        // explicit floor: Spark's int cast truncates but an oracle
+        // engine's may round — floor is unambiguous in both
+        explode(sequence(lit(0),
+          floor(col("n_samples") / winSamples).cast("int") - 1)).as("win_idx"))
+      .select(
+        col("media_id"),
+        col("win_idx").cast("long").as("win_idx"),
+        (col("win_idx") * lit(winSamples.toDouble) / col("sample_rate")).as("t0_sec"),
+        (probes.reduce(_ + _).cast("double") / 4.0).as("energy_probe"))
+  }
 
   /** Sample every k-th frame of each video: `sequence` + `explode` on
     * the METADATA frame count (narrow, no payload IO for the index

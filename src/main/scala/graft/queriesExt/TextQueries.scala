@@ -188,5 +188,32 @@ object TextQueries {
            CAST(ord(substr(text, CAST((frame_idx * 37) % len(text) AS INT) + 1, 1)) AS BIGINT) AS frame_probe
     FROM frames ORDER BY media_id, frame_idx"""))
 
-  val list: Seq[Q] = Seq(q51, q52, q53, q54, q55, q56, q74)
+  /** Multimodal audio windowing: fixed 4000-sample hops over metadata
+    * sample counts, per-window energy probe (4 deterministic payload
+    * reads averaged) — completes the image (q56) / video (q74) / audio
+    * modality triple. The oracle replays the window grid and probes
+    * with range/unnest + ord.
+    */
+  private val q89 = Q("q89_audio_windows", (s, dir) => {
+    import graft.operators.Multimodal
+    val audio = Multimodal.audioFromDocuments(Tables.load(s, dir, "documents"))
+    Multimodal.sampleAudioWindows(audio, winSamples = 4000)
+      .orderBy(col("media_id"), col("win_idx"))
+  }, Some("""
+    WITH audio AS (
+      SELECT doc_id AS media_id, text, 16000 AS sample_rate,
+             CAST((n_chars * 137) % 100000 + 16000 AS INT) AS n_samples
+      FROM documents),
+    w AS (
+      SELECT media_id, text, sample_rate,
+             unnest(range(0, CAST(floor(n_samples / 4000.0) AS INT))) AS win_idx
+      FROM audio)
+    SELECT media_id, CAST(win_idx AS BIGINT) AS win_idx,
+           win_idx * 4000.0 / sample_rate AS t0_sec,
+           CAST(list_reduce(list_transform(range(0, 4),
+             k -> ord(substr(text, CAST((win_idx * 31 + k * 7) % len(text) AS INT) + 1, 1))),
+             (a, b) -> a + b) AS DOUBLE) / 4.0 AS energy_probe
+    FROM w ORDER BY media_id, win_idx"""))
+
+  val list: Seq[Q] = Seq(q51, q52, q53, q54, q55, q56, q74, q89)
 }

@@ -142,4 +142,22 @@ class PartitionedSinkSpec extends SparkSpec {
     assert(pruned.count() == Tables.events(spark, sfDir)
       .filter(col("event_type") === "click").count())
   }
+
+  test("schema evolution: appended batches with new columns merge on read") {
+    // a long-lived corpus sink gains columns over time (a new quality
+    // score, a new provenance field); old files must stay readable and
+    // new columns null-fill for them
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+    Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      .write.mode("append").parquet(tmp)
+    Seq((3L, "gamma", 0.9)).toDF("doc_id", "text", "quality")
+      .write.mode("append").parquet(tmp)
+    val merged = spark.read.option("mergeSchema", "true").parquet(tmp)
+      .orderBy("doc_id").collect()
+    assert(merged.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val qIdx = spark.read.option("mergeSchema", "true").parquet(tmp).schema.fieldIndex("quality")
+    assert(merged(0).isNullAt(qIdx) && merged(1).isNullAt(qIdx))
+    assert(merged(2).getDouble(qIdx) == 0.9)
+  }
 }
