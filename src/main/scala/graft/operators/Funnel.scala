@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordered event-funnel analysis: for each user, the earliest time
+  * each stage completed, where stage i counts only at or after stage
+  * i-1's completion (signup -> click -> purchase, etc.).
+  *
+  * Plan shape: one filtered min-aggregation per stage, chained by an
+  * equi-join on the user key — NOT a per-user `collect_list` fold.
+  * The fold formulation buffers every event of a user in one array
+  * (unbounded for power users — the exact skew that kills a 100 TB
+  * job); this shape keeps per-user state at one long per stage, every
+  * stage filter pushes down to the scan (`y = 'signup'` prunes at the
+  * parquet level), and all joins/aggs are hash-partitioned on the
+  * user key with map-side combine.
+  */
+object Funnel {
+
+  /** One row per user that completed stage 1, with epoch-micros
+    * completion times t1..tk (null once the funnel stalls) and the
+    * reached stage count.
+    */
+  def orderedFunnel(events: DataFrame, user: Column, ts: Column,
+      tpe: Column, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "at least one funnel stage required")
+    val e = events.select(user.as("u"), unix_micros(ts).as("_t"), tpe.as("_y"))
+    val s1 = e.filter(col("_y") === stages.head)
+      .groupBy(col("u")).agg(min(col("_t")).as("t1"))
+    val chain = stages.zipWithIndex.drop(1).foldLeft(s1) { case (prev, (stage, i)) =>
+      val tPrev = s"t$i"
+      val tCur = s"t${i + 1}"
+      val next = e.filter(col("_y") === stage)
+        .join(prev.select(col("u"), col(tPrev)), "u")
+        .filter(col("_t") >= col(tPrev))
+        .groupBy(col("u")).agg(min(col("_t")).as(tCur))
+      prev.join(next.select(col("u"), col(tCur)), Seq("u"), "left")
+    }
+    val stageCount = stages.indices.map(i => when(col(s"t${i + 1}").isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    chain.withColumn("reached_stage", stageCount.cast("int"))
+  }
+}

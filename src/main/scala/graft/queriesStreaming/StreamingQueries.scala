@@ -82,5 +82,29 @@ object StreamingQueries {
     SELECT DISTINCT user_id, event_type FROM events
     ORDER BY user_id, event_type"""))
 
-  val list: Seq[Q] = Seq(q31, q32, q33, q34)
+  /** Ordered funnel over the events stream-table: signup -> click ->
+    * purchase per user, each stage at-or-after the previous one's
+    * completion. Chained filtered min-aggs on the user key (stage
+    * filters push to the scan; no per-user event collection).
+    */
+  private val q90 = Q("q90_funnel", (s, dir) => {
+    graft.operators.Funnel.orderedFunnel(Tables.events(s, dir),
+        col("user_id"), col("ts"), col("event_type"),
+        Seq("signup", "click", "purchase"))
+      .withColumnRenamed("u", "user_id")
+      .orderBy(col("user_id"))
+  }, Some("""
+    WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS y FROM events),
+    s1 AS (SELECT u, min(t) AS t1 FROM e WHERE y = 'signup' GROUP BY u),
+    s2 AS (SELECT e.u, min(t) AS t2 FROM e JOIN s1 ON e.u = s1.u
+           WHERE y = 'click' AND t >= t1 GROUP BY e.u),
+    s3 AS (SELECT e.u, min(t) AS t3 FROM e JOIN s2 ON e.u = s2.u
+           WHERE y = 'purchase' AND t >= t2 GROUP BY e.u)
+    SELECT s1.u AS user_id, t1, s2.t2, s3.t3,
+           1 + (CASE WHEN s2.t2 IS NULL THEN 0 ELSE 1 END)
+             + (CASE WHEN s3.t3 IS NULL THEN 0 ELSE 1 END) AS reached_stage
+    FROM s1 LEFT JOIN s2 ON s1.u = s2.u LEFT JOIN s3 ON s1.u = s3.u
+    ORDER BY user_id"""))
+
+  val list: Seq[Q] = Seq(q31, q32, q33, q34, q90)
 }

@@ -56,4 +56,60 @@ object StreamingOps {
         events.withWatermark(ts, delay).dropDuplicatesWithinWatermark(cols)
       case None => events.dropDuplicates(cols)
     }
+
+  /** Per-row MinHash LSH band keys — the STATELESS formulation of
+    * [[graft.operators.Dedup.minhashSignatures]]+[[graft.operators.Dedup.lshBands]]:
+    * array lambdas over the shingle hashes instead of explode+groupBy,
+    * so it runs on a streaming DataFrame with no aggregation state.
+    * Bit-identical band keys to the batch path (same hash48, same
+    * seed constants, same "b:sig:sig" key layout) — that equality is
+    * what lets a STREAM join a batch-built signature table. Costs one
+    * hash pass per signature lane (the batch path shares the hash via
+    * explode — fine there; here statelessness wins).
+    */
+  def rowLshBandKeys(text: Column, n: Int = 3, k: Int = 8,
+      rowsPerBand: Int = 2): Column = {
+    import graft.operators.Dedup
+    require(k % rowsPerBand == 0, s"rowsPerBand=$rowsPerBand must divide k=$k")
+    val hs = transform(array_distinct(graft.functions.shingles.wordShingles(text, n)),
+      s => graft.functions.codecs.hash48(s))
+    val sigs = (0 until k).map { i =>
+      array_min(transform(hs,
+        h => (lit(Dedup.MINHASH_A(i)) * h + lit(Dedup.MINHASH_B(i))) % lit(Dedup.MINHASH_P)))
+    }
+    val bands = (0 until k / rowsPerBand).map { b =>
+      concat_ws(":",
+        (lit(b.toString) +: (0 until rowsPerBand).map(r => sigs(b * rowsPerBand + r))): _*)
+    }
+    // empty-shingle docs produce no band keys (null sigs would collapse
+    // into shared "b:" buckets — the same guard as Dedup.lshBands)
+    when(size(hs) > 0, array(bands: _*)).otherwise(array())
+  }
+
+  /** Incremental-ingestion near-dup screen: flag STREAMED documents
+    * whose LSH band key collides with the historical corpus — the
+    * step a continuously-fed training pipeline runs on every new
+    * batch, WITHOUT recomputing anything over the existing corpus.
+    *
+    * `historyBands` is the batch-built band table
+    * (Dedup.lshBands(Dedup.minhashSignatures(...)) materialized as a
+    * table and maintained incrementally); the stream side computes
+    * per-row band keys ([[rowLshBandKeys]]) and equi-joins — a
+    * stream-static join, stateless on the stream side. Output: one
+    * row per (new doc, matched historical doc) candidate; exact
+    * verification (Jaccard against the matched doc's stored shingles)
+    * is the consumer's call, exactly as in the batch LSH path.
+    */
+  def nearDupAgainstHistory(stream: DataFrame, historyBands: DataFrame,
+      idCol: String, textCol: String, histIdCol: String = "doc_id",
+      n: Int = 3, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val keyed = stream.select(col(idCol).as("new_id"),
+      explode(rowLshBandKeys(col(textCol), n, k, rowsPerBand)).as("_bk"))
+    // Dedup.lshBands' band_key already embeds the band index
+    // ("b:sig:sig") — the same layout rowLshBandKeys emits
+    val hist = historyBands.select(
+      col(histIdCol).as("hist_id"), col("band_key").as("_bk"))
+    keyed.join(hist, "_bk")
+      .select(col("new_id"), col("hist_id")).distinct()
+  }
 }

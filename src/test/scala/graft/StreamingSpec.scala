@@ -179,6 +179,45 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, s"stream-stream join $got vs batch $want")
   }
 
+  test("incremental near-dup: streamed duplicate collides with the historical band table") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val base = tmp()
+    val hist = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different historical content about spark engines here"))
+      .toDF("doc_id", "text")
+    // batch-built band table, as a pipeline would materialize it
+    val bands = Dedup.lshBands(
+      Dedup.minhashSignatures(
+        Dedup.prepareShingles(hist, "doc_id", Dedup.wordShingles("text")),
+        "doc_id", col("_sh")),
+      "doc_id")
+
+    // stateless per-row band keys must equal the batch path's exactly
+    val rowKeys = hist.select(col("doc_id"),
+      explode(StreamingOps.rowLshBandKeys(col("text"))).as("band_key"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val batchKeys = bands.collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(rowKeys == batchKeys, s"stream/batch band keys diverge:\n$rowKeys\nvs\n$batchKeys")
+
+    // stream a duplicate of doc 1 + a fresh doc through a file stream
+    val newDocs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (11L, "entirely novel text with no historical counterpart whatsoever ok"))
+      .toDF("doc_id", "text")
+    newDocs.write.mode("overwrite").parquet(s"$base/new-in")
+    val stream = spark.readStream.schema(newDocs.schema).parquet(s"$base/new-in")
+    val q = StreamingOps.nearDupAgainstHistory(stream, bands, "doc_id", "text")
+      .writeStream.outputMode("append").format("memory").queryName("neardup_out")
+      .option("checkpointLocation", s"$base/ck").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("neardup_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((10L, 1L)), s"expected only the duplicate to collide, got $got")
+  }
+
   test("streaming dedup within watermark") {
     val base = tmp()
     val events = Tables.events(spark, sfDir).select("ts", "user_id", "event_type")
