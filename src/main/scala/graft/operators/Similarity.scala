@@ -246,4 +246,80 @@ object Similarity {
       .select(col("id1"), col("id2"), col("shared_bands"),
         q6(cosine(col("_v1"), col("_v2"))).as("cos_sim"))
   }
+
+  /** Product-quantization codebook table folded into ONE broadcast row:
+    * array of (subspace, code, subvec) structs, array_sort-pinned to
+    * (subspace asc, code asc) so per-subspace folds tie-break to the
+    * lowest code deterministically.
+    */
+  def pqCodebookArray(codebooks: DataFrame): DataFrame =
+    codebooks.agg(array_sort(collect_list(
+      struct(col("subspace"), col("code"), col("subvec")))).as("_cbs"))
+
+  /** PQ encode: per row, per subspace, the argmin codebook entry for
+    * that subspace's slice of the vector — a NARROW fold over the
+    * broadcast codebook array (the [[nearestCentroid]] move, once per
+    * subspace): the corpus is never shuffled, and the output row is
+    * `nSub` small ints where the input was `nSub*subDim` floats — the
+    * 32x memory cut that lets 10^9-vector indexes live in RAM at
+    * 100 TB corpus scale. Distances are quantized (1e-6) before the
+    * strict-< fold so tie-breaks are engine-reproducible.
+    *
+    * @param codebooks (subspace: Int, code: Int, subvec: Array[Float])
+    */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame, idCol: String,
+      vecCol: String, nSub: Int = 8, subDim: Int = 8): DataFrame = {
+    val codeCols = (0 until nSub).map { sIdx =>
+      val entries = filter(col("_cbs"), e => e.getField("subspace") === sIdx)
+      val sub = slice(col("_v"), sIdx * subDim + 1, subDim)
+      val first = element_at(entries, 1)
+      val init = struct(first.getField("code").as("code"),
+        q6(l2sq(sub, first.getField("subvec"))).as("dist"))
+      val best = aggregate(slice(entries, lit(2), size(entries) - 1), init, (acc, e) => {
+        val d = q6(l2sq(sub, e.getField("subvec")))
+        when(d < acc.getField("dist"),
+          struct(e.getField("code").as("code"), d.as("dist"))).otherwise(acc)
+      })
+      best.getField("code").as(s"c$sIdx")
+    }
+    corpus.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+      .crossJoin(broadcast(pqCodebookArray(codebooks)))
+      .select((col("_id") +: codeCols): _*)
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k: score every ENCODED corpus
+    * row against each query using only its `nSub` codes and a
+    * per-query distance table — the search never touches corpus
+    * vectors.
+    *
+    * Shape: the distance table (|queries| x nSub x |codes| rows — tiny
+    * by contract) is computed on the broadcast side; the corpus codes
+    * explode to (id, subspace, code) and equi-join it. Distance-table
+    * entries are INTEGER-quantized (1e-6 grid, stored as longs), so
+    * the per-row sum over subspaces is exact under any aggregation
+    * order — no floating-point order dependence between engines or
+    * partitionings.
+    */
+  def pqTopK(codes: DataFrame, queries: DataFrame, codebooks: DataFrame,
+      idCol: String, vecCol: String, k: Int, nSub: Int = 8,
+      subDim: Int = 8): DataFrame = {
+    val dtable = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+      .crossJoin(broadcast(codebooks))
+      .select(col("query_id"), col("subspace"), col("code"),
+        floor(l2sq(slice(col("_qv"), col("subspace") * subDim + 1, lit(subDim)),
+          col("subvec")) * 1e6 + lit(0.5)).cast("long").as("_dq"))
+    val codeRows = codes.select(col("_id").as("neighbor_id"),
+      posexplode(array((0 until nSub).map(sIdx => col(s"c$sIdx")): _*))
+        .as(Seq("subspace", "code")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("_dist"), col("neighbor_id"))
+    codeRows.join(broadcast(dtable), Seq("subspace", "code"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg((sum(col("_dq")).cast("double") / 1e6).as("_dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        q6(col("_dist")).as("approx_dist"))
+  }
 }

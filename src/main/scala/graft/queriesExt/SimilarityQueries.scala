@@ -262,5 +262,87 @@ object SimilarityQueries {
     ORDER BY e.vec_id"""
   })
 
-  val list: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q62, q69, q73)
+  /** Shared SQL CTEs for the PQ pair: 16 anchor codebooks (8 subspaces
+    * x 8 dims), per-(vector, subspace) argmin code assignment.
+    */
+  private val pqAssignCtes = """
+    WITH sd AS (
+      SELECT CAST(unnest(range(1, 65)) AS INT) AS i),
+    dims AS (SELECT i, CAST(floor((i - 1) / 8.0) AS INT) AS s FROM sd),
+    anchors AS (
+      SELECT CAST(vec_id AS INT) AS code, embedding FROM embeddings WHERE vec_id < 16),
+    d AS (
+      SELECT e.vec_id, dims.s, a.code,
+             floor(sum((CAST(e.embedding[dims.i] AS DOUBLE) - CAST(a.embedding[dims.i] AS DOUBLE)) *
+                       (CAST(e.embedding[dims.i] AS DOUBLE) - CAST(a.embedding[dims.i] AS DOUBLE)))
+                   * 1000000 + 0.5) / 1000000.0 AS qdist
+      FROM embeddings e, dims, anchors a
+      GROUP BY e.vec_id, dims.s, a.code),
+    ranked AS (
+      SELECT vec_id, s, code,
+             row_number() OVER (PARTITION BY vec_id, s ORDER BY qdist, code) AS rn
+      FROM d),
+    assign AS (SELECT vec_id, s, code FROM ranked WHERE rn = 1)"""
+
+  /** Spark-side PQ codebooks: subvectors of the 16 anchor rows. */
+  private def pqCodebooks(e: org.apache.spark.sql.DataFrame) =
+    e.filter(col("vec_id") < 16).select(
+        col("vec_id").cast("int").as("code"),
+        explode(array((0 until 8).map(sIdx =>
+          struct(lit(sIdx).as("subspace"),
+            slice(col("embedding"), sIdx * 8 + 1, 8).as("subvec"))): _*)).as("_e"))
+      .select(col("_e.subspace").as("subspace"), col("code"), col("_e.subvec").as("subvec"))
+
+  /** B41 scale path #3: product-quantization encode — each 64-float
+    * vector becomes 8 codebook codes (the 32x compression that puts a
+    * billion-vector index in RAM). Narrow per-row argmin folds over
+    * the broadcast codebook array; the corpus never shuffles.
+    */
+  private val q91 = Q("q91_pq_encode", (s, dir) => {
+    val e = Tables.load(s, dir, "embeddings")
+    Similarity.pqEncode(e, pqCodebooks(e), "vec_id", "embedding")
+      .withColumnRenamed("_id", "vec_id")
+      .orderBy(col("vec_id"))
+  }, Some(s"""
+    $pqAssignCtes
+    SELECT vec_id,
+           ${(0 until 8).map(i => s"CAST(max(CASE WHEN s = $i THEN code END) AS INT) AS c$i").mkString(", ")}
+    FROM assign GROUP BY vec_id ORDER BY vec_id"""))
+
+  /** PQ asymmetric-distance top-5: queries score the ENCODED corpus
+    * via a broadcast distance table — integer-quantized entries, so
+    * the subspace sum is exact under any aggregation order; corpus
+    * vectors are never read by the search.
+    */
+  private val q92 = Q("q92_pq_topk", (s, dir) => {
+    val e = Tables.load(s, dir, "embeddings")
+    val cbs = pqCodebooks(e)
+    val codes = Similarity.pqEncode(e, cbs, "vec_id", "embedding")
+    Similarity.pqTopK(codes, e.filter(col("vec_id") % 97 === 0), cbs,
+        "vec_id", "embedding", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }, Some(s"""
+    $pqAssignCtes,
+    qd AS (
+      SELECT q.vec_id AS query_id, dims.s, a.code,
+             CAST(floor(sum((CAST(q.embedding[dims.i] AS DOUBLE) - CAST(a.embedding[dims.i] AS DOUBLE)) *
+                            (CAST(q.embedding[dims.i] AS DOUBLE) - CAST(a.embedding[dims.i] AS DOUBLE)))
+                        * 1000000 + 0.5) AS BIGINT) AS dq
+      FROM embeddings q, dims, anchors a
+      WHERE q.vec_id % 97 = 0
+      GROUP BY q.vec_id, dims.s, a.code),
+    approx AS (
+      SELECT qd.query_id, asg.vec_id AS neighbor_id, CAST(sum(qd.dq) AS BIGINT) AS dsum
+      FROM assign asg JOIN qd ON asg.s = qd.s AND asg.code = qd.code
+      WHERE asg.vec_id <> qd.query_id
+      GROUP BY qd.query_id, asg.vec_id),
+    topk AS (
+      SELECT query_id, neighbor_id, dsum,
+             row_number() OVER (PARTITION BY query_id ORDER BY dsum, neighbor_id) AS rank
+      FROM approx)
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           floor(CAST(dsum AS DOUBLE) / 1000000.0 * 1000000 + 0.5) / 1000000.0 AS approx_dist
+    FROM topk WHERE rank <= 5 ORDER BY query_id, rank"""))
+
+  val list: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q62, q69, q73, q91, q92)
 }
