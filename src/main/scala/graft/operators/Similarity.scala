@@ -322,4 +322,60 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         q6(col("_dist")).as("approx_dist"))
   }
+
+  /** Lloyd's k-means over an embedding column, built from the pieces
+    * this engine already distributes: [[assignCells]] (narrow
+    * broadcast-argmin assignment — zero corpus shuffle) and the typed
+    * [[graft.functions.CentroidAggregator]] (associative sum/count
+    * buffers, map-side combined). Deterministic: init is the k
+    * lowest-id vectors; each iteration `localCheckpoint`s the k-row
+    * centroid frame to truncate the iterative lineage (the
+    * connectedComponents discipline). A cell that loses all members
+    * drops out (k shrinks) rather than being re-seeded — acceptable
+    * for codebook training; re-seeding would need an RNG policy.
+    *
+    * Per iteration at 100 TB: one corpus scan + one map-side-combined
+    * aggregation; the only cross-node traffic is (cell, sum, count)
+    * partials. Returns (cell: Int, ctr: Array[Double]).
+    */
+  def trainKMeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int, dim: Int): DataFrame = {
+    val centroidUdaf = udaf(new graft.functions.CentroidAggregator(dim))
+    var centroids = df.select(col(idCol).as("_iid"), col(vecCol).as("_iv"))
+      .orderBy(col("_iid")).limit(k)
+      .withColumn("cell",
+        (row_number().over(Window.orderBy(col("_iid"))) - 1).cast("int"))
+      .select(col("cell"), transformArray(col("_iv"), x => x.cast("double")).as("ctr"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      centroids = assignCells(df, centroids, idCol, vecCol)
+        .groupBy(col("cell")).agg(centroidUdaf(col("_v")).as("ctr"))
+        .localCheckpoint()
+    }
+    centroids
+  }
+
+  /** Total within-cluster squared distance (the k-means objective) —
+    * one narrow assignment pass + a scalar aggregate.
+    */
+  def kmeansInertia(df: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String): Double =
+    assignCells(df, centroids, idCol, vecCol)
+      .agg(sum(col("dist"))).head().getDouble(0)
+
+  /** Train per-subspace PQ codebooks with [[trainKMeans]] — the
+    * production feeder for [[pqEncode]]/[[pqTopK]] (the oracle-checked
+    * queries use fixed anchors instead so a SQL engine can replay
+    * them). nSub small independent trainings over subDim-wide slices;
+    * at scale they share each corpus scan only if materialized — run
+    * them off a persisted/written slice table when the corpus is hot.
+    */
+  def trainPqCodebooks(df: DataFrame, idCol: String, vecCol: String,
+      nSub: Int = 8, subDim: Int = 8, codes: Int = 16, iters: Int = 2): DataFrame =
+    (0 until nSub).map { sIdx =>
+      val sub = df.select(col(idCol),
+        slice(col(vecCol), sIdx * subDim + 1, subDim).as("_sv"))
+      trainKMeans(sub, idCol, "_sv", codes, iters, subDim)
+        .select(lit(sIdx).as("subspace"), col("cell").as("code"), col("ctr").as("subvec"))
+    }.reduce(_ union _)
 }

@@ -131,4 +131,20 @@ class SimilaritySpec extends SparkSpec {
     // 0.17 @ 16 anchors, 0.33 @ 64 (random-5-of-500 overlap ~ 0.01).
     assert(recall >= 0.1, s"PQ recall@5 = $recall (chance ~= 0.01)")
   }
+
+  test("trainKMeans: inertia decreases monotonically and training is deterministic") {
+    val e = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val inertias = Seq(0, 1, 2).map { it =>
+      Similarity.kmeansInertia(e,
+        Similarity.trainKMeans(e, "vec_id", "embedding", k = 16, iters = it, dim = 64),
+        "vec_id", "embedding")
+    }
+    // measured 754 -> 452 -> 448 on this corpus; Lloyd's never increases
+    assert(inertias.sliding(2).forall(w => w(1) <= w(0) + 1e-9),
+      s"inertia must not increase: $inertias")
+    assert(inertias.head - inertias.last > 100.0, s"training barely moved: $inertias")
+    val run = () => Similarity.trainKMeans(e, "vec_id", "embedding", 16, 2, 64)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(run() == run(), "identical inputs must train identical centroids")
+  }
 }
