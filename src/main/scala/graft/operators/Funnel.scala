@@ -41,4 +41,26 @@ object Funnel {
       .reduce(_ + _)
     chain.withColumn("reached_stage", stageCount.cast("int"))
   }
+
+  /** Cohort retention: users grouped by first-activity period, counted
+    * as retained in each later period they were active in. Periods are
+    * epoch-day / `periodDays` buckets (integer arithmetic — no
+    * calendar ambiguity between engines).
+    *
+    * Shape: one min-aggregation for cohorts (map-side combined) + one
+    * distinct (user, period) projection, equi-joined on the user key,
+    * then a count per (cohort, offset) — every shuffle is
+    * hash-partitioned on user or (cohort, offset); nothing collects
+    * per-user history.
+    */
+  def cohortRetention(events: DataFrame, user: Column, ts: Column,
+      periodDays: Int = 7): DataFrame = {
+    val period = floor(unix_date(to_date(ts)) / periodDays).cast("long")
+    val e = events.select(user.as("u"), period.as("_p"))
+    val cohorts = e.groupBy(col("u")).agg(min(col("_p")).as("cohort"))
+    val active = e.distinct()
+    active.join(cohorts, "u")
+      .groupBy(col("cohort"), (col("_p") - col("cohort")).as("period_offset"))
+      .agg(countDistinct(col("u")).as("n_users"))
+  }
 }

@@ -106,5 +106,26 @@ object StreamingQueries {
     FROM s1 LEFT JOIN s2 ON s1.u = s2.u LEFT JOIN s3 ON s1.u = s3.u
     ORDER BY user_id"""))
 
-  val list: Seq[Q] = Seq(q31, q32, q33, q34, q90)
+  /** Weekly cohort retention over the events table: users bucketed by
+    * first-activity week (epoch-day/7 integer buckets — calendar-free),
+    * counted per later active week. Min-agg + distinct + equi-join on
+    * the user key; no per-user history collection.
+    */
+  private val q93 = Q("q93_cohort_retention", (s, dir) => {
+    graft.operators.Funnel.cohortRetention(Tables.events(s, dir),
+        col("user_id"), col("ts"), periodDays = 7)
+      .orderBy(col("cohort"), col("period_offset"))
+  }, Some("""
+    WITH e AS (
+      SELECT DISTINCT user_id AS u,
+             CAST(floor(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) / 7.0) AS BIGINT) AS p
+      FROM events),
+    cohorts AS (SELECT u, min(p) AS cohort FROM e GROUP BY u)
+    SELECT cohorts.cohort, e.p - cohorts.cohort AS period_offset,
+           count(DISTINCT e.u) AS n_users
+    FROM e JOIN cohorts ON e.u = cohorts.u
+    GROUP BY cohorts.cohort, e.p - cohorts.cohort
+    ORDER BY cohort, period_offset"""))
+
+  val list: Seq[Q] = Seq(q31, q32, q33, q34, q90, q93)
 }
