@@ -268,8 +268,17 @@ object Dedup {
     val segs = transformArray(
       sequence(lit(0), nSegs - 1),
       i => array_join(slice(toks, i * segTokens + 1, lit(segTokens)), " "))
-    val exploded = df
-      .select(col(idCol), posexplode(segs).as(Seq("seg_idx", "seg")))
+    firstOccurrenceKeep(
+      df.select(col(idCol), posexplode(segs).as(Seq("seg_idx", "seg"))), idCol)
+  }
+
+  /** Shared tail of the segment-dedup family: first corpus occurrence
+    * of each segment text wins (window by segment text, ordered by
+    * (doc, seg_idx)), survivors re-assembled in order. One keep-rule
+    * implementation so [[segmentDedup]] and [[cdcDedup]] cannot
+    * silently diverge. Expects (idCol, seg_idx, seg) rows.
+    */
+  private def firstOccurrenceKeep(exploded: DataFrame, idCol: String): DataFrame = {
     val firstWins = exploded.withColumn("rn",
       row_number().over(org.apache.spark.sql.expressions.Window
         .partitionBy(col("seg")).orderBy(col(idCol), col("seg_idx"))))
@@ -317,16 +326,7 @@ object Dedup {
       .agg(array_join(transformArray(
         array_sort(collect_list(struct(col("pos"), col("tok")))),
         x => x("tok")), " ").as("seg"))
-    val firstWins = segs.withColumn("rn",
-      row_number().over(w.partitionBy(col("seg")).orderBy(col(idCol), col("seg_idx"))))
-    firstWins.groupBy(col(idCol))
-      .agg(
-        count(lit(1)).as("n_segments"),
-        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
-        array_join(transformArray(
-          array_sort(collect_list(when(col("rn") === 1,
-            struct(col("seg_idx"), col("seg"))))),
-          x => x("seg")), " ").as("kept_text"))
+    firstOccurrenceKeep(segs, idCol)
   }
 
   /** 16-bit SimHash over the distinct-token set: per bit, the sign of

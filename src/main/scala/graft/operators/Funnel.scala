@@ -57,10 +57,15 @@ object Funnel {
       periodDays: Int = 7): DataFrame = {
     val period = floor(unix_date(to_date(ts)) / periodDays).cast("long")
     val e = events.select(user.as("u"), period.as("_p"))
-    val cohorts = e.groupBy(col("u")).agg(min(col("_p")).as("cohort"))
+    // cohorts derive from the DISTINCT (user, period) frame — min over
+    // distinct periods equals min over raw events, at a fraction of
+    // the aggregated volume. After the join each user contributes at
+    // most one row per (cohort, offset), so a plain count suffices
+    // (countDistinct would add an expand + second aggregate phase).
     val active = e.distinct()
+    val cohorts = active.groupBy(col("u")).agg(min(col("_p")).as("cohort"))
     active.join(cohorts, "u")
       .groupBy(col("cohort"), (col("_p") - col("cohort")).as("period_offset"))
-      .agg(countDistinct(col("u")).as("n_users"))
+      .agg(count(col("u")).as("n_users"))
   }
 }

@@ -142,12 +142,16 @@ object Multimodal {
     def probeAt(off: Column): Column =
       ascii(substring(text, (off % nChars + 1).cast("int"), lit(1))).cast("long")
     val probes = (0 until 4).map(k => probeAt(col("win_idx") * 31 + k * 7))
+    // explicit floor: Spark's int cast truncates but an oracle
+    // engine's may round — floor is unambiguous in both. The window
+    // count is guarded BEFORE sequence(): for a clip shorter than one
+    // window, sequence(0, -1) would auto-reverse and emit phantom
+    // win_idx rows 0 and -1 (negative probe offsets) instead of none.
+    val nWins = floor(col("n_samples") / winSamples).cast("int")
     audio
       .select(col("media_id"), col("sample_rate"), col("n_samples"), col("payload"),
-        // explicit floor: Spark's int cast truncates but an oracle
-        // engine's may round — floor is unambiguous in both
-        explode(sequence(lit(0),
-          floor(col("n_samples") / winSamples).cast("int") - 1)).as("win_idx"))
+        explode(when(nWins >= 1, sequence(lit(0), nWins - 1, lit(1)))
+          .otherwise(array().cast("array<int>"))).as("win_idx"))
       .select(
         col("media_id"),
         col("win_idx").cast("long").as("win_idx"),

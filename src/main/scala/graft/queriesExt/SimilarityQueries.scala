@@ -284,8 +284,11 @@ object SimilarityQueries {
       FROM d),
     assign AS (SELECT vec_id, s, code FROM ranked WHERE rn = 1)"""
 
-  /** Spark-side PQ codebooks: subvectors of the 16 anchor rows. */
-  private def pqCodebooks(e: org.apache.spark.sql.DataFrame) =
+  /** Spark-side PQ codebooks: subvectors of the 16 anchor rows.
+    * private[graft]: SimilaritySpec exercises the SAME codebook the
+    * oracle queries use (one construction site).
+    */
+  private[graft] def pqCodebooks(e: org.apache.spark.sql.DataFrame) =
     e.filter(col("vec_id") < 16).select(
         col("vec_id").cast("int").as("code"),
         explode(array((0 until 8).map(sIdx =>

@@ -71,6 +71,8 @@ object StreamingOps {
       rowsPerBand: Int = 2): Column = {
     import graft.operators.Dedup
     require(k % rowsPerBand == 0, s"rowsPerBand=$rowsPerBand must divide k=$k")
+    require(k <= Dedup.MINHASH_A.length,
+      s"k=$k exceeds the ${Dedup.MINHASH_A.length} fixed seed pairs (same bound as minhashSignatures)")
     val hs = transform(array_distinct(graft.functions.shingles.wordShingles(text, n)),
       s => graft.functions.codecs.hash48(s))
     val sigs = (0 until k).map { i =>
@@ -99,6 +101,17 @@ object StreamingOps {
     * row per (new doc, matched historical doc) candidate; exact
     * verification (Jaccard against the matched doc's stored shingles)
     * is the consumer's call, exactly as in the batch LSH path.
+    *
+    * Candidate pairs repeat when several bands agree (near-identical
+    * docs collide on every band). On a BATCH input they are
+    * `distinct`-ed here; on a STREAMING input they are returned as-is
+    * and the consumer dedups per micro-batch (`batch.distinct()`
+    * inside foreachBatch) — a streaming `distinct` would be a
+    * stateful Deduplicate with NO watermark bound, growing state with
+    * every pair ever emitted, which is exactly the unbounded-state
+    * failure this operator's 100 TB contract forbids. Pairs only
+    * repeat WITHIN a batch (a new doc arrives once), so per-batch
+    * dedup loses nothing.
     */
   def nearDupAgainstHistory(stream: DataFrame, historyBands: DataFrame,
       idCol: String, textCol: String, histIdCol: String = "doc_id",
@@ -109,7 +122,7 @@ object StreamingOps {
     // ("b:sig:sig") — the same layout rowLshBandKeys emits
     val hist = historyBands.select(
       col(histIdCol).as("hist_id"), col("band_key").as("_bk"))
-    keyed.join(hist, "_bk")
-      .select(col("new_id"), col("hist_id")).distinct()
+    val pairs = keyed.join(hist, "_bk").select(col("new_id"), col("hist_id"))
+    if (pairs.isStreaming) pairs else pairs.distinct()
   }
 }

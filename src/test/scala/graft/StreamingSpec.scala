@@ -209,13 +209,24 @@ class StreamingSpec extends SparkSpec {
       .toDF("doc_id", "text")
     newDocs.write.mode("overwrite").parquet(s"$base/new-in")
     val stream = spark.readStream.schema(newDocs.schema).parquet(s"$base/new-in")
+    // per the operator contract: pair dedup happens PER BATCH inside
+    // foreachBatch — a streaming-level distinct would be a stateful
+    // Deduplicate with no watermark bound (unbounded state)
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
     val q = StreamingOps.nearDupAgainstHistory(stream, bands, "doc_id", "text")
-      .writeStream.outputMode("append").format("memory").queryName("neardup_out")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.distinct().collect().foreach(r => sink.add((r.getLong(0), r.getLong(1))))
+        ()
+      }
       .option("checkpointLocation", s"$base/ck").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
-    val got = spark.table("neardup_out").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(got == Set((10L, 1L)), s"expected only the duplicate to collide, got $got")
+    import scala.jdk.CollectionConverters._
+    assert(sink.asScala.toSet == Set((10L, 1L)),
+      s"expected only the duplicate to collide, got ${sink.asScala.toSet}")
+    // and the streaming query itself must hold NO state store operators
+    val stateOps = Option(q.lastProgress).map(_.stateOperators.length).getOrElse(0)
+    assert(stateOps == 0, s"stream side must be stateless, found $stateOps state operators")
   }
 
   test("streaming dedup within watermark") {
