@@ -98,7 +98,100 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     copy(left = l, right = r)
 }
 
+/** Codegen'd squared-L2 distance over two numeric array columns.
+  *
+  * Semantically identical to
+  * `aggregate(zip_with(a, b, (x, y) -> (double(x) - double(y))^2), 0.0, +)`
+  * — a sequential left fold in double, bit-compatible with the HOF
+  * formulation and the DuckDB oracle's grouped sum over dimensions
+  * (within the repo-wide 1e-6 quantization). The motivation is the
+  * same as [[DotProduct]]'s: array lambdas are interpreted per
+  * element, and the PQ encode path evaluates |codes| x |subspaces|
+  * distances per row — measured 3.5 s for 5000 rows at sf0.1 under
+  * the lambda formulation.
+  */
+case class L2Sq(left: Expression, right: Expression) extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "l2sq"
+  override def dataType: DataType = DoubleType
+
+  private def elemType(e: Expression): DataType = e.dataType match {
+    case ArrayType(et, _) => et
+    case other => throw new IllegalArgumentException(
+      s"l2sq requires array inputs, got ${other.catalogString}")
+  }
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType | DoubleType | IntegerType | LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"l2sq requires numeric arrays, got ${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+
+  private def get(arr: ArrayData, i: Int, et: DataType): Double = et match {
+    case FloatType => arr.getFloat(i).toDouble
+    case DoubleType => arr.getDouble(i)
+    case IntegerType => arr.getInt(i).toDouble
+    case LongType => arr.getLong(i).toDouble
+    case _ => throw new IllegalStateException(s"unsupported element type $et")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val (ta, tb) = (elemType(left), elemType(right))
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = get(a, i, ta) - get(b, i, tb)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  private def accessor(et: DataType, v: String, i: String): String = et match {
+    case FloatType => s"(double) $v.getFloat($i)"
+    case DoubleType => s"$v.getDouble($i)"
+    case IntegerType => s"(double) $v.getInt($i)"
+    case LongType => s"(double) $v.getLong($i)"
+    case _ => throw new IllegalStateException(s"unsupported element type $et")
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (ta, tb) = (elemType(left), elemType(right))
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $acc = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+          double $d = ${accessor(ta, a, i)} - ${accessor(tb, b, i)};
+          $acc += $d * $d;
+        }
+        ${ev.value} = $acc;
+      """
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): L2Sq =
+    copy(left = l, right = r)
+}
+
 object vector {
   def dotProduct(a: Column, b: Column): Column =
     shims.column(DotProduct(shims.expression(a), shims.expression(b)))
+  def l2sq(a: Column, b: Column): Column =
+    shims.column(L2Sq(shims.expression(a), shims.expression(b)))
 }

@@ -93,12 +93,15 @@ object Similarity {
         lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Quantized squared-L2 between a vector and a centroid, as a
-    * sequential left fold in double (cross-engine deterministic).
+  /** Squared-L2 between two vectors — a sequential left fold in
+    * double (cross-engine deterministic). Backed by the codegen'd
+    * [[graft.functions.L2Sq]] expression, bit-equal to the
+    * `aggregate(zip_with(...))` lambda formulation but a tight
+    * primitive loop: the PQ encode path evaluates |codes| x
+    * |subspaces| of these per row and the lambda form was its
+    * bench hotspot (3.5 s -> ~1 s at sf0.1).
     */
-  def l2sq(v: Column, c: Column): Column =
-    aggregate(zip_with(v, c, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-      lit(0.0), (acc, x) => acc + x)
+  def l2sq(v: Column, c: Column): Column = graft.functions.vector.l2sq(v, c)
 
   /** All centroids folded into ONE row holding a sorted array of
     * (cell, ctr) structs — the broadcast side of the per-row argmin.
@@ -269,21 +272,18 @@ object Similarity {
     */
   def pqEncode(corpus: DataFrame, codebooks: DataFrame, idCol: String,
       vecCol: String, nSub: Int = 8, subDim: Int = 8): DataFrame = {
-    val codeCols = (0 until nSub).map { sIdx =>
-      val entries = filter(col("_cbs"), e => e.getField("subspace") === sIdx)
-      val sub = slice(col("_v"), sIdx * subDim + 1, subDim)
-      val first = element_at(entries, 1)
-      val init = struct(first.getField("code").as("code"),
-        q6(l2sq(sub, first.getField("subvec"))).as("dist"))
-      val best = aggregate(slice(entries, lit(2), size(entries) - 1), init, (acc, e) => {
-        val d = q6(l2sq(sub, e.getField("subvec")))
-        when(d < acc.getField("dist"),
-          struct(e.getField("code").as("code"), d.as("dist"))).otherwise(acc)
-      })
-      best.getField("code").as(s"c$sIdx")
-    }
+    // the whole per-row encode (nSub argmin scans over the broadcast
+    // codebook array) is ONE native expression — the per-subspace
+    // aggregate-fold formulation ran ~120 interpreted lambda steps per
+    // row and was the bench's #2 hotspot (see graft.functions.PqUtil;
+    // same entry order, quantized comparison and tie-break, so oracle
+    // hashes are unchanged)
+    val codes = graft.functions.pq.encodeCodes(col("_v"), col("_cbs"), nSub, subDim)
+    val codeCols = (0 until nSub).map(sIdx =>
+      element_at(col("_codes"), sIdx + 1).as(s"c$sIdx"))
     corpus.select(col(idCol).as("_id"), col(vecCol).as("_v"))
       .crossJoin(broadcast(pqCodebookArray(codebooks)))
+      .withColumn("_codes", codes)
       .select((col("_id") +: codeCols): _*)
   }
 
