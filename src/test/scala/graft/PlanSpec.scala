@@ -82,6 +82,18 @@ class PlanSpec extends SparkSpec {
       ext.read.parquet(s"$sfDir/documents.parquet").limit(1).createOrReplaceTempView("d1")
       val viaSql = ext.sql("SELECT cast(gunzip(gzip(encode(text, 'UTF-8'))) as string) AS t FROM d1")
       assert(viaSql.collect().head.getString(0).nonEmpty)
+      // the whole native expression family is SQL-callable
+      val fam = ext.sql("""
+        SELECT hash48(text) AS h,
+               cast(base64_unchunked(encode(text, 'UTF-8')) AS string) AS b64,
+               dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp,
+               l2sq(array(1.0D, 2.0D), array(1.0D, 4.0D)) AS l2,
+               size(word_shingles(text, 3)) AS ws,
+               size(char_shingles(text, 12)) AS cs,
+               double_order_bits(2.5D, 44) AS ob
+        FROM d1""").collect().head
+      assert(fam.getLong(0) > 0 && fam.getDouble(2) == 11.0 && fam.getDouble(3) == 4.0)
+      assert(fam.getLong(6) == graft.functions.DoubleOrderBitsUtil.orderBits(2.5, 44))
     } finally {
       SparkSession.setActiveSession(spark)
       SparkSession.setDefaultSession(spark)
