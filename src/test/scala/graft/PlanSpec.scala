@@ -179,6 +179,30 @@ class PlanSpec extends SparkSpec {
     assert(scans == 4, s"expected 4 scans, got $scans:\n${plan.take(3000)}")
   }
 
+  test("q03 fact join degrades to sort-merge when dims exceed the broadcast threshold") {
+    // the 100 TB story: a dimension that outgrows the broadcast
+    // threshold must NOT fail or cartesian — the planner falls back to
+    // a shuffled sort-merge join on the equi keys
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q03_join_revenue")(spark, sfDir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffled join fallback:\n${plan.take(2000)}")
+      assert(!plan.contains("CartesianProduct"), "must stay an equi-join")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q83 repetition metrics scan reads only doc_id and text (column pruning)") {
+    val plan = planOf("q83_repetition")
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemas.nonEmpty)
+    assert(readSchemas.forall(s => !s.contains("lang") && !s.contains("source")),
+      s"payload-adjacent columns must prune out: $readSchemas")
+  }
+
   test("oracle SQL exists for every query except declared rows-only ops") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("q29_approx_distinct"), s"unexpected rows-only: $rowsOnly")

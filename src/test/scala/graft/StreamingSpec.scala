@@ -130,6 +130,34 @@ class StreamingSpec extends SparkSpec {
     assert(lines == 4)
   }
 
+  test("session windows run identically on the RocksDB state store provider") {
+    // the scale-grade state backend for 100 TB streaming state (heap
+    // store = state bounded by executor heap; RocksDB spills to disk).
+    // Same query, same results, different provider.
+    val base = tmp()
+    val events = Tables.events(spark, sfDir)
+    events.write.mode("overwrite").parquet(s"$base/in")
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream.schema(events.schema).parquet(s"$base/in")
+      val agg = StreamingOps.sessionAgg(
+        stream.withWatermark("ts", "6 hours"), "ts", "4 hours", "user_id")
+      val q = agg.writeStream.outputMode("append").format("memory").queryName("rocks_out")
+        .option("checkpointLocation", s"$base/ck").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      val got = spark.table("rocks_out").count()
+      val batch = StreamingOps.sessionAgg(events, "ts", "4 hours", "user_id").count()
+      assert(got > 0 && got <= batch, s"rocksdb sessions $got vs batch $batch")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming session windows close under the watermark and match batch sessions") {
     val base = tmp()
     val events = Tables.events(spark, sfDir)
