@@ -39,6 +39,37 @@ object CorpusOps {
       .filter(col("sample_bucket") < rateCol * buckets)
   }
 
+  /** Deterministic train/val/test split: assign each row to the first
+    * split whose cumulative weight bound exceeds hash48(id) mod
+    * `buckets`. Hash-based (not `randomSplit`) so membership is stable
+    * across engines, runs, and partitionings — re-running a 100 TB
+    * pipeline, or a different engine auditing it, puts every document
+    * in the SAME split, and train/eval contamination can't creep in
+    * through a reshuffle. Weights need not sum to 1; they are
+    * normalized over the bucket space.
+    *
+    * Scale: a codegen'd per-row expression on the scan — no shuffle,
+    * no state; composes with [[stratifiedSample]]'s bucket (they use
+    * the same hash, so a row's sample and split decisions are
+    * consistent and independent dimensions of the bucket value).
+    */
+  def assignSplit(df: DataFrame, idCol: Column,
+      splits: Seq[(String, Double)], buckets: Int = 1000): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      "splits must be non-empty with positive weights")
+    val total = splits.map(_._2).sum
+    val bucket = pmod(Dedup.hash48(idCol.cast("string")), lit(buckets.toLong))
+    // integer bucket bounds: float accumulation (0.9+0.05 -> 0.95000...01)
+    // would put the boundary bucket on different sides in different engines
+    val bounds = splits.scanLeft(0.0)(_ + _._2).tail
+      .map(c => math.round(c / total * buckets))
+    val assigned = splits.map(_._1).zip(bounds).init
+      .foldRight(lit(splits.last._1): Column) { case ((name, bound), acc) =>
+        when(bucket < bound, lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", assigned)
+  }
+
   /** Context-window sequence packing, contiguous-chop style: within
     * each shard (`shardCol`), lay documents end-to-end in `orderCol`
     * order and cut every `budget` tokens. Each document reports its

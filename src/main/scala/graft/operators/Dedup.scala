@@ -210,6 +210,71 @@ object Dedup {
     df.join(dups, Seq(idCol), "left_anti")
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+    * scoped to k-means clusters. Cluster assignment is the narrow
+    * broadcast-argmin ([[Similarity.assignCells]] — zero corpus
+    * shuffle); pairwise cosine runs only WITHIN a cluster (a self
+    * equi-join on the cell key), which is the published scale bound:
+    * candidate work is sum(n_c^2) over cluster sizes, not n^2 — at
+    * 100 TB, k is sized so n_c stays bounded (k grows with the corpus,
+    * exactly like [[Similarity.bandedAnnPairs]] sizes bits-per-band).
+    * Keep rule is the repo-standard greedy lowest-id representative: a
+    * row is dropped iff a smaller-id cluster-mate has quantized cosine
+    * >= `threshold` (anti-join on the id2 side of id1<id2 pairs).
+    *
+    * Shuffle discipline: ONE shuffle of (cell, id, vec) per join side —
+    * vectors must meet their cluster-mates to score, so carrying them
+    * on the cell shuffle is optimal (re-joining vectors per candidate
+    * pair would move |pairs| >= |rows| vectors instead). Returns the
+    * KEPT rows of `df`.
+    */
+  def semDedup(df: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String, threshold: Double): DataFrame = {
+    val cells = Similarity.assignCells(df, centroids, idCol, vecCol)
+    val a = cells.select(col("cell"), col("_id").as("id1"), col("_v").as("_v1"))
+    val b = cells.select(col("cell"), col("_id").as("id2"), col("_v").as("_v2"))
+    val dups = a.join(b, Seq("cell"))
+      .filter(col("id1") < col("id2"))
+      .filter(graft.functions.quantize.q6(
+        Similarity.cosine(col("_v1"), col("_v2"))) >= threshold)
+      .select(col("id2").as(idCol)).distinct()
+    df.join(dups, Seq(idCol), "left_anti")
+  }
+
+  /** Duplicated-span detection (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499):
+    * find word n-grams that occur more than once across the corpus
+    * (their 50-token-substring dedup, re-expressed at n-gram
+    * granularity) and report, per document, the fraction of its spans
+    * that are duplicated — the signal a pipeline thresholds on to
+    * drop or trim boilerplate-heavy documents.
+    *
+    * Shape: explode n-grams (positions preserved, NO dedup — within-
+    * doc repetition counts, as in the paper) -> hash48 -> global
+    * frequency by hash (one map-side-combined shuffle) -> re-join
+    * grams to frequencies on the hash key (hash-partitioned equi-join;
+    * the frequency side is corpus-sized, so no broadcast) -> per-doc
+    * counts. Both shuffles carry (doc_id, hash48) longs, never text —
+    * linear in corpus token count, the same discipline as
+    * [[minhashSignatures]]. Documents shorter than `n` words have no
+    * spans and are absent from the output (callers treat missing as
+    * dup_frac 0).
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: Column,
+      n: Int = 3): DataFrame = {
+    val grams = docs
+      .select(col(idCol), explode(
+        graft.functions.shingles.wordShingles(textCol, n)).as("_g"))
+      .select(col(idCol), hash48(col("_g")).as("_h"))
+    val freq = grams.groupBy(col("_h")).agg(count(lit(1)).as("_n"))
+    grams.join(freq, "_h")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("_n") >= 2, 1L).otherwise(0L)).as("dup_grams"))
+      .withColumn("dup_frac",
+        graft.functions.quantize.q6(col("dup_grams") / col("n_grams")))
+  }
+
   /** Connected components over a near-dup pair list — turns pairwise
     * "A duplicates B" edges into per-document cluster assignments, the
     * step a real corpus-dedup pipeline needs between candidate pairs
