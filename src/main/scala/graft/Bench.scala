@@ -31,17 +31,25 @@ object Bench {
       }
     } else System.err.println(
       s"[bench] warmup dir $warmDir missing — timings will include first-run JIT noise")
+    // Best-of-N per query (default 2): this bench shares its host, and
+    // one contended run must not masquerade as a plan regression
+    // (BENCH_r02 reported q44 at 8.6 s that re-measured at 2.0 s); min
+    // over N runs is the standard contention-robust estimator.
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
       // noop sink: evaluates every output column of the full plan
       // (count() would let Catalyst prune the projections under test)
-      val failed =
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); false }
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name: ${e.getMessage}"); true
+          System.err.println(s"[bench] $name: ${e.getMessage}"); -1.0
         }
+      }
       // sentinel -1 so a crashed query can't masquerade as a fast one
-      name -> (if (failed) -1.0 else (System.nanoTime() - t0) / 1e9)
+      val ok = times.filter(_ >= 0)
+      name -> (if (ok.size < runs) -1.0 else ok.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -100,11 +100,13 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 
 /** Codegen'd squared-L2 distance over two numeric array columns.
   *
-  * Semantically identical to
+  * For equal-length inputs, semantically identical to
   * `aggregate(zip_with(a, b, (x, y) -> (double(x) - double(y))^2), 0.0, +)`
   * — a sequential left fold in double, bit-compatible with the HOF
   * formulation and the DuckDB oracle's grouped sum over dimensions
-  * (within the repo-wide 1e-6 quantization). The motivation is the
+  * (within the repo-wide 1e-6 quantization). On MISMATCHED lengths the
+  * fold covers the common prefix, where the zip_with formulation would
+  * return null (see the nullability note below). The motivation is the
   * same as [[DotProduct]]'s: array lambdas are interpreted per
   * element, and the PQ encode path evaluates |codes| x |subspaces|
   * distances per row — measured 3.5 s for 5000 rows at sf0.1 under
@@ -121,6 +123,12 @@ case class L2Sq(left: Expression, right: Expression) extends BinaryExpression {
       s"l2sq requires array inputs, got ${other.catalogString}")
   }
 
+  // A null ELEMENT makes the whole result null (matching the
+  // zip_with/aggregate formulation, where a null square poisons the
+  // fold); mismatched lengths fold over the COMMON PREFIX — here the
+  // two formulations diverge (zip_with null-pads the shorter side and
+  // returns null). Callers pair equal-dimension vectors by contract;
+  // same behavior as [[DotProduct]].
   override def nullable: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {

@@ -225,12 +225,18 @@ object Dedup {
     * Shuffle discipline: ONE shuffle of (cell, id, vec) per join side —
     * vectors must meet their cluster-mates to score, so carrying them
     * on the cell shuffle is optimal (re-joining vectors per candidate
-    * pair would move |pairs| >= |rows| vectors instead). Returns the
-    * KEPT rows of `df`.
+    * pair would move |pairs| >= |rows| vectors instead). The cell
+    * assignment is referenced by BOTH join sides, so it is
+    * `localCheckpoint`ed (lazily) to materialize the broadcast-argmin
+    * once instead of re-running its lineage per side — the DAG-
+    * duplication pitfall SCALE.md warns about; at 100 TB the
+    * equivalent move is writing the assignment as a table (one argmin
+    * pass, many reads). Returns the KEPT rows of `df`.
     */
   def semDedup(df: DataFrame, centroids: DataFrame, idCol: String,
       vecCol: String, threshold: Double): DataFrame = {
     val cells = Similarity.assignCells(df, centroids, idCol, vecCol)
+      .localCheckpoint(eager = false)
     val a = cells.select(col("cell"), col("_id").as("id1"), col("_v").as("_v1"))
     val b = cells.select(col("cell"), col("_id").as("id2"), col("_v").as("_v2"))
     val dups = a.join(b, Seq("cell"))

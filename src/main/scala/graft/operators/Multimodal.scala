@@ -138,7 +138,13 @@ object Multimodal {
     */
   def sampleAudioWindows(audio: DataFrame, winSamples: Int): DataFrame = {
     val text = col("payload").cast("string")
-    val nChars = length(text)
+    // greatest(..., 1): an empty payload would make `off % 0` null
+    // (while n_samples can still emit windows), producing null probes —
+    // and engines disagree on % 0 (Spark null, DuckDB error). Clamping
+    // the divisor pins empty-payload windows to probe offset 0, where
+    // substring returns '' and ascii('') = 0: a defined, engine-stable
+    // probe instead of a null.
+    val nChars = greatest(length(text), lit(1))
     def probeAt(off: Column): Column =
       ascii(substring(text, (off % nChars + 1).cast("int"), lit(1))).cast("long")
     val probes = (0 until 4).map(k => probeAt(col("win_idx") * 31 + k * 7))

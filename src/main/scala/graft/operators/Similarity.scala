@@ -181,15 +181,29 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), q6(col("_cos")).as("cos_sim"))
   }
 
+  /** ANN candidate pairs — the default entry point. Delegates to
+    * [[bandedAnnPairs]], the corpus-size-aware plan (banded signatures,
+    * occupancy-sized bucket space, optional hot-bucket guardrail):
+    * candidate work is LINEAR in n at fixed occupancy. The historical
+    * fixed-single-bucket plan survives as [[annBucketPairsBounded]] for
+    * corpora small enough that ~n^2/2^nPlanes pairs are acceptable —
+    * the short name no longer reaches the quadratic plan by default.
+    * Output schema is bandedAnnPairs' (id1, id2, shared_bands, cos_sim).
+    */
+  def annBucketPairs(df: DataFrame, idCol: String, vecCol: String,
+      nBands: Int = 4, bitsPerBand: Int = 4, dim: Int = 64,
+      maxBucket: Option[Int] = None): DataFrame =
+    bandedAnnPairs(df, idCol, vecCol, nBands, bitsPerBand, dim, maxBucket)
+
   /** ANN via single-bucket LSH equi-join: candidate pairs share the
     * one `nPlanes`-bit bucket; exact cosine computed only for
     * candidates. With a FIXED plane count the 2^nPlanes bucket space
     * does not grow with the corpus, so within-bucket pairs grow
-    * ~n^2/2^nPlanes — fine for bounded corpora; the corpus-size-aware
-    * scale path is [[bandedAnnPairs]], which sizes bits-per-band to
-    * the corpus and adds a hot-bucket guardrail.
+    * ~n^2/2^nPlanes — BOUNDED CORPORA ONLY; the corpus-size-aware
+    * default is [[annBucketPairs]] -> [[bandedAnnPairs]], which sizes
+    * bits-per-band to the corpus and adds a hot-bucket guardrail.
     */
-  def annBucketPairs(df: DataFrame, idCol: String, vecCol: String,
+  def annBucketPairsBounded(df: DataFrame, idCol: String, vecCol: String,
       nPlanes: Int = 8, dim: Int = 64): DataFrame = {
     val bucketed = df.select(col(idCol), col(vecCol).as("_v"),
       lshBucket(col(vecCol), nPlanes, dim).as("bucket"))
@@ -299,6 +313,16 @@ object Similarity {
     * the per-row sum over subspaces is exact under any aggregation
     * order — no floating-point order dependence between engines or
     * partitionings.
+    *
+    * Completeness guard: a (subspace, code) with no distance-table
+    * entry — e.g. the -1 sentinel [[graft.functions.PqUtil]] emits for
+    * a subspace whose codebook is empty — would silently vanish from
+    * the inner join and leave that neighbor ranked by an UNDER-COUNTED
+    * distance sum. The aggregation therefore also counts matched
+    * subspaces and keeps only neighbors with all `nSub` matched:
+    * incompletely-coded rows are excluded from the ranking rather than
+    * mis-ranked. With complete codebooks (the normal case) every row
+    * matches all nSub and the filter is a no-op.
     */
   def pqTopK(codes: DataFrame, queries: DataFrame, codebooks: DataFrame,
       idCol: String, vecCol: String, k: Int, nSub: Int = 8,
@@ -316,7 +340,9 @@ object Similarity {
     codeRows.join(broadcast(dtable), Seq("subspace", "code"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("neighbor_id"))
-      .agg((sum(col("_dq")).cast("double") / 1e6).as("_dist"))
+      .agg((sum(col("_dq")).cast("double") / 1e6).as("_dist"),
+        count(lit(1)).as("_matched"))
+      .filter(col("_matched") === nSub)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),

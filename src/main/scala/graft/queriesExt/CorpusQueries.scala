@@ -83,5 +83,32 @@ object CorpusQueries {
                 CAST(floor(start_off / 512.0) AS BIGINT) AS INT) AS spans_boundary
     FROM packed ORDER BY doc_id"""))
 
-  val list: Seq[Q] = Seq(q78, q79, q80)
+  /** Deterministic train/val/test/holdout split. Weights are chosen to
+    * exercise the integer-bound arithmetic the operator documents:
+    * cumulative 0.45+0.45+0.05 accumulates to 0.9500000000000001 in
+    * IEEE double, and `round(cum/total*buckets)` pins the boundary
+    * bucket to 950 on every engine — the oracle hardcodes the
+    * independently-computed bounds (450/900/950) over the same
+    * md5-prefix hash, so a drift in either side's arithmetic surfaces
+    * as a hash mismatch.
+    */
+  private val q96 = Q("q96_train_split", (s, dir) => {
+    CorpusOps.assignSplit(
+        Tables.load(s, dir, "documents"), col("doc_id"),
+        splits = Seq(("train", 0.45), ("val", 0.45), ("test", 0.05), ("holdout", 0.05)))
+      .select(col("doc_id"), col("lang"), col("split"))
+      .orderBy(col("doc_id"))
+  }, Some("""
+    WITH b AS (
+      SELECT doc_id, lang,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 1000 AS bucket
+      FROM documents)
+    SELECT doc_id, lang,
+           CASE WHEN bucket < 450 THEN 'train'
+                WHEN bucket < 900 THEN 'val'
+                WHEN bucket < 950 THEN 'test'
+                ELSE 'holdout' END AS split
+    FROM b ORDER BY doc_id"""))
+
+  val list: Seq[Q] = Seq(q78, q79, q80, q96)
 }

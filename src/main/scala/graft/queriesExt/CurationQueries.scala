@@ -107,7 +107,10 @@ object CurationQueries {
                ' and http://cdn' || CAST(doc_id % 3 AS VARCHAR) ||
                '.bad-ads.net/x/' || CAST(doc_id AS VARCHAR) AS t
       FROM documents),
-    ls AS (SELECT doc_id, regexp_extract_all(t, 'https?://[^ ]+') AS urls FROM u),
+    ls AS (SELECT doc_id,
+             list_transform(regexp_extract_all(t, 'https?://[^\s]+'),
+               u -> regexp_replace(u, '[.,;:!?''")\]]+$', '')) AS urls
+           FROM u),
     ex AS (
       SELECT doc_id,
              unnest(list_transform(range(1, len(urls) + 1),

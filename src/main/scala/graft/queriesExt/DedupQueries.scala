@@ -266,5 +266,82 @@ object DedupQueries {
            coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx), '') AS kept_text
     FROM ranked GROUP BY doc_id ORDER BY doc_id"""))
 
-  val list: Seq[Q] = Seq(q40, q41, q42, q43, q44, q75, q77, q87)
+  // DuckDB cosine fragment over two 64-dim list columns (sequential
+  // left fold — bit-compatible with the Spark DotProduct expression).
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  /** SemDeDup: semantic dedup scoped to k-means cells (here the 10
+    * label centroids, the q50/q62 centroid machinery). The oracle
+    * replays the broadcast-argmin cell assignment (quantized distances,
+    * tie to lowest cell — the q50-proven mirror) and the within-cell
+    * pairwise cosine screen, keeping rows with no smaller-id cluster-
+    * mate at quantized cosine >= 0.35. Candidate work is sum(n_c^2)
+    * over cell sizes, never n^2 — the published SemDeDup scale bound.
+    */
+  private val q94 = Q("q94_semdedup", (s, dir) => {
+    val centroid = udaf(new graft.functions.CentroidAggregator(64))
+    val e = Tables.load(s, dir, "embeddings")
+    val ctrs = e.groupBy(col("label").cast("int").as("cell"))
+      .agg(centroid(col("embedding")).as("ctr"))
+    Dedup.semDedup(e, ctrs, "vec_id", "embedding", threshold = 0.35)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+      .orderBy(col("vec_id"))
+  }, Some(s"""
+    WITH cent AS (
+      SELECT CAST(label AS INT) AS cell, i, avg(CAST(embedding[i] AS DOUBLE)) AS c
+      FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+      GROUP BY label, i),
+    dists AS (
+      SELECT e.vec_id, cent.cell,
+             floor(sum((CAST(e.embedding[cent.i] AS DOUBLE) - cent.c) *
+                       (CAST(e.embedding[cent.i] AS DOUBLE) - cent.c)) * 1000000 + 0.5) / 1000000.0 AS qdist
+      FROM embeddings e CROSS JOIN cent
+      GROUP BY e.vec_id, cent.cell),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY qdist, cell) AS rn
+        FROM dists)
+      WHERE rn = 1),
+    dups AS (
+      SELECT DISTINCT b.vec_id AS id2
+      FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        JOIN embeddings e1 ON e1.vec_id = a.vec_id
+        JOIN embeddings e2 ON e2.vec_id = b.vec_id
+      WHERE floor(${cosSql("e1.embedding", "e2.embedding")} * 1000000 + 0.5) / 1000000.0 >= 0.35)
+    SELECT e.vec_id, CAST(e.label AS BIGINT) AS label
+    FROM embeddings e
+    WHERE e.vec_id NOT IN (SELECT id2 FROM dups)
+    ORDER BY e.vec_id"""))
+
+  /** Lee-et-al duplicated-span fractions: word 3-grams (positions
+    * preserved — within-doc repetition counts), corpus-wide frequency
+    * by hash48, per-doc duplicated fraction. The oracle replays the
+    * same hash-keyed frequency join so the comparison holds even under
+    * a 48-bit collision. Docs shorter than 3 words have no spans and
+    * are absent from BOTH sides.
+    */
+  private val q95 = Q("q95_dup_spans", (s, dir) => {
+    Dedup.duplicatedSpans(Tables.load(s, dir, "documents"), "doc_id", col("text"), n = 3)
+      .orderBy(col("doc_id"))
+  }, Some(s"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+      SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS g
+      FROM t),
+    f AS (SELECT doc_id, ${H48.format("g")} AS h FROM g),
+    freq AS (SELECT h, count(*) AS n FROM f GROUP BY h)
+    SELECT doc_id,
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN freq.n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams,
+           floor(CAST(sum(CASE WHEN freq.n >= 2 THEN 1 ELSE 0 END) AS DOUBLE) /
+                 count(*) * 1000000 + 0.5) / 1000000.0 AS dup_frac
+    FROM f JOIN freq USING (h)
+    GROUP BY doc_id ORDER BY doc_id"""))
+
+  val list: Seq[Q] = Seq(q40, q41, q42, q43, q44, q75, q77, q87, q94, q95)
 }

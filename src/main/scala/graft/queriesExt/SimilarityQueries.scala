@@ -69,11 +69,14 @@ object SimilarityQueries {
     FROM embeddings ORDER BY vec_id"""
   })
 
-  /** B41: ANN candidate pairs via bucket equi-join with exact cosine
-    * verification — the join is hash-partitioned on the bucket key.
+  /** B41: the BOUNDED-corpus ANN path — single fixed-bucket equi-join
+    * with exact cosine verification (regression query for
+    * [[Similarity.annBucketPairsBounded]]; the default short name
+    * `annBucketPairs` now delegates to the corpus-size-aware banded
+    * plan, which q69/q97 cover).
     */
   private val q48 = Q("q48_ann_pairs", (s, dir) => {
-    Similarity.annBucketPairs(Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
+    Similarity.annBucketPairsBounded(Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
       .orderBy(col("id1"), col("id2"))
   }, Some {
     val projs = (0 until 8).map { j =>
@@ -262,6 +265,37 @@ object SimilarityQueries {
     ORDER BY e.vec_id"""
   })
 
+  /** The q69 plan WITH the hot-bucket guardrail engaged (maxBucket=40):
+    * band-sig buckets above the occupancy cap are dropped before pair
+    * generation — the standard LSH defense against clustered data
+    * turning one bucket quadratic. The oracle filters band-sig groups
+    * by the same occupancy bound, so the PRUNED plan's output is
+    * hash-checked end-to-end (the guard was previously unit-tested
+    * only).
+    */
+  private val q97 = Q("q97_banded_ann_capped", (s, dir) => {
+    Similarity.bandedAnnPairs(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+      nBands = 4, bitsPerBand = 4, maxBucket = Some(40))
+      .orderBy(col("id1"), col("id2"))
+  }, Some {
+    s"""
+    WITH bands AS (${bandsSql(4, 4)}),
+    kept AS (
+      SELECT band, sig FROM bands GROUP BY band, sig HAVING count(*) <= 40),
+    pruned AS (
+      SELECT b.vec_id, b.band, b.sig FROM bands b JOIN kept USING (band, sig)),
+    cand AS (
+      SELECT a.vec_id AS id1, b.vec_id AS id2, CAST(count(*) AS BIGINT) AS shared_bands
+      FROM pruned a JOIN pruned b ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+      GROUP BY 1, 2)
+    SELECT c.id1, c.id2, c.shared_bands,
+           floor(${cosSql("e1.embedding", "e2.embedding")} * 1000000 + 0.5) / 1000000.0 AS cos_sim
+    FROM cand c
+      JOIN embeddings e1 ON e1.vec_id = c.id1
+      JOIN embeddings e2 ON e2.vec_id = c.id2
+    ORDER BY id1, id2"""
+  })
+
   /** Shared SQL CTEs for the PQ pair: 16 anchor codebooks (8 subspaces
     * x 8 dims), per-(vector, subspace) argmin code assignment.
     */
@@ -347,5 +381,5 @@ object SimilarityQueries {
            floor(CAST(dsum AS DOUBLE) / 1000000.0 * 1000000 + 0.5) / 1000000.0 AS approx_dist
     FROM topk WHERE rank <= 5 ORDER BY query_id, rank"""))
 
-  val list: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q62, q69, q73, q91, q92)
+  val list: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q62, q69, q73, q91, q92, q97)
 }

@@ -211,7 +211,7 @@ object TextQueries {
     SELECT media_id, CAST(win_idx AS BIGINT) AS win_idx,
            win_idx * 4000.0 / sample_rate AS t0_sec,
            CAST(list_reduce(list_transform(range(0, 4),
-             k -> ord(substr(text, CAST((win_idx * 31 + k * 7) % len(text) AS INT) + 1, 1))),
+             k -> ord(substr(text, CAST((win_idx * 31 + k * 7) % greatest(len(text), 1) AS INT) + 1, 1))),
              (a, b) -> a + b) AS DOUBLE) / 4.0 AS energy_probe
     FROM w ORDER BY media_id, win_idx"""))
 

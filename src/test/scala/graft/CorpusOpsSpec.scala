@@ -43,4 +43,52 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(10L) == ((0L, 0L, 0L, 0)))
     assert(out(11L) == ((512L, 1L, 1L, 0)))
   }
+
+  // the test's own copy of the operator's hash: md5-prefix-48 mod buckets
+  private def bucketOf(id: Long, buckets: Int = 1000): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+    val hex = d.map("%02x".format(_)).mkString.substring(0, 12)
+    java.lang.Long.parseLong(hex, 16) % buckets
+  }
+
+  test("assignSplit matches independent hash-bucket arithmetic for every row") {
+    val ids = (1L to 2000L)
+    val df = ids.toDF("doc_id")
+    // weights sum to 1 with a float-accumulation hazard: cum 0.45+0.45+0.05
+    // = 0.9500000000000001; integer rounding must still give bound 950
+    val out = CorpusOps.assignSplit(df, col("doc_id"),
+        Seq(("train", 0.45), ("val", 0.45), ("test", 0.05), ("holdout", 0.05)))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = ids.map { id =>
+      val b = bucketOf(id)
+      id -> (if (b < 450) "train" else if (b < 900) "val"
+             else if (b < 950) "test" else "holdout")
+    }.toMap
+    assert(out == expected)
+    assert(out.values.toSet == Set("train", "val", "test", "holdout"))
+  }
+
+  test("assignSplit boundary bucket goes to the right side of each bound") {
+    // deterministically find ids landing exactly on / just below bound 450
+    val at = (1L to 100000L).find(bucketOf(_) == 450L).get
+    val below = (1L to 100000L).find(bucketOf(_) == 449L).get
+    val out = CorpusOps.assignSplit(Seq(at, below).toDF("doc_id"), col("doc_id"),
+        Seq(("train", 0.45), ("val", 0.45), ("test", 0.05), ("holdout", 0.05)))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(below) == "train") // bucket 449 < 450
+    assert(out(at) == "val")      // bucket 450 is NOT < 450: first bucket of val
+  }
+
+  test("assignSplit weights normalize: (9,1) equals (0.9,0.1)") {
+    val df = (1L to 500L).toDF("doc_id")
+    val a = CorpusOps.assignSplit(df, col("doc_id"), Seq(("a", 9.0), ("b", 1.0)))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = CorpusOps.assignSplit(df, col("doc_id"), Seq(("a", 0.9), ("b", 0.1)))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      CorpusOps.assignSplit(df, col("doc_id"), Seq(("a", 0.5), ("b", -0.1)))
+    }
+  }
 }

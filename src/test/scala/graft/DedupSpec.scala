@@ -112,4 +112,35 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(fixed(2L) == 5L, s"fixed windows misalign: all of doc 2's segments stay")
   }
+
+  test("semDedup drops only smaller-id cluster-mates above threshold; cross-cell pairs survive") {
+    // cells: c0 ~ (1,0), c1 ~ (0,1). Assignments: 1,2,6 -> c0; 3,4 -> c1.
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0)),
+      (2L, Array(0.99, 0.14)), // cos(1,2) ~ 0.990 >= 0.9, same cell -> dropped
+      (3L, Array(0.6, 0.8)),   // c1
+      (4L, Array(0.0, 1.0)),   // cos(3,4) = 0.8 < 0.9 -> kept
+      (6L, Array(0.8, 0.6))    // c0; cos(3,6) = 0.96 but DIFFERENT cells -> kept
+    ).toDF("id", "v")
+    val ctrs = Seq((0, Array(1.0, 0.0)), (1, Array(0.0, 1.0))).toDF("cell", "ctr")
+    val kept = Dedup.semDedup(vecs, ctrs, "id", "v", threshold = 0.9)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // keep rule is greedy lowest-id: 1 survives even though 1~2 duplicate
+    assert(kept == Set(1L, 3L, 4L, 6L))
+  }
+
+  test("duplicatedSpans counts within-doc repetition and skips docs shorter than n") {
+    val docs = Seq(
+      (1L, "a b c d"),    // grams: "a b c", "b c d"
+      (2L, "a b c x"),    // grams: "a b c", "b c x"
+      (3L, "z z z z z"),  // grams: "z z z" x3 (within-doc repetition counts)
+      (4L, "too short")   // < 3 words: no spans, absent from output
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(docs, "doc_id", col("text"), n = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out == Map(
+      1L -> ((2L, 1L, 0.5)),  // "a b c" occurs in docs 1 and 2
+      2L -> ((2L, 1L, 0.5)),
+      3L -> ((3L, 3L, 1.0)))) // every "z z z" instance has corpus freq 3
+  }
 }

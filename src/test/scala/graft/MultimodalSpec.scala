@@ -43,6 +43,19 @@ class MultimodalSpec extends SparkSpec {
       s"payload column should be pruned from scan:\n$plan")
   }
 
+  test("sampleAudioWindows: empty payload yields defined zero probes, not nulls") {
+    // n_samples still emits 4 windows; the clamped modulo pins probes
+    // to offset 0 where ascii('') = 0 (pre-guard: off % 0 = null)
+    val audio = Seq(("m1", "audio", Array.empty[Byte], 16000, 16000))
+      .toDF("media_id", "kind", "payload", "sample_rate", "n_samples")
+    val out = Multimodal.sampleAudioWindows(audio, winSamples = 4000).collect()
+    assert(out.length == 4)
+    out.foreach { r =>
+      assert(!r.isNullAt(3), "energy_probe must not be null on empty payload")
+      assert(r.getDouble(3) == 0.0)
+    }
+  }
+
   test("resize stub: aspect-preserving bound, never upscales") {
     val media = Multimodal.mediaFromDocuments(Tables.load(spark, sfDir, "documents"))
     val out = Multimodal.resizeMeta(media, 320, 240)

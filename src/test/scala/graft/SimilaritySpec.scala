@@ -117,6 +117,22 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.1, s"PQ recall@5 = $recall (chance ~= 0.01)")
   }
 
+  test("pqTopK excludes neighbors with incomplete code coverage instead of under-counting") {
+    val cbs = Seq(
+      (0, 0, Array(0.0, 0.0)), (0, 1, Array(1.0, 1.0)),
+      (1, 0, Array(0.0, 0.0)), (1, 1, Array(1.0, 1.0))).toDF("subspace", "code", "subvec")
+    // neighbor 11 carries the -1 sentinel (no codebook entry): with a
+    // plain inner join its subspace-1 term would vanish and its
+    // under-counted sum would OUTRANK neighbor 10 — the guard must
+    // exclude it from the ranking entirely
+    val codes = Seq((10L, 0, 1), (11L, 0, -1)).toDF("_id", "c0", "c1")
+    val queries = Seq((99L, Array(0.0, 0.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val out = Similarity.pqTopK(codes, queries, cbs, "vec_id", "embedding",
+        k = 5, nSub = 2, subDim = 2)
+      .collect().map(r => (r.getLong(1), r.getInt(2)))
+    assert(out.toSeq == Seq((10L, 1)))
+  }
+
   test("trainKMeans: inertia decreases monotonically and training is deterministic") {
     val e = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
     val inertias = Seq(0, 1, 2).map { it =>
