@@ -64,7 +64,15 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] stream: ${e.getMessage}"); "null"
       }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stream":$stream,"sf":"$sfDir"}""")
+    // Same pipeline with the drop/re-ingest self-loop engaged: the
+    // clean number above excludes re-ingest churn by raising sizeCap;
+    // this one pays it (VERDICT r02 #4 — the A13 cost measurement)
+    val churn =
+      try graft.streaming.ThroughputBench.runChurn(spark, sfDir).json
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] stream_churn: ${e.getMessage}"); "null"
+      }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stream":$stream,"stream_churn":$churn,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -48,7 +48,13 @@ object FirehoseDelivery {
       availableNow: Boolean = false,
       // source batching: files per micro-batch (None = all available);
       // the bench uses this to shape sustained multi-batch runs
-      maxFilesPerTrigger: Option[Int] = None) {
+      maxFilesPerTrigger: Option[Int] = None,
+      // Record-granular re-ingest delivery (put_record_batch,
+      // main.py:101-128): when set, Dropped records are delivered
+      // through RecordSink's per-record subset-retry protocol instead
+      // of the all-or-nothing file write. The sink owns routing the
+      // records back into the stream (e.g. appending to inputDir).
+      reingestSink: Option[RecordSink.BatchSink] = None) {
     def primaryDir: String = s"$outputDir/primary"
     def backupDir: String = s"$outputDir/backup"
     def failedDir: String = s"$outputDir/processing-failed"
@@ -61,8 +67,13 @@ object FirehoseDelivery {
     */
   def processBatch(batch: DataFrame, batchId: Long, conf: Config): Unit = {
     val spark = batch.sparkSession
-    // The batch is traversed by four sinks: materialize the (narrow)
-    // transform once instead of recomputing it per sink.
+    // The batch is traversed by four sinks: persist the RAW batch so
+    // the file source is scanned (and its JSON parsed) exactly once
+    // per micro-batch — without this, the backup sink's direct write
+    // of `batch` re-reads the source a second time (measured 2x
+    // numInputRows, ~2x JSON-parse cost per trigger) — then
+    // materialize the (narrow) transform once for its three sinks.
+    batch.persist()
     val governed = FirehoseTransform.sizeGovernor(
       FirehoseTransform.transform(batch, conf.permissive), conf.sizeCap)
       .persist()
@@ -114,11 +125,21 @@ object FirehoseDelivery {
           concat(lit(s"reingest-$batchId-"), col("recordId")).as("recordId"),
           codecs.base64Unchunked(codecs.gzip(encode(
             concat(lit("\""), escaped, lit("\"")), "UTF-8"))).as("data"))
-      if (!toReingest.isEmpty) {
-        putRecords(toReingest, s"${conf.inputDir}/reingest-batch-$batchId",
-          attemptsMade = 0, maxAttempts = conf.maxAttempts)
+      conf.reingestSink match {
+        case Some(sink) =>
+          // per-record protocol: chunked put_record_batch with
+          // failed-subset retry, bounded by the same attempt budget
+          RecordSink.deliver(toReingest, sink, maxAttempts = conf.maxAttempts)
+        case None =>
+          if (!toReingest.isEmpty) {
+            putRecords(toReingest, s"${conf.inputDir}/reingest-batch-$batchId",
+              attemptsMade = 0, maxAttempts = conf.maxAttempts)
+          }
       }
-    } finally governed.unpersist()
+    } finally {
+      governed.unpersist()
+      batch.unpersist()
+    }
   }
 
   /** Bounded-retry write (putRecords, lambda/main.py:101-128): retries

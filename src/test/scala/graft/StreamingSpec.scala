@@ -5,7 +5,48 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.streaming.{FirehoseDelivery, StreamingOps}
+import graft.streaming.{FirehoseDelivery, RecordSink, StreamingOps}
+
+/** Shared JVM state (local-mode executors) for the record-granular
+  * re-ingest e2e: putBatch call log + the input dir successes are
+  * routed back into.
+  */
+object ReingestSinkState {
+  val calls = new java.util.concurrent.ConcurrentLinkedQueue[Seq[String]]
+  val attempts = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]
+  @volatile var inputDir: String = _
+  def reset(dir: String): Unit = { calls.clear(); attempts.clear(); inputDir = dir }
+}
+
+/** Record-granular re-ingest sink: fails records whose id contains
+  * `failSubstr` for their first `failTimes` attempts; delivered records
+  * are appended back into the stream's input dir as wire-format JSON
+  * lines (the reference's put_record_batch routes Dropped data back
+  * into the Firehose stream, main.py:148-151).
+  */
+class FlakyReingestSink(failSubstr: String, failTimes: Int)
+    extends RecordSink.BatchSink {
+  override def putBatch(records: Seq[RecordSink.Record]): Seq[Option[String]] = {
+    ReingestSinkState.calls.add(records.map(_.recordId))
+    val results = records.map { r =>
+      val n = ReingestSinkState.attempts
+        .computeIfAbsent(r.recordId, _ => new java.util.concurrent.atomic.AtomicInteger(0))
+        .getAndIncrement()
+      if (r.recordId.contains(failSubstr) && n < failTimes)
+        Some("ServiceUnavailableException")
+      else None
+    }
+    val ok = records.zip(results).collect { case (r, None) => r }
+    if (ok.nonEmpty) {
+      val lines = ok.map(r => s"""{"recordId":"${r.recordId}","data":"${r.data}"}""")
+      Files.createDirectories(Paths.get(ReingestSinkState.inputDir))
+      Files.write(
+        Paths.get(ReingestSinkState.inputDir, s"reingest-${java.util.UUID.randomUUID()}.json"),
+        lines.mkString("\n").getBytes("UTF-8"))
+    }
+    results
+  }
+}
 
 /** End-to-end streaming smoke mirroring the reference's `make test`
   * (put_test_log_to_log_stream.sh): inject a wire-format record, run
@@ -96,6 +137,53 @@ class StreamingSpec extends SparkSpec {
     assert(primary.length >= 2)
   }
 
+  test("e2e record-granular re-ingest: only the failed subset retried, all delivered (main.py:113-124)") {
+    val base = tmp()
+    ReingestSinkState.reset(s"$base/in")
+    // maxFilesPerTrigger=1 so each re-ingested file replays alone and
+    // fits the 40-byte cap (together they would re-drop and loop)
+    val conf = FirehoseDelivery.Config(s"$base/in", s"$base/out", s"$base/ck",
+      sizeCap = 40L, availableNow = true, maxFilesPerTrigger = Some(1),
+      reingestSink = Some(new FlakyReingestSink("r3", failTimes = 1)))
+    writeRecords(conf.inputDir, "events-1.json",
+      Seq(record("r1", envelopeJson("DATA_MESSAGE", Seq("Hello first"))),
+        record("r2", envelopeJson("DATA_MESSAGE", Seq("Hello second"))),
+        record("r3", envelopeJson("DATA_MESSAGE", Seq("Hello third")))))
+    runOnce(conf)
+    // r2+r3 dropped by the 40-byte cap; the sink failed r3's slot on
+    // the first put_record_batch, so ONLY r3 was re-sent
+    import scala.jdk.CollectionConverters._
+    val calls = ReingestSinkState.calls.asScala.toSeq
+    assert(calls.length == 2, s"expected 2 putBatch calls, got $calls")
+    assert(calls.head.length == 2 && calls.head.forall(_.startsWith("reingest-0-")))
+    assert(calls(1).map(_.stripPrefix("reingest-0-")) == Seq("r3"))
+    // successes were routed back into the input dir: a second
+    // incremental run delivers them through the bare-string branch
+    runOnce(conf)
+    val primary = spark.read.text(conf.primaryDir).collect().map(_.getString(0)).sorted
+    assert(primary.toSeq ==
+      Seq("Hell Yeah first", "Hell Yeah second", "Hell Yeah third"), primary.toSeq)
+  }
+
+  test("e2e record-granular re-ingest: exhaustion fails the query with the terminal message (main.py:125-127)") {
+    val base = tmp()
+    ReingestSinkState.reset(s"$base/in")
+    val conf = FirehoseDelivery.Config(s"$base/in", s"$base/out", s"$base/ck",
+      sizeCap = 40L, availableNow = true, maxAttempts = 5,
+      reingestSink = Some(new FlakyReingestSink("r2", failTimes = Int.MaxValue)))
+    writeRecords(conf.inputDir, "events-1.json",
+      Seq(record("r1", envelopeJson("DATA_MESSAGE", Seq("Hello first"))),
+        record("r2", envelopeJson("DATA_MESSAGE", Seq("Hello second")))))
+    val q = FirehoseDelivery.start(spark, conf)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(120000)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("Could not put records after 5 attempts")),
+      messages(e).mkString(" | "))
+  }
+
   test("streaming tumbling window + watermark over a rate-limited file stream") {
     val base = tmp()
     // stream the events table itself: copy parquet as streaming source
@@ -150,6 +238,75 @@ class StreamingSpec extends SparkSpec {
       val got = spark.table("rocks_out").count()
       val batch = StreamingOps.sessionAgg(events, "ts", "4 hours", "user_id").count()
       assert(got > 0 && got <= batch, s"rocksdb sessions $got vs batch $batch")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("RocksDB soak: session state is evicted under the watermark across many micro-batches") {
+    // Multi-trigger run on the scale-grade state backend: 8 chronological
+    // slices arrive as 8 micro-batches; the watermark must CLOSE old
+    // sessions as it advances, so state size stays bounded by the open
+    // horizon (~gap + delay), not by the stream's lifetime — the
+    // difference between a stream that survives 100 TB/day and one
+    // whose state store grows monotonically until it dies.
+    val base = tmp()
+    val events = Tables.events(spark, sfDir).select("ts", "user_id", "event_type", "event_id")
+    val (tsMin, tsMax) = {
+      val r = events.agg(min(unix_timestamp(col("ts"))), max(unix_timestamp(col("ts")))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val nSlices = 8
+    val step = math.max(1L, (tsMax - tsMin) / nSlices + 1)
+    Files.createDirectories(Paths.get(s"$base/in"))
+    val now = System.currentTimeMillis()
+    (0 until nSlices).foreach { i =>
+      val lo = tsMin + i * step
+      val slice = events.filter(
+        unix_timestamp(col("ts")) >= lo && unix_timestamp(col("ts")) < lo + step)
+      slice.coalesce(1).write.mode("overwrite").parquet(s"$base/staging-$i")
+      val part = new java.io.File(s"$base/staging-$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$base/in/slice-$i.parquet")
+      Files.copy(part.toPath, dst.toPath)
+      // file-source ordering is (modTime, path): pin strictly
+      // increasing modTimes so slices replay chronologically
+      assert(dst.setLastModified(now - (nSlices - i) * 60000L))
+    }
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      val agg = StreamingOps.sessionAgg(
+        stream.withWatermark("ts", "6 hours"), "ts", "4 hours", "user_id")
+      val q = agg.writeStream.outputMode("append").format("memory").queryName("soak_out")
+        .option("checkpointLocation", s"$base/ck").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(180000)
+      assert(!q.isActive)
+      val progresses = q.recentProgress.filter(_.numInputRows > 0)
+      assert(progresses.length >= nSlices - 1,
+        s"expected ~$nSlices micro-batches, got ${progresses.length}")
+      val stateOps = progresses.flatMap(_.stateOperators)
+      val removed = stateOps.map(_.numRowsRemoved).sum
+      val maxHeld = stateOps.map(_.numRowsTotal).max
+      // emitted sessions are correct (subset of batch, identical counts)
+      val got = spark.table("soak_out")
+      val batch = StreamingOps.sessionAgg(events, "ts", "4 hours", "user_id")
+      val nBatch = batch.count()
+      val joined = got.join(batch.withColumnRenamed("n", "n_batch"),
+        Seq("user_id", "sess_start", "sess_end"))
+      assert(got.count() > 0 && joined.count() == got.count())
+      assert(joined.filter(col("n") =!= col("n_batch")).count() == 0)
+      // eviction happened, and state never approached the full corpus:
+      // the open horizon is ~1 slice of sessions, not all of them
+      assert(removed > 0, "watermark never evicted any session state")
+      assert(maxHeld < nBatch / 2,
+        s"state held $maxHeld rows, batch total $nBatch sessions — not bounded")
     } finally {
       prev match {
         case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
