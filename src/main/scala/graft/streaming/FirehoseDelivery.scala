@@ -20,11 +20,19 @@ import graft.operators.FirehoseTransform
   *          failed/    ProcessingFailed side channel   -- A17
   *          re-ingest  Dropped payloads -> input dir   -- A13 (self-loop)
   *
-  * Exactly-once story: every sink write lands under `batchId=N`
-  * subdirectories with overwrite mode, so a replayed micro-batch (after
-  * recovery from the checkpoint) overwrites its own output instead of
-  * duplicating it — the idempotent multi-write the managed service
-  * provided for free (SURVEY.md §7 step 3).
+  * Delivery-guarantee story: the FILE sinks are exactly-once — every
+  * write lands under a `batchId=N` subdirectory with overwrite mode, so
+  * a replayed micro-batch (after recovery from the checkpoint)
+  * overwrites its own output instead of duplicating it — the idempotent
+  * multi-write the managed service provided for free (SURVEY.md §7
+  * step 3). The optional `reingestSink` path is AT-LEAST-ONCE, exactly
+  * like the reference's put_record_batch (main.py:101-128): a
+  * checkpoint replay re-runs processBatch and re-sends that batch's
+  * Dropped records through the sink, and a task retry after one chunk
+  * of a partition already delivered re-sends that chunk. Downstream
+  * consumers that need exactly-once can dedup on the stable
+  * `reingest-$batchId-<recordId>` record-id prefix, which is
+  * deterministic across replays.
   *
   * Scale notes: the transform is a narrow pipeline (no shuffle); the
   * size governor is batch-local state by construction, so no global
@@ -128,8 +136,12 @@ object FirehoseDelivery {
       conf.reingestSink match {
         case Some(sink) =>
           // per-record protocol: chunked put_record_batch with
-          // failed-subset retry, bounded by the same attempt budget
-          RecordSink.deliver(toReingest, sink, maxAttempts = conf.maxAttempts)
+          // failed-subset retry, bounded by the same attempt budget.
+          // governed is persisted, so the emptiness probe is cheap and
+          // saves a foreachPartition job on drop-free batches.
+          if (!toReingest.isEmpty) {
+            RecordSink.deliver(toReingest, sink, maxAttempts = conf.maxAttempts)
+          }
         case None =>
           if (!toReingest.isEmpty) {
             putRecords(toReingest, s"${conf.inputDir}/reingest-batch-$batchId",

@@ -131,33 +131,37 @@ object ThroughputBench {
       triggerMs: Long = 200L, capFrac: Double = 0.7): ChurnResult = {
     val root = Files.createTempDirectory("graft-stream-churn").toString
     val inputDir = s"$root/input"
-    val (records, _) = produce(spark, sfDir, copies, nFiles, inputDir)
-    // Size the cap off the actual governed quantity (len(data) +
-    // len(recordId) of the TRANSFORMED record, main.py:139-140): a
-    // micro-batch carries ~records/(nFiles/filesPerTrigger) records.
-    val sample = FirehoseTransform.transform(
-      spark.read.schema(graft.envelope.Envelope.RECORD_SCHEMA).json(inputDir))
-    val avgSize = sample
-      .select(avg(length(col("data")) + length(col("recordId"))))
-      .head().getDouble(0)
-    val perBatch = records.toDouble / (nFiles.toDouble / filesPerTrigger)
-    val cap = math.max(1L, (perBatch * avgSize * capFrac).toLong)
-    val conf = FirehoseDelivery.Config(
-      inputDir = inputDir,
-      outputDir = s"$root/output",
-      checkpointDir = s"$root/checkpoint",
-      triggerMs = triggerMs,
-      sizeCap = cap,
-      maxFilesPerTrigger = Some(filesPerTrigger))
     try {
+      val (records, _) = produce(spark, sfDir, copies, nFiles, inputDir)
+      // Size the cap off the actual governed quantity (len(data) +
+      // len(recordId) of the TRANSFORMED record, main.py:139-140): a
+      // micro-batch carries ~records/(nFiles/filesPerTrigger) records.
+      val sample = FirehoseTransform.transform(
+        spark.read.schema(graft.envelope.Envelope.RECORD_SCHEMA).json(inputDir))
+      val avgSize = sample
+        .select(avg(length(col("data")) + length(col("recordId"))))
+        .head().getDouble(0)
+      val perBatch = records.toDouble / (nFiles.toDouble / filesPerTrigger)
+      val cap = math.max(1L, (perBatch * avgSize * capFrac).toLong)
+      val conf = FirehoseDelivery.Config(
+        inputDir = inputDir,
+        outputDir = s"$root/output",
+        checkpointDir = s"$root/checkpoint",
+        triggerMs = triggerMs,
+        sizeCap = cap,
+        maxFilesPerTrigger = Some(filesPerTrigger))
       val r = drive(spark, conf)
       // Re-ingest traffic counted from the self-loop's own output
       // directories (reingest-batch-N under the input dir), not from
-      // engine row metrics — see `drive`.
+      // engine row metrics — see `drive`. Only the path-not-found case
+      // means "no drops"; any other failure must surface, not read as
+      // zero churn.
       val reingested =
         try spark.read.schema(graft.envelope.Envelope.RECORD_SCHEMA)
           .json(s"$inputDir/reingest-batch-*").count()
-        catch { case _: Exception => 0L } // no drops -> no matching dirs
+        catch {
+          case _: org.apache.spark.sql.AnalysisException => 0L // no drops -> no matching dirs
+        }
       ChurnResult(
         records = records,
         rowsProcessed = records + reingested,
