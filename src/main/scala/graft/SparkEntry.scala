@@ -29,6 +29,7 @@ object SparkEntry {
       queriesExt.TextQueries.list ++
       queriesExt.CorpusQueries.list ++
       queriesExt.CurationQueries.list ++
+      queriesExt.GraphQueries.list ++
       queriesExt.PipelineQueries.list
 
   /** One entry per implemented operator from SURVEY.md §2. */

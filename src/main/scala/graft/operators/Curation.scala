@@ -153,6 +153,65 @@ object Curation {
         (coalesce(col("n_matched"), lit(0L)) > 0).cast("int").as("contaminated"))
   }
 
+  /** Benchmark decontamination with a BLOOM-FILTER prefilter — the
+    * 100 TB form of [[decontaminate]]. Same output contract (one row
+    * per corpus doc: n_grams, n_matched, contam_frac, contaminated),
+    * EXACT results: the bloom filter admits false positives but never
+    * false negatives, so probing it first and exact-confirming the
+    * survivors against the gram table yields byte-identical output to
+    * the pure exact path (the oracle is the same SQL as q84's).
+    *
+    * Why this beats the plain broadcast join at scale: the corpus side
+    * explodes to one row per distinct gram — trillions at 100 TB. The
+    * bloom probe is a narrow, broadcast-bits membership test applied
+    * IN THE SCAN STAGE, so only the ~fpp false-positive fraction plus
+    * true matches ever reach the confirm join; the join input shrinks
+    * by ~100x at fpp=0.01 while the n_grams totals come from a
+    * join-free map-side-combined count. The filter itself is built
+    * with one distributed aggregation over the (small, by contract)
+    * eval set — a bounded driver-side materialization of ~1.2 MB at
+    * the default sizing, broadcast once, the same bounded-build
+    * contract as [[Similarity.trainKMeans]].
+    *
+    * The probe is a Scala UDF (no builtin bloom probe exists in the
+    * public API): non-codegen but a few ns per row against broadcast
+    * bits, and it removes ~99% of rows from the shuffle-side join —
+    * the trade every runtime-filter implementation makes.
+    */
+  def decontaminateBloom(corpus: DataFrame, evalDocs: DataFrame, idCol: String,
+      text: Column, n: Int = 8, expectedItems: Long = 1L << 20,
+      fpp: Double = 0.01): DataFrame = {
+    val grams = graft.functions.shingles.wordShingles(text, n)
+    val evalGrams = evalDocs
+      .select(explode(array_distinct(grams)).as("_g"))
+      .select(Dedup.hash48(col("_g")).as("_h")).distinct()
+    val bf = evalGrams.stat.bloomFilter("_h", expectedItems, fpp)
+    val bfBc = corpus.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((h: Long) => bfBc.value.mightContainLong(h))
+    val corpusGrams = corpus
+      .select(col(idCol), explode(array_distinct(grams)).as("_g"))
+      .select(col(idCol), Dedup.hash48(col("_g")).as("_h"))
+    // branch 1: per-doc gram totals — join-free, map-side combined
+    val totals = corpusGrams.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"))
+    // branch 2: bloom-positive grams, exact-confirmed via semi join
+    val matched = corpusGrams
+      .filter(mightContain(col("_h")))
+      .join(broadcast(evalGrams), Seq("_h"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_matched"))
+    val q6 = graft.functions.quantize.q6 _
+    // same short-doc contract as decontaminate: no grams -> CLEAN row
+    corpus.select(col(idCol))
+      .join(totals, Seq(idCol), "left")
+      .join(matched, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        q6(coalesce(col("n_matched").cast("double") / col("n_grams"), lit(0.0))).as("contam_frac"),
+        (coalesce(col("n_matched"), lit(0L)) > 0).cast("int").as("contaminated"))
+  }
+
   /** Temperature-based source mixing weights (alpha = 0.5, the
     * sqrt-temperature rule used for multilingual/multi-source corpus
     * balancing): weight_s ∝ sqrt(share_s), normalized. Returns one row

@@ -349,6 +349,38 @@ object Similarity {
         q6(col("_dist")).as("approx_dist"))
   }
 
+  /** PQ shortlist + EXACT re-rank — the standard two-stage ANN serving
+    * plan (IVF-PQ/FAISS style): [[pqTopK]] produces a `shortlist`-deep
+    * candidate set per query from codes alone (corpus vectors never
+    * read), then ONLY the shortlist rows fetch their true vectors for
+    * an exact L2^2 re-rank to the final top-k. Fixes the ADC
+    * quantization mis-rankings near the cut line at the cost of
+    * |queries| x shortlist vector reads — at 100 TB that is the
+    * difference between scanning a 100 GB code table and a 3 TB vector
+    * table for the bulk of the work, with the vector fetch shuffling
+    * `shortlist` rows per query, not the corpus.
+    *
+    * Distances are integer-quantized (1e-6 grid) before ranking, ties
+    * break to the lowest neighbor id — the repo-wide reproducible-rank
+    * contract.
+    */
+  def pqTopKReranked(codes: DataFrame, corpus: DataFrame, queries: DataFrame,
+      codebooks: DataFrame, idCol: String, vecCol: String, k: Int,
+      shortlist: Int, nSub: Int = 8, subDim: Int = 8): DataFrame = {
+    val short = pqTopK(codes, queries, codebooks, idCol, vecCol, shortlist, nSub, subDim)
+      .select(col("query_id"), col("neighbor_id"))
+    val vecs = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_nv"))
+    val qvecs = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("_ed"), col("neighbor_id"))
+    short.join(vecs, "neighbor_id")
+      .join(broadcast(qvecs), "query_id")
+      .withColumn("_ed", floor(l2sq(col("_nv"), col("_qv")) * 1e6 + lit(0.5)).cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        q6(col("_ed").cast("double") / 1e6).as("exact_dist"))
+  }
+
   /** Lloyd's k-means over an embedding column, built from the pieces
     * this engine already distributes: [[assignCells]] (narrow
     * broadcast-argmin assignment — zero corpus shuffle) and the typed

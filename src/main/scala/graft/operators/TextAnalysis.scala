@@ -90,4 +90,40 @@ object TextAnalysis {
     val hs = transformArray(tokens(textCol), t => Dedup.hash48(t))
     aggregate(hs, lit(0L), (acc, h) => (acc * 31 + h) % lit(Dedup.MINHASH_P))
   }
+
+  /** Unigram language-model scoring — the perplexity-style quality
+    * signal (a doc whose tokens are corpus-typical scores low; line
+    * noise and boilerplate score high). Trains the model and scores in
+    * ONE plan: token unigram counts -> per-token surprise
+    * -ln p(t) = ln(total/count), INTEGER-quantized to a 1e-6 grid —
+    * so each doc's sum over tokens is a long addition, exact under any
+    * partitioning/order — then mean surprise per doc (nats).
+    *
+    * Scale shape: one explode + two hash aggregations build the model
+    * (shuffles carry (term, count), map-side combined — the TF-IDF
+    * build, q55); the surprise table is vocabulary-sized (words:
+    * ~10^6 rows / ~10 MB at web scale) and BROADCAST to score, so the
+    * corpus token stream never shuffles for the join. For gram-level
+    * models whose table outgrows a broadcast, drop the broadcast hint
+    * and the same plan shuffle-joins on the term key.
+    *
+    * Output: (id, n_tokens, mean_nll) with mean_nll =
+    * floor(sum_micro/n + 0.5)/1e6 — one IEEE division + floor,
+    * engine-reproducible.
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(textCol)).as("term"))
+    val vocab = tok.groupBy(col("term")).agg(count(lit(1)).as("_c"))
+    // corpus token total as a one-row in-plan aggregate (no driver
+    // count — the q55 discipline)
+    val total = vocab.agg(sum(col("_c")).cast("double").as("_total"))
+    val surprise = vocab.crossJoin(broadcast(total))
+      .select(col("term"),
+        floor(log(col("_total") / col("_c")) * 1e6 + lit(0.5)).cast("long").as("_su"))
+    tok.join(broadcast(surprise), "term")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("_su")).as("_ssum"))
+      .select(col(idCol), col("n_tokens"),
+        (floor(col("_ssum").cast("double") / col("n_tokens") + lit(0.5)) / lit(1e6)).as("mean_nll"))
+  }
 }

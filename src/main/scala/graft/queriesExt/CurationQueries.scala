@@ -159,18 +159,11 @@ object CurationQueries {
     ORDER BY d.doc_id"""))
 
   // --------------------------------------------- q84 decontamination
-  /** Benchmark decontamination: corpus docs (doc_id % 97 != 0) checked
-    * for 8-gram overlap against the eval split (doc_id % 97 = 0); the
-    * eval gram table broadcasts.
+  /** ONE oracle for both decontamination paths: q99's bloom prefilter
+    * is exact by construction (no false negatives + exact confirm), so
+    * it must hash-match the same SQL the pure exact path matches.
     */
-  private val q84 = Q("q84_decontamination", (s, dir) => {
-    val docs = Tables.load(s, dir, "documents")
-    Curation.decontaminate(
-        docs.filter(col("doc_id") % 97 =!= 0),
-        docs.filter(col("doc_id") % 97 === 0),
-        "doc_id", col("text"), n = 8)
-      .orderBy(col("doc_id"))
-  }, Some(s"""
+  private val decontamOracleSql = s"""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
     g AS (
       SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 6),
@@ -190,7 +183,35 @@ object CurationQueries {
            CAST(coalesce(n_matched, 0) > 0 AS INT) AS contaminated
     FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id
     WHERE d.doc_id % 97 <> 0
-    ORDER BY d.doc_id"""))
+    ORDER BY d.doc_id"""
+
+  /** Benchmark decontamination: corpus docs (doc_id % 97 != 0) checked
+    * for 8-gram overlap against the eval split (doc_id % 97 = 0); the
+    * eval gram table broadcasts.
+    */
+  private val q84 = Q("q84_decontamination", (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    Curation.decontaminate(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", col("text"), n = 8)
+      .orderBy(col("doc_id"))
+  }, Some(decontamOracleSql))
+
+  // ---------------------------------------- q99 bloom decontamination
+  /** The 100 TB decontamination plan: bloom prefilter in the scan
+    * stage, exact confirm on the ~1% survivors. Exact output — same
+    * oracle SQL as q84, which is the point: a user can swap the plans
+    * without re-validating results.
+    */
+  private val q99 = Q("q99_bloom_decontamination", (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    Curation.decontaminateBloom(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", col("text"), n = 8)
+      .orderBy(col("doc_id"))
+  }, Some(decontamOracleSql))
 
   // --------------------------------------------- q85 mixing weights
   /** sqrt-temperature source mixing weights. The normalizing sum runs
@@ -214,5 +235,5 @@ object CurationQueries {
            floor(weight / share * 1000000 + 0.5) / 1000000.0 AS upweight
     FROM d ORDER BY stratum"""))
 
-  val list: Seq[Q] = Seq(q81, q82, q83, q84, q85)
+  val list: Seq[Q] = Seq(q81, q82, q83, q84, q85, q99)
 }

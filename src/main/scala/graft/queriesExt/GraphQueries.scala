@@ -1,0 +1,60 @@
+package graft.queriesExt
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Graph
+import graft.queriesRelational.RelationalQueries.Q
+
+/** Oracle corpus for the link-graph curation operators. The graph is
+  * synthesized DETERMINISTICALLY from doc_id arithmetic (the q81/q82
+  * stand-in pattern): a 50-node domain graph with two out-links per
+  * document, distinct-ed — the oracle replays the same synthesis and
+  * unrolls the fixed PageRank iterations as CTEs. Every value is an
+  * integer (micro-rank longs), so the comparison is exact, not
+  * quantized.
+  */
+object GraphQueries {
+
+  /** One PageRank iteration as a pair of CTEs: per-edge floor-div
+    * contribution sums, then teleport + damped in-sum. DuckDB's `//`
+    * is the same nonnegative floor division as the operator's ldiv;
+    * sum() widens to HUGEINT, so the damped term casts back to BIGINT.
+    */
+  private def prIterCtes(k: Int): String =
+    (1 to k).map { i =>
+      val prev = s"r${i - 1}"
+      s""",
+    c$i AS (SELECT e.dst AS node, sum($prev.rank_u // deg.outdeg) AS s
+            FROM e JOIN $prev ON e.src = $prev.node JOIN deg ON e.src = deg.src
+            GROUP BY e.dst),
+    r$i AS (SELECT nodes.node,
+                   CAST((150000000 // nn) + (85 * coalesce(c$i.s, 0)) // 100 AS BIGINT) AS rank_u
+            FROM nodes CROSS JOIN n LEFT JOIN c$i ON nodes.node = c$i.node)"""
+    }.mkString
+
+  /** Domain-authority PageRank, 3 fixed iterations, all-integer. */
+  private val q102 = Q("q102_pagerank", (s, dir) => {
+    val d = Tables.load(s, dir, "documents").select(col("doc_id"))
+    val edges = d.select((col("doc_id") % 50).as("src"),
+        ((col("doc_id") * 13 + 7) % 50).as("dst"))
+      .union(d.select((col("doc_id") % 50).as("src"),
+        ((col("doc_id") * 29 + 11) % 50).as("dst")))
+    Graph.pageRank(edges, "src", "dst", iters = 3)
+      .orderBy(col("node"))
+  }, Some(s"""
+    WITH d AS (SELECT doc_id FROM documents),
+    e0 AS (
+      SELECT doc_id % 50 AS src, (doc_id * 13 + 7) % 50 AS dst FROM d
+      UNION ALL
+      SELECT doc_id % 50 AS src, (doc_id * 29 + 11) % 50 AS dst FROM d),
+    e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+    nodes AS (SELECT DISTINCT node FROM
+      (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+    n AS (SELECT count(*) AS nn FROM nodes),
+    deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+    r0 AS (SELECT node, CAST(1000000000 // nn AS BIGINT) AS rank_u FROM nodes CROSS JOIN n)${prIterCtes(3)}
+    SELECT node, rank_u FROM r3 ORDER BY node"""))
+
+  val list: Seq[Q] = Seq(q102)
+}

@@ -381,5 +381,56 @@ object SimilarityQueries {
            floor(CAST(dsum AS DOUBLE) / 1000000.0 * 1000000 + 0.5) / 1000000.0 AS approx_dist
     FROM topk WHERE rank <= 5 ORDER BY query_id, rank"""))
 
-  val list: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q62, q69, q73, q91, q92, q97)
+  /** PQ shortlist (ADC top-20) + exact L2^2 re-rank to top-5 — the
+    * two-stage serving plan: codes-only scan for candidates, true
+    * vectors fetched for the shortlist only. The oracle extends q92's
+    * ADC CTEs with the exact-distance re-rank.
+    */
+  private val q103 = Q("q103_pq_rerank", (s, dir) => {
+    val e = Tables.load(s, dir, "embeddings")
+    val cbs = pqCodebooks(e)
+    val codes = Similarity.pqEncode(e, cbs, "vec_id", "embedding")
+    Similarity.pqTopKReranked(codes, e, e.filter(col("vec_id") % 97 === 0), cbs,
+        "vec_id", "embedding", k = 5, shortlist = 20)
+      .orderBy(col("query_id"), col("rank"))
+  }, Some(s"""
+    $pqAssignCtes,
+    qd AS (
+      SELECT q.vec_id AS query_id, dims.s, a.code,
+             CAST(floor(sum((CAST(q.embedding[dims.i] AS DOUBLE) - CAST(a.embedding[dims.i] AS DOUBLE)) *
+                            (CAST(q.embedding[dims.i] AS DOUBLE) - CAST(a.embedding[dims.i] AS DOUBLE)))
+                        * 1000000 + 0.5) AS BIGINT) AS dq
+      FROM embeddings q, dims, anchors a
+      WHERE q.vec_id % 97 = 0
+      GROUP BY q.vec_id, dims.s, a.code),
+    approx AS (
+      SELECT qd.query_id, asg.vec_id AS neighbor_id, CAST(sum(qd.dq) AS BIGINT) AS dsum
+      FROM assign asg JOIN qd ON asg.s = qd.s AND asg.code = qd.code
+      WHERE asg.vec_id <> qd.query_id
+      GROUP BY qd.query_id, asg.vec_id),
+    topm AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY dsum, neighbor_id) AS rm
+        FROM approx)
+      WHERE rm <= 20),
+    ex AS (
+      SELECT t.query_id, t.neighbor_id,
+             CAST(floor(sum((CAST(q.embedding[sd.i] AS DOUBLE) - CAST(c.embedding[sd.i] AS DOUBLE)) *
+                            (CAST(q.embedding[sd.i] AS DOUBLE) - CAST(c.embedding[sd.i] AS DOUBLE)))
+                        * 1000000 + 0.5) AS BIGINT) AS ed
+      FROM topm t
+      JOIN embeddings c ON c.vec_id = t.neighbor_id
+      JOIN embeddings q ON q.vec_id = t.query_id
+      CROSS JOIN sd
+      GROUP BY t.query_id, t.neighbor_id),
+    rr AS (
+      SELECT query_id, neighbor_id, ed,
+             row_number() OVER (PARTITION BY query_id ORDER BY ed, neighbor_id) AS rank
+      FROM ex)
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           floor(CAST(ed AS DOUBLE) / 1000000.0 * 1000000 + 0.5) / 1000000.0 AS exact_dist
+    FROM rr WHERE rank <= 5 ORDER BY query_id, rank"""))
+
+  val list: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q62, q69, q73, q91, q92, q97, q103)
 }

@@ -215,5 +215,45 @@ object TextQueries {
              (a, b) -> a + b) AS DOUBLE) / 4.0 AS energy_probe
     FROM w ORDER BY media_id, win_idx"""))
 
-  val list: Seq[Q] = Seq(q51, q52, q53, q54, q55, q56, q74, q89)
+  /** Misra-Gries heavy hitters over the corpus token stream. Capacity
+    * 64 exceeds this corpus's distinct-token count, so every count is
+    * EXACT and partition-order-independent (the oracle-checkable
+    * regime — see MisraGriesAggregator's scaladoc); the approximation
+    * bound under eviction is asserted in SketchSpec. The aggregation
+    * ships one 64-entry summary per map task regardless of key
+    * cardinality — the shape that replaces an exact groupBy when the
+    * key space (URLs, n-grams) explodes at 100 TB.
+    */
+  private val q100 = Q("q100_heavy_hitters", (s, dir) => {
+    val mg = udaf(new graft.functions.MisraGriesAggregator(64))
+    Tables.load(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("term"))
+      .agg(mg(col("term")).as("_m"))
+      .select(explode(col("_m")).as(Seq("term", "est_count")))
+      .orderBy(col("term"))
+  }, Some("""
+    SELECT term, CAST(count(*) AS BIGINT) AS est_count
+    FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+    GROUP BY term ORDER BY term"""))
+
+  /** Unigram-LM mean surprise per document (nats) — train + score in
+    * one plan, integer-quantized per-token surprise so the per-doc sum
+    * is partition-order-exact.
+    */
+  private val q101 = Q("q101_unigram_logprob", (s, dir) => {
+    TextAnalysis.unigramLogProb(Tables.load(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }, Some("""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    v AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+    n AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM v),
+    su AS (SELECT term, CAST(floor(ln(total / c) * 1000000 + 0.5) AS BIGINT) AS s_u FROM v, n),
+    d AS (SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(s_u) AS BIGINT) AS ssum
+          FROM tok JOIN su USING (term) GROUP BY tok.doc_id)
+    SELECT doc_id, n_tokens,
+           floor(CAST(ssum AS DOUBLE) / n_tokens + 0.5) / 1000000.0 AS mean_nll
+    FROM d ORDER BY doc_id"""))
+
+  val list: Seq[Q] = Seq(q51, q52, q53, q54, q55, q56, q74, q89, q100, q101)
 }

@@ -127,5 +127,35 @@ object StreamingQueries {
     GROUP BY cohorts.cohort, e.p - cohorts.cohort
     ORDER BY cohort, period_offset"""))
 
-  val list: Seq[Q] = Seq(q31, q32, q33, q34, q90, q93)
+  /** Stream-stream interval join (batch form): click -> purchase
+    * attribution per user within a [0s, 2h] window after the click.
+    * The equi-key (user) is the shuffle key; the interval is a
+    * post-join filter. Streaming execution of the identical operator
+    * (watermarks both sides, bounded join state) is covered by
+    * StreamingSpec.
+    */
+  private val q98 = Q("q98_interval_join", (s, dir) => {
+    val e = Tables.events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("click_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("purchase_ts"), col("value"))
+    StreamingOps.intervalJoin(clicks, purchases, ("cu", "pu"),
+        "click_ts", "purchase_ts", "0 seconds", "2 hours")
+      .select(col("cu").as("user_id"),
+        unix_micros(col("click_ts")).as("click_us"),
+        unix_micros(col("purchase_ts")).as("purchase_us"),
+        graft.functions.quantize.q2(col("value")).as("value_r2"))
+      .orderBy(col("user_id"), col("click_us"), col("purchase_us"), col("value_r2"))
+  }, Some("""
+    SELECT c.user_id AS user_id, epoch_us(c.ts) AS click_us,
+           epoch_us(p.ts) AS purchase_us,
+           floor(p.value*100 + 0.5)/100.0 AS value_r2
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    ORDER BY user_id, click_us, purchase_us, value_r2"""))
+
+  val list: Seq[Q] = Seq(q31, q32, q33, q34, q90, q93, q98)
 }

@@ -57,6 +57,45 @@ object StreamingOps {
       case None => events.dropDuplicates(cols)
     }
 
+  /** Stream-stream event-time interval join: rows of `left` match rows
+    * of `right` sharing `key` with `right.tsR` inside
+    * `[left.tsL + lower, left.tsL + upper]` — the click-to-conversion /
+    * impression-attribution shape. The SAME code path serves both
+    * engines of the Structured Streaming contract:
+    *
+    *  - on BATCH frames it is a plain equi+range join (Catalyst plans
+    *    the equi-key as the shuffle/broadcast key and the interval as a
+    *    post-join filter) — the DuckDB-oracle corpus runs this form;
+    *  - on STREAMING frames pass `leftDelay`/`rightDelay`: both sides
+    *    get event-time watermarks, and the interval condition plus the
+    *    watermarks are exactly what Spark's stream-stream join needs to
+    *    bound its join state — a left row can be evicted once the right
+    *    watermark passes `tsL + upper`, a right row once the left
+    *    watermark passes `tsR - lower`. Without the interval bound a
+    *    stream-stream join keeps ALL history on both sides; this
+    *    operator makes the bounded form the only reachable one (the
+    *    unbounded-state guard the other streaming ops enforce too).
+    *
+    * `joinType` supports the watermark-compatible set (inner,
+    * left_outer, right_outer, full_outer); outer results emit only
+    * after the watermark closes the match window.
+    *
+    * Caller supplies pre-aliased frames with DISTINCT column names
+    * (self-joins are the common case — events vs events).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      key: (String, String), tsL: String, tsR: String,
+      lower: String, upper: String, joinType: String = "inner",
+      leftDelay: Option[String] = None,
+      rightDelay: Option[String] = None): DataFrame = {
+    val l = leftDelay.fold(left)(d => left.withWatermark(tsL, d))
+    val r = rightDelay.fold(right)(d => right.withWatermark(tsR, d))
+    val cond = l(key._1) === r(key._2) &&
+      r(tsR) >= l(tsL) + expr(s"INTERVAL '$lower'") &&
+      r(tsR) <= l(tsL) + expr(s"INTERVAL '$upper'")
+    l.join(r, cond, joinType)
+  }
+
   /** Per-row MinHash LSH band keys — the STATELESS formulation of
     * [[graft.operators.Dedup.minhashSignatures]]+[[graft.operators.Dedup.lshBands]]:
     * array lambdas over the shingle hashes instead of explode+groupBy,

@@ -119,4 +119,31 @@ class CurationSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"redaction must not shuffle:\n$plan")
   }
+
+  test("decontaminateBloom is byte-identical to the exact path (no false negatives survive)") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val eval_ = docs.filter(col("doc_id") % 97 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4))).toSet
+    val exact = rows(Curation.decontaminate(corpus, eval_, "doc_id", col("text"), n = 8))
+    val bloom = rows(Curation.decontaminateBloom(corpus, eval_, "doc_id", col("text"), n = 8))
+    assert(bloom == exact, "bloom-prefiltered output diverged from the exact path")
+    assert(exact.exists(_._3 > 0), "fixture has no contaminated docs — test is vacuous")
+  }
+
+  test("decontaminateBloom: an aggressive fpp still yields exact output (confirm join catches FPs)") {
+    // tiny filter (fpp=0.5) floods the prefilter with false positives;
+    // the exact-confirm semi join must still remove every one
+    val docs = Tables.load(spark, sfDir, "documents").limit(60)
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+    val eval_ = docs.filter(col("doc_id") % 7 === 0)
+    val exact = Curation.decontaminate(corpus, eval_, "doc_id", col("text"), n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val bloom = Curation.decontaminateBloom(corpus, eval_, "doc_id", col("text"),
+        n = 3, expectedItems = 100, fpp = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(bloom == exact)
+  }
 }

@@ -159,6 +159,23 @@ class PlanSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
+  test("q101 unigram-LM build runs no table-scan job (token total folded into the plan)") {
+    // same discipline as q55: the corpus token total is a one-row
+    // in-plan aggregate, not a driver-side count at build time
+    @volatile var jobs = 0
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      SparkEntry.queries("q101_unigram_logprob")(spark, sfDir)
+      Thread.sleep(500)
+      assert(jobs <= 1, s"query construction launched $jobs Spark jobs " +
+        "(expected at most the parquet schema read)")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("q73 embedding near-dup plans without a cartesian product") {
     val plan = planOf("q73_embedding_neardup")
     assert(!plan.contains("CartesianProduct"), plan.take(2000))

@@ -105,6 +105,41 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.1, s"PQ recall@5 = $recall (chance ~= 0.01)")
   }
 
+  test("PQ shortlist + exact re-rank lifts recall@5 over plain ADC") {
+    val e = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val cbs = graft.queriesExt.SimilarityQueries.pqCodebooks(e)
+    val queries = e.filter(col("vec_id") % 97 === 0)
+    val codes = Similarity.pqEncode(e, cbs, "vec_id", "embedding")
+    def recallOf(pairs: Set[(Long, Long)]): Double = {
+      val exact = exactTop5(e, queries)
+      (pairs & exact).size.toDouble / exact.size
+    }
+    val adc = Similarity.pqTopK(codes, queries, cbs, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rr = Similarity.pqTopKReranked(codes, e, queries, cbs,
+        "vec_id", "embedding", k = 5, shortlist = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (ra, rb) = (recallOf(adc), recallOf(rr))
+    info(s"recall@5: ADC=$ra reranked=$rb")
+    // exact re-rank of a 50-deep shortlist can only improve the cut
+    // line; on these fixtures it should be a large lift (ADC ~0.17)
+    assert(rb > ra, s"re-rank must lift recall: $rb vs $ra")
+    assert(rb >= 0.5, s"50-deep exact re-rank recall@5 = $rb")
+  }
+
+  /** Exact L2 top-5 pairs for `queries` over corpus `e`. */
+  private def exactTop5(e: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+    val l2w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("_d"), col("neighbor_id"))
+    e.select(col("vec_id").as("neighbor_id"), col("embedding").as("_cv"))
+      .crossJoin(broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("_qv"))))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("_d", Similarity.l2sq(col("_cv"), col("_qv")))
+      .withColumn("rank", row_number().over(l2w)).filter(col("rank") <= 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+  }
+
   /** recall@5 of the PQ ADC ranking vs exact L2 top-5 on `e` for the
     * given codebooks — shared by the anchor-recall and trained-recall
     * tests so both measure the identical protocol.
@@ -115,14 +150,7 @@ class SimilaritySpec extends SparkSpec {
     val codes = Similarity.pqEncode(e, cbs, "vec_id", "embedding")
     val pq = Similarity.pqTopK(codes, queries, cbs, "vec_id", "embedding", k = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val l2w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("_d"), col("neighbor_id"))
-    val exact = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("_cv"))
-      .crossJoin(broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("_qv"))))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("_d", Similarity.l2sq(col("_cv"), col("_qv")))
-      .withColumn("rank", row_number().over(l2w)).filter(col("rank") <= 5)
-      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = exactTop5(e, queries)
     (pq & exact).size.toDouble / exact.size
   }
 

@@ -340,28 +340,31 @@ class StreamingSpec extends SparkSpec {
     val events = Tables.events(spark, sfDir).select("ts", "user_id", "event_type", "event_id")
     events.write.mode("overwrite").parquet(s"$base/in")
     def src = spark.readStream.schema(events.schema).parquet(s"$base/in")
-    val purchases = src.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
-      .withWatermark("p_ts", "2 hours")
-    val clicks = src.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("event_id").as("click_id"), col("ts").as("c_ts"))
-      .withWatermark("c_ts", "2 hours")
-    val joined = purchases.join(clicks,
-      col("user_id") === col("c_user") &&
-        col("c_ts") <= col("p_ts") &&
-        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+    def sides(e: org.apache.spark.sql.DataFrame) = (
+      e.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("event_id").as("click_id"), col("ts").as("c_ts")),
+      e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("event_id").as("purchase_id"), col("ts").as("p_ts")))
+    // STREAMING execution of the operator: watermarks on both sides
+    // bound the join state (a click can be evicted once the purchase
+    // watermark passes c_ts + 1h)
+    val (sc, sp) = (sides(src)._1, sides(src)._2)
+    val joined = StreamingOps.intervalJoin(sc, sp, ("cu", "pu"),
+      "c_ts", "p_ts", "0 seconds", "1 hour",
+      leftDelay = Some("2 hours"), rightDelay = Some("2 hours"))
     val q = joined.writeStream.outputMode("append").format("memory").queryName("ss_join")
       .option("checkpointLocation", s"$base/ck").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
     val got = spark.table("ss_join").count()
-    // batch equivalence
-    val p = events.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts").as("p_ts"))
-    val c = events.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
-    val want = p.join(c, col("user_id") === col("c_user") &&
-      col("c_ts") <= col("p_ts") && col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")).count()
-    assert(got == want, s"stream-stream join $got vs batch $want")
+    // the SAME operator on batch frames is the oracle-checked form (q98)
+    val (bc, bp) = sides(events)
+    val want = StreamingOps.intervalJoin(bc, bp, ("cu", "pu"),
+      "c_ts", "p_ts", "0 seconds", "1 hour").count()
+    assert(got == want && got > 0, s"stream-stream join $got vs batch $want")
+    // and the streaming run must have real join state that the
+    // watermark bounds (a stateful operator is present)
+    val stateOps = Option(q.lastProgress).map(_.stateOperators.length).getOrElse(0)
+    assert(stateOps == 1, s"expected one stateful join operator, got $stateOps")
   }
 
   test("incremental near-dup: streamed duplicate collides with the historical band table") {
