@@ -72,3 +72,102 @@ class MisraGriesAggregator(capacity: Int)
   override def outputEncoder: Encoder[Map[String, Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
 }
+
+/** One-pass mergeable quantile sketch — the streaming/approximate
+  * sibling of the exact two-pass [[graft.operators.Quantiles]] (q76).
+  * A KLL-style compactor hierarchy (Karnin-Lang-Liberty, FOCS 2016)
+  * made fully DETERMINISTIC: level i holds items of weight 2^i, and
+  * when a level overflows `capacity` its sorted items pair up and the
+  * odd-index (larger) element of each pair is promoted with doubled
+  * weight — a fixed selector instead of KLL's coin flip. Each
+  * compaction is thus a pure function of its level's sorted content
+  * (no RNG anywhere); under compaction the summary still depends on
+  * the merge-tree shape, like any mergeable sketch, but the ERROR
+  * BOUND holds for every shape, and in the no-compaction regime
+  * (capacity >= n) the result is fully multiset-determined.
+  *
+  * Error: within one compaction, promoted pairs are ADJACENT in sorted
+  * order, so a rank query's threshold straddles at most one pair —
+  * each compaction contributes at most its weight in rank error;
+  * summed over ~n/capacity compactions per level and log2(n/capacity)
+  * levels the rank error stays a small fraction of n for
+  * capacity >> log n (SketchSpec asserts <= 2% at n=60k, capacity
+  * 256). With capacity >= n no compaction fires and every quantile is
+  * EXACT — the regime the DuckDB oracle hash-checks (q105).
+  *
+  * finish() returns the values at ranks floor(p*(W-1))+1 (1-based,
+  * weighted) for the requested `ps` — the same rank-select definition
+  * the oracle SQL spells out with row_number.
+  */
+class QuantileSketchAggregator(capacity: Int, ps: Seq[Double])
+    extends Aggregator[Double, Seq[Seq[Double]], Seq[Double]] {
+  require(capacity >= 2, s"capacity must be >= 2, got $capacity")
+  require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+    s"fractions must be in [0, 1]: $ps")
+
+  override def zero: Seq[Seq[Double]] = Seq(Vector.empty)
+
+  override def reduce(b: Seq[Seq[Double]], v: Double): Seq[Seq[Double]] =
+    compactAll(b.updated(0, b.head :+ v))
+
+  override def merge(x: Seq[Seq[Double]], y: Seq[Seq[Double]]): Seq[Seq[Double]] = {
+    val levels = math.max(x.length, y.length)
+    compactAll((0 until levels).map { i =>
+      val a = if (i < x.length) x(i) else Vector.empty
+      val b = if (i < y.length) y(i) else Vector.empty
+      a ++ b
+    })
+  }
+
+  /** Cascade: compact any level over capacity, promoting half its
+    * items (odd indices of the sorted run) to the next level; an odd
+    * leftover (the unpaired largest) stays put. Terminates because
+    * each pass halves the overflowing level.
+    */
+  private def compactAll(b: Seq[Seq[Double]]): Seq[Seq[Double]] = {
+    var levels = b.toVector
+    var i = 0
+    while (i < levels.length) {
+      if (levels(i).length > capacity) {
+        val sorted = levels(i).sorted
+        val nPairs = sorted.length / 2
+        val promoted = (0 until nPairs).map(j => sorted(2 * j + 1))
+        val leftover =
+          if (sorted.length % 2 == 1) Vector(sorted.last) else Vector.empty[Double]
+        levels = levels.updated(i, leftover)
+        if (i + 1 >= levels.length) levels = levels :+ Vector.empty[Double]
+        levels = levels.updated(i + 1, levels(i + 1) ++ promoted)
+      }
+      i += 1
+    }
+    levels
+  }
+
+  override def finish(b: Seq[Seq[Double]]): Seq[Double] = {
+    val weighted = b.zipWithIndex.flatMap { case (vs, lvl) =>
+      val w = 1L << lvl
+      vs.map(v => (v, w))
+    }.sortBy(_._1)
+    val total = weighted.iterator.map(_._2).sum
+    if (total == 0L) return ps.map(_ => Double.NaN)
+    ps.map { p =>
+      val rank = math.floor(p * (total - 1)).toLong + 1
+      var cum = 0L
+      var ans = weighted.last._1
+      val it = weighted.iterator
+      var found = false
+      while (it.hasNext && !found) {
+        val (v, w) = it.next()
+        cum += w
+        if (cum >= rank) { ans = v; found = true }
+      }
+      ans
+    }
+  }
+
+  override def bufferEncoder: Encoder[Seq[Seq[Double]]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Seq[Double]]]()
+
+  override def outputEncoder: Encoder[Seq[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+}

@@ -70,6 +70,45 @@ object CorpusOps {
     df.withColumn("split", assigned)
   }
 
+  /** Temperature-based corpus re-sampling with true UP-sampling — the
+    * "epochs per source" step that applies [[Curation.mixingWeights]]'
+    * sqrt-temperature weights to the corpus. A stratum with
+    * upweight > 1 cannot be reached by dropping rows; its documents
+    * REPEAT: each row emits `n_copies` copies where
+    *
+    *   rate_m   = floor(upweight * baseRate * 1000 + 0.5)   (per-mille)
+    *   n_copies = rate_m div 1000
+    *              + (1 if hash-bucket(id) < rate_m mod 1000)
+    *
+    * — the integer part is a deterministic repeat factor, the
+    * fractional part a hash-thresholded Bernoulli exactly like
+    * [[stratifiedSample]]'s (same hash48 buckets, so sampling
+    * decisions are reproducible on any engine/partitioning; the
+    * expected copy count equals the real-valued rate). All arithmetic
+    * after the q6-quantized upweight is integral.
+    *
+    * Scale: the rate table is one row per stratum (tens) and
+    * broadcast; the per-row work is a hash + integer compare + a
+    * bounded `sequence` explode — narrow, composes with the scan. The
+    * weight aggregation itself is [[Curation.mixingWeights]]' one
+    * map-side-combined groupBy.
+    */
+  def temperatureSample(df: DataFrame, idCol: Column, stratumCol: Column,
+      tokenCountCol: Column, baseRate: Double): DataFrame = {
+    val rates = Curation.mixingWeights(df, stratumCol, tokenCountCol)
+      .select(col("stratum").as("_ts_stratum"),
+        floor(col("upweight") * lit(baseRate) * 1000 + lit(0.5)).cast("long").as("_rate_m"))
+    val bucket = pmod(Dedup.hash48(idCol.cast("string")), lit(1000L))
+    val whole = ((col("_rate_m") - col("_rate_m") % 1000) / 1000).cast("long")
+    df.withColumn("_ts_stratum", stratumCol)
+      .join(broadcast(rates), "_ts_stratum")
+      .withColumn("n_copies",
+        whole + when(bucket < col("_rate_m") % 1000, 1L).otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .withColumn("copy_idx", explode(sequence(lit(0L), col("n_copies") - 1)))
+      .drop("_ts_stratum", "_rate_m")
+  }
+
   /** Context-window sequence packing, contiguous-chop style: within
     * each shard (`shardCol`), lay documents end-to-end in `orderCol`
     * order and cut every `budget` tokens. Each document reports its

@@ -110,5 +110,72 @@ object CorpusQueries {
                 ELSE 'holdout' END AS split
     FROM b ORDER BY doc_id"""))
 
-  val list: Seq[Q] = Seq(q78, q79, q80, q96)
+  /** Temperature re-sampling with true up-sampling: sqrt-temperature
+    * upweights (q85's operator) applied as integer repeat factors plus
+    * a hash-thresholded fractional copy. baseRate 0.5 makes the
+    * dominant stratum down-sample (~0.5 epochs) while small strata
+    * repeat — the "epochs per source" table of an LLM data mix,
+    * materialized. Oracle replays the weight CTEs and the per-mille
+    * integer copy arithmetic.
+    */
+  private val q104 = Q("q104_temperature_sample", (s, dir) => {
+    CorpusOps.temperatureSample(Tables.load(s, dir, "documents"),
+        col("doc_id"), col("source"), size(split(col("text"), " ")), baseRate = 0.5)
+      .select(col("doc_id"), col("source"), col("n_copies"), col("copy_idx"))
+      .orderBy(col("doc_id"), col("copy_idx"))
+  }, Some("""
+    WITH a AS (
+      SELECT source AS stratum,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    b AS (SELECT *, CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS share FROM a),
+    c AS (SELECT *, CAST(floor(sqrt(share) * 1000000000 + 0.5) AS BIGINT) AS w FROM b),
+    d AS (SELECT stratum, share, CAST(w AS DOUBLE) / sum(w) OVER () AS weight FROM c),
+    r AS (SELECT stratum,
+                 CAST(floor(floor(weight / share * 1000000 + 0.5) / 1000000.0
+                            * 0.5 * 1000 + 0.5) AS BIGINT) AS rate_m
+          FROM d),
+    docs AS (SELECT doc_id, source,
+                    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 1000 AS bucket
+             FROM documents),
+    cc AS (SELECT doc_id, source,
+                  (rate_m // 1000) +
+                    CASE WHEN bucket < rate_m % 1000 THEN 1 ELSE 0 END AS n_copies
+           FROM docs JOIN r ON docs.source = r.stratum)
+    SELECT doc_id, source, CAST(n_copies AS BIGINT) AS n_copies,
+           CAST(unnest(range(0, n_copies)) AS BIGINT) AS copy_idx
+    FROM cc WHERE n_copies > 0
+    ORDER BY doc_id, copy_idx"""))
+
+  /** One-pass mergeable quantile sketch in its EXACT regime (capacity
+    * >= corpus size at every tested SF, so no compaction fires and the
+    * rank-selects are exact — the oracle-checkable regime; the
+    * compaction-regime error bound is SketchSpec's job). The streaming
+    * sibling of q76's exact two-pass percentiles.
+    */
+  private val q105 = Q("q105_sketch_quantiles", (s, dir) => {
+    val qs = udaf(new graft.functions.QuantileSketchAggregator(8192,
+      Seq(0.25, 0.5, 0.75, 0.95)))
+    Tables.load(s, dir, "documents")
+      .select(size(split(col("text"), " ")).cast("double").as("x"))
+      .agg(qs(col("x")).as("_q"), count(lit(1)).as("n"))
+      .select(
+        element_at(col("_q"), 1).as("p25"),
+        element_at(col("_q"), 2).as("p50"),
+        element_at(col("_q"), 3).as("p75"),
+        element_at(col("_q"), 4).as("p95"),
+        col("n"))
+  }, Some("""
+    WITH v AS (SELECT CAST(len(string_split(text, ' ')) AS DOUBLE) AS x FROM documents),
+    o AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v),
+    n AS (SELECT count(*) AS n FROM v)
+    SELECT
+      max(CASE WHEN rn = CAST(floor(0.25 * (n - 1)) AS BIGINT) + 1 THEN x END) AS p25,
+      max(CASE WHEN rn = CAST(floor(0.5  * (n - 1)) AS BIGINT) + 1 THEN x END) AS p50,
+      max(CASE WHEN rn = CAST(floor(0.75 * (n - 1)) AS BIGINT) + 1 THEN x END) AS p75,
+      max(CASE WHEN rn = CAST(floor(0.95 * (n - 1)) AS BIGINT) + 1 THEN x END) AS p95,
+      max(n) AS n
+    FROM o CROSS JOIN n"""))
+
+  val list: Seq[Q] = Seq(q78, q79, q80, q96, q104, q105)
 }

@@ -80,6 +80,36 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(at) == "val")      // bucket 450 is NOT < 450: first bucket of val
   }
 
+  test("temperatureSample: up-sampled strata repeat, expected copies track the rate, deterministic") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val out = CorpusOps.temperatureSample(docs, col("doc_id"), col("source"),
+        size(split(col("text"), " ")), baseRate = 1.0)
+      .select(col("doc_id"), col("source"), col("n_copies"), col("copy_idx"))
+      .persist()
+    try {
+      // copy_idx enumerates 0..n_copies-1 per doc
+      val bad = out.groupBy("doc_id").agg(
+          max(col("n_copies")).as("nc"), count(lit(1)).as("rows"),
+          min(col("copy_idx")).as("lo"), max(col("copy_idx")).as("hi"))
+        .filter(col("rows") =!= col("nc") || col("lo") =!= 0 || col("hi") =!= col("nc") - 1)
+      assert(bad.isEmpty, "copy enumeration broken")
+      // sqrt-temperature at baseRate 1: smallest stratum up-samples
+      // (mean copies > 1), the dominant one down-samples (< 1)
+      val perStratum = docs.groupBy("source").count()
+        .join(out.groupBy("source").agg(sum("n_copies").as("copies")), Seq("source"), "left")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]).getOrElse(0L))).toMap
+      val rates = perStratum.view.mapValues { case (n, c) => c.toDouble / n }.toMap
+      assert(rates.values.max > 1.0, s"no stratum up-sampled: $rates")
+      assert(rates.values.min < 1.0, s"no stratum down-sampled: $rates")
+      // deterministic: a second run selects the identical multiset
+      val again = CorpusOps.temperatureSample(docs, col("doc_id"), col("source"),
+          size(split(col("text"), " ")), baseRate = 1.0)
+        .select(col("doc_id"), col("copy_idx"))
+      assert(again.exceptAll(out.select(col("doc_id"), col("copy_idx"))).isEmpty)
+    } finally out.unpersist()
+  }
+
   test("assignSplit weights normalize: (9,1) equals (0.9,0.1)") {
     val df = (1L to 500L).toDF("doc_id")
     val a = CorpusOps.assignSplit(df, col("doc_id"), Seq(("a", 9.0), ("b", 1.0)))

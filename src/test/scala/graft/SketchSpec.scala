@@ -58,4 +58,84 @@ class SketchSpec extends SparkSpec {
     val b3 = agg.reduce(b2, "c")                        // full -> decrement: a:1
     assert(b3 == Map("a" -> 1L))
   }
+
+  test("misra-gries over a stream: per-batch summaries merged across micro-batches stay exact") {
+    // the incremental heavy-hitters pattern: each micro-batch reduces
+    // to one MG summary (a tiny map), foreachBatch merges it into the
+    // running summary with the Aggregator's OWN merge — state is one
+    // capacity-bounded map, not a token count per key
+    val base = java.nio.file.Files.createTempDirectory("graft-mg-stream").toString
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    docs.repartition(3).write.mode("overwrite").parquet(s"$base/in")
+    val agg = new MisraGriesAggregator(64)
+    val mg = udaf(agg)
+    @volatile var running = agg.zero
+    var batches = 0
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val summary = b.agg(mg(col("t")).as("m"))
+          .select(explode(col("m"))).as[(String, Long)].collect().toMap
+        running = agg.merge(running, summary)
+        batches += 1
+        ()
+      }
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(batches > 1, s"expected a multi-batch run, got $batches")
+    val want = docs.select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").count().as[(String, Long)].collect().toMap
+    assert(running == want, "merged streaming summary diverged from exact counts")
+  }
+
+  // ---------------------------------------------------- quantile sketch
+
+  import graft.functions.QuantileSketchAggregator
+
+  /** Rank-select ground truth: value at 1-based rank floor(p*(n-1))+1. */
+  private def rankSelect(sorted: Seq[Double], p: Double): Double =
+    sorted(math.floor(p * (sorted.length - 1)).toInt)
+
+  test("quantile sketch: exact regime matches rank-select across partitions") {
+    val ps = Seq(0.0, 0.25, 0.5, 0.75, 0.95, 1.0)
+    val rnd = new scala.util.Random(7)
+    val data = Seq.fill(500)(rnd.nextDouble() * 1000)
+    val df = spark.createDataset(data).repartition(7).toDF("x")
+    val qs = udaf(new QuantileSketchAggregator(1024, ps))
+    val got = df.agg(qs(col("x"))).as[Seq[Double]].head()
+    val sorted = data.sorted
+    assert(got == ps.map(rankSelect(sorted, _)))
+  }
+
+  test("quantile sketch: compaction regime rank error <= 2% at n=60k, capacity 256") {
+    val ps = Seq(0.25, 0.5, 0.9)
+    val rnd = new scala.util.Random(11)
+    val data = rnd.shuffle((0 until 60000).toVector).map(_.toDouble)
+    val df = spark.createDataset(data).repartition(8).toDF("x")
+    val qs = udaf(new QuantileSketchAggregator(256, ps))
+    val got = df.agg(qs(col("x"))).as[Seq[Double]].head()
+    // values are the permutation of 0..n-1, so value distance IS rank
+    // distance — the bound under test is the sketch's rank guarantee
+    ps.zip(got).foreach { case (p, est) =>
+      val truth = rankSelect((0 until 60000).map(_.toDouble), p)
+      assert(math.abs(est - truth) <= 0.02 * 60000,
+        s"p=$p: est $est vs true $truth")
+    }
+  }
+
+  test("quantile sketch: compaction conserves total weight; empty input yields NaN") {
+    val agg = new QuantileSketchAggregator(4, Seq(0.5))
+    def totalWeight(b: Seq[Seq[Double]]): Long =
+      b.zipWithIndex.map { case (vs, lvl) => vs.length.toLong * (1L << lvl) }.sum
+    val b1 = (1 to 37).map(_.toDouble).foldLeft(agg.zero)(agg.reduce)
+    assert(totalWeight(b1) == 37L, s"weight lost in reduce cascade: $b1")
+    val b2 = (38 to 100).map(_.toDouble).foldLeft(agg.zero)(agg.reduce)
+    val m = agg.merge(b1, b2)
+    assert(totalWeight(m) == 100L, s"weight lost in merge cascade: $m")
+    assert(m.forall(_.length <= 4), s"level overflow survived compaction: $m")
+    assert(agg.finish(agg.zero).head.isNaN)
+  }
 }
