@@ -235,5 +235,64 @@ object CurationQueries {
            floor(weight / share * 1000000 + 0.5) / 1000000.0 AS upweight
     FROM d ORDER BY stratum"""))
 
-  val list: Seq[Q] = Seq(q81, q82, q83, q84, q85, q99)
+  // --------------------------------------- q106 curation pipeline e2e
+  /** The composed curation pipeline a user actually runs — quality
+    * gate -> exact dedup (min-id keeper) -> decontamination -> split
+    * assignment -> per-(split, lang) corpus stats — each stage the
+    * already-oracle-checked operator, chained. The oracle replays the
+    * whole chain as one CTE stack, so stage INTERACTIONS (e.g. dedup
+    * keepers feeding the decontamination keep-set) are hash-checked,
+    * not just stages in isolation.
+    *
+    * Scale: the stages compose without materialization — quality is a
+    * scan filter, dedup is one hash shuffle of (md5, id), the keep
+    * sets come back as semi joins on the id key, decontamination is
+    * the broadcast-eval inverted index (q84), split is a narrow hash
+    * expression, and the final rollup is a map-side-combined groupBy
+    * over (split, lang).
+    */
+  private val q106 = Q("q106_curation_pipeline", (s, dir) => {
+    import graft.operators.{CorpusOps, Dedup}
+    val docs = Tables.load(s, dir, "documents")
+    val evalSplit = docs.filter(col("doc_id") % 97 === 0)
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val quality = corpus.filter(size(split(col("text"), " ")) >= 30)
+    val keepers = Dedup.exact(quality, "doc_id", col("text"))
+      .select(col("keeper").as("doc_id"))
+    val deduped = quality.join(keepers, Seq("doc_id"), "left_semi")
+    val clean = Curation.decontaminate(deduped, evalSplit, "doc_id", col("text"), n = 8)
+      .filter(col("contaminated") === 0).select("doc_id")
+    val kept = deduped.join(clean, Seq("doc_id"), "left_semi")
+    CorpusOps.assignSplit(kept, col("doc_id"),
+        Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .orderBy(col("split"), col("lang"))
+  }, Some(s"""
+    WITH corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+    q AS (SELECT * FROM corpus WHERE len(string_split(text, ' ')) >= 30),
+    keep AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+    dd AS (SELECT q.* FROM q JOIN keep ON q.doc_id = keep.doc_id),
+    t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 6),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] ||
+                 ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7]))) AS g
+      FROM t),
+    h AS (SELECT doc_id, ${h48("g")} AS h FROM g),
+    ev AS (SELECT DISTINCT h FROM h WHERE doc_id % 97 = 0),
+    contam AS (SELECT DISTINCT h.doc_id FROM h JOIN ev ON h.h = ev.h WHERE h.doc_id % 97 <> 0),
+    kept AS (SELECT dd.* FROM dd LEFT JOIN contam ON dd.doc_id = contam.doc_id
+             WHERE contam.doc_id IS NULL),
+    sp AS (SELECT *, CASE WHEN bucket < 900 THEN 'train'
+                          WHEN bucket < 950 THEN 'val'
+                          ELSE 'test' END AS split
+           FROM (SELECT *, CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 1000 AS bucket
+                 FROM kept))
+    SELECT split, lang, count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM sp GROUP BY split, lang ORDER BY split, lang"""))
+
+  val list: Seq[Q] = Seq(q81, q82, q83, q84, q85, q99, q106)
 }
