@@ -255,5 +255,33 @@ object TextQueries {
            floor(CAST(ssum AS DOUBLE) / n_tokens + 0.5) / 1000000.0 AS mean_nll
     FROM d ORDER BY doc_id"""))
 
-  val list: Seq[Q] = Seq(q51, q52, q53, q54, q55, q56, q74, q89, q100, q101)
+  /** Edit-distance fuzzy matching over candidate pairs (consecutive
+    * doc ids stand in for any candidate generator): levenshtein on
+    * 120-char prefixes + normalized similarity. The 100 TB contract:
+    * levenshtein is O(len^2) per pair, so it runs on CANDIDATE pairs
+    * (LSH/banded output — q42/q69's shape), never on all pairs; the
+    * join here is an equi-join on the id key.
+    */
+  private val q108 = Q("q108_edit_distance", (s, dir) => {
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, 120).as("p"))
+    val a = d.select(col("doc_id").as("id1"), col("p").as("p1"))
+    val b = d.select((col("doc_id") - 1).as("id1"), col("doc_id").as("id2"), col("p").as("p2"))
+    a.join(b, "id1")
+      .select(col("id1"), col("id2"),
+        levenshtein(col("p1"), col("p2")).cast("long").as("edit_dist"),
+        graft.functions.quantize.q6(lit(1.0) -
+          levenshtein(col("p1"), col("p2")).cast("double") /
+            greatest(length(col("p1")), length(col("p2")))).as("sim"))
+      .orderBy(col("id1"))
+  }, Some("""
+    WITH d AS (SELECT doc_id, substr(text, 1, 120) AS p FROM documents)
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           CAST(levenshtein(a.p, b.p) AS BIGINT) AS edit_dist,
+           floor((1.0 - CAST(levenshtein(a.p, b.p) AS DOUBLE) /
+                  greatest(len(a.p), len(b.p))) * 1000000 + 0.5) / 1000000.0 AS sim
+    FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+    ORDER BY id1"""))
+
+  val list: Seq[Q] = Seq(q51, q52, q53, q54, q55, q56, q74, q89, q100, q101, q108)
 }

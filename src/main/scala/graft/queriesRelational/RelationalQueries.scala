@@ -715,9 +715,30 @@ object RelationalQueries {
     FROM events JOIN documents ON event_id = doc_id
     ORDER BY event_id"""))
 
+  /** B18 completion: distribution window functions — ntile buckets,
+    * percent_rank, cume_dist. Deterministic because the window orders
+    * by the unique o_orderkey (no peer-group ambiguity for ntile).
+    */
+  private val q107 = Q("q107_window_distribution", (s, dir) => {
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_orderkey"))
+    t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).as("quartile"),
+        rN(percent_rank().over(w), 6).as("pct_rank"),
+        rN(cume_dist().over(w), 6).as("cume"))
+      .orderBy(col("o_orderkey"))
+  }, Some("""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000.0 AS pct_rank,
+           floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000.0 AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+    ORDER BY o_orderkey"""))
+
   val list: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q60, q61, q65, q66, q67, q76, q86)
+    q25, q26, q27, q28, q29, q30, q60, q61, q65, q66, q67, q76, q86, q107)
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
     list.map(q => q.name -> q.fn).toMap

@@ -164,4 +164,36 @@ object StreamingOps {
     val pairs = keyed.join(hist, "_bk").select(col("new_id"), col("hist_id"))
     if (pairs.isStreaming) pairs else pairs.distinct()
   }
+
+  /** The FEEDER for [[nearDupAgainstHistory]]'s history table: maintain
+    * the band-key table incrementally as documents stream in. Each
+    * micro-batch's (doc_id, band_key) rows land under a
+    * `batchId=N` subdirectory with overwrite mode — the
+    * FirehoseDelivery idempotence pattern, so checkpoint replays
+    * overwrite their own output instead of duplicating history. The
+    * per-row band keys are [[rowLshBandKeys]] (bit-identical to the
+    * batch `Dedup.lshBands` layout), so a table bootstrapped in batch
+    * and grown by this stream is ONE consistent key space.
+    *
+    * Read it back with `spark.read.option("recursiveFileLookup",
+    * "true").parquet(tableDir)`. At 100 TB the table is the small
+    * side: k/rowsPerBand longs-worth of key per document, partitioned
+    * by arrival batch — compact periodically if batch counts explode.
+    */
+  def maintainBandTable(stream: DataFrame, idCol: String, textCol: String,
+      tableDir: String, checkpointDir: String,
+      n: Int = 3, k: Int = 8, rowsPerBand: Int = 2,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.select(col(idCol).as("doc_id"),
+        explode(rowLshBandKeys(col(textCol), n, k, rowsPerBand)).as("band_key"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        b.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$tableDir/batchId=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
 }

@@ -367,6 +367,90 @@ class StreamingSpec extends SparkSpec {
     assert(stateOps == 1, s"expected one stateful join operator, got $stateOps")
   }
 
+  test("left-outer interval join: unmatched clicks emit null rows once the watermark closes their window") {
+    import spark.implicits._
+    val base = tmp()
+    val t0 = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    def ts(plusMin: Long) = new java.sql.Timestamp(t0.getTime + plusMin * 60000L)
+    val now = System.currentTimeMillis()
+    def writeSlice(dir: String, idx: Int, rows: Seq[(Long, java.sql.Timestamp)],
+        cols: (String, String)): Unit = {
+      Files.createDirectories(Paths.get(s"$base/$dir"))
+      rows.toDF(cols._1, cols._2).coalesce(1)
+        .write.mode("overwrite").parquet(s"$base/staging-$dir-$idx")
+      val part = new java.io.File(s"$base/staging-$dir-$idx").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$base/$dir/slice-$idx.parquet")
+      Files.copy(part.toPath, dst.toPath)
+      assert(dst.setLastModified(now - (5 - idx) * 60000L))
+    }
+    // slice 0: the interesting data — c1 matches p1 within 2h, c2 never matches
+    writeSlice("clicks", 0, Seq((1L, ts(0)), (2L, ts(0))), ("cu", "c_ts"))
+    writeSlice("purch", 0, Seq((1L, ts(30))), ("pu", "p_ts"))
+    // slices 1-2: watermark-advancing fillers 3 days on (distinct users),
+    // two slices because eviction/outer-emission happens in the batch
+    // AFTER the one that advanced the watermark
+    writeSlice("clicks", 1, Seq((98L, ts(3 * 24 * 60))), ("cu", "c_ts"))
+    writeSlice("purch", 1, Seq((99L, ts(3 * 24 * 60))), ("pu", "p_ts"))
+    writeSlice("clicks", 2, Seq((98L, ts(3 * 24 * 60 + 60))), ("cu", "c_ts"))
+    writeSlice("purch", 2, Seq((99L, ts(3 * 24 * 60 + 60))), ("pu", "p_ts"))
+    val clickSchema = Seq((1L, t0)).toDF("cu", "c_ts").schema
+    val purchSchema = Seq((1L, t0)).toDF("pu", "p_ts").schema
+    val clicks = spark.readStream.schema(clickSchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/clicks")
+    val purch = spark.readStream.schema(purchSchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/purch")
+    val joined = StreamingOps.intervalJoin(clicks, purch, ("cu", "pu"),
+      "c_ts", "p_ts", "0 seconds", "2 hours", joinType = "left_outer",
+      leftDelay = Some("1 hour"), rightDelay = Some("1 hour"))
+    val q = joined.writeStream.outputMode("append").format("memory").queryName("ssj_outer")
+      .option("checkpointLocation", s"$base/ck").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("ssj_outer")
+      .select(col("cu"), col("pu")).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    // c1 joined p1; c2's window [t0, t0+2h] closed when the watermark
+    // reached day 3 -> outer row with null purchase
+    assert(got.contains((1L, Some(1L))), s"inner match missing: $got")
+    assert(got.contains((2L, None)), s"outer row for unmatched click missing: $got")
+  }
+
+  test("band-table maintenance stream feeds the incremental near-dup screen") {
+    import spark.implicits._
+    val base = tmp()
+    // batch 1 of the corpus stream: two historical docs
+    val hist = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different historical content about spark engines here"))
+      .toDF("doc_id", "text")
+    hist.write.mode("overwrite").parquet(s"$base/docs-in")
+    val stream1 = spark.readStream.schema(hist.schema).parquet(s"$base/docs-in")
+    val q1 = StreamingOps.maintainBandTable(stream1, "doc_id", "text",
+      s"$base/bands", s"$base/ck-bands")
+    q1.awaitTermination(120000)
+    // the maintained table must equal the batch-built one, key for key
+    val maintained = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$base/bands")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val batchBuilt = graft.operators.Dedup.lshBands(
+        graft.operators.Dedup.minhashSignatures(
+          graft.operators.Dedup.prepareShingles(hist, "doc_id",
+            graft.operators.Dedup.wordShingles("text")),
+          "doc_id", col("_sh")),
+        "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(maintained == batchBuilt,
+      s"maintained band table diverged:\n$maintained\nvs\n$batchBuilt")
+    // batch 2: a near-duplicate of doc 1 screens against the MAINTAINED table
+    val newDocs = Seq((10L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val pairs = StreamingOps.nearDupAgainstHistory(newDocs,
+        spark.read.option("recursiveFileLookup", "true").parquet(s"$base/bands"),
+        "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((10L, 1L)), s"expected collision with doc 1 only, got $pairs")
+  }
+
   test("incremental near-dup: streamed duplicate collides with the historical band table") {
     import spark.implicits._
     import graft.operators.Dedup
