@@ -17,6 +17,22 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  test("no query plans a CartesianProduct outside the documented cross joins") {
+    // the global scale-killer guard: every query in the corpus builds
+    // its physical plan, and only the operators whose CONTRACT is a
+    // (broadcast-bounded) cross join may contain one. A regression
+    // anywhere — a dropped join key, a condition Catalyst can't push
+    // into an equi-join — fails here by name.
+    val allowed = Set(
+      "q08_cross_join",       // the cross-join operator itself
+      "q46_bruteforce_topk")  // documented broadcast-bounded query set
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct") && !allowed(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"unexpected CartesianProduct in: $offenders")
+  }
+
   test("q02 predicates are pushed to the parquet scan") {
     val plan = planOf("q02_predicates")
     assert(plan.contains("PushedFilters:") &&
