@@ -228,5 +228,57 @@ object SqlQueries {
           AND (SELECT count(*) FROM lineitem WHERE l_orderkey = o.o_orderkey) > 6)
     ORDER BY c_custkey"""
 
-  val list: Seq[Q] = Seq(q57, q58, q59, q68, q70, q71, q72, q88)
+  /** TPC-H Q18-shaped large-order customers: HAVING over an exact
+    * integer-cents quantity sum (order-proof on both engines).
+    */
+  private val largeOrdersSql = """
+    SELECT c_custkey, o_orderkey,
+           CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE)/100.0 AS total_qty
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_custkey, o_orderkey
+    HAVING sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) > 15000
+    ORDER BY c_custkey, o_orderkey"""
+  private val q109 = Q("q109_large_orders", (s, dir) => {
+    Tables.registerAll(s, dir)
+    s.sql(largeOrdersSql)
+  }, Some(largeOrdersSql))
+
+  /** TPC-H Q16-shaped supplier variety: distinct suppliers per part
+    * (brand, size), excluding a NOT IN supplier subquery — the
+    * count-distinct + anti-subquery planning shape.
+    */
+  private val supplierVarietySql = """
+    SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    ORDER BY p_brand, p_size"""
+  private val q110 = Q("q110_supplier_variety", (s, dir) => {
+    Tables.registerAll(s, dir)
+    s.sql(supplierVarietySql)
+  }, Some(supplierVarietySql))
+
+  /** TPC-H Q11-shaped value concentration: parts whose shipped value
+    * exceeds 1.1x the MEAN per-part value — a scalar subquery over the
+    * same aggregate CTE, threshold floored to exact integer cents.
+    * (Mean-relative, not a global fraction: scale-free, so the query
+    * selects a real subset at every SF instead of going vacuous.)
+    */
+  private val valueShareSql = """
+    WITH v AS (
+      SELECT l_partkey,
+             sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS val_c
+      FROM lineitem GROUP BY l_partkey)
+    SELECT l_partkey AS partkey, CAST(val_c AS DOUBLE)/100.0 AS value
+    FROM v
+    WHERE val_c > (SELECT CAST(floor(avg(val_c) * 1.1) AS BIGINT) FROM v)
+    ORDER BY partkey"""
+  private val q111 = Q("q111_value_share", (s, dir) => {
+    Tables.registerAll(s, dir)
+    s.sql(valueShareSql)
+  }, Some(valueShareSql))
+
+  val list: Seq[Q] = Seq(q57, q58, q59, q68, q70, q71, q72, q88, q109, q110, q111)
 }
