@@ -91,6 +91,24 @@ object TextAnalysis {
     aggregate(hs, lit(0L), (acc, h) => (acc * 31 + h) % lit(Dedup.MINHASH_P))
   }
 
+  /** Gzip compression ratio — the entropy-style quality signal used by
+    * web-corpus filters (highly repetitive boilerplate compresses far
+    * below ~natural text; random noise barely compresses). Uses the
+    * engine's native codegen'd Gzip expression; a narrow per-row
+    * projection, no shuffle. No DuckDB oracle exists (no SQL gzip),
+    * so its query is a declared rows-only entry (the q29 class) with
+    * the behavioral contract pinned in TextSpec instead: repetitive <
+    * natural < noise ordering and byte-identical double runs.
+    */
+  def compressionRatio(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val raw = encode(col(textCol), "UTF-8")
+    val q6 = graft.functions.quantize.q6 _
+    df.select(col(idCol),
+      octet_length(raw).cast("long").as("raw_bytes"),
+      octet_length(graft.functions.codecs.gzip(raw)).cast("long").as("gz_bytes"))
+      .withColumn("ratio", q6(col("gz_bytes").cast("double") / col("raw_bytes")))
+  }
+
   /** Unigram language-model scoring — the perplexity-style quality
     * signal (a doc whose tokens are corpus-typical scores low; line
     * noise and boilerplate score high). Trains the model and scores in

@@ -283,5 +283,14 @@ object TextQueries {
     FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
     ORDER BY id1"""))
 
-  val list: Seq[Q] = Seq(q51, q52, q53, q54, q55, q56, q74, q89, q100, q101, q108)
+  /** Compression-ratio quality signal (native Gzip expression). No SQL
+    * engine mirrors gzip, so this is a declared rows-only entry (the
+    * q29 class); the behavioral contract lives in TextSpec.
+    */
+  private val q112 = Q("q112_compression_ratio", (s, dir) => {
+    TextAnalysis.compressionRatio(Tables.load(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }, None)
+
+  val list: Seq[Q] = Seq(q51, q52, q53, q54, q55, q56, q74, q89, q100, q101, q108, q112)
 }
