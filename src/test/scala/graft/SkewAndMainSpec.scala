@@ -26,6 +26,53 @@ class SkewSpec extends SparkSpec {
     assert(buckets.length == 8)
     assert(buckets.map(_.getLong(1)).max < 400) // no bucket holds most rows
   }
+
+  test("AQE splits a skewed join partition at runtime (the no-code-change skew path)") {
+    // SCALE.md's skew guidance names two tools: salting (above) and
+    // AQE's runtime skew-join split. This pins the second in an
+    // executed plan: a 100x-hot key under thresholds scaled to the
+    // fixture makes AQE rewrite the sort-merge join with a skew=true
+    // shuffle read — exactly what a 1000-executor job relies on when
+    // one key holds a terabyte.
+    import spark.implicits._
+    val prev = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16KB")
+    // the aggregation after the join reuses the join's partitioning, so
+    // splitting the skewed partition costs an extra shuffle — accept it
+    // (the 100 TB trade: one extra shuffle of the hot key's rows beats
+    // one straggler task holding the whole key)
+    spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    try {
+      // left: one hot key with 200k rows + uniform tail; right: one row
+      // per key. `v` stays in the output so the hot partition carries
+      // real (incompressible) bytes, not just 200k identical keys that
+      // lz4 would flatten below the skew threshold.
+      val left = spark.range(200000).select(lit(0L).as("k"), (xxhash64(col("id")) % 1000000000L).as("v"))
+        .union(spark.range(20000).select((col("id") % 64 + 1).as("k"), col("id").as("v")))
+      val right = spark.range(65).select(col("id").as("k"), (col("id") * 7).as("w"))
+      val j = left.join(right, "k").groupBy("k")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      val byKey = j.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(byKey(0L) == 200000L, "join result wrong under skew handling")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected an AQE skew-split shuffle read:\n${plan.take(3000)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
 
 class FlatMapStateSpec extends SparkSpec {
