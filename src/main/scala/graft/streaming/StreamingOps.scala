@@ -196,4 +196,63 @@ object StreamingOps {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
+
+  /** The full incremental-LSH loop in ONE streaming query: each
+    * micro-batch (1) screens its documents against the band table AS
+    * OF THE PREVIOUS batch and routes collision pairs to
+    * `pairsDir/batchId=N`, then (2) appends its own band keys under
+    * `tableDir/batchId=N` — so a continuously-fed corpus deduplicates
+    * against everything that arrived before it, with no full-corpus
+    * recompute, ever.
+    *
+    * Replay safety: both writes are batchId-keyed overwrites, and the
+    * screen reads the table THROUGH its batchId partition column with
+    * `batchId < N` — a replayed batch N therefore screens against
+    * exactly the same history as the first attempt (its own half-
+    * written keys from the failed run are filtered out, not
+    * self-collided with). Within-batch pairs are not reported, per
+    * the [[nearDupAgainstHistory]] contract.
+    *
+    * Scale: the screen is a stateless band-key equi-join per batch —
+    * the stream side shuffles (id, band_key) only; the table side is
+    * a partition-pruned parquet read. The per-batch table read is the
+    * cost knob: compact `tableDir` periodically (it is plain
+    * partitioned parquet) when batch counts grow.
+    */
+  def screenAndMaintain(stream: DataFrame, idCol: String, textCol: String,
+      tableDir: String, pairsDir: String, checkpointDir: String,
+      n: Int = 3, k: Int = 8, rowsPerBand: Int = 2,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        batch.persist()
+        try {
+          val history =
+            try spark.read.parquet(tableDir)
+              .filter(col("batchId") < batchId)
+              .select(col("doc_id"), col("band_key"))
+            catch {
+              case _: org.apache.spark.sql.AnalysisException => // first batch: no table yet
+                spark.createDataFrame(
+                  spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                  StructType(Seq(StructField("doc_id", LongType),
+                    StructField("band_key", StringType))))
+            }
+          nearDupAgainstHistory(batch, history, idCol, textCol, "doc_id",
+              n, k, rowsPerBand)
+            .write.mode(SaveMode.Overwrite).parquet(s"$pairsDir/batchId=$batchId")
+          batch.select(col(idCol).as("doc_id"),
+              explode(rowLshBandKeys(col(textCol), n, k, rowsPerBand)).as("band_key"))
+            .write.mode(SaveMode.Overwrite).parquet(s"$tableDir/batchId=$batchId")
+        } finally batch.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
 }

@@ -451,6 +451,44 @@ class StreamingSpec extends SparkSpec {
     assert(pairs == Set((10L, 1L)), s"expected collision with doc 1 only, got $pairs")
   }
 
+  test("screenAndMaintain: each batch dedups against all earlier batches in one query") {
+    import spark.implicits._
+    val base = tmp()
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "completely different historical content about spark engines here"
+    val novel = "entirely novel text with no counterpart anywhere in the corpus"
+    // three single-file batches: {1,2}, {10=dup of 1}, {20=dup, 21=novel}
+    val now = System.currentTimeMillis()
+    Seq(Seq((1L, dup), (2L, other)), Seq((10L, dup)), Seq((20L, dup), (21L, novel)))
+      .zipWithIndex.foreach { case (rows, i) =>
+        Files.createDirectories(Paths.get(s"$base/in"))
+        rows.toDF("doc_id", "text").coalesce(1)
+          .write.mode("overwrite").parquet(s"$base/staging-$i")
+        val part = new java.io.File(s"$base/staging-$i").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(s"$base/in/b$i.parquet")
+        Files.copy(part.toPath, dst.toPath)
+        assert(dst.setLastModified(now - (5 - i) * 60000L))
+      }
+    val schema = Seq((1L, "x")).toDF("doc_id", "text").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+    val q = StreamingOps.screenAndMaintain(stream, "doc_id", "text",
+      s"$base/bands", s"$base/pairs", s"$base/ck")
+    q.awaitTermination(120000)
+    val pairs = spark.read.parquet(s"$base/pairs")
+      .select("new_id", "hist_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch 1: no history -> none; batch 2: 10 collides with 1;
+    // batch 3: 20 collides with BOTH 1 and 10; the novel doc never does
+    assert(pairs == Set((10L, 1L), (20L, 1L), (20L, 10L)),
+      s"wrong incremental collision set: $pairs")
+    // the maintained table holds every batch's keys
+    val tableIds = spark.read.parquet(s"$base/bands")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(tableIds == Set(1L, 2L, 10L, 20L, 21L))
+  }
+
   test("incremental near-dup: streamed duplicate collides with the historical band table") {
     import spark.implicits._
     import graft.operators.Dedup
