@@ -126,6 +126,78 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  /** Deterministic property driver (the PropertySpec pattern). */
+  private def forAllSampled[A](gen: org.scalacheck.Gen[A], n: Int = 30)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen.apply(org.scalacheck.Gen.Parameters.default.withSize(20),
+        org.scalacheck.rng.Seed(i.toLong)).foreach(body)
+    }
+
+  test("property: misra-gries guarantees hold for random streams, partitions and capacities") {
+    import org.scalacheck.Gen
+    val streamGen = for {
+      cap <- Gen.choose(2, 12)
+      n <- Gen.choose(20, 400)
+      // skewed alphabet: low ids much more frequent (zipf-ish)
+      xs <- Gen.listOfN(n, Gen.frequency(
+        8 -> Gen.const("a"), 4 -> Gen.const("b"), 2 -> Gen.const("c"),
+        1 -> Gen.choose(0, 30).map(i => s"t$i")))
+      nSplits <- Gen.choose(1, 5)
+    } yield (cap, xs, nSplits)
+    forAllSampled(streamGen, 60) { case (cap, xs, nSplits) =>
+      val agg = new MisraGriesAggregator(cap)
+      // random-ish partitioning: round-robin into nSplits, reduce each,
+      // merge left-to-right (merge order is part of what must be safe)
+      val partials = xs.zipWithIndex.groupBy(_._2 % nSplits).values
+        .map(_.map(_._1).foldLeft(agg.zero)(agg.reduce))
+      val summary = partials.foldLeft(agg.zero)(agg.merge)
+      val truth = xs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val bound = xs.length.toLong / (cap + 1)
+      assert(summary.size <= cap)
+      summary.foreach { case (k, c) =>
+        assert(c <= truth(k) && c >= truth(k) - bound,
+          s"cap=$cap n=${xs.length}: $k est $c true ${truth(k)} bound $bound")
+      }
+      truth.foreach { case (k, c) =>
+        if (c > bound) assert(summary.contains(k),
+          s"cap=$cap: heavy item $k (count $c > $bound) evicted")
+      }
+    }
+  }
+
+  test("property: quantile sketch rank error bounded for random data, capacities and splits") {
+    import org.scalacheck.Gen
+    val gen = for {
+      cap <- Gen.choose(4, 64)
+      n <- Gen.choose(10, 800)
+      seed <- Gen.choose(0L, 1000000L)
+      nSplits <- Gen.choose(1, 4)
+    } yield (cap, n, seed, nSplits)
+    forAllSampled(gen, 40) { case (cap, n, seed, nSplits) =>
+      val rnd = new scala.util.Random(seed)
+      val xs = Vector.fill(n)(rnd.nextDouble())
+      val ps = Seq(0.1, 0.5, 0.9)
+      val agg = new QuantileSketchAggregator(cap, ps)
+      val partials = xs.zipWithIndex.groupBy(_._2 % nSplits).values
+        .map(_.map(_._1).foldLeft(agg.zero)(agg.reduce))
+      val got = agg.finish(partials.foldLeft(agg.zero)(agg.merge))
+      val sorted = xs.sorted
+      // adjacency argument: each compaction at level i contributes at
+      // most 2^i rank error at any threshold; summed over ~n/(cap*2^i)
+      // compactions per level and all levels this is <= (levels+1)*n/cap
+      val levels = math.max(1, (math.log(n.toDouble / cap) / math.log(2)).ceil.toInt + 1)
+      val bound = math.max(2.0, (levels + 1).toDouble * n / cap)
+      ps.zip(got).foreach { case (p, est) =>
+        val targetRank = math.floor(p * (n - 1)).toInt + 1
+        val estRank = sorted.count(_ <= est)
+        assert(math.abs(estRank - targetRank) <= bound,
+          s"cap=$cap n=$n splits=$nSplits p=$p: est rank $estRank vs $targetRank (bound $bound)")
+      }
+      if (cap >= n) // exact regime: rank-select equality, not just bounds
+        assert(got == ps.map(p => sorted(math.floor(p * (n - 1)).toInt)))
+    }
+  }
+
   test("quantile sketch: compaction conserves total weight; empty input yields NaN") {
     val agg = new QuantileSketchAggregator(4, Seq(0.5))
     def totalWeight(b: Seq[Seq[Double]]): Long =
