@@ -539,6 +539,27 @@ class StreamingSpec extends SparkSpec {
     assert(stateOps == 0, s"stream side must be stateless, found $stateOps state operators")
   }
 
+  test("complete-mode aggregation: the full updated result table re-emits per trigger") {
+    // append mode (everywhere else in this suite) only emits closed
+    // windows; complete mode re-emits the WHOLE aggregate each
+    // trigger — the dashboard-sink mode. The final table must equal
+    // the batch aggregation exactly, including windows a watermark
+    // would still hold open under append.
+    val base = tmp()
+    val events = Tables.events(spark, sfDir)
+    events.write.mode("overwrite").parquet(s"$base/in")
+    val stream = spark.readStream.schema(events.schema).parquet(s"$base/in")
+    val agg = StreamingOps.tumblingAgg(stream, "ts", "1 hour", col("event_type"))
+    val q = agg.writeStream.outputMode("complete").format("memory").queryName("complete_out")
+      .option("checkpointLocation", s"$base/ck").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("complete_out")
+    val want = StreamingOps.tumblingAgg(events, "ts", "1 hour", col("event_type"))
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "complete-mode table diverged from the batch aggregation")
+  }
+
   test("streaming dedup within watermark") {
     val base = tmp()
     val events = Tables.events(spark, sfDir).select("ts", "user_id", "event_type")
