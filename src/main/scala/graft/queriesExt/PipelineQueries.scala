@@ -86,5 +86,41 @@ object PipelineQueries {
       FROM events WHERE event_type IN ('purchase', 'click'))
     WHERE event_type = 'purchase' ORDER BY purchase_id"""))
 
-  val list: Seq[Q] = Seq(q63, q64)
+  /** As-of join WITH tolerance (the merge_asof/kdb-aj feature): a
+    * purchase matches its most recent prior click only within 30
+    * minutes. Same one-shuffle union-tag composition as q64, through
+    * the reusable [[graft.operators.Temporal.asofJoin]]; the oracle
+    * replays the union-tagged window with the operator's exact
+    * (ts, side, id) ordering and integer-microsecond tolerance gate.
+    */
+  private val q113 = Q("q113_asof_tolerance", (s, dir) => {
+    val events = Tables.events(s, dir)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.operators.Temporal.asofJoin(purchases, clicks, "user_id", "user_id",
+        "ts", "ts", tieBreak = "event_id", toleranceSec = Some(1800L))
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("asof.event_id").as("click_id"))
+      .orderBy(col("purchase_id"))
+  }, Some("""
+    WITH s AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side
+      FROM events WHERE event_type IN ('purchase', 'click')),
+    m AS (
+      SELECT *,
+             last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS) OVER w AS last_click_id,
+             last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS) OVER w AS last_click_ts
+      FROM s
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT event_id AS purchase_id, user_id,
+           CASE WHEN last_click_ts IS NOT NULL
+                 AND epoch_us(ts) - epoch_us(last_click_ts) <= 1800 * 1000000
+                THEN last_click_id END AS click_id
+    FROM m WHERE side = 1 ORDER BY purchase_id"""))
+
+  val list: Seq[Q] = Seq(q63, q64, q113)
 }

@@ -1,0 +1,57 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Temporal
+
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Long) = new Timestamp(1577836800000L + min * 60000L)
+
+  private val clicks = Seq(
+    (100L, 1L, ts(0)),   // user 1, t=0
+    (101L, 1L, ts(10)),  // user 1, t=10
+    (102L, 2L, ts(5)))   // user 2, t=5
+    .toDF("event_id", "user_id", "ts")
+
+  private def run(purchases: org.apache.spark.sql.DataFrame,
+      tol: Option[Long]): Map[Long, Option[Long]] =
+    Temporal.asofJoin(purchases, clicks, "user_id", "user_id", "ts", "ts",
+        tieBreak = "event_id", toleranceSec = tol)
+      .select(col("event_id"), col("asof.event_id").as("m"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+
+  test("asofJoin picks the most recent at-or-before right row per key") {
+    val purchases = Seq(
+      (200L, 1L, ts(12)),  // after both clicks -> 101
+      (201L, 1L, ts(10)),  // exactly concurrent with 101 -> 101 (right sorts first)
+      (202L, 1L, ts(3)),   // between clicks -> 100
+      (203L, 2L, ts(4)),   // before user 2's click -> no match
+      (204L, 3L, ts(9)))   // user with no clicks -> no match
+      .toDF("event_id", "user_id", "ts")
+    val got = run(purchases, None)
+    assert(got == Map(200L -> Some(101L), 201L -> Some(101L),
+      202L -> Some(100L), 203L -> None, 204L -> None))
+  }
+
+  test("asofJoin tolerance gates stale matches; the boundary is inclusive") {
+    val purchases = Seq(
+      (300L, 1L, ts(40)),  // 30 min after click 101: exactly at tolerance -> match
+      (301L, 1L, ts(41)))  // 31 min after: beyond tolerance -> null
+      .toDF("event_id", "user_id", "ts")
+    val got = run(purchases, Some(1800L))
+    assert(got == Map(300L -> Some(101L), 301L -> None))
+  }
+
+  test("asofJoin plans one shuffle on the key: no range-join explosion, no cartesian") {
+    val purchases = Seq((200L, 1L, ts(12))).toDF("event_id", "user_id", "ts")
+    val df = Temporal.asofJoin(purchases, clicks, "user_id", "user_id",
+      "ts", "ts", tieBreak = "event_id")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Join"),
+      s"as-of must be a window composition, not a join:\n${plan.take(2000)}")
+  }
+}
