@@ -109,6 +109,37 @@ object CorpusOps {
       .drop("_ts_stratum", "_rate_m")
   }
 
+  /** Overlapping-window document chunking — the RAG/embedding-index
+    * preparation step: split each document into `chunkTokens`-token
+    * windows advancing by `chunkTokens - overlap`, so consecutive
+    * chunks share `overlap` tokens and no token is lost (the final
+    * chunk may be short). Output one row per chunk with its index,
+    * token offset, length and text.
+    *
+    * Narrow: sequence + explode + slice on the token array — no
+    * shuffle, composes with the scan; chunk counts are
+    * ceil-arithmetic on the token count, so the layout is a pure
+    * function of the text (reproducible chunk ids for incremental
+    * re-indexing).
+    */
+  def chunkDocuments(df: DataFrame, idCol: Column, text: Column,
+      chunkTokens: Int = 64, overlap: Int = 16): DataFrame = {
+    require(chunkTokens > overlap && overlap >= 0,
+      s"need chunkTokens > overlap >= 0, got ($chunkTokens, $overlap)")
+    val step = chunkTokens - overlap
+    val toks = split(text, " ")
+    val nTok = size(toks).cast("long")
+    // one chunk per window start 0, step, 2*step, ... < nTok
+    val nChunks = (floor((nTok - 1) / step) + 1).cast("long")
+    df.select(idCol.as("doc_id"), toks.as("_toks"), nTok.as("n_tok"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * step).as("start_tok"),
+        least(lit(chunkTokens.toLong), col("n_tok") - col("chunk_idx") * step).as("chunk_len"),
+        array_join(slice(col("_toks"), (col("chunk_idx") * step + 1).cast("int"),
+          lit(chunkTokens)), " ").as("chunk_text"))
+  }
+
   /** Context-window sequence packing, contiguous-chop style: within
     * each shard (`shardCol`), lay documents end-to-end in `orderCol`
     * order and cut every `budget` tokens. Each document reports its

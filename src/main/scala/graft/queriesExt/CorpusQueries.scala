@@ -177,5 +177,26 @@ object CorpusQueries {
       max(n) AS n
     FROM o CROSS JOIN n"""))
 
-  val list: Seq[Q] = Seq(q78, q79, q80, q96, q104, q105)
+  /** RAG-style overlapping chunking: 64-token windows advancing 48
+    * (16-token overlap), final chunk short. Narrow explode+slice; the
+    * oracle replays the ceil-arithmetic and the inclusive-end
+    * list_slice equivalent of Spark's (start, length) slice.
+    */
+  private val q114 = Q("q114_chunking", (s, dir) => {
+    CorpusOps.chunkDocuments(Tables.load(s, dir, "documents"),
+        col("doc_id"), col("text"), chunkTokens = 64, overlap = 16)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }, Some("""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    c AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok,
+                 unnest(range(0, CAST(floor((len(toks) - 1) / 48.0) AS BIGINT) + 1)) AS chunk_idx
+          FROM t)
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(chunk_idx * 48 AS BIGINT) AS start_tok,
+           CAST(least(64, n_tok - chunk_idx * 48) AS BIGINT) AS chunk_len,
+           array_to_string(list_slice(toks, CAST(chunk_idx * 48 + 1 AS INT),
+             CAST(chunk_idx * 48 + 64 AS INT)), ' ') AS chunk_text
+    FROM c ORDER BY doc_id, chunk_idx"""))
+
+  val list: Seq[Q] = Seq(q78, q79, q80, q96, q104, q105, q114)
 }

@@ -110,6 +110,26 @@ class CorpusOpsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("chunkDocuments: full coverage with exact overlap; short docs yield one chunk") {
+    val text10 = (1 to 10).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, text10), (2L, "solo")).toDF("doc_id", "text")
+    val out = CorpusOps.chunkDocuments(df, col("doc_id"), col("text"),
+        chunkTokens = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    val doc1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // starts 0,3,6,9 (step 3); last chunk is the single trailing token
+    assert(doc1.map(c => (c._3, c._4)).toSeq ==
+      Seq((0L, 4L), (3L, 4L), (6L, 4L), (9L, 1L)))
+    assert(doc1.head._5 == "w1 w2 w3 w4" && doc1.last._5 == "w10")
+    // consecutive chunks share exactly `overlap` tokens
+    assert(doc1(0)._5.split(" ").last == doc1(1)._5.split(" ").head)
+    // every token covered exactly: concat of chunks minus overlaps = doc
+    val rebuilt = doc1.map(_._5.split(" ")).reduce((a, b) => a ++ b.drop(1))
+    assert(rebuilt.toSeq == text10.split(" ").toSeq)
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 0L, 1L, "solo")))
+  }
+
   test("assignSplit weights normalize: (9,1) equals (0.9,0.1)") {
     val df = (1L to 500L).toDF("doc_id")
     val a = CorpusOps.assignSplit(df, col("doc_id"), Seq(("a", 9.0), ("b", 1.0)))
