@@ -198,5 +198,33 @@ object CorpusQueries {
              CAST(chunk_idx * 48 + 64 AS INT)), ' ') AS chunk_text
     FROM c ORDER BY doc_id, chunk_idx"""))
 
-  val list: Seq[Q] = Seq(q78, q79, q80, q96, q104, q105, q114)
+  /** The quantile sketch as a GROUPED aggregation — one summary per
+    * language, partial buffers merged map-side across partitions (the
+    * distributed path the global q105 never exercises). Exact regime
+    * again (per-group n << capacity), so per-group rank-selects
+    * hash-match the SQL mirror.
+    */
+  private val q115 = Q("q115_grouped_sketch_quantiles", (s, dir) => {
+    val qs = udaf(new graft.functions.QuantileSketchAggregator(8192, Seq(0.5, 0.9)))
+    Tables.load(s, dir, "documents")
+      .select(col("lang"), size(split(col("text"), " ")).cast("double").as("x"))
+      .groupBy(col("lang"))
+      .agg(qs(col("x")).as("_q"), count(lit(1)).as("n"))
+      .select(col("lang"),
+        element_at(col("_q"), 1).as("p50"),
+        element_at(col("_q"), 2).as("p90"),
+        col("n"))
+      .orderBy(col("lang"))
+  }, Some("""
+    WITH v AS (SELECT lang, CAST(len(string_split(text, ' ')) AS DOUBLE) AS x FROM documents),
+    o AS (SELECT lang, x, row_number() OVER (PARTITION BY lang ORDER BY x) AS rn,
+                 count(*) OVER (PARTITION BY lang) AS n
+          FROM v)
+    SELECT lang,
+           max(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1 THEN x END) AS p50,
+           max(CASE WHEN rn = CAST(floor(0.9 * (n - 1)) AS BIGINT) + 1 THEN x END) AS p90,
+           CAST(max(n) AS BIGINT) AS n
+    FROM o GROUP BY lang ORDER BY lang"""))
+
+  val list: Seq[Q] = Seq(q78, q79, q80, q96, q104, q105, q114, q115)
 }
