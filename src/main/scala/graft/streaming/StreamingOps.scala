@@ -197,6 +197,26 @@ object StreamingOps {
       .trigger(trigger)
       .start()
 
+  /** Compaction for [[maintainBandTable]]/[[screenAndMaintain]]'s
+    * band table: a long-running stream accretes one small
+    * `batchId=N` directory per micro-batch (the classic small-files
+    * problem); this rewrites the table into `outDir` with the SAME
+    * batchId partition column (so `screenAndMaintain`'s
+    * `batchId < N` replay filter keeps working against the compacted
+    * copy) but one consolidated file set per partition — swap the
+    * directories between streaming restarts. Returns the row count
+    * written so callers can assert the rewrite lost nothing.
+    */
+  def compactBandTable(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, outDir: String, filesPerPartition: Int = 1): Long = {
+    val t = spark.read.parquet(tableDir)
+      .select(col("doc_id"), col("band_key"), col("batchId"))
+    t.repartition(filesPerPartition, col("batchId"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("batchId").parquet(outDir)
+    spark.read.parquet(outDir).count()
+  }
+
   /** The full incremental-LSH loop in ONE streaming query: each
     * micro-batch (1) screens its documents against the band table AS
     * OF THE PREVIOUS batch and routes collision pairs to

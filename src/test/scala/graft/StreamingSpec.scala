@@ -539,6 +539,70 @@ class StreamingSpec extends SparkSpec {
     assert(stateOps == 0, s"stream side must be stateless, found $stateOps state operators")
   }
 
+  test("band-table compaction preserves rows, partitions and the incremental screen") {
+    import spark.implicits._
+    val base = tmp()
+    // accrete a 3-batch table via the maintenance stream
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different historical content about spark engines here"),
+      (3L, "third document with its own entirely distinct wording here today"))
+      .toDF("doc_id", "text")
+    (0 until 3).foreach { i =>
+      docs.filter(col("doc_id") === i + 1).write.mode("overwrite")
+        .parquet(s"$base/stage-$i")
+      val part = new java.io.File(s"$base/stage-$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.createDirectories(Paths.get(s"$base/in"))
+      val dst = new java.io.File(s"$base/in/f$i.parquet")
+      Files.copy(part.toPath, dst.toPath)
+      assert(dst.setLastModified(System.currentTimeMillis() - (5 - i) * 60000L))
+    }
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+    StreamingOps.maintainBandTable(stream, "doc_id", "text",
+      s"$base/bands", s"$base/ck").awaitTermination(120000)
+    val before = spark.read.parquet(s"$base/bands")
+    val beforeRows = before.collect().map(_.toSeq).toSet
+    val n = StreamingOps.compactBandTable(spark, s"$base/bands", s"$base/compact")
+    val after = spark.read.parquet(s"$base/compact")
+    assert(n == beforeRows.size.toLong)
+    assert(after.collect().map(_.toSeq).toSet == beforeRows,
+      "compaction changed table contents")
+    // batchId partition column survives, so the replay filter still works
+    assert(after.filter(col("batchId") < 2).select("doc_id").distinct()
+      .as[Long].collect().toSet == Set(1L, 2L))
+    // and the screen runs identically against the compacted copy
+    val dup = Seq((10L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val pairs = StreamingOps.nearDupAgainstHistory(dup,
+        after.select("doc_id", "band_key"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((10L, 1L)))
+  }
+
+  test("stateless curation metrics run unchanged on a document stream") {
+    // quality scoring / lang-ID / unigram-free signals are narrow
+    // projections, so the SAME operator code runs on a stream with no
+    // state store — the per-batch scoring step of a continuously-fed
+    // curation pipeline
+    val base = tmp()
+    val docs = Tables.load(spark, sfDir, "documents")
+    docs.write.mode("overwrite").parquet(s"$base/in")
+    val stream = spark.readStream.schema(docs.schema).parquet(s"$base/in")
+    val scored = graft.operators.TextAnalysis.qualityScore(stream, "text")
+    val q = scored.writeStream.outputMode("append").format("memory")
+      .queryName("quality_stream")
+      .option("checkpointLocation", s"$base/ck").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("quality_stream")
+    val want = graft.operators.TextAnalysis.qualityScore(docs, "text")
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty, "streamed quality scores diverged from batch")
+    val stateOps = Option(q.lastProgress).map(_.stateOperators.length).getOrElse(0)
+    assert(stateOps == 0, s"quality scoring must be stateless, found $stateOps")
+  }
+
   test("complete-mode aggregation: the full updated result table re-emits per trigger") {
     // append mode (everywhere else in this suite) only emits closed
     // windows; complete mode re-emits the WHOLE aggregate each
