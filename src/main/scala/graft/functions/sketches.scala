@@ -107,8 +107,13 @@ class QuantileSketchAggregator(capacity: Int, ps: Seq[Double])
 
   override def zero: Seq[Seq[Double]] = Seq(Vector.empty)
 
-  override def reduce(b: Seq[Seq[Double]], v: Double): Seq[Seq[Double]] =
-    compactAll(b.updated(0, b.head :+ v))
+  override def reduce(b: Seq[Seq[Double]], v: Double): Seq[Seq[Double]] = {
+    // hot per-row path: only level 0 can overflow from a single append,
+    // so skip the full level scan unless it actually did
+    val l0 = b.head :+ v
+    val updated = b.updated(0, l0)
+    if (l0.length > capacity) compactAll(updated) else updated
+  }
 
   override def merge(x: Seq[Seq[Double]], y: Seq[Seq[Double]]): Seq[Seq[Double]] = {
     val levels = math.max(x.length, y.length)

@@ -47,8 +47,9 @@ object Graph {
     * aggregate (no driver count); `localCheckpoint` truncates the
     * iterative lineage each round. Edges re-read per iteration —
     * persist the (small) edge list if it is not already a table.
-    * Iterations are FIXED (no convergence probe): zero driver-side
-    * actions in the whole computation.
+    * Iterations are FIXED — no convergence probe, no collect; the
+    * only driver-triggered jobs are the eager per-iteration
+    * `localCheckpoint` materializations that truncate the lineage.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int): DataFrame = {

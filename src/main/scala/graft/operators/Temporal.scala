@@ -32,6 +32,14 @@ object Temporal {
   def asofJoin(left: DataFrame, right: DataFrame, keyL: String, keyR: String,
       tsL: String, tsR: String, tieBreak: String,
       toleranceSec: Option[Long] = None): DataFrame = {
+    val reserved = Seq("_k", "_t", "_tb", "_side", "_lrow", "_rrow", "_m", "asof")
+    val clashes = (left.columns ++ right.columns).filter(reserved.contains).distinct
+    require(clashes.isEmpty,
+      s"asofJoin reserves column names ${reserved.mkString(", ")}; " +
+        s"rename the input columns ${clashes.mkString(", ")} first")
+    require(left.columns.contains(tieBreak) && right.columns.contains(tieBreak),
+      s"tieBreak column '$tieBreak' must exist in BOTH frames " +
+        s"(left has: ${left.columns.mkString(", ")}; right has: ${right.columns.mkString(", ")})")
     val l = left.select(col(keyL).as("_k"), col(tsL).as("_t"),
       col(tieBreak).as("_tb"), lit(1).as("_side"),
       struct(left.columns.map(col): _*).as("_lrow"))

@@ -88,12 +88,50 @@ object StreamingOps {
       lower: String, upper: String, joinType: String = "inner",
       leftDelay: Option[String] = None,
       rightDelay: Option[String] = None): DataFrame = {
+    val lo = intervalMicros(lower)
+    val hi = intervalMicros(upper)
+    require(lo <= hi,
+      s"interval bounds out of order: lower '$lower' ($lo us) > upper '$upper' ($hi us) — " +
+        "a swapped pair would silently match nothing")
     val l = leftDelay.fold(left)(d => left.withWatermark(tsL, d))
     val r = rightDelay.fold(right)(d => right.withWatermark(tsR, d))
     val cond = l(key._1) === r(key._2) &&
       r(tsR) >= l(tsL) + expr(s"INTERVAL '$lower'") &&
       r(tsR) <= l(tsL) + expr(s"INTERVAL '$upper'")
     l.join(r, cond, joinType)
+  }
+
+  /** Parse-and-validate for [[intervalJoin]]'s bound strings: accepts
+    * the day-time forms the operator documents (`'-1 hour'`,
+    * `'30 seconds'`, `'1 day 2 hours'`), returns total microseconds.
+    * Anything else — including a typo that `expr` would surface as an
+    * opaque plan-time parse error — fails here with the operator's own
+    * message. Month/year units are rejected: they have no fixed
+    * microsecond width, so they cannot bound stream-stream join state.
+    */
+  private val intervalUnitMicros: Map[String, Long] = Map(
+    "microsecond" -> 1L, "millisecond" -> 1000L, "second" -> 1000000L,
+    "minute" -> 60000000L, "hour" -> 3600000000L, "day" -> 86400000000L,
+    "week" -> 604800000000L)
+
+  private[graft] def intervalMicros(s: String): Long = {
+    val trimmed = s.trim
+    val neg = trimmed.startsWith("-")
+    val body = if (neg || trimmed.startsWith("+")) trimmed.tail.trim else trimmed
+    val part = """(\d+)\s+([a-zA-Z]+)""".r
+    val parts = part.findAllMatchIn(body).toList
+    val consumed = parts.map(_.matched).mkString(" ")
+    require(parts.nonEmpty && body.replaceAll("\\s+", " ") == consumed,
+      s"cannot parse interval '$s': expected e.g. '30 seconds', '-1 hour', '1 day 2 hours'")
+    val total = parts.map { m =>
+      val unit = m.group(2).toLowerCase.stripSuffix("s")
+      val micros = intervalUnitMicros.getOrElse(unit,
+        throw new IllegalArgumentException(
+          s"unsupported interval unit '${m.group(2)}' in '$s' " +
+            s"(supported: ${intervalUnitMicros.keys.toSeq.sorted.mkString(", ")})"))
+      m.group(1).toLong * micros
+    }.sum
+    if (neg) -total else total
   }
 
   /** Per-row MinHash LSH band keys — the STATELESS formulation of

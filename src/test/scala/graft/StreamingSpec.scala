@@ -367,6 +367,31 @@ class StreamingSpec extends SparkSpec {
     assert(stateOps == 1, s"expected one stateful join operator, got $stateOps")
   }
 
+  test("intervalJoin validates its bound strings at construction, not plan time") {
+    import spark.implicits._
+    val e = Seq((1L, java.sql.Timestamp.valueOf("2020-01-01 00:00:00")))
+    val l = e.toDF("cu", "c_ts")
+    val r = e.toDF("pu", "p_ts")
+    // swapped bounds: caught eagerly with a readable message
+    val swapped = intercept[IllegalArgumentException] {
+      StreamingOps.intervalJoin(l, r, ("cu", "pu"), "c_ts", "p_ts", "1 hour", "0 seconds")
+    }
+    assert(swapped.getMessage.contains("out of order"))
+    // malformed unit: caught here, not as an opaque Catalyst parse error
+    val bad = intercept[IllegalArgumentException] {
+      StreamingOps.intervalJoin(l, r, ("cu", "pu"), "c_ts", "p_ts", "0 sceonds", "1 hour")
+    }
+    assert(bad.getMessage.contains("sceond"))
+    // month units have no fixed width -> rejected
+    intercept[IllegalArgumentException] {
+      StreamingOps.intervalJoin(l, r, ("cu", "pu"), "c_ts", "p_ts", "0 seconds", "1 month")
+    }
+    // the parser agrees with the compound day-time forms the docs promise
+    assert(StreamingOps.intervalMicros("-1 hour") == -3600000000L)
+    assert(StreamingOps.intervalMicros("1 day 2 hours") == 93600000000L)
+    assert(StreamingOps.intervalMicros("30 seconds") == 30000000L)
+  }
+
   test("left-outer interval join: unmatched clicks emit null rows once the watermark closes their window") {
     import spark.implicits._
     val base = tmp()

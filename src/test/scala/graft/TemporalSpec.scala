@@ -46,6 +46,20 @@ class TemporalSpec extends SparkSpec {
     assert(got == Map(300L -> Some(101L), 301L -> None))
   }
 
+  test("asofJoin rejects reserved-name collisions and a missing tieBreak up front") {
+    val purchases = Seq((200L, 1L, ts(12))).toDF("event_id", "user_id", "ts")
+    val clash = purchases.withColumn("_side", lit(1))
+    val e1 = intercept[IllegalArgumentException] {
+      Temporal.asofJoin(clash, clicks, "user_id", "user_id", "ts", "ts", "event_id")
+    }
+    assert(e1.getMessage.contains("_side"))
+    val e2 = intercept[IllegalArgumentException] {
+      Temporal.asofJoin(purchases, clicks.withColumnRenamed("event_id", "click_id"),
+        "user_id", "user_id", "ts", "ts", "event_id")
+    }
+    assert(e2.getMessage.contains("BOTH frames"))
+  }
+
   test("asofJoin plans one shuffle on the key: no range-join explosion, no cartesian") {
     val purchases = Seq((200L, 1L, ts(12))).toDF("event_id", "user_id", "ts")
     val df = Temporal.asofJoin(purchases, clicks, "user_id", "user_id",
