@@ -436,4 +436,68 @@ object Similarity {
       trainKMeans(sub, idCol, "_sv", codes, iters, subDim)
         .select(lit(sIdx).as("subspace"), col("cell").as("code"), col("ctr").as("subvec"))
     }.reduce(_ union _)
+
+  /** Scalar int8 quantization, symmetric per-vector max-abs scale —
+    * the OTHER embedding-compression axis next to PQ (q91/q92): PQ
+    * trades recall for 32x, int8 keeps near-full recall at 4x (64
+    * bytes vs 256 for a 64-dim float vector) and integer dot products
+    * SIMD-vectorize. The standard serving-index layout (faiss
+    * `SQ8`-style).
+    *
+    *   scale  = max_i |x_i|                  (0 for the zero vector)
+    *   code_i = floor(x_i / scale * 127 + 0.5) clamped to [-127, 127]
+    *
+    * Every step is IEEE double arithmetic in a fixed order, so codes
+    * are bit-reproducible on any engine (q116's oracle replays them in
+    * SQL). Narrow per-row projection — composes with the scan, nothing
+    * shuffles.
+    */
+  def int8Quantize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val xs = transformArray(col(vecCol), x => abs(x.cast("double")))
+    df.withColumn("scale", array_max(xs))
+      .withColumn("codes",
+        when(col("scale") > 0, transformArray(col(vecCol), x =>
+          greatest(lit(-127L), least(lit(127L),
+            floor(x.cast("double") / col("scale") * 127 + lit(0.5)).cast("long")))
+            .cast("int")))
+        .otherwise(transformArray(col(vecCol), _ => lit(0))))
+      .select(col(idCol), col("codes"), col("scale"))
+  }
+
+  /** Approximate maximum-inner-product top-k over int8 codes: the
+    * integer dot product of the code arrays, rescaled by the two
+    * vectors' quantization scales, approximates the float dot product
+    * to within the quantization error. Ranking multiplies the exact
+    * integer dot by the neighbor's scale only (the query's scale is
+    * constant within its ranking — dropping it changes nothing and
+    * keeps the sort key's arithmetic minimal); ties break by neighbor
+    * id, so the ranking is fully deterministic cross-engine (q117).
+    *
+    * Scale shape: identical to [[bruteForceTopK]] (broadcast query
+    * set, one corpus scan, per-query window) but the scanned payload
+    * is 4x smaller and the inner loop is integer multiply-adds — the
+    * shape a 100 TB serving index actually ships. The integer dot of
+    * 64-dim int8 codes is <= 64*16129 < 2^21, exactly representable
+    * in double on every engine.
+    */
+  def int8TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val c = int8Quantize(corpus, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("codes").as("_cc"), col("scale").as("_cs"))
+    val q = int8Quantize(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("codes").as("_qc"), col("scale").as("_qs"))
+    val idot = aggregate(
+      zip_with(col("_qc"), col("_cc"), (x, y) => (x * y).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("_idot", idot)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy((col("_idot").cast("double") * col("_cs")).desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("_idot").as("idot"),
+        q6(col("_idot").cast("double") * col("_qs") * col("_cs") / lit(16129.0)).as("dot_approx"))
+  }
 }

@@ -56,5 +56,42 @@ object GraphQueries {
     r0 AS (SELECT node, CAST(1000000000 // nn AS BIGINT) AS rank_u FROM nodes CROSS JOIN n)${prIterCtes(3)}
     SELECT node, rank_u FROM r3 ORDER BY node"""))
 
-  val list: Seq[Q] = Seq(q102)
+  /** Per-node triangle counts on the same synthesized 50-node domain
+    * graph as q102. The operator runs the degree-ordered-orientation
+    * plan; the oracle enumerates triangles naively as a < b < c over
+    * the canonical edge list — the triangle SET is
+    * orientation-independent, so a plan bug (double-counted or missed
+    * wedges) surfaces as a count mismatch.
+    */
+  private val q118 = Q("q118_triangles", (s, dir) => {
+    val d = Tables.load(s, dir, "documents").select(col("doc_id"))
+    val edges = d.select((col("doc_id") % 50).as("src"),
+        ((col("doc_id") * 3 + 1) % 50).as("dst"))
+      .union(d.select((col("doc_id") % 50).as("src"),
+        ((col("doc_id") * 7 + 2) % 50).as("dst")))
+      .union(d.select((col("doc_id") % 50).as("src"),
+        ((col("doc_id") * 11 + 5) % 50).as("dst")))
+    Graph.triangles(edges, "src", "dst")
+      .orderBy(col("node"))
+  }, Some("""
+    WITH d AS (SELECT doc_id FROM documents),
+    e0 AS (
+      SELECT doc_id % 50 AS src, (doc_id * 3 + 1) % 50 AS dst FROM d
+      UNION ALL
+      SELECT doc_id % 50 AS src, (doc_id * 7 + 2) % 50 AS dst FROM d
+      UNION ALL
+      SELECT doc_id % 50 AS src, (doc_id * 11 + 5) % 50 AS dst FROM d),
+    e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM e0 WHERE src <> dst),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+    tn AS (
+      SELECT unnest([x, y, z]) AS node FROM tri)
+    SELECT node, count(*) AS n_triangles
+    FROM tn GROUP BY node ORDER BY node"""))
+
+  val list: Seq[Q] = Seq(q102, q118)
 }

@@ -432,5 +432,67 @@ object SimilarityQueries {
            floor(CAST(ed AS DOUBLE) / 1000000.0 * 1000000 + 0.5) / 1000000.0 AS exact_dist
     FROM rr WHERE rank <= 5 ORDER BY query_id, rank"""))
 
-  val list: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q62, q69, q73, q91, q92, q97, q103)
+  /** Shared CTE: per-vector int8 codes + max-abs scale, mirroring
+    * [[Similarity.int8Quantize]]'s exact arithmetic order
+    * ((x / scale) * 127, floor(+0.5), clamp).
+    */
+  private val int8Cte = """
+    sc AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+      FROM embeddings),
+    codes AS (
+      SELECT vec_id, scale,
+             CASE WHEN scale > 0 THEN
+               list_transform(embedding, x ->
+                 CAST(greatest(-127, least(127,
+                   CAST(floor(CAST(x AS DOUBLE) / scale * 127 + 0.5) AS BIGINT))) AS INT))
+             ELSE list_transform(embedding, x -> 0) END AS cd
+      FROM sc)"""
+
+  /** Int8 scalar quantization (faiss-SQ8-style): codes serialized to a
+    * string (the corpus convention for array outputs), scale quantized
+    * late. Bit-reproducible: every step is IEEE double in a fixed
+    * order on both engines.
+    */
+  private val q116 = Q("q116_int8_quantize", (s, dir) => {
+    Similarity.int8Quantize(Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
+      .select(col("vec_id"),
+        array_join(col("codes").cast("array<string>"), ",").as("codes_str"),
+        Similarity.q6(col("scale")).as("scale_q"))
+      .orderBy(col("vec_id"))
+  }, Some(s"""
+    WITH $int8Cte
+    SELECT vec_id, array_to_string(cd, ',') AS codes_str,
+           floor(scale * 1000000 + 0.5) / 1000000.0 AS scale_q
+    FROM codes ORDER BY vec_id"""))
+
+  /** Int8 approximate-MIPS top-k: integer code dot products, neighbor
+    * ranking by idot * neighbor_scale (query scale constant within a
+    * ranking), ties by id — fully deterministic cross-engine.
+    */
+  private val q117 = Q("q117_int8_topk", (s, dir) => {
+    val e = Tables.load(s, dir, "embeddings")
+    Similarity.int8TopK(e, e.filter(col("vec_id") % 97 === 0), "vec_id", "embedding", 5)
+      .orderBy(col("query_id"), col("rank"))
+  }, Some(s"""
+    WITH $int8Cte,
+    q AS (SELECT vec_id AS query_id, cd AS qc, scale AS qs FROM codes WHERE vec_id % 97 = 0),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_reduce(list_transform(range(1, 65),
+               i -> CAST(q.qc[i] AS BIGINT) * c.cd[i]), (x, y) -> x + y) AS idot,
+             q.qs, c.scale AS cs
+      FROM codes c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, idot,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY CAST(idot AS DOUBLE) * cs DESC, neighbor_id) AS rank,
+             floor(CAST(idot AS DOUBLE) * qs * cs / 16129.0 * 1000000 + 0.5) / 1000000.0 AS dot_approx
+      FROM scored)
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, idot, dot_approx
+    FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
+
+  val list: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q62, q69, q73, q91, q92, q97,
+    q103, q116, q117)
 }

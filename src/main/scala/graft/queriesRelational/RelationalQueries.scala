@@ -736,9 +736,36 @@ object RelationalQueries {
     WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
     ORDER BY o_orderkey"""))
 
+  /** 2-D Pareto frontier over parts: cheapest-and-smallest (price in
+    * exact cents, size integer). The operator runs the bucketed
+    * distributed plan (Skyline.scala); the oracle is the NOT-EXISTS
+    * domination definition — implementation-independent, so any
+    * bucketing/window bug surfaces as a row-set mismatch.
+    */
+  private val q119 = Q("q119_skyline", (s, dir) => {
+    val parts = t(s, dir, "part").select(col("p_partkey"), col("p_size"),
+      floor(col("p_retailprice") * 100 + lit(0.5)).cast("long").as("price_c"))
+    graft.operators.Skyline.skyline2D(parts, col("price_c"), col("p_size"),
+        bucketWidth = 10000L)
+      .select(col("p_partkey"), col("price_c"), col("p_size"))
+      .orderBy(col("p_partkey"))
+  }, Some("""
+    WITH p AS (
+      SELECT p_partkey, CAST(p_size AS INT) AS p_size,
+             CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_c
+      FROM part)
+    SELECT p_partkey, price_c, p_size
+    FROM p r
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p s
+      WHERE s.price_c <= r.price_c AND s.p_size <= r.p_size
+        AND (s.price_c < r.price_c OR s.p_size < r.p_size))
+    ORDER BY p_partkey"""))
+
   val list: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q60, q61, q65, q66, q67, q76, q86, q107)
+    q25, q26, q27, q28, q29, q30, q60, q61, q65, q66, q67, q76, q86, q107,
+    q119)
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
     list.map(q => q.name -> q.fn).toMap

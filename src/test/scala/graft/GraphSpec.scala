@@ -40,4 +40,30 @@ class GraphSpec extends SparkSpec {
     val r2 = ranks(Seq((1L, 2L), (2L, 1L)), 2)
     assert(r1 == r2)
   }
+
+  private def tris(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.triangles(edges.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long)].collect().toMap
+
+  test("triangles: K4 has four triangles, every node in three; stars have none") {
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assert(tris(k4) == (1L to 4L).map(_ -> 3L).toMap)
+    // star hub: high degree, zero triangles -> empty result, and the
+    // orientation means the hub contributes zero wedges
+    val star = (1L to 6L).map(i => (0L, i))
+    assert(tris(star).isEmpty)
+  }
+
+  test("triangles: reversed/parallel/self edges collapse to one undirected edge") {
+    val clean = tris(Seq((1L, 2L), (2L, 3L), (3L, 1L)))
+    val noisy = tris(Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 3L), (1L, 1L)))
+    assert(clean == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    assert(noisy == clean)
+  }
+
+  test("triangles: two triangles sharing an edge credit the shared nodes twice") {
+    // {1,2,3} and {2,3,4} share edge (2,3)
+    val r = tris(Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L), (3L, 4L)))
+    assert(r == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
 }

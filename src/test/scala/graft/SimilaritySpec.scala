@@ -218,6 +218,53 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq == Seq((10L, 1)))
   }
 
+  test("int8Quantize: dequantization error bounded by half a quantization step; zero vector safe") {
+    val e = Tables.load(spark, sfDir, "embeddings").limit(100)
+    val rows = Similarity.int8Quantize(e, "vec_id", "embedding")
+      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .collect()
+    rows.foreach { r =>
+      val codes = r.getSeq[Int](r.fieldIndex("codes"))
+      val scale = r.getDouble(r.fieldIndex("scale"))
+      val orig = r.getSeq[Float](r.fieldIndex("embedding"))
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      // max-abs element must hit +/-127 exactly
+      assert(codes.exists(c => math.abs(c) == 127), s"scale element must saturate: $codes")
+      val step = scale / 127.0
+      codes.zip(orig).foreach { case (c, x) =>
+        assert(math.abs(c * step - x) <= step / 2 + 1e-12,
+          s"dequant error ${math.abs(c * step - x)} exceeds half-step ${step / 2}")
+      }
+    }
+    // zero vector: scale 0, all-zero codes, no division blowup
+    val z = Seq((1L, Array(0f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val zr = Similarity.int8Quantize(z, "vec_id", "embedding").collect().head
+    assert(zr.getDouble(zr.fieldIndex("scale")) == 0.0)
+    assert(zr.getSeq[Int](zr.fieldIndex("codes")).forall(_ == 0))
+  }
+
+  test("int8TopK recall vs exact float dot-product top-k stays high") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val queries = e.filter(col("vec_id") % 97 === 0)
+    val approx = Similarity.int8TopK(e, queries, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // exact MIPS reference: rank by true float dot product
+    val exact = {
+      val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("_qv"))
+      val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("_cv"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+        .orderBy(Similarity.dot(col("_qv"), col("_cv")).desc, col("neighbor_id"))
+      c.crossJoin(broadcast(q)).filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select(col("query_id"), col("neighbor_id")).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    }
+    val recalls = exact.map { case (q, want) => approx(q).intersect(want).size / 5.0 }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"mean recall@5 $mean < 0.8 (per-query: $recalls)")
+  }
+
   test("trainKMeans: inertia decreases monotonically and training is deterministic") {
     val e = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
     val inertias = Seq(0, 1, 2).map { it =>
