@@ -123,4 +123,38 @@ object Quantiles {
     }
     picked.select((col("_g") +: outs :+ col("_n").as("n")): _*)
   }
+
+  /** Robust per-group outlier detection: flag rows whose absolute
+    * deviation from the group MEDIAN exceeds `k` times the group's
+    * MAD (median absolute deviation) — the mean/stddev z-score's
+    * robust sibling: one colossal outlier shifts a mean and inflates
+    * a stddev enough to mask its peers (masking), while the median
+    * and MAD ignore it. The standard guardrail for metric monitoring
+    * and training-data value screening.
+    *
+    * Output: the input rows that are outliers, plus `med` and `mad`
+    * columns. Pass integer-valued data (cents grids) and both medians
+    * are exact .0/.5 doubles, so the k*MAD comparison is reproducible
+    * on any engine (q123).
+    *
+    * Cost: two [[exactPercentiles]] rounds (two scans each — median
+    * of values, then median of deviations, which needs the first
+    * median joined back) + one final flag scan: five scans, kilobyte
+    * shuffles, nothing resembling a sort of the data. Cache/persist
+    * the input upstream if scans dominate. The med/mad tables are one
+    * row per group — always broadcast.
+    */
+  def robustOutliers(df: DataFrame, group: Column, value: Column,
+      k: Double = 3.0): DataFrame = {
+    val base = df.withColumn("_rg", group).withColumn("_rv", value.cast("double"))
+    val med = exactPercentiles(base, col("_rg"), col("_rv"), Seq(("med", 0.5)))
+      .select(col("_g").as("_rg"), col("med"))
+    val withMed = base.join(broadcast(med), "_rg")
+    val mad = exactPercentiles(withMed, col("_rg"),
+        abs(col("_rv") - col("med")), Seq(("mad", 0.5)))
+      .select(col("_g").as("_rg"), col("mad"))
+    withMed.join(broadcast(mad), "_rg")
+      .filter(abs(col("_rv") - col("med")) > lit(k) * col("mad"))
+      .drop("_rg", "_rv")
+  }
 }

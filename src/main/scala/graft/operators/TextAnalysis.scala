@@ -144,4 +144,38 @@ object TextAnalysis {
       .select(col(idCol), col("n_tokens"),
         (floor(col("_ssum").cast("double") / col("n_tokens") + lit(0.5)) / lit(1e6)).as("mean_nll"))
   }
+
+  /** Per-document token-distribution stats — the cheap lexical-
+    * diversity filters a corpus pipeline runs next to [[qualityScore]]:
+    * keyword-stuffed/boilerplate pages have low entropy and low
+    * type-token ratio; organic prose sits high on both.
+    *
+    *  - `entropy_unat`: Shannon entropy of the WITHIN-document token
+    *    distribution in integer micro-nats, via
+    *    H = ln(n) - (1/n) * sum_t c_t ln(c_t). Each c*ln(c) term is
+    *    quantized to the micro-nat grid BEFORE summing (q101's
+    *    discipline), and the division is integer floor-div — so
+    *    aggregation order can never perturb the result and any engine
+    *    replays it exactly.
+    *  - `ttr_pm`: type-token ratio in integer per-mille
+    *    (n_types * 1000 div n_tokens) — pure integer arithmetic.
+    *
+    * Scale: explode + two doc_id-keyed aggregations; the shuffle
+    * carries (doc_id, term) counters, map-side combined. No global
+    * state, no vocabulary table.
+    */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def ldiv(a: Column, b: Column): Column = ((a - (a % b)) / b).cast("long")
+    val freq = df.select(col(idCol), explode(tokens(textCol)).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("_c"))
+    freq.groupBy(col(idCol))
+      .agg(sum(col("_c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(floor(col("_c").cast("double") * log(col("_c").cast("double")) * 1e6 + lit(0.5))
+          .cast("long")).as("_clc"))
+      .select(col(idCol), col("n_tokens"), col("n_types"),
+        ldiv(col("n_types") * 1000, col("n_tokens")).as("ttr_pm"),
+        (floor(log(col("n_tokens").cast("double")) * 1e6 + lit(0.5)).cast("long") -
+          ldiv(col("_clc"), col("n_tokens"))).as("entropy_unat"))
+  }
 }

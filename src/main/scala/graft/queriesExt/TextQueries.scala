@@ -292,5 +292,25 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }, None)
 
-  val list: Seq[Q] = Seq(q51, q52, q53, q54, q55, q56, q74, q89, q100, q101, q108, q112)
+  /** Lexical-diversity stats: within-doc token entropy on the integer
+    * micro-nat grid (each c*ln(c) term quantized before summing —
+    * q101's discipline) + integer per-mille type-token ratio.
+    */
+  private val q120 = Q("q120_token_entropy", (s, dir) => {
+    TextAnalysis.tokenEntropy(Tables.load(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }, Some("""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    f AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY doc_id, term),
+    d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                 CAST(count(*) AS BIGINT) AS n_types,
+                 CAST(sum(CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS clc
+          FROM f GROUP BY doc_id)
+    SELECT doc_id, n_tokens, n_types,
+           (n_types * 1000) // n_tokens AS ttr_pm,
+           CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) - clc // n_tokens AS entropy_unat
+    FROM d ORDER BY doc_id"""))
+
+  val list: Seq[Q] = Seq(q51, q52, q53, q54, q55, q56, q74, q89, q100, q101, q108, q112,
+    q120)
 }

@@ -762,10 +762,53 @@ object RelationalQueries {
         AND (s.price_c < r.price_c OR s.p_size < r.p_size))
     ORDER BY p_partkey"""))
 
+  /** Robust median/MAD outlier detection per order priority (operator:
+    * Quantiles.robustOutliers — five scans, kilobyte shuffles, no data
+    * sort). Prices ride the exact cents grid, so med/mad are exact
+    * .0/.5 doubles and the k*MAD threshold is engine-independent. The
+    * oracle replays the same interpolated rank-select median twice.
+    */
+  private val q123 = Q("q123_robust_outliers", (s, dir) => {
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+      floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("price_c"))
+    graft.operators.Quantiles.robustOutliers(o, col("o_orderpriority"), col("price_c"), k = 2.0)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("price_c"),
+        col("med"), col("mad"))
+      .orderBy(col("o_orderkey"))
+  }, Some("""
+    WITH o AS (SELECT o_orderkey, o_orderpriority AS g,
+                      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+               FROM orders),
+    r AS (SELECT *, CAST(price_c AS DOUBLE) AS v,
+                 row_number() OVER (PARTITION BY g ORDER BY price_c) AS rn,
+                 count(*) OVER (PARTITION BY g) AS n
+          FROM o),
+    m AS (SELECT g,
+                 max(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1 THEN v END) AS vlo,
+                 max(CASE WHEN rn = least(CAST(floor(0.5 * (n - 1)) AS BIGINT) + 2, n) THEN v END) AS vhi,
+                 max(0.5 * (n - 1) - floor(0.5 * (n - 1))) AS frac
+          FROM r GROUP BY g),
+    medt AS (SELECT g, vlo + (vhi - vlo) * frac AS med FROM m),
+    a AS (SELECT o.*, medt.med, abs(CAST(o.price_c AS DOUBLE) - medt.med) AS av
+          FROM o JOIN medt ON o.g = medt.g),
+    r2 AS (SELECT *, row_number() OVER (PARTITION BY g ORDER BY av) AS rn2,
+                  count(*) OVER (PARTITION BY g) AS n2
+           FROM a),
+    m2 AS (SELECT g,
+                  max(CASE WHEN rn2 = CAST(floor(0.5 * (n2 - 1)) AS BIGINT) + 1 THEN av END) AS vlo,
+                  max(CASE WHEN rn2 = least(CAST(floor(0.5 * (n2 - 1)) AS BIGINT) + 2, n2) THEN av END) AS vhi,
+                  max(0.5 * (n2 - 1) - floor(0.5 * (n2 - 1))) AS frac
+           FROM r2 GROUP BY g),
+    madt AS (SELECT g, vlo + (vhi - vlo) * frac AS mad FROM m2)
+    SELECT a.o_orderkey, a.g AS o_orderpriority, a.price_c, a.med, madt.mad
+    FROM a JOIN madt ON a.g = madt.g
+    WHERE a.av > 2.0 * madt.mad
+    ORDER BY a.o_orderkey"""))
+
   val list: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q60, q61, q65, q66, q67, q76, q86, q107,
-    q119)
+    q119, q123)
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
     list.map(q => q.name -> q.fn).toMap

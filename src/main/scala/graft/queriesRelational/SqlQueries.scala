@@ -280,5 +280,61 @@ object SqlQueries {
     s.sql(valueShareSql)
   }, Some(valueShareSql))
 
-  val list: Seq[Q] = Seq(q57, q58, q59, q68, q70, q71, q72, q88, q109, q110, q111)
+  /** TPC-H Q21-shaped "sole late supplier": suppliers whose late
+    * shipment (60-day ship-lag proxy — this schema carries no
+    * commit/receipt dates) was the ONLY late one in a finished
+    * multi-supplier order. The structural workout is the pair of
+    * correlated subqueries — one EXISTS, one NOT EXISTS, both also
+    * referencing the outer o_orderdate — that Catalyst must
+    * de-correlate into semi/anti joins over lineitem.
+    */
+  private val soleLateSupplierSql = """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name"""
+  private val q121 = Q("q121_sole_late_supplier", (s, dir) => {
+    Tables.registerAll(s, dir)
+    s.sql(soleLateSupplierSql)
+  }, Some(soleLateSupplierSql))
+
+  /** TPC-H Q22-shaped "lapsed high-balance customers": above-average
+    * balance, no order since mid-2000, counted per nation. The
+    * above-average comparison cross-multiplies integer cents
+    * (cents * n > total_cents) so no engine ever divides — the
+    * boundary customer lands on the same side everywhere.
+    */
+  private val lapsedCustomersSql = """
+    WITH ab AS (
+      SELECT CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_c,
+             count(*) AS n
+      FROM customer WHERE c_acctbal > 0.0)
+    SELECT c_nationkey, count(*) AS numcust,
+           CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS totacctbal
+    FROM customer, ab
+    WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) * n > total_c
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey"""
+  private val q122 = Q("q122_lapsed_customers", (s, dir) => {
+    Tables.registerAll(s, dir)
+    s.sql(lapsedCustomersSql)
+  }, Some(lapsedCustomersSql))
+
+  val list: Seq[Q] = Seq(q57, q58, q59, q68, q70, q71, q72, q88, q109, q110, q111,
+    q121, q122)
 }

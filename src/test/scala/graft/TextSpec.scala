@@ -28,6 +28,40 @@ class TextSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("tokenEntropy: constant doc scores zero, uniform doc scores ln(n_types), stuffing lowers both") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spam spam spam spam"),              // one type: H = 0, ttr 250
+      (2L, "one two three four"),               // uniform: H = ln(4)
+      (3L, "buy buy buy buy buy buy now now"))  // skewed 6/2 of 8
+      .toDF("id", "text")
+    val out = TextAnalysis.tokenEntropy(df, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == (4L, 1L, 250L, 0L))
+    assert(out(2L)._4 == math.round(math.log(4.0) * 1e6), s"uniform entropy: ${out(2L)}")
+    assert(out(2L)._3 == 1000L)
+    // skewed: H = ln(8) - (6 ln 6 + 2 ln 2)/8, strictly between 0 and ln(2 types)
+    assert(out(3L)._4 > 0L && out(3L)._4 < math.round(math.log(2.0) * 1e6))
+  }
+
+  test("robustOutliers: median/MAD flags the planted spike that a masked stddev would keep") {
+    import spark.implicits._
+    // 20 inliers around 1000 + eight 30x spikes. The spike GROUP
+    // inflates mean and stddev enough that no single spike clears
+    // |x-mean| > 2*sd (classic masking); median/MAD flags all eight.
+    val spikes = (91L to 98L).map(i => (i, 30000L))
+    val xs = (1L to 20L).map(i => (i, 990L + i)) ++ spikes
+    val df = xs.toDF("id", "v")
+    val flagged = graft.operators.Quantiles.robustOutliers(df, lit("g"), col("v"), k = 2.0)
+      .select("id").as[Long].collect().toSet
+    assert(flagged == spikes.map(_._1).toSet, s"MAD must flag exactly the spikes: $flagged")
+    val stats = df.agg(avg(col("v")), stddev_pop(col("v"))).head()
+    val (mean, sd) = (stats.getDouble(0), stats.getDouble(1))
+    val zFlagged = xs.filter { case (_, v) => math.abs(v - mean) > 2.0 * sd }.map(_._1).toSet
+    assert(zFlagged.isEmpty, s"masking premise broken — z-score caught $zFlagged")
+  }
+
   test("compressionRatio on the fixture corpus: plan is a narrow projection, values populated") {
     val docs = Tables.load(spark, sfDir, "documents")
     val out = TextAnalysis.compressionRatio(docs, "doc_id", "text")
