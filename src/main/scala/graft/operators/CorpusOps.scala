@@ -140,6 +140,67 @@ object CorpusOps {
           lit(chunkTokens)), " ").as("chunk_text"))
   }
 
+  /** Nucleus (top-p) selection per group: keep the heaviest rows of
+    * each group until they cover fraction p of the group's total
+    * weight — the corpus-shaping move that keeps "the documents
+    * carrying 80% of the tokens" per language/source (and the exact
+    * analogue of nucleus sampling's token cutoff). A row survives iff
+    * the cumulative weight STRICTLY BEFORE it (weight-descending,
+    * id-ascending) is under p * total — so the boundary row that
+    * crosses p is kept and every group keeps >= 1 row.
+    *
+    * p rides an integer per-mille and the test cross-multiplies
+    * (cum_before * 1000 < pPermille * total): pure integer arithmetic,
+    * no engine ever divides (q125). One shuffle on the group key; the
+    * windows are per-group running sums.
+    */
+  def topP(df: DataFrame, groupCol: Column, idCol: Column, weightCol: Column,
+      pPermille: Int): DataFrame = {
+    require(pPermille > 0 && pPermille <= 1000,
+      s"pPermille must be in (0, 1000], got $pPermille")
+    val byG = Window.partitionBy(col("_tp_g"))
+    val wBefore = byG.orderBy(col("_tp_w").desc, col("_tp_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("_tp_g", groupCol)
+      .withColumn("_tp_id", idCol)
+      .withColumn("_tp_w", weightCol.cast("long"))
+      .withColumn("_tp_cumb", coalesce(sum(col("_tp_w")).over(wBefore), lit(0L)))
+      .withColumn("_tp_total", sum(col("_tp_w")).over(byG))
+      .filter(col("_tp_cumb") * 1000 < lit(pPermille.toLong) * col("_tp_total"))
+      .drop("_tp_g", "_tp_id", "_tp_w", "_tp_cumb", "_tp_total")
+  }
+
+  /** Deterministic weighted sampling without replacement, k per group
+    * (Efraimidis-Spirakis in its exponential-race form): each row gets
+    * key = -ln(u) / w with u a hash48-derived uniform in (0, 1], and
+    * the k smallest keys per group win — inclusion probability
+    * proportional to weight, exactly the "sample 50 docs per language,
+    * favoring long ones" primitive. Hash-derived u (not rand()) makes
+    * the sample identical on every engine, run, and partitioning —
+    * the same reproducibility contract as [[stratifiedSample]].
+    *
+    * Determinism: -ln(u) is quantized to integer micro-nats (the q101
+    * grid, absorbing cross-libm ulp differences), and the sort key is
+    * ONE IEEE division e_unat / w — bit-identical everywhere; ties
+    * break by id. Narrow hash + per-group top-k window; the shuffle
+    * carries the group key only (q126).
+    */
+  def weightedSample(df: DataFrame, idCol: Column, weightCol: Column,
+      groupCol: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (Dedup.hash48(idCol.cast("string")).cast("double") + 1.0) /
+      lit(281474976710656.0) // 2^48
+    val eUnat = floor(-log(u) * 1e6 + lit(0.5)).cast("long")
+    val w = Window.partitionBy(col("_ws_g"))
+      .orderBy(col("_ws_key"), col("_ws_id"))
+    df.withColumn("_ws_g", groupCol)
+      .withColumn("_ws_id", idCol)
+      .withColumn("_ws_key", eUnat.cast("double") / weightCol.cast("double"))
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+      .drop("_ws_g", "_ws_id", "_ws_key")
+  }
+
   /** Context-window sequence packing, contiguous-chop style: within
     * each shard (`shardCol`), lay documents end-to-end in `orderCol`
     * order and cut every `budget` tokens. Each document reports its

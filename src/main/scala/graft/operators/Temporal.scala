@@ -24,14 +24,26 @@ import org.apache.spark.sql.functions._
 object Temporal {
 
   /** @param tieBreak   column name present in BOTH frames (unique id)
-    * @param toleranceSec match only if left.ts - right.ts <= this
+    * @param toleranceSec match only if the signed time gap (left-right
+    *        for backward, right-left for forward) is <= this
+    * @param direction  "backward" (default): most recent right row
+    *        at-or-BEFORE each left row — pandas merge_asof's default;
+    *        "forward": earliest right row at-or-AFTER — the
+    *        "next event" lookup (purchase -> next support contact).
+    *        Forward is the same one-shuffle window composition run
+    *        over the mirrored ordering (ts DESC, right-before-left at
+    *        ties, tieBreak DESC so ties resolve to the SMALLEST right
+    *        id — the mirror image of backward's largest-id rule).
     * @return left rows (original columns) + `asof`: the matched right
     *         row as a struct, null when nothing matched (or nothing
     *         within tolerance)
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyL: String, keyR: String,
       tsL: String, tsR: String, tieBreak: String,
-      toleranceSec: Option[Long] = None): DataFrame = {
+      toleranceSec: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be 'backward' or 'forward', got '$direction'")
     val reserved = Seq("_k", "_t", "_tb", "_side", "_lrow", "_rrow", "_m", "asof")
     val clashes = (left.columns ++ right.columns).filter(reserved.contains).distinct
     require(clashes.isEmpty,
@@ -47,18 +59,23 @@ object Temporal {
       col(tieBreak).as("_tb"), lit(0).as("_side"),
       struct(right.columns.map(col): _*).as("_rrow"))
     val u = l.unionByName(r, allowMissingColumns = true)
-    val w = Window.partitionBy(col("_k"))
-      .orderBy(col("_t"), col("_side"), col("_tb"))
+    val w = (if (direction == "backward")
+        Window.partitionBy(col("_k")).orderBy(col("_t"), col("_side"), col("_tb"))
+      else
+        Window.partitionBy(col("_k")).orderBy(col("_t").desc, col("_side"), col("_tb").desc))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = u
       .withColumn("_m", last(col("_rrow"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
     val gated = toleranceSec match {
       case Some(tol) =>
+        val gap =
+          if (direction == "backward")
+            unix_micros(col("_t")) - unix_micros(col("_m").getField(tsR))
+          else
+            unix_micros(col("_m").getField(tsR)) - unix_micros(col("_t"))
         matched.withColumn("_m",
-          when(col("_m").isNotNull &&
-            unix_micros(col("_t")) - unix_micros(col("_m").getField(tsR)) <= tol * 1000000L,
-            col("_m")))
+          when(col("_m").isNotNull && gap <= tol * 1000000L, col("_m")))
       case None => matched
     }
     gated.select((left.columns.map(c => col(s"_lrow.`$c`")) :+ col("_m").as("asof")): _*)

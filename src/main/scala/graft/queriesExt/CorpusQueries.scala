@@ -226,5 +226,49 @@ object CorpusQueries {
            CAST(max(n) AS BIGINT) AS n
     FROM o GROUP BY lang ORDER BY lang"""))
 
-  val list: Seq[Q] = Seq(q78, q79, q80, q96, q104, q105, q114, q115)
+  /** Nucleus (top-p) corpus selection: per language, the heaviest
+    * documents covering 80% of the characters. Integer cross-multiplied
+    * cumulative test — no division anywhere.
+    */
+  private val q125 = Q("q125_top_p", (s, dir) => {
+    CorpusOps.topP(Tables.load(s, dir, "documents"),
+        col("lang"), col("doc_id"), col("n_chars"), pPermille = 800)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }, Some("""
+    WITH b AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS w FROM documents),
+    c AS (SELECT doc_id, lang, w,
+                 CAST(coalesce(sum(w) OVER (PARTITION BY lang ORDER BY w DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumb,
+                 CAST(sum(w) OVER (PARTITION BY lang) AS BIGINT) AS total
+          FROM b)
+    SELECT doc_id, lang, w AS n_chars
+    FROM c WHERE cumb * 1000 < 800 * total ORDER BY doc_id"""))
+
+  /** Weighted sampling without replacement: 50 docs per language,
+    * inclusion odds proportional to length (Efraimidis-Spirakis
+    * exponential race over hash-derived uniforms). The oracle replays
+    * u, the micro-nat quantized -ln(u), and the single IEEE division.
+    */
+  private val q126 = Q("q126_weighted_sample", (s, dir) => {
+    CorpusOps.weightedSample(Tables.load(s, dir, "documents"),
+        col("doc_id"), col("n_chars"), col("lang"), k = 50)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("sample_rank"))
+      .orderBy(col("doc_id"))
+  }, Some("""
+    WITH h AS (
+      SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS hv
+      FROM documents),
+    k AS (SELECT *,
+                 CAST(floor(-ln((CAST(hv AS DOUBLE) + 1) / 281474976710656.0) * 1000000 + 0.5) AS BIGINT) AS e_unat
+          FROM h),
+    r AS (SELECT *,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY CAST(e_unat AS DOUBLE) / CAST(n_chars AS DOUBLE), doc_id) AS rn
+          FROM k)
+    SELECT doc_id, lang, n_chars, CAST(rn AS INT) AS sample_rank
+    FROM r WHERE rn <= 50 ORDER BY doc_id"""))
+
+  val list: Seq[Q] = Seq(q78, q79, q80, q96, q104, q105, q114, q115, q125, q126)
 }

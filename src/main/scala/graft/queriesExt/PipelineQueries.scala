@@ -122,5 +122,41 @@ object PipelineQueries {
                 THEN last_click_id END AS click_id
     FROM m WHERE side = 1 ORDER BY purchase_id"""))
 
-  val list: Seq[Q] = Seq(q63, q64, q113)
+  /** FORWARD as-of join: each purchase matched to the EARLIEST click
+    * at-or-after it within 30 minutes (the "next event after" lookup).
+    * Same operator, mirrored ordering — the oracle replays the DESC
+    * window with the operator's exact (ts DESC, side, id DESC) order
+    * and forward tolerance gate.
+    */
+  private val q124 = Q("q124_asof_forward", (s, dir) => {
+    val events = Tables.events(s, dir)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.operators.Temporal.asofJoin(purchases, clicks, "user_id", "user_id",
+        "ts", "ts", tieBreak = "event_id", toleranceSec = Some(1800L),
+        direction = "forward")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("asof.event_id").as("click_id"))
+      .orderBy(col("purchase_id"))
+  }, Some("""
+    WITH s AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side
+      FROM events WHERE event_type IN ('purchase', 'click')),
+    m AS (
+      SELECT *,
+             last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS) OVER w AS next_click_id,
+             last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS) OVER w AS next_click_ts
+      FROM s
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts DESC, side, event_id DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT event_id AS purchase_id, user_id,
+           CASE WHEN next_click_ts IS NOT NULL
+                 AND epoch_us(next_click_ts) - epoch_us(ts) <= 1800 * 1000000
+                THEN next_click_id END AS click_id
+    FROM m WHERE side = 1 ORDER BY purchase_id"""))
+
+  val list: Seq[Q] = Seq(q63, q64, q113, q124)
 }

@@ -141,4 +141,44 @@ class CorpusOpsSpec extends SparkSpec {
       CorpusOps.assignSplit(df, col("doc_id"), Seq(("a", 0.5), ("b", -0.1)))
     }
   }
+
+  test("topP keeps the heaviest prefix crossing p, at least one row per group") {
+    import spark.implicits._
+    // group g: weights 50, 30, 15, 5 (total 100). p=0.8: cum-before
+    // 0, 50, 80, 95 -> keep 50, 30 and the BOUNDARY row 15 (80 < 80
+    // is false)... cum_before*1000 < 800*100 -> 80000 < 80000 false:
+    // row 15 drops. p=0.81 keeps it.
+    val df = Seq((1L, "g", 50L), (2L, "g", 30L), (3L, "g", 15L), (4L, "g", 5L),
+      (9L, "h", 7L)).toDF("id", "grp", "w")
+    def ids(p: Int) = CorpusOps.topP(df, col("grp"), col("id"), col("w"), p)
+      .select("id").as[Long].collect().toSet
+    assert(ids(800) == Set(1L, 2L, 9L))
+    assert(ids(810) == Set(1L, 2L, 3L, 9L))
+    // singleton group always survives even at tiny p
+    assert(ids(1) == Set(1L, 9L))
+  }
+
+  test("weightedSample: k per group, deterministic, and heavier rows win more slots") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents")
+    def run() = CorpusOps.weightedSample(docs, col("doc_id"), col("n_chars"),
+        col("lang"), k = 50)
+      .select(col("lang"), col("doc_id")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val s1 = run()
+    assert(s1 == run(), "hash-derived sampling must be run-stable")
+    s1.foreach { case (lang, ids) =>
+      val total = docs.filter(col("lang") === lang).count()
+      assert(ids.size == math.min(50L, total),
+        s"$lang: got ${ids.size} of expected ${math.min(50L, total)}")
+    }
+    // weighting bias: the sampled docs' mean length exceeds the corpus
+    // mean (length-proportional inclusion)
+    val sampledMean = CorpusOps.weightedSample(docs, col("doc_id"), col("n_chars"),
+        col("lang"), k = 50)
+      .agg(avg(col("n_chars"))).head().getDouble(0)
+    val corpusMean = docs.agg(avg(col("n_chars"))).head().getDouble(0)
+    assert(sampledMean > corpusMean,
+      s"weighted sample mean $sampledMean must exceed corpus mean $corpusMean")
+  }
 }

@@ -46,6 +46,33 @@ class TemporalSpec extends SparkSpec {
     assert(got == Map(300L -> Some(101L), 301L -> None))
   }
 
+  test("asofJoin forward: earliest at-or-after right row; ties to the smallest id; forward tolerance") {
+    val purchases = Seq(
+      (300L, 1L, ts(5)),   // between clicks -> next is 101 (t=10)
+      (301L, 1L, ts(10)),  // exactly concurrent -> 101 matches
+      (302L, 1L, ts(11)),  // after the last click -> no match
+      (303L, 2L, ts(0)),   // user 2: next click 102 at t=5
+      (304L, 3L, ts(0)))   // no clicks -> no match
+      .toDF("event_id", "user_id", "ts")
+    def fwd(tol: Option[Long]) =
+      Temporal.asofJoin(purchases, clicks, "user_id", "user_id", "ts", "ts",
+          tieBreak = "event_id", toleranceSec = tol, direction = "forward")
+        .select(col("event_id"), col("asof.event_id").as("m"))
+        .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(fwd(None) == Map(300L -> Some(101L), 301L -> Some(101L),
+      302L -> None, 303L -> Some(102L), 304L -> None))
+    // 4-minute tolerance: purchase 300 (gap 5 min) drops; 303 (gap 5) drops
+    assert(fwd(Some(240L)) == Map(300L -> None, 301L -> Some(101L),
+      302L -> None, 303L -> None, 304L -> None))
+    // equal-timestamp right rows tie to the SMALLEST id
+    val twoClicks = Seq((200L, 9L, ts(10)), (201L, 9L, ts(10))).toDF("event_id", "user_id", "ts")
+    val p = Seq((310L, 9L, ts(3))).toDF("event_id", "user_id", "ts")
+    val got = Temporal.asofJoin(p, twoClicks, "user_id", "user_id", "ts", "ts",
+        tieBreak = "event_id", direction = "forward")
+      .select(col("asof.event_id")).collect().head.getLong(0)
+    assert(got == 200L, s"forward tie must resolve to the smallest right id, got $got")
+  }
+
   test("asofJoin rejects reserved-name collisions and a missing tieBreak up front") {
     val purchases = Seq((200L, 1L, ts(12))).toDF("event_id", "user_id", "ts")
     val clash = purchases.withColumn("_side", lit(1))
