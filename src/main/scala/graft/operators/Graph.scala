@@ -125,4 +125,39 @@ object Graph {
     closed.select(explode(array(col("_s"), col("_v"), col("_w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Fixed-iteration k-core peeling: repeatedly delete nodes with
+    * undirected degree < k (each deletion can drop a neighbor under
+    * k, hence the iteration). The k-core is the classic "dense
+    * engaged community" extractor — link-farm leaves and drive-by
+    * pages fall out, densely interlinked hubs survive. Returns
+    * (node, deg): the degree each surviving node has in the induced
+    * subgraph after `iters` peels.
+    *
+    * Like [[pageRank]], iterations are FIXED (no convergence probe) so
+    * an oracle can unroll them as CTEs; `iters` >= the graph's peel
+    * depth yields the exact k-core (GraphSpec shows depth-2 chains).
+    * Per iteration: one degree aggregation (map-side combined) + two
+    * semi-join filters of the edge list — all hash-partitioned on
+    * node keys; `localCheckpoint` truncates the loop lineage.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 1, s"need k >= 1, iters >= 1; got ($k, $iters)")
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    var e = canon
+    for (_ <- 0 until iters) {
+      val deg = e.select(col("a").as("node")).union(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("_d"))
+      val keep = deg.filter(col("_d") >= k).select(col("node"))
+      e = e.join(keep.select(col("node").as("a")), "a")
+        .join(keep.select(col("node").as("b")), "b")
+        .select(col("a"), col("b")).localCheckpoint()
+    }
+    e.select(col("a").as("node")).union(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+  }
 }

@@ -145,6 +145,60 @@ object TextAnalysis {
         (floor(col("_ssum").cast("double") / col("n_tokens") + lit(0.5)) / lit(1e6)).as("mean_nll"))
   }
 
+  /** Feature-hashed TF-IDF document vectors (the "hashing trick"):
+    * each term lands in bucket hash48(term) mod `dim`, weighted
+    * tf * idf — text becomes a FIXED-dimension vector with no
+    * vocabulary table, no fitting step, and no driver state, which is
+    * what makes the encoding viable on a 100 TB corpus (a vocabulary
+    * join at that scale is a billion-row dimension table; the hash is
+    * a per-row expression). Collisions add weights — the standard,
+    * analyzed trade (Weinberger et al., ICML'09).
+    *
+    * Output is SPARSE (doc_id, bucket, w) rows; [[hashedTfIdfDense]]
+    * pivots to the dense array the vector operators consume. idf
+    * rides the integer micro-nat grid (floor(ln(N/df)*1e6+0.5)) and
+    * tf is a count, so w = tf * idf_u is an exact integer — any
+    * engine replays it (q128).
+    *
+    * Scale: explode + (doc, term) and (term) aggregations — the same
+    * shuffles as TF-IDF (q55); the idf table is term-keyed and joins
+    * hash-partitioned; N enters as a broadcast one-row aggregate (the
+    * q55 no-driver-count discipline).
+    */
+  def hashedTfIdf(df: DataFrame, idCol: String, textCol: String,
+      dim: Int = 64): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val tf = df.select(col(idCol), explode(tokens(textCol)).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("_tf"))
+    val nDocs = df.agg(count(lit(1)).cast("double").as("_nd"))
+    val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("_df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("term"),
+        floor(log(col("_nd") / col("_df").cast("double")) * 1e6 + lit(0.5))
+          .cast("long").as("_idf_u"))
+    tf.join(idf, "term")
+      .groupBy(col(idCol),
+        pmod(graft.functions.codecs.hash48(col("term")), lit(dim.toLong)).as("bucket"))
+      .agg(sum(col("_tf") * col("_idf_u")).as("w"))
+  }
+
+  /** [[hashedTfIdf]] pivoted to dense array<double> vectors — the
+    * bridge from the text family into the vector family: the output
+    * plugs straight into Similarity.bruteForceTopK / bandedAnnPairs /
+    * int8Quantize (TextSpec composes it with ANN to find planted
+    * near-duplicates with no embedding model anywhere).
+    */
+  def hashedTfIdfDense(df: DataFrame, idCol: String, textCol: String,
+      dim: Int = 64): DataFrame =
+    hashedTfIdf(df, idCol, textCol, dim)
+      .groupBy(col(idCol))
+      .agg(map_from_entries(array_sort(
+        collect_list(struct(col("bucket"), col("w"))))).as("_m"))
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("_m"), i.cast("long")), lit(0L)).cast("double"))
+          .as("tfidf_vec"))
+
   /** Per-document token-distribution stats — the cheap lexical-
     * diversity filters a corpus pipeline runs next to [[qualityScore]]:
     * keyword-stuffed/boilerplate pages have low entropy and low

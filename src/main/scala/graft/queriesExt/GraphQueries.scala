@@ -93,5 +93,48 @@ object GraphQueries {
     SELECT node, count(*) AS n_triangles
     FROM tn GROUP BY node ORDER BY node"""))
 
-  val list: Seq[Q] = Seq(q102, q118)
+  /** k-core peeling (k=6, 2 fixed peels) on the q118 graph — the
+    * peel CASCADE is the point: iteration 1 drops the graph from 141
+    * to 100 edges, which pushes more nodes under degree 6, and
+    * iteration 2 collapses it to 12 (probed independently in DuckDB).
+    * The oracle unrolls both peels as CTEs, exactly like q102's
+    * PageRank iterations; output is each survivor's induced degree.
+    */
+  private val q127 = Q("q127_kcore", (s, dir) => {
+    val d = Tables.load(s, dir, "documents").select(col("doc_id"))
+    val edges = d.select((col("doc_id") % 50).as("src"),
+        ((col("doc_id") * 3 + 1) % 50).as("dst"))
+      .union(d.select((col("doc_id") % 50).as("src"),
+        ((col("doc_id") * 7 + 2) % 50).as("dst")))
+      .union(d.select((col("doc_id") % 50).as("src"),
+        ((col("doc_id") * 11 + 5) % 50).as("dst")))
+    Graph.kCore(edges, "src", "dst", k = 6, iters = 2)
+      .orderBy(col("node"))
+  }, Some("""
+    WITH d AS (SELECT doc_id FROM documents),
+    e0 AS (
+      SELECT doc_id % 50 AS src, (doc_id * 3 + 1) % 50 AS dst FROM d
+      UNION ALL
+      SELECT doc_id % 50 AS src, (doc_id * 7 + 2) % 50 AS dst FROM d
+      UNION ALL
+      SELECT doc_id % 50 AS src, (doc_id * 11 + 5) % 50 AS dst FROM d),
+    it0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM e0 WHERE src <> dst),
+    d1 AS (SELECT node, count(*) AS dg FROM
+             (SELECT a AS node FROM it0 UNION ALL SELECT b FROM it0)
+           GROUP BY node),
+    keep1 AS (SELECT node FROM d1 WHERE dg >= 6),
+    it1 AS (SELECT a, b FROM it0
+            WHERE a IN (SELECT node FROM keep1) AND b IN (SELECT node FROM keep1)),
+    d2 AS (SELECT node, count(*) AS dg FROM
+             (SELECT a AS node FROM it1 UNION ALL SELECT b FROM it1)
+           GROUP BY node),
+    keep2 AS (SELECT node FROM d2 WHERE dg >= 6),
+    it2 AS (SELECT a, b FROM it1
+            WHERE a IN (SELECT node FROM keep2) AND b IN (SELECT node FROM keep2))
+    SELECT node, count(*) AS deg FROM
+      (SELECT a AS node FROM it2 UNION ALL SELECT b FROM it2)
+    GROUP BY node ORDER BY node"""))
+
+  val list: Seq[Q] = Seq(q102, q118, q127)
 }

@@ -311,6 +311,27 @@ object TextQueries {
            CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) - clc // n_tokens AS entropy_unat
     FROM d ORDER BY doc_id"""))
 
+  /** Feature-hashed TF-IDF (sparse form): vocabulary-free fixed-dim
+    * text vectors. tf * micro-nat idf is an exact integer, so the
+    * oracle replay is unquantized.
+    */
+  private val q128 = Q("q128_hashed_tfidf", (s, dir) => {
+    TextAnalysis.hashedTfIdf(Tables.load(s, dir, "documents"), "doc_id", "text", dim = 64)
+      .orderBy(col("doc_id"), col("bucket"))
+  }, Some("""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+    idf AS (SELECT term,
+                   CAST(floor(ln(nd / CAST(count(*) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS idf_u
+            FROM tf, n GROUP BY term, nd),
+    w AS (SELECT tf.doc_id,
+                 CAST(concat('0x', substr(md5(term), 1, 12)) AS BIGINT) % 64 AS bucket,
+                 CAST(sum(tf.tf * idf.idf_u) AS BIGINT) AS w
+          FROM tf JOIN idf USING (term)
+          GROUP BY tf.doc_id, bucket)
+    SELECT doc_id, bucket, w FROM w ORDER BY doc_id, bucket"""))
+
   val list: Seq[Q] = Seq(q51, q52, q53, q54, q55, q56, q74, q89, q100, q101, q108, q112,
-    q120)
+    q120, q128)
 }

@@ -66,4 +66,19 @@ class GraphSpec extends SparkSpec {
     val r = tris(Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L), (3L, 4L)))
     assert(r == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
   }
+
+  test("kCore: the peel cascade needs its iterations; enough peels give the exact core") {
+    // pendant chain 1-2-3 hanging off triangle {3,4,5}: the 2-core is
+    // the triangle, but node 2 only drops AFTER node 1's removal
+    // exposes it — peel depth 2
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 3L))
+    def core(iters: Int): Map[Long, Long] =
+      Graph.kCore(edges.toDF("src", "dst"), "src", "dst", k = 2, iters = iters)
+        .as[(Long, Long)].collect().toMap
+    // one peel removes node 1 but node 2 (now degree 1) is still in
+    assert(core(1) == Map(2L -> 1L, 3L -> 3L, 4L -> 2L, 5L -> 2L))
+    // two peels converge to the triangle; a third changes nothing
+    assert(core(2) == Map(3L -> 2L, 4L -> 2L, 5L -> 2L))
+    assert(core(3) == core(2))
+  }
 }

@@ -45,6 +45,36 @@ class TextSpec extends SparkSpec {
     assert(out(3L)._4 > 0L && out(3L)._4 < math.round(math.log(2.0) * 1e6))
   }
 
+  test("hashedTfIdf: ubiquitous tokens weigh zero; identical docs get identical vectors; ANN finds the planted pair") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox jumps"),   // exact duplicate of 1
+      (3L, "the slow green turtle crawls"),
+      (4L, "the angry red panda sleeps"))
+      .toDF("id", "text")
+    // "the" appears in all docs -> idf = ln(1) = 0 -> a doc made ONLY
+    // of ubiquitous tokens carries zero total weight
+    val allShared = TextAnalysis.hashedTfIdf(Seq((9L, "the the the")).toDF("id", "text")
+      .union(df.select(col("id"), col("text"))), "id", "text", 32)
+      .filter(col("id") === 9L).agg(sum(col("w"))).head().getLong(0)
+    assert(allShared == 0L, s"all-ubiquitous doc must carry zero weight, got $allShared")
+    // dense vectors: duplicates bit-identical, distinct docs not
+    val dense = TextAnalysis.hashedTfIdfDense(df, "id", "text", dim = 32)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(dense(1L) == dense(2L))
+    assert(dense(1L) != dense(3L))
+    // composition: hashed vectors -> float -> brute-force cosine top-1
+    // finds the planted duplicate with cosine 1.0 (no embedding model)
+    val vecs = TextAnalysis.hashedTfIdfDense(df, "id", "text", dim = 32)
+      .select(col("id").as("vec_id"),
+        transform(col("tfidf_vec"), x => x.cast("float")).as("embedding"))
+    val top = graft.operators.Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 1L),
+        "vec_id", "embedding", k = 1).collect().head
+    assert(top.getLong(1) == 2L && top.getDouble(3) == 1.0,
+      s"planted duplicate must be the top neighbor at cosine 1.0: $top")
+  }
+
   test("robustOutliers: median/MAD flags the planted spike that a masked stddev would keep") {
     import spark.implicits._
     // 20 inliers around 1000 + eight 30x spikes. The spike GROUP
