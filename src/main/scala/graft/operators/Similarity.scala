@@ -233,16 +233,27 @@ object Similarity {
     * never the vectors; embeddings are re-joined only for the
     * candidate pairs that survive.
     */
-  def bandedAnnPairs(df: DataFrame, idCol: String, vecCol: String,
-      nBands: Int = 4, bitsPerBand: Int = 4, dim: Int = 64,
-      maxBucket: Option[Int] = None): DataFrame = {
+  /** The (id, band, sig) band-key table of a corpus — one narrow
+    * projection + explode per row, no shuffle. Materialize this as a
+    * table and it becomes the HISTORY side of the incremental vector
+    * screen ([[graft.streaming.StreamingOps.vectorNearDupAgainstHistory]]):
+    * a stream of new vectors equi-joins its per-row band keys against
+    * it, statelessly — the vector analog of the text band table.
+    */
+  def vectorBands(df: DataFrame, idCol: String, vecCol: String,
+      nBands: Int = 4, bitsPerBand: Int = 4, dim: Int = 64): DataFrame = {
     val bandStructs = (0 until nBands).map { b =>
       struct(lit(b).as("band"),
         bandSignature(col(vecCol), b, bitsPerBand, dim).as("sig"))
     }
-    val bands = df
-      .select(col(idCol), explode(array(bandStructs: _*)).as("_b"))
+    df.select(col(idCol), explode(array(bandStructs: _*)).as("_b"))
       .select(col(idCol), col("_b.band"), col("_b.sig"))
+  }
+
+  def bandedAnnPairs(df: DataFrame, idCol: String, vecCol: String,
+      nBands: Int = 4, bitsPerBand: Int = 4, dim: Int = 64,
+      maxBucket: Option[Int] = None): DataFrame = {
+    val bands = vectorBands(df, idCol, vecCol, nBands, bitsPerBand, dim)
     val pruned = maxBucket match {
       case Some(cap) =>
         val small = bands.groupBy(col("band"), col("sig"))

@@ -203,6 +203,38 @@ object StreamingOps {
     if (pairs.isStreaming) pairs else pairs.distinct()
   }
 
+  /** Incremental-ingestion VECTOR near-dup screen — the embedding
+    * analog of [[nearDupAgainstHistory]]: flag streamed vectors whose
+    * random-hyperplane band signature collides with the historical
+    * corpus. `historyBands` is the batch-built
+    * [[graft.operators.Similarity.vectorBands]] table (same plane
+    * family as `bandedAnnPairs`, so a table bootstrapped from the
+    * batch ANN path and this stream share ONE key space); the stream
+    * side computes its band signatures per row — a narrow projection,
+    * stateless — and equi-joins on (band, sig). Output: one (new_id,
+    * hist_id) row per colliding band; exact cosine verification of
+    * the candidates is the consumer's call, as in the batch path.
+    * Same per-batch dedup contract as [[nearDupAgainstHistory]] (a
+    * streaming distinct would be unbounded state).
+    */
+  def vectorNearDupAgainstHistory(stream: DataFrame, historyBands: DataFrame,
+      idCol: String, vecCol: String, nBands: Int = 4, bitsPerBand: Int = 4,
+      dim: Int = 64, histIdCol: String = "vec_id"): DataFrame = {
+    import graft.operators.Similarity
+    val bandStructs = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        Similarity.bandSignature(col(vecCol), b, bitsPerBand, dim).as("sig"))
+    }
+    val keyed = stream
+      .select(col(idCol).as("new_id"), explode(array(bandStructs: _*)).as("_b"))
+      .select(col("new_id"), col("_b.band").as("band"), col("_b.sig").as("sig"))
+    val hist = historyBands.select(
+      col(histIdCol).as("hist_id"), col("band"), col("sig"))
+    val pairs = keyed.join(hist, Seq("band", "sig"))
+      .select(col("new_id"), col("hist_id"))
+    if (pairs.isStreaming) pairs else pairs.distinct()
+  }
+
   /** The FEEDER for [[nearDupAgainstHistory]]'s history table: maintain
     * the band-key table incrementally as documents stream in. Each
     * micro-batch's (doc_id, band_key) rows land under a

@@ -243,4 +243,24 @@ class PlanSpec extends SparkSpec {
     assert(rowsOnly == Set("q29_approx_distinct", "q112_compression_ratio"),
       s"unexpected rows-only: $rowsOnly")
   }
+
+  test("int8 quantization is a narrow projection: no Exchange in the plan") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val plan = graft.operators.Similarity.int8Quantize(e, "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"int8Quantize must compose with the scan, not shuffle:\n${plan.take(2000)}")
+  }
+
+  test("topP plans exactly one shuffle (the group key) and no global window") {
+    val d = Tables.load(spark, sfDir, "documents")
+    val plan = graft.operators.CorpusOps.topP(d, col("lang"), col("doc_id"),
+        col("n_chars"), 800)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected one hash exchange, found $exchanges:\n${plan.take(2000)}")
+    assert(!plan.contains("Exchange SinglePartition") ||
+      !plan.contains("Window ["), // no windows over a single global partition
+      s"topP must never plan a global window:\n${plan.take(2000)}")
+  }
 }

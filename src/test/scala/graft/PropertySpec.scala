@@ -108,6 +108,53 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("topP equals the brute-force nucleus definition across random weights and thresholds") {
+    import graft.operators.CorpusOps
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 300L).map(i =>
+      (i, s"g${i % 3}", 1L + rnd.nextInt(1000).toLong))
+    val df = rows.toDF("id", "grp", "w")
+    for (p <- Seq(1, 200, 500, 800, 999, 1000)) {
+      val got = CorpusOps.topP(df, col("grp"), col("id"), col("w"), p)
+        .select("id").as[Long].collect().toSet
+      val want = rows.groupBy(_._2).flatMap { case (_, g) =>
+        val sorted = g.sortBy(r => (-r._3, r._1))
+        val total = g.map(_._3).sum
+        sorted.scanLeft(0L)(_ + _._3).zip(sorted)
+          .filter { case (cumBefore, _) => cumBefore * 1000 < p * total }
+          .map(_._2._1)
+      }.toSet
+      assert(got == want, s"p=$p: ${got.diff(want)} extra, ${want.diff(got)} missing")
+    }
+  }
+
+  test("kCore with enough iterations equals the brute-force peel fixpoint on random graphs") {
+    import graft.operators.Graph
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val n = 30
+      val edges = Seq.fill(80)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val k = 2 + trial
+      val got = Graph.kCore(edges.toDF("src", "dst"), "src", "dst", k, iters = n)
+        .as[(Long, Long)].collect().toMap
+      // brute force: peel to fixpoint
+      var es = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      var changed = true
+      while (changed) {
+        val deg = es.flatMap(e => Seq(e._1, e._2)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val keep = deg.filter(_._2 >= k).keySet
+        val next = es.filter(e => keep(e._1) && keep(e._2))
+        changed = next.size != es.size
+        es = next
+      }
+      val want = es.flatMap(e => Seq(e._1, e._2)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(got == want, s"trial $trial k=$k: got $got want $want")
+    }
+  }
+
   test("bucketed exactPercentiles equals the built-in percentile aggregate") {
     import graft.operators.Quantiles
     val li = Tables.load(spark, "/root/testdata/sf0.01", "lineitem")

@@ -564,6 +564,40 @@ class StreamingSpec extends SparkSpec {
     assert(stateOps == 0, s"stream side must be stateless, found $stateOps state operators")
   }
 
+  test("vector near-dup screen: streamed embeddings collide with history statelessly, matching the batch path") {
+    import spark.implicits._
+    val base = tmp()
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val hist = e.filter(col("vec_id") < 400)
+    val fresh = e.filter(col("vec_id") >= 400)
+    // batch-built history band table (the bandedAnnPairs key space)
+    val bands = graft.operators.Similarity.vectorBands(hist, "vec_id", "embedding")
+      .withColumnRenamed("vec_id", "hist_id")
+    // batch reference: same operator on a batch frame
+    val want = StreamingOps.vectorNearDupAgainstHistory(fresh, bands,
+        "vec_id", "embedding", histIdCol = "hist_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty, "fixture must produce at least one collision")
+    // streaming run of the SAME operator
+    fresh.write.mode("overwrite").parquet(s"$base/in")
+    val stream = spark.readStream.schema(fresh.schema).parquet(s"$base/in")
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val q = StreamingOps.vectorNearDupAgainstHistory(stream, bands,
+        "vec_id", "embedding", histIdCol = "hist_id")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.distinct().collect().foreach(r => sink.add((r.getLong(0), r.getLong(1))))
+        ()
+      }
+      .option("checkpointLocation", s"$base/ck").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    import scala.jdk.CollectionConverters._
+    assert(sink.asScala.toSet == want,
+      s"stream screen must equal batch screen (${want.size} pairs), got ${sink.asScala.toSet.size}")
+    val stateOps = Option(q.lastProgress).map(_.stateOperators.length).getOrElse(0)
+    assert(stateOps == 0, s"stream side must be stateless, found $stateOps state operators")
+  }
+
   test("band-table compaction preserves rows, partitions and the incremental screen") {
     import spark.implicits._
     val base = tmp()
