@@ -191,6 +191,35 @@ object Dedup {
         graft.functions.quantize.q6(col("jac")).as("jaccard"))
   }
 
+  /** Asymmetric shingle CONTAINMENT for candidate pairs:
+    * |A intersect B| / |A| — Jaccard's directional sibling, and the
+    * measure that catches what Jaccard structurally cannot: a short
+    * document quoted whole inside a long one scores containment ~1.0
+    * while Jaccard stays near |A|/|B| (tiny). The quote/excerpt-reuse
+    * detector of a dedup pipeline (and the Lee et al. motivation for
+    * span-level dedup, from the other direction).
+    *
+    * Runs on CANDIDATE pairs (LSH output, adjacency, any generator) —
+    * never all pairs — over a [[prepareHashedShingles]] frame, the
+    * same verify-join shape as [[minhashNearDupsPrepared]]. Output
+    * per pair: |A|, the overlap, and both containment directions.
+    */
+  def containmentPairs(withHashes: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val s1 = withHashes.select(col(idCol).as("id1"), col("_hs").as("_hs1"))
+    val s2 = withHashes.select(col(idCol).as("id2"), col("_hs").as("_hs2"))
+    val common = size(array_intersect(col("_hs1"), col("_hs2"))).cast("long")
+    pairs.join(s1, "id1").join(s2, "id2")
+      .select(col("id1"), col("id2"),
+        size(col("_hs1")).cast("long").as("n1"),
+        size(col("_hs2")).cast("long").as("n2"),
+        common.as("n_common"),
+        graft.functions.quantize.q6(
+          common.cast("double") / size(col("_hs1")).cast("double")).as("containment_1in2"),
+        graft.functions.quantize.q6(
+          common.cast("double") / size(col("_hs2")).cast("double")).as("containment_2in1"))
+  }
+
   /** Embedding-cosine near-dup dedup — the vector-space member of the
     * dedup family (exact / MinHash / SimHash / char-ngram / cosine).
     * Candidates come from corpus-size-aware banded vector LSH

@@ -448,6 +448,46 @@ object Similarity {
         .select(lit(sIdx).as("subspace"), col("cell").as("code"), col("ctr").as("subvec"))
     }.reduce(_ union _)
 
+  /** Exact cosine over SPARSE (id, bucket, w) vector representations
+    * for a candidate pair set — the scorer that pairs with
+    * [[graft.operators.TextAnalysis.hashedTfIdf]]: hashed-TF-IDF text
+    * vectors never need densifying to be compared. Dot products and
+    * squared norms are exact integer sums (the weights are integers);
+    * the only floating steps are the final sqrt/divide, fixed-order
+    * IEEE ops any engine replays (q129).
+    *
+    * Scale shape: the dot is an equi-join on (pair, bucket) — the
+    * sparse representation IS the join key space, so cost scales with
+    * |pairs| x avg-nnz, never with the dense dimension; norms are one
+    * map-side-combined aggregation of the sparse table. Pairs with no
+    * shared bucket score 0 (left join + coalesce). Zero-norm ids
+    * (docs whose every term was ubiquitous) are dropped — cosine is
+    * undefined there, and the require()d contract is candidates, not
+    * the full corpus.
+    */
+  def sparseCosinePairs(sparse: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", bucketCol: String = "bucket",
+      wCol: String = "w"): DataFrame = {
+    val s1 = sparse.select(col(idCol).as("id1"), col(bucketCol).as("_bk"),
+      col(wCol).as("_w1"))
+    val s2 = sparse.select(col(idCol).as("id2"), col(bucketCol).as("_bk"),
+      col(wCol).as("_w2"))
+    val dots = pairs.join(s1, "id1").join(s2, Seq("id2", "_bk"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(sum(col("_w1") * col("_w2")).as("_dot"))
+    val norms = sparse.groupBy(col(idCol))
+      .agg(sum(col(wCol) * col(wCol)).as("_n2"))
+    pairs
+      .join(dots, Seq("id1", "id2"), "left")
+      .join(norms.select(col(idCol).as("id1"), col("_n2").as("_nsq1")), "id1")
+      .join(norms.select(col(idCol).as("id2"), col("_n2").as("_nsq2")), "id2")
+      .filter(col("_nsq1") > 0 && col("_nsq2") > 0)
+      .select(col("id1"), col("id2"),
+        q6(coalesce(col("_dot"), lit(0L)).cast("double") /
+          (sqrt(col("_nsq1").cast("double")) * sqrt(col("_nsq2").cast("double"))))
+          .as("cos_sim"))
+  }
+
   /** Scalar int8 quantization, symmetric per-vector max-abs scale —
     * the OTHER embedding-compression axis next to PQ (q91/q92): PQ
     * trades recall for 32x, int8 keeps near-full recall at 4x (64

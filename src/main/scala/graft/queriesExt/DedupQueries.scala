@@ -343,5 +343,35 @@ object DedupQueries {
     FROM f JOIN freq USING (h)
     GROUP BY doc_id ORDER BY doc_id"""))
 
-  val list: Seq[Q] = Seq(q40, q41, q42, q43, q44, q75, q77, q87, q94, q95)
+  /** Asymmetric shingle containment (|A int B| / |A|, both directions)
+    * on candidate pairs — Jaccard's directional sibling: quotes and
+    * excerpt-reuse score ~1 one way while Jaccard stays tiny (DedupSpec
+    * plants exactly that case). Reuses the word-3-gram hashed-shingle
+    * cache; consecutive ids stand in for any candidate generator.
+    */
+  private val q130 = Q("q130_containment", (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val pairs = docs.select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2"))
+      .join(docs.select(col("doc_id").as("id2")), "id2")
+    Dedup.containmentPairs(shingled(s, dir, "word3"), pairs)
+      .orderBy(col("id1"))
+  }, Some(s"""
+    WITH sh AS (
+      SELECT doc_id, ${shinglesSql("text")} AS s FROM documents),
+    hsed AS (
+      SELECT doc_id, list_distinct(list_transform(s, g -> ${H48.format("g")})) AS hs FROM sh),
+    p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+          FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1)
+    SELECT p.id1, p.id2,
+           CAST(len(s1.hs) AS BIGINT) AS n1,
+           CAST(len(s2.hs) AS BIGINT) AS n2,
+           CAST(len(list_intersect(s1.hs, s2.hs)) AS BIGINT) AS n_common,
+           floor(CAST(len(list_intersect(s1.hs, s2.hs)) AS DOUBLE) / len(s1.hs)
+                 * 1000000 + 0.5) / 1000000.0 AS containment_1in2,
+           floor(CAST(len(list_intersect(s1.hs, s2.hs)) AS DOUBLE) / len(s2.hs)
+                 * 1000000 + 0.5) / 1000000.0 AS containment_2in1
+    FROM p JOIN hsed s1 ON s1.doc_id = p.id1 JOIN hsed s2 ON s2.doc_id = p.id2
+    ORDER BY id1"""))
+
+  val list: Seq[Q] = Seq(q40, q41, q42, q43, q44, q75, q77, q87, q94, q95, q130)
 }

@@ -332,6 +332,49 @@ object TextQueries {
           GROUP BY tf.doc_id, bucket)
     SELECT doc_id, bucket, w FROM w ORDER BY doc_id, bucket"""))
 
+  /** Sparse-cosine scoring of candidate pairs over the hashed-TF-IDF
+    * representation — the q128 -> similarity composition, never
+    * densified: integer dot/norm sums, one fixed-order sqrt/divide at
+    * the end. Consecutive ids stand in for any candidate generator
+    * (the q108 convention).
+    */
+  private val q129 = Q("q129_sparse_cosine", (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val sparse = TextAnalysis.hashedTfIdf(docs, "doc_id", "text", dim = 64)
+    val pairs = docs.select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2"))
+      .join(docs.select(col("doc_id").as("id2")), "id2")
+    graft.operators.Similarity.sparseCosinePairs(sparse, pairs)
+      .orderBy(col("id1"))
+  }, Some("""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+    idf AS (SELECT term,
+                   CAST(floor(ln(nd / CAST(count(*) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS idf_u
+            FROM tf, n GROUP BY term, nd),
+    w AS (SELECT tf.doc_id,
+                 CAST(concat('0x', substr(md5(term), 1, 12)) AS BIGINT) % 64 AS bucket,
+                 CAST(sum(tf.tf * idf.idf_u) AS BIGINT) AS w
+          FROM tf JOIN idf USING (term)
+          GROUP BY tf.doc_id, bucket),
+    nn AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS nsq FROM w GROUP BY doc_id),
+    p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+          FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+    d AS (SELECT p.id1, p.id2, CAST(sum(w1.w * w2.w) AS BIGINT) AS dot
+          FROM p JOIN w w1 ON w1.doc_id = p.id1
+                JOIN w w2 ON w2.doc_id = p.id2 AND w2.bucket = w1.bucket
+          GROUP BY p.id1, p.id2)
+    SELECT p.id1, p.id2,
+           floor(CAST(coalesce(d.dot, 0) AS DOUBLE) /
+                 (sqrt(CAST(n1.nsq AS DOUBLE)) * sqrt(CAST(n2.nsq AS DOUBLE)))
+                 * 1000000 + 0.5) / 1000000.0 AS cos_sim
+    FROM p
+    LEFT JOIN d ON d.id1 = p.id1 AND d.id2 = p.id2
+    JOIN nn n1 ON n1.doc_id = p.id1
+    JOIN nn n2 ON n2.doc_id = p.id2
+    WHERE n1.nsq > 0 AND n2.nsq > 0
+    ORDER BY p.id1"""))
+
   val list: Seq[Q] = Seq(q51, q52, q53, q54, q55, q56, q74, q89, q100, q101, q108, q112,
-    q120, q128)
+    q120, q128, q129)
 }

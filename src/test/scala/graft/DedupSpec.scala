@@ -143,4 +143,19 @@ class DedupSpec extends SparkSpec {
       2L -> ((2L, 1L, 0.5)),
       3L -> ((3L, 3L, 1.0)))) // every "z z z" instance has corpus freq 3
   }
+
+  test("containmentPairs: a quoted excerpt scores 1.0 directionally while Jaccard stays low") {
+    val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma"
+    val quote = "delta epsilon zeta eta theta iota" // contiguous excerpt of `long`
+    val df = Seq((1L, quote), (2L, long)).toDF("doc_id", "text")
+    val hs = Dedup.prepareHashedShingles(df, "doc_id", Dedup.wordShingles("text"))
+    val pairs = Seq((1L, 2L)).toDF("id1", "id2")
+    val r = Dedup.containmentPairs(hs, pairs).collect().head
+    // every one of the quote's 4 shingles appears in the long doc
+    assert(r.getAs[Double]("containment_1in2") == 1.0, r.toString)
+    // but symmetric measures stay small: jaccard = 4/16 = 0.25
+    assert(r.getAs[Double]("containment_2in1") == 0.25, r.toString)
+    assert(r.getAs[Long]("n_common") == 4L && r.getAs[Long]("n2") == 16L)
+  }
 }

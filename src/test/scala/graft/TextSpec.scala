@@ -75,6 +75,37 @@ class TextSpec extends SparkSpec {
       s"planted duplicate must be the top neighbor at cosine 1.0: $top")
   }
 
+  test("sparseCosinePairs agrees with dense cosine; disjoint docs score zero; duplicates score one") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "quick brown fox jumps high"),
+      (2L, "quick brown fox jumps high"),   // duplicate of 1
+      (3L, "slow green turtle crawls low"), // disjoint from 1
+      (4L, "quick brown turtle jumps low")) // partial overlap
+      .toDF("id", "text")
+    val sparse = TextAnalysis.hashedTfIdf(df, "id", "text", dim = 32)
+      .withColumnRenamed("id", "doc_id")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id1", "id2")
+    val got = graft.operators.Similarity.sparseCosinePairs(sparse, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got((1L, 2L)) == 1.0, s"duplicate must score 1.0: $got")
+    // term-disjoint docs still collide in 32 hash buckets (the
+    // hashing-trick trade) — so the CONTRACT is agreement with the
+    // dense formulation, plus sane ordering, not literal zero
+    assert(got((1L, 3L)) < got((1L, 2L)) && got((1L, 4L)) < got((1L, 2L)), got.toString)
+    val dense = TextAnalysis.hashedTfIdfDense(df, "id", "text", dim = 32)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    for (other <- Seq(3L, 4L)) {
+      val want = math.floor(cos(dense(1L), dense(other)) * 1e6 + 0.5) / 1e6
+      assert(math.abs(got((1L, other)) - want) < 2e-6,
+        s"pair (1,$other): sparse ${got((1L, other))} vs dense $want")
+    }
+  }
+
   test("robustOutliers: median/MAD flags the planted spike that a masked stddev would keep") {
     import spark.implicits._
     // 20 inliers around 1000 + eight 30x spikes. The spike GROUP
