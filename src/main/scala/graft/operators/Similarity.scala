@@ -448,6 +448,74 @@ object Similarity {
         .select(lit(sIdx).as("subspace"), col("cell").as("code"), col("ctr").as("subvec"))
     }.reduce(_ union _)
 
+  /** Maximal-Marginal-Relevance re-rank: greedily pick `k` of each
+    * query's `shortlist` top candidates, each step taking the
+    * candidate maximizing  relWeight * rel(c) - divWeight * max_{s in
+    * S} sim(c, s)  — the standard RAG/retrieval DIVERSITY pass that
+    * stops five near-identical chunks from filling a context window
+    * (Carbonell & Goldstein 1998).
+    *
+    * Spark-first shape: the greedy loop is NOT a driver loop over
+    * data — the shortlist (and its pairwise sims, both
+    * candidate-bounded: m and m^2 rows per query) is gathered into
+    * ONE row per query, and the k selection steps unroll into a
+    * nested higher-order-function expression evaluated per row.
+    * Scales with |queries|, never touches the corpus after the
+    * shortlist pass. Ties break to the smaller id via struct-max on
+    * (score, -id); rel and sim ride the q6 grid, and the two weights
+    * are explicit doubles (NOT 1-lambda — 1.0-0.7 is
+    * 0.30000000000000004 in IEEE, which would diverge from a SQL
+    * literal 0.3), so every engine replays the exact arithmetic
+    * (q131's oracle unrolls the same steps as CTEs).
+    */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int = 3, shortlist: Int = 8,
+      relWeight: Double = 0.7, divWeight: Double = 0.3): DataFrame = {
+    require(k >= 1 && shortlist >= k, s"need 1 <= k <= shortlist, got ($k, $shortlist)")
+    val top = bruteForceTopK(corpus, queries, idCol, vecCol, shortlist)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+    val vecs = corpus.select(col(idCol).as("_vid"), col(vecCol).as("_vv"))
+    // pairwise sims among each query's shortlist (m^2/2 rows per query)
+    val a = top.select(col("query_id"), col("neighbor_id").as("_ida"))
+    val b = top.select(col("query_id"), col("neighbor_id").as("_idb"))
+    val sims = a.join(b, "query_id").filter(col("_ida") < col("_idb"))
+      .join(vecs.select(col("_vid").as("_ida"), col("_vv").as("_va")), "_ida")
+      .join(vecs.select(col("_vid").as("_idb"), col("_vv").as("_vb")), "_idb")
+      .select(col("query_id"),
+        concat_ws(":", col("_ida"), col("_idb")).as("_pk"),
+        q6(cosine(col("_va"), col("_vb"))).as("_sim"))
+    val simMap = sims.groupBy(col("query_id"))
+      .agg(map_from_entries(array_sort(
+        collect_list(struct(col("_pk"), col("_sim"))))).as("_m"))
+    val cands = top.groupBy(col("query_id"))
+      .agg(array_sort(collect_list(
+        struct(col("neighbor_id").as("id"), col("cos_sim").as("rel")))).as("_c"))
+    val gathered = cands.join(simMap, Seq("query_id"), "left")
+      .withColumn("_m", coalesce(col("_m"), map_from_entries(array().cast("array<struct<_pk:string,_sim:double>>"))))
+
+    def simOf(cid: Column, sid: Column, m: Column): Column =
+      coalesce(element_at(m, concat_ws(":", least(cid, sid), greatest(cid, sid))), lit(0.0))
+    def maxSimTo(cid: Column, selected: Column, m: Column): Column =
+      aggregate(selected, lit(0.0), (acc, s) => greatest(acc, simOf(cid, s, m)))
+    def pick(c: Column, selected: Column, m: Column): Column = {
+      val scored = transform(c, cand => struct(
+        (lit(relWeight) * cand.getField("rel") -
+          lit(divWeight) * maxSimTo(cand.getField("id"), selected, m)).as("score"),
+        (-cand.getField("id")).as("negid"),
+        cand.getField("id").as("id")))
+      val avail = filter(scored, s => !array_contains(selected, s.getField("id")))
+      array_max(avail).getField("id")
+    }
+
+    var selCol: Column = array(pick(col("_c"), array().cast("array<bigint>"), col("_m")))
+    for (_ <- 1 until k)
+      selCol = concat(selCol, array(pick(col("_c"), selCol, col("_m"))))
+    gathered.withColumn("_sel", selCol)
+      .select(col("query_id"), posexplode(col("_sel")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("mmr_rank"),
+        col("col").as("neighbor_id"))
+  }
+
   /** Exact cosine over SPARSE (id, bucket, w) vector representations
     * for a candidate pair set — the scorer that pairs with
     * [[graft.operators.TextAnalysis.hashedTfIdf]]: hashed-TF-IDF text

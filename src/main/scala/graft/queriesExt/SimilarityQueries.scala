@@ -493,6 +493,71 @@ object SimilarityQueries {
     SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, idot, dot_approx
     FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** MMR diversity re-rank (k=3 of an 8-candidate shortlist,
+    * relWeight 0.7 / divWeight 0.3): the operator runs the greedy
+    * selection as a per-query array fold; the oracle unrolls the same
+    * three steps as argmax CTEs. The diversity penalty floors at 0
+    * (the operator's fold starts at 0.0), mirrored by the greatest(.,
+    * 0.0) guards.
+    */
+  private val q131 = Q("q131_mmr_rerank", (s, dir) => {
+    val e = Tables.load(s, dir, "embeddings")
+    Similarity.mmrRerank(e, e.filter(col("vec_id") % 97 === 0), "vec_id", "embedding",
+        k = 3, shortlist = 8, relWeight = 0.7, divWeight = 0.3)
+      .orderBy(col("query_id"), col("mmr_rank"))
+  }, Some(s"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 97 = 0),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS nid, ${cosSql("q.qv", "c.embedding")} AS cos
+      FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+    cands AS (
+      SELECT query_id, nid, floor(cos * 1000000 + 0.5) / 1000000.0 AS rel FROM (
+        SELECT query_id, nid, cos,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nid) AS rn
+        FROM scored) WHERE rn <= 8),
+    sims AS (
+      SELECT c1.query_id, c1.nid AS ida, c2.nid AS idb,
+             floor(${cosSql("e1.embedding", "e2.embedding")} * 1000000 + 0.5) / 1000000.0 AS sim
+      FROM cands c1
+      JOIN cands c2 ON c2.query_id = c1.query_id AND c2.nid > c1.nid
+      JOIN embeddings e1 ON e1.vec_id = c1.nid
+      JOIN embeddings e2 ON e2.vec_id = c2.nid),
+    s1 AS (SELECT query_id, nid AS sel FROM (
+        SELECT query_id, nid,
+               row_number() OVER (PARTITION BY query_id ORDER BY 0.7 * rel DESC, nid) AS rn
+        FROM cands) WHERE rn = 1),
+    sc2 AS (
+      SELECT c.query_id, c.nid,
+             0.7 * c.rel - 0.3 * greatest(coalesce(s.sim, 0.0), 0.0) AS score
+      FROM cands c
+      JOIN s1 ON s1.query_id = c.query_id
+      LEFT JOIN sims s ON s.query_id = c.query_id
+        AND s.ida = least(c.nid, s1.sel) AND s.idb = greatest(c.nid, s1.sel)
+      WHERE c.nid <> s1.sel),
+    s2 AS (SELECT query_id, nid AS sel FROM (
+        SELECT query_id, nid,
+               row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nid) AS rn
+        FROM sc2) WHERE rn = 1),
+    sc3 AS (
+      SELECT c.query_id, c.nid,
+             0.7 * c.rel - 0.3 * greatest(coalesce(sa.sim, 0.0), coalesce(sb.sim, 0.0), 0.0) AS score
+      FROM cands c
+      JOIN s1 ON s1.query_id = c.query_id
+      JOIN s2 ON s2.query_id = c.query_id
+      LEFT JOIN sims sa ON sa.query_id = c.query_id
+        AND sa.ida = least(c.nid, s1.sel) AND sa.idb = greatest(c.nid, s1.sel)
+      LEFT JOIN sims sb ON sb.query_id = c.query_id
+        AND sb.ida = least(c.nid, s2.sel) AND sb.idb = greatest(c.nid, s2.sel)
+      WHERE c.nid <> s1.sel AND c.nid <> s2.sel),
+    s3 AS (SELECT query_id, nid AS sel FROM (
+        SELECT query_id, nid,
+               row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nid) AS rn
+        FROM sc3) WHERE rn = 1)
+    SELECT query_id, CAST(1 AS INT) AS mmr_rank, sel AS neighbor_id FROM s1
+    UNION ALL SELECT query_id, CAST(2 AS INT), sel FROM s2
+    UNION ALL SELECT query_id, CAST(3 AS INT), sel FROM s3
+    ORDER BY query_id, mmr_rank"""))
+
   val list: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q62, q69, q73, q91, q92, q97,
-    q103, q116, q117)
+    q103, q116, q117, q131)
 }

@@ -265,6 +265,28 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.8, s"mean recall@5 $mean < 0.8 (per-query: $recalls)")
   }
 
+  test("mmrRerank diversifies: the duplicate that plain top-k keeps is displaced by a distinct candidate") {
+    // corpus: 1 and 2 are identical (both exactly the query direction),
+    // 3 sits at 45 degrees. Plain top-2 = {1, 2}; MMR with a heavy
+    // diversity weight keeps 1 then jumps to 3.
+    val corpus = Seq(
+      (1L, vec(1.0, 0.0)), (2L, vec(1.0, 0.0)), (3L, vec(0.7071, 0.7071)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((100L, vec(1.0, 0.0))).toDF("vec_id", "embedding")
+    val plain = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 2)
+      .orderBy(col("rank")).select("neighbor_id").collect().map(_.getLong(0)).toSeq
+    assert(plain == Seq(1L, 2L), s"premise: plain top-2 keeps the duplicate: $plain")
+    val mmr = Similarity.mmrRerank(corpus, queries, "vec_id", "embedding",
+        k = 2, shortlist = 3, relWeight = 0.3, divWeight = 0.7)
+      .orderBy(col("mmr_rank")).select("neighbor_id").collect().map(_.getLong(0)).toSeq
+    assert(mmr == Seq(1L, 3L), s"MMR must displace the duplicate: $mmr")
+    // determinism: identical rel ties broke to the smaller id at step 1
+    val again = Similarity.mmrRerank(corpus, queries, "vec_id", "embedding",
+        k = 2, shortlist = 3, relWeight = 0.3, divWeight = 0.7)
+      .orderBy(col("mmr_rank")).select("neighbor_id").collect().map(_.getLong(0)).toSeq
+    assert(again == mmr)
+  }
+
   test("trainKMeans: inertia decreases monotonically and training is deterministic") {
     val e = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
     val inertias = Seq(0, 1, 2).map { it =>
