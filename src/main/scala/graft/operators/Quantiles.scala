@@ -157,4 +157,38 @@ object Quantiles {
       .filter(abs(col("_rv") - col("med")) > lit(k) * col("mad"))
       .drop("_rg", "_rv")
   }
+
+  /** Equi-depth binning (feature bucketization): assign each row the
+    * index of its value's percentile bucket — `nBins` buckets bounded
+    * by the group's interpolated (i/nBins)-percentiles. The
+    * feature-engineering step that turns a skewed measure into a
+    * uniform categorical (and the build step of an equi-depth
+    * histogram).
+    *
+    * Plan: boundaries come from ONE [[exactPercentiles]] round
+    * (kilobyte shuffles), broadcast back — the per-row assignment is
+    * a narrow count-of-boundaries-below fold; nothing re-sorts or
+    * re-shuffles the data, unlike an ntile window which would shuffle
+    * every row into its group's partition. On the cents grid the
+    * boundaries are exact .0/.5 doubles, so bin membership of
+    * boundary-valued rows is engine-independent (q132; strict `>`
+    * contract: a row equal to boundary i stays in bin i-1's side).
+    * Use power-of-two nBins when an external engine must replay the
+    * fractions bit-exactly (1/4 = 0.25 is an exact double; 1/3 is
+    * not).
+    */
+  def equiDepthBin(df: DataFrame, group: Column, value: Column,
+      nBins: Int): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val ps = (1 until nBins).map(i => (s"_q$i", i.toDouble / nBins))
+    val bounds = exactPercentiles(df, group, value, ps)
+      .select(col("_g").as("_eb_g") +: ps.map { case (n, _) => col(n) }: _*)
+    val bin = ps.map { case (n, _) =>
+      when(value.cast("double") > col(n), 1).otherwise(0)
+    }.reduce(_ + _)
+    df.withColumn("_eb_g", group)
+      .join(broadcast(bounds), "_eb_g")
+      .withColumn("bin", bin)
+      .drop("_eb_g" +: ps.map(_._1): _*)
+  }
 }

@@ -805,10 +805,51 @@ object RelationalQueries {
     WHERE a.av > 2.0 * madt.mad
     ORDER BY a.o_orderkey"""))
 
+  /** Equi-depth binning into quartiles per return flag (operator:
+    * Quantiles.equiDepthBin — one exactPercentiles round broadcast
+    * back, narrow assignment, no ntile shuffle). The oracle
+    * recomputes the interpolated quartile boundaries by rank-select
+    * and counts boundaries-strictly-below per row.
+    */
+  private val q132 = Q("q132_equidepth_bins", (s, dir) => {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+      col("l_returnflag"),
+      floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long").as("price_c"))
+    graft.operators.Quantiles.equiDepthBin(li, col("l_returnflag"), col("price_c"), nBins = 4)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("price_c"), col("bin").cast("int").as("bin"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("price_c"))
+  }, Some("""
+    WITH o AS (SELECT l_orderkey, l_linenumber, l_returnflag AS g,
+                      CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c
+               FROM lineitem),
+    r AS (SELECT *, CAST(price_c AS DOUBLE) AS v,
+                 row_number() OVER (PARTITION BY g ORDER BY price_c) AS rn,
+                 count(*) OVER (PARTITION BY g) AS n
+          FROM o),
+    gs AS (SELECT DISTINCT g, n FROM r),
+    ps AS (SELECT unnest([0.25, 0.5, 0.75]) AS p),
+    loc AS (SELECT gs.g, ps.p,
+                   CAST(floor(ps.p * (gs.n - 1)) AS BIGINT) + 1 AS lo,
+                   least(CAST(floor(ps.p * (gs.n - 1)) AS BIGINT) + 2, gs.n) AS hi,
+                   ps.p * (gs.n - 1) - floor(ps.p * (gs.n - 1)) AS frac
+            FROM gs CROSS JOIN ps),
+    bvals AS (SELECT loc.g, loc.p,
+                     max(CASE WHEN r.rn = loc.lo THEN r.v END) +
+                     (max(CASE WHEN r.rn = loc.hi THEN r.v END) -
+                      max(CASE WHEN r.rn = loc.lo THEN r.v END)) * max(loc.frac) AS bv
+              FROM loc JOIN r ON r.g = loc.g
+              GROUP BY loc.g, loc.p)
+    SELECT o.l_orderkey, o.l_linenumber, o.g AS l_returnflag, o.price_c,
+           CAST(sum(CASE WHEN CAST(o.price_c AS DOUBLE) > bvals.bv THEN 1 ELSE 0 END) AS INT) AS bin
+    FROM o JOIN bvals ON bvals.g = o.g
+    GROUP BY o.l_orderkey, o.l_linenumber, o.g, o.price_c
+    ORDER BY o.l_orderkey, o.l_linenumber, o.g, o.price_c"""))
+
   val list: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q60, q61, q65, q66, q67, q76, q86, q107,
-    q119, q123)
+    q119, q123, q132)
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
     list.map(q => q.name -> q.fn).toMap

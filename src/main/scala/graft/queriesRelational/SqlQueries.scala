@@ -335,6 +335,46 @@ object SqlQueries {
     s.sql(lapsedCustomersSql)
   }, Some(lapsedCustomersSql))
 
+  /** TPC-H Q19-shaped disjunctive predicate revenue: three
+    * brand/size/quantity conjunction arms OR-ed across a join — the
+    * optimizer workout is pushing the common `p_partkey = l_partkey`
+    * through the disjunction while keeping per-arm predicates
+    * evaluable post-join.
+    */
+  private val disjunctiveRevenueSql = """
+    SELECT CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#4'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2'  AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)"""
+  private val q133 = Q("q133_disjunctive_revenue", (s, dir) => {
+    Tables.registerAll(s, dir)
+    s.sql(disjunctiveRevenueSql)
+  }, Some(disjunctiveRevenueSql))
+
+  /** TPC-H Q15-shaped top supplier: revenue per supplier in a
+    * 3-month window, then the supplier(s) hitting the maximum via a
+    * scalar subquery over the same derived table — all comparisons on
+    * exact integer cents.
+    */
+  private val topSupplierSql = """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_c
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, CAST(total_c AS DOUBLE) / 100.0 AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_c = (SELECT max(total_c) FROM rev)
+    ORDER BY s_suppkey"""
+  private val q134 = Q("q134_top_supplier", (s, dir) => {
+    Tables.registerAll(s, dir)
+    s.sql(topSupplierSql)
+  }, Some(topSupplierSql))
+
   val list: Seq[Q] = Seq(q57, q58, q59, q68, q70, q71, q72, q88, q109, q110, q111,
-    q121, q122)
+    q121, q122, q133, q134)
 }

@@ -108,6 +108,19 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("equiDepthBin quartiles balance exactly on 1..100 and boundary rows stay on the left") {
+    import graft.operators.Quantiles
+    import spark.implicits._
+    val df = (1L to 100L).map(v => (v, "g", v)).toDF("id", "grp", "v")
+    val out = Quantiles.equiDepthBin(df, col("grp"), col("v"), nBins = 4)
+      .select(col("id"), col("bin")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val counts = out.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts == Map(0 -> 25, 1 -> 25, 2 -> 25, 3 -> 25), s"unbalanced: $counts")
+    // interpolated boundaries 25.75 / 50.5 / 75.25: 25 left, 26 right
+    assert(out(25L) == 0 && out(26L) == 1 && out(50L) == 1 && out(51L) == 2)
+  }
+
   test("topP equals the brute-force nucleus definition across random weights and thresholds") {
     import graft.operators.CorpusOps
     import spark.implicits._
