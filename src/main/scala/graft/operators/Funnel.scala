@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ordered event-funnel analysis: for each user, the earliest time
@@ -67,5 +68,34 @@ object Funnel {
     active.join(cohorts, "u")
       .groupBy(col("cohort"), (col("_p") - col("cohort")).as("period_offset"))
       .agg(count(col("u")).as("n_users"))
+  }
+
+  /** BATCH sessionization (gaps-and-islands): assign each event its
+    * 1-based session index per user — a new session starts when the
+    * gap to the previous event exceeds `gapSec`. The row-level
+    * complement of the session_window AGGREGATE (q33): downstream
+    * joins get a (user, session_idx) key per event instead of one
+    * collapsed row per session.
+    *
+    * One shuffle on the user key; per-user windows (lag + running
+    * sum) ordered by (ts, tieBreak) so concurrent events order
+    * deterministically. Gap compares integer epoch microseconds —
+    * no floating time arithmetic (q135).
+    */
+  def sessionize(events: DataFrame, user: Column, ts: Column,
+      tieBreak: Column, gapSec: Long): DataFrame = {
+    require(gapSec > 0, s"gapSec must be positive, got $gapSec")
+    val w = Window.partitionBy(col("_sz_u")).orderBy(col("_sz_t"), col("_sz_tb"))
+    val newSession = when(lag(col("_sz_t"), 1).over(w).isNull ||
+      unix_micros(col("_sz_t")) - unix_micros(lag(col("_sz_t"), 1).over(w)) >
+        gapSec * 1000000L, 1L).otherwise(0L)
+    // two projections: the running sum must see _sz_new as a column,
+    // not a nested window expression
+    events.withColumn("_sz_u", user).withColumn("_sz_t", ts)
+      .withColumn("_sz_tb", tieBreak)
+      .withColumn("_sz_new", newSession)
+      .withColumn("session_idx", sum(col("_sz_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("_sz_u", "_sz_t", "_sz_tb", "_sz_new")
   }
 }

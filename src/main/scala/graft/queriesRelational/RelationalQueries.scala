@@ -846,10 +846,36 @@ object RelationalQueries {
     GROUP BY o.l_orderkey, o.l_linenumber, o.g, o.price_c
     ORDER BY o.l_orderkey, o.l_linenumber, o.g, o.price_c"""))
 
+  /** Z-order clustering key over (p_size, whole-dollar price) — the
+    * multi-dimensional data-layout key (SkewOps.zorderKey2; locality
+    * effect measured in SkewSpec). 10 bits cover both dims (size <=
+    * 50, price 900-999); the oracle unrolls the same 10 interleave
+    * terms as integer arithmetic.
+    */
+  private val q136 = Q("q136_zorder_key", (s, dir) => {
+    val p = t(s, dir, "part").select(col("p_partkey"), col("p_size"),
+      floor(col("p_retailprice")).cast("long").as("price_d"))
+    p.withColumn("zkey",
+        graft.operators.SkewOps.zorderKey2(col("p_size"), col("price_d"), bits = 10))
+      .orderBy(col("p_partkey"))
+  }, Some {
+    val terms = (0 until 10).flatMap { i =>
+      Seq(s"((p_size // ${1L << i}) % 2) * ${1L << (2 * i)}",
+        s"((price_d // ${1L << i}) % 2) * ${1L << (2 * i + 1)}")
+    }
+    s"""
+    WITH p AS (SELECT p_partkey, p_size,
+                      CAST(floor(p_retailprice) AS BIGINT) AS price_d
+               FROM part)
+    SELECT p_partkey, p_size, price_d,
+           CAST(${terms.mkString(" + ")} AS BIGINT) AS zkey
+    FROM p ORDER BY p_partkey"""
+  })
+
   val list: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q60, q61, q65, q66, q67, q76, q86, q107,
-    q119, q123, q132)
+    q119, q123, q132, q136)
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
     list.map(q => q.name -> q.fn).toMap

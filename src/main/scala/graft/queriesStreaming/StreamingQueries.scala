@@ -157,5 +157,30 @@ object StreamingQueries {
     WHERE c.event_type = 'click' AND p.event_type = 'purchase'
     ORDER BY user_id, click_us, purchase_us, value_r2"""))
 
-  val list: Seq[Q] = Seq(q31, q32, q33, q34, q90, q93, q98)
+  /** Row-level batch sessionization (Funnel.sessionize): every event
+    * keeps its (user, session_idx) key — the joinable complement of
+    * q33's collapsed session aggregate. 30-minute gap; ties at equal
+    * timestamps order by event_id on both engines.
+    */
+  private val q135 = Q("q135_sessionize", (s, dir) => {
+    graft.operators.Funnel.sessionize(
+        Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts")),
+        col("user_id"), col("ts"), col("event_id"), gapSec = 1800L)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("session_idx"))
+      .orderBy(col("event_id"))
+  }, Some("""
+    WITH s AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+    FROM s ORDER BY event_id"""))
+
+  val list: Seq[Q] = Seq(q31, q32, q33, q34, q90, q93, q98, q135)
 }

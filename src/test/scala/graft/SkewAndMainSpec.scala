@@ -73,6 +73,42 @@ class SkewSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("zorderKey2 interleaves bits exactly (hand values)") {
+    import spark.implicits._
+    val got = Seq((1L, 0L), (0L, 1L), (3L, 3L), (5L, 2L), (1023L, 1023L))
+      .toDF("x", "y")
+      .select(graft.operators.SkewOps.zorderKey2(col("x"), col("y"), bits = 10))
+      .collect().map(_.getLong(0)).toSeq
+    // z(x,y): x in even bits, y in odd. z(3,3)=0b1111=15; z(5,2)=
+    // x bits {0,2}->{0,4}=17, y bit {1}->{3}=8 -> 25; full 10 bits -> 2^20-1
+    assert(got == Seq(1L, 2L, 15L, 25L, 1048575L), got.toString)
+  }
+
+  test("z-order layout prunes a 2-D range query better than a single-dimension sort") {
+    import spark.implicits._
+    // sf0.01: 1000 parts spread over size 1-50 x price 900-999 (the
+    // sf0.001 slice only covers prices to 920 — too narrow a box)
+    val part = Tables.load(spark, "/root/testdata/sf0.01", "part")
+      .select(col("p_size").cast("long").as("x"),
+        floor(col("p_retailprice")).cast("long").as("y"))
+    val rows = part.withColumn("zkey",
+        graft.operators.SkewOps.zorderKey2(col("x"), col("y"), bits = 10))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // simulate file-level min/max skipping: chunk each layout into
+    // 16-row blocks, count blocks whose [min,max] envelopes intersect
+    // the query box (those must be read; the rest skip)
+    val (qx, qy) = ((10L, 20L), (920L, 940L))
+    def blocksTouched(sorted: Seq[(Long, Long, Long)]): Int =
+      sorted.grouped(16).count { blk =>
+        val (xs, ys) = (blk.map(_._1), blk.map(_._2))
+        xs.min <= qx._2 && xs.max >= qx._1 && ys.min <= qy._2 && ys.max >= qy._1
+      }
+    val bySize = blocksTouched(rows.sortBy(r => (r._1, r._2)).toSeq)
+    val byZ = blocksTouched(rows.sortBy(r => (r._3, r._1)).toSeq)
+    assert(byZ < bySize,
+      s"z-order must touch fewer blocks: z=$byZ vs size-sort=$bySize")
+  }
 }
 
 class FlatMapStateSpec extends SparkSpec {

@@ -564,6 +564,22 @@ class StreamingSpec extends SparkSpec {
     assert(stateOps == 0, s"stream side must be stateless, found $stateOps state operators")
   }
 
+  test("sessionize assigns gap-based session indices with deterministic tie order") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    def ts(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val events = Seq(
+      (1L, 7L, ts(0)), (2L, 7L, ts(10)),   // session 1 (gap 10 <= 30)
+      (3L, 7L, ts(50)), (4L, 7L, ts(61)),  // session 2 (gap 40 > 30)
+      (5L, 8L, ts(0)), (6L, 8L, ts(0)))    // other user, equal ts -> one session
+      .toDF("event_id", "user_id", "ts")
+    val got = graft.operators.Funnel.sessionize(events,
+        col("user_id"), col("ts"), col("event_id"), gapSec = 1800L)
+      .select(col("event_id"), col("session_idx"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L, 6L -> 1L), got.toString)
+  }
+
   test("vector near-dup screen: streamed embeddings collide with history statelessly, matching the batch path") {
     import spark.implicits._
     val base = tmp()
