@@ -81,6 +81,59 @@ object Multimodal {
     }
   }
 
+  /** Perceptual AVERAGE-HASH over the decoded value buffer: the mean
+    * of the first 64 decoded values thresholds each of them into one
+    * bit of a 64-bit fingerprint — the classic aHash, over the same
+    * batch-shaped mapPartitions decode as [[extractFeatures]] (a real
+    * codec drops into `decodeStub` without touching this). Visually
+    * near-identical media differ in a few bits; exact duplicates
+    * collide exactly.
+    */
+  def aHash(media: Dataset[MediaRecord], batchSize: Int = 64): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { m =>
+        val prefix = decodeStub(m.payload).take(64)
+        val mean = if (prefix.isEmpty) 0.0 else prefix.map(_.toDouble).sum / prefix.length
+        val bits = prefix.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+          if (v >= mean) acc | (1L << i) else acc
+        }
+        (m.media_id, m.kind, bits)
+      })
+    }.toDF("media_id", "kind", "ahash")
+  }
+
+  /** Perceptual near-dup pairs by Hamming distance over [[aHash]]
+    * fingerprints — the IMAGE member of the dedup family. Candidate
+    * generation is byte-banded LSH: the 64-bit hash splits into 8
+    * bytes, and any pair within Hamming distance 7 must agree on at
+    * least one whole byte (pigeonhole) — so the band equi-join is
+    * EXHAUSTIVE for maxHamming <= 7, never a cross product, and cost
+    * scales with collision density. Verification is exact
+    * `bit_count(a XOR b)`.
+    */
+  def perceptualNearDups(hashes: DataFrame, maxHamming: Int = 4): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"byte-banding is exhaustive only for maxHamming <= 7, got $maxHamming")
+    val bands = (0 until 8).map { i =>
+      struct(lit(i).as("band"),
+        shiftright(col("ahash"), i * 8).bitwiseAND(lit(255L)).as("bv"))
+    }
+    val banded = hashes.select(col("media_id"), col("ahash"),
+        explode(array(bands: _*)).as("_b"))
+      .select(col("media_id"), col("ahash"), col("_b.band"), col("_b.bv"))
+    val a = banded.select(col("band"), col("bv"),
+      col("media_id").as("id1"), col("ahash").as("_h1"))
+    val b = banded.select(col("band"), col("bv"),
+      col("media_id").as("id2"), col("ahash").as("_h2"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("_h1").bitwiseXOR(col("_h2"))).cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** STUB resize: metadata-only transform (a real kernel would
     * resample the decoded buffer); demonstrates that metadata
     * operations never touch payload bytes — Catalyst prunes the

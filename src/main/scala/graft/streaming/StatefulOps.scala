@@ -63,4 +63,72 @@ object StatefulOps {
           out.iterator
       }
   }
+
+  case class SessEvent(user_id: Long, ts: java.sql.Timestamp)
+  case class SessState(start: Long, last: Long, n: Long) // epoch micros
+  case class Session(user_id: Long, sess_start: Long, sess_end: Long, n_events: Long)
+
+  /** Streaming sessionization with an EVENT-TIME state timeout — the
+    * arbitrary-state sibling of the built-in session_window aggregate
+    * (q33) and the batch row-level sessionize (q135): per user, an
+    * open session accumulates across micro-batches; a gap within a
+    * batch closes and emits immediately, and the final open session
+    * closes when the WATERMARK passes last_event + gap (the
+    * EventTimeTimeout — state cannot outlive the data that could
+    * still extend it, which is the unbounded-state guard every
+    * stateful 100 TB stream needs). Timestamps stay integer epoch
+    * micros inside the state; events inside one batch are sorted
+    * before folding so intra-batch order never depends on shuffle
+    * arrival.
+    *
+    * Apply AFTER `withWatermark` is set by this operator (`delay`
+    * param) — EventTimeTimeout requires one. Also correct on a batch
+    * Dataset (timeouts never fire; every session emits from the final
+    * fold — StatefulSpec asserts batch/stream agreement).
+    */
+  def sessionizeStream(events: Dataset[SessEvent], gapSec: Long,
+      delay: String): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapSec * 1000000L
+    // capture as a plain boolean: referencing the Dataset inside the
+    // state closure would ship the (driver-only) plan to executors
+    val streaming = events.isStreaming
+    def micros(t: java.sql.Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    val watermarked =
+      if (streaming) events.withWatermark("ts", delay) else events
+    watermarked.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[SessEvent], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(user, s.start, s.last, s.n))
+          } else {
+            val ts = rows.map(e => micros(e.ts)).toVector.sorted
+            var closed = Vector.empty[Session]
+            var open = state.getOption
+            ts.foreach { t =>
+              open = open match {
+                case Some(s) if t - s.last <= gapUs =>
+                  Some(SessState(s.start, math.max(s.last, t), s.n + 1))
+                case Some(s) =>
+                  closed :+= Session(user, s.start, s.last, s.n)
+                  Some(SessState(t, t, 1L))
+                case None => Some(SessState(t, t, 1L))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              if (streaming)
+                state.setTimeoutTimestamp(s.last / 1000L + gapSec * 1000L)
+            }
+            // on a BATCH dataset there is no later trigger: emit the
+            // open session too (stream emits it via the timeout)
+            val tail =
+              if (streaming) Vector.empty
+              else { state.remove(); open.map(s => Session(user, s.start, s.last, s.n)).toVector }
+            (closed ++ tail).iterator
+          }
+      }
+  }
 }

@@ -70,4 +70,24 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.sampleFrameIndexes(10, 3) == Seq(0, 3, 6, 9))
     assert(Multimodal.sampleFrameIndexes(0, 3).isEmpty)
   }
+
+  test("aHash + perceptualNearDups: tweaked copies pair up, distinct media do not, no cartesian") {
+    import spark.implicits._
+    // 64 "pixels" alternating 0/200 (mean ~100 thresholds cleanly)
+    val a = Array.tabulate(64)(i => if (i % 2 == 0) 0 else 200).map(_.toByte)
+    val b = a.clone(); b(0) = 200.toByte; b(2) = 200.toByte // 2 bits flip
+    val c = Array.tabulate(64)(i => if (i % 2 == 0) 200 else 0).map(_.toByte) // inverse
+    def rec(id: Long, p: Array[Byte]) = Multimodal.MediaRecord(id, "image", p, 8, 8, 1)
+    val media = Seq(rec(1L, a), rec(2L, b), rec(3L, c), rec(4L, a)).toDS()
+    val hashes = Multimodal.aHash(media)
+    val hs = hashes.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(hs(1L) == hs(4L), "identical payloads must hash identically")
+    assert(java.lang.Long.bitCount(hs(1L) ^ hs(2L)) == 2, "two flipped pixels = 2 bits")
+    assert(java.lang.Long.bitCount(hs(1L) ^ hs(3L)) > 7, "inverse pattern is far")
+    val pairs = Multimodal.perceptualNearDups(hashes, maxHamming = 4)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (1L, 4L), (2L, 4L)), s"wrong pairs: $got")
+    assert(!pairs.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+      "banded candidates must be an equi-join")
+  }
 }

@@ -11,6 +11,52 @@ import graft.streaming.StatefulOps.Keyed
 class StatefulSpec extends SparkSpec {
   import spark.implicits._
 
+  test("sessionizeStream: intra-batch gaps emit immediately; the open session closes via event-time timeout") {
+    import graft.streaming.StatefulOps.{SessEvent, Session}
+    val base = Files.createTempDirectory("graft-sess").toString
+    val t0 = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    def ts(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    def us(min: Long) = ts(min).getTime * 1000L
+    val now = System.currentTimeMillis()
+    def writeSlice(idx: Int, rows: Seq[SessEvent]): Unit = {
+      rows.toDS().coalesce(1).write.json(s"$base/in/f$idx")
+      new java.io.File(s"$base/in/f$idx").listFiles().foreach(f =>
+        assert(f.setLastModified(now - (5 - idx) * 60000L)))
+    }
+    // slice 1: user 1 — two events 10 min apart (one session), then a
+    // 90-min gap (intra-batch split: the first session emits at once)
+    writeSlice(1, Seq(SessEvent(1L, ts(0)), SessEvent(1L, ts(10)), SessEvent(1L, ts(100))))
+    // slices 2-3: watermark-advancing events 3 days on (timeout fires
+    // in the batch AFTER the advance)
+    writeSlice(2, Seq(SessEvent(99L, ts(3 * 24 * 60))))
+    writeSlice(3, Seq(SessEvent(99L, ts(3 * 24 * 60 + 60))))
+    val stream = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .json(s"$base/in")
+      .as[SessEvent]
+    val q = StatefulOps.sessionizeStream(stream, gapSec = 1800L, delay = "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("sess_out")
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("sess_out").as[Session].collect().toSet
+    val user1 = got.filter(_.user_id == 1L)
+    // the gap-split session AND the timeout-closed open session
+    assert(user1 == Set(
+      Session(1L, us(0), us(10), 2L),
+      Session(1L, us(100), us(100), 1L)), s"user 1 sessions wrong: $user1")
+    // batch run of the SAME operator agrees on everything the stream
+    // has emitted (the stream's unemitted sessions are still open)
+    val all = Seq(SessEvent(1L, ts(0)), SessEvent(1L, ts(10)), SessEvent(1L, ts(100)),
+      SessEvent(99L, ts(3 * 24 * 60)), SessEvent(99L, ts(3 * 24 * 60 + 60)))
+    val batch = StatefulOps.sessionizeStream(all.toDS(), gapSec = 1800L, delay = "1 hour")
+      .collect().toSet
+    assert(got.subsetOf(batch), s"stream emitted a session batch disagrees with:\n$got\nvs\n$batch")
+    assert(batch.count(_.user_id == 99L) == 2, s"batch must close both user-99 sessions: $batch")
+  }
+
   test("quota governor keeps per-key running state across micro-batches") {
     val base = Files.createTempDirectory("graft-state").toString
     // two files -> maxFilesPerTrigger=1 forces two micro-batches
