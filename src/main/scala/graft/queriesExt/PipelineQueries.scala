@@ -158,5 +158,50 @@ object PipelineQueries {
                 THEN next_click_id END AS click_id
     FROM m WHERE side = 1 ORDER BY purchase_id"""))
 
-  val list: Seq[Q] = Seq(q63, q64, q113, q124)
+  /** Composed round-6 curation pipeline: lexical-diversity filter
+    * (token entropy + TTR) -> weighted sampling per language ->
+    * deterministic train/val split — three operators from three
+    * families chained through their real interfaces, hash-checked
+    * end-to-end by one CTE stack (the q106 discipline applied to the
+    * round-6 additions).
+    */
+  private val q137 = Q("q137_curate_sample_split", (s, dir) => {
+    import graft.operators.{CorpusOps, TextAnalysis}
+    val docs = Tables.load(s, dir, "documents")
+    val stats = TextAnalysis.tokenEntropy(docs, "doc_id", "text")
+    val kept = docs.select(col("doc_id"), col("lang"))
+      .join(stats.filter(col("entropy_unat") >= 3000000L && col("ttr_pm") >= 450L)
+        .select(col("doc_id"), col("n_tokens")), "doc_id")
+    val sampled = CorpusOps.weightedSample(kept, col("doc_id"), col("n_tokens"),
+      col("lang"), k = 25)
+    CorpusOps.assignSplit(sampled, col("doc_id"), Seq(("train", 0.9), ("val", 0.1)))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("sample_rank"), col("split"))
+      .orderBy(col("doc_id"))
+  }, Some("""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    f AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY doc_id, term),
+    d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                 CAST(count(*) AS BIGINT) AS n_types,
+                 CAST(sum(CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS clc
+          FROM f GROUP BY doc_id),
+    st AS (SELECT doc_id, n_tokens,
+                  (n_types * 1000) // n_tokens AS ttr_pm,
+                  CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) - clc // n_tokens AS ent
+           FROM d),
+    kept AS (SELECT st.doc_id, documents.lang, st.n_tokens
+             FROM st JOIN documents USING (doc_id)
+             WHERE st.ent >= 3000000 AND st.ttr_pm >= 450),
+    h AS (SELECT *, CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS hv
+          FROM kept),
+    ku AS (SELECT *,
+                  CAST(floor(-ln((CAST(hv AS DOUBLE) + 1) / 281474976710656.0) * 1000000 + 0.5) AS BIGINT) AS e_unat
+           FROM h),
+    r AS (SELECT *, row_number() OVER (PARTITION BY lang
+                      ORDER BY CAST(e_unat AS DOUBLE) / CAST(n_tokens AS DOUBLE), doc_id) AS rn
+          FROM ku)
+    SELECT doc_id, lang, n_tokens, CAST(rn AS INT) AS sample_rank,
+           CASE WHEN hv % 1000 < 900 THEN 'train' ELSE 'val' END AS split
+    FROM r WHERE rn <= 25 ORDER BY doc_id"""))
+
+  val list: Seq[Q] = Seq(q63, q64, q113, q124, q137)
 }
