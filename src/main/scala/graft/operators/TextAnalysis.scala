@@ -199,6 +199,56 @@ object TextAnalysis {
           i => coalesce(element_at(col("_m"), i.cast("long")), lit(0L)).cast("double"))
           .as("tfidf_vec"))
 
+  /** BM25 relevance scoring of every document against a fixed query
+    * term set — the standard lexical retrieval ranker (Robertson &
+    * Zaragoza 2009), the sparse half of any hybrid RAG retriever next
+    * to the vector path (int8TopK/bandedAnnPairs):
+    *
+    *   score = sum_t idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+    *   idf(t) = ln((N - df + 0.5) / (df + 0.5) + 1)
+    *
+    * Determinism: idf rides the integer micro-nat grid, and each
+    * TERM's contribution is floored to integer micro-units BEFORE the
+    * per-document sum — a double sum across partitions would be
+    * aggregation-order-dependent; the integer sum cannot be (q138).
+    *
+    * Scale: query terms filter the exploded token stream EARLY (the
+    * shuffle carries only matching (doc, term) rows); doc lengths are
+    * one map-side-combined aggregation; df/avgdl/N are tiny
+    * broadcast aggregates. No vocabulary table, no score matrix.
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "at least one query term required")
+    val tok = df.select(col(idCol), explode(tokens(textCol)).as("term"))
+    val dl = tok.groupBy(col(idCol)).agg(count(lit(1)).as("_dl"))
+    val nDocs = df.agg(count(lit(1)).cast("double").as("_nd"))
+    val qtok = tok.filter(col("term").isin(queryTerms: _*))
+    val tf = qtok.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("_tf"))
+    val idf = qtok.select(col(idCol), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("_df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("term"),
+        floor(log((col("_nd") - col("_df").cast("double") + 0.5) /
+          (col("_df").cast("double") + 0.5) + 1.0) * 1e6 + lit(0.5))
+          .cast("long").as("_idf_u"))
+    val avgdl = dl.agg((sum(col("_dl")).cast("double") / count(lit(1))).as("_avgdl"))
+    val contrib = tf
+      .join(broadcast(idf), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(avgdl))
+      .select(col(idCol),
+        floor(col("_idf_u").cast("double") *
+          (col("_tf").cast("double") * (k1 + 1)) /
+          (col("_tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl").cast("double") / col("_avgdl"))) +
+          lit(0.5)).cast("long").as("_c_u"))
+    contrib.groupBy(col(idCol))
+      .agg(sum(col("_c_u")).as("_s_u"))
+      .select(col(idCol),
+        (col("_s_u").cast("double") / lit(1e6)).as("bm25"))
+  }
+
   /** Per-document token-distribution stats — the cheap lexical-
     * diversity filters a corpus pipeline runs next to [[qualityScore]]:
     * keyword-stuffed/boilerplate pages have low entropy and low

@@ -375,6 +375,41 @@ object TextQueries {
     WHERE n1.nsq > 0 AND n2.nsq > 0
     ORDER BY p.id1"""))
 
+  /** BM25 lexical retrieval scoring (k1=1.2, b=0.75) for a 4-term
+    * query. Constants appear as the SAME IEEE expressions on both
+    * sides ((1.2 + 1), (1 - 0.75)) — writing the pre-computed 2.2
+    * would round differently than the sum (the q131 lesson);
+    * per-term contributions floor to integer micro-units before the
+    * per-doc sum so aggregation order cannot move the score.
+    */
+  private val q138 = Q("q138_bm25", (s, dir) => {
+    TextAnalysis.bm25(Tables.load(s, dir, "documents"), "doc_id", "text",
+        queryTerms = Seq("hash", "join", "scan", "merge"))
+      .orderBy(col("doc_id"))
+  }, Some("""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+    qt AS (SELECT doc_id, term FROM tok
+           WHERE term IN ('hash', 'join', 'scan', 'merge')),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM qt GROUP BY doc_id, term),
+    idf AS (SELECT term,
+                   CAST(floor(ln((nd - CAST(count(DISTINCT doc_id) AS DOUBLE) + 0.5) /
+                                 (CAST(count(DISTINCT doc_id) AS DOUBLE) + 0.5) + 1.0)
+                              * 1000000 + 0.5) AS BIGINT) AS idf_u
+            FROM qt, n GROUP BY term, nd),
+    ad AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+    c AS (SELECT tf.doc_id,
+                 CAST(floor(CAST(idf.idf_u AS DOUBLE) *
+                            (CAST(tf.tf AS DOUBLE) * (1.2 + 1)) /
+                            (CAST(tf.tf AS DOUBLE) +
+                             1.2 * ((1 - 0.75) + 0.75 * CAST(dl.dl AS DOUBLE) / ad.avgdl))
+                            + 0.5) AS BIGINT) AS cu
+          FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN ad)
+    SELECT doc_id, CAST(sum(cu) AS DOUBLE) / 1000000.0 AS bm25
+    FROM c GROUP BY doc_id ORDER BY doc_id"""))
+
   val list: Seq[Q] = Seq(q51, q52, q53, q54, q55, q56, q74, q89, q100, q101, q108, q112,
-    q120, q128, q129)
+    q120, q128, q129, q138)
 }

@@ -75,6 +75,22 @@ class TextSpec extends SparkSpec {
       s"planted duplicate must be the top neighbor at cosine 1.0: $top")
   }
 
+  test("bm25: more hits score higher, longer docs are penalized, no-hit docs are absent") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spark spark join engine"),          // tf(spark)=2, short
+      (2L, "spark engine plan optimizer"),      // tf(spark)=1, short
+      (3L, "spark " + Seq.fill(40)("filler").mkString(" ")), // tf=1, long
+      (4L, "nothing relevant here at all"))
+      .toDF("id", "text")
+    val got = TextAnalysis.bm25(df, "id", "text", queryTerms = Seq("spark"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!got.contains(4L), "docs without any query term must be absent")
+    assert(got(1L) > got(2L), s"higher tf must outrank: $got")
+    assert(got(2L) > got(3L), s"length normalization must penalize the long doc: $got")
+    assert(got.values.forall(_ > 0.0))
+  }
+
   test("sparseCosinePairs agrees with dense cosine; disjoint docs score zero; duplicates score one") {
     import spark.implicits._
     val df = Seq(
