@@ -448,6 +448,39 @@ object Similarity {
         .select(lit(sIdx).as("subspace"), col("cell").as("code"), col("ctr").as("subvec"))
     }.reduce(_ union _)
 
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR'09): combine any
+    * number of per-query rankings — vector ANN, BM25, a re-ranker —
+    * by summing 1/(k + rank) per candidate; the standard hybrid-
+    * retrieval fusion, robust to incomparable score scales because
+    * only RANKS enter. Each input frame carries (query_id,
+    * neighbor_id, rank).
+    *
+    * Determinism: each ranker's contribution floors to integer
+    * nano-units BEFORE the per-candidate sum (float addition is
+    * commutative but not associative — with 3+ rankers a double sum
+    * would depend on aggregation order); ties in the fused ranking
+    * break by neighbor id. One union + one (query, neighbor) groupBy
+    * + a per-query window — cost scales with the candidate lists,
+    * the corpus is never touched (q139).
+    */
+  def reciprocalRankFusion(rankings: Seq[DataFrame], k: Int = 60,
+      topK: Int = 5): DataFrame = {
+    require(rankings.nonEmpty && k >= 0 && topK >= 1,
+      s"need rankings, k >= 0, topK >= 1; got (${rankings.size}, $k, $topK)")
+    val contribU = floor(lit(1e9) /
+      (lit(k).cast("double") + col("rank").cast("double")) + lit(0.5)).cast("long")
+    val u = rankings.map(_.select(col("query_id"), col("neighbor_id"),
+      contribU.as("_c"))).reduce(_ unionAll _)
+    val fused = u.groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("_c")).as("rrf_u"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_u").desc, col("neighbor_id"))
+    fused.withColumn("fused_rank", row_number().over(w))
+      .filter(col("fused_rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"),
+        col("fused_rank").cast("int").as("fused_rank"), col("rrf_u"))
+  }
+
   /** Maximal-Marginal-Relevance re-rank: greedily pick `k` of each
     * query's `shortlist` top candidates, each step taking the
     * candidate maximizing  relWeight * rel(c) - divWeight * max_{s in

@@ -558,6 +558,65 @@ object SimilarityQueries {
     UNION ALL SELECT query_id, CAST(3 AS INT), sel FROM s3
     ORDER BY query_id, mmr_rank"""))
 
+  /** Reciprocal-rank fusion of two genuinely different rankers over
+    * the same query set — exact float cosine vs int8 approximate
+    * MIPS (top-10 lists each, k=60, fused top-5). The oracle rebuilds
+    * both rankings from their existing CTE fragments and replays the
+    * integer nano-unit fusion arithmetic.
+    */
+  private val q139 = Q("q139_rank_fusion", (s, dir) => {
+    val e = Tables.load(s, dir, "embeddings")
+    val queries = e.filter(col("vec_id") % 97 === 0)
+    val cosR = Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", 10)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    val mipsR = Similarity.int8TopK(e, queries, "vec_id", "embedding", 10)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    Similarity.reciprocalRankFusion(Seq(cosR, mipsR), k = 60, topK = 5)
+      .orderBy(col("query_id"), col("fused_rank"))
+  }, Some(s"""
+    WITH $int8Cte,
+    q AS (SELECT sc.vec_id AS query_id, sc.embedding AS qv,
+                 codes.cd AS qc, codes.scale AS qs
+          FROM codes JOIN sc ON sc.vec_id = codes.vec_id
+          WHERE codes.vec_id % 97 = 0),
+    cos_scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             ${cosSql("q.qv", "c.embedding")} AS cos
+      FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+    cos_rank AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM cos_scored),
+    mips_scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_reduce(list_transform(range(1, 65),
+               i -> CAST(q.qc[i] AS BIGINT) * c.cd[i]), (x, y) -> x + y) AS idot,
+             c.scale AS cs
+      FROM codes c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+    mips_rank AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY CAST(idot AS DOUBLE) * cs DESC, neighbor_id) AS rank
+      FROM mips_scored),
+    contribs AS (
+      SELECT query_id, neighbor_id,
+             CAST(floor(1000000000.0 / (60 + CAST(rank AS DOUBLE)) + 0.5) AS BIGINT) AS cu
+      FROM cos_rank WHERE rank <= 10
+      UNION ALL
+      SELECT query_id, neighbor_id,
+             CAST(floor(1000000000.0 / (60 + CAST(rank AS DOUBLE)) + 0.5) AS BIGINT) AS cu
+      FROM mips_rank WHERE rank <= 10),
+    fused AS (
+      SELECT query_id, neighbor_id, CAST(sum(cu) AS BIGINT) AS rrf_u
+      FROM contribs GROUP BY query_id, neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, rrf_u,
+             row_number() OVER (PARTITION BY query_id ORDER BY rrf_u DESC, neighbor_id) AS fused_rank
+      FROM fused)
+    SELECT query_id, neighbor_id, CAST(fused_rank AS INT) AS fused_rank, rrf_u
+    FROM ranked WHERE fused_rank <= 5
+    ORDER BY query_id, fused_rank"""))
+
   val list: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q62, q69, q73, q91, q92, q97,
-    q103, q116, q117, q131)
+    q103, q116, q117, q131, q139)
 }

@@ -287,6 +287,18 @@ class SimilaritySpec extends SparkSpec {
     assert(again == mmr)
   }
 
+  test("reciprocalRankFusion: consensus beats a single first place; absent-from-one-list still fuses") {
+    import spark.implicits._
+    // ranker A: 10 first, 20 second, 30 third; ranker B: 20 first, 30 second (10 absent)
+    val a = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3)).toDF("query_id", "neighbor_id", "rank")
+    val b = Seq((1L, 20L, 1), (1L, 30L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val fused = Similarity.reciprocalRankFusion(Seq(a, b), k = 60, topK = 3)
+      .orderBy(col("fused_rank"))
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toSeq
+    // 20: 1/62 + 1/61 ~ .0325 beats 10: 1/61 ~ .0164; 30: 1/63 + 1/62 ~ .0320 also beats 10
+    assert(fused == Seq((20L, 1), (30L, 2), (10L, 3)), s"fusion order wrong: $fused")
+  }
+
   test("trainKMeans: inertia decreases monotonically and training is deterministic") {
     val e = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
     val inertias = Seq(0, 1, 2).map { it =>
