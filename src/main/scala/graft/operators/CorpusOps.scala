@@ -184,6 +184,14 @@ object CorpusOps {
     * ONE IEEE division e_unat / w — bit-identical everywhere; ties
     * break by id. Narrow hash + per-group top-k window; the shuffle
     * carries the group key only (q126).
+    *
+    * Weights must be strictly positive — that is the Efraimidis-
+    * Spirakis domain: w = 0 makes the race key Infinity (or NaN when
+    * e_unat lands on 0) and w < 0 makes it negative, silently winning
+    * the race; both break the inclusion-probability contract and NaN
+    * ordering differs across engines. Non-positive-weight rows are
+    * filtered out before the race, matching how [[topP]] bounds
+    * pPermille.
     */
   def weightedSample(df: DataFrame, idCol: Column, weightCol: Column,
       groupCol: Column, k: Int): DataFrame = {
@@ -193,7 +201,8 @@ object CorpusOps {
     val eUnat = floor(-log(u) * 1e6 + lit(0.5)).cast("long")
     val w = Window.partitionBy(col("_ws_g"))
       .orderBy(col("_ws_key"), col("_ws_id"))
-    df.withColumn("_ws_g", groupCol)
+    df.filter(weightCol.cast("double") > 0.0)
+      .withColumn("_ws_g", groupCol)
       .withColumn("_ws_id", idCol)
       .withColumn("_ws_key", eUnat.cast("double") / weightCol.cast("double"))
       .withColumn("sample_rank", row_number().over(w))

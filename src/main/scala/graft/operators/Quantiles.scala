@@ -146,6 +146,11 @@ object Quantiles {
     */
   def robustOutliers(df: DataFrame, group: Column, value: Column,
       k: Double = 3.0): DataFrame = {
+    val reserved = Seq("med", "mad", "_rg", "_rv")
+    val clashes = df.columns.filter(reserved.contains).distinct
+    require(clashes.isEmpty,
+      s"robustOutliers reserves column names ${reserved.mkString(", ")} " +
+        s"for its output/scratch; rename the input columns ${clashes.mkString(", ")} first")
     val base = df.withColumn("_rg", group).withColumn("_rv", value.cast("double"))
     val med = exactPercentiles(base, col("_rg"), col("_rv"), Seq(("med", 0.5)))
       .select(col("_g").as("_rg"), col("med"))

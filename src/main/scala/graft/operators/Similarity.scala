@@ -500,11 +500,19 @@ object Similarity {
     * 0.30000000000000004 in IEEE, which would diverge from a SQL
     * literal 0.3), so every engine replays the exact arithmetic
     * (q131's oracle unrolls the same steps as CTEs).
+    *
+    * Contract: `idCol` must be numeric (the tie-break negates it and
+    * the greedy seed array is typed bigint); queries whose shortlist
+    * gathers fewer than `k` candidates are omitted from the output
+    * entirely — the same rows a SQL mirror's k-step CTE stack drops —
+    * rather than emitting null-padded ranks.
     */
   def mmrRerank(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int = 3, shortlist: Int = 8,
       relWeight: Double = 0.7, divWeight: Double = 0.3): DataFrame = {
     require(k >= 1 && shortlist >= k, s"need 1 <= k <= shortlist, got ($k, $shortlist)")
+    require(corpus.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"mmrRerank needs a numeric id column (tie-break negates it); '$idCol' is ${corpus.schema(idCol).dataType.simpleString}")
     val top = bruteForceTopK(corpus, queries, idCol, vecCol, shortlist)
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
     val vecs = corpus.select(col(idCol).as("_vid"), col(vecCol).as("_vv"))
@@ -525,6 +533,10 @@ object Similarity {
         struct(col("neighbor_id").as("id"), col("cos_sim").as("rel")))).as("_c"))
     val gathered = cands.join(simMap, Seq("query_id"), "left")
       .withColumn("_m", coalesce(col("_m"), map_from_entries(array().cast("array<struct<_pk:string,_sim:double>>"))))
+      // a shortlist smaller than k cannot seed k greedy steps: pick()
+      // would array_max an empty array and the null would poison every
+      // later array_contains — drop such queries (see contract above)
+      .filter(size(col("_c")) >= k)
 
     def simOf(cid: Column, sid: Column, m: Column): Column =
       coalesce(element_at(m, concat_ws(":", least(cid, sid), greatest(cid, sid))), lit(0.0))

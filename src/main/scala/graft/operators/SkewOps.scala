@@ -50,14 +50,17 @@ object SkewOps {
     * Pure integer arithmetic ((x div 2^i) mod 2) * 2^(2i), no shifts
     * or bit intrinsics — a narrow codegen'd expression any engine
     * replays exactly (q136). Dimensions wider than `bits` bits should
-    * be range-bucketed first (the usual z-order practice).
+    * be range-bucketed first (the usual z-order practice). Negative
+    * inputs are clamped to 0 — `%` on a negative long would emit
+    * negative bit terms and silently corrupt the interleave; clamping
+    * keeps the key monotone at the domain edge instead.
     */
   def zorderKey2(x: Column, y: Column, bits: Int = 21): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
     // exact long floor-div (a - a%b)/b — Spark's `/` on longs is a
     // double divide, inexact past 2^53; this mirrors SQL's `//`
     def bitAt(c: Column, i: Int): Column = {
-      val cl = c.cast("long")
+      val cl = greatest(c.cast("long"), lit(0L))
       val b = lit(1L << i)
       (((cl - (cl % b)) / b).cast("long") % 2)
     }

@@ -85,6 +85,19 @@ object StatefulOps {
     * param) — EventTimeTimeout requires one. Also correct on a batch
     * Dataset (timeouts never fire; every session emits from the final
     * fold — StatefulSpec asserts batch/stream agreement).
+    *
+    * Cross-batch late data: a within-watermark event from a LATER
+    * micro-batch that is older than the open session's last event
+    * merges into that session (the gap test is signed, so a negative
+    * difference always merges) and the fold takes min into sess_start
+    * — the merged session's bounds cover the late event. What late
+    * data CANNOT do is re-open a session already closed and emitted in
+    * an earlier trigger (append-mode output is immutable); events
+    * whose true session was emitted before they arrived attach to the
+    * current open session instead. Exact batch agreement under
+    * arbitrary cross-batch reordering therefore requires the watermark
+    * delay to cover the disorder (the same contract as the built-in
+    * session_window).
     */
   def sessionizeStream(events: Dataset[SessEvent], gapSec: Long,
       delay: String): Dataset[Session] = {
@@ -110,7 +123,10 @@ object StatefulOps {
             ts.foreach { t =>
               open = open match {
                 case Some(s) if t - s.last <= gapUs =>
-                  Some(SessState(s.start, math.max(s.last, t), s.n + 1))
+                  // min into start: a cross-batch late event older than
+                  // the open session's first event must widen the session,
+                  // not silently inherit a later start
+                  Some(SessState(math.min(s.start, t), math.max(s.last, t), s.n + 1))
                 case Some(s) =>
                   closed :+= Session(user, s.start, s.last, s.n)
                   Some(SessState(t, t, 1L))

@@ -181,4 +181,14 @@ class CorpusOpsSpec extends SparkSpec {
     assert(sampledMean > corpusMean,
       s"weighted sample mean $sampledMean must exceed corpus mean $corpusMean")
   }
+
+  test("weightedSample: non-positive weights are outside the race (zero -> Inf key, negative -> race winner)") {
+    import spark.implicits._
+    val df = Seq((1L, "g", 10L), (2L, "g", 0L), (3L, "g", -5L), (4L, "g", 3L))
+      .toDF("id", "grp", "w")
+    val got = CorpusOps.weightedSample(df, col("id"), col("w"), col("grp"), k = 10)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 4L),
+      s"only strictly-positive-weight rows may be sampled: $got")
+  }
 }

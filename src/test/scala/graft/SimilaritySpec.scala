@@ -287,6 +287,26 @@ class SimilaritySpec extends SparkSpec {
     assert(again == mmr)
   }
 
+  test("mmrRerank: a query with fewer than k candidates is omitted, never null-padded") {
+    // corpus of 2 != query id -> shortlist gathers 2 candidates; k=3
+    // cannot be seeded, so the query drops out entirely (contract)
+    val corpus = Seq((1L, vec(1.0, 0.0)), (2L, vec(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((100L, vec(1.0, 0.0))).toDF("vec_id", "embedding")
+    val short = Similarity.mmrRerank(corpus, queries, "vec_id", "embedding",
+      k = 3, shortlist = 3)
+    assert(short.count() == 0, "under-filled shortlist must omit the query")
+    val ok = Similarity.mmrRerank(corpus, queries, "vec_id", "embedding",
+      k = 2, shortlist = 3)
+    assert(ok.count() == 2 && ok.filter(col("neighbor_id").isNull).count() == 0)
+    // non-numeric id columns fail fast at the contract, not at analysis
+    val strCorpus = Seq(("a", vec(1.0, 0.0))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(strCorpus, strCorpus, "vec_id", "embedding", k = 1, shortlist = 1)
+    }
+    assert(e.getMessage.contains("numeric"), e.getMessage)
+  }
+
   test("reciprocalRankFusion: consensus beats a single first place; absent-from-one-list still fuses") {
     import spark.implicits._
     // ranker A: 10 first, 20 second, 30 third; ranker B: 20 first, 30 second (10 absent)

@@ -85,6 +85,16 @@ class SkewSpec extends SparkSpec {
     assert(got == Seq(1L, 2L, 15L, 25L, 1048575L), got.toString)
   }
 
+  test("zorderKey2 clamps negative dimensions to the domain edge") {
+    import spark.implicits._
+    val got = Seq((-5L, 3L), (0L, 3L), (7L, -1L), (7L, 0L)).toDF("x", "y")
+      .select(graft.operators.SkewOps.zorderKey2(col("x"), col("y"), bits = 10))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got(0) == got(1), s"z(-5,3)=${got(0)} must equal z(0,3)=${got(1)}")
+    assert(got(2) == got(3), s"z(7,-1)=${got(2)} must equal z(7,0)=${got(3)}")
+    assert(got.forall(_ >= 0L), s"no negative interleaved keys: $got")
+  }
+
   test("z-order layout prunes a 2-D range query better than a single-dimension sort") {
     import spark.implicits._
     // sf0.01: 1000 parts spread over size 1-50 x price 900-999 (the

@@ -57,6 +57,43 @@ class StatefulSpec extends SparkSpec {
     assert(batch.count(_.user_id == 99L) == 2, s"batch must close both user-99 sessions: $batch")
   }
 
+  test("sessionizeStream: a within-watermark late event older than the open session's start widens sess_start") {
+    import graft.streaming.StatefulOps.{SessEvent, Session}
+    val base = Files.createTempDirectory("graft-sess-late").toString
+    val t0 = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    def ts(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    def us(min: Long) = ts(min).getTime * 1000L
+    val now = System.currentTimeMillis()
+    def writeSlice(idx: Int, rows: Seq[SessEvent]): Unit = {
+      rows.toDS().coalesce(1).write.json(s"$base/in/f$idx")
+      new java.io.File(s"$base/in/f$idx").listFiles().foreach(f =>
+        assert(f.setLastModified(now - (6 - idx) * 60000L)))
+    }
+    // slice 1 opens user 1's session at min 10; slice 2 delivers a LATE
+    // event at min 5 (within the 1 h watermark delay, older than the
+    // open session's start); slices 3-4 advance the watermark 3 days to
+    // fire the timeout
+    writeSlice(1, Seq(SessEvent(1L, ts(10))))
+    writeSlice(2, Seq(SessEvent(1L, ts(5))))
+    writeSlice(3, Seq(SessEvent(99L, ts(3 * 24 * 60))))
+    writeSlice(4, Seq(SessEvent(99L, ts(3 * 24 * 60 + 60))))
+    val stream = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .json(s"$base/in")
+      .as[SessEvent]
+    val q = StatefulOps.sessionizeStream(stream, gapSec = 1800L, delay = "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("sess_late_out")
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val user1 = spark.table("sess_late_out").as[Session].collect()
+      .filter(_.user_id == 1L).toSet
+    assert(user1 == Set(Session(1L, us(5), us(10), 2L)),
+      s"late event must widen the session to [5, 10]: $user1")
+  }
+
   test("quota governor keeps per-key running state across micro-batches") {
     val base = Files.createTempDirectory("graft-state").toString
     // two files -> maxFilesPerTrigger=1 forces two micro-batches

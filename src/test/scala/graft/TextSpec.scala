@@ -139,6 +139,15 @@ class TextSpec extends SparkSpec {
     assert(zFlagged.isEmpty, s"masking premise broken — z-score caught $zFlagged")
   }
 
+  test("robustOutliers: inputs already carrying med/mad are rejected, not silently duplicated") {
+    import spark.implicits._
+    val df = Seq((1L, 2.0, 9.9)).toDF("id", "v", "med")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Quantiles.robustOutliers(df, lit("g"), col("v"))
+    }
+    assert(e.getMessage.contains("med"), e.getMessage)
+  }
+
   test("compressionRatio on the fixture corpus: plan is a narrow projection, values populated") {
     val docs = Tables.load(spark, sfDir, "documents")
     val out = TextAnalysis.compressionRatio(docs, "doc_id", "text")
