@@ -392,6 +392,79 @@ object Similarity {
         q6(col("_ed").cast("double") / 1e6).as("exact_dist"))
   }
 
+  /** IVF x PQ composed serving plan — THE production 100 TB vector-
+    * search shape (the faiss `IVFPQ` index layout, Jégou et al. 2011):
+    * (1) the inverted file prunes each query's search to its `nprobe`
+    * nearest cells, (2) ADC scores only the PROBED cells' codes
+    * against a broadcast integer-quantized distance table, (3) the
+    * `shortlist` survivors fetch true vectors for an exact re-rank to
+    * top-k. q62 (IVF, exact within cells) and q92/q103 (ADC over ALL
+    * codes) are its halves; the composition scans ~nprobe/|cells| of
+    * the code table where q92 scans all of it (q140).
+    *
+    * Scale shape: cell assignment + PQ encode are ONE narrow corpus
+    * pass (broadcast centroid and codebook arrays — the corpus never
+    * shuffles to be indexed; at rest the codes table is written
+    * partitioned by cell, so the probe join becomes partition
+    * pruning). The probe list (|queries| x nprobe) and distance table
+    * (|queries| x nSub x |codes|) broadcast; the only corpus-scale
+    * shuffle is the (query, neighbor) ADC aggregation over probed
+    * cells. The exact re-rank reads |queries| x shortlist vectors.
+    * Same completeness guard as [[pqTopK]]: neighbors missing a
+    * distance-table entry for any subspace are excluded, not
+    * mis-ranked on an under-counted sum.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      codebooks: DataFrame, idCol: String, vecCol: String, k: Int,
+      nprobe: Int, shortlist: Int, nSub: Int = 8, subDim: Int = 8): DataFrame = {
+    require(k >= 1 && shortlist >= k && nprobe >= 1,
+      s"need 1 <= k <= shortlist and nprobe >= 1, got (k=$k, shortlist=$shortlist, nprobe=$nprobe)")
+    // inverted file + codes in one narrow pass over the corpus
+    val enc = graft.functions.pq.encodeCodes(col("_v"), col("_cbs"), nSub, subDim)
+    val codeRows = assignCells(corpus, centroids, idCol, vecCol)
+      .crossJoin(broadcast(pqCodebookArray(codebooks)))
+      .withColumn("_codes", enc)
+      .select(col("_id").as("neighbor_id"), col("cell"),
+        posexplode(col("_codes")).as(Seq("subspace", "code")))
+    // per-query probe list: the nprobe nearest cells (|queries| x
+    // |cells| candidate rows — query side is small by contract)
+    val cellW = Window.partitionBy(col("query_id")).orderBy(col("_d"), col("cell"))
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("_d", q6(l2sq(col("_qv"), col("ctr"))))
+      .withColumn("_rn", row_number().over(cellW))
+      .filter(col("_rn") <= nprobe)
+      .select(col("query_id"), col("cell"))
+    // ADC distance table, integer-quantized (the pqTopK table)
+    val dtable = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+      .crossJoin(broadcast(codebooks))
+      .select(col("query_id"), col("subspace"), col("code"),
+        floor(l2sq(slice(col("_qv"), col("subspace") * subDim + 1, lit(subDim)),
+          col("subvec")) * 1e6 + lit(0.5)).cast("long").as("_dq"))
+    val sw = Window.partitionBy(col("query_id")).orderBy(col("_dist"), col("neighbor_id"))
+    val short = codeRows.join(broadcast(probes), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .join(broadcast(dtable), Seq("query_id", "subspace", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg((sum(col("_dq")).cast("double") / 1e6).as("_dist"),
+        count(lit(1)).as("_matched"))
+      .filter(col("_matched") === nSub)
+      .withColumn("_rm", row_number().over(sw))
+      .filter(col("_rm") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact re-rank of the shortlist (the pqTopKReranked tail)
+    val vecs = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_nv"))
+    val qvecs = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    val rw = Window.partitionBy(col("query_id")).orderBy(col("_ed"), col("neighbor_id"))
+    short.join(vecs, "neighbor_id")
+      .join(broadcast(qvecs), "query_id")
+      .withColumn("_ed", floor(l2sq(col("_nv"), col("_qv")) * 1e6 + lit(0.5)).cast("long"))
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        q6(col("_ed").cast("double") / 1e6).as("exact_dist"))
+  }
+
   /** Lloyd's k-means over an embedding column, built from the pieces
     * this engine already distributes: [[assignCells]] (narrow
     * broadcast-argmin assignment — zero corpus shuffle) and the typed

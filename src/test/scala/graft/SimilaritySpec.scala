@@ -265,6 +265,68 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.8, s"mean recall@5 $mean < 0.8 (per-query: $recalls)")
   }
 
+  test("ivfPqTopK: probing all cells equals plain ADC+rerank; nprobe=3 retains recall@5") {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val centroid = udaf(new graft.functions.CentroidAggregator(64))
+    val centroids = e.groupBy(col("label").cast("int").as("cell"))
+      .agg(centroid(col("embedding")).as("ctr"))
+    val cbs = graft.queriesExt.SimilarityQueries.pqCodebooks(e)
+    val queries = e.filter(col("vec_id") % 97 === 0)
+    val nCells = centroids.count().toInt
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // equivalence: probing EVERY cell makes the IVF stage a no-op, so
+    // the composition must reproduce pqTopKReranked exactly
+    val full = Similarity.ivfPqTopK(e, queries, centroids, cbs, "vec_id", "embedding",
+      k = 5, nprobe = nCells, shortlist = 20)
+    val codes = Similarity.pqEncode(e, cbs, "vec_id", "embedding")
+    val plain = Similarity.pqTopKReranked(codes, e, queries, cbs, "vec_id", "embedding",
+      k = 5, shortlist = 20)
+    assert(asSet(full) == asSet(plain),
+      "nprobe = all cells must equal the unpruned ADC+rerank plan")
+    // recall@5 vs exact ground truth: composed IVFxPQ vs plain ADC
+    // (no rerank) vs IVF-exact, each against its own metric's truth
+    def truthTop5(byCos: Boolean): Map[Long, Set[Long]] = {
+      val qv = queries.select(col("vec_id").as("query_id"), col("embedding").as("_qv"))
+      val base = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("_cv"))
+        .crossJoin(broadcast(qv)).filter(col("neighbor_id") =!= col("query_id"))
+      val scored = if (byCos)
+        base.withColumn("_s", Similarity.cosine(col("_qv"), col("_cv")))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("query_id")).orderBy(col("_s").desc, col("neighbor_id"))))
+      else
+        base.withColumn("_s", Similarity.l2sq(col("_cv"), col("_qv")))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("query_id")).orderBy(col("_s"), col("neighbor_id"))))
+      scored.filter(col("rank") <= 5).select("query_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    }
+    def recall(df: org.apache.spark.sql.DataFrame, truth: Map[Long, Set[Long]]): Double = {
+      val got = df.select("query_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      truth.map { case (q, want) =>
+        got.getOrElse(q, Set.empty[Long]).intersect(want).size / 5.0 }.sum / truth.size
+    }
+    val l2Truth = truthTop5(byCos = false)
+    val rIvfPq = recall(Similarity.ivfPqTopK(e, queries, centroids, cbs,
+      "vec_id", "embedding", k = 5, nprobe = 3, shortlist = 20), l2Truth)
+    val rAdcOnly = recall(Similarity.pqTopK(codes, queries, cbs,
+      "vec_id", "embedding", k = 5), l2Truth)
+    val rIvfExact = recall(Similarity.ivfTopK(e, queries, centroids,
+      "vec_id", "embedding", k = 5, nprobe = 3), truthTop5(byCos = true))
+    info(s"recall@5 — ivfPq(nprobe=3): $rIvfPq, ADC-only: $rAdcOnly, IVF-exact(nprobe=3): $rIvfExact")
+    // the fixture codebooks are 16 UNTRAINED anchors (so a SQL oracle
+    // can replay them) — absolute recall is fixture-bound (~0.17 ADC).
+    // The properties that must hold regardless: the exact re-rank
+    // recovers ADC mis-rankings even under cell pruning, and the
+    // composition stays above a sanity floor.
+    assert(rIvfPq > rAdcOnly,
+      s"exact rerank must beat ADC-only ranking: $rIvfPq vs $rAdcOnly")
+    assert(rIvfPq >= 0.2, s"composed IVFxPQ recall@5 $rIvfPq below sanity floor")
+  }
+
   test("mmrRerank diversifies: the duplicate that plain top-k keeps is displaced by a distinct candidate") {
     // corpus: 1 and 2 are identical (both exactly the query direction),
     // 3 sits at 45 degrees. Plain top-2 = {1, 2}; MMR with a heavy
