@@ -249,6 +249,94 @@ object TextAnalysis {
         (col("_s_u").cast("double") / lit(1e6)).as("bm25"))
   }
 
+  /** Token-sequence sentinel for [[bpeTokenize]]: each token rides as
+    * SEP + token + SEP, so the pattern for an adjacent pair (a, b) is
+    * SEP a SEP SEP b SEP — it can never match inside a token or across
+    * a non-adjacent boundary, and a literal left-to-right replace of
+    * that pattern is exactly one greedy BPE merge application.
+    */
+  private val SEP = "\u001f"
+
+  /** A fixed BPE merge-rank table (rank = list position, lowest rank
+    * merges first) sized to the corpus vocabulary. Fixed — not
+    * data-learned — so a SQL oracle replays tokenization exactly; the
+    * operator accepts any table (a learned one slots in unchanged).
+    */
+  val BPE_MERGES: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "e" -> "r", "a" -> "t", "t" -> "a",
+    "ta" -> "b", "tab" -> "l", "tabl" -> "e", "o" -> "w", "i" -> "n",
+    "a" -> "n", "s" -> "c", "sc" -> "an", "d" -> "at", "dat" -> "a",
+    "r" -> "ow", "b" -> "at", "bat" -> "c", "batc" -> "h", "v" -> "a",
+    "va" -> "l", "val" -> "u", "valu" -> "e", "o" -> "r", "qu" -> "er",
+    "q" -> "u", "s" -> "m", "sm" -> "a", "sma" -> "ll", "l" -> "l")
+
+  /** Greedy subword (BPE) tokenization over a broadcast FIXED
+    * merge-rank table — the token accounting every LLM-pipeline budget
+    * decision actually runs on: whitespace counts ([[tokens]]) are
+    * 1.3-1.7x off per language, and mixing weights / packing budgets
+    * downstream inherit the error (cf. Sennrich et al. 2016).
+    *
+    * Algorithm (per word): start from characters; each round finds the
+    * LOWEST-RANK merge whose pair occurs adjacently and replaces all
+    * its non-overlapping occurrences left to right; repeat `rounds`
+    * times (a word of length L needs at most L-1 — rounds bounds the
+    * chain like pageRank's fixed iterations). The token sequence rides
+    * a sentinel-delimited string, so a round is: one fold over the
+    * merge table for the best applicable rank (narrow), then one
+    * literal replace — both codegen'd expressions, no shuffle.
+    *
+    * Scale shape: tokenization runs on the DISTINCT-word vocabulary
+    * table, then a broadcast join maps occurrences back — the corpus
+    * text is scanned once and never re-shuffled, and the iterative
+    * work is proportional to |vocab|, not corpus size (exactly how
+    * production tokenizers cache word -> pieces).
+    *
+    * Output: (id, word_pos, word, tokens, n_subwords) per word
+    * occurrence; `tokens` is the space-joined subword sequence.
+    */
+  def bpeTokenize(df: DataFrame, idCol: Column, textCol: Column,
+      merges: Seq[(String, String)] = BPE_MERGES, rounds: Int = 8): DataFrame = {
+    require(rounds >= 1 && merges.nonEmpty, "need rounds >= 1 and a non-empty merge table")
+    val mergesArr = array(merges.zipWithIndex.map { case ((a, b), r) =>
+      struct(lit(r).as("rank"),
+        lit(SEP + a + SEP + SEP + b + SEP).as("pat"),
+        lit(SEP + a + b + SEP).as("rep")) }: _*)
+    val none = struct(lit(Int.MaxValue).as("rank"), lit("").as("pat"), lit("").as("rep"))
+    def mergeRound(ts: Column): Column = {
+      val best = aggregate(mergesArr, none, (acc, m) =>
+        when(m.getField("rank") < acc.getField("rank") &&
+          contains(ts, m.getField("pat")), m).otherwise(acc))
+      when(best.getField("pat") === "", ts)
+        .otherwise(replace(ts, best.getField("pat"), best.getField("rep")))
+    }
+    val words = df.select(idCol.as("id"),
+      posexplode(regexp_extract_all(lower(textCol), lit("[a-z]+"), lit(0)))
+        .as(Seq("word_pos", "word")))
+    val vocab0 = words.select(col("word")).distinct()
+      .withColumn("tokseq", regexp_replace(col("word"), "(.)", SEP + "$1" + SEP))
+    val vocab = (0 until rounds).foldLeft(vocab0) { (v, _) =>
+        v.withColumn("tokseq", mergeRound(col("tokseq")))
+      }
+      .select(col("word"),
+        replace(replace(col("tokseq"), lit(SEP + SEP), lit(" ")), lit(SEP), lit(""))
+          .as("tokens"),
+        ((length(col("tokseq")) -
+          length(replace(col("tokseq"), lit(SEP), lit("")))) / 2).cast("long")
+          .as("n_subwords"))
+    words.join(broadcast(vocab), "word")
+      .select(col("id"), col("word_pos").cast("long").as("word_pos"), col("word"),
+        col("tokens"), col("n_subwords"))
+  }
+
+  /** Per-document subword counts from [[bpeTokenize]] — the budget
+    * measure for mixing/packing decisions: (id, n_words, n_subwords).
+    */
+  def subwordCounts(df: DataFrame, idCol: Column, textCol: Column,
+      merges: Seq[(String, String)] = BPE_MERGES, rounds: Int = 8): DataFrame =
+    bpeTokenize(df, idCol, textCol, merges, rounds)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_subwords")).as("n_subwords"))
+
   /** Per-document token-distribution stats — the cheap lexical-
     * diversity filters a corpus pipeline runs next to [[qualityScore]]:
     * keyword-stuffed/boilerplate pages have low entropy and low

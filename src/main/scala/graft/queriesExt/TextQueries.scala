@@ -410,6 +410,90 @@ object TextQueries {
     SELECT doc_id, CAST(sum(cu) AS DOUBLE) / 1000000.0 AS bm25
     FROM c GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Subword (BPE) token accounting — greedy merge-table tokenization
+    * (TextAnalysis.bpeTokenize) summed per document, plus the
+    * 64-token packing budget it implies. Whitespace counts (q53)
+    * systematically mis-measure LLM budgets; this is the corrected
+    * measure every downstream mixing/packing decision should use. The
+    * oracle replays the same 8 merge rounds as CTE pairs over the
+    * distinct-word vocabulary (contains -> arg_min best rank ->
+    * literal replace) on the operator's exact sentinel-string
+    * representation, from the same merge table.
+    */
+  private val q141 = Q("q141_bpe_subword", (s, dir) => {
+    TextAnalysis.subwordCounts(Tables.load(s, dir, "documents"), col("doc_id"), col("text"))
+      .select(col("id").as("doc_id"), col("n_words"), col("n_subwords"),
+        floor((col("n_subwords") + 63) / 64).cast("long").as("seq64"))
+      .orderBy(col("doc_id"))
+  }, Some {
+    def litTok(t: String) = s"chr(31)||'$t'||chr(31)"
+    val mergeRows = TextAnalysis.BPE_MERGES.zipWithIndex.map { case ((a, b), r) =>
+      s"($r, ${litTok(a)}||${litTok(b)}, ${litTok(a + b)})"
+    }.mkString(", ")
+    val roundCtes = (1 to 8).map { i =>
+      val prev = s"v${i - 1}"
+      s"""b$i AS (
+      SELECT $prev.word AS bw, arg_min(m.pat, m.rank) AS pat, arg_min(m.rep, m.rank) AS rep
+      FROM $prev JOIN m ON contains($prev.ts, m.pat) GROUP BY $prev.word),
+    v$i AS (
+      SELECT v.word, CASE WHEN b.pat IS NULL THEN v.ts ELSE replace(v.ts, b.pat, b.rep) END AS ts
+      FROM $prev v LEFT JOIN b$i b ON b.bw = v.word)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH m(rank, pat, rep) AS (VALUES $mergeRows),
+    w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+          FROM documents),
+    v0 AS (SELECT DISTINCT word,
+                  regexp_replace(word, '(.)', chr(31)||'\\1'||chr(31), 'g') AS ts
+           FROM w),
+    $roundCtes,
+    vocab AS (SELECT word,
+                     CAST((length(ts) - length(replace(ts, chr(31), ''))) // 2 AS BIGINT) AS n_sub
+              FROM v8)
+    SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(vocab.n_sub) AS BIGINT) AS n_subwords,
+           CAST((sum(vocab.n_sub) + 63) // 64 AS BIGINT) AS seq64
+    FROM w JOIN vocab USING (word)
+    GROUP BY w.doc_id ORDER BY w.doc_id"""
+  })
+
+  /** Perceptual image near-dup verification (Multimodal.perceptualNearDups)
+    * over a DETERMINISTIC synthetic hash table, bypassing the decode
+    * stub: group g = doc_id % 25 replicates byte g into all 8 bytes
+    * (g * 0x0101010101010101) and each member flips one low bit, so
+    * every within-group pair sits at Hamming distance 2 (or 0 when two
+    * members share a flip bit) and every cross-group pair at >= 6 —
+    * the byte-banded candidate join plus exact bit_count(XOR) verify
+    * must return exactly the within-group pairs. This gives the image
+    * member of the dedup family the same hash-checked oracle row as
+    * the text members (q41-q44); a real codec feeding aHash changes
+    * only the hash production, not this verify logic.
+    */
+  private val q142 = Q("q142_perceptual_neardup", (s, dir) => {
+    import graft.operators.Multimodal
+    val hashes = Tables.load(s, dir, "documents").select(
+      col("doc_id").as("media_id"),
+      (col("doc_id") % 25).cast("long").multiply(lit(72340172838076673L))
+        .bitwiseXOR(expr("shiftleft(CAST(1 AS BIGINT), CAST((doc_id DIV 25) % 60 AS INT))"))
+        .as("ahash"))
+    Multimodal.perceptualNearDups(hashes, maxHamming = 4)
+      .orderBy(col("id1"), col("id2"))
+  }, Some("""
+    WITH h AS (
+      SELECT doc_id AS media_id,
+             xor(CAST(doc_id % 25 AS BIGINT) * 72340172838076673,
+                 CAST(1 AS BIGINT) << CAST((doc_id // 25) % 60 AS INT)) AS ahash
+      FROM documents),
+    b AS (
+      SELECT media_id, ahash, unnest(range(0, 8)) AS band FROM h),
+    bv AS (
+      SELECT media_id, ahash, band, (ahash >> CAST(band * 8 AS INT)) & 255 AS bv FROM b),
+    p AS (
+      SELECT DISTINCT a.media_id AS id1, c.media_id AS id2,
+             CAST(bit_count(xor(a.ahash, c.ahash)) AS INT) AS hamming
+      FROM bv a JOIN bv c ON a.band = c.band AND a.bv = c.bv AND a.media_id < c.media_id)
+    SELECT id1, id2, hamming FROM p WHERE hamming <= 4 ORDER BY id1, id2"""))
+
   val list: Seq[Q] = Seq(q51, q52, q53, q54, q55, q56, q74, q89, q100, q101, q108, q112,
-    q120, q128, q129, q138)
+    q120, q128, q129, q138, q141, q142)
 }

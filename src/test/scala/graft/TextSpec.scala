@@ -139,6 +139,49 @@ class TextSpec extends SparkSpec {
     assert(zFlagged.isEmpty, s"masking premise broken — z-score caught $zFlagged")
   }
 
+  test("bpeTokenize: greedy rank order, left-to-right overlap, merge chains — hand-checked fixtures") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    def run(text: String, merges: Seq[(String, String)]): Map[String, (String, Long)] =
+      TextAnalysis.bpeTokenize(Seq((1L, text)).toDF("id", "text"), col("id"), col("text"),
+          merges, rounds = 6)
+        .select("word", "tokens", "n_subwords").collect()
+        .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    // overlap: merging (a,a) in "aaaa" pairs left-to-right -> [aa, aa];
+    // "aaa" -> [aa, a] (the trailing a cannot re-pair)
+    val ov = run("aaaa aaa", Seq("a" -> "a"))
+    assert(ov("aaaa") == ("aa aa", 2L), s"aaaa: ${ov("aaaa")}")
+    assert(ov("aaa") == ("aa a", 2L), s"aaa: ${ov("aaa")}")
+    // rank priority: (b,c) outranks (c,a); in "bca" both apply but the
+    // lower rank must win the round -> [bc, a], never [b, ca]
+    val pr = run("bca", Seq("b" -> "c", "c" -> "a"))
+    assert(pr("bca") == ("bc a", 2L), s"bca: ${pr("bca")}")
+    // merge chain across rounds: th + the needs rank-0 output as
+    // rank-1 input; unmergeable chars stay single
+    val ch = run("the tz", Seq("t" -> "h", "th" -> "e"))
+    assert(ch("the") == ("the", 1L), s"the: ${ch('t' + "he")}")
+    assert(ch("tz") == ("t z", 2L), s"tz: ${ch("tz")}")
+    // a merge referencing a not-yet-formed token only fires once its
+    // inputs exist ((sc,an) after (a,n) and (s,c))
+    val sc = run("scan", Seq("a" -> "n", "s" -> "c", "sc" -> "an"))
+    assert(sc("scan") == ("scan", 1L), s"scan: ${sc("scan")}")
+    // deterministic: same input twice, identical output
+    assert(run("aaaa aaa", Seq("a" -> "a")) == ov)
+  }
+
+  test("subwordCounts vs whitespace counts: the budget divergence the subword measure corrects") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.load(spark, sfDir, "documents")
+    val sub = TextAnalysis.subwordCounts(docs, col("doc_id"), col("text"))
+    val joined = sub.join(
+      TextAnalysis.tokenCounts(docs, "text").select(col("doc_id").as("id"), col("ws_tokens")), "id")
+    val row = joined.agg(sum(col("n_subwords")), sum(col("ws_tokens")), count(lit(1))).head()
+    val (nSub, nWs) = (row.getLong(0), row.getLong(1))
+    // subword counts exceed whitespace counts (words split into pieces)
+    assert(nSub > nWs, s"subword total $nSub must exceed whitespace total $nWs")
+    assert(nSub < nWs * 10, s"sanity: $nSub vs $nWs")
+  }
+
   test("robustOutliers: inputs already carrying med/mad are rejected, not silently duplicated") {
     import spark.implicits._
     val df = Seq((1L, 2.0, 9.9)).toDF("id", "v", "med")
