@@ -29,10 +29,13 @@ import graft.operators.FirehoseTransform
   * like the reference's put_record_batch (main.py:101-128): a
   * checkpoint replay re-runs processBatch and re-sends that batch's
   * Dropped records through the sink, and a task retry after one chunk
-  * of a partition already delivered re-sends that chunk. Downstream
-  * consumers that need exactly-once can dedup on the stable
-  * `reingest-$batchId-<recordId>` record-id prefix, which is
-  * deterministic across replays.
+  * of a partition already delivered re-sends that chunk. Setting
+  * `Config.effectivelyOnce` closes this gap INSIDE the pipeline: the
+  * read-back path dedups on the stable `reingest-$batchId-<recordId>`
+  * id (within-batch dropDuplicates + an anti-join against the
+  * batchId-keyed seen registry), making the loop effectively-once
+  * under replay and sink re-delivery — semantics the managed service
+  * itself does not offer (main.py:101-128 tolerates duplicates).
   *
   * Scale notes: the transform is a narrow pipeline (no shuffle); the
   * size governor is batch-local state by construction, so no global
@@ -62,10 +65,19 @@ object FirehoseDelivery {
       // through RecordSink's per-record subset-retry protocol instead
       // of the all-or-nothing file write. The sink owns routing the
       // records back into the stream (e.g. appending to inputDir).
-      reingestSink: Option[RecordSink.BatchSink] = None) {
+      reingestSink: Option[RecordSink.BatchSink] = None,
+      // EFFECTIVELY-ONCE re-ingest: dedup read-back records on their
+      // stable `reingest-<batchId>-<recordId>` key (within the batch
+      // AND against the batchId-keyed seen registry), upgrading the
+      // documented at-least-once self-loop to effectively-once under
+      // checkpoint replay and sink re-delivery. The reference tolerates
+      // these duplicates (main.py:101-128 re-sends the whole failed
+      // subset); this exceeds it. Off by default: reference semantics.
+      effectivelyOnce: Boolean = false) {
     def primaryDir: String = s"$outputDir/primary"
     def backupDir: String = s"$outputDir/backup"
     def failedDir: String = s"$outputDir/processing-failed"
+    def seenDir: String = s"$outputDir/reingest-seen"
   }
 
   import Envelope.Result._
@@ -82,8 +94,43 @@ object FirehoseDelivery {
     // numInputRows, ~2x JSON-parse cost per trigger) — then
     // materialize the (narrow) transform once for its three sinks.
     batch.persist()
+    // Effectively-once read-back (opt-in): re-ingested records carry
+    // the replay-stable id `reingest-<srcBatch>-<recordId>`; duplicates
+    // arise from (a) the same id landing twice in ONE batch (a sink
+    // task retry appended two files) — dropDuplicates, and (b) the
+    // same id re-arriving in a LATER batch (checkpoint replay of the
+    // source batch re-sent its Dropped set) — anti-join against the
+    // seen registry. The registry is batchId-keyed overwritten parquet
+    // (the same idempotence pattern as every other sink here) and the
+    // anti-join EXCLUDES the current batchId, so a replayed batch
+    // admits exactly the records its first attempt admitted. Scale:
+    // registry volume ∝ dropped records (kilobytes per batch); prune
+    // partitions older than the retry horizon (maxAttempts triggers)
+    // the same way the band table compacts. Backup still receives the
+    // RAW batch — dedup is a delivery concern, not an archival one.
+    val admitted =
+      if (!conf.effectivelyOnce) batch
+      else {
+        val isRe = coalesce(col("recordId").startsWith("reingest-"), lit(false))
+        val re = batch.filter(isRe).dropDuplicates("recordId")
+        val seen =
+          try spark.read.parquet(conf.seenDir)
+            .filter(col("batchId") =!= batchId).select(col("recordId"))
+          catch { case _: org.apache.spark.sql.AnalysisException => // no registry yet
+            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("recordId",
+                  org.apache.spark.sql.types.StringType))))
+          }
+        // fresh is re-derived for the union below — cheap, both passes
+        // read the persisted raw batch and the registry is tiny
+        val fresh = re.join(seen, Seq("recordId"), "left_anti")
+        fresh.select("recordId").write.mode(SaveMode.Overwrite)
+          .parquet(s"${conf.seenDir}/batchId=$batchId")
+        batch.filter(!isRe).unionByName(fresh)
+      }
     val governed = FirehoseTransform.sizeGovernor(
-      FirehoseTransform.transform(batch, conf.permissive), conf.sizeCap)
+      FirehoseTransform.transform(admitted, conf.permissive), conf.sizeCap)
       .persist()
     try {
       // A15 primary: Firehose writes the transformed record bytes; our

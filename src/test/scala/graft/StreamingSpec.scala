@@ -48,6 +48,24 @@ class FlakyReingestSink(failSubstr: String, failTimes: Int)
   }
 }
 
+/** At-least-once failure model: every successful putBatch lands its
+  * records in the input dir TWICE (two files, same content — a sink
+  * whose ack was lost and which re-delivered). The effectively-once
+  * read-back dedup must collapse them; the default config must not.
+  */
+class DoubleDeliverySink extends RecordSink.BatchSink {
+  override def putBatch(records: Seq[RecordSink.Record]): Seq[Option[String]] = {
+    val lines = records.map(r => s"""{"recordId":"${r.recordId}","data":"${r.data}"}""")
+    Files.createDirectories(Paths.get(ReingestSinkState.inputDir))
+    (1 to 2).foreach { _ =>
+      Files.write(
+        Paths.get(ReingestSinkState.inputDir, s"reingest-${java.util.UUID.randomUUID()}.json"),
+        lines.mkString("\n").getBytes("UTF-8"))
+    }
+    records.map(_ => None)
+  }
+}
+
 /** End-to-end streaming smoke mirroring the reference's `make test`
   * (put_test_log_to_log_stream.sh): inject a wire-format record, run
   * the delivery query, observe the three sink prefixes + re-ingest loop.
@@ -135,6 +153,60 @@ class StreamingSpec extends SparkSpec {
     // Dropped data comes back and is passed through unchanged, Ok).
     assert(primary.contains("Hell Yeah first"))
     assert(primary.length >= 2)
+  }
+
+  test("effectively-once: duplicated sink delivery collapses to one primary copy (and duplicates WITHOUT the flag)") {
+    // The sink re-delivers every record twice (lost-ack model). With
+    // effectivelyOnce the read-back dedup admits one copy — within a
+    // batch via dropDuplicates, across batches via the seen registry —
+    // and the control run without the flag delivers both, proving the
+    // test distinguishes the two contracts.
+    for (once <- Seq(true, false)) {
+      val base = tmp()
+      ReingestSinkState.reset(s"$base/in")
+      val conf = FirehoseDelivery.Config(s"$base/in", s"$base/out", s"$base/ck",
+        sizeCap = 40L, availableNow = true, maxFilesPerTrigger = Some(1),
+        reingestSink = Some(new DoubleDeliverySink), effectivelyOnce = once)
+      writeRecords(conf.inputDir, "events-1.json",
+        Seq(record("r1", envelopeJson("DATA_MESSAGE", Seq("Hello first"))),
+          record("r2", envelopeJson("DATA_MESSAGE", Seq("Hello second")))))
+      runOnce(conf) // batch 0: r2 dropped, delivered twice into the input dir
+      runOnce(conf) // read-back: one file per trigger, so the copies cross batches
+      val primary = spark.read.text(conf.primaryDir).collect().map(_.getString(0))
+      val copies = primary.count(_ == "Hell Yeah second")
+      if (once) assert(copies == 1, s"effectively-once delivered $copies copies: ${primary.toSeq}")
+      else assert(copies == 2, s"at-least-once control delivered $copies copies: ${primary.toSeq}")
+      assert(primary.count(_ == "Hell Yeah first") == 1)
+    }
+  }
+
+  test("effectively-once: checkpoint replay after a crash re-sends the batch, read-back still delivers once") {
+    // Kill/restart mid-stream: after the run, batch 0's commit marker
+    // is deleted (the crash-between-sink-and-commit simulation), so
+    // the restart REPLAYS batch 0 and re-sends its Dropped set through
+    // the sink — the duplicate the at-least-once scaladoc documents.
+    // The registry dedup must still deliver the payload exactly once.
+    val base = tmp()
+    ReingestSinkState.reset(s"$base/in")
+    val conf = FirehoseDelivery.Config(s"$base/in", s"$base/out", s"$base/ck",
+      sizeCap = 40L, availableNow = true, maxFilesPerTrigger = Some(1),
+      reingestSink = Some(new FlakyReingestSink("-never-", failTimes = 0)),
+      effectivelyOnce = true)
+    writeRecords(conf.inputDir, "events-1.json",
+      Seq(record("r1", envelopeJson("DATA_MESSAGE", Seq("Hello first"))),
+        record("r2", envelopeJson("DATA_MESSAGE", Seq("Hello second")))))
+    runOnce(conf) // batch 0 only: AvailableNow snapshots before the sink appends
+    val commit0 = Paths.get(s"$base/ck/commits/0")
+    assert(Files.deleteIfExists(commit0), "commit marker for batch 0 missing")
+    // the checksum FS pairs every metadata file with a .crc sidecar; a
+    // stale sidecar makes the replayed commit's rename collide
+    Files.deleteIfExists(Paths.get(s"$base/ck/commits/.0.crc"))
+    runOnce(conf) // replays batch 0 (re-sends r2), then reads back both copies
+    runOnce(conf) // drain anything the replayed sink call appended late
+    val primary = spark.read.text(conf.primaryDir).collect().map(_.getString(0))
+    assert(primary.count(_ == "Hell Yeah second") == 1,
+      s"replay duplicated the re-ingested payload: ${primary.toSeq}")
+    assert(primary.count(_ == "Hell Yeah first") == 1, primary.toSeq)
   }
 
   test("e2e record-granular re-ingest: only the failed subset retried, all delivered (main.py:113-124)") {
