@@ -57,6 +57,95 @@ class StatefulSpec extends SparkSpec {
     assert(batch.count(_.user_id == 99L) == 2, s"batch must close both user-99 sessions: $batch")
   }
 
+  test("sessionizeStream RocksDB soak: 24 triggers, state plateaus under the event-time timeout") {
+    // Long-horizon run of the EventTimeTimeout operator on the
+    // scale-grade state backend: 24 chronological slices of the events
+    // table arrive as 24 micro-batches. The timeout must close open
+    // sessions as the watermark advances, so state row count plateaus
+    // at the open horizon (users active within gap+delay) instead of
+    // growing with stream lifetime — the property a 100 TB deployment
+    // relies on, asserted over 3x the trigger count of the 2-3-batch
+    // semantics specs.
+    import graft.streaming.StatefulOps.{SessEvent, Session}
+    import org.apache.spark.sql.functions.{col, min => smin, max => smax, unix_timestamp}
+    val base = Files.createTempDirectory("graft-sess-soak").toString
+    val events = Tables.events(spark, sfDir).select(
+      col("user_id").cast("long").as("user_id"), col("ts")).as[SessEvent]
+    val (tsMin, tsMax) = {
+      val r = events.toDF().agg(smin(unix_timestamp(col("ts"))), smax(unix_timestamp(col("ts")))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val nSlices = 24
+    val step = math.max(1L, (tsMax - tsMin) / nSlices + 1)
+    val now = System.currentTimeMillis()
+    (0 until nSlices).foreach { i =>
+      val lo = tsMin + i * step
+      events.toDF().filter(
+          unix_timestamp(col("ts")) >= lo && unix_timestamp(col("ts")) < lo + step)
+        .coalesce(1).write.json(s"$base/in/f$i")
+      new java.io.File(s"$base/in/f$i").listFiles().foreach(f =>
+        assert(f.setLastModified(now - (nSlices - i) * 60000L)))
+    }
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream
+        .schema("user_id LONG, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .json(s"$base/in")
+        .as[SessEvent]
+      val q = StatefulOps.sessionizeStream(stream, gapSec = 4 * 3600L, delay = "6 hours")
+        .writeStream.outputMode("append").format("memory").queryName("sess_soak")
+        .option("checkpointLocation", s"$base/ck")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(300000)
+      assert(!q.isActive)
+      val progresses = q.recentProgress.filter(_.numInputRows > 0)
+      assert(progresses.length >= 20,
+        s"soak needs >= 20 data-bearing triggers, got ${progresses.length}")
+      val stateOps = progresses.map(_.stateOperators.head)
+      val held = stateOps.map(_.numRowsTotal)
+      val removed = stateOps.map(_.numRowsRemoved).sum
+      val memPerKey = stateOps.filter(_.numRowsTotal > 0)
+        .map(s => s.memoryUsedBytes.toDouble / s.numRowsTotal)
+      // recorded for SCALE.md: per-trigger state held + bytes/key
+      println(s"[soak] sessionize held=${held.mkString(",")} removed=$removed " +
+        f"memPerKeyBytes=${memPerKey.sum / memPerKey.length}%.0f")
+      // eviction fired, and the plateau holds: the final third of the
+      // run carries no more state than the middle third (no monotonic
+      // growth), and held state never approaches total session count
+      assert(removed > 0, "event-time timeout never evicted session state")
+      val mid = held.slice(held.length / 3, 2 * held.length / 3).max
+      val fin = held.drop(2 * held.length / 3).max
+      assert(fin <= 2 * mid,
+        s"state grew through the run: middle-third max $mid, final-third max $fin")
+      // batch comparison reads the SAME json slices the stream read:
+      // the json writer serializes timestamps at millisecond precision,
+      // so sessionizing the original (microsecond) events would diverge
+      val replayed = spark.read.schema("user_id LONG, ts TIMESTAMP")
+        .option("recursiveFileLookup", "true").json(s"$base/in").as[SessEvent]
+      val batch = StatefulOps.sessionizeStream(replayed, gapSec = 4 * 3600L, delay = "6 hours")
+      val nBatch = batch.count()
+      assert(held.max < nBatch / 2,
+        s"state held ${held.max} rows vs $nBatch total sessions — not bounded by the open horizon")
+      // everything emitted agrees with the batch run of the same operator
+      val got = spark.table("sess_soak").as[Session]
+      val joined = got.toDF().join(batch.toDF()
+          .withColumnRenamed("n_events", "n_batch"),
+        Seq("user_id", "sess_start", "sess_end"))
+      assert(got.count() > 0 && joined.count() == got.count(),
+        "stream emitted sessions absent from the batch run")
+      assert(joined.filter(col("n_events") =!= col("n_batch")).count() == 0)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("sessionizeStream: a within-watermark late event older than the open session's start widens sess_start") {
     import graft.streaming.StatefulOps.{SessEvent, Session}
     val base = Files.createTempDirectory("graft-sess-late").toString

@@ -548,6 +548,64 @@ class StreamingSpec extends SparkSpec {
     assert(pairs == Set((10L, 1L)), s"expected collision with doc 1 only, got $pairs")
   }
 
+  test("band-table soak: 20 triggers maintain one consistent key space with zero streaming state") {
+    // Long-horizon run of the band-table feeder: 20 single-file
+    // micro-batches of the documents corpus. The 100 TB contract is
+    // that this stream holds NO state-store state at all (growth lives
+    // in the partitioned table, pruned by batchId and compactable), so
+    // after 20 triggers: every progress reports zero stateful
+    // operators, the table carries one partition per batch, and the
+    // accreted key space is bit-identical to the batch-built
+    // Dedup.lshBands over the same corpus.
+    val base = tmp()
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    val nSlices = 20
+    val now = System.currentTimeMillis()
+    Files.createDirectories(Paths.get(s"$base/in"))
+    (0 until nSlices).foreach { i =>
+      docs.filter(col("doc_id") % nSlices === i).coalesce(1)
+        .write.mode("overwrite").parquet(s"$base/staging-$i")
+      val part = new java.io.File(s"$base/staging-$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$base/in/slice-$i.parquet")
+      Files.copy(part.toPath, dst.toPath)
+      assert(dst.setLastModified(now - (nSlices - i) * 60000L))
+    }
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+    val q = StreamingOps.maintainBandTable(stream, "doc_id", "text",
+      s"$base/bands", s"$base/ck-bands")
+    q.awaitTermination(300000)
+    assert(!q.isActive)
+    val progresses = q.recentProgress.filter(_.numInputRows > 0)
+    assert(progresses.length >= nSlices - 1,
+      s"expected ~$nSlices data-bearing triggers, got ${progresses.length}")
+    // stateless by construction: nothing accretes in the state store,
+    // so a year-long run is as healthy as trigger one
+    assert(progresses.forall(_.stateOperators.isEmpty),
+      "band-table maintenance must not register stateful operators")
+    val table = spark.read.option("recursiveFileLookup", "true").parquet(s"$base/bands")
+    val nParts = new java.io.File(s"$base/bands").listFiles()
+      .count(_.getName.startsWith("batchId="))
+    assert(nParts == progresses.length, s"one partition per batch: $nParts")
+    // accreted key space == batch-built key space, key for key
+    val maintained = table.select(col("doc_id"), col("band_key"))
+    val batchBuilt = graft.operators.Dedup.lshBands(
+        graft.operators.Dedup.minhashSignatures(
+          graft.operators.Dedup.prepareShingles(docs, "doc_id",
+            graft.operators.Dedup.wordShingles("text")),
+          "doc_id", col("_sh")),
+        "doc_id")
+      .select(col("doc_id"), col("band_key"))
+    assert(maintained.count() == batchBuilt.count())
+    assert(maintained.exceptAll(batchBuilt).isEmpty &&
+      batchBuilt.exceptAll(maintained).isEmpty,
+      "20-batch accreted band table diverged from the batch build")
+    // and compaction still preserves it all
+    val kept = StreamingOps.compactBandTable(spark, s"$base/bands", s"$base/bands-compact")
+    assert(kept == batchBuilt.count(), s"compaction lost rows: $kept")
+  }
+
   test("screenAndMaintain: each batch dedups against all earlier batches in one query") {
     import spark.implicits._
     val base = tmp()
