@@ -7,10 +7,16 @@ import org.apache.spark.sql.functions._
   * metadata, with decode/feature-extract/resize as batch-shaped
   * partition transforms.
   *
-  * The real codecs (image/audio/video decode) are STUBBED — this
-  * container has no media libraries — behind `decodeStub`, which
-  * produces a deterministic fake "pixel" buffer from the payload
-  * bytes. Everything around the stub is real and load-bearing:
+  * IMAGE decode is REAL (round 7): payloads carrying a known
+  * container signature (PNG/JPEG/GIF/BMP) decode through the JDK's
+  * own `javax.imageio.ImageIO` — shipped with every JRE, no external
+  * codec libraries — into row-major luminance pixels. Payloads
+  * without an image signature (e.g. the synthetic UTF-8 corpora the
+  * oracle checks) fall back to the deterministic byte-identity
+  * buffer, so every oracle query stays bit-stable while real images
+  * get real pixels through the same operators. Video containers and
+  * compressed audio remain metadata-stubs (no JDK codec exists for
+  * them). The Spark-side plumbing is identical either way:
   *  - the schema contract (binary payload + width/height/channels),
   *  - the batch iteration shape (`grouped(batchSize)` inside
   *    mapPartitions — the same amortization Arrow/pandas batches give
@@ -51,25 +57,74 @@ object Multimodal {
       (col("n_chars") % 480).cast("int").as("height"),
       lit(3).as("channels"))
 
-  /** STUB decode: a real implementation would invoke an image codec
-    * here (e.g. via JNI or a vectorized Python `mapInPandas` worker).
-    * The deterministic fake returns the payload bytes as the "decoded"
-    * value buffer, so downstream feature logic is exercised for real.
+  /** Container-signature sniff: true iff the payload starts with a
+    * magic number the JDK's ImageIO can decode (PNG, JPEG, GIF, BMP).
+    * Cheap (4-byte prefix check) — gates the codec attempt so text
+    * payloads never pay a parse failure.
+    */
+  private[graft] def isImagePayload(p: Array[Byte]): Boolean =
+    p.length >= 4 && (
+      (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+      (p(0) == 0xff.toByte && p(1) == 0xd8.toByte && p(2) == 0xff.toByte) ||
+      (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') ||
+      (p(0) == 'B' && p(1) == 'M'))
+
+  /** REAL image decode via the JDK's ImageIO (no external codec
+    * libraries): returns (width, height, row-major luminance 0-255)
+    * using the Rec.601 integer weights, or None when the payload is
+    * not a decodable image.
+    */
+  private[graft] def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    if (!isImagePayload(payload)) None
+    else try {
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))).map { img =>
+        val (w, h) = (img.getWidth, img.getHeight)
+        val out = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            out(y * w + x) =
+              (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, out)
+      }
+    } catch { case _: java.io.IOException => None } // truncated/corrupt container
+
+  /** Decoded value buffer: real luminance pixels for image payloads,
+    * the deterministic byte-identity fallback for everything else
+    * (synthetic corpora, video/audio containers the JDK cannot
+    * decode) — downstream feature logic is identical either way.
+    */
+  private[graft] def decodeValues(payload: Array[Byte]): Array[Int] =
+    decodeImage(payload) match {
+      case Some((_, _, px)) => px
+      case None => decodeStub(payload)
+    }
+
+  /** Deterministic fallback decode (the pre-round-7 stub): payload
+    * bytes as the value buffer. Retained for non-image payloads so
+    * oracle corpora stay bit-stable.
     */
   private[operators] def decodeStub(payload: Array[Byte]): Array[Int] =
     payload.map(b => b & 0xff)
 
   /** Batch-shaped feature extraction: iterate each partition in
-    * `batchSize` chunks (the Arrow-batch shape), decode via the stub,
-    * compute features in JVM code. Narrow — no shuffle, payloads
-    * stay partition-local.
+    * `batchSize` chunks (the Arrow-batch shape), decode via
+    * [[decodeValues]] (real ImageIO pixels for image payloads, byte
+    * fallback otherwise), compute features in JVM code. Narrow — no
+    * shuffle, payloads stay partition-local.
     */
   def extractFeatures(media: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.map { m =>
-          val values = decodeStub(m.payload)
+          val values = decodeValues(m.payload)
           val prefix = values.take(64)
           val mean = if (prefix.isEmpty) 0.0 else prefix.map(_.toDouble).sum / prefix.length
           val hist = new Array[Long](4)
@@ -81,21 +136,43 @@ object Multimodal {
     }
   }
 
-  /** Perceptual AVERAGE-HASH over the decoded value buffer: the mean
-    * of the first 64 decoded values thresholds each of them into one
-    * bit of a 64-bit fingerprint — the classic aHash, over the same
-    * batch-shaped mapPartitions decode as [[extractFeatures]] (a real
-    * codec drops into `decodeStub` without touching this). Visually
-    * near-identical media differ in a few bits; exact duplicates
-    * collide exactly.
+  /** Perceptual AVERAGE-HASH: the classic aHash. Real image payloads
+    * decode through ImageIO and average-pool to an 8x8 luminance grid
+    * (so the fingerprint is resolution-independent — a resized copy
+    * hashes near-identically); each cell thresholds against the grid
+    * mean into one bit of the 64-bit fingerprint. Non-image payloads
+    * keep the pre-round-7 behavior (first 64 fallback values
+    * thresholded by their mean), so synthetic-corpus hashes are
+    * unchanged. Same batch-shaped mapPartitions decode as
+    * [[extractFeatures]]; visually near-identical media differ in a
+    * few bits, exact duplicates collide exactly.
     */
   def aHash(media: Dataset[MediaRecord], batchSize: Int = 64): DataFrame = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap(_.map { m =>
-        val prefix = decodeStub(m.payload).take(64)
-        val mean = if (prefix.isEmpty) 0.0 else prefix.map(_.toDouble).sum / prefix.length
-        val bits = prefix.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+        val cells: Array[Double] = decodeImage(m.payload) match {
+          case Some((w, h, px)) =>
+            // 8x8 average pool over ceil-sized tiles (covers ragged
+            // edges; every pixel lands in exactly one tile)
+            val (tw, th) = ((w + 7) / 8, (h + 7) / 8)
+            val sums = new Array[Double](64)
+            val counts = new Array[Long](64)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val c = math.min(7, y / th) * 8 + math.min(7, x / tw)
+                sums(c) += px(y * w + x); counts(c) += 1
+                x += 1
+              }
+              y += 1
+            }
+            sums.indices.map(i => if (counts(i) == 0) 0.0 else sums(i) / counts(i)).toArray
+          case None => decodeStub(m.payload).take(64).map(_.toDouble)
+        }
+        val mean = if (cells.isEmpty) 0.0 else cells.sum / cells.length
+        val bits = cells.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
           if (v >= mean) acc | (1L << i) else acc
         }
         (m.media_id, m.kind, bits)

@@ -71,6 +71,58 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.sampleFrameIndexes(0, 3).isEmpty)
   }
 
+  test("REAL image decode: PNG payloads decode via JDK ImageIO; resized copies hash near-identically") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    // deterministic 32x32 gradient scene, PNG-encoded in-test (no
+    // external fixtures): left half dark, right half bright, so the
+    // 8x8 aHash grid has a clean structure
+    def scene(w: Int, h: Int, tweak: Boolean): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = if (x < w / 2) 30 else 220
+        img.setRGB(x, y, v << 16 | v << 8 | v)
+      }
+      if (tweak) img.setRGB(w - 1, h - 1, 0xffffff) // one-pixel edit
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos), "JDK PNG writer missing")
+      bos.toByteArray
+    }
+    val inverse = {
+      val img = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32) {
+        val v = if (x < 16) 220 else 30
+        img.setRGB(x, y, v << 16 | v << 8 | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    // sniffing gates the codec: PNG decodes, text falls back
+    assert(Multimodal.decodeImage(scene(32, 32, tweak = false)).nonEmpty)
+    assert(Multimodal.decodeImage("not an image".getBytes("UTF-8")).isEmpty)
+    val (w0, h0, px) = Multimodal.decodeImage(scene(32, 32, tweak = false)).get
+    assert(w0 == 32 && h0 == 32 && px(0) == 30 && px(31) == 220,
+      s"luminance decode wrong: ${px.take(3).toSeq} .. ${px(31)}")
+    def rec(id: Long, p: Array[Byte]) = Multimodal.MediaRecord(id, "image", p, 32, 32, 3)
+    val media = Seq(
+      rec(1L, scene(32, 32, tweak = false)),
+      rec(2L, scene(32, 32, tweak = true)), // near-dup: one pixel edited
+      rec(3L, scene(64, 64, tweak = false)), // SAME scene at 2x resolution
+      rec(4L, inverse)).toDS()
+    val hs = Multimodal.aHash(media).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(java.lang.Long.bitCount(hs(1L) ^ hs(2L)) <= 1, "one-pixel edit must stay within 1 bit")
+    assert(hs(1L) == hs(3L), "average-pool aHash must be resolution-independent")
+    assert(java.lang.Long.bitCount(hs(1L) ^ hs(4L)) >= 32, "inverted scene must be far")
+    val pairs = Multimodal.perceptualNearDups(Multimodal.aHash(media), maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"wrong pairs: $pairs")
+    // the fallback path is untouched: feature extraction over synthetic
+    // (text) payloads still returns byte-identity values
+    val textRec = Multimodal.MediaRecord(9L, "image", "abc".getBytes("UTF-8"), 0, 0, 1)
+    val feats = Multimodal.extractFeatures(Seq(textRec).toDS()).collect().head
+    assert(feats.n_bytes == 3 && feats.mean_prefix == ('a' + 'b' + 'c') / 3.0)
+  }
+
   test("aHash + perceptualNearDups: tweaked copies pair up, distinct media do not, no cartesian") {
     import spark.implicits._
     // 64 "pixels" alternating 0/200 (mean ~100 thresholds cleanly)
