@@ -113,6 +113,83 @@ object Multimodal {
   private[operators] def decodeStub(payload: Array[Byte]): Array[Int] =
     payload.map(b => b & 0xff)
 
+  /** RIFF/WAVE container sniff — gates the JDK audio codec attempt. */
+  private[graft] def isWavPayload(p: Array[Byte]): Boolean =
+    p.length >= 12 &&
+      p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV/PCM
+    * ships with every JRE): returns (sampleRate, channel-0 samples) —
+    * 16-bit PCM as signed ints, 8-bit PCM as unsigned — or None when
+    * the payload is not a decodable WAV.
+    */
+  private[graft] def decodeAudioPcm(payload: Array[Byte]): Option[(Float, Array[Int])] =
+    if (!isWavPayload(payload)) None
+    else try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      val data = ais.readAllBytes()
+      val frameSize = fmt.getFrameSize
+      val nFrames = data.length / frameSize
+      val out = new Array[Int](nFrames)
+      var i = 0
+      while (i < nFrames) {
+        val off = i * frameSize // channel 0 of each frame
+        out(i) =
+          if (fmt.getSampleSizeInBits == 16) {
+            if (fmt.isBigEndian) (data(off) << 8) | (data(off + 1) & 0xff)
+            else (data(off + 1) << 8) | (data(off) & 0xff)
+          } else data(off) & 0xff // 8-bit WAV PCM is unsigned
+        i += 1
+      }
+      Some((fmt.getSampleRate, out))
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
+  case class AudioRecord(media_id: Long, payload: Array[Byte])
+
+  /** REAL per-window RMS energy over decoded PCM — the DSP feature
+    * [[sampleAudioWindows]] stubs with payload probes. WAV payloads
+    * decode through the JDK codec (channel 0); anything else falls
+    * back to the payload text's codepoint sequence, which keeps the
+    * operator oracle-checkable on synthetic corpora (DuckDB mirrors
+    * codepoints with `ord`). Full `winSamples`-sized windows only;
+    * the integer sum-of-squares rides the exact-integer grid and rms
+    * is its floor-1e-6 square root, so both engines agree bit-for-bit.
+    * Narrow — decode and fold run on the row's partition, payloads
+    * never shuffle.
+    */
+  def audioRmsWindows(audio: Dataset[AudioRecord], winSamples: Int): DataFrame = {
+    require(winSamples > 0, s"winSamples must be positive, got $winSamples")
+    import audio.sparkSession.implicits._
+    audio.mapPartitions { it =>
+      it.flatMap { a =>
+        val samples: Array[Int] = decodeAudioPcm(a.payload) match {
+          case Some((_, pcm)) => pcm
+          case None =>
+            new String(a.payload, java.nio.charset.StandardCharsets.UTF_8)
+              .codePoints().toArray
+        }
+        val nWin = samples.length / winSamples
+        (0 until nWin).iterator.map { w =>
+          var sumsq = 0L
+          var k = 0
+          while (k < winSamples) {
+            val v = samples(w * winSamples + k).toLong
+            sumsq += v * v
+            k += 1
+          }
+          (a.media_id, w.toLong, sumsq,
+            math.floor(math.sqrt(sumsq.toDouble / winSamples) * 1000000 + 0.5) / 1000000.0)
+        }
+      }
+    }.toDF("media_id", "win_idx", "sumsq", "rms")
+  }
+
   /** Batch-shaped feature extraction: iterate each partition in
     * `batchSize` chunks (the Arrow-batch shape), decode via
     * [[decodeValues]] (real ImageIO pixels for image payloads, byte

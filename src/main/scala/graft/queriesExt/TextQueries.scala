@@ -494,6 +494,39 @@ object TextQueries {
       FROM bv a JOIN bv c ON a.band = c.band AND a.bv = c.bv AND a.media_id < c.media_id)
     SELECT id1, id2, hamming FROM p WHERE hamming <= 4 ORDER BY id1, id2"""))
 
+  /** Real-kernel audio feature path (Multimodal.audioRmsWindows):
+    * per-window RMS energy over the decoded sample stream. On this
+    * synthetic corpus the payloads are UTF-8 text, so the kernel's
+    * deterministic fallback (codepoint sequence) is what both engines
+    * compute; a real WAV payload takes the JDK PCM decode through the
+    * SAME operator (MultimodalSpec proves sine/silence separation).
+    * Integer sum-of-squares grid + floor-1e-6 sqrt keep the mirror
+    * exact.
+    */
+  private val q143 = Q("q143_audio_rms", (s, dir) => {
+    import s.implicits._
+    import graft.operators.Multimodal
+    val audio = Tables.load(s, dir, "documents")
+      .select(col("doc_id").as("media_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[Multimodal.AudioRecord]
+    Multimodal.audioRmsWindows(audio, winSamples = 256)
+      .orderBy(col("media_id"), col("win_idx"))
+  }, Some("""
+    WITH w AS (
+      SELECT doc_id AS media_id, text,
+             unnest(range(0, CAST(len(text) // 256 AS INT))) AS win_idx
+      FROM documents),
+    s AS (
+      SELECT media_id, win_idx,
+             list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(range(0, 256),
+               k -> CAST(ord(substr(text, CAST(win_idx * 256 + k AS INT) + 1, 1)) AS BIGINT)
+                    * CAST(ord(substr(text, CAST(win_idx * 256 + k AS INT) + 1, 1)) AS BIGINT))),
+               (a, b) -> a + b) AS sumsq
+      FROM w)
+    SELECT media_id, CAST(win_idx AS BIGINT) AS win_idx, sumsq,
+           floor(sqrt(CAST(sumsq AS DOUBLE) / 256) * 1000000 + 0.5) / 1000000.0 AS rms
+    FROM s ORDER BY media_id, win_idx"""))
+
   val list: Seq[Q] = Seq(q51, q52, q53, q54, q55, q56, q74, q89, q100, q101, q108, q112,
-    q120, q128, q129, q138, q141, q142)
+    q120, q128, q129, q138, q141, q142, q143)
 }

@@ -123,6 +123,49 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.n_bytes == 3 && feats.mean_prefix == ('a' + 'b' + 'c') / 3.0)
   }
 
+  test("REAL audio decode: WAV payloads decode via JDK javax.sound; RMS separates tone from silence") {
+    import spark.implicits._
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    def wav(samples: Array[Short], rate: Float = 8000f): Array[Byte] = {
+      val pcm = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (v, i) =>
+        pcm(2 * i) = (v & 0xff).toByte; pcm(2 * i + 1) = (v >> 8).toByte
+      }
+      val fmt = new AudioFormat(rate, 16, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(
+        new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong),
+        AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val amp = 12000
+    val sine = Array.tabulate(2048)(i =>
+      (math.sin(2 * math.Pi * 440 * i / 8000.0) * amp).toShort)
+    val silence = Array.fill[Short](2048)(0)
+    // decode roundtrip: a known ramp comes back sample-exact
+    val ramp = Array.tabulate(256)(i => (i * 100 - 12800).toShort)
+    val (rate, decoded) = Multimodal.decodeAudioPcm(wav(ramp)).get
+    assert(rate == 8000f && decoded.toSeq == ramp.map(_.toInt).toSeq, "PCM roundtrip broken")
+    assert(Multimodal.decodeAudioPcm("not audio".getBytes("UTF-8")).isEmpty)
+    val audio = Seq(
+      Multimodal.AudioRecord(1L, wav(sine)),
+      Multimodal.AudioRecord(2L, wav(silence))).toDS()
+    val rms = Multimodal.audioRmsWindows(audio, winSamples = 256)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(rms.size == 16, s"expected 8 windows per clip, got ${rms.size}")
+    val expected = amp / math.sqrt(2) // RMS of a full-scale sine
+    (0L until 8L).foreach { w =>
+      assert(math.abs(rms((1L, w)) - expected) < expected * 0.1,
+        s"sine window $w rms ${rms((1L, w))} not near $expected")
+      assert(rms((2L, w)) == 0.0, s"silence window $w rms ${rms((2L, w))}")
+    }
+    // fallback path: non-audio payloads fold codepoints (oracle contract)
+    val fb = Multimodal.audioRmsWindows(
+        Seq(Multimodal.AudioRecord(3L, "ab".getBytes("UTF-8"))).toDS(), winSamples = 2)
+      .collect().head
+    assert(fb.getLong(2) == 97L * 97 + 98L * 98, "fallback must fold codepoint squares")
+  }
+
   test("aHash + perceptualNearDups: tweaked copies pair up, distinct media do not, no cartesian") {
     import spark.implicits._
     // 64 "pixels" alternating 0/200 (mean ~100 thresholds cleanly)
