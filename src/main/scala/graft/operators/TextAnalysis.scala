@@ -249,6 +249,68 @@ object TextAnalysis {
         (col("_s_u").cast("double") / lit(1e6)).as("bm25"))
   }
 
+  /** Per-query BM25 retrieval ("more-like-this"): each query
+    * DOCUMENT's distinct terms act as its query term set, every corpus
+    * document containing a shared term is scored with [[bm25]]'s exact
+    * formula (same integer micro-unit grid, same k1/b), self excluded,
+    * and each query keeps its `topK` by score. This is the SPARSE
+    * retriever of a hybrid RAG stack as it actually serves — per-query
+    * rankings, not one fixed term list — feeding
+    * [[Similarity.reciprocalRankFusion]] next to the dense ANN path
+    * (q145).
+    *
+    * Scale: candidate generation is inverted-index shaped — the
+    * exploded token stream joins the (small, broadcast) query term
+    * set, so the shuffle carries only (doc, term) rows matching some
+    * query term; cost scales with postings of the query terms, never
+    * |queries| x |corpus|. df/avgdl/N are tiny broadcast aggregates;
+    * the final rank is a per-query window over candidate rows only.
+    *
+    * Output: (query_id, neighbor_id, rank, bm25).
+    */
+  def bm25Retrieve(docs: DataFrame, queries: DataFrame, idCol: String,
+      textCol: String, topK: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col(idCol).as("_did"), explode(tokens(textCol)).as("term"))
+    val dl = tok.groupBy(col("_did")).agg(count(lit(1)).as("_dl"))
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("_nd"))
+    val qterms = queries
+      .select(col(idCol).as("query_id"), explode(tokens(textCol)).as("term"))
+      .distinct()
+    val need = qterms.select(col("term")).distinct()
+    val tf = tok.join(broadcast(need), "term")
+      .groupBy(col("_did"), col("term")).agg(count(lit(1)).as("_tf"))
+    // df = docs containing the term (tf is one row per (doc, term))
+    val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("_df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("term"),
+        floor(log((col("_nd") - col("_df").cast("double") + 0.5) /
+          (col("_df").cast("double") + 0.5) + 1.0) * 1e6 + lit(0.5))
+          .cast("long").as("_idf_u"))
+    val avgdl = dl.agg((sum(col("_dl")).cast("double") / count(lit(1))).as("_avgdl"))
+    val contrib = tf
+      .join(qterms, "term")
+      .filter(col("_did") =!= col("query_id"))
+      .join(broadcast(idf), "term")
+      .join(dl, "_did")
+      .crossJoin(broadcast(avgdl))
+      .select(col("query_id"), col("_did"),
+        floor(col("_idf_u").cast("double") *
+          (col("_tf").cast("double") * (k1 + 1)) /
+          (col("_tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl").cast("double") / col("_avgdl"))) +
+          lit(0.5)).cast("long").as("_c_u"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("_s_u").desc, col("_did"))
+    contrib.groupBy(col("query_id"), col("_did"))
+      .agg(sum(col("_c_u")).as("_s_u"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("_did").as("neighbor_id"),
+        col("rank").cast("int").as("rank"),
+        (col("_s_u").cast("double") / lit(1e6)).as("bm25"))
+  }
+
   /** Token-sequence sentinel for [[bpeTokenize]]: each token rides as
     * SEP + token + SEP, so the pattern for an adjacent pair (a, b) is
     * SEP a SEP SEP b SEP — it can never match inside a token or across

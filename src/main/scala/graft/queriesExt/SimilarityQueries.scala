@@ -689,6 +689,86 @@ object SimilarityQueries {
            floor(CAST(ed AS DOUBLE) / 1000000.0 * 1000000 + 0.5) / 1000000.0 AS exact_dist
     FROM rr WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** The full hybrid-retrieval serving pipeline, composed end to end:
+    * per-query SPARSE retrieval (TextAnalysis.bm25Retrieve —
+    * more-like-this over each query document's own terms) and DENSE
+    * retrieval (exact cosine over the aligned embeddings table), fused
+    * with reciprocal-rank fusion — the production RAG retriever shape
+    * (sparse + dense + RRF), every stage of which is individually
+    * oracle-checked (q138/q46/q139). doc_id and vec_id address the
+    * same items, so the fused id space is coherent.
+    */
+  private val q145 = Q("q145_hybrid_retrieval", (s, dir) => {
+    import graft.operators.TextAnalysis
+    val docs = Tables.load(s, dir, "documents")
+    val e = Tables.load(s, dir, "embeddings")
+    val sparse = TextAnalysis.bm25Retrieve(docs,
+        docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", topK = 10)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    val dense = Similarity.bruteForceTopK(e,
+        e.filter(col("vec_id") % 97 === 0), "vec_id", "embedding", 10)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    Similarity.reciprocalRankFusion(Seq(sparse, dense), k = 60, topK = 5)
+      .orderBy(col("query_id"), col("fused_rank"))
+  }, Some(s"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+    qterms AS (SELECT DISTINCT doc_id AS query_id, term FROM tok WHERE doc_id % 97 = 0),
+    need AS (SELECT DISTINCT term FROM qterms),
+    tf AS (SELECT tok.doc_id, tok.term, CAST(count(*) AS BIGINT) AS tf
+           FROM tok JOIN need USING (term) GROUP BY tok.doc_id, tok.term),
+    idf AS (SELECT term,
+                   CAST(floor(ln((nd - CAST(count(*) AS DOUBLE) + 0.5) /
+                                 (CAST(count(*) AS DOUBLE) + 0.5) + 1.0)
+                              * 1000000 + 0.5) AS BIGINT) AS idf_u
+            FROM tf, n GROUP BY term, nd),
+    ad AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+    c AS (SELECT q.query_id, tf.doc_id AS neighbor_id,
+                 CAST(floor(CAST(idf.idf_u AS DOUBLE) *
+                            (CAST(tf.tf AS DOUBLE) * (1.2 + 1)) /
+                            (CAST(tf.tf AS DOUBLE) +
+                             1.2 * ((1 - 0.75) + 0.75 * CAST(dl.dl AS DOUBLE) / ad.avgdl))
+                            + 0.5) AS BIGINT) AS cu
+          FROM qterms q
+          JOIN tf USING (term) JOIN idf ON idf.term = tf.term
+          JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN ad
+          WHERE tf.doc_id <> q.query_id),
+    sparse_score AS (
+      SELECT query_id, neighbor_id, CAST(sum(cu) AS BIGINT) AS su
+      FROM c GROUP BY query_id, neighbor_id),
+    sparse_rank AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY su DESC, neighbor_id) AS rank
+      FROM sparse_score),
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 97 = 0),
+    cos_scored AS (
+      SELECT q.query_id, cv.vec_id AS neighbor_id,
+             ${cosSql("q.qv", "cv.embedding")} AS cos
+      FROM embeddings cv CROSS JOIN q WHERE cv.vec_id <> q.query_id),
+    cos_rank AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM cos_scored),
+    contribs AS (
+      SELECT query_id, neighbor_id,
+             CAST(floor(1000000000.0 / (60 + CAST(rank AS DOUBLE)) + 0.5) AS BIGINT) AS cu
+      FROM sparse_rank WHERE rank <= 10
+      UNION ALL
+      SELECT query_id, neighbor_id,
+             CAST(floor(1000000000.0 / (60 + CAST(rank AS DOUBLE)) + 0.5) AS BIGINT) AS cu
+      FROM cos_rank WHERE rank <= 10),
+    fused AS (
+      SELECT query_id, neighbor_id, CAST(sum(cu) AS BIGINT) AS rrf_u
+      FROM contribs GROUP BY query_id, neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, rrf_u,
+             row_number() OVER (PARTITION BY query_id ORDER BY rrf_u DESC, neighbor_id) AS fused_rank
+      FROM fused)
+    SELECT query_id, neighbor_id, CAST(fused_rank AS INT) AS fused_rank, rrf_u
+    FROM ranked WHERE fused_rank <= 5
+    ORDER BY query_id, fused_rank"""))
+
   val list: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q62, q69, q73, q91, q92, q97,
-    q103, q116, q117, q131, q139, q140)
+    q103, q116, q117, q131, q139, q140, q145)
 }

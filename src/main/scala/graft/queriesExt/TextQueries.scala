@@ -420,12 +420,13 @@ object TextQueries {
     * literal replace) on the operator's exact sentinel-string
     * representation, from the same merge table.
     */
-  private val q141 = Q("q141_bpe_subword", (s, dir) => {
-    TextAnalysis.subwordCounts(Tables.load(s, dir, "documents"), col("doc_id"), col("text"))
-      .select(col("id").as("doc_id"), col("n_words"), col("n_subwords"),
-        floor((col("n_subwords") + 63) / 64).cast("long").as("seq64"))
-      .orderBy(col("doc_id"))
-  }, Some {
+  /** Shared oracle fragment for the BPE family (q141/q144): the WITH
+    * body replaying TextAnalysis.bpeTokenize's 8 merge rounds as CTE
+    * pairs over the distinct-word vocabulary (contains -> arg_min best
+    * rank -> literal replace) on the operator's exact sentinel-string
+    * representation, ending in `vocab(word, n_sub)`.
+    */
+  private def bpeVocabCtes: String = {
     def litTok(t: String) = s"chr(31)||'$t'||chr(31)"
     val mergeRows = TextAnalysis.BPE_MERGES.zipWithIndex.map { case ((a, b), r) =>
       s"($r, ${litTok(a)}||${litTok(b)}, ${litTok(a + b)})"
@@ -439,8 +440,7 @@ object TextQueries {
       SELECT v.word, CASE WHEN b.pat IS NULL THEN v.ts ELSE replace(v.ts, b.pat, b.rep) END AS ts
       FROM $prev v LEFT JOIN b$i b ON b.bw = v.word)"""
     }.mkString(",\n    ")
-    s"""
-    WITH m(rank, pat, rep) AS (VALUES $mergeRows),
+    s"""m(rank, pat, rep) AS (VALUES $mergeRows),
     w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
           FROM documents),
     v0 AS (SELECT DISTINCT word,
@@ -449,13 +449,60 @@ object TextQueries {
     $roundCtes,
     vocab AS (SELECT word,
                      CAST((length(ts) - length(replace(ts, chr(31), ''))) // 2 AS BIGINT) AS n_sub
-              FROM v8)
+              FROM v8)"""
+  }
+
+  private val q141 = Q("q141_bpe_subword", (s, dir) => {
+    TextAnalysis.subwordCounts(Tables.load(s, dir, "documents"), col("doc_id"), col("text"))
+      .select(col("id").as("doc_id"), col("n_words"), col("n_subwords"),
+        floor((col("n_subwords") + 63) / 64).cast("long").as("seq64"))
+      .orderBy(col("doc_id"))
+  }, Some(s"""
+    WITH $bpeVocabCtes
     SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_words,
            CAST(sum(vocab.n_sub) AS BIGINT) AS n_subwords,
            CAST((sum(vocab.n_sub) + 63) // 64 AS BIGINT) AS seq64
     FROM w JOIN vocab USING (word)
-    GROUP BY w.doc_id ORDER BY w.doc_id"""
-  })
+    GROUP BY w.doc_id ORDER BY w.doc_id"""))
+
+  /** The packing-budget composition the subword measure exists for:
+    * context-window sequence packing (CorpusOps.packSequences, q80's
+    * operator) driven by SUBWORD counts instead of whitespace counts —
+    * the corrected layout a pre-training loader would actually use
+    * (whitespace budgets mis-place every boundary after the first
+    * mis-counted document). Same scale shape as q80: the BPE stage
+    * runs on the distinct-word vocabulary, one shard-key shuffle, one
+    * per-shard running-sum window.
+    */
+  private val q144 = Q("q144_bpe_packing", (s, dir) => {
+    import graft.operators.CorpusOps
+    val docs = Tables.load(s, dir, "documents")
+    val counts = TextAnalysis.subwordCounts(docs, col("doc_id"), col("text"))
+      .select(col("id").as("doc_id"), col("n_subwords"))
+    val withCounts = docs.select(col("doc_id"), col("source"))
+      .join(counts, Seq("doc_id"), "left")
+    CorpusOps.packSequences(withCounts, col("doc_id"), col("source"),
+        coalesce(col("n_subwords"), lit(0L)), budget = 512)
+      .orderBy(col("doc_id"))
+  }, Some(s"""
+    WITH $bpeVocabCtes,
+    counts AS (
+      SELECT w.doc_id, CAST(sum(vocab.n_sub) AS BIGINT) AS n_tok
+      FROM w JOIN vocab USING (word) GROUP BY w.doc_id),
+    t AS (
+      SELECT d.doc_id, d.source, CAST(coalesce(c.n_tok, 0) AS BIGINT) AS n_tok
+      FROM documents d LEFT JOIN counts c USING (doc_id)),
+    packed AS (
+      SELECT doc_id, source, n_tok,
+             CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+      FROM t)
+    SELECT doc_id, source, n_tok, start_off,
+           CAST(floor(start_off / 512.0) AS BIGINT) AS seq_first,
+           CAST(floor((start_off + n_tok - 1) / 512.0) AS BIGINT) AS seq_last,
+           CAST(CAST(floor((start_off + n_tok - 1) / 512.0) AS BIGINT) >
+                CAST(floor(start_off / 512.0) AS BIGINT) AS INT) AS spans_boundary
+    FROM packed ORDER BY doc_id"""))
 
   /** Perceptual image near-dup verification (Multimodal.perceptualNearDups)
     * over a DETERMINISTIC synthetic hash table, bypassing the decode
@@ -528,5 +575,5 @@ object TextQueries {
     FROM s ORDER BY media_id, win_idx"""))
 
   val list: Seq[Q] = Seq(q51, q52, q53, q54, q55, q56, q74, q89, q100, q101, q108, q112,
-    q120, q128, q129, q138, q141, q142, q143)
+    q120, q128, q129, q138, q141, q142, q143, q144)
 }

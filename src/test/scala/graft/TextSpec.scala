@@ -139,6 +139,28 @@ class TextSpec extends SparkSpec {
     assert(zFlagged.isEmpty, s"masking premise broken — z-score caught $zFlagged")
   }
 
+  test("bm25Retrieve: per-query more-like-this ranking — shared-term docs rank, self excluded") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "hash join scan merge hash join"), // query doc
+      (2L, "hash join scan merge extra words here"), // heavy overlap
+      (3L, "hash only appears once here in text"), // light overlap
+      (4L, "completely unrelated vocabulary nothing shared at all"), // no overlap
+      (5L, "merge scan words words words words words words")) // medium overlap
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bm25Retrieve(docs, docs.filter(col("doc_id") === 1), "doc_id", "text", topK = 10)
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val ids = got.map(_._1).toSeq
+    assert(!ids.contains(1L), "query doc must not retrieve itself")
+    assert(!ids.contains(4L), "doc sharing no term must not appear")
+    assert(got.map(_._2).sorted.toSeq == (1 to got.length).toSeq, "ranks must be contiguous")
+    assert(ids.head == 2L, s"heaviest-overlap doc must rank first: $got")
+    assert(got.forall(_._3 > 0), "scores must be positive")
+    // ranking is by score: descending down the list
+    assert(got.map(_._3).toSeq == got.map(_._3).sortBy(-_).toSeq, s"not score-sorted: $got")
+  }
+
   test("bpeTokenize: greedy rank order, left-to-right overlap, merge chains — hand-checked fixtures") {
     import spark.implicits._
     import graft.operators.TextAnalysis
