@@ -160,4 +160,49 @@ object Graph {
     e.select(col("a").as("node")).union(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
   }
+
+  /** Fixed-iteration SYNCHRONOUS label propagation — the cheap
+    * community detector for link graphs (Raghavan et al. 2007), used
+    * in corpus curation to group domains into communities before
+    * per-community quality sampling. Labels start as node ids; each
+    * round every node simultaneously adopts the most frequent label
+    * among its neighbors, ties broken by SMALLEST label. Classic LPA
+    * is asynchronous with random tie-breaks; the synchronous min-tie
+    * variant is bit-reproducible on any engine, partitioning, or
+    * aggregation order — the same determinism rewrite pageRank's
+    * integer grid makes (q146 replays it as unrolled CTEs). Isolated
+    * nodes never appear (the node set comes from the edge list).
+    *
+    * Scale shape: per iteration, one hash join of the undirected
+    * adjacency against the label table (shuffles (node, label) pairs,
+    * i.e. 2|E| rows), one map-side-combined count, and a per-node
+    * argmax window whose partitions are bounded by degree — the
+    * Pregel cadence of [[pageRank]]; `localCheckpoint` truncates the
+    * loop lineage. Returns (node, label).
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    import org.apache.spark.sql.expressions.Window
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    val und = canon.select(col("a").as("node"), col("b").as("nbr"))
+      .union(canon.select(col("b").as("node"), col("a").as("nbr")))
+    var labels = und.select(col("node")).distinct()
+      .select(col("node"), col("node").as("label")).localCheckpoint()
+    for (_ <- 0 until iters) {
+      val nb = und
+        .join(labels.select(col("node").as("nbr"), col("label")), "nbr")
+        .groupBy(col("node"), col("label")).agg(count(lit(1)).as("_c"))
+      val w = Window.partitionBy(col("node")).orderBy(col("_c").desc, col("label"))
+      // every node has >= 1 neighbor by construction, so the argmax
+      // covers the full node set — no left-join backfill needed
+      labels = nb.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).select(col("node"), col("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
 }

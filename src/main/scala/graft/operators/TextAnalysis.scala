@@ -290,7 +290,7 @@ object TextAnalysis {
           .cast("long").as("_idf_u"))
     val avgdl = dl.agg((sum(col("_dl")).cast("double") / count(lit(1))).as("_avgdl"))
     val contrib = tf
-      .join(qterms, "term")
+      .join(broadcast(qterms), "term") // query term sets are serving-size
       .filter(col("_did") =!= col("query_id"))
       .join(broadcast(idf), "term")
       .join(dl, "_did")

@@ -136,5 +136,51 @@ object GraphQueries {
       (SELECT a AS node FROM it2 UNION ALL SELECT b FROM it2)
     GROUP BY node ORDER BY node"""))
 
-  val list: Seq[Q] = Seq(q102, q118, q127)
+  /** One synchronous LPA round as a CTE pair: neighbor-label counts,
+    * then per-node argmax with (count DESC, label ASC) tie order —
+    * exactly the operator's window.
+    */
+  private def lpaIterCtes(k: Int): String =
+    (1 to k).map { i =>
+      val prev = s"l${i - 1}"
+      s""",
+    nb$i AS (SELECT u.node, $prev.label, count(*) AS c
+             FROM u JOIN $prev ON $prev.node = u.nbr
+             GROUP BY u.node, $prev.label),
+    l$i AS (SELECT node, label FROM (
+              SELECT node, label,
+                     row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+              FROM nb$i) WHERE rn = 1)"""
+    }.mkString
+
+  /** Community detection by synchronous min-tie label propagation on
+    * the triangle-bearing 50-node domain graph (q118's synthesis), 4
+    * fixed rounds unrolled as CTEs. Every label is an integer node id,
+    * so the comparison is exact.
+    */
+  private val q146 = Q("q146_label_propagation", (s, dir) => {
+    val d = Tables.load(s, dir, "documents").select(col("doc_id"))
+    val edges = d.select((col("doc_id") % 50).as("src"),
+        ((col("doc_id") * 3 + 1) % 50).as("dst"))
+      .union(d.select((col("doc_id") % 50).as("src"),
+        ((col("doc_id") * 7 + 2) % 50).as("dst")))
+      .union(d.select((col("doc_id") % 50).as("src"),
+        ((col("doc_id") * 11 + 5) % 50).as("dst")))
+    Graph.labelPropagation(edges, "src", "dst", iters = 4)
+      .orderBy(col("node"))
+  }, Some(s"""
+    WITH d AS (SELECT doc_id FROM documents),
+    e0 AS (
+      SELECT doc_id % 50 AS src, (doc_id * 3 + 1) % 50 AS dst FROM d
+      UNION ALL
+      SELECT doc_id % 50 AS src, (doc_id * 7 + 2) % 50 AS dst FROM d
+      UNION ALL
+      SELECT doc_id % 50 AS src, (doc_id * 11 + 5) % 50 AS dst FROM d),
+    e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM e0 WHERE src <> dst),
+    u AS (SELECT a AS node, b AS nbr FROM e UNION ALL SELECT b AS node, a AS nbr FROM e),
+    l0 AS (SELECT DISTINCT node, node AS label FROM u)${lpaIterCtes(4)}
+    SELECT node, label FROM l4 ORDER BY node"""))
+
+  val list: Seq[Q] = Seq(q102, q118, q127, q146)
 }

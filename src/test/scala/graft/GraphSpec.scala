@@ -81,4 +81,23 @@ class GraphSpec extends SparkSpec {
     assert(core(2) == Map(3L -> 2L, 4L -> 2L, 5L -> 2L))
     assert(core(3) == core(2))
   }
+
+  test("labelPropagation: bridged triangles settle into two communities (hand-traced rounds)") {
+    // triangles {1,2,3} and {10,11,12} bridged by 3-10. Synchronous
+    // min-tie rounds, traced by hand: after round 4 clique A carries
+    // label 1 and clique B label 3 (the bridge pulls 3's label into
+    // B's round-2 argmax, which B then amplifies), and the assignment
+    // is a fixed point from there.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (3L, 10L))
+    def lpa(iters: Int): Map[Long, Long] =
+      Graph.labelPropagation(edges.toDF("src", "dst"), "src", "dst", iters)
+        .as[(Long, Long)].collect().toMap
+    val r4 = lpa(4)
+    assert(r4 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 3L, 11L -> 3L, 12L -> 3L),
+      s"hand-traced round-4 labels wrong: $r4")
+    assert(lpa(5) == r4, "round-4 assignment must be a fixed point")
+    // determinism: same input, same labels
+    assert(lpa(4) == r4)
+  }
 }

@@ -244,6 +244,31 @@ class PlanSpec extends SparkSpec {
       s"unexpected rows-only: $rowsOnly")
   }
 
+  test("bpeTokenize maps occurrences back through a broadcast vocabulary join") {
+    // the iterative merge work runs on the distinct-word vocabulary;
+    // the corpus-scale word stream must join it WITHOUT shuffling on
+    // the word key (the vocab is the small side by construction)
+    val d = Tables.load(spark, sfDir, "documents")
+    val plan = graft.operators.TextAnalysis.bpeTokenize(d, col("doc_id"), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocabulary must broadcast to the occurrence stream:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no sort-merge on the corpus word stream:\n${plan.take(2000)}")
+  }
+
+  test("bm25Retrieve joins stats and query terms broadcast; no sort-merge, no cartesian") {
+    // inverted-index shape: the only shuffles are the tf/dl/score
+    // aggregations; need/qterms/idf/avgdl all ride broadcasts
+    val d = Tables.load(spark, sfDir, "documents")
+    val plan = graft.operators.TextAnalysis.bm25Retrieve(
+        d, d.filter(col("doc_id") % 97 === 0), "doc_id", "text", topK = 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"bm25Retrieve must stay broadcast-joined:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastHashJoin"), "expected broadcast joins")
+  }
+
   test("int8 quantization is a narrow projection: no Exchange in the plan") {
     val e = Tables.load(spark, sfDir, "embeddings")
     val plan = graft.operators.Similarity.int8Quantize(e, "vec_id", "embedding")
