@@ -158,7 +158,10 @@ object GraphQueries {
     * fixed rounds unrolled as CTEs. Every label is an integer node id,
     * so the comparison is exact.
     */
-  private val q146 = Q("q146_label_propagation", (s, dir) => {
+  /** Spark-side synthesis of the triangle-bearing domain graph
+    * (q118's families) + 4 LPA rounds; shared by q146/q147.
+    */
+  private def lpaCommunities(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val d = Tables.load(s, dir, "documents").select(col("doc_id"))
     val edges = d.select((col("doc_id") % 50).as("src"),
         ((col("doc_id") * 3 + 1) % 50).as("dst"))
@@ -167,9 +170,12 @@ object GraphQueries {
       .union(d.select((col("doc_id") % 50).as("src"),
         ((col("doc_id") * 11 + 5) % 50).as("dst")))
     Graph.labelPropagation(edges, "src", "dst", iters = 4)
-      .orderBy(col("node"))
-  }, Some(s"""
-    WITH d AS (SELECT doc_id FROM documents),
+  }
+
+  /** The q146/q147 shared WITH body: edge synthesis, undirected
+    * adjacency, and 4 unrolled LPA rounds ending in l4(node, label).
+    */
+  private def lpaGraphCtes: String = s"""d AS (SELECT doc_id FROM documents),
     e0 AS (
       SELECT doc_id % 50 AS src, (doc_id * 3 + 1) % 50 AS dst FROM d
       UNION ALL
@@ -179,8 +185,43 @@ object GraphQueries {
     e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
           FROM e0 WHERE src <> dst),
     u AS (SELECT a AS node, b AS nbr FROM e UNION ALL SELECT b AS node, a AS nbr FROM e),
-    l0 AS (SELECT DISTINCT node, node AS label FROM u)${lpaIterCtes(4)}
+    l0 AS (SELECT DISTINCT node, node AS label FROM u)${lpaIterCtes(4)}"""
+
+  private val q146 = Q("q146_label_propagation", (s, dir) => {
+    lpaCommunities(s, dir).orderBy(col("node"))
+  }, Some(s"""
+    WITH $lpaGraphCtes
     SELECT node, label FROM l4 ORDER BY node"""))
 
-  val list: Seq[Q] = Seq(q102, q118, q127, q146)
+  /** Community-weighted corpus selection — the curation shape the
+    * communities exist FOR: map each document to its domain node,
+    * attach the LPA community, and keep each community's top-p
+    * (70%) mass by document length (CorpusOps.topP). Composes the
+    * graph family with the sampling family end to end; the oracle
+    * stacks the LPA CTEs under q125's top-p window arithmetic.
+    */
+  private val q147 = Q("q147_community_topp", (s, dir) => {
+    import graft.operators.CorpusOps
+    val comm = lpaCommunities(s, dir)
+      .select(col("node").as("domain"), col("label").as("community"))
+    val withComm = Tables.load(s, dir, "documents")
+      .withColumn("domain", col("doc_id") % 50)
+      .join(broadcast(comm), "domain")
+    CorpusOps.topP(withComm, col("community"), col("doc_id"), col("n_chars"),
+        pPermille = 700)
+      .select(col("doc_id"), col("community"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }, Some(s"""
+    WITH $lpaGraphCtes,
+    dc AS (SELECT doc.doc_id, l4.label AS community, CAST(doc.n_chars AS BIGINT) AS w
+           FROM documents doc JOIN l4 ON l4.node = doc.doc_id % 50),
+    c AS (SELECT doc_id, community, w,
+                 CAST(coalesce(sum(w) OVER (PARTITION BY community ORDER BY w DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumb,
+                 CAST(sum(w) OVER (PARTITION BY community) AS BIGINT) AS total
+          FROM dc)
+    SELECT doc_id, community, w AS n_chars
+    FROM c WHERE cumb * 1000 < 700 * total ORDER BY doc_id"""))
+
+  val list: Seq[Q] = Seq(q102, q118, q127, q146, q147)
 }
