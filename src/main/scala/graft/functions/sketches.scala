@@ -73,6 +73,72 @@ class MisraGriesAggregator(capacity: Int)
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
 }
 
+/** Count-Min frequency sketch (Cormode & Muthukrishnan 2005) as a
+  * typed Aggregator — the point-frequency sibling of
+  * [[MisraGriesAggregator]] (which answers "which items are heavy";
+  * this answers "how often did THIS item occur" for any item, in
+  * `depth x width` longs regardless of key cardinality — the
+  * bounded-shuffle estimate for URL/n-gram/user-agent frequencies at
+  * 100 TB).
+  *
+  * Each of `depth` rows hashes the key into `width` counters with an
+  * md5-derived hash (the repo's hash48 convention, so any engine
+  * replays it); reduce increments one cell per row, merge is
+  * ELEMENTWISE SUM. Unlike MG/KLL there is no eviction and no
+  * compaction: the final matrix is a pure multiset function of the
+  * stream on EVERY input — partition- and merge-order-independent in
+  * all regimes, which is why the DuckDB oracle hash-checks the full
+  * counter matrix (q148), not just an exact regime.
+  *
+  * Estimate(key) = min over rows of the key's cell — always >= the
+  * true count (cells only ever add collisions); with width w the
+  * expected overcount per row is N/w and the min over `depth`
+  * independent rows concentrates sharply (SketchSpec asserts the
+  * one-sided bound and cross-partitioning determinism).
+  */
+class CountMinAggregator(depth: Int, width: Int)
+    extends Aggregator[String, Seq[Seq[Long]], Seq[Seq[Long]]] {
+  require(depth > 0 && width > 0, s"need depth > 0, width > 0; got ($depth, $width)")
+
+  override def zero: Seq[Seq[Long]] = Seq.fill(depth)(Vector.fill(width)(0L))
+
+  override def reduce(b: Seq[Seq[Long]], key: String): Seq[Seq[Long]] =
+    b.zipWithIndex.map { case (row, i) =>
+      val c = CountMinAggregator.cell(i, key, width)
+      row.updated(c, row(c) + 1L)
+    }
+
+  override def merge(x: Seq[Seq[Long]], y: Seq[Seq[Long]]): Seq[Seq[Long]] =
+    x.zip(y).map { case (a, b) => a.zip(b).map { case (u, v) => u + v } }
+
+  override def finish(b: Seq[Seq[Long]]): Seq[Seq[Long]] = b
+
+  override def bufferEncoder: Encoder[Seq[Seq[Long]]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Seq[Long]]]()
+
+  override def outputEncoder: Encoder[Seq[Seq[Long]]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Seq[Long]]]()
+}
+
+object CountMinAggregator {
+  /** Row-i cell for a key: md5 12-hex-prefix (48-bit, the hash48
+    * convention) of "i_key", mod width — `CAST(concat('0x',
+    * substr(md5(i || '_' || key), 1, 12)) AS BIGINT) % width` in SQL.
+    */
+  def cell(i: Int, key: String, width: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${i}_$key".getBytes("UTF-8"))
+    val hex = d.map("%02x".format(_)).mkString.substring(0, 12)
+    (java.lang.Long.parseLong(hex, 16) % width).toInt
+  }
+
+  /** Point-frequency estimate from a finished sketch. */
+  def estimate(sketch: Seq[Seq[Long]], key: String): Long = {
+    val width = sketch.head.length
+    sketch.zipWithIndex.map { case (row, i) => row(cell(i, key, width)) }.min
+  }
+}
+
 /** One-pass mergeable quantile sketch — the streaming/approximate
   * sibling of the exact two-pass [[graft.operators.Quantiles]] (q76).
   * A KLL-style compactor hierarchy (Karnin-Lang-Liberty, FOCS 2016)

@@ -574,6 +574,39 @@ object TextQueries {
            floor(sqrt(CAST(sumsq AS DOUBLE) / 256) * 1000000 + 0.5) / 1000000.0 AS rms
     FROM s ORDER BY media_id, win_idx"""))
 
+  /** Count-Min sketch of the corpus token stream (depth 4, width 64).
+    * The full counter matrix is hash-checked: Count-Min's elementwise-
+    * sum merge makes the sketch a pure multiset function of the stream
+    * in EVERY regime (no eviction, no compaction), so the oracle
+    * replays each row's md5-derived cell assignment and group-counts —
+    * stronger than the exact-regime-only checks MG (q100) and KLL
+    * (q105) admit. One 4x64-long summary ships per map task
+    * regardless of token cardinality.
+    */
+  private val q148 = Q("q148_countmin", (s, dir) => {
+    val cm = udaf(new graft.functions.CountMinAggregator(4, 64))
+    Tables.load(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("term"))
+      .agg(cm(col("term")).as("cm"))
+      .select(posexplode(col("cm")).as(Seq("row_idx", "cells")))
+      .select(col("row_idx").cast("long").as("row_idx"),
+        posexplode(col("cells")).as(Seq("cell_idx", "cnt")))
+      .select(col("row_idx"), col("cell_idx").cast("long").as("cell_idx"), col("cnt"))
+      .orderBy(col("row_idx"), col("cell_idx"))
+  }, Some("""
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+    r AS (SELECT unnest(range(0, 4)) AS row_idx),
+    h AS (SELECT r.row_idx,
+                 CAST(concat('0x', substr(md5(CAST(r.row_idx AS VARCHAR) || '_' || term), 1, 12)) AS BIGINT) % 64 AS cell_idx
+          FROM tok CROSS JOIN r),
+    c AS (SELECT row_idx, cell_idx, CAST(count(*) AS BIGINT) AS cnt
+          FROM h GROUP BY row_idx, cell_idx),
+    grid AS (SELECT r.row_idx, unnest(range(0, 64)) AS cell_idx FROM r)
+    SELECT g.row_idx, CAST(g.cell_idx AS BIGINT) AS cell_idx,
+           CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+    FROM grid g LEFT JOIN c ON c.row_idx = g.row_idx AND c.cell_idx = g.cell_idx
+    ORDER BY g.row_idx, g.cell_idx"""))
+
   val list: Seq[Q] = Seq(q51, q52, q53, q54, q55, q56, q74, q89, q100, q101, q108, q112,
-    q120, q128, q129, q138, q141, q142, q143, q144)
+    q120, q128, q129, q138, q141, q142, q143, q144, q148)
 }

@@ -198,6 +198,36 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("count-min: one-sided error, exact under no collision, partitioning-independent") {
+    import spark.implicits._
+    import graft.functions.CountMinAggregator
+    // skewed stream: "hot" 500x, "warm" 50x, 40 distinct cold keys 1x
+    val stream = Seq.fill(500)("hot") ++ Seq.fill(50)("warm") ++
+      (0 until 40).map(i => s"cold$i")
+    val truth = stream.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val cm = udaf(new CountMinAggregator(4, 64))
+    def sketchOf(parts: Int): Seq[Seq[Long]] =
+      stream.toDF("term").repartition(parts)
+        .agg(cm(col("term"))).head()
+        .getSeq[scala.collection.Seq[Long]](0).toSeq.map(_.toSeq)
+    val s1 = sketchOf(1)
+    // merge-order independence: any partitioning yields the SAME matrix
+    assert(sketchOf(7) == s1 && sketchOf(32) == s1,
+      "count-min matrix must not depend on partitioning")
+    // one-sided error: estimates never undercount; total mass conserved per row
+    truth.foreach { case (k, n) =>
+      val est = CountMinAggregator.estimate(s1, k)
+      assert(est >= n, s"$k: estimate $est < true $n")
+      assert(est <= n + stream.length, "estimate exceeds any possible collision mass")
+    }
+    assert(s1.forall(_.sum == stream.length), "each row must hold the full stream mass")
+    // the heavy key dominates its cells, so its estimate is tight:
+    // collisions add at most the non-hot mass
+    val hotEst = CountMinAggregator.estimate(s1, "hot")
+    assert(hotEst >= 500 && hotEst <= 500 + (stream.length - 500),
+      s"hot estimate $hotEst out of bounds")
+  }
+
   test("quantile sketch: compaction conserves total weight; empty input yields NaN") {
     val agg = new QuantileSketchAggregator(4, Seq(0.5))
     def totalWeight(b: Seq[Seq[Double]]): Long =
