@@ -161,6 +161,50 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
   }
 
+  /** Fixed-iteration PERSONALIZED PageRank: identical update rule to
+    * [[pageRank]] but all teleport mass returns to a SEED set instead
+    * of spreading uniformly — the "related domains" expansion query
+    * (rank the graph by proximity to a trusted seed list, then widen a
+    * curation whitelist from the top). Initial mass and the 15%
+    * teleport split equally (integer floor) over the seeds; non-seed
+    * nodes start at zero and receive only damped in-flow. Same
+    * integer micro-rank grid, same one-shuffle-per-iteration Pregel
+    * shape, same dangling-mass leak as [[pageRank]]; the oracle
+    * unrolls iterations with a CASE on the seed set (q149).
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: Seq[Long], iters: Int): DataFrame = {
+    require(seeds.nonEmpty && iters >= 1,
+      s"need seeds and iters >= 1; got (${seeds.size}, $iters)")
+    val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
+      .filter(col("_src") =!= col("_dst")).distinct()
+    val nodes = e.select(col("_src").as("node"))
+      .union(e.select(col("_dst").as("node"))).distinct()
+    val outdeg = e.groupBy(col("_src")).agg(count(lit(1)).as("_outdeg"))
+    val isSeed = col("node").isInCollection(seeds)
+    // exact Scala floor-div of the constant mass shares (n is a literal)
+    val initU = RANK_SCALE / seeds.length
+    val teleportU = (RANK_SCALE * 15L / 100L) / seeds.length
+    var ranks = nodes
+      .select(col("node"), when(isSeed, lit(initU)).otherwise(lit(0L)).as("rank_u"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      val contribs = e
+        .join(ranks, e("_src") === ranks("node"))
+        .join(outdeg, "_src")
+        .select(col("_dst").as("node"),
+          ldiv(col("rank_u"), col("_outdeg")).as("_c"))
+      val inSum = contribs.groupBy(col("node")).agg(sum(col("_c")).as("_s"))
+      ranks = nodes
+        .join(inSum, Seq("node"), "left")
+        .select(col("node"),
+          (when(isSeed, lit(teleportU)).otherwise(lit(0L)) +
+            ldiv(lit(85L) * coalesce(col("_s"), lit(0L)), lit(100L))).as("rank_u"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
   /** Fixed-iteration SYNCHRONOUS label propagation — the cheap
     * community detector for link graphs (Raghavan et al. 2007), used
     * in corpus curation to group domains into communities before

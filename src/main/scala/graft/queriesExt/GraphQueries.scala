@@ -223,5 +223,47 @@ object GraphQueries {
     SELECT doc_id, community, w AS n_chars
     FROM c WHERE cumb * 1000 < 700 * total ORDER BY doc_id"""))
 
-  val list: Seq[Q] = Seq(q102, q118, q127, q146, q147)
+  /** One personalized-PageRank iteration as a CTE pair: the q102
+    * update with the teleport CASE'd onto the seed set.
+    */
+  private def pprIterCtes(k: Int, seedsSql: String, teleportU: Long): String =
+    (1 to k).map { i =>
+      val prev = s"r${i - 1}"
+      s""",
+    c$i AS (SELECT e.dst AS node, sum($prev.rank_u // deg.outdeg) AS s
+            FROM e JOIN $prev ON e.src = $prev.node JOIN deg ON e.src = deg.src
+            GROUP BY e.dst),
+    r$i AS (SELECT nodes.node,
+                   CAST(CASE WHEN nodes.node IN ($seedsSql) THEN $teleportU ELSE 0 END
+                        + (85 * coalesce(c$i.s, 0)) // 100 AS BIGINT) AS rank_u
+            FROM nodes LEFT JOIN c$i ON nodes.node = c$i.node)"""
+    }.mkString
+
+  /** Related-domain expansion: personalized PageRank from seed domains
+    * {3, 17} on the q102 link graph, 3 fixed all-integer iterations.
+    */
+  private val q149 = Q("q149_personalized_pagerank", (s, dir) => {
+    val d = Tables.load(s, dir, "documents").select(col("doc_id"))
+    val edges = d.select((col("doc_id") % 50).as("src"),
+        ((col("doc_id") * 13 + 7) % 50).as("dst"))
+      .union(d.select((col("doc_id") % 50).as("src"),
+        ((col("doc_id") * 29 + 11) % 50).as("dst")))
+    Graph.personalizedPageRank(edges, "src", "dst", seeds = Seq(3L, 17L), iters = 3)
+      .orderBy(col("node"))
+  }, Some(s"""
+    WITH d AS (SELECT doc_id FROM documents),
+    e0 AS (
+      SELECT doc_id % 50 AS src, (doc_id * 13 + 7) % 50 AS dst FROM d
+      UNION ALL
+      SELECT doc_id % 50 AS src, (doc_id * 29 + 11) % 50 AS dst FROM d),
+    e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+    nodes AS (SELECT DISTINCT node FROM
+      (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+    deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+    r0 AS (SELECT node,
+                  CAST(CASE WHEN node IN (3, 17) THEN ${Graph.RANK_SCALE / 2} ELSE 0 END AS BIGINT) AS rank_u
+           FROM nodes)${pprIterCtes(3, "3, 17", Graph.RANK_SCALE * 15L / 100L / 2)}
+    SELECT node, rank_u FROM r3 ORDER BY node"""))
+
+  val list: Seq[Q] = Seq(q102, q118, q127, q146, q147, q149)
 }

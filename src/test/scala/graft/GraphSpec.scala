@@ -82,6 +82,26 @@ class GraphSpec extends SparkSpec {
     assert(core(3) == core(2))
   }
 
+  test("personalizedPageRank: chain from a single seed, hand-computed integer ranks") {
+    // 1 -> 2 -> 3, seed {1}: all mass starts at the seed; teleport
+    // returns only there. Hand trace on the integer grid:
+    //   r0 = (1e9, 0, 0)
+    //   r1 = (150M, 850M, 0)          (850M = 85*1e9 // 100)
+    //   r2 = (150M, 127.5M, 722.5M)   (2 gets 85*150M//100; 3 gets 85*850M//100)
+    val edges = Seq((1L, 2L), (2L, 3L))
+    def ppr(iters: Int): Map[Long, Long] =
+      Graph.personalizedPageRank(edges.toDF("src", "dst"), "src", "dst",
+          seeds = Seq(1L), iters = iters)
+        .as[(Long, Long)].collect().toMap
+    assert(ppr(1) == Map(1L -> 150000000L, 2L -> 850000000L, 3L -> 0L))
+    assert(ppr(2) == Map(1L -> 150000000L, 2L -> 127500000L, 3L -> 722500000L))
+    // seed-proximity: with two seeds the mass splits exactly in half
+    val two = Graph.personalizedPageRank(Seq((1L, 2L), (3L, 2L)).toDF("src", "dst"),
+        "src", "dst", seeds = Seq(1L, 3L), iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(two(1L) == 75000000L && two(3L) == 75000000L && two(2L) == 850000000L, two.toString)
+  }
+
   test("labelPropagation: bridged triangles settle into two communities (hand-traced rounds)") {
     // triangles {1,2,3} and {10,11,12} bridged by 3-10. Synchronous
     // min-tie rounds, traced by hand: after round 4 clique A carries
