@@ -182,5 +182,53 @@ object StreamingQueries {
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
     FROM s ORDER BY event_id"""))
 
-  val list: Seq[Q] = Seq(q31, q32, q33, q34, q90, q93, q98, q135)
+  /** Funnel conversion-latency distribution — the question a funnel
+    * exists to answer: for users who completed signup->click->purchase
+    * (q90's operator), the p50/p90/p99 of end-to-end latency. Values
+    * are integer epoch-micros differences and percentiles are
+    * rank-select (value at rank floor(p*(n-1))+1 — no interpolation),
+    * so both engines agree exactly. The rank window runs over
+    * completed-funnel rows only (a tiny frame, the documented
+    * small-table window pattern); the funnel itself is q90's
+    * user-key-partitioned min-aggregation chain.
+    */
+  private val q150 = Q("q150_funnel_latency", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val f = graft.operators.Funnel.orderedFunnel(Tables.events(s, dir),
+      col("user_id"), col("ts"), col("event_type"),
+      Seq("signup", "click", "purchase"))
+    val lat = f.filter(col("t3").isNotNull)
+      .select((col("t3") - col("t1")).as("lat"))
+    val n = lat.agg(count(lit(1)).as("n"))
+    val ranked = lat
+      .withColumn("rn", row_number().over(Window.orderBy(col("lat"))))
+      .crossJoin(broadcast(n))
+    Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99)).map { case (name, p) =>
+      ranked.filter(col("rn") === floor(lit(p) * (col("n") - 1).cast("double")) + 1)
+        .select(lit(name).as("p"), col("lat").as("latency_us"),
+          col("n").as("n_completed"))
+    }.reduce(_ unionAll _).orderBy(col("p"))
+  }, Some("""
+    WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS y FROM events),
+    s1 AS (SELECT u, min(t) AS t1 FROM e WHERE y = 'signup' GROUP BY u),
+    s2 AS (SELECT e.u, min(t) AS t2 FROM e JOIN s1 ON e.u = s1.u
+           WHERE y = 'click' AND t >= t1 GROUP BY e.u),
+    s3 AS (SELECT e.u, min(t) AS t3 FROM e JOIN s2 ON e.u = s2.u
+           WHERE y = 'purchase' AND t >= t2 GROUP BY e.u),
+    compl AS (SELECT s1.u, s3.t3 - s1.t1 AS lat FROM s1 JOIN s3 ON s1.u = s3.u),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM compl),
+    r AS (SELECT lat, row_number() OVER (ORDER BY lat) AS rn FROM compl),
+    sel AS (
+      SELECT 'p50' AS p, lat FROM r CROSS JOIN n
+      WHERE rn = CAST(floor(0.5 * CAST(n.n - 1 AS DOUBLE)) AS BIGINT) + 1
+      UNION ALL
+      SELECT 'p90', lat FROM r CROSS JOIN n
+      WHERE rn = CAST(floor(0.9 * CAST(n.n - 1 AS DOUBLE)) AS BIGINT) + 1
+      UNION ALL
+      SELECT 'p99', lat FROM r CROSS JOIN n
+      WHERE rn = CAST(floor(0.99 * CAST(n.n - 1 AS DOUBLE)) AS BIGINT) + 1)
+    SELECT sel.p, sel.lat AS latency_us, n.n AS n_completed
+    FROM sel CROSS JOIN n ORDER BY p"""))
+
+  val list: Seq[Q] = Seq(q31, q32, q33, q34, q90, q93, q98, q135, q150)
 }
