@@ -97,39 +97,58 @@ class MisraGriesAggregator(capacity: Int)
   * one-sided bound and cross-partitioning determinism).
   */
 class CountMinAggregator(depth: Int, width: Int)
-    extends Aggregator[String, Seq[Seq[Long]], Seq[Seq[Long]]] {
+    extends Aggregator[String, Array[Long], Seq[Seq[Long]]] {
   require(depth > 0 && width > 0, s"need depth > 0, width > 0; got ($depth, $width)")
 
-  override def zero: Seq[Seq[Long]] = Seq.fill(depth)(Vector.fill(width)(0L))
+  // flat depth x width buffer, mutated in place (the Aggregator
+  // contract permits returning the mutated input) — the per-row hot
+  // path allocates nothing but the digest copy
+  override def zero: Array[Long] = new Array[Long](depth * width)
 
-  override def reduce(b: Seq[Seq[Long]], key: String): Seq[Seq[Long]] =
-    b.zipWithIndex.map { case (row, i) =>
-      val c = CountMinAggregator.cell(i, key, width)
-      row.updated(c, row(c) + 1L)
+  override def reduce(b: Array[Long], key: String): Array[Long] = {
+    var i = 0
+    while (i < depth) {
+      b(i * width + CountMinAggregator.cell(i, key, width)) += 1L
+      i += 1
     }
+    b
+  }
 
-  override def merge(x: Seq[Seq[Long]], y: Seq[Seq[Long]]): Seq[Seq[Long]] =
-    x.zip(y).map { case (a, b) => a.zip(b).map { case (u, v) => u + v } }
+  override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < x.length) { x(i) += y(i); i += 1 }
+    x
+  }
 
-  override def finish(b: Seq[Seq[Long]]): Seq[Seq[Long]] = b
+  override def finish(b: Array[Long]): Seq[Seq[Long]] =
+    (0 until depth).map(i => b.slice(i * width, (i + 1) * width).toSeq)
 
-  override def bufferEncoder: Encoder[Seq[Seq[Long]]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Seq[Long]]]()
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
 
   override def outputEncoder: Encoder[Seq[Seq[Long]]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Seq[Long]]]()
 }
 
 object CountMinAggregator {
+  // MessageDigest is not thread-safe and getInstance per call costs
+  // more than the digest itself on the per-row hot path
+  private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
   /** Row-i cell for a key: md5 12-hex-prefix (48-bit, the hash48
     * convention) of "i_key", mod width — `CAST(concat('0x',
     * substr(md5(i || '_' || key), 1, 12)) AS BIGINT) % width` in SQL.
     */
   def cell(i: Int, key: String, width: Int): Int = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"${i}_$key".getBytes("UTF-8"))
-    val hex = d.map("%02x".format(_)).mkString.substring(0, 12)
-    (java.lang.Long.parseLong(hex, 16) % width).toInt
+    val d = md5.get()
+    d.reset()
+    val bytes = d.digest(s"${i}_$key".getBytes("UTF-8"))
+    // first 6 bytes == the 12-hex-char prefix, as an unsigned 48-bit int
+    var h = 0L
+    var j = 0
+    while (j < 6) { h = (h << 8) | (bytes(j) & 0xffL); j += 1 }
+    (h % width).toInt
   }
 
   /** Point-frequency estimate from a finished sketch. */
