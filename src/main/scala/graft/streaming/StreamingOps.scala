@@ -267,6 +267,58 @@ object StreamingOps {
       .trigger(trigger)
       .start()
 
+  /** Micro-batch HYBRID RETRIEVAL SERVING — the streaming face of the
+    * q145 stack: each arriving batch of query documents runs the full
+    * sparse (per-query BM25 more-like-this) + dense (cosine over the
+    * query ids' embeddings) + reciprocal-rank-fusion pipeline against
+    * STATIC corpus tables, and lands its fused top-k under
+    * `outDir/batchId=N` with overwrite — the FirehoseDelivery
+    * idempotence pattern, so checkpoint replays re-serve rather than
+    * duplicate. The query stream carries (id, text); the dense side
+    * resolves each query's embedding from the static embeddings table
+    * by id (a serving-size broadcast join).
+    *
+    * Scale: stateless — corpus statistics and scores are recomputed
+    * per batch from the static tables (cache/persist them in a real
+    * deployment; at 100 TB the dense side swaps to `ivfPqTopK`
+    * unchanged through the same fusion). Per batch the work is
+    * exactly the batch operators' plans: inverted-index sparse
+    * candidates, broadcast-bounded dense scoring, candidate-list-only
+    * fusion. StreamingSpec proves stream output == the batch stack on
+    * the same query set.
+    */
+  def hybridRetrieveStream(queryStream: DataFrame, docs: DataFrame,
+      embeddings: DataFrame, outDir: String, checkpointDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      vecIdCol: String = "vec_id", vecCol: String = "embedding",
+      perRanker: Int = 10, topK: Int = 5,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.{Similarity, TextAnalysis}
+    queryStream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val q = batch.select(col(idCol), col(textCol)).persist()
+          try {
+            val sparse = TextAnalysis.bm25Retrieve(docs, q, idCol, textCol, perRanker)
+              .select(col("query_id"), col("neighbor_id"), col("rank"))
+            val qVecs = embeddings.join(
+              broadcast(q.select(col(idCol).as(vecIdCol))), vecIdCol)
+            val dense = Similarity.bruteForceTopK(embeddings, qVecs,
+                vecIdCol, vecCol, perRanker)
+              .select(col("query_id"), col("neighbor_id"), col("rank"))
+            Similarity.reciprocalRankFusion(Seq(sparse, dense), k = 60, topK = topK)
+              .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .parquet(s"$outDir/batchId=$batchId")
+          } finally q.unpersist()
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
   /** Compaction for [[maintainBandTable]]/[[screenAndMaintain]]'s
     * band table: a long-running stream accretes one small
     * `batchId=N` directory per micro-batch (the classic small-files

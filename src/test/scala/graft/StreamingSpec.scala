@@ -548,6 +548,50 @@ class StreamingSpec extends SparkSpec {
     assert(pairs == Set((10L, 1L)), s"expected collision with doc 1 only, got $pairs")
   }
 
+  test("hybrid retrieval serving: streamed query batches reproduce the batch sparse+dense+RRF stack") {
+    val base = tmp()
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    // two single-file query batches with disjoint id sets
+    val qa = docs.filter(col("doc_id") % 97 === 0)
+    val qb = docs.filter(col("doc_id") % 101 === 3)
+    val now = System.currentTimeMillis()
+    Seq(qa, qb).zipWithIndex.foreach { case (q, i) =>
+      q.coalesce(1).write.mode("overwrite").parquet(s"$base/staging-$i")
+      val part = new java.io.File(s"$base/staging-$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$base/in/slice-$i.parquet")
+      Files.createDirectories(dst.toPath.getParent)
+      Files.copy(part.toPath, dst.toPath)
+      assert(dst.setLastModified(now - (2 - i) * 60000L))
+    }
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+    val q = StreamingOps.hybridRetrieveStream(stream, docs, emb,
+      s"$base/out", s"$base/ck")
+    q.awaitTermination(180000)
+    assert(!q.isActive)
+    val served = spark.read.option("recursiveFileLookup", "true").parquet(s"$base/out")
+      .select("query_id", "neighbor_id", "fused_rank", "rrf_u")
+    // every batch's output equals the batch stack run on its query set
+    import graft.operators.{Similarity, TextAnalysis}
+    def batchStack(queries: org.apache.spark.sql.DataFrame) = {
+      val sparse = TextAnalysis.bm25Retrieve(docs, queries, "doc_id", "text", 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      val qv = emb.join(broadcast(queries.select(col("doc_id").as("vec_id"))), "vec_id")
+      val dense = Similarity.bruteForceTopK(emb, qv, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      Similarity.reciprocalRankFusion(Seq(sparse, dense), k = 60, topK = 5)
+    }
+    val expected = batchStack(qa).unionAll(batchStack(qb))
+    assert(served.count() == expected.count(), "served row count diverged")
+    assert(served.exceptAll(expected).isEmpty && expected.exceptAll(served).isEmpty,
+      "streamed serving diverged from the batch retrieval stack")
+    // replay idempotence: re-running a batch overwrites, not duplicates
+    assert(new java.io.File(s"$base/out").listFiles()
+      .count(_.getName.startsWith("batchId=")) == 2)
+  }
+
   test("band-table soak: 20 triggers maintain one consistent key space with zero streaming state") {
     // Long-horizon run of the band-table feeder: 20 single-file
     // micro-batches of the documents corpus. The 100 TB contract is
