@@ -375,6 +375,82 @@ object SqlQueries {
     s.sql(topSupplierSql)
   }, Some(topSupplierSql))
 
+  /** TPC-H Q5-shaped local-supplier volume: the classic 6-way
+    * join-order exercise (customer-orders-lineitem-supplier-nation-
+    * region with the c_nationkey = s_nationkey locality constraint) —
+    * Catalyst broadcasts the three dims and hash-joins the two facts;
+    * revenue rides exact integer cents.
+    */
+  private val localVolumeSql = """
+    SELECT n_name,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name ORDER BY revenue DESC, n_name"""
+  private val q151 = Q("q151_local_volume", (s, dir) => {
+    Tables.registerAll(s, dir)
+    s.sql(localVolumeSql)
+  }, Some(localVolumeSql))
+
+  /** TPC-H Q7-shaped nation-pair shipping volume: the self-joined
+    * nation dimension (n1 supplier side, n2 customer side) with the
+    * symmetric pair predicate, yearly grain via EXTRACT — both
+    * directions of trade between two nations.
+    */
+  private val tradeVolumeSql = """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(vol_c) AS DOUBLE) / 100.0 AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+             CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS vol_c
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+          OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year"""
+  private val q152 = Q("q152_trade_volume", (s, dir) => {
+    Tables.registerAll(s, dir)
+    s.sql(tradeVolumeSql)
+  }, Some(tradeVolumeSql))
+
+  /** TPC-H Q10-shaped returned-item report: top-20 customers by
+    * revenue lost to returns in a half-year window — group on the
+    * full customer grain, order by the exact-cents aggregate with a
+    * key tie-break so the LIMIT is deterministic.
+    */
+  private val returnedItemsSql = """
+    SELECT c_custkey, c_name,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+           CAST(floor(c_acctbal * 100 + 0.5) / 100.0 AS DOUBLE) AS acctbal, n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) DESC, c_custkey
+    LIMIT 20"""
+  private val q153 = Q("q153_returned_items", (s, dir) => {
+    Tables.registerAll(s, dir)
+    s.sql(returnedItemsSql)
+  }, Some(returnedItemsSql))
+
   val list: Seq[Q] = Seq(q57, q58, q59, q68, q70, q71, q72, q88, q109, q110, q111,
-    q121, q122, q133, q134)
+    q121, q122, q133, q134, q151, q152, q153)
 }
