@@ -70,6 +70,37 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: bpeTokenize invariants — concat restores the word, counts agree, merges only shrink") {
+    // for random lowercase corpora and random merge tables: subword
+    // concatenation reproduces every word exactly, n_subwords equals
+    // the piece count, and tokenizing never yields more pieces than
+    // characters (merges only shrink)
+    val wordGen = Gen.nonEmptyListOf(Gen.choose('a', 'e')).map(_.mkString) // small alphabet -> merges fire
+    val textGen = Gen.nonEmptyListOf(wordGen).map(_.take(8).mkString(" "))
+    val mergeGen = Gen.nonEmptyListOf(for {
+      a <- Gen.nonEmptyListOf(Gen.choose('a', 'e')).map(_.take(2).mkString)
+      b <- Gen.nonEmptyListOf(Gen.choose('a', 'e')).map(_.take(2).mkString)
+    } yield (a, b)).map(_.take(12))
+    val caseGen: Gen[(List[String], List[(String, String)])] =
+      Gen.zip(Gen.nonEmptyListOf(textGen).map(_.take(5)), mergeGen)
+    forAllSampled(caseGen, 8) {
+      case (texts, merges) =>
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+        val out = graft.operators.TextAnalysis
+          .bpeTokenize(df, col("id"), col("text"), merges, rounds = 6)
+          .select("word", "tokens", "n_subwords").collect()
+        assert(out.nonEmpty)
+        out.foreach { r =>
+          val (word, toks, n) = (r.getString(0), r.getString(1), r.getLong(2))
+          val pieces = toks.split(" ")
+          assert(pieces.mkString("") == word,
+            s"concat of '$toks' != '$word' under merges $merges")
+          assert(pieces.length.toLong == n, s"n_subwords $n != ${pieces.length}")
+          assert(n >= 1 && n <= word.length.toLong, s"piece count $n out of [1, ${word.length}]")
+        }
+    }
+  }
 }
 
 /** B15: approx_count_distinct within the default 5% relative error. */
