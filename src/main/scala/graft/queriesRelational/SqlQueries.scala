@@ -1,5 +1,7 @@
 package graft.queriesRelational
 
+import org.apache.spark.sql.functions.col
+
 import graft.Tables
 import graft.queriesRelational.RelationalQueries.Q
 
@@ -451,6 +453,70 @@ object SqlQueries {
     s.sql(returnedItemsSql)
   }, Some(returnedItemsSql))
 
+  /** Column profiling of the orders table (Profiler.profile): total /
+    * null / exact-distinct counts plus string-rendered bounds per
+    * column — the validation pass an ingest gate runs. Timestamp
+    * bounds ride CAST-to-string, which both engines render as
+    * 'yyyy-MM-dd HH:mm:ss'.
+    */
+  private val q154 = Q("q154_table_profile", (s, dir) => {
+    graft.operators.Profiler.profile(
+        Tables.load(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"))
+      .orderBy(col("col_name"))
+  }, Some {
+    def one(c: String) = s"""
+      SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+             CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+             CAST(min($c) AS VARCHAR) AS v_min, CAST(max($c) AS VARCHAR) AS v_max
+      FROM orders"""
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate")
+      .map(one).mkString("", "\n      UNION ALL", "\n      ORDER BY col_name")
+  })
+
+  /** Referential-integrity audit of the star schema
+    * (Profiler.auditReferences): child row count and orphan count per
+    * FK edge — all-zero orphans here is the ASSERTION (the synthetic
+    * generator is consistent), and the planted-orphan path is proven
+    * in ProfilerSpec.
+    */
+  private val q155 = Q("q155_integrity_audit", (s, dir) => {
+    def t(n: String) = Tables.load(s, dir, n)
+    graft.operators.Profiler.auditReferences(Seq(
+        ("lineitem.l_orderkey->orders", t("lineitem"), "l_orderkey", t("orders"), "o_orderkey"),
+        ("lineitem.l_suppkey->supplier", t("lineitem"), "l_suppkey", t("supplier"), "s_suppkey"),
+        ("orders.o_custkey->customer", t("orders"), "o_custkey", t("customer"), "c_custkey"),
+        ("customer.c_nationkey->nation", t("customer"), "c_nationkey", t("nation"), "n_nationkey"),
+        ("nation.n_regionkey->region", t("nation"), "n_regionkey", t("region"), "r_regionkey")))
+      .orderBy(col("relationship"))
+  }, Some("""
+    SELECT 'customer.c_nationkey->nation' AS relationship,
+           CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_child,
+           CAST((SELECT count(*) FROM customer c WHERE c_nationkey IS NOT NULL
+                 AND NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = c.c_nationkey)) AS BIGINT) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders',
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem l WHERE l_orderkey IS NOT NULL
+                 AND NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l.l_orderkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem l WHERE l_suppkey IS NOT NULL
+                 AND NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = l.l_suppkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'nation.n_regionkey->region',
+           CAST((SELECT count(*) FROM nation) AS BIGINT),
+           CAST((SELECT count(*) FROM nation n WHERE n_regionkey IS NOT NULL
+                 AND NOT EXISTS (SELECT 1 FROM region WHERE r_regionkey = n.n_regionkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           CAST((SELECT count(*) FROM orders) AS BIGINT),
+           CAST((SELECT count(*) FROM orders o WHERE o_custkey IS NOT NULL
+                 AND NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o.o_custkey)) AS BIGINT)
+    ORDER BY relationship"""))
+
   val list: Seq[Q] = Seq(q57, q58, q59, q68, q70, q71, q72, q88, q109, q110, q111,
-    q121, q122, q133, q134, q151, q152, q153)
+    q121, q122, q133, q134, q151, q152, q153, q154, q155)
 }

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Profiler
+
+/** Data-quality profiling: column profiles and referential orphans. */
+class ProfilerSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("profile: nulls, distincts and bounds per column, including an all-null column") {
+    val df = Seq(
+      (1L, Some("a"), Option.empty[String]),
+      (2L, Some("b"), None),
+      (3L, None, None),
+      (3L, Some("b"), None))
+      .toDF("id", "tag", "dead")
+    val p = Profiler.profile(df, Seq("id", "tag", "dead"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(p("id") == ((4L, 0L, 3L, "1", "3")))
+    assert(p("tag") == ((4L, 1L, 2L, "a", "b")))
+    // an entirely-null column: zero distincts, null bounds
+    assert(p("dead")._1 == 4L && p("dead")._2 == 4L && p("dead")._3 == 0L)
+    assert(p("dead")._4 == null && p("dead")._5 == null)
+  }
+
+  test("referentialOrphans: planted orphans surface with multiplicity; null keys are ignored") {
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(2L), Some(9L), Some(9L), Some(7L), None)
+      .toDF("fk")
+    val got = Profiler.referentialOrphans(child, col("fk"), parent, col("pk"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(9L -> 2L, 7L -> 1L), s"wrong orphans: $got")
+    // audit report: totals include the null-key row, orphans do not
+    val audit = Profiler.auditReferences(Seq(("child->parent", child, "fk", parent, "pk")))
+      .collect().head
+    assert(audit.getString(0) == "child->parent" &&
+      audit.getLong(1) == 6L && audit.getLong(2) == 3L)
+    // a clean relationship audits to zero orphans
+    val clean = Profiler.auditReferences(Seq(
+      ("ok", Seq(1L, 2L).toDF("fk"), "fk", parent, "pk"))).collect().head
+    assert(clean.getLong(2) == 0L)
+  }
+}
