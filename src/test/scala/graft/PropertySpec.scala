@@ -199,6 +199,58 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("labelPropagation equals the brute-force synchronous min-tie rounds on random graphs") {
+    import graft.operators.Graph
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val n = 25
+      val edges = Seq.fill(60)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val iters = 3 + trial
+      val got = Graph.labelPropagation(edges.toDF("src", "dst"), "src", "dst", iters)
+        .as[(Long, Long)].collect().toMap
+      // brute force: same synchronous rounds in plain Scala
+      val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+        .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      val adj = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var labels: Map[Long, Long] = adj.keySet.map(v => v -> v).toMap
+      for (_ <- 0 until iters) {
+        labels = adj.map { case (node, nbrs) =>
+          val counts = nbrs.map(labels).groupBy(identity).view.mapValues(_.size).toMap
+          // max count, ties -> smallest label: sort by (-count, label)
+          node -> counts.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+        }
+      }
+      assert(got == labels, s"trial $trial iters=$iters: got $got want $labels")
+    }
+  }
+
+  test("personalizedPageRank conserves no more than full teleport+damped mass, seeds always hold teleport") {
+    import graft.operators.Graph
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val n = 20
+    val edges = Seq.fill(50)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val seeds = Seq(1L, 2L, 3L)
+    val ranks = Graph.personalizedPageRank(edges.toDF("src", "dst"), "src", "dst",
+        seeds, iters = 4)
+      .as[(Long, Long)].collect().toMap
+    // total mass can never exceed teleport + damped initial scale
+    // (floor-division and dangling nodes only LEAK mass)
+    assert(ranks.values.sum <= Graph.RANK_SCALE, s"mass created: ${ranks.values.sum}")
+    // every seed in the graph holds at least its teleport share
+    val teleportU = Graph.RANK_SCALE * 15L / 100L / seeds.length
+    seeds.filter(ranks.contains).foreach { s =>
+      assert(ranks(s) >= teleportU, s"seed $s below teleport floor: ${ranks(s)}")
+    }
+    // non-seed sink nodes (no in-edges) decay to zero
+    val hasIn = edges.map(_._2).toSet
+    ranks.filter { case (v, _) => !seeds.contains(v) && !hasIn.contains(v) }
+      .foreach { case (v, r) => assert(r == 0L, s"sourceless non-seed $v has rank $r") }
+  }
+
   test("bucketed exactPercentiles equals the built-in percentile aggregate") {
     import graft.operators.Quantiles
     val li = Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
