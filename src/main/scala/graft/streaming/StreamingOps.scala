@@ -267,6 +267,36 @@ object StreamingOps {
       .trigger(trigger)
       .start()
 
+  /** Streaming DATA-QUALITY MONITOR — the per-micro-batch face of
+    * [[graft.operators.Profiler]]: every arriving batch is profiled
+    * (per-column totals/nulls/exact distincts/bounds) and the report
+    * lands under `outDir/batchId=N` with overwrite — the idempotence
+    * pattern every sink here uses, so a replayed batch re-profiles
+    * identically. This is the ingest gate a 100 TB lake runs INLINE
+    * with arrival: a null-rate or cardinality anomaly is visible one
+    * trigger after the bad data lands, not at the next nightly sweep.
+    * Stateless (profiles are per-batch aggregations; cross-batch
+    * trending is a batch query over the batchId-partitioned reports).
+    */
+  def profileStream(stream: DataFrame, cols: Seq[String], outDir: String,
+      checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          batch.persist()
+          try graft.operators.Profiler.profile(batch, cols)
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$outDir/batchId=$batchId")
+          finally batch.unpersist()
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   /** Micro-batch HYBRID RETRIEVAL SERVING — the streaming face of the
     * q145 stack: each arriving batch of query documents runs the full
     * sparse (per-query BM25 more-like-this) + dense (cosine over the

@@ -548,6 +548,43 @@ class StreamingSpec extends SparkSpec {
     assert(pairs == Set((10L, 1L)), s"expected collision with doc 1 only, got $pairs")
   }
 
+  test("streaming profiler: each micro-batch's quality report equals the batch profile of its slice") {
+    val base = tmp()
+    val orders = Tables.load(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus")
+    val now = System.currentTimeMillis()
+    val slices = (0 until 3).map { i =>
+      val s = orders.filter(col("o_orderkey") % 3 === i)
+      s.coalesce(1).write.mode("overwrite").parquet(s"$base/staging-$i")
+      val part = new java.io.File(s"$base/staging-$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$base/in/slice-$i.parquet")
+      Files.createDirectories(dst.toPath.getParent)
+      Files.copy(part.toPath, dst.toPath)
+      assert(dst.setLastModified(now - (3 - i) * 60000L))
+      s
+    }
+    val stream = spark.readStream.schema(orders.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus")
+    val q = StreamingOps.profileStream(stream, cols, s"$base/out", s"$base/ck")
+    q.awaitTermination(180000)
+    assert(!q.isActive)
+    // stateless, one report partition per batch
+    assert(q.recentProgress.filter(_.numInputRows > 0).forall(_.stateOperators.isEmpty))
+    val reports = spark.read.parquet(s"$base/out")
+    assert(reports.select("batchId").distinct().count() == 3)
+    // each batch's report equals the batch profile of the same slice
+    // (file-source batch order == modTime order pinned above)
+    slices.zipWithIndex.foreach { case (slice, i) =>
+      val got = reports.filter(col("batchId") === i).drop("batchId")
+      val want = graft.operators.Profiler.profile(slice, cols)
+      assert(got.count() == 3 &&
+        got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"batch $i profile diverged")
+    }
+  }
+
   test("hybrid retrieval serving: streamed query batches reproduce the batch sparse+dense+RRF stack") {
     val base = tmp()
     val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
