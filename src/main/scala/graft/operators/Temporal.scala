@@ -80,4 +80,30 @@ object Temporal {
     }
     gated.select((left.columns.map(c => col(s"_lrow.`$c`")) :+ col("_m").as("asof")): _*)
   }
+
+  /** Rolling `windowDays`-day DISTINCT count per day — the metric
+    * Spark's window functions cannot express (COUNT(DISTINCT) OVER a
+    * sliding frame is unsupported) and the naive per-day self-join
+    * makes quadratic. The scalable idiom: each event CONTRIBUTES its
+    * key to the `windowDays` day-buckets it is visible in (a
+    * sequence+explode of (day, key) longs — w-fold row multiplication
+    * of two longs, never payloads), then distinct + count per day.
+    * One shuffle on (day, key), map-side combined count — at 100 TB
+    * this is the 7/28-day-active-users job, and the explode shape is
+    * exactly how production DAU/WAU/MAU pipelines shard it. Day
+    * arithmetic rides integer epoch-micros division, exact on any
+    * engine. Output: (day, n_active) for every day any key is
+    * visible (the trailing windowDays-1 days carry partial windows —
+    * callers clamp to the observed range when reporting).
+    */
+  def rollingDistinct(df: DataFrame, tsCol: String, keyCol: String,
+      windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val day = floor(unix_micros(col(tsCol)) / lit(86400000000L)).cast("long")
+    df.select(day.as("_d"), col(keyCol).as("_k"))
+      .select(explode(sequence(col("_d"), col("_d") + (windowDays - 1))).as("day"),
+        col("_k"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("n_active"))
+  }
 }

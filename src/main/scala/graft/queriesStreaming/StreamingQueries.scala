@@ -230,5 +230,24 @@ object StreamingQueries {
     SELECT sel.p, sel.lat AS latency_us, n.n AS n_completed
     FROM sel CROSS JOIN n ORDER BY p"""))
 
-  val list: Seq[Q] = Seq(q31, q32, q33, q34, q90, q93, q98, q135, q150)
+  /** Rolling 7-day active users (Temporal.rollingDistinct): the
+    * sliding COUNT(DISTINCT) no window frame can express, via the
+    * contribute-to-7-buckets explode — each event ships (day, user)
+    * longs to the 7 days it is visible in, then distinct + count per
+    * day. Integer epoch-micros day arithmetic keeps both engines
+    * exact.
+    */
+  private val q156 = Q("q156_rolling_active_users", (s, dir) => {
+    graft.operators.Temporal.rollingDistinct(
+        Tables.events(s, dir), "ts", "user_id", windowDays = 7)
+      .orderBy(col("day"))
+  }, Some("""
+    WITH e AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d, user_id FROM events),
+    k AS (SELECT unnest(range(0, 7)) AS k),
+    x AS (SELECT DISTINCT e.d + k.k AS day, user_id FROM e CROSS JOIN k)
+    SELECT day, CAST(count(*) AS BIGINT) AS n_active
+    FROM x GROUP BY day ORDER BY day"""))
+
+  val list: Seq[Q] = Seq(q31, q32, q33, q34, q90, q93, q98, q135, q150, q156)
 }
