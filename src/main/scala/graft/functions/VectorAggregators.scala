@@ -43,3 +43,44 @@ class CentroidAggregator(dim: Int)
   override def outputEncoder: Encoder[Seq[Double]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
 }
+
+/** Cross-covariance block for the OPQ Procrustes solve: accumulates
+  * `M_s = sum over rows of a b^T` (row-major flat, `aDim x bDim`)
+  * where `a` is the ORIGINAL vector and `b` the matched codebook
+  * sub-vector of one subspace. Same flat-primitive-array-buffer
+  * pattern as [[CentroidAggregator]] — mutated in place on the
+  * map side, merged elementwise across partitions, so the only thing
+  * that crosses the shuffle per group is one aDim*bDim double array
+  * (64x8 = 4 KB), never row data.
+  */
+class OuterProductAggregator(aDim: Int, bDim: Int)
+    extends Aggregator[(Seq[Double], Seq[Double]), Array[Double], Seq[Double]] {
+
+  override def zero: Array[Double] = new Array[Double](aDim * bDim)
+
+  override def reduce(m: Array[Double], v: (Seq[Double], Seq[Double])): Array[Double] = {
+    val (a, b) = v
+    var i = 0
+    while (i < aDim && i < a.length) {
+      val ai = a(i)
+      var j = 0
+      while (j < bDim && j < b.length) { m(i * bDim + j) += ai * b(j); j += 1 }
+      i += 1
+    }
+    m
+  }
+
+  override def merge(x: Array[Double], y: Array[Double]): Array[Double] = {
+    var i = 0
+    while (i < x.length) { x(i) += y(i); i += 1 }
+    x
+  }
+
+  override def finish(m: Array[Double]): Seq[Double] = m.toSeq
+
+  override def bufferEncoder: Encoder[Array[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+
+  override def outputEncoder: Encoder[Seq[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+}

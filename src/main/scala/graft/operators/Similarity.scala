@@ -737,4 +737,131 @@ object Similarity {
         col("_idot").as("idot"),
         q6(col("_idot").cast("double") * col("_qs") * col("_cs") / lit(16129.0)).as("dot_approx"))
   }
+
+  // ------------------------------------------------------------- OPQ
+
+  /** Apply a `dim x dim` rotation (row-major flat `r`) to a vector
+    * column: `y_j = dot(x, R[:, j])` — one codegen'd
+    * [[graft.functions.DotProduct]] per output dimension against a
+    * literal column of R. Entirely narrow: the matrix rides in the
+    * plan as `dim` literal arrays (64x64 = 32 KB), never a join.
+    *
+    * Output is `array<float>` — the engine's embedding storage dtype
+    * (and faiss's): rotated vectors slot into every downstream
+    * operator (training, encode, ADC) exactly like raw embeddings.
+    * The dot products themselves accumulate in double.
+    */
+  def rotateVec(vec: Column, r: Array[Double], dim: Int): Column = {
+    require(r.length == dim * dim,
+      s"rotation must be ${dim}x$dim row-major flat, got ${r.length}")
+    array((0 until dim).map { j =>
+      graft.functions.vector.dotProduct(vec,
+        typedLit((0 until dim).map(i => r(i * dim + j)).toArray)).cast("float")
+    }: _*)
+  }
+
+  /** Orthogonal Procrustes: the R maximizing tr(R^T M) over orthogonal
+    * matrices is U V^T from M = U S V^T (Schonemann 1966) — a
+    * `dim x dim` driver-side SVD (breeze/LAPACK, deterministic), the
+    * one part of OPQ that is not data-scale.
+    */
+  private def procrustesRotation(mRowMajor: Array[Double], dim: Int): Array[Double] = {
+    val md = breeze.linalg.DenseMatrix.zeros[Double](dim, dim)
+    for (i <- 0 until dim; j <- 0 until dim) md(i, j) = mRowMajor(i * dim + j)
+    val breeze.linalg.svd.SVD(u, _, vt) = breeze.linalg.svd(md)
+    val rM = u * vt
+    Array.tabulate(dim * dim)(x => rM(x / dim, x % dim))
+  }
+
+  /** Train an OPQ rotation + codebooks (Ge et al., "Optimized Product
+    * Quantization", CVPR'13 — the faiss `OPQMatrix` pre-transform).
+    * Alternates (a) PQ codebook training on the rotated corpus and
+    * (b) the orthogonal Procrustes solve `R = argmin ||X R - Xhat||_F`
+    * (non-parametric OPQ), so the rotation re-balances variance across
+    * subspaces — exactly the regime where per-subspace PQ saturates on
+    * anisotropic/correlated embeddings (the round-4 negative result in
+    * SCALE.md).
+    *
+    * 100 TB shape: per iteration, one narrow rotate+encode pass over
+    * the corpus, then the cross-matrix `M = X^T Xhat` via
+    * [[graft.functions.OuterProductAggregator]] — per-subspace
+    * `dim x subDim` blocks accumulated map-side, so the only shuffle
+    * rows are nSub 4 KB block buffers per partition, never vectors.
+    * The `dim x dim` SVD runs on the driver (sub-millisecond at
+    * dim=64). Training normally runs on a sample; the learned `r` then
+    * applies corpus-wide through [[opqEncode]] (narrow).
+    *
+    * Determinism: [[trainKMeans]] inits at lowest-id vectors and the
+    * SVD is LAPACK-deterministic for a fixed input, but the
+    * cross-matrix accumulates doubles in partition order, so R can
+    * differ in the last ulp across partitionings — training output is
+    * therefore spec-verified (like [[trainKMeans]] /
+    * [[trainPqCodebooks]]), not oracle-replayed.
+    *
+    * @return (row-major flat `dim x dim` rotation, codebooks trained
+    *         under the FINAL rotation — feed both to [[opqEncode]] /
+    *         [[opqTopK]])
+    */
+  def trainOpq(df: DataFrame, idCol: String, vecCol: String, dim: Int = 64,
+      nSub: Int = 8, subDim: Int = 8, codes: Int = 16, kmIters: Int = 2,
+      opqIters: Int = 2): (Array[Double], DataFrame) = {
+    require(nSub * subDim == dim, s"nSub*subDim must equal dim: $nSub*$subDim != $dim")
+    require(opqIters >= 1 && kmIters >= 1, "need at least one iteration of each")
+    val outerU = udaf(new graft.functions.OuterProductAggregator(dim, subDim))
+    var r = Array.tabulate(dim * dim)(x => if (x % (dim + 1) == 0) 1.0 else 0.0)
+    val base = df.select(col(idCol).as("_oid"),
+      transformArray(col(vecCol), x => x.cast("double")).as("_x")).persist()
+    try {
+      for (_ <- 0 until opqIters) {
+        val rot = base.select(col("_oid"), rotateVec(col("_x"), r, dim).as("_rv"))
+        val cbs = trainPqCodebooks(rot, "_oid", "_rv", nSub, subDim, codes, kmIters)
+        val codesDf = pqEncode(rot, cbs, "_oid", "_rv", nSub, subDim)
+        val pairs = codesDf.select(col("_id"),
+          explode(array((0 until nSub).map(s =>
+            struct(lit(s).as("subspace"), col(s"c$s").as("code"))): _*)).as("_sc"))
+          .select(col("_id"), col("_sc.subspace").as("subspace"),
+            col("_sc.code").as("code"))
+        val blocks = pairs
+          .join(base.withColumnRenamed("_oid", "_id"), "_id")
+          .join(broadcast(cbs.select(col("subspace"), col("code"),
+            transformArray(col("subvec"), x => x.cast("double")).as("_b"))),
+            Seq("subspace", "code"))
+          .groupBy(col("subspace")).agg(outerU(col("_x"), col("_b")).as("block"))
+          .collect().map(row => row.getInt(0) -> row.getSeq[Double](1)).toMap
+        val m = new Array[Double](dim * dim)
+        for (s <- 0 until nSub; blk <- blocks.get(s);
+             i <- 0 until dim; j <- 0 until subDim)
+          m(i * dim + s * subDim + j) = blk(i * subDim + j)
+        r = procrustesRotation(m, dim)
+      }
+      // codebooks must match the rotation they will serve under — one
+      // final training pass at the final R
+      val rotF = base.select(col("_oid"), rotateVec(col("_x"), r, dim).as("_rv"))
+      (r, trainPqCodebooks(rotF, "_oid", "_rv", nSub, subDim, codes, kmIters))
+    } finally base.unpersist()
+  }
+
+  /** [[pqEncode]] under an OPQ rotation: one narrow rotate-then-encode
+    * corpus pass (rotation literals + broadcast codebooks — the 32x
+    * memory cut of PQ with OPQ's accuracy, same scan shape).
+    */
+  def opqEncode(corpus: DataFrame, r: Array[Double], codebooks: DataFrame,
+      idCol: String, vecCol: String, nSub: Int = 8, subDim: Int = 8): DataFrame = {
+    val dim = nSub * subDim
+    val rot = corpus.select(col(idCol), rotateVec(col(vecCol), r, dim).as("_rvec"))
+    pqEncode(rot, codebooks, idCol, "_rvec", nSub, subDim)
+  }
+
+  /** [[pqTopK]] under an OPQ rotation: rotate the (small) query set,
+    * then ADC over the OPQ codes. Rotation is orthogonal, so rotated-
+    * space L2 equals original-space L2 — the ranking approximates the
+    * same ground truth, just with lower quantization error.
+    */
+  def opqTopK(codes: DataFrame, queries: DataFrame, r: Array[Double],
+      codebooks: DataFrame, idCol: String, vecCol: String, k: Int,
+      nSub: Int = 8, subDim: Int = 8): DataFrame = {
+    val dim = nSub * subDim
+    val rotQ = queries.select(col(idCol), rotateVec(col(vecCol), r, dim).as("_rvec"))
+    pqTopK(codes, rotQ, codebooks, idCol, "_rvec", k, nSub, subDim)
+  }
 }
