@@ -517,6 +517,78 @@ object SqlQueries {
                  AND NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o.o_custkey)) AS BIGINT)
     ORDER BY relationship"""))
 
+  /** TPC-H Q9-shaped product-type profit: every part whose name
+    * mentions 'bolt', profit per supplier nation per order year. The
+    * synthetic schema has no partsupp, so unit cost is modeled as 40%
+    * of p_retailprice (documented adaptation) — the shape (5-way join,
+    * LIKE filter on the part dim, two-level grain, per-row profit
+    * difference) is Q9's. Revenue and cost both ride exact integer
+    * cents so the difference is exact.
+    */
+  private val productProfitSql = """
+    SELECT nation, o_year, CAST(sum(amount_c) AS DOUBLE) / 100.0 AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+             CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+               - CAST(floor(p_retailprice * l_quantity * 40 + 0.5) AS BIGINT) AS amount_c
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%bolt%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC"""
+  private val q157 = Q("q157_product_profit", (s, dir) => {
+    Tables.registerAll(s, dir)
+    s.sql(productProfitSql)
+  }, Some(productProfitSql))
+
+  /** TPC-H Q12-shaped shipping-class priority split: per lineitem
+    * class (l_linestatus stands in for the schema's missing
+    * l_shipmode), how many lines belong to critical-priority orders
+    * vs not, within a one-year ship window — the orders-side CASE
+    * aggregation over a fact-fact join that Q12 exercises.
+    */
+  private val priorityClassSql = """
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus"""
+  private val q158 = Q("q158_priority_shipclass", (s, dir) => {
+    Tables.registerAll(s, dir)
+    s.sql(priorityClassSql)
+  }, Some(priorityClassSql))
+
+  /** TPC-H Q14-shaped promo-revenue share: the percentage of a
+    * month's revenue that came from PROMO-type parts. Both the
+    * conditional and total sums are exact integer cents; the final
+    * percentage is one IEEE division of two exact integers, identical
+    * across engines.
+    */
+  private val promoRevenueSql = """
+    SELECT CAST(100.0 * sum(CASE WHEN p_type = 'PROMO' THEN rev_c ELSE 0 END) AS DOUBLE)
+             / CAST(sum(rev_c) AS DOUBLE) AS promo_revenue
+    FROM (
+      SELECT p_type,
+             CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS rev_c
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+    ) promo"""
+  private val q159 = Q("q159_promo_revenue", (s, dir) => {
+    Tables.registerAll(s, dir)
+    s.sql(promoRevenueSql)
+  }, Some(promoRevenueSql))
+
   val list: Seq[Q] = Seq(q57, q58, q59, q68, q70, q71, q72, q88, q109, q110, q111,
-    q121, q122, q133, q134, q151, q152, q153, q154, q155)
+    q121, q122, q133, q134, q151, q152, q153, q154, q155, q157, q158, q159)
 }
