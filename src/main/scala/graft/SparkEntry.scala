@@ -30,7 +30,8 @@ object SparkEntry {
       queriesExt.CorpusQueries.list ++
       queriesExt.CurationQueries.list ++
       queriesExt.GraphQueries.list ++
-      queriesExt.PipelineQueries.list
+      queriesExt.PipelineQueries.list ++
+      queriesExt.LinkageQueries.list
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,111 @@
+package graft.queriesExt
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{ChangeCapture, Linkage}
+import graft.queriesRelational.RelationalQueries.Q
+
+/** Entity-resolution and change-data-capture queries: fuzzy matching
+  * (Linkage), snapshot diffing and SCD2 history (ChangeCapture).
+  */
+object LinkageQueries {
+
+  /** Fuzzy name matching on part names (Linkage.fuzzyPairs): every
+    * pair of distinct p_name values within Levenshtein distance 2,
+    * with support counts — the catalog-cleanup query ("red bolt" vs
+    * "old bolt"). The Spark side blocks candidates by length band
+    * (lossless for edit distance); the oracle states the naive
+    * all-pairs definition, so the hash match proves the blocking
+    * drops nothing.
+    */
+  private val q160 = Q("q160_fuzzy_match", (s, dir) => {
+    Linkage.fuzzyPairs(Tables.load(s, dir, "part"), "p_name", maxDist = 2)
+      .orderBy(col("name_a"), col("name_b"))
+  }, Some("""
+    WITH v AS (
+      SELECT p_name AS v, CAST(count(*) AS BIGINT) AS cnt
+      FROM part GROUP BY p_name)
+    SELECT a.v AS name_a, b.v AS name_b,
+           CAST(levenshtein(a.v, b.v) AS BIGINT) AS dist,
+           a.cnt AS cnt_a, b.cnt AS cnt_b
+    FROM v a JOIN v b ON a.v < b.v
+    WHERE levenshtein(a.v, b.v) BETWEEN 1 AND 2
+    ORDER BY name_a, name_b"""))
+
+  /** Snapshot diff (ChangeCapture.snapshotDiff): yesterday's vs
+    * today's customer load, one row per insert/update/delete. The two
+    * snapshots are carved deterministically from the same table
+    * (custkey residues decide membership; balances shift +100 on the
+    * %5 residue) so both engines build byte-identical inputs.
+    */
+  private val q161 = Q("q161_snapshot_diff", (s, dir) => {
+    val c = Tables.load(s, dir, "customer")
+    val oldSnap = c.where(col("c_custkey") % 7 =!= 0)
+    val newSnap = c.where(col("c_custkey") % 11 =!= 0)
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 5 === 0, col("c_acctbal") + 100.0)
+          .otherwise(col("c_acctbal")))
+    ChangeCapture.snapshotDiff(oldSnap, newSnap,
+        keyCols = Seq("c_custkey"),
+        compareCols = Seq("c_name", "c_acctbal", "c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }, Some("""
+    WITH oldd AS (
+      SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 7 <> 0),
+    newd AS (
+      SELECT c_custkey, c_name,
+             CAST(CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0
+                       ELSE c_acctbal END AS DOUBLE) AS c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 11 <> 0)
+    SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+           CASE WHEN o.c_custkey IS NULL THEN 'I'
+                WHEN n.c_custkey IS NULL THEN 'D'
+                ELSE 'U' END AS change_type,
+           o.c_name AS old_c_name, o.c_acctbal AS old_c_acctbal,
+           o.c_mktsegment AS old_c_mktsegment,
+           n.c_name AS new_c_name, n.c_acctbal AS new_c_acctbal,
+           n.c_mktsegment AS new_c_mktsegment
+    FROM oldd o FULL JOIN newd n ON o.c_custkey = n.c_custkey
+    WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+       OR o.c_name IS DISTINCT FROM n.c_name
+       OR o.c_acctbal IS DISTINCT FROM n.c_acctbal
+       OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+    ORDER BY c_custkey"""))
+
+  /** SCD2 history (ChangeCapture.scd2): each user's event stream as a
+    * changelog of their latest event_type — consecutive repeats
+    * collapse, every surviving version gets [valid_from, valid_to)
+    * in integer epoch micros, the open interval is flagged current.
+    * (ts, event_id) ordering makes equal-timestamp changes
+    * deterministic in both engines.
+    */
+  private val q162 = Q("q162_scd2_history", (s, dir) => {
+    val e = Tables.events(s, dir).select(
+      col("user_id"), col("event_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"))
+    ChangeCapture.scd2(e, keyCols = Seq("user_id"), tsCol = "ts_us",
+        attrCols = Seq("event_type"), tieCols = Seq("event_id"))
+      .orderBy(col("user_id"), col("valid_from"), col("event_type"))
+  }, Some("""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+    o AS (
+      SELECT user_id, event_type, ts_us, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+      FROM e),
+    c AS (
+      SELECT user_id, event_type, ts_us, event_id FROM o
+      WHERE prev IS NULL OR prev <> event_type),
+    h AS (
+      SELECT user_id, event_type, ts_us AS valid_from,
+             lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to
+      FROM c)
+    SELECT user_id, event_type, valid_from, valid_to,
+           CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+    FROM h ORDER BY user_id, valid_from, event_type"""))
+
+  val list: Seq[Q] = Seq(q160, q161, q162)
+}

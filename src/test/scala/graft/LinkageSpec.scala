@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{ChangeCapture, Linkage}
+
+/** Entity resolution (fuzzy matching) and change capture (snapshot
+  * diff, SCD2 history).
+  */
+class LinkageSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fuzzyPairs: finds pairs within distance, orients lexicographically, carries counts") {
+    val df = Seq("red bolt", "red bolt", "ted bolt", "old bolt", "blue gear")
+      .toDF("name")
+    val got = Linkage.fuzzyPairs(df, "name", maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    // red~ted dist 1, red~old dist 2 ("old bolt" vs "red bolt"),
+    // old~ted dist 2; blue gear matches nothing within 2
+    assert(got == Set(
+      ("red bolt", "ted bolt", 1L, 2L, 1L),
+      ("old bolt", "red bolt", 2L, 1L, 2L),
+      ("old bolt", "ted bolt", 2L, 1L, 1L)), s"wrong pairs: $got")
+  }
+
+  test("fuzzyPairs: length-band blocking is lossless across adjacent buckets") {
+    // lengths 2 and 4 with maxDist 2: bucket floor(2/2)=1 vs
+    // floor(4/2)=2 — adjacent buckets, pair must still surface
+    val df = Seq("ab", "abde", "zzzzzzzz").toDF("name")
+    val got = Linkage.fuzzyPairs(df, "name", maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(("ab", "abde", 2L)), s"wrong pairs: $got")
+  }
+
+  test("fuzzyPairs: nulls ignored, minDist excludes sub-threshold pairs, extraBlock restricts") {
+    val df = Seq(Some("abc"), Some("abd"), Some("abe"), None).toDF("name")
+    // minDist 2 excludes all the distance-1 pairs
+    assert(Linkage.fuzzyPairs(df, "name", maxDist = 2, minDist = 2).count() == 0L)
+    // first-letter blocking keeps the abc family comparable
+    val blocked = Linkage.fuzzyPairs(df, "name", maxDist = 2,
+      extraBlock = Some(substring(col("name"), 1, 1)))
+    assert(blocked.count() == 3L)
+    // blocking on a key that splits them compares nothing
+    val split = Linkage.fuzzyPairs(df, "name", maxDist = 2,
+      extraBlock = Some(substring(col("name"), 3, 1)))
+    assert(split.count() == 0L)
+  }
+
+  test("snapshotDiff: tags I/U/D, drops unchanged, null-safe compare") {
+    val oldDf = Seq(
+      (1L, Some("a"), 10.0), (2L, Some("b"), 20.0),
+      (3L, None: Option[String], 30.0), (4L, Some("d"), 40.0))
+      .toDF("k", "tag", "bal")
+    val newDf = Seq(
+      (1L, Some("a"), 10.0),                 // unchanged -> dropped
+      (2L, Some("B"), 20.0),                 // updated
+      (3L, None: Option[String], 30.0),      // unchanged w/ null attr -> dropped
+      (5L, Some("e"), 50.0))                 // inserted; 4 deleted
+      .toDF("k", "tag", "bal")
+    val got = ChangeCapture.snapshotDiff(oldDf, newDf, Seq("k"), Seq("tag", "bal"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "U", 4L -> "D", 5L -> "I"), s"wrong diff: $got")
+  }
+
+  test("scd2: collapses repeats, assigns intervals, flags current, breaks ties on id") {
+    val log = Seq(
+      // user 1: a,a,b,a -> three versions
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "a"), (1L, 30L, 3L, "b"), (1L, 40L, 4L, "a"),
+      // user 2: one row -> one open version
+      (2L, 15L, 5L, "x"),
+      // user 2... equal-ts change ordered by id: y(id 6) then z(id 7)
+      (2L, 50L, 6L, "y"), (2L, 50L, 7L, "z"))
+      .toDF("uid", "ts", "eid", "state")
+    val got = ChangeCapture.scd2(log, Seq("uid"), "ts", Seq("state"), tieCols = Seq("eid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == Set(
+      (1L, "a", 10L, 30L, 0L),
+      (1L, "b", 30L, 40L, 0L),
+      (1L, "a", 40L, -1L, 1L),
+      (2L, "x", 15L, 50L, 0L),
+      (2L, "y", 50L, 50L, 0L),
+      (2L, "z", 50L, -1L, 1L)), s"wrong history: $got")
+  }
+
+  test("scd2: rejects reserved output names already present") {
+    val df = Seq((1L, 1L, "a", 0L)).toDF("k", "ts", "v", "valid_from")
+    val err = intercept[IllegalArgumentException] {
+      ChangeCapture.scd2(df, Seq("k"), "ts", Seq("v"))
+    }
+    assert(err.getMessage.contains("valid_from"))
+  }
+}
