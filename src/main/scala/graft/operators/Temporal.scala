@@ -106,4 +106,30 @@ object Temporal {
       .distinct()
       .groupBy(col("day")).agg(count(lit(1)).as("n_active"))
   }
+
+  /** First-order transition matrix over per-key ordered sequences:
+    * for every consecutive (state, next state) pair within a key's
+    * timeline, the corpus-wide count and the row-normalized
+    * probability — the Markov-chain view of user behavior ("what do
+    * users do right after a click"). One shuffle to sort within keys
+    * (lag window), one map-side-combined count; the output is
+    * |states|^2-bounded regardless of input scale. Probability rides
+    * the micro-unit floor grid so both engines render identically.
+    *
+    * Ordering within a key is (tsCol, tieCols...) — pass a unique id
+    * for deterministic sequencing at equal timestamps.
+    */
+  def transitionCounts(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      stateCol: String, tieCols: Seq[String] = Nil): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((tsCol +: tieCols).map(col): _*)
+    val wf = Window.partitionBy(col("from_state"))
+    df.withColumn("_prev", lag(col(stateCol), 1).over(w))
+      .where(col("_prev").isNotNull)
+      .groupBy(col("_prev").as("from_state"), col(stateCol).as("to_state"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        floor(col("n").cast("double") / sum(col("n")).over(wf) * 1000000 + 0.5) / 1000000.0)
+  }
 }

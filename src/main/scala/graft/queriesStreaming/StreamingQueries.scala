@@ -249,5 +249,31 @@ object StreamingQueries {
     SELECT day, CAST(count(*) AS BIGINT) AS n_active
     FROM x GROUP BY day ORDER BY day"""))
 
-  val list: Seq[Q] = Seq(q31, q32, q33, q34, q90, q93, q98, q135, q150, q156)
+  /** Event-type transition matrix (Temporal.transitionCounts): the
+    * Markov-chain view of user behavior — corpus-wide counts and
+    * row-normalized probabilities of each consecutive (from, to)
+    * event-type pair within a user's timeline. (ts, event_id)
+    * ordering pins equal-timestamp sequencing in both engines; the
+    * probability rides the micro-unit floor grid.
+    */
+  private val q163 = Q("q163_event_transitions", (s, dir) => {
+    val e = Tables.events(s, dir).select(
+      col("user_id"), col("event_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"))
+    graft.operators.Temporal.transitionCounts(e, Seq("user_id"), "ts_us",
+        "event_type", tieCols = Seq("event_id"))
+      .orderBy(col("from_state"), col("to_state"))
+  }, Some("""
+    WITH o AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+      FROM events),
+    c AS (
+      SELECT prev AS from_state, event_type AS to_state, CAST(count(*) AS BIGINT) AS n
+      FROM o WHERE prev IS NOT NULL GROUP BY prev, event_type)
+    SELECT from_state, to_state, n,
+           floor(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_state) * 1000000 + 0.5) / 1000000.0 AS p
+    FROM c ORDER BY from_state, to_state"""))
+
+  val list: Seq[Q] = Seq(q31, q32, q33, q34, q90, q93, q98, q135, q150, q156, q163)
 }

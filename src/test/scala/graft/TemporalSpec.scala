@@ -95,4 +95,21 @@ class TemporalSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("Join"),
       s"as-of must be a window composition, not a join:\n${plan.take(2000)}")
   }
+
+  test("transitionCounts: per-key consecutive pairs, normalized per from_state, id tie-break") {
+    val log = Seq(
+      // user 1: a -> b -> a; user 2: a -> b; equal-ts pair on user 2
+      // ordered by id: (b id 6) then (c id 7) -> b->c transition
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (1L, 30L, 3L, "a"),
+      (2L, 10L, 5L, "a"), (2L, 50L, 6L, "b"), (2L, 50L, 7L, "c"))
+      .toDF("uid", "ts", "eid", "state")
+    val got = Temporal.transitionCounts(log, Seq("uid"), "ts", "state", Seq("eid"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // from a: 2x a->b (p 1.0); from b: b->a and b->c (p 0.5 each)
+    assert(got == Set(
+      ("a", "b", 2L, 1.0),
+      ("b", "a", 1L, 0.5),
+      ("b", "c", 1L, 0.5)), s"wrong transitions: $got")
+  }
 }
