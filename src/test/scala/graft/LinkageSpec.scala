@@ -86,6 +86,23 @@ class LinkageSpec extends SparkSpec {
       (2L, "z", 50L, -1L, 1L)), s"wrong history: $got")
   }
 
+  test("scd2 plans one shuffle: both window passes share the key exchange") {
+    val log = Seq((1L, 10L, 1L, "a"), (1L, 20L, 2L, "b")).toDF("uid", "ts", "eid", "state")
+    val plan = ChangeCapture.scd2(log, Seq("uid"), "ts", Seq("state"), Seq("eid"))
+      .queryExecution.executedPlan.toString
+    val n = "Exchange".r.findAllIn(plan).length
+    assert(n == 1, s"expected a single exchange, got $n:\n${plan.take(2000)}")
+    assert(!plan.contains("Join"), s"scd2 must be window-only:\n${plan.take(2000)}")
+  }
+
+  test("fuzzyPairs: candidate generation is an equi-join, never a cartesian") {
+    val df = Seq("red bolt", "ted bolt").toDF("name")
+    val plan = Linkage.fuzzyPairs(df, "name", maxDist = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"blocked candidates must equi-join:\n${plan.take(2000)}")
+  }
+
   test("scd2: rejects reserved output names already present") {
     val df = Seq((1L, 1L, "a", 0L)).toDF("k", "ts", "v", "valid_from")
     val err = intercept[IllegalArgumentException] {
