@@ -72,4 +72,50 @@ object Linkage {
         when(col("v1") <= col("v2"), col("cnt2")).otherwise(col("cnt1")).as("cnt_b"))
       .distinct()
   }
+
+  /** Best-match linkage (canonicalization): every distinct `dirtyCol`
+    * value mapped to its closest `catalogCol` value within `maxDist`
+    * Levenshtein — ties break on (distance, catalog value), so the
+    * match is deterministic. Values already in the catalog map to
+    * themselves at distance 0; values with no catalog entry within
+    * budget surface with null match (production wants the unmatched
+    * list, not a silent drop).
+    *
+    * Same distinct-value-grain + lossless length-band blocking as
+    * fuzzyPairs; because the pairing is directed, the CATALOG side is
+    * replicated into the three adjacent buckets (it is the small
+    * side — a canonical vocabulary) and the dirty side probes its own
+    * bucket only.
+    *
+    * Output: value, cnt (dirty support count), match, dist (null
+    * when unmatched).
+    */
+  def linkBest(
+      dirty: DataFrame,
+      catalog: DataFrame,
+      dirtyCol: String,
+      catalogCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+
+    val d = dirty.where(col(dirtyCol).isNotNull)
+      .groupBy(col(dirtyCol).as("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("b", floor(length(col("v")) / maxDist))
+    val c = catalog.where(col(catalogCol).isNotNull)
+      .select(col(catalogCol).as("m")).distinct()
+      .withColumn("cb", floor(length(col("m")) / maxDist))
+      .withColumn("b", explode(array(col("cb") - 1, col("cb"), col("cb") + 1)))
+      .drop("cb")
+
+    val dist = levenshtein(col("v"), col("m"))
+    val best = d.join(c, Seq("b"))
+      .where(dist <= maxDist)
+      .select(col("v"), col("m"), dist.cast("long").as("dist"))
+      .groupBy(col("v"))
+      .agg(min(struct(col("dist"), col("m"))).as("_best"))
+      .select(col("v"), col("_best.m").as("match"), col("_best.dist").as("dist"))
+
+    d.select(col("v").as("value"), col("cnt"))
+      .join(best.withColumnRenamed("v", "value"), Seq("value"), "left_outer")
+  }
 }

@@ -107,5 +107,33 @@ object LinkageQueries {
            CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
     FROM h ORDER BY user_id, valid_from, event_type"""))
 
-  val list: Seq[Q] = Seq(q160, q161, q162)
+  /** Best-match canonicalization (Linkage.linkBest): every part name
+    * mapped to its nearest name in the canonical subset (parts on the
+    * %3 key residue) within distance 2 — catalog members map to
+    * themselves at 0, unmatched names surface with nulls. The Spark
+    * side blocks by length band; the oracle is the naive theta-join
+    * definition, so the hash match again proves blocking is lossless.
+    */
+  private val q164 = Q("q164_link_canonical", (s, dir) => {
+    val part = Tables.load(s, dir, "part")
+    Linkage.linkBest(part, part.where(col("p_partkey") % 3 === 0),
+        "p_name", "p_name", maxDist = 2)
+      .orderBy(col("value"))
+  }, Some("""
+    WITH d AS (
+      SELECT p_name AS value, CAST(count(*) AS BIGINT) AS cnt
+      FROM part GROUP BY p_name),
+    c AS (SELECT DISTINCT p_name AS m FROM part WHERE p_partkey % 3 = 0),
+    cand AS (
+      SELECT d.value, c.m, CAST(levenshtein(d.value, c.m) AS BIGINT) AS dist
+      FROM d JOIN c ON levenshtein(d.value, c.m) <= 2),
+    best AS (
+      SELECT value, m, dist,
+             row_number() OVER (PARTITION BY value ORDER BY dist, m) AS rn
+      FROM cand)
+    SELECT d.value, d.cnt, b.m AS match, b.dist
+    FROM d LEFT JOIN (SELECT value, m, dist FROM best WHERE rn = 1) b USING (value)
+    ORDER BY value"""))
+
+  val list: Seq[Q] = Seq(q160, q161, q162, q164)
 }

@@ -47,6 +47,29 @@ class LinkageSpec extends SparkSpec {
     assert(split.count() == 0L)
   }
 
+  test("linkBest: nearest catalog match, self at 0, lexicographic ties, null when unmatched") {
+    val dirty = Seq("red bolt", "red bolt", "redd bolt", "zzz", "ac").toDF("name")
+    val catalog = Seq("red bolt", "old bolt", "ab", "ad").toDF("cname")
+    val got = Linkage.linkBest(dirty, catalog, "name", "cname", maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getString(2), if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toSet
+    assert(got == Set(
+      ("red bolt", 2L, "red bolt", 0L),   // catalog member -> itself
+      ("redd bolt", 1L, "red bolt", 1L),  // one insertion away
+      ("ac", 1L, "ab", 1L),               // tie ab/ad both dist 1 -> lexicographic
+      ("zzz", 1L, null, -1L)), s"wrong links: $got")
+  }
+
+  test("linkBest: catalog replication reaches adjacent length buckets") {
+    // dirty len 4 (bucket 2), catalog len 2 (bucket 1): only the
+    // 3-bucket catalog replication makes them meet
+    val got = Linkage.linkBest(Seq("abde").toDF("n"), Seq("ab").toDF("c"),
+        "n", "c", maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(2), r.getLong(3))).toSet
+    assert(got == Set(("abde", "ab", 2L)), s"wrong links: $got")
+  }
+
   test("snapshotDiff: tags I/U/D, drops unchanged, null-safe compare") {
     val oldDf = Seq(
       (1L, Some("a"), 10.0), (2L, Some("b"), 20.0),
