@@ -297,6 +297,47 @@ object StreamingOps {
       .trigger(trigger)
       .start()
 
+  /** Streaming CDC — the per-micro-batch face of
+    * [[graft.operators.ChangeCapture.snapshotDiff]]: each arriving
+    * batch of upsert rows is diffed against a STATIC baseline and the
+    * I/U changes land under `outDir/batchId=N` with overwrite — the
+    * idempotence pattern every sink here uses, so a replayed batch
+    * re-diffs identically. The baseline is scoped to the batch's keys
+    * first (one left-semi join), so per-batch cost follows the BATCH
+    * size, never the baseline size — at 100 TB the baseline is the
+    * big side and only the touched keys' rows join.
+    *
+    * Semantics: an upsert stream observes presence, not absence —
+    * every old-side key is by construction in the batch, so D rows
+    * cannot occur and unchanged re-sends emit nothing (idempotent
+    * upserts drop out). Deletes need tombstones or the batch
+    * operator over full snapshots (q161). Stateless: cross-batch
+    * compaction of the diff log is a batch query over the
+    * batchId-partitioned output.
+    */
+  def diffStream(upserts: DataFrame, baseline: DataFrame,
+      keyCols: Seq[String], compareCols: Seq[String],
+      outDir: String, checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
+    upserts.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          batch.persist()
+          try {
+            val touched = batch.select(keyCols.map(col): _*).distinct()
+            val scoped = baseline.join(touched, keyCols, "left_semi")
+            graft.operators.ChangeCapture.snapshotDiff(scoped, batch, keyCols, compareCols)
+              .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .parquet(s"$outDir/batchId=$batchId")
+          } finally batch.unpersist()
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   /** Micro-batch HYBRID RETRIEVAL SERVING — the streaming face of the
     * q145 stack: each arriving batch of query documents runs the full
     * sparse (per-query BM25 more-like-this) + dense (cosine over the

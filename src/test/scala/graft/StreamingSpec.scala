@@ -585,6 +585,58 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming CDC: each upsert micro-batch's diff equals the batch snapshotDiff of its slice") {
+    val base = tmp()
+    val baseline = Tables.load(spark, sfDir, "customer")
+      .select("c_custkey", "c_name", "c_acctbal")
+    // batch 0: existing keys, balances shifted on the %5 residue ->
+    // U rows for the shifted, nothing for the unchanged re-sends;
+    // batch 1: unseen keys -> all I
+    val upd = baseline.filter(col("c_custkey") % 3 === 0)
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 5 === 0, col("c_acctbal") + 100.0)
+          .otherwise(col("c_acctbal")))
+    val ins = baseline.filter(col("c_custkey") % 3 === 1)
+      .withColumn("c_custkey", col("c_custkey") + 10000000L)
+    val now = System.currentTimeMillis()
+    val slices = Seq(upd, ins)
+    slices.zipWithIndex.foreach { case (s, i) =>
+      s.coalesce(1).write.mode("overwrite").parquet(s"$base/staging-$i")
+      val part = new java.io.File(s"$base/staging-$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$base/in/slice-$i.parquet")
+      Files.createDirectories(dst.toPath.getParent)
+      Files.copy(part.toPath, dst.toPath)
+      assert(dst.setLastModified(now - (2 - i) * 60000L))
+    }
+    val stream = spark.readStream.schema(baseline.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+    val q = StreamingOps.diffStream(stream, baseline,
+      Seq("c_custkey"), Seq("c_name", "c_acctbal"), s"$base/out", s"$base/ck")
+    q.awaitTermination(180000)
+    assert(!q.isActive)
+    // stateless
+    assert(q.recentProgress.filter(_.numInputRows > 0).forall(_.stateOperators.isEmpty))
+    val diffs = spark.read.parquet(s"$base/out")
+    assert(diffs.select("batchId").distinct().count() == 2)
+    // per-batch output == the batch operator on (scoped baseline, slice)
+    slices.zipWithIndex.foreach { case (slice, i) =>
+      val got = diffs.filter(col("batchId") === i).drop("batchId")
+      val scoped = baseline.join(slice.select("c_custkey").distinct(),
+        Seq("c_custkey"), "left_semi")
+      val want = graft.operators.ChangeCapture.snapshotDiff(scoped, slice,
+        Seq("c_custkey"), Seq("c_name", "c_acctbal"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"batch $i diff diverged")
+    }
+    // batch 0 is all U (the %15 residue), batch 1 all I, no D anywhere
+    val types = diffs.groupBy("batchId", "change_type").count()
+      .collect().map(r => (r.getAs[Number](0).longValue(), r.getString(1)) -> r.getLong(2)).toMap
+    assert(types.keySet.map(_._2) == Set("U", "I") &&
+      types.forall { case ((b, t), _) => (b == 0L && t == "U") || (b == 1L && t == "I") },
+      s"unexpected change types: $types")
+  }
+
   test("hybrid retrieval serving: streamed query batches reproduce the batch sparse+dense+RRF stack") {
     val base = tmp()
     val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
