@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-quality profiling — the validation pass a 100 TB ingest runs
@@ -61,5 +62,66 @@ object Profiler {
         .crossJoin(orphans)
         .select(lit(name).as("relationship"), col("n_child"), col("n_orphans"))
     }.reduce(_ unionAll _)
+  }
+
+  /** Population-stability-index drift between two loads of the same
+    * measure — the monitoring gate that catches "today's data is not
+    * distributed like the data the model trained on" before a bad
+    * batch poisons training. Bins come from the BASELINE's equi-depth
+    * percentiles ([[Quantiles.exactPercentiles]], kilobyte shuffles);
+    * both frames are then binned by the same broadcast boundaries in
+    * one narrow pass each — nothing re-sorts or re-shuffles row data,
+    * so the plan is two scans + two map-side-combined bin counts at
+    * any scale. The industry rule of thumb reads total PSI < 0.1 as
+    * stable, > 0.25 as drifted.
+    *
+    * Output: one row per bin — bin index, both counts, and the bin's
+    * PSI contribution in integer MICRO-PSI: (p - q) * ln(p/q) with
+    * zero counts floored at 1 (standard smoothing), ln quantized to
+    * the micro-nat grid first (the q101 pattern — absorbs cross-libm
+    * ulp differences), the product floored to micro-units. Total PSI
+    * = sum(psi_micro) / 1e6. Pass integer-grid measures (cents) so
+    * the baseline boundaries are exact doubles; with power-of-two
+    * `nBins` the percentile fractions i/nBins are exact too and any
+    * SQL engine can replay bin membership bit-for-bit (q166). Both
+    * frames must be non-empty (proportions are undefined otherwise).
+    */
+  def psiDrift(baseline: DataFrame, current: DataFrame, value: Column,
+      nBins: Int = 8): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val ps = (1 until nBins).map(i => (s"_q$i", i.toDouble / nBins))
+    val bounds = Quantiles.exactPercentiles(
+        baseline.select(value.cast("double").as("_v")), lit(1L), col("_v"), ps)
+      .select(lit(1L).as("_pg") +: ps.map { case (n, _) => col(n) }: _*)
+    val binOf = ps.map { case (n, _) =>
+      when(col("_v") > col(n), 1).otherwise(0)
+    }.reduce(_ + _)
+    def binCounts(df: DataFrame, out: String): DataFrame =
+      df.select(value.cast("double").as("_v")).filter(col("_v").isNotNull)
+        .withColumn("_pg", lit(1L))
+        .join(broadcast(bounds), "_pg")
+        .groupBy(binOf.as("bin")).agg(count(lit(1)).as(out))
+    // every bin 0..nBins-1 gets a row even when empty on both sides;
+    // the window total runs over this <= nBins-row frame only
+    val allBins = bounds.select(explode(sequence(lit(0), lit(nBins - 1))).as("bin"))
+    val joined = allBins
+      .join(binCounts(baseline, "base_cnt"), Seq("bin"), "left")
+      .join(binCounts(current, "cur_cnt"), Seq("bin"), "left")
+      .na.fill(0L, Seq("base_cnt", "cur_cnt"))
+    val w = Window.partitionBy(lit(1))
+    val bs = greatest(col("base_cnt"), lit(1L)).cast("double")
+    val cs = greatest(col("cur_cnt"), lit(1L)).cast("double")
+    val bt = col("_bt").cast("double")
+    val ct = col("_ct").cast("double")
+    val lnMicro = floor(log((bs * ct) / (cs * bt)) * 1e6 + lit(0.5)).cast("long")
+    joined
+      .withColumn("_bt", sum(col("base_cnt")).over(w))
+      .withColumn("_ct", sum(col("cur_cnt")).over(w))
+      .withColumn("psi_micro",
+        when(col("base_cnt") === 0 && col("cur_cnt") === 0, lit(0L))
+          .otherwise(floor((bs / bt - cs / ct) * lnMicro.cast("double") + lit(0.5))
+            .cast("long")))
+      .select(col("bin").cast("int").as("bin"), col("base_cnt"),
+        col("cur_cnt"), col("psi_micro"))
   }
 }

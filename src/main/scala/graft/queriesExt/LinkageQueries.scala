@@ -135,5 +135,47 @@ object LinkageQueries {
     FROM d LEFT JOIN (SELECT value, m, dist FROM best WHERE rn = 1) b USING (value)
     ORDER BY value"""))
 
-  val list: Seq[Q] = Seq(q160, q161, q162, q164)
+  /** Incremental aggregate maintenance (ChangeCapture.maintainAgg):
+    * the per-segment (count, balance-cents) aggregate of yesterday's
+    * customer snapshot, refreshed to today's using ONLY the snapshot
+    * diff — retract old contributions of D/U rows, add new ones of
+    * I/U rows, one hash aggregation, no fact rescan. Today's load
+    * inserts/deletes by key residue, shifts %5 balances, and MIGRATES
+    * %13 customers to AUTOMOBILE (exercising cross-group updates).
+    * The oracle recomputes the aggregate from scratch on today's
+    * snapshot — it never sees the base aggregate or the diff — so the
+    * hash match proves incremental refresh == full recompute.
+    */
+  private val q165 = Q("q165_incremental_agg", (s, dir) => {
+    val c = Tables.load(s, dir, "customer")
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("c_custkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") * 100 + lit(0.5)).cast("long").as("bal_cents"))
+    val oldSnap = snap(c.where(col("c_custkey") % 7 =!= 0))
+    val newSnap = snap(c.where(col("c_custkey") % 11 =!= 0)
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 5 === 0, col("c_acctbal") + 100.0)
+          .otherwise(col("c_acctbal")))
+      .withColumn("c_mktsegment",
+        when(col("c_custkey") % 13 === 0, lit("AUTOMOBILE"))
+          .otherwise(col("c_mktsegment"))))
+    val base = oldSnap.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"), sum(col("bal_cents")).as("bal_cents"))
+    val diff = ChangeCapture.snapshotDiff(oldSnap, newSnap,
+      keyCols = Seq("c_custkey"), compareCols = Seq("c_mktsegment", "bal_cents"))
+    ChangeCapture.maintainAgg(base, diff,
+        groupCols = Seq("c_mktsegment"), measureCols = Seq("bal_cents"))
+      .orderBy(col("c_mktsegment"))
+  }, Some("""
+    WITH newd AS (
+      SELECT CASE WHEN c_custkey % 13 = 0 THEN 'AUTOMOBILE'
+                  ELSE c_mktsegment END AS c_mktsegment,
+             CAST(floor(CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0
+                             ELSE c_acctbal END * 100 + 0.5) AS BIGINT) AS bal_cents
+      FROM customer WHERE c_custkey % 11 <> 0)
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(bal_cents) AS BIGINT) AS bal_cents
+    FROM newd GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  val list: Seq[Q] = Seq(q160, q161, q162, q164, q165)
 }

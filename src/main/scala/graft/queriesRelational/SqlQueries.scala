@@ -1,6 +1,6 @@
 package graft.queriesRelational
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, floor, lit, when}
 
 import graft.Tables
 import graft.queriesRelational.RelationalQueries.Q
@@ -589,6 +589,102 @@ object SqlQueries {
     s.sql(promoRevenueSql)
   }, Some(promoRevenueSql))
 
+  /** TPC-H Q18-shaped large-volume customers: orders whose total line
+    * quantity exceeds 180, with customer identity and the order's
+    * quantity sum — the classic HAVING-subquery semi-join shape
+    * (Catalyst plans the IN as a left-semi hash join on l_orderkey;
+    * both lineitem passes are map-side-combined aggregations).
+    * Quantities are integer-valued doubles, so their sums are exact;
+    * the price rides the integer-cents grid.
+    */
+  private val bigOrderCustomersSql = """
+    SELECT c_name, c_custkey, o_orderkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 180)
+    GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
+    ORDER BY price_c DESC, o_orderkey
+    LIMIT 100"""
+  private val q167 = Q("q167_big_order_customers", (s, dir) => {
+    Tables.registerAll(s, dir)
+    s.sql(bigOrderCustomersSql)
+  }, Some(bigOrderCustomersSql))
+
+  /** Distribution-drift monitoring (Profiler.psiDrift): PSI between
+    * an even-keyed baseline load of order prices and an odd-keyed
+    * current load where a quarter of customers drifted +$500. Eight
+    * equi-depth bins from the BASELINE percentiles (exact i/8
+    * fractions on the cents grid), both loads binned by the same
+    * boundaries, per-bin PSI contributions in integer micro-PSI with
+    * ln on the micro-nat grid. The oracle replays the boundary
+    * rank-select (q132 pattern), the strict-`>` bin membership, and
+    * the same smoothed integer arithmetic.
+    */
+  private val q166 = Q("q166_psi_drift", (s, dir) => {
+    val o = Tables.load(s, dir, "orders")
+    val priceC = floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+    val baseline = o.where(col("o_orderkey") % 2 === 0).select(priceC.as("v"))
+    val current = o.where(col("o_orderkey") % 2 === 1)
+      .select((priceC + when(col("o_custkey") % 4 === 0, 50000L)
+        .otherwise(0L)).as("v"))
+    graft.operators.Profiler.psiDrift(baseline, current, col("v"), nBins = 8)
+      .orderBy(col("bin"))
+  }, Some("""
+    WITH base AS (
+      SELECT CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS DOUBLE) AS v
+      FROM orders WHERE o_orderkey % 2 = 0),
+    cur AS (
+      SELECT CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+             + CASE WHEN o_custkey % 4 = 0 THEN 50000 ELSE 0 END AS DOUBLE) AS v
+      FROM orders WHERE o_orderkey % 2 = 1),
+    r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn, count(*) OVER () AS n FROM base),
+    gs AS (SELECT DISTINCT n FROM r),
+    ps AS (SELECT unnest([0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS p),
+    loc AS (SELECT ps.p,
+                   CAST(floor(ps.p * (gs.n - 1)) AS BIGINT) + 1 AS lo,
+                   least(CAST(floor(ps.p * (gs.n - 1)) AS BIGINT) + 2, gs.n) AS hi,
+                   ps.p * (gs.n - 1) - floor(ps.p * (gs.n - 1)) AS frac
+            FROM gs CROSS JOIN ps),
+    bvals AS (SELECT loc.p,
+                   max(CASE WHEN r.rn = loc.lo THEN r.v END) +
+                   (max(CASE WHEN r.rn = loc.hi THEN r.v END) -
+                    max(CASE WHEN r.rn = loc.lo THEN r.v END)) * max(loc.frac) AS bv
+              FROM loc CROSS JOIN r GROUP BY loc.p),
+    bb AS (SELECT bin, count(*) AS cnt FROM (
+             SELECT r.rn, CAST(sum(CASE WHEN r.v > bvals.bv THEN 1 ELSE 0 END) AS INT) AS bin
+             FROM r CROSS JOIN bvals GROUP BY r.rn)
+           GROUP BY bin),
+    r2 AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM cur),
+    cb AS (SELECT bin, count(*) AS cnt FROM (
+             SELECT r2.rn, CAST(sum(CASE WHEN r2.v > bvals.bv THEN 1 ELSE 0 END) AS INT) AS bin
+             FROM r2 CROSS JOIN bvals GROUP BY r2.rn)
+           GROUP BY bin),
+    bins AS (SELECT unnest(generate_series(0, 7)) AS bin),
+    j AS (SELECT bins.bin,
+                 COALESCE(bb.cnt, 0) AS base_cnt,
+                 COALESCE(cb.cnt, 0) AS cur_cnt
+          FROM bins LEFT JOIN bb ON bins.bin = bb.bin
+                    LEFT JOIN cb ON bins.bin = cb.bin),
+    t AS (SELECT j.*,
+                 CAST(sum(base_cnt) OVER () AS DOUBLE) AS bt,
+                 CAST(sum(cur_cnt) OVER () AS DOUBLE) AS ct,
+                 CAST(greatest(base_cnt, 1) AS DOUBLE) AS bs,
+                 CAST(greatest(cur_cnt, 1) AS DOUBLE) AS cs
+          FROM j)
+    SELECT CAST(bin AS INT) AS bin, CAST(base_cnt AS BIGINT) AS base_cnt,
+           CAST(cur_cnt AS BIGINT) AS cur_cnt,
+           CAST(CASE WHEN base_cnt = 0 AND cur_cnt = 0 THEN 0
+                     ELSE floor((bs / bt - cs / ct) *
+                          floor(ln((bs * ct) / (cs * bt)) * 1000000 + 0.5) + 0.5)
+                END AS BIGINT) AS psi_micro
+    FROM t ORDER BY bin"""))
+
   val list: Seq[Q] = Seq(q57, q58, q59, q68, q70, q71, q72, q88, q109, q110, q111,
-    q121, q122, q133, q134, q151, q152, q153, q154, q155, q157, q158, q159)
+    q121, q122, q133, q134, q151, q152, q153, q154, q155, q157, q158, q159,
+    q166, q167)
 }

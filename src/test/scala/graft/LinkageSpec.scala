@@ -126,6 +126,38 @@ class LinkageSpec extends SparkSpec {
       s"blocked candidates must equi-join:\n${plan.take(2000)}")
   }
 
+  test("maintainAgg: refresh equals full recompute incl. group migration and group drop") {
+    val oldF = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L), (4L, "c", 40L))
+      .toDF("k", "g", "v")
+    // 1 unchanged, 2 migrates a->b with a new value, 4 deleted (group
+    // c empties out), 5 inserted into a
+    val newF = Seq((1L, "a", 10L), (2L, "b", 25L), (3L, "b", 30L), (5L, "a", 50L))
+      .toDF("k", "g", "v")
+    val base = oldF.groupBy(col("g")).agg(count(lit(1)).as("cnt"), sum(col("v")).as("v"))
+    val diff = ChangeCapture.snapshotDiff(oldF, newF, Seq("k"), Seq("g", "v"))
+    val got = ChangeCapture.maintainAgg(base, diff, Seq("g"), Seq("v"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val full = newF.groupBy(col("g")).agg(count(lit(1)).as("cnt"), sum(col("v")).as("v"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == full && got == Map("a" -> ((2L, 60L)), "b" -> ((2L, 55L))),
+      s"incremental $got != full $full")
+  }
+
+  test("maintainAgg: plans a single union-fed aggregation, no join; rejects bad base") {
+    val base = Seq(("a", 2L, 30L)).toDF("g", "cnt", "v")
+    val diff = Seq((1L, "U", "a", 10L, "b", 15L))
+      .toDF("k", "change_type", "old_g", "old_v", "new_g", "new_v")
+    val plan = ChangeCapture.maintainAgg(base, diff, Seq("g"), Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"maintainAgg must not join:\n${plan.take(2000)}")
+    val n = "Exchange".r.findAllIn(plan).length
+    assert(n == 1, s"expected one exchange, got $n:\n${plan.take(2000)}")
+    val err = intercept[IllegalArgumentException] {
+      ChangeCapture.maintainAgg(base.drop("cnt"), diff, Seq("g"), Seq("v"))
+    }
+    assert(err.getMessage.contains("cnt"))
+  }
+
   test("scd2: rejects reserved output names already present") {
     val df = Seq((1L, 1L, "a", 0L)).toDF("k", "ts", "v", "valid_from")
     val err = intercept[IllegalArgumentException] {

@@ -42,4 +42,36 @@ class ProfilerSpec extends SparkSpec {
       ("ok", Seq(1L, 2L).toDF("fk"), "fk", parent, "pk"))).collect().head
     assert(clean.getLong(2) == 0L)
   }
+
+  test("psiDrift: identical distributions score zero in every bin") {
+    val base = (1L to 80L).toDF("v")
+    val got = Profiler.psiDrift(base, base, col("v"), nBins = 8)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 8 && got.map(_._1).toSeq == (0 until 8))
+    // equi-depth bins of 1..80: ten rows each, psi contribution 0
+    assert(got.forall { case (_, b, c, psi) => b == 10L && c == 10L && psi == 0L },
+      s"wrong bins: ${got.toSeq}")
+  }
+
+  test("psiDrift: a wholesale shift crosses the 0.25 drift threshold; counts conserved") {
+    val base = (1L to 80L).toDF("v")
+    val cur = (1L to 80L).map(_ + 1000L).toDF("v")
+    val got = Profiler.psiDrift(base, cur, col("v"), nBins = 8).collect()
+    assert(got.map(_.getLong(1)).sum == 80L && got.map(_.getLong(2)).sum == 80L)
+    val totalPsi = got.map(_.getLong(3)).sum / 1e6
+    assert(totalPsi > 0.25, s"shifted load must read as drifted, got $totalPsi")
+  }
+
+  test("psiDrift: bins empty on both sides contribute exactly zero") {
+    // a constant measure collapses every boundary: all mass lands in
+    // bin 0 and bins 1..7 must smooth to 0, not NaN or a spurious hit
+    val const = Seq.fill(10)(42L).toDF("v")
+    val got = Profiler.psiDrift(const, const, col("v"), nBins = 8)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(0) == ((10L, 10L, 0L)))
+    (1 until 8).foreach(b => assert(got(b) == ((0L, 0L, 0L)), s"bin $b: ${got(b)}"))
+    intercept[IllegalArgumentException] {
+      Profiler.psiDrift(const, const, col("v"), nBins = 1)
+    }
+  }
 }
