@@ -338,6 +338,69 @@ object StreamingOps {
       .trigger(trigger)
       .start()
 
+  /** Streaming MATERIALIZED-VIEW MAINTENANCE — the per-micro-batch
+    * face of [[graft.operators.ChangeCapture.maintainAgg]]: a CDC
+    * changelog stream (snapshotDiff-shaped rows — change_type plus
+    * old_/new_ images, e.g. [[diffStream]] output) folds into a
+    * running grouped aggregate kept as VERSIONED parquet under
+    * `mvDir/v=N`. The base aggregate is materialized as v=0 before
+    * the stream starts; batch b reads exactly v=b, applies the batch's
+    * retractions/additions (one union-fed hash aggregation — no join,
+    * no fact rescan), and overwrites v=b+1. Versioning by batchId is
+    * what makes checkpoint replay exactly-once: a replayed batch
+    * re-reads its input version (still on disk) and re-overwrites its
+    * output version, landing the identical aggregate. Versions older
+    * than the replay horizon (b-1) are pruned.
+    *
+    * At 100 TB this is the nightly-MV refresh run CONTINUOUSLY: per
+    * trigger the work is |MV| + 2|batch| — the facts are never
+    * rescanned, so the MV lags its changelog by one trigger at any
+    * fact-table size. Read the current view with [[readLatestMv]].
+    */
+  def maintainAggStream(changelog: DataFrame, baseAgg: DataFrame,
+      groupCols: Seq[String], measureCols: Seq[String],
+      mvDir: String, checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = changelog.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(mvDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$mvDir/v=0")))
+      baseAgg.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$mvDir/v=0")
+    changelog.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.persist()
+        try {
+          val cur = spark.read.parquet(s"$mvDir/v=$batchId")
+          graft.operators.ChangeCapture
+            .maintainAgg(cur, batch, groupCols, measureCols)
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$mvDir/v=${batchId + 1}")
+          // replay can only revisit THIS batch: b-1 and older inputs
+          // are committed, their versions unreachable — prune them
+          if (batchId >= 1)
+            fs.delete(new org.apache.hadoop.fs.Path(s"$mvDir/v=${batchId - 1}"), true)
+        } finally batch.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
+  /** The current view of a [[maintainAggStream]] MV: the
+    * highest-numbered `v=N` directory under `mvDir`.
+    */
+  def readLatestMv(spark: org.apache.spark.sql.SparkSession, mvDir: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(mvDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val latest = fs.listStatus(new org.apache.hadoop.fs.Path(mvDir))
+      .map(_.getPath.getName).filter(_.startsWith("v="))
+      .map(_.stripPrefix("v=").toLong).max
+    spark.read.parquet(s"$mvDir/v=$latest")
+  }
+
   /** Micro-batch HYBRID RETRIEVAL SERVING — the streaming face of the
     * q145 stack: each arriving batch of query documents runs the full
     * sparse (per-query BM25 more-like-this) + dense (cosine over the

@@ -637,6 +637,57 @@ class StreamingSpec extends SparkSpec {
       s"unexpected change types: $types")
   }
 
+  test("MV maintenance stream: changelog batches fold to the full recompute; old versions pruned") {
+    val base = tmp()
+    def snap(pred: org.apache.spark.sql.Column) =
+      Tables.load(spark, sfDir, "customer").filter(pred)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 5 === 0, col("c_acctbal") + 100.0)
+            .otherwise(col("c_acctbal")))
+        .select(col("c_custkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") * 100 + lit(0.5)).cast("long").as("bal_cents"))
+    // s0 -> s1 deletes the %7 keys; s1 -> s2 re-inserts part of them
+    // and deletes the %3 keys: every change_type occurs across batches
+    val s0 = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") * 100 + lit(0.5)).cast("long").as("bal_cents"))
+    val s1 = snap(col("c_custkey") % 7 =!= 0)
+    val s2 = snap(col("c_custkey") % 3 =!= 0)
+    val now = System.currentTimeMillis()
+    Seq(s0 -> s1, s1 -> s2).zipWithIndex.foreach { case ((a, b), i) =>
+      graft.operators.ChangeCapture
+        .snapshotDiff(a, b, Seq("c_custkey"), Seq("c_mktsegment", "bal_cents"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/staging-$i")
+      val part = new java.io.File(s"$base/staging-$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$base/in/slice-$i.parquet")
+      Files.createDirectories(dst.toPath.getParent)
+      Files.copy(part.toPath, dst.toPath)
+      assert(dst.setLastModified(now - (2 - i) * 60000L))
+    }
+    val baseAgg = s0.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"), sum(col("bal_cents")).as("bal_cents"))
+    val changelogSchema = spark.read.parquet(s"$base/staging-0").schema
+    val stream = spark.readStream.schema(changelogSchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+    val q = StreamingOps.maintainAggStream(stream, baseAgg,
+      Seq("c_mktsegment"), Seq("bal_cents"), s"$base/mv", s"$base/ck")
+    q.awaitTermination(180000)
+    assert(!q.isActive)
+    assert(q.recentProgress.filter(_.numInputRows > 0).forall(_.stateOperators.isEmpty))
+    // the maintained view == a from-scratch aggregate of the FINAL
+    // snapshot (which the stream never saw — only the diffs)
+    val got = StreamingOps.readLatestMv(spark, s"$base/mv")
+    val want = s2.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"), sum(col("bal_cents")).as("bal_cents"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      s"MV diverged from recompute: ${got.collect().toSeq} vs ${want.collect().toSeq}")
+    // batch 1 read v=1, wrote v=2, pruned v=0
+    val versions = new java.io.File(s"$base/mv").listFiles()
+      .map(_.getName).filter(_.startsWith("v=")).toSet
+    assert(versions == Set("v=1", "v=2"), s"wrong versions kept: $versions")
+  }
+
   test("hybrid retrieval serving: streamed query batches reproduce the batch sparse+dense+RRF stack") {
     val base = tmp()
     val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
