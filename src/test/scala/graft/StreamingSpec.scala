@@ -688,6 +688,50 @@ class StreamingSpec extends SparkSpec {
     assert(versions == Set("v=1", "v=2"), s"wrong versions kept: $versions")
   }
 
+  test("MV maintenance stream: checkpoint replay after a crash does not double-apply a batch") {
+    val base = tmp()
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("c_custkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") * 100 + lit(0.5)).cast("long").as("bal_cents"))
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"), sum(col("bal_cents")).as("bal_cents"))
+    val customer = Tables.load(spark, sfDir, "customer")
+    val s0 = snap(customer)
+    val s1 = snap(customer.filter(col("c_custkey") % 7 =!= 0))
+    val s2 = snap(customer.filter(col("c_custkey") % 3 =!= 0))
+    def writeSlice(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame, i: Int): Unit = {
+      graft.operators.ChangeCapture
+        .snapshotDiff(a, b, Seq("c_custkey"), Seq("c_mktsegment", "bal_cents"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/staging-$i")
+      val part = new java.io.File(s"$base/staging-$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$base/in/slice-$i.parquet")
+      Files.createDirectories(dst.toPath.getParent)
+      Files.copy(part.toPath, dst.toPath)
+    }
+    writeSlice(s0, s1, 0)
+    val changelogSchema = spark.read.parquet(s"$base/staging-0").schema
+    def run(): Unit = {
+      val stream = spark.readStream.schema(changelogSchema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      val q = StreamingOps.maintainAggStream(stream, agg(s0),
+        Seq("c_mktsegment"), Seq("bal_cents"), s"$base/mv", s"$base/ck")
+      q.awaitTermination(180000)
+      assert(!q.isActive)
+    }
+    run() // batch 0 applied, MV at v=1
+    // crash between sink and commit: batch 0 will REPLAY on restart
+    assert(Files.deleteIfExists(Paths.get(s"$base/ck/commits/0")))
+    Files.deleteIfExists(Paths.get(s"$base/ck/commits/.0.crc"))
+    writeSlice(s1, s2, 1)
+    run() // replays batch 0 against v=0 (idempotent), then applies batch 1
+    val got = StreamingOps.readLatestMv(spark, s"$base/mv")
+    val want = agg(s2)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      s"replayed MV diverged: ${got.collect().toSeq} vs ${want.collect().toSeq}")
+  }
+
   test("hybrid retrieval serving: streamed query batches reproduce the batch sparse+dense+RRF stack") {
     val base = tmp()
     val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
