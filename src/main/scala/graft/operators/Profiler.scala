@@ -105,8 +105,8 @@ object Profiler {
     // the window total runs over this <= nBins-row frame only
     val allBins = bounds.select(explode(sequence(lit(0), lit(nBins - 1))).as("bin"))
     val joined = allBins
-      .join(binCounts(baseline, "base_cnt"), Seq("bin"), "left")
-      .join(binCounts(current, "cur_cnt"), Seq("bin"), "left")
+      .join(broadcast(binCounts(baseline, "base_cnt")), Seq("bin"), "left")
+      .join(broadcast(binCounts(current, "cur_cnt")), Seq("bin"), "left")
       .na.fill(0L, Seq("base_cnt", "cur_cnt"))
     val w = Window.partitionBy(lit(1))
     val bs = greatest(col("base_cnt"), lit(1L)).cast("double")

@@ -288,4 +288,18 @@ class PlanSpec extends SparkSpec {
       !plan.contains("Window ["), // no windows over a single global partition
       s"topP must never plan a global window:\n${plan.take(2000)}")
   }
+
+  test("q167 IN-subquery plans as a left-semi join on the order key") {
+    val plan = planOf("q167_big_order_customers")
+    assert(plan.contains("LeftSemi"),
+      s"the HAVING subquery must plan as a semi join, not a filter:\n${plan.take(2000)}")
+  }
+
+  test("psiDrift row data never sort-merges: boundaries and bin counts ride broadcasts") {
+    val plan = planOf("q166_psi_drift")
+    assert(!plan.contains("SortMergeJoin"),
+      s"psiDrift must broadcast its kilobyte frames, never shuffle-sort rows:\n${plan.take(3000)}")
+    val bcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(bcasts >= 2, s"expected both loads binned via broadcast bounds, got $bcasts")
+  }
 }
