@@ -101,6 +101,35 @@ class PropertySpec extends SparkSpec {
         }
     }
   }
+
+  test("property: maintainAgg(agg(s0), diff(s0, s1)) == agg(s1) for arbitrary snapshot pairs") {
+    import graft.operators.ChangeCapture
+    // snapshots over a small key space so inserts/deletes/updates and
+    // group migrations all occur; groups drawn from 3 values so some
+    // empty out entirely
+    val rowGen = for {
+      k <- Gen.choose(0L, 14L)
+      g <- Gen.oneOf("a", "b", "c")
+      v <- Gen.choose(-50L, 50L)
+    } yield (k, g, v)
+    val snapGen = Gen.listOf(rowGen).map(_.take(12)
+      .groupBy(_._1).map(_._2.head).toList) // one row per key
+    forAllSampled(Gen.zip(snapGen, snapGen), 12) { case (rows0, rows1) =>
+      if (rows0.nonEmpty) {
+        val s0 = rows0.toDF("k", "g", "v")
+        val s1 = if (rows1.nonEmpty) rows1.toDF("k", "g", "v")
+          else s0.limit(0)
+        def agg(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy(col("g")).agg(count(lit(1)).as("cnt"), sum(col("v")).as("v"))
+        val diff = ChangeCapture.snapshotDiff(s0, s1, Seq("k"), Seq("g", "v"))
+        val got = ChangeCapture.maintainAgg(agg(s0), diff, Seq("g"), Seq("v"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        val want = agg(s1)
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        assert(got == want, s"s0=$rows0 s1=$rows1: incremental $got != full $want")
+      }
+    }
+  }
 }
 
 /** B15: approx_count_distinct within the default 5% relative error. */
