@@ -64,64 +64,102 @@ object Profiler {
     }.reduce(_ unionAll _)
   }
 
-  /** Population-stability-index drift between two loads of the same
-    * measure — the monitoring gate that catches "today's data is not
-    * distributed like the data the model trained on" before a bad
-    * batch poisons training. Bins come from the BASELINE's equi-depth
-    * percentiles ([[Quantiles.exactPercentiles]], kilobyte shuffles);
-    * both frames are then binned by the same broadcast boundaries in
-    * one narrow pass each — nothing re-sorts or re-shuffles row data,
-    * so the plan is two scans + two map-side-combined bin counts at
-    * any scale. The industry rule of thumb reads total PSI < 0.1 as
-    * stable, > 0.25 as drifted.
-    *
-    * Output: one row per bin — bin index, both counts, and the bin's
-    * PSI contribution in integer MICRO-PSI: (p - q) * ln(p/q) with
-    * zero counts floored at 1 (standard smoothing), ln quantized to
-    * the micro-nat grid first (the q101 pattern — absorbs cross-libm
-    * ulp differences), the product floored to micro-units. Total PSI
-    * = sum(psi_micro) / 1e6. Pass integer-grid measures (cents) so
-    * the baseline boundaries are exact doubles; with power-of-two
-    * `nBins` the percentile fractions i/nBins are exact too and any
-    * SQL engine can replay bin membership bit-for-bit (q166). Both
-    * frames must be non-empty (proportions are undefined otherwise).
+  /** Driver-side summary of a baseline load for PSI drift scoring:
+    * the equi-depth bin boundaries (the baseline's exact i/nBins
+    * percentiles) and the per-bin baseline counts. This is
+    * CONFIG-sized — nBins doubles + nBins longs — so it collects to
+    * the driver like a broadcast dimension would and embeds in later
+    * plans as literals: scoring a new load against it never re-reads
+    * or re-joins baseline data. Compute once per baseline (three
+    * kilobyte-shuffle passes over it), score any number of loads.
     */
-  def psiDrift(baseline: DataFrame, current: DataFrame, value: Column,
-      nBins: Int = 8): DataFrame = {
+  case class PsiBaseline(bounds: Seq[Double], binCounts: Seq[Long]) {
+    def nBins: Int = binCounts.length
+    def total: Long = binCounts.sum
+  }
+
+  /** Membership of `v` in the equi-depth bins: count of boundaries
+    * strictly below it — a codegen'd literal comparison chain, no
+    * join, no lookup table.
+    */
+  private def binOf(v: Column, bounds: Seq[Double]): Column =
+    bounds.map(b => when(v > lit(b), 1).otherwise(0)).reduce(_ + _)
+
+  /** Build the [[PsiBaseline]] summary: boundaries via
+    * [[Quantiles.exactPercentiles]] (exact doubles — with integer-grid
+    * measures and power-of-two nBins any SQL engine replays them
+    * bit-for-bit), then one map-side-combined bin-count pass. Eager:
+    * runs the two baseline jobs at call time.
+    */
+  def psiBaseline(baseline: DataFrame, value: Column,
+      nBins: Int = 8): PsiBaseline = {
     require(nBins >= 2, s"nBins must be >= 2, got $nBins")
     val ps = (1 until nBins).map(i => (s"_q$i", i.toDouble / nBins))
-    val bounds = Quantiles.exactPercentiles(
+    val rows = Quantiles.exactPercentiles(
         baseline.select(value.cast("double").as("_v")), lit(1L), col("_v"), ps)
-      .select(lit(1L).as("_pg") +: ps.map { case (n, _) => col(n) }: _*)
-    val binOf = ps.map { case (n, _) =>
-      when(col("_v") > col(n), 1).otherwise(0)
-    }.reduce(_ + _)
-    def binCounts(df: DataFrame, out: String): DataFrame =
-      df.select(value.cast("double").as("_v")).filter(col("_v").isNotNull)
-        .withColumn("_pg", lit(1L))
-        .join(broadcast(bounds), "_pg")
-        .groupBy(binOf.as("bin")).agg(count(lit(1)).as(out))
+      .collect()
+    require(rows.nonEmpty, "baseline must be non-empty")
+    val bounds = ps.map { case (n, _) => rows.head.getAs[Double](n) }
+    val counts = baseline.select(value.cast("double").as("_v"))
+      .filter(col("_v").isNotNull)
+      .groupBy(binOf(col("_v"), bounds).as("bin")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getAs[Number](0).intValue -> r.getLong(1)).toMap
+    PsiBaseline(bounds, (0 until nBins).map(b => counts.getOrElse(b, 0L)))
+  }
+
+  /** Score one load against a precomputed [[PsiBaseline]]: ONE narrow
+    * pass over the load (scan -> literal bin chain -> map-side-combined
+    * count) — the baseline never appears in the plan except as
+    * literals, so per-evaluation cost follows the CURRENT load alone
+    * at any baseline size. Output: one row per bin — bin index, both
+    * counts, and the bin's PSI contribution in integer MICRO-PSI:
+    * (p - q) * ln(p/q) with zero counts floored at 1 (standard
+    * smoothing), ln quantized to the micro-nat grid first (the q101
+    * pattern — absorbs cross-libm ulp differences), the product
+    * floored to micro-units. Total PSI = sum(psi_micro) / 1e6; the
+    * industry rule of thumb reads < 0.1 as stable, > 0.25 as
+    * drifted. The load must be non-empty (proportions are undefined
+    * otherwise).
+    */
+  def psiAgainst(pb: PsiBaseline, current: DataFrame, value: Column): DataFrame = {
+    val curCounts = current.select(value.cast("double").as("_v"))
+      .filter(col("_v").isNotNull)
+      .groupBy(binOf(col("_v"), pb.bounds).as("bin"))
+      .agg(count(lit(1)).as("cur_cnt"))
     // every bin 0..nBins-1 gets a row even when empty on both sides;
     // the window total runs over this <= nBins-row frame only
-    val allBins = bounds.select(explode(sequence(lit(0), lit(nBins - 1))).as("bin"))
-    val joined = allBins
-      .join(broadcast(binCounts(baseline, "base_cnt")), Seq("bin"), "left")
-      .join(broadcast(binCounts(current, "cur_cnt")), Seq("bin"), "left")
-      .na.fill(0L, Seq("base_cnt", "cur_cnt"))
+    val allBins = current.sparkSession.range(pb.nBins)
+      .select(col("id").cast("int").as("bin"))
+    val joined = allBins.join(broadcast(curCounts), Seq("bin"), "left")
+      .na.fill(0L, Seq("cur_cnt"))
+      .withColumn("base_cnt",
+        element_at(lit(pb.binCounts.toArray), col("bin") + 1))
     val w = Window.partitionBy(lit(1))
     val bs = greatest(col("base_cnt"), lit(1L)).cast("double")
     val cs = greatest(col("cur_cnt"), lit(1L)).cast("double")
-    val bt = col("_bt").cast("double")
+    val bt = lit(pb.total.toDouble)
     val ct = col("_ct").cast("double")
     val lnMicro = floor(log((bs * ct) / (cs * bt)) * 1e6 + lit(0.5)).cast("long")
     joined
-      .withColumn("_bt", sum(col("base_cnt")).over(w))
       .withColumn("_ct", sum(col("cur_cnt")).over(w))
       .withColumn("psi_micro",
         when(col("base_cnt") === 0 && col("cur_cnt") === 0, lit(0L))
           .otherwise(floor((bs / bt - cs / ct) * lnMicro.cast("double") + lit(0.5))
             .cast("long")))
-      .select(col("bin").cast("int").as("bin"), col("base_cnt"),
-        col("cur_cnt"), col("psi_micro"))
+      .select(col("bin"), col("base_cnt"), col("cur_cnt"), col("psi_micro"))
   }
+
+  /** Population-stability-index drift between two loads of the same
+    * measure — the monitoring gate that catches "today's data is not
+    * distributed like the data the model trained on" before a bad
+    * batch poisons training: [[psiBaseline]] (eager, config-sized)
+    * composed with [[psiAgainst]] (one narrow pass over `current`).
+    * Keep the [[PsiBaseline]] and call [[psiAgainst]] directly to
+    * score many loads — or a stream of them
+    * ([[graft.streaming.StreamingOps.driftStream]]) — against one
+    * baseline without repaying its passes.
+    */
+  def psiDrift(baseline: DataFrame, current: DataFrame, value: Column,
+      nBins: Int = 8): DataFrame =
+    psiAgainst(psiBaseline(baseline, value, nBins), current, value)
 }

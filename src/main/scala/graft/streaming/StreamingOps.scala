@@ -338,6 +338,40 @@ object StreamingOps {
       .trigger(trigger)
       .start()
 
+  /** Streaming DISTRIBUTION-DRIFT MONITOR — the per-micro-batch face
+    * of [[graft.operators.Profiler.psiAgainst]]: the baseline's
+    * config-sized [[graft.operators.Profiler.PsiBaseline]] summary is
+    * computed ONCE before the stream starts, then every arriving
+    * batch is scored in one narrow pass (literal bin chain +
+    * map-side-combined counts — the baseline never re-reads) and its
+    * per-bin micro-PSI report lands under `outDir/batchId=N` with
+    * overwrite, the idempotence pattern every sink here uses. This is
+    * the "is today's feed still distributed like the training data"
+    * gate running INLINE with ingest: a drifted batch is visible one
+    * trigger after it lands. Stateless; empty batches are skipped
+    * (PSI over zero rows is undefined).
+    */
+  def driftStream(stream: DataFrame, baseline: DataFrame, valueCol: String,
+      outDir: String, checkpointDir: String, nBins: Int = 8,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery = {
+    val pb = graft.operators.Profiler.psiBaseline(baseline, col(valueCol), nBins)
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          batch.persist()
+          try graft.operators.Profiler.psiAgainst(pb, batch, col(valueCol))
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$outDir/batchId=$batchId")
+          finally batch.unpersist()
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
   /** Streaming MATERIALIZED-VIEW MAINTENANCE — the per-micro-batch
     * face of [[graft.operators.ChangeCapture.maintainAgg]]: a CDC
     * changelog stream (snapshotDiff-shaped rows — change_type plus

@@ -295,11 +295,12 @@ class PlanSpec extends SparkSpec {
       s"the HAVING subquery must plan as a semi join, not a filter:\n${plan.take(2000)}")
   }
 
-  test("psiDrift row data never sort-merges: boundaries and bin counts ride broadcasts") {
+  test("psiDrift scores the current load in one scan: baseline enters only as literals") {
     val plan = planOf("q166_psi_drift")
     assert(!plan.contains("SortMergeJoin"),
-      s"psiDrift must broadcast its kilobyte frames, never shuffle-sort rows:\n${plan.take(3000)}")
-    val bcasts = "BroadcastHashJoin".r.findAllIn(plan).length
-    assert(bcasts >= 2, s"expected both loads binned via broadcast bounds, got $bcasts")
+      s"psiDrift must never shuffle-sort rows:\n${plan.take(3000)}")
+    val scans = "FileScan".r.findAllIn(plan).length
+    assert(scans == 1,
+      s"expected only the current load's scan (baseline pre-collected), got $scans:\n${plan.take(3000)}")
   }
 }

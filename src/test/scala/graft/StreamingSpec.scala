@@ -688,6 +688,45 @@ class StreamingSpec extends SparkSpec {
     assert(versions == Set("v=1", "v=2"), s"wrong versions kept: $versions")
   }
 
+  test("drift monitor stream: per-batch micro-PSI reports match the batch operator") {
+    val base = tmp()
+    val orders = Tables.load(spark, sfDir, "orders")
+      .select(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("v"),
+        col("o_orderkey"))
+    val baseline = orders.filter(col("o_orderkey") % 2 === 0).select("v")
+    // batch 0 mirrors the baseline's distribution; batch 1 is shifted
+    val sameDist = orders.filter(col("o_orderkey") % 2 === 1).select("v")
+    val shifted = sameDist.select((col("v") * 3).as("v"))
+    val now = System.currentTimeMillis()
+    Seq(sameDist, shifted).zipWithIndex.foreach { case (s, i) =>
+      s.coalesce(1).write.mode("overwrite").parquet(s"$base/staging-$i")
+      val part = new java.io.File(s"$base/staging-$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$base/in/slice-$i.parquet")
+      Files.createDirectories(dst.toPath.getParent)
+      Files.copy(part.toPath, dst.toPath)
+      assert(dst.setLastModified(now - (2 - i) * 60000L))
+    }
+    val stream = spark.readStream.schema(baseline.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+    val q = StreamingOps.driftStream(stream, baseline, "v", s"$base/out", s"$base/ck")
+    q.awaitTermination(180000)
+    assert(!q.isActive)
+    assert(q.recentProgress.filter(_.numInputRows > 0).forall(_.stateOperators.isEmpty))
+    // each batch's report == the batch operator on the same slice
+    Seq(sameDist, shifted).zipWithIndex.foreach { case (s, i) =>
+      val got = spark.read.parquet(s"$base/out/batchId=$i")
+      val want = graft.operators.Profiler.psiDrift(baseline, s, col("v"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"batch $i drift report diverged")
+    }
+    def totalPsi(i: Int): Double =
+      spark.read.parquet(s"$base/out/batchId=$i")
+        .agg(sum(col("psi_micro"))).collect().head.getLong(0) / 1e6
+    assert(totalPsi(0) < 0.1, s"same-distribution batch read as drifted: ${totalPsi(0)}")
+    assert(totalPsi(1) > 0.25, s"shifted batch not flagged: ${totalPsi(1)}")
+  }
+
   test("MV maintenance stream: checkpoint replay after a crash does not double-apply a batch") {
     val base = tmp()
     def snap(df: org.apache.spark.sql.DataFrame) =
