@@ -177,5 +177,44 @@ object LinkageQueries {
            CAST(sum(bal_cents) AS BIGINT) AS bal_cents
     FROM newd GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
-  val list: Seq[Q] = Seq(q160, q161, q162, q164, q165)
+  /** End-to-end entity resolution: the q160 fuzzy pairs are EDGES,
+    * and transitive closure merges them into entity clusters with a
+    * deterministic canonical value (the cluster's minimum) — the step
+    * pairwise matching alone cannot do ("red bolt"~"ted bolt" and
+    * "ted bolt"~"tad bolt" must land in ONE entity even though
+    * "red"~"tad" exceeds the distance budget). Spark side composes
+    * Linkage.fuzzyPairs (lossless length-band blocking) with
+    * Dedup.connectedComponents (min-label propagation + pointer
+    * jumping, O(log diameter) rounds of kilobyte label frames — the
+    * q75 machinery, id-type generic so string values need no
+    * surrogate keys). The oracle recomputes the closure with a
+    * recursive CTE over the naive all-pairs edge set.
+    */
+  private val q168 = Q("q168_entity_clusters", (s, dir) => {
+    val pairs = Linkage.fuzzyPairs(Tables.load(s, dir, "part"), "p_name", maxDist = 2)
+      .select(col("name_a").as("id1"), col("name_b").as("id2"))
+    graft.operators.Dedup.connectedComponents(pairs)
+      .select(col("id").as("value"), col("cluster_rep").as("canonical"),
+        col("cluster_size"))
+      .orderBy(col("value"))
+  }, Some("""
+    WITH RECURSIVE v AS (SELECT p_name AS v FROM part GROUP BY p_name),
+    pairs AS (
+      SELECT a.v AS id1, b.v AS id2
+      FROM v a JOIN v b ON a.v < b.v
+      WHERE levenshtein(a.v, b.v) BETWEEN 1 AND 2),
+    undirected AS (
+      SELECT id1 AS s, id2 AS d FROM pairs
+      UNION ALL SELECT id2, id1 FROM pairs),
+    nodes AS (SELECT DISTINCT s AS id FROM undirected),
+    reach AS (
+      SELECT id, id AS r FROM nodes
+      UNION
+      SELECT u.s AS id, reach.r FROM undirected u JOIN reach ON reach.id = u.d),
+    comp AS (SELECT id AS value, min(r) AS canonical FROM reach GROUP BY id)
+    SELECT value, canonical,
+           CAST(count(*) OVER (PARTITION BY canonical) AS BIGINT) AS cluster_size
+    FROM comp ORDER BY value"""))
+
+  val list: Seq[Q] = Seq(q160, q161, q162, q164, q165, q168)
 }
