@@ -216,5 +216,45 @@ object LinkageQueries {
            CAST(count(*) OVER (PARTITION BY canonical) AS BIGINT) AS cluster_size
     FROM comp ORDER BY value"""))
 
-  val list: Seq[Q] = Seq(q160, q161, q162, q164, q165, q168)
+  /** Incremental COUNT(DISTINCT) maintenance: distinct counts are the
+    * classically NON-retractable aggregate (a delete cannot tell you
+    * whether the value still occurs), so the standard IVM move is to
+    * maintain the (group, value) SUPPORT table instead — which is
+    * just [[ChangeCapture.maintainAgg]] at (group, value) grain with
+    * no measures — and read distinct-count as the surviving support
+    * rows. The refresh cost follows the diff and the support table
+    * (bounded by |group| x |distinct values|, tiny next to the
+    * facts); the fact table is never rescanned. Here: distinct
+    * nations and customer counts per market segment across the q161
+    * snapshot transition, oracle recomputed from scratch on the new
+    * snapshot alone.
+    */
+  private val q169 = Q("q169_incremental_distinct", (s, dir) => {
+    val c = Tables.load(s, dir, "customer")
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+    val oldSnap = snap(c.where(col("c_custkey") % 7 =!= 0))
+    val newSnap = snap(c.where(col("c_custkey") % 11 =!= 0)
+      .withColumn("c_nationkey",
+        when(col("c_custkey") % 13 === 0, lit(77L)).otherwise(col("c_nationkey"))))
+    val support = oldSnap.groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("cnt"))
+    val diff = ChangeCapture.snapshotDiff(oldSnap, newSnap,
+      keyCols = Seq("c_custkey"), compareCols = Seq("c_mktsegment", "c_nationkey"))
+    ChangeCapture.maintainAgg(support, diff,
+        groupCols = Seq("c_mktsegment", "c_nationkey"), measureCols = Nil)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("distinct_nations"), sum(col("cnt")).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }, Some("""
+    WITH newd AS (
+      SELECT c_mktsegment,
+             CASE WHEN c_custkey % 13 = 0 THEN 77 ELSE c_nationkey END AS c_nationkey
+      FROM customer WHERE c_custkey % 11 <> 0)
+    SELECT c_mktsegment,
+           CAST(count(DISTINCT c_nationkey) AS BIGINT) AS distinct_nations,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM newd GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  val list: Seq[Q] = Seq(q160, q161, q162, q164, q165, q168, q169)
 }
