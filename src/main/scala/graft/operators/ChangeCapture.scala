@@ -123,6 +123,12 @@ object ChangeCapture {
     * Plan: two narrow projections of the diff unioned with the base
     * aggregate, then ONE hash aggregation on the group key — a single
     * shuffle whose volume is |baseAgg| + 2|diff|, no join anywhere.
+    *
+    * Non-retractable aggregates (COUNT DISTINCT, MIN, MAX — a delete
+    * cannot tell you what remains) maintain their (group, value)
+    * SUPPORT table with this same operator at (group ++ value) grain
+    * and no measures, then read the aggregate off the surviving
+    * support rows (count / min / max of `value` per group) — q169.
     */
   def maintainAgg(
       baseAgg: DataFrame,
