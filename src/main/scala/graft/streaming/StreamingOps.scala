@@ -358,13 +358,14 @@ object StreamingOps {
     val pb = graft.operators.Profiler.psiBaseline(baseline, col(valueCol), nBins)
     stream.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          batch.persist()
-          try graft.operators.Profiler.psiAgainst(pb, batch, col(valueCol))
+        batch.persist()
+        // all-null batches carry no measurable rows: proportions (and
+        // PSI) are undefined, so they skip like empty ones
+        try if (!batch.filter(col(valueCol).isNotNull).isEmpty)
+          graft.operators.Profiler.psiAgainst(pb, batch, col(valueCol))
             .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
             .parquet(s"$outDir/batchId=$batchId")
-          finally batch.unpersist()
-        }
+        finally batch.unpersist()
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -429,10 +430,11 @@ object StreamingOps {
   def readLatestMv(spark: org.apache.spark.sql.SparkSession, mvDir: String): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(mvDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val latest = fs.listStatus(new org.apache.hadoop.fs.Path(mvDir))
+    val versions = fs.listStatus(new org.apache.hadoop.fs.Path(mvDir))
       .map(_.getPath.getName).filter(_.startsWith("v="))
-      .map(_.stripPrefix("v=").toLong).max
-    spark.read.parquet(s"$mvDir/v=$latest")
+      .map(_.stripPrefix("v=").toLong)
+    require(versions.nonEmpty, s"no v=N versions under $mvDir — not a maintainAggStream dir")
+    spark.read.parquet(s"$mvDir/v=${versions.max}")
   }
 
   /** Micro-batch HYBRID RETRIEVAL SERVING — the streaming face of the
