@@ -122,6 +122,8 @@ object Profiler {
     * otherwise).
     */
   def psiAgainst(pb: PsiBaseline, current: DataFrame, value: Column): DataFrame = {
+    require(pb.bounds.length == pb.nBins - 1,
+      s"malformed PsiBaseline: ${pb.bounds.length} boundaries for ${pb.nBins} bins")
     val curCounts = current.select(value.cast("double").as("_v"))
       .filter(col("_v").isNotNull)
       .groupBy(binOf(col("_v"), pb.bounds).as("bin"))

@@ -373,6 +373,40 @@ object StreamingOps {
       .start()
   }
 
+  /** Streaming ENTITY CANONICALIZATION — the per-micro-batch face of
+    * [[graft.operators.Linkage.linkBest]]: every arriving batch of
+    * dirty values is matched to its nearest catalog entry (within the
+    * distance budget; deterministic (dist, value) tie-break; unmatched
+    * kept with nulls) and the linked batch lands under
+    * `outDir/batchId=N` with overwrite — the idempotence pattern every
+    * sink here uses. This is inline ingest cleansing: records are
+    * canonicalized one trigger after arrival instead of by a nightly
+    * sweep. The catalog is STATIC per stream (the common deployment;
+    * restart the stream to pick up a new catalog) and per-batch cost
+    * follows the batch's distinct values x the catalog's adjacent
+    * length buckets — the batch operator's own blocked equi-join
+    * shape, never all-pairs. Stateless.
+    */
+  def linkStream(stream: DataFrame, catalog: DataFrame, dirtyCol: String,
+      catalogCol: String, maxDist: Int, outDir: String, checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          batch.persist()
+          try graft.operators.Linkage
+            .linkBest(batch, catalog, dirtyCol, catalogCol, maxDist)
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$outDir/batchId=$batchId")
+          finally batch.unpersist()
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   /** Streaming MATERIALIZED-VIEW MAINTENANCE — the per-micro-batch
     * face of [[graft.operators.ChangeCapture.maintainAgg]]: a CDC
     * changelog stream (snapshotDiff-shaped rows — change_type plus

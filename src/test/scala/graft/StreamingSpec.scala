@@ -637,6 +637,46 @@ class StreamingSpec extends SparkSpec {
       s"unexpected change types: $types")
   }
 
+  test("link stream: per-batch canonicalization matches the batch operator") {
+    val base = tmp()
+    val parts = Tables.load(spark, sfDir, "part").select("p_name")
+    val catalog = parts.distinct().limit(40).withColumnRenamed("p_name", "cname")
+    // batch 0: names the catalog contains (self-links at dist 0);
+    // batch 1: the same names with one char dropped (dist 1) plus an
+    // unmatchable junk value
+    val clean = catalog.select(col("cname").as("p_name"))
+    val dirty = catalog.select(substring(col("cname"), 2, 1000).as("p_name"))
+      .unionAll(catalog.limit(1).select(lit("zzzzzzzzzzzzzzzzzzzzzzzzzzzz").as("p_name")))
+    val now = System.currentTimeMillis()
+    Seq(clean, dirty).zipWithIndex.foreach { case (s, i) =>
+      s.coalesce(1).write.mode("overwrite").parquet(s"$base/staging-$i")
+      val part = new java.io.File(s"$base/staging-$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$base/in/slice-$i.parquet")
+      Files.createDirectories(dst.toPath.getParent)
+      Files.copy(part.toPath, dst.toPath)
+      assert(dst.setLastModified(now - (2 - i) * 60000L))
+    }
+    val stream = spark.readStream.schema(clean.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+    val q = StreamingOps.linkStream(stream, catalog, "p_name", "cname",
+      maxDist = 2, s"$base/out", s"$base/ck")
+    q.awaitTermination(180000)
+    assert(!q.isActive)
+    assert(q.recentProgress.filter(_.numInputRows > 0).forall(_.stateOperators.isEmpty))
+    Seq(clean, dirty).zipWithIndex.foreach { case (s, i) =>
+      val got = spark.read.parquet(s"$base/out/batchId=$i")
+      val want = graft.operators.Linkage.linkBest(s, catalog, "p_name", "cname", 2)
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"batch $i links diverged")
+    }
+    // batch 0 all self-links at 0; batch 1's junk value stays unmatched
+    val b0 = spark.read.parquet(s"$base/out/batchId=0")
+    assert(b0.filter(col("dist") =!= 0 || col("match").isNull).isEmpty)
+    val b1 = spark.read.parquet(s"$base/out/batchId=1")
+    assert(b1.filter(col("value").startsWith("zzz") && col("match").isNotNull).isEmpty)
+  }
+
   test("MV maintenance stream: changelog batches fold to the full recompute; old versions pruned") {
     val base = tmp()
     def snap(pred: org.apache.spark.sql.Column) =
