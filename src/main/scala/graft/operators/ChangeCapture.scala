@@ -136,6 +136,8 @@ object ChangeCapture {
       groupCols: Seq[String],
       measureCols: Seq[String]): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(!groupCols.contains("cnt") && !measureCols.contains("cnt"),
+      "'cnt' is the reserved row-count column — rename the clashing group/measure column")
     val need = groupCols ++ ("cnt" +: measureCols)
     val missing = need.filterNot(baseAgg.columns.contains)
     require(missing.isEmpty, s"baseAgg lacks columns ${missing.mkString(", ")}")

@@ -143,7 +143,13 @@ object Profiler {
     val ct = col("_ct").cast("double")
     val lnMicro = floor(log((bs * ct) / (cs * bt)) * 1e6 + lit(0.5)).cast("long")
     joined
-      .withColumn("_ct", sum(col("cur_cnt")).over(w))
+      .withColumn("_ct",
+        // a load with zero measurable rows has undefined proportions;
+        // without this a monitoring gate would compare null PSI
+        // against its threshold and silently pass the degenerate load
+        when(sum(col("cur_cnt")).over(w) === 0, raise_error(
+          lit("psiAgainst: current load has no measurable rows (PSI undefined)")))
+          .otherwise(sum(col("cur_cnt")).over(w)))
       .withColumn("psi_micro",
         when(col("base_cnt") === 0 && col("cur_cnt") === 0, lit(0L))
           .otherwise(floor((bs / bt - cs / ct) * lnMicro.cast("double") + lit(0.5))

@@ -390,13 +390,16 @@ object StreamingOps {
   def linkStream(stream: DataFrame, catalog: DataFrame, dirtyCol: String,
       catalogCol: String, maxDist: Int, outDir: String, checkpointDir: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery = {
+    // pin the static side once for the stream's lifetime — without
+    // this, every trigger would re-run the catalog's full lineage
+    val cat = catalog.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     stream.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           batch.persist()
           try graft.operators.Linkage
-            .linkBest(batch, catalog, dirtyCol, catalogCol, maxDist)
+            .linkBest(batch, cat, dirtyCol, catalogCol, maxDist)
             .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
             .parquet(s"$outDir/batchId=$batchId")
           finally batch.unpersist()
@@ -406,6 +409,7 @@ object StreamingOps {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
+  }
 
   /** Streaming MATERIALIZED-VIEW MAINTENANCE — the per-micro-batch
     * face of [[graft.operators.ChangeCapture.maintainAgg]]: a CDC
@@ -432,9 +436,15 @@ object StreamingOps {
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = changelog.sparkSession
-    val fs = new org.apache.hadoop.fs.Path(mvDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$mvDir/v=0")))
+    val mvPath = new org.apache.hadoop.fs.Path(mvDir)
+    val fs = mvPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // materialize the base ONLY on a genuinely fresh MV: after batch 1
+    // prunes v=0, a restarted stream still has its later versions — a
+    // v=0-only check would re-run the base aggregate's full fact scan
+    // (the cost this operator exists to avoid) into an orphaned v=0
+    val hasVersions = fs.exists(mvPath) &&
+      fs.listStatus(mvPath).exists(_.getPath.getName.startsWith("v="))
+    if (!hasVersions)
       baseAgg.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$mvDir/v=0")
     changelog.writeStream.outputMode("append")
@@ -462,9 +472,10 @@ object StreamingOps {
     * highest-numbered `v=N` directory under `mvDir`.
     */
   def readLatestMv(spark: org.apache.spark.sql.SparkSession, mvDir: String): DataFrame = {
-    val fs = new org.apache.hadoop.fs.Path(mvDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val versions = fs.listStatus(new org.apache.hadoop.fs.Path(mvDir))
+    val mvPath = new org.apache.hadoop.fs.Path(mvDir)
+    val fs = mvPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(mvPath), s"MV directory $mvDir does not exist")
+    val versions = fs.listStatus(mvPath)
       .map(_.getPath.getName).filter(_.startsWith("v="))
       .map(_.stripPrefix("v=").toLong)
     require(versions.nonEmpty, s"no v=N versions under $mvDir — not a maintainAggStream dir")

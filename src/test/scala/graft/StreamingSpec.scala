@@ -640,7 +640,10 @@ class StreamingSpec extends SparkSpec {
   test("link stream: per-batch canonicalization matches the batch operator") {
     val base = tmp()
     val parts = Tables.load(spark, sfDir, "part").select("p_name")
-    val catalog = parts.distinct().limit(40).withColumnRenamed("p_name", "cname")
+    // orderBy before limit: a bare post-distinct limit may pick a
+    // different subset on each of this frame's several re-evaluations
+    val catalog = parts.distinct().orderBy("p_name").limit(40)
+      .withColumnRenamed("p_name", "cname")
     // batch 0: names the catalog contains (self-links at dist 0);
     // batch 1: the same names with one char dropped (dist 1) plus an
     // unmatchable junk value
@@ -726,6 +729,33 @@ class StreamingSpec extends SparkSpec {
     val versions = new java.io.File(s"$base/mv").listFiles()
       .map(_.getName).filter(_.startsWith("v=")).toSet
     assert(versions == Set("v=1", "v=2"), s"wrong versions kept: $versions")
+    // restart AFTER v=0 was pruned with a third slice: the base must
+    // NOT re-materialize (that would re-run the fact scan into an
+    // orphaned v=0) and the fold continues from the kept versions
+    val s3 = snap(col("c_custkey") % 2 =!= 0)
+    Seq(s2 -> s3).foreach { case (a, b) =>
+      graft.operators.ChangeCapture
+        .snapshotDiff(a, b, Seq("c_custkey"), Seq("c_mktsegment", "bal_cents"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/staging-2")
+      val part = new java.io.File(s"$base/staging-2").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, new java.io.File(s"$base/in/slice-2.parquet").toPath)
+    }
+    val stream2 = spark.readStream.schema(changelogSchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+    val q2 = StreamingOps.maintainAggStream(stream2, baseAgg,
+      Seq("c_mktsegment"), Seq("bal_cents"), s"$base/mv", s"$base/ck")
+    q2.awaitTermination(180000)
+    assert(!q2.isActive)
+    val got2 = StreamingOps.readLatestMv(spark, s"$base/mv")
+    val want2 = s3.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"), sum(col("bal_cents")).as("bal_cents"))
+    assert(got2.exceptAll(want2).isEmpty && want2.exceptAll(got2).isEmpty,
+      s"restarted MV diverged: ${got2.collect().toSeq} vs ${want2.collect().toSeq}")
+    val versions2 = new java.io.File(s"$base/mv").listFiles()
+      .map(_.getName).filter(_.startsWith("v=")).toSet
+    assert(versions2 == Set("v=2", "v=3"),
+      s"restart must not re-materialize v=0 or keep stale versions: $versions2")
   }
 
   test("drift monitor stream: per-batch micro-PSI reports match the batch operator") {
