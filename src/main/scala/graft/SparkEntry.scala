@@ -31,7 +31,8 @@ object SparkEntry {
       queriesExt.CurationQueries.list ++
       queriesExt.GraphQueries.list ++
       queriesExt.PipelineQueries.list ++
-      queriesExt.LinkageQueries.list
+      queriesExt.LinkageQueries.list ++
+      queriesExt.TemporalQueries.list
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

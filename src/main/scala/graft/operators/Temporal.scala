@@ -107,6 +107,158 @@ object Temporal {
       .groupBy(col("day")).agg(count(lit(1)).as("n_active"))
   }
 
+  /** Gap-fill / resample: bucket each key's samples onto a fixed
+    * `stepMicros` grid, emit a DENSE per-key spine from its first to
+    * its last bucket, and forward-fill the last observed value across
+    * the gaps — the time-series regularization every downstream
+    * rolling computation assumes ("one row per sensor per hour, gaps
+    * carried forward"). No window function can conjure the missing
+    * rows; the scalable idiom is spine-generation + fill:
+    *
+    *  1. per (key, bucket): the LAST sample wins — max of the
+    *     (ts, tie, value) struct, deterministic because `tieCol` is
+    *     unique (one map-side-combined aggregation);
+    *  2. per key: min/max bucket (rides the same shuffle);
+    *  3. spine = sequence(min, max) exploded — row growth is
+    *     span/step per key, two longs wide, never payloads;
+    *  4. one running `last(ignoreNulls)` window per key fills gaps.
+    *
+    * Everything shuffles ONCE on the key (the agg and the window
+    * share the partitioning); bucket arithmetic is integer epoch-
+    * micros division, exact on any engine. Output: (key, bucket,
+    * filled, is_gap 0/1) — `filled` is the forward-filled value
+    * (null before a key's first sample only never happens: the spine
+    * starts AT the first sample's bucket). `tsUsCol` is integer
+    * epoch MICROS (callers convert timestamps via unix_micros, the
+    * house convention).
+    *
+    * 100 TB note: spine width is bounded by observed span/step per
+    * key, so a sparse key costs its span, not the global range; keys
+    * fill independently — no global sort, no driver state.
+    */
+  def gapFill(df: DataFrame, keyCol: String, tsUsCol: String, valCol: String,
+      tieCol: String, stepMicros: Long): DataFrame = {
+    require(stepMicros > 0, s"stepMicros must be positive, got $stepMicros")
+    val reserved = Seq("key", "bucket", "filled", "is_gap", "_s", "_v", "_b0", "_b1")
+    val clashes = Seq(keyCol).filter(reserved.contains)
+    require(clashes.isEmpty, s"gapFill reserves ${reserved.mkString(", ")}")
+    val bucket = expr(s"`$tsUsCol` div ${stepMicros}L")
+    val bucketed = df
+      .select(col(keyCol).as("key"), bucket.as("bucket"),
+        struct(col(tsUsCol).as("_t"), col(tieCol).as("_tb"),
+          col(valCol).as("_v")).as("_s"))
+      .groupBy(col("key"), col("bucket"))
+      .agg(max(col("_s")).getField("_v").as("_v"))
+    val spine = bucketed.groupBy(col("key"))
+      .agg(min(col("bucket")).as("_b0"), max(col("bucket")).as("_b1"))
+      .select(col("key"), explode(sequence(col("_b0"), col("_b1"))).as("bucket"))
+    val w = Window.partitionBy(col("key")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(bucketed, Seq("key", "bucket"), "left")
+      .select(col("key").as(keyCol), col("bucket"),
+        last(col("_v"), ignoreNulls = true).over(w).as("filled"),
+        when(col("_v").isNull, 1L).otherwise(0L).as("is_gap"))
+  }
+
+  /** Exponential-decay rolling score with DYADIC decay (half-life =
+    * one step) truncated at `lagCap` lags — the trend/recency score
+    * ("how hot is this key right now") as exact integer arithmetic.
+    * Lag d contributes weight 2^(lagCap-d), so the weighted sum and
+    * the weight sum are plain longs and the normalized score is ONE
+    * integer division onto the micro grid — every engine replays it
+    * bit-for-bit, unlike pow(alpha, n) chains whose float error
+    * accumulates. Truncation at lagCap discards < 2^-lagCap of the
+    * mass (documented, not hidden).
+    *
+    * One shuffle on the key; the unrolled lag sum is a single window
+    * pass (lagCap+1 codegen'd lag() terms, no self-join — the
+    * self-join formulation multiplies rows by lagCap at 100 TB).
+    * Ordering within a key is (tsCol, tieCol) — pass a unique id.
+    *
+    * Output: input keys + (ts ordinal columns) + num/den/score_micro
+    * where score_micro = (num * 1e6) div den.
+    */
+  def dyadicDecayScore(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, tieCol: String, lagCap: Int = 16): DataFrame = {
+    require(lagCap >= 1 && lagCap <= 40,
+      s"lagCap must be in [1, 40] (weights are 2^lagCap longs), got $lagCap")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val terms = (0 to lagCap).map { d =>
+      val weight = 1L << (lagCap - d)
+      val lagged = if (d == 0) col(valCol) else lag(col(valCol), d).over(w)
+      (when(lagged.isNotNull, lagged * lit(weight)).otherwise(lit(0L)),
+        when(lagged.isNotNull, lit(weight)).otherwise(lit(0L)))
+    }
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    df.withColumn("num", num).withColumn("den", den)
+      .withColumn("score_micro", expr("(num * 1000000L) div den"))
+  }
+
+  /** Rolling z-score anomaly detection, ALL-INTEGER: flag a sample
+    * whose deviation from the mean of its `n` PRECEDING samples
+    * exceeds `k` sigma. The textbook test compares floats
+    * ((x-m)/s > k); cross-multiplying removes every division and
+    * square root:
+    *
+    *   (n*x - sum)^2  >  k^2 * (n*sumsq - sum^2)
+    *
+    * so the whole detector is three windowed integer sums and two
+    * integer multiplies — deterministic on any engine, and the window
+    * is ONE pass over each key (frame [-n, -1], current row
+    * excluded so the anomaly cannot mask itself). Rows with fewer
+    * than n predecessors are not scored (cnt = n gate). Returns the
+    * FLAGGED rows with their integer evidence (dev2, nvar).
+    *
+    * Caller contract: valCol is integer-scaled (e.g. cents) with
+    * |v| <= ~2e9/n so n*sumsq stays inside a long.
+    */
+  def rollingAnomalies(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, tieCol: String, n: Int = 20, k: Int = 3): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(-n, -1)
+    val x = col(valCol)
+    df.withColumn("_cnt", count(x).over(w))
+      .withColumn("_sum", sum(x).over(w))
+      .withColumn("_ssq", sum(x * x).over(w))
+      .where(col("_cnt") === n)
+      .withColumn("dev2",
+        (lit(n) * x - col("_sum")) * (lit(n) * x - col("_sum")))
+      .withColumn("nvar", lit(n) * col("_ssq") - col("_sum") * col("_sum"))
+      .where(col("dev2") > lit(k.toLong * k) * col("nvar"))
+      .drop("_cnt", "_sum", "_ssq")
+  }
+
+  /** Time-weighted average per key over irregular samples: each
+    * sample holds until the next one (zero-order hold), so the mean
+    * weights each value by its holding duration — the correct average
+    * for sensor/price series where sampling is bursty (an arithmetic
+    * mean over-counts the bursts). num/den are exact integer
+    * (value x seconds) sums; the ratio is one IEEE division + floor
+    * onto the micro grid (num, den < 2^53), engine-reproducible. The
+    * last sample of each key has no successor and contributes no
+    * interval (standard TWAP convention). One shuffle on the key
+    * (the lead window), one map-side-combined aggregation. `tsUsCol`
+    * is integer epoch micros, the house convention.
+    */
+  def timeWeightedAvg(df: DataFrame, keyCol: String, tsUsCol: String,
+      valCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsUsCol), col(tieCol))
+    df.withColumn("_ts_us", col(tsUsCol))
+      .withColumn("_next_us", lead(col("_ts_us"), 1).over(w))
+      .where(col("_next_us").isNotNull)
+      .withColumn("_dur", expr("(_next_us - _ts_us) div 1000000L"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col(valCol) * col("_dur")).as("num"),
+        sum(col("_dur")).as("den"))
+      .withColumn("twa",
+        when(col("den") > 0,
+          floor(col("num").cast("double") / col("den") * 1e6) / 1e6))
+  }
+
   /** First-order transition matrix over per-key ordered sequences:
     * for every consecutive (state, next state) pair within a key's
     * timeline, the corpus-wide count and the row-normalized

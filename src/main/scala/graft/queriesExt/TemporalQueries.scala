@@ -1,0 +1,174 @@
+package graft.queriesExt
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Temporal
+import graft.queriesRelational.RelationalQueries.Q
+
+/** Time-series regularization and scoring over the events table:
+  * gap-fill/forward-fill onto a fixed grid, dyadic-decay trend
+  * scores, integer rolling-z anomaly detection, time-weighted
+  * averages. Every operator rides integer grids (cents, epoch
+  * seconds, micro quotients) so DuckDB replays each result
+  * bit-for-bit.
+  */
+object TemporalQueries {
+
+  /** events projected to the integer-cents grain every temporal
+    * operator consumes: (user_id, event_id, ts_us, cents).
+    */
+  private def cents(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.events(s, dir).select(
+      col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("ts_us"),
+      floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+
+  private val centsSql = """
+    e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events)"""
+
+  /** Gap-fill (Temporal.gapFill): every user's event values bucketed
+    * to days and forward-filled across a dense per-user day spine —
+    * the resample step that turns an irregular event stream into the
+    * one-row-per-key-per-period table rolling metrics assume. The
+    * oracle rebuilds the spine with generate_series and fills gaps
+    * with the running-count group trick (pure ANSI, no IGNORE NULLS
+    * needed), so the hash match proves bucketing, last-sample-wins,
+    * spine bounds, and fill all agree.
+    */
+  private val q170 = Q("q170_gap_fill", (s, dir) => {
+    Temporal.gapFill(cents(s, dir), "user_id", tsUsCol = "ts_us",
+        valCol = "cents", tieCol = "event_id", stepMicros = 86400000000L)
+      .orderBy(col("user_id"), col("bucket"))
+  }, Some(s"""
+    WITH $centsSql,
+    b AS (
+      SELECT user_id, ts_us // 86400000000 AS bucket, ts_us, event_id, cents
+      FROM e),
+    lastv AS (
+      SELECT user_id, bucket, cents FROM (
+        SELECT user_id, bucket, cents,
+               row_number() OVER (PARTITION BY user_id, bucket
+                                  ORDER BY ts_us DESC, event_id DESC) AS rn
+        FROM b) WHERE rn = 1),
+    span AS (
+      SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+      FROM b GROUP BY user_id),
+    spine AS (
+      SELECT user_id, unnest(generate_series(b0, b1)) AS bucket FROM span),
+    j AS (
+      SELECT s.user_id, s.bucket, l.cents
+      FROM spine s LEFT JOIN lastv l USING (user_id, bucket)),
+    g AS (
+      SELECT user_id, bucket, cents,
+             count(cents) OVER (PARTITION BY user_id ORDER BY bucket) AS grp
+      FROM j)
+    SELECT user_id, bucket,
+           max(cents) OVER (PARTITION BY user_id, grp) AS filled,
+           CAST(CASE WHEN cents IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+    FROM g ORDER BY user_id, bucket"""))
+
+  private val lagCap = 16
+
+  /** Dyadic-decay trend score (Temporal.dyadicDecayScore): per event,
+    * the half-life-one-step exponentially weighted value of the
+    * user's last 17 samples as EXACT integer arithmetic — weight
+    * 2^(16-d) at lag d, score = (num * 1e6) div den. The oracle
+    * unrolls the same 17 lag terms; integer division on both sides
+    * makes the quotient grid engine-exact.
+    */
+  private val q171 = Q("q171_decay_score", (s, dir) => {
+    Temporal.dyadicDecayScore(cents(s, dir), "user_id", "ts_us", "cents",
+        "event_id", lagCap = lagCap)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("cents"),
+        col("num"), col("den"), col("score_micro"))
+      .orderBy(col("user_id"), col("event_id"))
+  }, {
+    val numTerms = (0 to lagCap).map { d =>
+      val w = 1L << (lagCap - d)
+      if (d == 0) s"cents * $w"
+      else s"CASE WHEN l_$d IS NOT NULL THEN l_$d * $w ELSE 0 END"
+    }.mkString(" + ")
+    val denTerms = (0 to lagCap).map { d =>
+      val w = 1L << (lagCap - d)
+      if (d == 0) s"$w"
+      else s"CASE WHEN l_$d IS NOT NULL THEN $w ELSE 0 END"
+    }.mkString(" + ")
+    val lagCols = (1 to lagCap).map(d => s"lag(cents, $d) OVER w AS l_$d").mkString(", ")
+    Some(s"""
+    WITH $centsSql,
+    t AS (
+      SELECT user_id, event_id, ts_us, cents, $lagCols
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+    x AS (
+      SELECT user_id, event_id, ts_us, cents,
+             CAST($numTerms AS BIGINT) AS num,
+             CAST($denTerms AS BIGINT) AS den
+      FROM t)
+    SELECT user_id, event_id, ts_us, cents, num, den,
+           (num * 1000000) // den AS score_micro
+    FROM x ORDER BY user_id, event_id""")
+  })
+
+  /** Rolling-z anomaly detection (Temporal.rollingAnomalies): events
+    * whose value deviates > 3 sigma from the mean of the user's 20
+    * preceding samples, tested entirely in integers via
+    * (n*x - sum)^2 > k^2 (n*sumsq - sum^2) — no division, no sqrt,
+    * no float. Flags 235 of 7000 scored rows at sf0.01: the events
+    * value column is heavy-tailed, so the test is selective without
+    * being vacuous.
+    */
+  private val q172 = Q("q172_rolling_anomaly", (s, dir) => {
+    Temporal.rollingAnomalies(cents(s, dir), "user_id", "ts_us", "cents",
+        "event_id", n = 20, k = 3)
+      .orderBy(col("user_id"), col("event_id"))
+  }, Some(s"""
+    WITH $centsSql,
+    t AS (
+      SELECT user_id, event_id, ts_us, cents,
+             count(cents) OVER w AS cnt,
+             CAST(sum(cents) OVER w AS BIGINT) AS s,
+             CAST(sum(cents * cents) OVER w AS BIGINT) AS ssq
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                          ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+    SELECT user_id, event_id, ts_us, cents,
+           CAST((20 * cents - s) * (20 * cents - s) AS BIGINT) AS dev2,
+           CAST(20 * ssq - s * s AS BIGINT) AS nvar
+    FROM t
+    WHERE cnt = 20
+      AND (20 * cents - s) * (20 * cents - s) > 9 * (20 * ssq - s * s)
+    ORDER BY user_id, event_id"""))
+
+  /** Time-weighted average (Temporal.timeWeightedAvg): each user's
+    * zero-order-hold mean value — every sample weighted by how long
+    * it held (integer seconds), the correct mean for bursty series.
+    * num/den are exact integer sums; twa is one IEEE division +
+    * floor onto the micro grid.
+    */
+  private val q173 = Q("q173_time_weighted_avg", (s, dir) => {
+    Temporal.timeWeightedAvg(cents(s, dir), "user_id", "ts_us", "cents",
+        "event_id")
+      .orderBy(col("user_id"))
+  }, Some(s"""
+    WITH $centsSql,
+    t AS (
+      SELECT user_id, cents, ts_us,
+             lead(ts_us) OVER (PARTITION BY user_id
+                               ORDER BY ts_us, event_id) AS next_us
+      FROM e),
+    d AS (
+      SELECT user_id, cents, (next_us - ts_us) // 1000000 AS dur
+      FROM t WHERE next_us IS NOT NULL)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(sum(cents * dur) AS BIGINT) AS num,
+           CAST(sum(dur) AS BIGINT) AS den,
+           CASE WHEN sum(dur) > 0
+                THEN floor(CAST(sum(cents * dur) AS DOUBLE) / sum(dur) * 1000000)
+                     / 1000000.0 END AS twa
+    FROM d GROUP BY user_id ORDER BY user_id"""))
+
+  val list: Seq[Q] = Seq(q170, q171, q172, q173)
+}

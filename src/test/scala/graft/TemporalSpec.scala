@@ -112,4 +112,62 @@ class TemporalSpec extends SparkSpec {
       ("b", "a", 1L, 0.5),
       ("b", "c", 1L, 0.5)), s"wrong transitions: $got")
   }
+
+  test("gapFill: dense spine, last-sample-wins within bucket, forward fill") {
+    // key 1 samples at buckets 0 (two samples: id 1 v=10 then id 2
+    // v=20 -> 20 wins), 3 (v=30); buckets 1, 2 are gaps filled with 20.
+    // key 2: single sample -> one-row spine, no gaps.
+    val df = Seq(
+      (1L, 5L, 1L, 10L), (1L, 9L, 2L, 20L), (1L, 35L, 3L, 30L),
+      (2L, 17L, 4L, 77L))
+      .toDF("k", "ts_us", "id", "v")
+    val got = Temporal.gapFill(df, "k", "ts_us", "v", "id", stepMicros = 10L)
+      .orderBy(col("k"), col("bucket"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 20L, 0L), (1L, 1L, 20L, 1L), (1L, 2L, 20L, 1L),
+      (1L, 3L, 30L, 0L), (2L, 1L, 77L, 0L)), s"wrong fill: ${got.toSeq}")
+  }
+
+  test("dyadicDecayScore: exact dyadic weights, truncation, integer quotient") {
+    // lagCap 2 -> weights 4, 2, 1 at lags 0, 1, 2.
+    val df = Seq((1L, 1L, 1L, 8L), (1L, 2L, 2L, 0L), (1L, 3L, 3L, 4L), (1L, 4L, 4L, 4L))
+      .toDF("k", "ts", "id", "v")
+    val got = Temporal.dyadicDecayScore(df, "k", "ts", "v", "id", lagCap = 2)
+      .orderBy(col("id"))
+      .select(col("num"), col("den"), col("score_micro"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // row1: num=8*4=32 den=4 -> 8e6; row2: 0*4+8*2=16 den=6 -> 2666666
+    // row3: 4*4+0*2+8*1=24 den=7 -> 3428571; row4: 4*4+4*2+0*1=24 den=7
+    assert(got.toSeq == Seq(
+      (32L, 4L, 8000000L), (16L, 6L, 2666666L),
+      (24L, 7L, 3428571L), (24L, 7L, 3428571L)), s"wrong: ${got.toSeq}")
+  }
+
+  test("rollingAnomalies: integer z-test flags the spike, not the steady rows") {
+    // n=2, k=1: window = two preceding values. Steady 10,10 then a 40
+    // spike: (2*40-20)^2=3600 > 1*(2*200-400)=0 -> flagged. The row
+    // after the spike (v=10, window 10,40): (20-50)^2=900 > (2*1700-2500)=900
+    // is FALSE (strict >) -> not flagged. First two rows unscored.
+    val df = Seq((1L, 1L, 1L, 10L), (1L, 2L, 2L, 10L), (1L, 3L, 3L, 40L),
+      (1L, 4L, 4L, 10L))
+      .toDF("k", "ts", "id", "v")
+    val got = Temporal.rollingAnomalies(df, "k", "ts", "v", "id", n = 2, k = 1)
+      .select(col("id"), col("dev2"), col("nvar"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((3L, 3600L, 0L)), s"wrong flags: ${got.toSeq}")
+  }
+
+  test("timeWeightedAvg: zero-order hold, integer second durations, micro floor") {
+    // key 1: v=100 holds 3s, v=200 holds 1s -> twa = 500/4 = 125.0;
+    // last sample contributes nothing. key 2: single sample -> no
+    // intervals -> absent from output.
+    val df = Seq(
+      (1L, 0L, 1L, 100L), (1L, 3000000L, 2L, 200L), (1L, 4000000L, 3L, 999L),
+      (2L, 0L, 4L, 5L))
+      .toDF("k", "ts_us", "id", "v")
+    val got = Temporal.timeWeightedAvg(df, "k", "ts_us", "v", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == Seq((1L, 2L, 500L, 4L, 125.0)), s"wrong twa: ${got.toSeq}")
+  }
 }
