@@ -205,6 +205,96 @@ object Graph {
     ranks
   }
 
+  /** Link prediction over an undirected graph: for every NON-adjacent
+    * node pair with >= 1 common neighbor, the common-neighbor count
+    * and the Adamic-Adar score — the classic "who should link to
+    * whom" features (Liben-Nowell & Kleinberg 2003), used in corpus
+    * curation to densify sparse domain graphs before community
+    * detection and in entity resolution as a second-order evidence
+    * score. Adamic-Adar weights each shared neighbor z by
+    * 1/ln(deg(z)) so promiscuous hubs certify less than selective
+    * nodes.
+    *
+    * Determinism: ln(deg) is quantized to the integer micro-nat grid
+    * FIRST (floor(ln(d)*1e6+0.5), the q101 discipline), then each
+    * contribution is the exact integer quotient 1e12 div lnu — so
+    * aa_micro (1e-6 AA units) is a long any engine replays.
+    *
+    * Scale shape: candidate pairs come from the wedge self-join of
+    * the adjacency on the CENTER node — cost sum_z deg(z)^2, the
+    * price every common-neighbor definition pays. `maxCenterDegree`
+    * is the scale lever: skipping hub centers caps the fan-out at
+    * cap^2 per node and is the standard estimator trade (a hub's
+    * 1/ln(deg) contribution is negligible anyway — document the cap
+    * when you use it). Adjacent pairs leave via one left-anti
+    * equi-join against the edge list. Output: (node_a, node_b,
+    * common_neighbors, aa_micro) with node_a < node_b.
+    */
+  def linkPredict(edges: DataFrame, srcCol: String, dstCol: String,
+      maxCenterDegree: Int = Int.MaxValue): DataFrame = {
+    require(maxCenterDegree >= 2, s"maxCenterDegree must be >= 2, got $maxCenterDegree")
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val und = canon.select(col("a").as("node"), col("b").as("nbr"))
+      .union(canon.select(col("b").as("node"), col("a").as("nbr")))
+    // wedge centers with their quantized inverse-log contribution;
+    // only deg >= 2 nodes can center a wedge, so ln(deg) > 0
+    val contrib = und.groupBy(col("node")).agg(count(lit(1)).as("_deg"))
+      .filter(col("_deg") >= 2 && col("_deg") <= maxCenterDegree)
+      .select(col("node"),
+        ldiv(lit(1000000000000L),
+          floor(log(col("_deg")) * 1e6 + lit(0.5)).cast("long")).as("_aa"))
+    val w1 = und.select(col("node").as("_z"), col("nbr").as("_x"))
+    val w2 = und.select(col("node").as("_z"), col("nbr").as("_y"))
+    val wedges = w1.join(w2, "_z").filter(col("_x") < col("_y"))
+      .join(contrib.select(col("node").as("_z"), col("_aa")), "_z")
+    wedges.groupBy(col("_x"), col("_y"))
+      .agg(count(lit(1)).as("common_neighbors"), sum(col("_aa")).as("aa_micro"))
+      .join(canon, col("_x") === col("a") && col("_y") === col("b"), "left_anti")
+      .select(col("_x").as("node_a"), col("_y").as("node_b"),
+        col("common_neighbors"), col("aa_micro"))
+  }
+
+  /** Multi-source BFS hop distance, FIXED rounds: every node's
+    * minimum hop count from the seed set, exploring `rounds` hops —
+    * the reachability/radius query ("how far is every domain from
+    * the trusted whitelist"), and the building block of
+    * shortest-path features. Unreached nodes are absent (no
+    * sentinel distances).
+    *
+    * Same Pregel cadence as [[pageRank]]: per round, one hash join
+    * of the adjacency against the frontier-so-far (shuffles (node,
+    * hops) longs), one map-side-combined min — monotone, so
+    * re-relaxing already-settled nodes is free of correctness risk;
+    * `localCheckpoint` truncates the loop lineage, and rounds are
+    * FIXED so an oracle unrolls them as CTEs (q175). rounds >= the
+    * graph's eccentricity yields exact distances.
+    */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: Seq[Long], rounds: Int): DataFrame = {
+    require(seeds.nonEmpty && rounds >= 1,
+      s"need seeds and rounds >= 1; got (${seeds.size}, $rounds)")
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    val und = canon.select(col("a").as("node"), col("b").as("nbr"))
+      .union(canon.select(col("b").as("node"), col("a").as("nbr")))
+    val nodes = und.select(col("node")).distinct()
+    var dist = nodes.filter(col("node").isInCollection(seeds))
+      .select(col("node"), lit(0L).as("hops")).localCheckpoint()
+    for (_ <- 0 until rounds) {
+      val reach = und.join(dist, "node")
+        .select(col("nbr").as("node"), (col("hops") + 1L).as("hops"))
+      dist = dist.union(reach)
+        .groupBy(col("node")).agg(min(col("hops")).as("hops"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
   /** Fixed-iteration SYNCHRONOUS label propagation — the cheap
     * community detector for link graphs (Raghavan et al. 2007), used
     * in corpus curation to group domains into communities before

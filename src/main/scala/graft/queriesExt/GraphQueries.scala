@@ -265,5 +265,93 @@ object GraphQueries {
            FROM nodes)${pprIterCtes(3, "3, 17", Graph.RANK_SCALE * 15L / 100L / 2)}
     SELECT node, rank_u FROM r3 ORDER BY node"""))
 
-  val list: Seq[Q] = Seq(q102, q118, q127, q146, q147, q149)
+  /** Link prediction on the q118 triangle-bearing graph: every
+    * non-adjacent domain pair with shared neighbors, scored by
+    * common-neighbor count and Adamic-Adar (inverse-log degree
+    * weights on the integer micro-nat grid). The oracle restates the
+    * wedge enumeration naively and excludes adjacent pairs with an
+    * anti-join — a missed or double-counted wedge, a wrong degree, or
+    * a leaked adjacent pair all surface as hash mismatches.
+    */
+  private val q174 = Q("q174_link_predict", (s, dir) => {
+    val d = Tables.load(s, dir, "documents").select(col("doc_id"))
+    val edges = d.select((col("doc_id") % 50).as("src"),
+        ((col("doc_id") * 3 + 1) % 50).as("dst"))
+      .union(d.select((col("doc_id") % 50).as("src"),
+        ((col("doc_id") * 7 + 2) % 50).as("dst")))
+      .union(d.select((col("doc_id") % 50).as("src"),
+        ((col("doc_id") * 11 + 5) % 50).as("dst")))
+    Graph.linkPredict(edges, "src", "dst")
+      .orderBy(col("node_a"), col("node_b"))
+  }, Some("""
+    WITH d AS (SELECT doc_id FROM documents),
+    e0 AS (
+      SELECT doc_id % 50 AS src, (doc_id * 3 + 1) % 50 AS dst FROM d
+      UNION ALL
+      SELECT doc_id % 50 AS src, (doc_id * 7 + 2) % 50 AS dst FROM d
+      UNION ALL
+      SELECT doc_id % 50 AS src, (doc_id * 11 + 5) % 50 AS dst FROM d),
+    e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM e0 WHERE src <> dst),
+    u AS (SELECT a AS node, b AS nbr FROM e UNION ALL SELECT b, a FROM e),
+    deg AS (SELECT node, count(*) AS dg FROM u GROUP BY node),
+    c AS (SELECT node,
+                 1000000000000 // CAST(floor(ln(dg) * 1000000 + 0.5) AS BIGINT) AS aa
+          FROM deg),
+    wed AS (SELECT u1.node AS z, u1.nbr AS x, u2.nbr AS y
+            FROM u u1 JOIN u u2 ON u1.node = u2.node AND u1.nbr < u2.nbr),
+    sc AS (SELECT x, y, CAST(count(*) AS BIGINT) AS cn,
+                  CAST(sum(c.aa) AS BIGINT) AS aam
+           FROM wed JOIN c ON c.node = wed.z GROUP BY x, y)
+    SELECT sc.x AS node_a, sc.y AS node_b, sc.cn AS common_neighbors,
+           sc.aam AS aa_micro
+    FROM sc LEFT JOIN e ON e.a = sc.x AND e.b = sc.y
+    WHERE e.a IS NULL
+    ORDER BY node_a, node_b"""))
+
+  /** One BFS relaxation round as a CTE: keep every settled distance,
+    * add each frontier node's neighbors at +1, take the min.
+    */
+  private def bfsIterCtes(k: Int): String =
+    (1 to k).map { i =>
+      val prev = s"b${i - 1}"
+      s""",
+    b$i AS (SELECT node, CAST(min(h) AS BIGINT) AS h FROM (
+              SELECT node, h FROM $prev
+              UNION ALL
+              SELECT u.nbr AS node, $prev.h + 1 AS h
+              FROM u JOIN $prev ON u.node = $prev.node)
+            GROUP BY node)"""
+    }.mkString
+
+  /** Multi-source BFS from seed domains {3, 17} on the q118 graph, 3
+    * fixed relaxation rounds unrolled as CTEs — every reached node's
+    * exact minimum hop count from the seed set.
+    */
+  private val q175 = Q("q175_bfs_hops", (s, dir) => {
+    val d = Tables.load(s, dir, "documents").select(col("doc_id"))
+    val edges = d.select((col("doc_id") % 50).as("src"),
+        ((col("doc_id") * 3 + 1) % 50).as("dst"))
+      .union(d.select((col("doc_id") % 50).as("src"),
+        ((col("doc_id") * 7 + 2) % 50).as("dst")))
+      .union(d.select((col("doc_id") % 50).as("src"),
+        ((col("doc_id") * 11 + 5) % 50).as("dst")))
+    Graph.bfsHops(edges, "src", "dst", seeds = Seq(3L, 17L), rounds = 3)
+      .orderBy(col("node"))
+  }, Some(s"""
+    WITH d AS (SELECT doc_id FROM documents),
+    e0 AS (
+      SELECT doc_id % 50 AS src, (doc_id * 3 + 1) % 50 AS dst FROM d
+      UNION ALL
+      SELECT doc_id % 50 AS src, (doc_id * 7 + 2) % 50 AS dst FROM d
+      UNION ALL
+      SELECT doc_id % 50 AS src, (doc_id * 11 + 5) % 50 AS dst FROM d),
+    e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM e0 WHERE src <> dst),
+    u AS (SELECT a AS node, b AS nbr FROM e UNION ALL SELECT b, a FROM e),
+    b0 AS (SELECT DISTINCT node, CAST(0 AS BIGINT) AS h FROM u
+           WHERE node IN (3, 17))${bfsIterCtes(3)}
+    SELECT node, h AS hops FROM b3 ORDER BY node"""))
+
+  val list: Seq[Q] = Seq(q102, q118, q127, q146, q147, q149, q174, q175)
 }

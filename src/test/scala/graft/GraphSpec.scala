@@ -102,6 +102,38 @@ class GraphSpec extends SparkSpec {
     assert(two(1L) == 75000000L && two(3L) == 75000000L && two(2L) == 850000000L, two.toString)
   }
 
+  test("linkPredict: triangle+tail graph — adjacent pairs excluded, cn and AA hand-checked") {
+    // edges 1-2, 2-3, 1-3 (triangle) and 3-4 (tail). Wedges: center 3
+    // {1,2,4}: (1,2) adjacent, (1,4) and (2,4) non-adjacent, cn=1;
+    // centers 1 and 2 produce only adjacent pairs. deg(3)=3, so each
+    // AA contribution = 1e12 div floor(ln(3)*1e6+0.5).
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val aa3 = 1000000000000L / math.floor(math.log(3.0) * 1e6 + 0.5).toLong
+    val got = Graph.linkPredict(edges, "src", "dst")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 4L, 1L, aa3), (2L, 4L, 1L, aa3)), s"wrong pairs: $got")
+  }
+
+  test("linkPredict: maxCenterDegree skips hub centers") {
+    // star center 9 with leaves 1..4: without a cap, all 6 leaf pairs
+    // appear; capping below deg(9)=4 removes every wedge.
+    val edges = Seq((9L, 1L), (9L, 2L), (9L, 3L), (9L, 4L)).toDF("src", "dst")
+    assert(Graph.linkPredict(edges, "src", "dst").count() == 6L)
+    assert(Graph.linkPredict(edges, "src", "dst", maxCenterDegree = 3).count() == 0L)
+  }
+
+  test("bfsHops: multi-source min-hop distances, bounded by rounds") {
+    // path 1-2-3-4-5, seeds {1,5}: exact dists 0,1,2,1,0. With
+    // rounds=1 node 3 (dist 2) is still unreached.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val full = Graph.bfsHops(edges, "src", "dst", Seq(1L, 5L), rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(full == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
+    val r1 = Graph.bfsHops(edges, "src", "dst", Seq(1L, 5L), rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 5L -> 0L))
+  }
+
   test("labelPropagation: bridged triangles settle into two communities (hand-traced rounds)") {
     // triangles {1,2,3} and {10,11,12} bridged by 3-10. Synchronous
     // min-tie rounds, traced by hand: after round 4 clique A carries
