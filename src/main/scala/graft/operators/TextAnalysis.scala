@@ -129,6 +129,51 @@ object TextAnalysis {
     * floor(sum_micro/n + 0.5)/1e6 — one IEEE division + floor,
     * engine-reproducible.
     */
+  /** Per-document mean bigram surprise under an add-one-smoothed
+    * bigram LM trained on the corpus itself — the sharper relative of
+    * [[unigramLogProb]]: a document full of common words in UNCOMMON
+    * ORDER ("the of and the of") scores high here while the unigram
+    * model waves it through, which is exactly the gibberish/spam the
+    * perplexity gate exists to catch (Wenzek et al., CCNet).
+    *
+    *   nll(w1 w2) = ln((C(w1) + V) / (C(w1 w2) + 1))
+    *
+    * with C(w1) the count of w1 as a bigram HISTORY, V the corpus
+    * vocabulary size (add-one mass), both plain counts. The surprise
+    * is quantized to the integer micro-nat grid PER BIGRAM TYPE and
+    * summed as longs (q101's discipline), so any engine replays the
+    * mean bit-for-bit. Documents with < 2 tokens have no bigrams and
+    * are absent.
+    *
+    * Scale shape: bigram expansion is a NARROW per-row transform
+    * (slice/zip of the token array — no window, no shuffle for
+    * adjacency); then two map-side-combined counts (type table,
+    * history table) and V as a broadcast one-row aggregate. The type
+    * table joins back broadcast here (fine for corpus-LM tables up
+    * to ~100s of MB); for web-scale models drop the hint and the
+    * same plan shuffle-joins on the (w1, w2) key.
+    */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = df.select(col(idCol), tokens(textCol).as("_l"))
+    val big = t.where(size(col("_l")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(0, size(_l) - 2), i -> struct(_l[i] AS w1, _l[i + 1] AS w2))")).as("_b"))
+      .select(col(idCol), col("_b.w1").as("w1"), col("_b.w2").as("w2"))
+    val vocab = t.select(explode(col("_l")).as("term")).distinct()
+      .agg(count(lit(1)).as("_v"))
+    val hist = big.groupBy(col("w1")).agg(count(lit(1)).as("_ch"))
+    val types = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("_cb"))
+    val surprise = types.join(hist, "w1").crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"),
+        floor(log((col("_ch") + col("_v")).cast("double") / (col("_cb") + lit(1)))
+          * 1e6 + lit(0.5)).cast("long").as("_su"))
+    big.join(broadcast(surprise), Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("_su")).as("_ssum"))
+      .select(col(idCol), col("n_bigrams"),
+        (floor(col("_ssum").cast("double") / col("n_bigrams") + lit(0.5)) / lit(1e6)).as("mean_nll"))
+  }
+
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol), explode(tokens(textCol)).as("term"))
     val vocab = tok.groupBy(col("term")).agg(count(lit(1)).as("_c"))

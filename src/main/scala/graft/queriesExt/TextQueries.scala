@@ -607,6 +607,39 @@ object TextQueries {
     FROM grid g LEFT JOIN c ON c.row_idx = g.row_idx AND c.cell_idx = g.cell_idx
     ORDER BY g.row_idx, g.cell_idx"""))
 
+  /** Bigram-LM surprise (TextAnalysis.bigramLogProb): per-document
+    * mean negative log-likelihood under an add-one-smoothed bigram
+    * model trained on the corpus — the word-ORDER-sensitive
+    * perplexity gate (q101 is the unigram baseline). The Spark side
+    * expands bigrams with a narrow array slice/zip (no window); the
+    * oracle indexes the split list with generate_series. Surprise is
+    * quantized per bigram TYPE on the micro-nat grid, so the mean is
+    * engine-exact.
+    */
+  private val q176 = Q("q176_bigram_logprob", (s, dir) => {
+    TextAnalysis.bigramLogProb(Tables.load(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }, Some("""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    v AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS vv FROM
+            (SELECT unnest(l) AS term FROM tok)),
+    big AS (
+      SELECT doc_id, l[i] AS w1, l[i + 1] AS w2 FROM
+        (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i
+         FROM tok WHERE len(l) >= 2)),
+    hist AS (SELECT w1, CAST(count(*) AS BIGINT) AS ch FROM big GROUP BY w1),
+    ty AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM big GROUP BY w1, w2),
+    su AS (SELECT ty.w1, ty.w2,
+                  CAST(floor(ln(CAST(hist.ch + v.vv AS DOUBLE) / (ty.cb + 1))
+                       * 1000000 + 0.5) AS BIGINT) AS s_u
+           FROM ty JOIN hist USING (w1) CROSS JOIN v),
+    d AS (SELECT big.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                 CAST(sum(s_u) AS BIGINT) AS ssum
+          FROM big JOIN su USING (w1, w2) GROUP BY big.doc_id)
+    SELECT doc_id, n_bigrams,
+           floor(CAST(ssum AS DOUBLE) / n_bigrams + 0.5) / 1000000.0 AS mean_nll
+    FROM d ORDER BY doc_id"""))
+
   val list: Seq[Q] = Seq(q51, q52, q53, q54, q55, q56, q74, q89, q100, q101, q108, q112,
-    q120, q128, q129, q138, q141, q142, q143, q144, q148)
+    q120, q128, q129, q138, q141, q142, q143, q144, q148, q176)
 }

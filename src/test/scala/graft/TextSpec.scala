@@ -213,6 +213,20 @@ class TextSpec extends SparkSpec {
     assert(e.getMessage.contains("med"), e.getMessage)
   }
 
+  test("bigramLogProb: add-one smoothed surprise, hand-computed micro-nats") {
+    import spark.implicits._
+    // corpus "a b a b" / "a b": V=2; C(a,b)=3, C(b,a)=1; history
+    // C(a)=3, C(b)=1. nll(a,b)=ln(5/4)->223144 u; nll(b,a)=ln(3/2)
+    // ->405465 u. doc1 mean=(223144+405465+223144)/3 -> 283918 u;
+    // doc2 = 223144 u. A single-token doc has no bigrams -> absent.
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "a"))
+      .toDF("doc_id", "text")
+    val byDoc = TextAnalysis.bigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(byDoc == Map(1L -> (3L, 0.283918), 2L -> (1L, 0.223144)),
+      s"wrong bigram scores: $byDoc")
+  }
+
   test("compressionRatio on the fixture corpus: plan is a narrow projection, values populated") {
     val docs = Tables.load(spark, sfDir, "documents")
     val out = TextAnalysis.compressionRatio(docs, "doc_id", "text")
