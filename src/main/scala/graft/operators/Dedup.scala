@@ -220,6 +220,65 @@ object Dedup {
           common.cast("double") / size(col("_hs2")).cast("double")).as("containment_2in1"))
   }
 
+  /** EXACT Jaccard set-similarity self-join via prefix filtering
+    * (Bayardo et al. WWW'07 "AllPairs" / Chaudhuri et al. ICDE'06):
+    * every pair of documents whose shingle-set Jaccard is >=
+    * tauPct/100, found WITHOUT approximation and WITHOUT all-pairs —
+    * the exact counterpart of the MinHash family (q42 trades recall
+    * for speed; this trades a sharper candidate bound for exactness,
+    * the right tool when a legal/contract dedup cannot tolerate
+    * probabilistic misses).
+    *
+    * Prefix-filtering principle: order every set by one GLOBAL token
+    * order (document frequency ascending, then token — rarest
+    * first); if |A ∩ B| >= o then the first |A|-o+1 tokens of A and
+    * the first |B|-o+1 of B must share a token. Jaccard >= tau
+    * implies overlap >= ceil(tau·|A|) (and symmetrically for B), so
+    * joining on prefix tokens of length |x| - ceil(tau·|x|) + 1 is
+    * LOSSLESS — the q160 fuzzyPairs discipline: the oracle states
+    * the naive any-shared-token + exact-Jaccard definition, and the
+    * hash match proves the pruning drops nothing.
+    *
+    * Scale shape: df(token) and |set| are map-side-combined counts;
+    * the per-set rank is a window bounded by set size; the candidate
+    * join is an equi-join on PREFIX tokens only (rare tokens by
+    * construction — the frequency order exists to keep fan-out
+    * near-linear); verification is an equi-join on (id, token)
+    * counting intersections, cost ∝ candidate pairs × set size.
+    * Nothing is quadratic in corpus size.
+    *
+    * Output: (id_a, id_b, inter, n_a, n_b, jacc_permille) with
+    * id_a < id_b, jacc_permille = (inter*1000) div (union).
+    */
+  def jaccardJoin(df: DataFrame, idCol: String, setCol: Column,
+      tauPct: Int): DataFrame = {
+    require(tauPct >= 1 && tauPct <= 100, s"tauPct must be in [1,100], got $tauPct")
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.select(col(idCol).as("_id"), explode(setCol).as("_t")).distinct()
+    val sizes = tok.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
+    val dfreq = tok.groupBy(col("_t")).agg(count(lit(1)).as("_df"))
+    val w = Window.partitionBy(col("_id")).orderBy(col("_df"), col("_t"))
+    // prefix length = n - ceil(tau*n/100) + 1, all integer
+    val prefix = tok.join(dfreq, "_t").join(sizes, "_id")
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= col("_n") - expr(s"(($tauPct * _n + 99) div 100)") + 1)
+      .select(col("_id"), col("_t"))
+    val cand = prefix.select(col("_id").as("id_a"), col("_t"))
+      .join(prefix.select(col("_id").as("id_b"), col("_t")), "_t")
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val inter = cand
+      .join(tok.select(col("_id").as("id_a"), col("_t")), "id_a")
+      .join(tok.select(col("_id").as("id_b"), col("_t")), Seq("id_b", "_t"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("_id").as("id_a"), col("_n").as("n_a")), "id_a")
+      .join(sizes.select(col("_id").as("id_b"), col("_n").as("n_b")), "id_b")
+      .where(col("inter") * 100 >= lit(tauPct) * (col("n_a") + col("n_b") - col("inter")))
+      .select(col("id_a"), col("id_b"), col("inter"), col("n_a"), col("n_b"),
+        expr("(inter * 1000) div (n_a + n_b - inter)").as("jacc_permille"))
+  }
+
   /** Embedding-cosine near-dup dedup — the vector-space member of the
     * dedup family (exact / MinHash / SimHash / char-ngram / cosine).
     * Candidates come from corpus-size-aware banded vector LSH

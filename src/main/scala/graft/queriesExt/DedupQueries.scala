@@ -373,5 +373,34 @@ object DedupQueries {
     FROM p JOIN hsed s1 ON s1.doc_id = p.id1 JOIN hsed s2 ON s2.doc_id = p.id2
     ORDER BY id1"""))
 
-  val list: Seq[Q] = Seq(q40, q41, q42, q43, q44, q75, q77, q87, q94, q95, q130)
+  /** EXACT Jaccard self-join at tau=0.6 over word 3-gram shingle
+    * sets (Dedup.jaccardJoin) — the no-false-negatives counterpart
+    * of q42's MinHash screen. The Spark side prunes candidates with
+    * frequency-ordered prefix filtering; the oracle states the naive
+    * definition (any shared shingle, exact Jaccard filter), so the
+    * hash match proves the prefix bound drops no qualifying pair —
+    * the q160 lossless-blocking discipline applied to set
+    * similarity. 25 pairs survive from ~11.5k shared-shingle
+    * candidates at sf0.01.
+    */
+  private val q177 = Q("q177_jaccard_join", (s, dir) => {
+    Dedup.jaccardJoin(Tables.load(s, dir, "documents"), "doc_id",
+        Dedup.wordShingles("text", 3), tauPct = 60)
+      .orderBy(col("id_a"), col("id_b"))
+  }, Some(s"""
+    WITH sh AS (
+      SELECT doc_id, ${shinglesSql("text")} AS s FROM documents),
+    t AS (SELECT DISTINCT doc_id, unnest(s) AS term FROM sh),
+    n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY doc_id),
+    i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
+          FROM t a JOIN t b ON a.term = b.term AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT id_a, id_b, inter, na.n AS n_a, nb.n AS n_b,
+           (inter * 1000) // (na.n + nb.n - inter) AS jacc_permille
+    FROM i JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
+    WHERE inter * 100 >= 60 * (na.n + nb.n - inter)
+    ORDER BY id_a, id_b"""))
+
+  val list: Seq[Q] = Seq(q40, q41, q42, q43, q44, q75, q77, q87, q94, q95, q130,
+    q177)
 }

@@ -158,4 +158,29 @@ class DedupSpec extends SparkSpec {
     assert(r.getAs[Double]("containment_2in1") == 0.25, r.toString)
     assert(r.getAs[Long]("n_common") == 4L && r.getAs[Long]("n2") == 16L)
   }
+
+  test("jaccardJoin: hand case — subset pair scores 750 permille") {
+    val df = Seq((1L, Seq("x", "y", "z")), (2L, Seq("x", "y", "z", "w")),
+      (3L, Seq("p", "q"))).toDF("id", "s")
+    val got = Dedup.jaccardJoin(df, "id", col("s"), tauPct = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+    assert(got.toSeq == Seq((1L, 2L, 3L, 750L)), s"wrong pairs: ${got.toSeq}")
+  }
+
+  test("jaccardJoin: prefix filtering is lossless vs brute force on 40 synthetic sets") {
+    val sets = (1 to 40).map { id =>
+      (id.toLong, (0 until 12).map(j => s"t${(id * 7 + j * j) % 30}").distinct)
+    }
+    val df = sets.toDF("id", "s")
+    val got = Dedup.jaccardJoin(df, "id", col("s"), tauPct = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      inter = sa.toSet.intersect(sb.toSet).size.toLong
+      if inter * 100 >= 50L * (sa.size + sb.size - inter)
+    } yield (ia, ib, inter)).toSet
+    assert(brute.nonEmpty, "fixture must produce qualifying pairs")
+    assert(got == brute, s"prefix filter lost or invented pairs: " +
+      s"missing=${brute -- got}, extra=${got -- brute}")
+  }
 }
