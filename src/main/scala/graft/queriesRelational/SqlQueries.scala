@@ -684,7 +684,61 @@ object SqlQueries {
                 END AS BIGINT) AS psi_micro
     FROM t ORDER BY bin"""))
 
+  /** TPC-H Q13-shaped customer order-count distribution ("custdist"):
+    * LEFT OUTER customer x orders with the predicate IN THE JOIN
+    * CONDITION (the Q13 trap — a WHERE would silently drop the
+    * zero-order customers the query exists to count), then a
+    * histogram of counts. Adapted: this schema has no o_comment, so
+    * the join-side filter excludes finished orders ('F'), preserving
+    * the shape. Both aggregations are map-side combined; output is
+    * bounded by the distinct count values.
+    */
+  private val q178Sql = """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+      GROUP BY c_custkey)
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC"""
+  private val q178 = Q("q178_custdist", (s, dir) => {
+    Tables.registerAll(s, dir)
+    s.sql(q178Sql)
+  }, Some(q178Sql))
+
+  /** TPC-H Q17-shaped small-quantity-order revenue: lineitems under
+    * 20% of their part's average quantity, for one brand, reported
+    * as avg yearly revenue. The correlated AVG subquery de-correlates
+    * to an aggregate + join on l_partkey. Determinism rewrite: the
+    * 20%-of-average comparison cross-multiplies onto the integer
+    * centi-quantity grid (5*qty*cnt < sum — no float average
+    * boundary), and revenue rides integer cents with `div 7` at the
+    * end, so both engines agree bit-for-bit.
+    */
+  private val q179Sql = """
+    WITH li AS (
+      SELECT l_partkey,
+             CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qty_i,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c
+      FROM lineitem),
+    pa AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(qty_i) AS BIGINT) AS sum_qty
+      FROM li GROUP BY l_partkey)
+    SELECT CAST(count(*) AS BIGINT) AS n_small,
+           CAST(sum(li.price_c) AS BIGINT) DIV 7 AS avg_yearly_cents
+    FROM li
+      JOIN pa ON pa.l_partkey = li.l_partkey
+      JOIN part p ON p.p_partkey = li.l_partkey
+    WHERE p.p_brand = 'Brand#11'
+      AND 5 * li.qty_i * pa.cnt < pa.sum_qty"""
+  private val q179 = Q("q179_small_quantity_revenue", (s, dir) => {
+    Tables.registerAll(s, dir)
+    s.sql(q179Sql)
+  }, Some(q179Sql.replace("DIV 7", "// 7")))
+
   val list: Seq[Q] = Seq(q57, q58, q59, q68, q70, q71, q72, q88, q109, q110, q111,
     q121, q122, q133, q134, q151, q152, q153, q154, q155, q157, q158, q159,
-    q166, q167)
+    q166, q167, q178, q179)
 }
