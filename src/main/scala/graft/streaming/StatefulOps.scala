@@ -99,6 +99,56 @@ object StatefulOps {
     * delay to cover the disorder (the same contract as the built-in
     * session_window).
     */
+  case class ValEvent(key: Long, ts_us: Long, tie: Long, v: Long)
+  case class AnomalyHit(key: Long, ts_us: Long, tie: Long, v: Long,
+    dev2: Long, nvar: Long)
+  case class RollWindow(values: Seq[Long])
+
+  /** Streaming rolling-z anomaly detection — the stateful face of
+    * [[graft.operators.Temporal.rollingAnomalies]]: per key, the last
+    * `n` values ride the state store across micro-batches, and every
+    * arriving sample with a full window is integer-tested
+    * ((n*x - sum)^2 > k^2 (n*sumsq - sum^2), the batch operator's
+    * exact rule) ONE TRIGGER after it lands — the live sensor/fraud
+    * monitor the batch pass can only do overnight. Flagged samples
+    * emit with their integer evidence; the window then advances.
+    *
+    * State is BOUNDED at n longs per key by construction (no timeout
+    * needed for state growth — the deque trims itself; add a timeout
+    * only to garbage-collect keys that go silent forever). Events
+    * inside one batch fold in (ts_us, tie) order, so intra-batch
+    * arrival order never matters; like [[sessionizeStream]], exact
+    * stream==batch agreement assumes cross-batch arrival respects
+    * event-time order (a sample older than one already folded would
+    * need the watermark-delay contract). Also correct on a batch
+    * Dataset — the same fold runs once (StatefulSpec asserts
+    * agreement with the window-frame batch operator).
+    */
+  def anomalyStream(events: Dataset[ValEvent], n: Int, k: Int): Dataset[AnomalyHit] = {
+    require(n >= 2 && k >= 1, s"need n >= 2, k >= 1; got ($n, $k)")
+    import events.sparkSession.implicits._
+    val k2 = k.toLong * k
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[ValEvent], state: GroupState[RollWindow]) =>
+          var win = state.getOption.map(_.values.toVector).getOrElse(Vector.empty[Long])
+          val out = Vector.newBuilder[AnomalyHit]
+          rows.toVector.sortBy(e => (e.ts_us, e.tie)).foreach { e =>
+            if (win.size == n) {
+              val sum = win.sum
+              val ssq = win.map(x => x * x).sum
+              val dev = n * e.v - sum
+              val nvar = n * ssq - sum * sum
+              if (dev * dev > k2 * nvar)
+                out += AnomalyHit(key, e.ts_us, e.tie, e.v, dev * dev, nvar)
+            }
+            win = (win :+ e.v).takeRight(n)
+          }
+          state.update(RollWindow(win))
+          out.result().iterator
+      }
+  }
+
   def sessionizeStream(events: Dataset[SessEvent], gapSec: Long,
       delay: String): Dataset[Session] = {
     import events.sparkSession.implicits._

@@ -183,6 +183,50 @@ class StatefulSpec extends SparkSpec {
       s"late event must widen the session to [5, 10]: $user1")
   }
 
+  test("anomalyStream: per-key window state crosses micro-batches; stream == batch operator") {
+    import graft.streaming.StatefulOps.{ValEvent, AnomalyHit}
+    val base = Files.createTempDirectory("graft-anom").toString
+    val now = System.currentTimeMillis()
+    def writeSlice(idx: Int, rows: Seq[ValEvent]): Unit = {
+      rows.toDS().coalesce(1).write.json(s"$base/in/f$idx")
+      new java.io.File(s"$base/in/f$idx").listFiles().foreach(f =>
+        assert(f.setLastModified(now - (5 - idx) * 60000L)))
+    }
+    // key 1: steady 10s, then a 40 spike that arrives in a LATER
+    // micro-batch than the window that scores it (n=2, k=1):
+    // window {10,10} -> (2*40-20)^2=3600 > 0 -> flagged. The spike's
+    // successor (10, window {10,40}) scores 900 > 900 = false.
+    writeSlice(1, Seq(ValEvent(1L, 1000L, 1L, 10L), ValEvent(1L, 2000L, 2L, 10L)))
+    writeSlice(2, Seq(ValEvent(1L, 3000L, 3L, 40L), ValEvent(1L, 4000L, 4L, 10L)))
+    writeSlice(3, Seq(ValEvent(2L, 1000L, 5L, 7L)))
+    val stream = spark.readStream
+      .schema("key LONG, ts_us LONG, tie LONG, v LONG")
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .json(s"$base/in")
+      .as[ValEvent]
+    val q = StatefulOps.anomalyStream(stream, n = 2, k = 1)
+      .writeStream.outputMode("append").format("memory").queryName("anom_out")
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("anom_out").as[AnomalyHit].collect().toSet
+    assert(got == Set(AnomalyHit(1L, 3000L, 3L, 40L, 3600L, 0L)),
+      s"wrong stream flags: $got")
+    // the window-frame BATCH operator on the same data agrees exactly
+    val all = Seq(ValEvent(1L, 1000L, 1L, 10L), ValEvent(1L, 2000L, 2L, 10L),
+      ValEvent(1L, 3000L, 3L, 40L), ValEvent(1L, 4000L, 4L, 10L),
+      ValEvent(2L, 1000L, 5L, 7L))
+    val batch = graft.operators.Temporal.rollingAnomalies(
+        all.toDF("key", "ts_us", "tie", "v"), "key", "ts_us", "v", "tie", n = 2, k = 1)
+      .selectExpr("key", "ts_us", "tie", "v", "dev2", "nvar")
+      .as[AnomalyHit].collect().toSet
+    assert(got == batch, s"stream disagrees with batch:\n$got\nvs\n$batch")
+    // and the stateful fold itself run in BATCH mode agrees too
+    val foldBatch = StatefulOps.anomalyStream(all.toDS(), n = 2, k = 1).collect().toSet
+    assert(foldBatch == batch, s"batch fold disagrees: $foldBatch vs $batch")
+  }
+
   test("quota governor keeps per-key running state across micro-batches") {
     val base = Files.createTempDirectory("graft-state").toString
     // two files -> maxFilesPerTrigger=1 forces two micro-batches
