@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -98,6 +98,35 @@ object ChangeCapture {
       .withColumn("valid_to", lead(col(tsCol), 1).over(w2))
       .withColumn("is_current", when(col("valid_to").isNull, 1L).otherwise(0L))
       .select((keyCols ++ attrCols ++ reserved).map(col): _*)
+  }
+
+  /** Time-travel snapshot: reconstruct each key's state AS OF a
+    * point in time directly from a changelog — "what did the catalog
+    * look like last Tuesday" without storing daily copies. Per key:
+    * keep changes at or before `asOf`, take the LAST one by
+    * (tsCol, tieCols...) — a single max-struct aggregation
+    * (map-side combined, one shuffle on the key), never a window
+    * sort over full history. Keys whose first change is after
+    * `asOf` are absent, exactly as they were absent then.
+    *
+    * The struct max orders by (ts, ties..., attrs); a unique tie
+    * column guarantees attrs are never consulted. Output: key cols,
+    * attr cols, and `as_of_ts` — the change time the state comes
+    * from. Equivalent to filtering [[scd2]] on
+    * valid_from <= asOf < valid_to, but skips building history
+    * (LinkageSpec asserts the equivalence).
+    */
+  def snapshotAt(changes: DataFrame, keyCols: Seq[String], tsCol: String,
+      attrCols: Seq[String], tieCols: Seq[String], asOf: Column): DataFrame = {
+    require(keyCols.nonEmpty && attrCols.nonEmpty,
+      "keyCols and attrCols must be non-empty")
+    val ordered = struct((tsCol +: tieCols).map(col) ++ attrCols.map(col): _*)
+    changes.where(col(tsCol) <= asOf)
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(ordered).as("_last"))
+      .select(keyCols.map(col) ++
+        attrCols.map(c => col(s"_last.`$c`").as(c)) :+
+        col(s"_last.`$tsCol`").as("as_of_ts"): _*)
   }
 
   /** Incremental aggregate maintenance (materialized-view refresh):

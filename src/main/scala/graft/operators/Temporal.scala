@@ -259,6 +259,82 @@ object Temporal {
           floor(col("num").cast("double") / col("den") * 1e6) / 1e6))
   }
 
+  /** Per-key OLS trend: the least-squares slope of value against
+    * time for every key — the "which sensors/accounts are drifting
+    * up" screen, one number per key instead of a model fit. The
+    * moment sums ride exact integers (x = seconds since the KEY'S
+    * first sample — re-zeroing per key keeps magnitudes small and is
+    * slope-invariant; y = the caller's integer grid):
+    *
+    *   slope = (n·Sxy − Sx·Sy) / (n·Sxx − Sx²)
+    *
+    * num/den are exact longs; slope_micro is one long→double cast
+    * per side + IEEE divide + floor onto the micro grid — identical
+    * on any engine (casts and correctly-rounded ops, no
+    * order-dependent float summation anywhere). Keys with zero time
+    * spread (den = 0) report null slope.
+    *
+    * One shuffle on the key: the min-window and the moment
+    * aggregation share the same hash partitioning.
+    */
+  def linearTrend(df: DataFrame, keyCol: String, tsUsCol: String,
+      valCol: String): DataFrame = {
+    val wk = Window.partitionBy(col(keyCol))
+    val x = expr(s"(`$tsUsCol` - _t0) div 1000000L")
+    df.withColumn("_t0", min(col(tsUsCol)).over(wk))
+      .select(col(keyCol), x.as("_x"), col(valCol).as("_y"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+        sum(col("_x") * col("_y")).as("_sxy"),
+        sum(col("_x") * col("_x")).as("_sxx"))
+      .select(col(keyCol), col("n_samples"),
+        (col("n_samples") * col("_sxy") - col("_sx") * col("_sy")).as("num"),
+        (col("n_samples") * col("_sxx") - col("_sx") * col("_sx")).as("den"))
+      .withColumn("slope_micro",
+        when(col("den") > 0,
+          floor(col("num").cast("double") / col("den").cast("double") * 1e6) / 1e6))
+  }
+
+  /** Pairwise Pearson correlation between named metric SERIES — the
+    * metric-correlation matrix ("which KPIs move together") computed
+    * without ever pivoting to a wide table: series are (series,
+    * bucket, value) rows, pairs align on bucket via one self-join
+    * (output and join fan-out are both |series|²-bounded — the
+    * series DIMENSION is small even when each series has billions of
+    * points, and the per-bucket aggregation that feeds this has
+    * already reduced those points). Only buckets present in BOTH
+    * series count (inner join = pairwise-complete observations).
+    *
+    * Moment sums are exact integers; r = num / sqrt(dx·dy) is
+    * evaluated in doubles (casts + one multiply + sqrt + divide —
+    * every step IEEE-exact-rounded, so engines agree) and floored
+    * onto the micro grid. Degenerate pairs (zero variance on either
+    * side) report null r.
+    */
+  def correlationMatrix(series: DataFrame, seriesCol: String,
+      bucketCol: String, valCol: String): DataFrame = {
+    val a = series.select(col(seriesCol).as("series_a"),
+      col(bucketCol).as("_b"), col(valCol).as("_x"))
+    val b = series.select(col(seriesCol).as("series_b"),
+      col(bucketCol).as("_b"), col(valCol).as("_y"))
+    a.join(b, "_b").where(col("series_a") < col("series_b"))
+      .groupBy(col("series_a"), col("series_b"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+        sum(col("_x") * col("_y")).as("_sxy"),
+        sum(col("_x") * col("_x")).as("_sxx"),
+        sum(col("_y") * col("_y")).as("_syy"))
+      .select(col("series_a"), col("series_b"), col("n_buckets"),
+        (col("n_buckets") * col("_sxy") - col("_sx") * col("_sy")).as("num"),
+        (col("n_buckets") * col("_sxx") - col("_sx") * col("_sx")).as("dx"),
+        (col("n_buckets") * col("_syy") - col("_sy") * col("_sy")).as("dy"))
+      .withColumn("r_micro",
+        when(col("dx") > 0 && col("dy") > 0,
+          floor(col("num").cast("double")
+            / sqrt(col("dx").cast("double") * col("dy").cast("double")) * 1e6) / 1e6))
+  }
+
   /** First-order transition matrix over per-key ordered sequences:
     * for every consecutive (state, next state) pair within a key's
     * timeline, the corpus-wide count and the row-normalized

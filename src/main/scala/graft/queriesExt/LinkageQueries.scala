@@ -256,5 +256,32 @@ object LinkageQueries {
            CAST(count(*) AS BIGINT) AS n_customers
     FROM newd GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
-  val list: Seq[Q] = Seq(q160, q161, q162, q164, q165, q168, q169)
+  /** Time-travel snapshot (ChangeCapture.snapshotAt): every user's
+    * event_type state as of 2024-01-15 00:00 UTC, reconstructed
+    * straight from the event changelog — one max-struct aggregation,
+    * no history build, no window sort. Users whose first event is
+    * later are absent. The oracle takes the same last-at-or-before
+    * row per key via a DESC row_number.
+    */
+  private val q180 = Q("q180_snapshot_at", (s, dir) => {
+    val e = Tables.events(s, dir).select(
+      col("user_id"), col("event_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"))
+    ChangeCapture.snapshotAt(e, keyCols = Seq("user_id"), tsCol = "ts_us",
+        attrCols = Seq("event_type"), tieCols = Seq("event_id"),
+        asOf = lit(1705276800000000L))
+      .orderBy(col("user_id"))
+  }, Some("""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+      FROM events WHERE epoch_us(ts) <= 1705276800000000),
+    r AS (
+      SELECT user_id, event_type, ts_us,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts_us DESC, event_id DESC) AS rn
+      FROM e)
+    SELECT user_id, event_type, ts_us AS as_of_ts
+    FROM r WHERE rn = 1 ORDER BY user_id"""))
+
+  val list: Seq[Q] = Seq(q160, q161, q162, q164, q165, q168, q169, q180)
 }

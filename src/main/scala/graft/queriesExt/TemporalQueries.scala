@@ -170,5 +170,77 @@ object TemporalQueries {
                      / 1000000.0 END AS twa
     FROM d GROUP BY user_id ORDER BY user_id"""))
 
-  val list: Seq[Q] = Seq(q170, q171, q172, q173)
+  /** Per-user OLS trend (Temporal.linearTrend): the least-squares
+    * slope of value-cents against seconds-since-first-sample, one
+    * row per user — the drift screen. num/den are exact integer
+    * moment combinations; slope_micro is one cast-divide-floor,
+    * engine-identical.
+    */
+  private val q181 = Q("q181_linear_trend", (s, dir) => {
+    Temporal.linearTrend(cents(s, dir), "user_id", "ts_us", "cents")
+      .orderBy(col("user_id"))
+  }, Some(s"""
+    WITH $centsSql,
+    x AS (
+      SELECT user_id,
+             (ts_us - min(ts_us) OVER (PARTITION BY user_id)) // 1000000 AS x,
+             cents AS y
+      FROM e),
+    m AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM x GROUP BY user_id)
+    SELECT user_id, n AS n_samples,
+           CAST(n * sxy - sx * sy AS BIGINT) AS num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS den,
+           CASE WHEN n * sxx - sx * sx > 0 THEN
+             floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000) / 1000000.0
+           END AS slope_micro
+    FROM m ORDER BY user_id"""))
+
+  /** Metric correlation matrix (Temporal.correlationMatrix): Pearson
+    * r between every pair of event-type DAILY-value series, aligned
+    * on day buckets by one self-join — no wide pivot. Integer moment
+    * sums; r_micro = num / sqrt(dx*dy) in IEEE doubles floored onto
+    * the micro grid.
+    */
+  private val q182 = Q("q182_correlation_matrix", (s, dir) => {
+    val daily = Tables.events(s, dir).select(
+        col("event_type"),
+        expr("unix_micros(ts) div 86400000000L").as("day"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).as("v"))
+    Temporal.correlationMatrix(daily, "event_type", "day", "v")
+      .orderBy(col("series_a"), col("series_b"))
+  }, Some("""
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events),
+    d AS (SELECT event_type, day, CAST(sum(cents) AS BIGINT) AS v
+          FROM e GROUP BY 1, 2),
+    p AS (SELECT a.event_type AS series_a, b.event_type AS series_b,
+                 a.v AS x, b.v AS y
+          FROM d a JOIN d b ON a.day = b.day AND a.event_type < b.event_type),
+    m AS (SELECT series_a, series_b, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy
+          FROM p GROUP BY 1, 2)
+    SELECT series_a, series_b, n AS n_buckets,
+           CAST(n * sxy - sx * sy AS BIGINT) AS num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS dx,
+           CAST(n * syy - sy * sy AS BIGINT) AS dy,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+             floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                   / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                          * CAST(n * syy - sy * sy AS DOUBLE)) * 1000000) / 1000000.0
+           END AS r_micro
+    FROM m ORDER BY series_a, series_b"""))
+
+  val list: Seq[Q] = Seq(q170, q171, q172, q173, q181, q182)
 }

@@ -165,4 +165,25 @@ class LinkageSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("valid_from"))
   }
+
+  test("snapshotAt: last change at-or-before wins; later-born keys absent; equals scd2 filter") {
+    // key 1: a@10, b@20, c@30; key 2: born at 25. As of t=20: key 1
+    // is b (the boundary change itself), key 2 absent.
+    val log = Seq((1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (1L, 30L, 3L, "c"),
+      (2L, 25L, 4L, "x"))
+      .toDF("k", "ts", "id", "v")
+    val snap = ChangeCapture.snapshotAt(log, Seq("k"), "ts", Seq("v"), Seq("id"),
+        asOf = lit(20L))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(snap == Set((1L, "b", 20L)), s"wrong snapshot: $snap")
+    // equivalence: filtering the scd2 history at the same instant
+    // yields the same (key, value) state
+    val viaHistory = ChangeCapture.scd2(log, Seq("k"), "ts", Seq("v"), Seq("id"))
+      .where(col("valid_from") <= 20L &&
+        (col("valid_to").isNull || col("valid_to") > 20L))
+      .select(col("k"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(viaHistory == snap.map(t => (t._1, t._2)),
+      s"scd2-filter disagrees: $viaHistory vs $snap")
+  }
 }

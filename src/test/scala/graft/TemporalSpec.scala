@@ -158,6 +158,34 @@ class TemporalSpec extends SparkSpec {
     assert(got.toSeq == Seq((3L, 3600L, 0L)), s"wrong flags: ${got.toSeq}")
   }
 
+  test("linearTrend: perfect line recovers its slope; zero time spread yields null") {
+    // key 1: y = 2x at x = 0,1,2 s -> num=12, den=6, slope 2.0.
+    // key 2: both samples in the same second -> den 0 -> null slope.
+    val df = Seq((1L, 0L, 0L), (1L, 1000000L, 2L), (1L, 2000000L, 4L),
+      (2L, 100L, 5L), (2L, 200L, 9L))
+      .toDF("k", "ts_us", "v")
+    val got = Temporal.linearTrend(df, "k", "ts_us", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double]))).toSet
+    assert(got == Set((1L, 3L, 12L, 6L, Some(2.0)), (2L, 2L, 0L, 0L, None)),
+      s"wrong trends: $got")
+  }
+
+  test("correlationMatrix: perfect correlation is 1.0, anti-correlation -1.0, join is pairwise-complete") {
+    // series a=(1,2,3), b=(2,4,6) over days 1-3 -> r=1; c=(3,2,1) vs a
+    // -> r=-1. Day 4 exists only in a -> excluded from its pairs.
+    val df = Seq(("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 3L), ("a", 4L, 99L),
+      ("b", 1L, 2L), ("b", 2L, 4L), ("b", 3L, 6L),
+      ("c", 1L, 3L), ("c", 2L, 2L), ("c", 3L, 1L))
+      .toDF("series", "day", "v")
+    val got = Temporal.correlationMatrix(df, "series", "day", "v")
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(6))))
+      .toMap
+    assert(got(("a", "b")) == (3L, 1.0), s"a-b: $got")
+    assert(got(("a", "c")) == (3L, -1.0), s"a-c: $got")
+    assert(got(("b", "c")) == (3L, -1.0), s"b-c: $got")
+  }
+
   test("timeWeightedAvg: zero-order hold, integer second durations, micro floor") {
     // key 1: v=100 holds 3s, v=200 holds 1s -> twa = 500/4 = 125.0;
     // last sample contributes nothing. key 2: single sample -> no
