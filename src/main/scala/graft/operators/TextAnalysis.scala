@@ -129,6 +129,34 @@ object TextAnalysis {
     * floor(sum_micro/n + 0.5)/1e6 — one IEEE division + floor,
     * engine-reproducible.
     */
+  /** Vocabulary coverage by minimum-frequency threshold — the
+    * tokenizer-training prestep: "if we keep only tokens seen >= t
+    * times, how many types survive and what share of the corpus'
+    * token MASS do they cover". Rising thresholds shrink the type
+    * table geometrically while mass coverage decays slowly (Zipf),
+    * and this query is how you pick the knee. No global sort and no
+    * rank: each threshold is a conditional aggregate over the type
+    * table (types x |thresholds| narrow multiply — thresholds are a
+    * literal handful), so the plan is two map-side-combined
+    * aggregations regardless of corpus size. mass_permille rides
+    * integer division.
+    */
+  def vocabCoverage(df: DataFrame, textCol: String,
+      thresholds: Seq[Long] = Seq(1L, 2L, 4L, 8L, 16L, 32L)): DataFrame = {
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    val vocab = df.select(explode(tokens(textCol)).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("_c"))
+    vocab.select(col("_c"),
+        explode(array(thresholds.map(lit): _*)).as("threshold"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(when(col("_c") >= col("threshold"), 1L).otherwise(0L)).as("kept_types"),
+        sum(col("_c")).as("_total"),
+        sum(when(col("_c") >= col("threshold"), col("_c")).otherwise(0L)).as("_kept"))
+      .select(col("threshold"), col("n_types"), col("kept_types"),
+        expr("(_kept * 1000) div _total").as("mass_permille"))
+  }
+
   /** Per-document mean bigram surprise under an add-one-smoothed
     * bigram LM trained on the corpus itself — the sharper relative of
     * [[unigramLogProb]]: a document full of common words in UNCOMMON

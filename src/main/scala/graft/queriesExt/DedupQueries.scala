@@ -401,6 +401,63 @@ object DedupQueries {
     WHERE inter * 100 >= 60 * (na.n + nb.n - inter)
     ORDER BY id_a, id_b"""))
 
+  /** LSH recall evaluation — the self-measurement q177 makes
+    * possible: the exact Jaccard join is ground truth, the q42 band
+    * candidates are the approximate screen, and the output is ONE row
+    * (n_exact, n_found, recall_permille) saying how many true >= 0.6
+    * pairs the 4-band/2-row MinHash screen surfaces. This is the
+    * recall audit a production dedup pipeline runs on a sample before
+    * trusting LSH at 100 TB (band candidates only — verification
+    * would not change membership). Both sides replay in DuckDB (the
+    * q41 signature CTEs + the naive exact definition), so even the
+    * evaluation itself is oracle-checked.
+    */
+  private val q184 = Q("q184_lsh_recall", (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val exact = Dedup.jaccardJoin(docs, "doc_id", Dedup.wordShingles("text", 3),
+        tauPct = 60)
+      .select(col("id_a"), col("id_b"))
+    val sigs = Dedup.minhashSignaturesHashed(
+      shingled(s, dir, "word3")
+        .select(col("doc_id"), org.apache.spark.sql.functions.explode_outer(col("_hs")).as("_h")),
+      "doc_id", col("_h"))
+    val cands = Dedup.lshCandidates(Dedup.lshBands(sigs, "doc_id"), "doc_id")
+      .withColumn("_found", lit(1L))
+    exact.join(cands,
+        col("id_a") === col("id1") && col("id_b") === col("id2"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("_found"), lit(0L))).as("n_found"))
+      .select(col("n_exact"), col("n_found"),
+        expr("(n_found * 1000) div n_exact").as("recall_permille"))
+  }, Some(s"""
+    $sigsCte,
+    bands AS (
+      SELECT doc_id, b.band_idx,
+             CASE b.band_idx
+               WHEN 0 THEN concat_ws(':', '0', sig0, sig1)
+               WHEN 1 THEN concat_ws(':', '1', sig2, sig3)
+               WHEN 2 THEN concat_ws(':', '2', sig4, sig5)
+               ELSE        concat_ws(':', '3', sig6, sig7) END AS band_key
+      FROM sigs, (SELECT unnest(range(4)) AS band_idx) b),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      FROM bands a JOIN bands b USING (band_idx, band_key)
+      WHERE a.doc_id < b.doc_id),
+    t AS (SELECT DISTINCT doc_id, unnest(s) AS term FROM sh),
+    n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY doc_id),
+    i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
+          FROM t a JOIN t b ON a.term = b.term AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+    ex AS (
+      SELECT id_a, id_b
+      FROM i JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
+      WHERE inter * 100 >= 60 * (na.n + nb.n - inter))
+    SELECT CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN c.id1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+           (CAST(sum(CASE WHEN c.id1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+             // CAST(count(*) AS BIGINT) AS recall_permille
+    FROM ex LEFT JOIN cands c ON c.id1 = ex.id_a AND c.id2 = ex.id_b"""))
+
   val list: Seq[Q] = Seq(q40, q41, q42, q43, q44, q75, q77, q87, q94, q95, q130,
-    q177)
+    q177, q184)
 }

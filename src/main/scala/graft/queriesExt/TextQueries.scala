@@ -640,6 +640,27 @@ object TextQueries {
            floor(CAST(ssum AS DOUBLE) / n_bigrams + 0.5) / 1000000.0 AS mean_nll
     FROM d ORDER BY doc_id"""))
 
+  /** Vocabulary coverage curve (TextAnalysis.vocabCoverage): surviving
+    * type counts and corpus-mass share at rising min-frequency
+    * thresholds — the tokenizer-pruning knee finder, computed with
+    * conditional aggregates only (no global sort/rank). Integer
+    * permille mass.
+    */
+  private val q183 = Q("q183_vocab_coverage", (s, dir) => {
+    TextAnalysis.vocabCoverage(Tables.load(s, dir, "documents"), "text")
+      .orderBy(col("threshold"))
+  }, Some("""
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+    v AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY term),
+    th AS (SELECT unnest([1, 2, 4, 8, 16, 32]) AS threshold)
+    SELECT CAST(threshold AS BIGINT) AS threshold,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN c >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS kept_types,
+           (CAST(sum(CASE WHEN c >= threshold THEN c ELSE 0 END) AS BIGINT) * 1000)
+             // CAST(sum(c) AS BIGINT) AS mass_permille
+    FROM v CROSS JOIN th
+    GROUP BY threshold ORDER BY threshold"""))
+
   val list: Seq[Q] = Seq(q51, q52, q53, q54, q55, q56, q74, q89, q100, q101, q108, q112,
-    q120, q128, q129, q138, q141, q142, q143, q144, q148, q176)
+    q120, q128, q129, q138, q141, q142, q143, q144, q148, q176, q183)
 }
