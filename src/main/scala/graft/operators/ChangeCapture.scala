@@ -129,6 +129,115 @@ object ChangeCapture {
         col(s"_last.`$tsCol`").as("as_of_ts"): _*)
   }
 
+  /** Tombstone-aware changelog diff — the operator that closes the
+    * upsert-stream blind spot: an upsert feed observes presence, not
+    * absence ([[graft.streaming.StreamingOps.diffStream]]), so a
+    * deleted key would simply stop arriving and the downstream
+    * aggregate would never retract it. The standard CDC fix (Debezium
+    * op=d, Kafka compacted-topic null values) is an explicit DELETE
+    * MARKER riding the same feed; this operator turns one
+    * marker-bearing batch into [[snapshotDiff]]-shaped I/U/D rows
+    * against a baseline, so [[maintainAgg]] retracts deletes exactly
+    * like any other change.
+    *
+    * Semantics per batch row, decided against `baseline`:
+    *  - marker false, key absent from baseline  -> I
+    *  - marker false, key present, attrs differ -> U
+    *  - marker false, key present, attrs equal  -> no row (idempotent re-send)
+    *  - marker true,  key present               -> D (old image from the baseline)
+    *  - marker true,  key absent                -> no row (idempotent re-delete)
+    * A key carried BOTH ways in one batch resolves tombstone-wins (a
+    * delete marker is the stronger, later-intent signal — same rule as
+    * compacted-topic null precedence); a null marker reads as false.
+    * Tombstone rows' attr columns are ignored — delete markers carry
+    * a key, not an image.
+    *
+    * Scale shape: both sides of the baseline are scoped FIRST by
+    * left-semi joins on the batch's keys, so per-batch cost follows
+    * the BATCH size, never the baseline size — at 100 TB the baseline
+    * is the big side and only touched keys' rows ever join (the same
+    * contract as diffStream). Output is valid [[maintainAgg]] input.
+    */
+  def tombstoneDiff(
+      batch: DataFrame,
+      baseline: DataFrame,
+      keyCols: Seq[String],
+      compareCols: Seq[String],
+      deleteCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(compareCols.nonEmpty, "compareCols must be non-empty")
+    require(batch.columns.contains(deleteCol),
+      s"batch lacks the delete-marker column '$deleteCol'")
+    val isDel = coalesce(col(deleteCol).cast("boolean"), lit(false))
+    val delKeys = batch.where(isDel).select(keyCols.map(col): _*).distinct()
+    // tombstone-wins: an upsert of a key the same batch also deletes is void
+    val ups = batch.where(!isDel).drop(deleteCol)
+      .join(delKeys, keyCols, "left_anti")
+    val upBase = baseline.join(
+      ups.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
+    // every scoped baseline key is in ups, so this emits I/U only
+    val upDiff = snapshotDiff(upBase, ups, keyCols, compareCols)
+    val delDiff = baseline.join(delKeys, keyCols, "left_semi")
+      .select(keyCols.map(col) ++
+        Seq(lit("D").as("change_type")) ++
+        compareCols.map(c => col(c).as(s"old_$c")) ++
+        compareCols.map(c =>
+          lit(null).cast(baseline.schema(c).dataType).as(s"new_$c")): _*)
+    upDiff.unionByName(delDiff)
+  }
+
+  /** Checkpointed time travel — [[snapshotAt]] without the full-
+    * changelog replay: given a MATERIALIZED snapshot taken at
+    * `checkpointTs` (a persisted [[snapshotAt]] result — key cols,
+    * attr cols, `as_of_ts`) and the raw changelog, reconstruct the
+    * state as of `asOf >= checkpointTs` by replaying ONLY the delta
+    * in (checkpointTs, asOf]. Per key the answer is the delta's last
+    * change if one exists, else the checkpoint row — delta rows are
+    * strictly newer than every checkpoint row's change time, so the
+    * preference needs no tie-break, and keys first seen inside the
+    * delta appear exactly as [[snapshotAt]] would surface them.
+    *
+    * This is the plan that survives a growing changelog: full replay
+    * costs O(|history|) per query and the history only ever grows,
+    * while checkpoint + delta costs O(|snapshot| + |delta|) — with
+    * the changelog partitioned by `tsCol`, partition pruning makes
+    * the delta scan read only the (checkpointTs, asOf] files
+    * (the Delta/Iceberg checkpoint-plus-log shape). One filtered
+    * max-struct aggregation + one full-outer hash join on the key.
+    *
+    * Byte-equivalence to the full replay is oracle-proved (q186
+    * hash-matches q180's full-replay oracle) and LinkageSpec asserts
+    * the delta row count is the pruned one.
+    */
+  def snapshotAtCheckpointed(
+      checkpoint: DataFrame,
+      changes: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      attrCols: Seq[String],
+      tieCols: Seq[String],
+      checkpointTs: Column,
+      asOf: Column): DataFrame = {
+    require(keyCols.nonEmpty && attrCols.nonEmpty,
+      "keyCols and attrCols must be non-empty")
+    val outCols = attrCols :+ "as_of_ts"
+    val missing = outCols.filterNot(checkpoint.columns.contains)
+    require(missing.isEmpty,
+      s"checkpoint is not a snapshotAt materialization — lacks ${missing.mkString(", ")}")
+    val delta = changes.where(col(tsCol) > checkpointTs)
+    val deltaLast = snapshotAt(delta, keyCols, tsCol, attrCols, tieCols, asOf)
+    val ckR = checkpoint.select(keyCols.map(col) ++
+      outCols.map(c => col(c).as(s"_ck_$c")): _*)
+    val dR = deltaLast.select(keyCols.map(col) ++
+      outCols.map(c => col(c).as(s"_d_$c")): _*)
+    // row presence decides the winner (as_of_ts is never null on a
+    // present row; an attr itself may be legitimately null)
+    ckR.join(dR, keyCols, "full_outer")
+      .select(keyCols.map(col) ++ outCols.map(c =>
+        when(col("_d_as_of_ts").isNotNull, col(s"_d_$c"))
+          .otherwise(col(s"_ck_$c")).as(c)): _*)
+  }
+
   /** Incremental aggregate maintenance (materialized-view refresh):
     * given the previous grouped aggregate of a fact table and the
     * [[snapshotDiff]] of the facts since that aggregate was built,

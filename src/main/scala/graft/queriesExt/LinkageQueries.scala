@@ -283,5 +283,87 @@ object LinkageQueries {
     SELECT user_id, event_type, ts_us AS as_of_ts
     FROM r WHERE rn = 1 ORDER BY user_id"""))
 
-  val list: Seq[Q] = Seq(q160, q161, q162, q164, q165, q168, q169, q180)
+  /** Tombstone-bearing CDC refresh (ChangeCapture.tombstoneDiff +
+    * maintainAgg): one changelog batch carries BOTH upserts (%5 keys,
+    * balance +100 — updates where the key exists, inserts where it
+    * does not) and delete markers (%11 keys), and the maintained
+    * segment aggregate must retract the deletes — the blind spot a
+    * plain upsert feed cannot express. A key divisible by 55 is
+    * carried both ways, exercising the tombstone-wins rule. The
+    * oracle recomputes the aggregate from scratch on the post-
+    * changelog state — it never sees the base aggregate, the diff, or
+    * the precedence rule — so the hash match proves delete
+    * retraction end-to-end.
+    */
+  private val q185 = Q("q185_tombstone_cdc", (s, dir) => {
+    val c = Tables.load(s, dir, "customer")
+    def cents(b: org.apache.spark.sql.Column) =
+      floor(b * 100 + lit(0.5)).cast("long")
+    val baseline = c.where(col("c_custkey") % 7 =!= 0)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        cents(col("c_acctbal")).as("bal_cents"))
+    val tombs = c.where(col("c_custkey") % 11 === 0)
+      .select(col("c_custkey"), lit(null).cast("string").as("c_mktsegment"),
+        lit(null).cast("long").as("bal_cents"), lit(true).as("deleted"))
+    val ups = c.where(col("c_custkey") % 5 === 0 &&
+        (col("c_custkey") % 7 =!= 0 || col("c_custkey") % 3 === 0))
+      .select(col("c_custkey"), col("c_mktsegment"),
+        cents(col("c_acctbal") + 100.0).as("bal_cents"), lit(false).as("deleted"))
+    val baseAgg = baseline.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"), sum(col("bal_cents")).as("bal_cents"))
+    val diff = ChangeCapture.tombstoneDiff(tombs.unionByName(ups), baseline,
+      keyCols = Seq("c_custkey"), compareCols = Seq("c_mktsegment", "bal_cents"),
+      deleteCol = "deleted")
+    ChangeCapture.maintainAgg(baseAgg, diff,
+        groupCols = Seq("c_mktsegment"), measureCols = Seq("bal_cents"))
+      .orderBy(col("c_mktsegment"))
+  }, Some("""
+    WITH finalstate AS (
+      SELECT c_mktsegment,
+             CAST(floor(CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0
+                             ELSE c_acctbal END * 100 + 0.5) AS BIGINT) AS bal_cents
+      FROM customer
+      WHERE c_custkey % 11 <> 0
+        AND (c_custkey % 7 <> 0
+             OR (c_custkey % 3 = 0 AND c_custkey % 5 = 0)))
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(bal_cents) AS BIGINT) AS bal_cents
+    FROM finalstate GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** Checkpointed time travel (ChangeCapture.snapshotAtCheckpointed):
+    * the q180 as-of-2024-01-15 state, reconstructed from a
+    * materialized 2024-01-08 checkpoint plus ONLY the week's delta —
+    * never the full changelog. The oracle is q180's full-replay
+    * definition verbatim, so the hash match proves checkpoint + delta
+    * replay is byte-equivalent to replaying all of history
+    * (LinkageSpec separately asserts the replayed-row count drops to
+    * the delta).
+    */
+  private val q186 = Q("q186_snapshot_checkpointed", (s, dir) => {
+    val e = Tables.events(s, dir).select(
+      col("user_id"), col("event_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"))
+    val ckTs = 1704672000000000L // 2024-01-08 00:00 UTC
+    val checkpoint = ChangeCapture.snapshotAt(e, keyCols = Seq("user_id"),
+      tsCol = "ts_us", attrCols = Seq("event_type"), tieCols = Seq("event_id"),
+      asOf = lit(ckTs))
+    ChangeCapture.snapshotAtCheckpointed(checkpoint, e,
+        keyCols = Seq("user_id"), tsCol = "ts_us",
+        attrCols = Seq("event_type"), tieCols = Seq("event_id"),
+        checkpointTs = lit(ckTs), asOf = lit(1705276800000000L))
+      .orderBy(col("user_id"))
+  }, Some("""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+      FROM events WHERE epoch_us(ts) <= 1705276800000000),
+    r AS (
+      SELECT user_id, event_type, ts_us,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts_us DESC, event_id DESC) AS rn
+      FROM e)
+    SELECT user_id, event_type, ts_us AS as_of_ts
+    FROM r WHERE rn = 1 ORDER BY user_id"""))
+
+  val list: Seq[Q] = Seq(q160, q161, q162, q164, q165, q168, q169, q180,
+    q185, q186)
 }

@@ -307,11 +307,17 @@ object StreamingOps {
     * size, never the baseline size — at 100 TB the baseline is the
     * big side and only the touched keys' rows join.
     *
-    * Semantics: an upsert stream observes presence, not absence —
-    * every old-side key is by construction in the batch, so D rows
-    * cannot occur and unchanged re-sends emit nothing (idempotent
-    * upserts drop out). Deletes need tombstones or the batch
-    * operator over full snapshots (q161). Stateless: cross-batch
+    * Semantics: a PLAIN upsert stream (deleteCol = None) observes
+    * presence, not absence — every old-side key is by construction in
+    * the batch, so D rows cannot occur and unchanged re-sends emit
+    * nothing (idempotent upserts drop out). Passing `deleteCol`
+    * switches the per-batch diff to
+    * [[graft.operators.ChangeCapture.tombstoneDiff]]: rows whose
+    * marker is true are delete tombstones (Debezium op=d / compacted-
+    * topic null convention) and emit D rows with the baseline's old
+    * image — so retractions flow to [[maintainAggStream]] end-to-end
+    * and the last delivery-semantics asymmetry with full-snapshot
+    * diffing (q161) closes. Stateless either way: cross-batch
     * compaction of the diff log is a batch query over the
     * batchId-partitioned output.
     */
@@ -319,16 +325,26 @@ object StreamingOps {
       keyCols: Seq[String], compareCols: Seq[String],
       outDir: String, checkpointDir: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      deleteCol: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
     upserts.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           batch.persist()
           try {
-            val touched = batch.select(keyCols.map(col): _*).distinct()
-            val scoped = baseline.join(touched, keyCols, "left_semi")
-            graft.operators.ChangeCapture.snapshotDiff(scoped, batch, keyCols, compareCols)
-              .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            val diff = deleteCol match {
+              case Some(d) =>
+                // tombstoneDiff scopes the baseline internally (two
+                // left-semi joins on the batch's keys)
+                graft.operators.ChangeCapture
+                  .tombstoneDiff(batch, baseline, keyCols, compareCols, d)
+              case None =>
+                val touched = batch.select(keyCols.map(col): _*).distinct()
+                val scoped = baseline.join(touched, keyCols, "left_semi")
+                graft.operators.ChangeCapture
+                  .snapshotDiff(scoped, batch, keyCols, compareCols)
+            }
+            diff.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
               .parquet(s"$outDir/batchId=$batchId")
           } finally batch.unpersist()
         }

@@ -186,4 +186,78 @@ class LinkageSpec extends SparkSpec {
     assert(viaHistory == snap.map(t => (t._1, t._2)),
       s"scd2-filter disagrees: $viaHistory vs $snap")
   }
+
+  test("tombstoneDiff: I/U/D semantics, idempotent re-sends, tombstone-wins, null marker") {
+    val baseline = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L))
+      .toDF("k", "v", "m")
+    val batch = Seq(
+      (1L, "a2", 11L, Some(false)), // present, changed        -> U
+      (2L, "b", 20L, Some(false)),  // present, identical      -> dropped
+      (3L, null, 0L, Some(true)),   // present, tombstone      -> D
+      (5L, "e", 50L, Some(false)),  // absent, upsert          -> I
+      (6L, null, 0L, Some(true)),   // absent, tombstone       -> dropped
+      (4L, "dd", 44L, Some(false)), // also tombstoned below:
+      (4L, null, 0L, Some(true)),   //   tombstone wins        -> D
+      (7L, "g", 70L, None))         // null marker reads false -> I
+      .toDF("k", "v", "m", "deleted")
+    val got = ChangeCapture.tombstoneDiff(batch, baseline,
+        Seq("k"), Seq("v", "m"), "deleted")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)).map(_.toString).orNull, Option(r.get(4)).map(_.toString).orNull))
+      .toSet
+    assert(got == Set(
+      (1L, "U", "a2", "a"),
+      (3L, "D", null, "c"),
+      (4L, "D", null, "d"),
+      (5L, "I", "e", null),
+      (7L, "I", "g", null)), s"wrong diff: $got")
+  }
+
+  test("tombstoneDiff feeds maintainAgg: deletes retract, refresh equals full recompute") {
+    val baseline = Seq((1L, "g1", 100L), (2L, "g1", 200L), (3L, "g2", 300L),
+      (4L, "g2", 400L)).toDF("k", "g", "m")
+    // delete key 1; move key 3 to g1 with a new measure; insert key 5
+    val batch = Seq(
+      (1L, null.asInstanceOf[String], 0L, true),
+      (3L, "g1", 350L, false),
+      (5L, "g2", 500L, false)).toDF("k", "g", "m", "deleted")
+    val baseAgg = baseline.groupBy(col("g"))
+      .agg(count(lit(1)).as("cnt"), sum(col("m")).as("m"))
+    val diff = ChangeCapture.tombstoneDiff(batch, baseline, Seq("k"), Seq("g", "m"), "deleted")
+    val got = ChangeCapture.maintainAgg(baseAgg, diff, Seq("g"), Seq("m"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // final state: 2->g1/200, 3->g1/350, 4->g2/400, 5->g2/500
+    assert(got == Set(("g1", 2L, 550L), ("g2", 2L, 900L)), s"wrong refresh: $got")
+  }
+
+  test("snapshotAtCheckpointed: equals full replay; scans only the delta; empty delta = checkpoint") {
+    // key 1 changes on both sides of the checkpoint; key 2 only
+    // before; key 3 is born after; key 4 changes after asOf
+    val log = Seq(
+      (1L, 10L, 1L, "a"), (1L, 30L, 2L, "b"),
+      (2L, 15L, 3L, "x"),
+      (3L, 25L, 4L, "m"),
+      (4L, 50L, 5L, "z"), (1L, 50L, 6L, "late"))
+      .toDF("k", "ts", "id", "v")
+    val ck = ChangeCapture.snapshotAt(log, Seq("k"), "ts", Seq("v"), Seq("id"),
+      asOf = lit(20L))
+    val got = ChangeCapture.snapshotAtCheckpointed(ck, log, Seq("k"), "ts",
+      Seq("v"), Seq("id"), checkpointTs = lit(20L), asOf = lit(40L))
+    val want = ChangeCapture.snapshotAt(log, Seq("k"), "ts", Seq("v"), Seq("id"),
+      asOf = lit(40L))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      s"checkpoint+delta diverged: ${got.collect().toSeq} vs ${want.collect().toSeq}")
+    // the replay volume is the delta, not the history: only rows in
+    // (20, 40] survive the pre-aggregation filter
+    val replayed = log.where(col("ts") > 20L && col("ts") <= 40L).count()
+    assert(replayed == 2L && log.count() == 6L,
+      s"delta should be 2 of 6 rows, got $replayed")
+    // asOf == checkpointTs: the delta is empty and the checkpoint
+    // passes through byte-identically
+    val same = ChangeCapture.snapshotAtCheckpointed(ck, log, Seq("k"), "ts",
+      Seq("v"), Seq("id"), checkpointTs = lit(20L), asOf = lit(20L))
+    assert(same.exceptAll(ck).isEmpty && ck.exceptAll(same).isEmpty,
+      "empty delta must reproduce the checkpoint")
+  }
 }
