@@ -51,7 +51,8 @@ object Bench {
       val ok = times.filter(_ >= 0)
       name -> (if (ok.size < runs) -1.0 else ok.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def fmt(v: Double): String = if (v < 0) "-1.0" else f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // failures carry a -1 sentinel; keep them out of the total so a
     // crashed query cannot lower the headline number
@@ -72,7 +73,26 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] stream_churn: ${e.getMessage}"); "null"
       }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stream":$stream,"stream_churn":$churn,"sf":"$sfDir"}""")
+    // The driver keeps only the LAST 2000 chars of sbt output, so the
+    // stdout line must stay under that window or it can never be
+    // parsed (every BENCH_r*.json through r09 has parsed:null for
+    // exactly this reason — the full per-query dict outgrew the
+    // window in round 1). Full detail goes to bench_full.json; the
+    // stdout line carries the headline total, the slowest queries,
+    // and EVERY failure sentinel, and stays ~1.5 KB.
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"stream":$stream,"stream_churn":$churn,"sf":"$sfDir"}"""
+    val fullPath = java.nio.file.Paths.get(
+      sys.props.getOrElse("user.dir", "."), "bench_full.json")
+    try java.nio.file.Files.writeString(fullPath, full + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}")
+    }
+    val failed = results.filter(_._2 < 0)
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(15)
+    val head = (failed ++ slowest)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries_n":${results.size},"failed_n":${failed.size},"queries":$head,"detail":"bench_full.json","stream":$stream,"stream_churn":$churn,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -8,16 +8,24 @@ object Tables {
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS); self-heal sessions that
-    // were built without the legacy conf (it is runtime-settable).
+    // events.parquet has carried TIMESTAMP(NANOS) in some generations
+    // and TIMESTAMP(MICROS, isAdjustedToUTC=false) in others; self-heal
+    // sessions built without either conf (both are runtime-settable).
+    // nanosAsLong: read nanos as long (events() converts to micros).
+    // inferTimestampNTZ=false: read un-adjusted micros as TimestampType
+    // (session TZ is UTC, so values match DuckDB's read byte-for-byte)
+    // instead of TIMESTAMP_NTZ, which unix_micros/window/watermark
+    // reject.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
-  /** events with its TIMESTAMP(NANOS) `ts` column (read as long nanos
-    * under spark.sql.legacy.parquet.nanosAsLong) converted to a proper
-    * TimestampType at microsecond precision — the same truncation
-    * DuckDB applies when reading nanos parquet.
+  /** events with its `ts` column normalized to a proper TimestampType
+    * at microsecond precision regardless of the file's physical type —
+    * long nanos (legacy generations, truncated exactly as DuckDB does)
+    * or NTZ micros (belt-and-suspenders if a caller loaded before the
+    * conf landed).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     val df = load(spark, sfDir, "events")
@@ -25,6 +33,9 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   }

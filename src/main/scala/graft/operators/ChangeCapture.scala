@@ -152,6 +152,19 @@ object ChangeCapture {
     * Tombstone rows' attr columns are ignored — delete markers carry
     * a key, not an image.
     *
+    * Multiple rows per key: real Debezium / compacted-topic micro-
+    * batches routinely carry several changes for one key. Pass
+    * `orderCols` (an event-time / offset column, non-null) and the
+    * batch is COMPACTED to the last write per key first — one
+    * max-struct aggregation, map-side combined — so a delete followed
+    * by a later re-insert correctly surfaces the re-insert, and
+    * [[maintainAgg]] sees exactly one retract/add pair per key. Ties
+    * on `orderCols` resolve tombstone-wins. With `orderCols` empty
+    * the input must carry AT MOST ONE NON-TOMBSTONE ROW PER KEY
+    * (tombstone-wins resolves the delete-vs-upsert collision, but two
+    * distinct upserts of one key are unordered and would fan the diff
+    * out); feeds that can violate this must pass `orderCols`.
+    *
     * Scale shape: both sides of the baseline are scoped FIRST by
     * left-semi joins on the batch's keys, so per-batch cost follows
     * the BATCH size, never the baseline size — at 100 TB the baseline
@@ -163,15 +176,29 @@ object ChangeCapture {
       baseline: DataFrame,
       keyCols: Seq[String],
       compareCols: Seq[String],
-      deleteCol: String): DataFrame = {
+      deleteCol: String,
+      orderCols: Seq[String] = Nil): DataFrame = {
     require(keyCols.nonEmpty, "keyCols must be non-empty")
     require(compareCols.nonEmpty, "compareCols must be non-empty")
     require(batch.columns.contains(deleteCol),
       s"batch lacks the delete-marker column '$deleteCol'")
     val isDel = coalesce(col(deleteCol).cast("boolean"), lit(false))
-    val delKeys = batch.where(isDel).select(keyCols.map(col): _*).distinct()
+    // last-write-per-key compaction: order by (orderCols, marker) so
+    // exact order ties resolve tombstone-wins; attrs trail only to
+    // make the pick deterministic when even the marker ties
+    val b =
+      if (orderCols.isEmpty) batch
+      else {
+        val w = struct(orderCols.map(col) ++
+          Seq(isDel.as("_del")) ++ compareCols.map(col): _*)
+        batch.groupBy(keyCols.map(col): _*).agg(max(w).as("_w"))
+          .select(keyCols.map(col) ++
+            Seq(col("_w._del").as(deleteCol)) ++
+            compareCols.map(c => col(s"_w.`$c`").as(c)): _*)
+      }
+    val delKeys = b.where(isDel).select(keyCols.map(col): _*).distinct()
     // tombstone-wins: an upsert of a key the same batch also deletes is void
-    val ups = batch.where(!isDel).drop(deleteCol)
+    val ups = b.where(!isDel).drop(deleteCol)
       .join(delKeys, keyCols, "left_anti")
     val upBase = baseline.join(
       ups.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
@@ -226,16 +253,25 @@ object ChangeCapture {
       s"checkpoint is not a snapshotAt materialization — lacks ${missing.mkString(", ")}")
     val delta = changes.where(col(tsCol) > checkpointTs)
     val deltaLast = snapshotAt(delta, keyCols, tsCol, attrCols, tieCols, asOf)
-    val ckR = checkpoint.select(keyCols.map(col) ++
+    val ckR = checkpoint.select(keyCols.map(c => col(c).as(s"_ck_k_$c")) ++
       outCols.map(c => col(c).as(s"_ck_$c")): _*)
-    val dR = deltaLast.select(keyCols.map(col) ++
+    val dR = deltaLast.select(keyCols.map(c => col(c).as(s"_d_k_$c")) ++
       outCols.map(c => col(c).as(s"_d_$c")): _*)
+    // null-safe key equality (<=>): snapshotAt's groupBy collapses a
+    // null key into ONE group, so the merge join must match null keys
+    // too — a using-columns full outer would surface a null-keyed
+    // checkpoint row AND its delta row (stale + fresh)
+    val cond = keyCols.map(c => col(s"_ck_k_$c") <=> col(s"_d_k_$c"))
+      .reduce(_ && _)
     // row presence decides the winner (as_of_ts is never null on a
     // present row; an attr itself may be legitimately null)
-    ckR.join(dR, keyCols, "full_outer")
-      .select(keyCols.map(col) ++ outCols.map(c =>
-        when(col("_d_as_of_ts").isNotNull, col(s"_d_$c"))
-          .otherwise(col(s"_ck_$c")).as(c)): _*)
+    ckR.join(dR, cond, "full_outer")
+      .select(keyCols.map(c =>
+        when(col("_d_as_of_ts").isNotNull, col(s"_d_k_$c"))
+          .otherwise(col(s"_ck_k_$c")).as(c)) ++
+        outCols.map(c =>
+          when(col("_d_as_of_ts").isNotNull, col(s"_d_$c"))
+            .otherwise(col(s"_ck_$c")).as(c)): _*)
   }
 
   /** Incremental aggregate maintenance (materialized-view refresh):

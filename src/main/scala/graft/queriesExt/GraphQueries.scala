@@ -309,6 +309,52 @@ object GraphQueries {
     WHERE e.a IS NULL
     ORDER BY node_a, node_b"""))
 
+  /** The CAPPED plan q174 proves exact, proved under its cap: same
+    * graph, `maxCenterDegree = 5` — the scale lever that skips hub
+    * centers (38 of this graph's 50 nodes have degree 6, so the cap
+    * genuinely prunes most wedge fan-out, not a vacuous bound). The
+    * oracle mirrors the cap in the contrib CTE (`dg <= 5`), so the
+    * hash match proves the capped plan computes exactly the capped
+    * DEFINITION — wedges through skipped hubs are absent, everything
+    * else is untouched. GraphSpec asserts the hub-absence invariant
+    * on a hand graph.
+    */
+  private val q187 = Q("q187_link_predict_capped", (s, dir) => {
+    val d = Tables.load(s, dir, "documents").select(col("doc_id"))
+    val edges = d.select((col("doc_id") % 50).as("src"),
+        ((col("doc_id") * 3 + 1) % 50).as("dst"))
+      .union(d.select((col("doc_id") % 50).as("src"),
+        ((col("doc_id") * 7 + 2) % 50).as("dst")))
+      .union(d.select((col("doc_id") % 50).as("src"),
+        ((col("doc_id") * 11 + 5) % 50).as("dst")))
+    Graph.linkPredict(edges, "src", "dst", maxCenterDegree = 5)
+      .orderBy(col("node_a"), col("node_b"))
+  }, Some("""
+    WITH d AS (SELECT doc_id FROM documents),
+    e0 AS (
+      SELECT doc_id % 50 AS src, (doc_id * 3 + 1) % 50 AS dst FROM d
+      UNION ALL
+      SELECT doc_id % 50 AS src, (doc_id * 7 + 2) % 50 AS dst FROM d
+      UNION ALL
+      SELECT doc_id % 50 AS src, (doc_id * 11 + 5) % 50 AS dst FROM d),
+    e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM e0 WHERE src <> dst),
+    u AS (SELECT a AS node, b AS nbr FROM e UNION ALL SELECT b, a FROM e),
+    deg AS (SELECT node, count(*) AS dg FROM u GROUP BY node),
+    c AS (SELECT node,
+                 1000000000000 // CAST(floor(ln(dg) * 1000000 + 0.5) AS BIGINT) AS aa
+          FROM deg WHERE dg <= 5),
+    wed AS (SELECT u1.node AS z, u1.nbr AS x, u2.nbr AS y
+            FROM u u1 JOIN u u2 ON u1.node = u2.node AND u1.nbr < u2.nbr),
+    sc AS (SELECT x, y, CAST(count(*) AS BIGINT) AS cn,
+                  CAST(sum(c.aa) AS BIGINT) AS aam
+           FROM wed JOIN c ON c.node = wed.z GROUP BY x, y)
+    SELECT sc.x AS node_a, sc.y AS node_b, sc.cn AS common_neighbors,
+           sc.aam AS aa_micro
+    FROM sc LEFT JOIN e ON e.a = sc.x AND e.b = sc.y
+    WHERE e.a IS NULL
+    ORDER BY node_a, node_b"""))
+
   /** One BFS relaxation round as a CTE: keep every settled distance,
     * add each frontier node's neighbors at +1, take the min.
     */
@@ -353,5 +399,6 @@ object GraphQueries {
            WHERE node IN (3, 17))${bfsIterCtes(3)}
     SELECT node, h AS hops FROM b3 ORDER BY node"""))
 
-  val list: Seq[Q] = Seq(q102, q118, q127, q146, q147, q149, q174, q175)
+  val list: Seq[Q] = Seq(q102, q118, q127, q146, q147, q149, q174, q175,
+    q187)
 }

@@ -326,7 +326,8 @@ object StreamingOps {
       outDir: String, checkpointDir: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow(),
-      deleteCol: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+      deleteCol: Option[String] = None,
+      orderCols: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery =
     upserts.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
@@ -335,9 +336,11 @@ object StreamingOps {
             val diff = deleteCol match {
               case Some(d) =>
                 // tombstoneDiff scopes the baseline internally (two
-                // left-semi joins on the batch's keys)
+                // left-semi joins on the batch's keys); orderCols
+                // compacts a multi-change-per-key batch to its last
+                // write first (Debezium/compacted-topic cadence)
                 graft.operators.ChangeCapture
-                  .tombstoneDiff(batch, baseline, keyCols, compareCols, d)
+                  .tombstoneDiff(batch, baseline, keyCols, compareCols, d, orderCols)
               case None =>
                 val touched = batch.select(keyCols.map(col): _*).distinct()
                 val scoped = baseline.join(touched, keyCols, "left_semi")

@@ -122,6 +122,27 @@ class GraphSpec extends SparkSpec {
     assert(Graph.linkPredict(edges, "src", "dst", maxCenterDegree = 3).count() == 0L)
   }
 
+  test("linkPredict cap: hub wedges vanish, selective wedges and their AA survive untouched") {
+    // hub 9 (deg 4) and selective center 8 (deg 2) both connect 1 and
+    // 2: uncapped, pair (1,2) has cn=2 with AA from both centers;
+    // capped at 3, only center 8 certifies it — cn=1 and AA exactly
+    // 8's contribution — and hub-only pairs like (3,4) vanish.
+    val edges = Seq((9L, 1L), (9L, 2L), (9L, 3L), (9L, 4L),
+      (8L, 1L), (8L, 2L)).toDF("src", "dst")
+    val aa = (d: Int) => 1000000000000L / math.floor(math.log(d.toDouble) * 1e6 + 0.5).toLong
+    val un = Graph.linkPredict(edges, "src", "dst")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(un.contains((1L, 2L, 2L, aa(4) + aa(2))), s"uncapped: $un")
+    // capped survivors: (1,2) via center 8 only, and (8,9) via
+    // centers 1 and 2 (deg 2 each); hub-only pairs like (3,4) vanish
+    val capped = Graph.linkPredict(edges, "src", "dst", maxCenterDegree = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L, 1L, aa(2)), (8L, 9L, 2L, 2 * aa(2))),
+      s"cap must drop hub-centered wedges only: $capped")
+    assert(!capped.exists(p => p._1 == 3L || p._2 == 4L),
+      s"hub-only pairs must vanish: $capped")
+  }
+
   test("bfsHops: multi-source min-hop distances, bounded by rounds") {
     // path 1-2-3-4-5, seeds {1,5}: exact dists 0,1,2,1,0. With
     // rounds=1 node 3 (dist 2) is still unreached.

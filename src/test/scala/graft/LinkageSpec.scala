@@ -207,11 +207,67 @@ class LinkageSpec extends SparkSpec {
         Option(r.get(2)).map(_.toString).orNull, Option(r.get(4)).map(_.toString).orNull))
       .toSet
     assert(got == Set(
-      (1L, "U", "a2", "a"),
-      (3L, "D", null, "c"),
-      (4L, "D", null, "d"),
-      (5L, "I", "e", null),
-      (7L, "I", "g", null)), s"wrong diff: $got")
+      (1L, "U", "a", "a2"),
+      (3L, "D", "c", null),
+      (4L, "D", "d", null),
+      (5L, "I", null, "e"),
+      (7L, "I", null, "g")), s"wrong diff: $got")
+  }
+
+  test("tombstoneDiff orderCols: multi-change-per-key batch compacts to last write") {
+    val baseline = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "v", "m")
+    val batch = Seq(
+      // key 1: three changes; last (off=3) wins -> U a->a3
+      (1L, "a1", 11L, false, 1L),
+      (1L, "a2", 12L, false, 2L),
+      (1L, "a3", 13L, false, 3L),
+      // key 2: delete then LATER re-insert -> the re-insert wins (U)
+      (2L, null, 0L, true, 1L),
+      (2L, "b2", 22L, false, 2L),
+      // key 3: insert then later delete; absent from baseline -> dropped
+      (3L, "c", 30L, false, 1L),
+      (3L, null, 0L, true, 2L))
+      .toDF("k", "v", "m", "deleted", "off")
+    val got = ChangeCapture.tombstoneDiff(batch, baseline,
+        Seq("k"), Seq("v", "m"), "deleted", orderCols = Seq("off"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)).map(_.toString).orNull, Option(r.get(4)).map(_.toString).orNull))
+      .toSet
+    assert(got == Set(
+      (1L, "U", "a", "a3"),
+      (2L, "U", "b", "b2")), s"wrong compacted diff: $got")
+    // exactly one retract/add pair per key: maintainAgg stays exact
+    val baseAgg = baseline.groupBy(lit("all").as("g"))
+      .agg(count(lit(1)).as("cnt"), sum(col("m")).as("m"))
+      .select(col("g"), col("cnt"), col("m"))
+    val diff = ChangeCapture.tombstoneDiff(batch, baseline,
+      Seq("k"), Seq("v", "m"), "deleted", orderCols = Seq("off"))
+      .withColumn("old_g", when(col("old_m").isNotNull, lit("all")))
+      .withColumn("new_g", when(col("new_m").isNotNull, lit("all")))
+    val refreshed = ChangeCapture.maintainAgg(baseAgg, diff, Seq("g"), Seq("m"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // final state: 1->13, 2->22
+    assert(refreshed == Set(("all", 2L, 35L)), s"wrong refresh: $refreshed")
+  }
+
+  test("snapshotAtCheckpointed: null keys collapse like snapshotAt's groupBy") {
+    val log = Seq(
+      (Some(1L), 10L, 1L, "a"), (Some(1L), 30L, 2L, "b"),
+      (None, 10L, 3L, "n1"), (None, 30L, 4L, "n2"))
+      .toDF("k", "ts", "id", "v")
+    val ck = ChangeCapture.snapshotAt(log, Seq("k"), "ts", Seq("v"), Seq("id"),
+      asOf = lit(20L))
+    val got = ChangeCapture.snapshotAtCheckpointed(ck, log, Seq("k"), "ts",
+      Seq("v"), Seq("id"), checkpointTs = lit(20L), asOf = lit(40L))
+    val want = ChangeCapture.snapshotAt(log, Seq("k"), "ts", Seq("v"), Seq("id"),
+      asOf = lit(40L))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      s"null-keyed checkpoint+delta diverged: ${got.collect().toSeq} vs ${want.collect().toSeq}")
+    // one row for the null key, carrying the fresh image
+    val nullRows = got.where(col("k").isNull).collect()
+    assert(nullRows.length == 1 && nullRows.head.getString(1) == "n2",
+      s"null key must surface once with the delta image: ${nullRows.toSeq}")
   }
 
   test("tombstoneDiff feeds maintainAgg: deletes retract, refresh equals full recompute") {

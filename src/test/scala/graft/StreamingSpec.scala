@@ -637,6 +637,81 @@ class StreamingSpec extends SparkSpec {
       s"unexpected change types: $types")
   }
 
+  test("streaming CDC tombstones: delete markers emit D rows, compaction holds, kill/restart replays idempotently") {
+    val base = tmp()
+    val baseline = Tables.load(spark, sfDir, "customer")
+      .select("c_custkey", "c_name", "c_acctbal")
+      .filter(col("c_custkey") <= 600)
+    // batch 0: upserts (some changed, some identical re-sends);
+    // batch 1: tombstones for the %7 residue PLUS a multi-change key
+    //   cadence — every %11 key carries TWO upserts (off 1 and 2,
+    //   the later wins) — the Debezium/compacted-topic shape
+    val b0 = baseline.filter(col("c_custkey") % 3 === 0)
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 5 === 0, col("c_acctbal") + 100.0)
+          .otherwise(col("c_acctbal")))
+      .withColumn("deleted", lit(false)).withColumn("off", lit(1L))
+    val dels = baseline.filter(col("c_custkey") % 7 === 0)
+      .withColumn("c_name", lit(null).cast("string"))
+      .withColumn("c_acctbal", lit(null).cast("double"))
+      .withColumn("deleted", lit(true)).withColumn("off", lit(1L))
+    val multi = baseline.filter(col("c_custkey") % 11 === 0 && col("c_custkey") % 7 =!= 0)
+    val b1 = dels
+      .unionByName(multi.withColumn("c_acctbal", col("c_acctbal") + 1.0)
+        .withColumn("deleted", lit(false)).withColumn("off", lit(1L)))
+      .unionByName(multi.withColumn("c_acctbal", col("c_acctbal") + 2.0)
+        .withColumn("deleted", lit(false)).withColumn("off", lit(2L)))
+    val now = System.currentTimeMillis()
+    val slices = Seq(b0, b1)
+    slices.zipWithIndex.foreach { case (s, i) =>
+      s.coalesce(1).write.mode("overwrite").parquet(s"$base/staging-$i")
+      val part = new java.io.File(s"$base/staging-$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$base/in/slice-$i.parquet")
+      Files.createDirectories(dst.toPath.getParent)
+      Files.copy(part.toPath, dst.toPath)
+      assert(dst.setLastModified(now - (2 - i) * 60000L))
+    }
+    def start() = StreamingOps.diffStream(
+      spark.readStream.schema(b0.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in"),
+      baseline, Seq("c_custkey"), Seq("c_name", "c_acctbal"),
+      s"$base/out", s"$base/ck",
+      deleteCol = Some("deleted"), orderCols = Seq("off"))
+    // full run, then the crash-between-sink-and-commit simulation:
+    // drop batch 1's commit marker (+ its checksum sidecar) so the
+    // restart REPLAYS batch 1 into the batchId-keyed overwrite
+    val q1 = start()
+    q1.awaitTermination(180000)
+    assert(!q1.isActive)
+    assert(Files.deleteIfExists(Paths.get(s"$base/ck/commits/1")),
+      "commit marker for batch 1 missing")
+    Files.deleteIfExists(Paths.get(s"$base/ck/commits/.1.crc"))
+    val q2 = start()
+    q2.awaitTermination(180000)
+    assert(!q2.isActive)
+    val diffs = spark.read.parquet(s"$base/out")
+    assert(diffs.select("batchId").distinct().count() == 2)
+    // per-batch output == the batch tombstoneDiff of the slice
+    slices.zipWithIndex.foreach { case (slice, i) =>
+      val got = diffs.filter(col("batchId") === i).drop("batchId")
+      val want = graft.operators.ChangeCapture.tombstoneDiff(slice, baseline,
+        Seq("c_custkey"), Seq("c_name", "c_acctbal"), "deleted", Seq("off"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"batch $i tombstone diff diverged after restart")
+    }
+    // batch 1 holds the D rows (the %7 residue) and exactly ONE U per
+    // multi-change key, carrying the LAST write (+2.0)
+    val b1d = diffs.filter(col("batchId") === 1)
+    assert(b1d.filter(col("change_type") === "D").count() ==
+      baseline.filter(col("c_custkey") % 7 === 0).count())
+    val uRows = b1d.filter(col("change_type") === "U")
+    assert(uRows.groupBy("c_custkey").count().filter(col("count") > 1).isEmpty,
+      "compaction must leave one U per key")
+    assert(uRows.filter(col("new_c_acctbal") =!= col("old_c_acctbal") + 2.0).isEmpty,
+      "the LAST write (+2.0) must win")
+  }
+
   test("link stream: per-batch canonicalization matches the batch operator") {
     val base = tmp()
     val parts = Tables.load(spark, sfDir, "part").select("p_name")
