@@ -257,6 +257,55 @@ object Graph {
         col("common_neighbors"), col("aa_micro"))
   }
 
+  /** Neighborhood Jaccard similarity: for every node pair sharing at
+    * least one neighbor, |N(a) ∩ N(b)| / |N(a) ∪ N(b)| — structural
+    * role similarity ("these two domains link into the same
+    * community"), the graph-side near-dup signal that pairs with the
+    * text-side MinHash family: two mirrors that copy each other's
+    * link structure score high here even when their text already
+    * diverged. Note adjacent pairs are INCLUDED (unlike
+    * [[linkPredict]], which predicts absent links) — a↔b being
+    * linked doesn't change N(a) ∩ N(b).
+    *
+    * Same wedge engine as [[linkPredict]]: candidates from the
+    * center self-join (sum_z deg(z)² — the price of any
+    * common-neighbor definition, capped by `maxCenterDegree` when
+    * hub centers must be skipped; the union in the denominator stays
+    * EXACT either way since degrees come from the full adjacency),
+    * intersections counted map-side, degrees joined back from the
+    * (node, degree) frame. jac_micro = floor(common·1e6 / union) —
+    * an exact integer quotient, bit-stable on any engine. `minSim`
+    * (micro units) prunes the long tail before the output shuffle.
+    */
+  def neighborhoodJaccard(edges: DataFrame, srcCol: String, dstCol: String,
+      minSimMicro: Long = 0L, maxCenterDegree: Int = Int.MaxValue): DataFrame = {
+    require(maxCenterDegree >= 2, s"maxCenterDegree must be >= 2, got $maxCenterDegree")
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val und = canon.select(col("a").as("node"), col("b").as("nbr"))
+      .union(canon.select(col("b").as("node"), col("a").as("nbr")))
+    val deg = und.groupBy(col("node")).agg(count(lit(1)).as("_deg"))
+    val centers = deg.filter(col("_deg") >= 2 && col("_deg") <= maxCenterDegree)
+      .select(col("node").as("_z"))
+    val w1 = und.select(col("node").as("_z"), col("nbr").as("_x"))
+    val w2 = und.select(col("node").as("_z"), col("nbr").as("_y"))
+    val common = w1.join(w2, "_z").filter(col("_x") < col("_y"))
+      .join(centers, "_z")
+      .groupBy(col("_x"), col("_y"))
+      .agg(count(lit(1)).as("common_neighbors"))
+    common
+      .join(deg.select(col("node").as("_x"), col("_deg").as("_da")), "_x")
+      .join(deg.select(col("node").as("_y"), col("_deg").as("_db")), "_y")
+      .select(col("_x").as("node_a"), col("_y").as("node_b"),
+        col("common_neighbors"),
+        (col("_da") + col("_db") - col("common_neighbors")).as("union_size"),
+        expr("common_neighbors * 1000000L div (_da + _db - common_neighbors)")
+          .as("jac_micro"))
+      .filter(col("jac_micro") >= minSimMicro)
+  }
+
   /** Multi-source BFS hop distance, FIXED rounds: every node's
     * minimum hop count from the seed set, exploring `rounds` hops —
     * the reachability/radius query ("how far is every domain from

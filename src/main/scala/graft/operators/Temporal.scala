@@ -335,6 +335,47 @@ object Temporal {
             / sqrt(col("dx").cast("double") * col("dy").cast("double")) * 1e6) / 1e6))
   }
 
+  /** Interval-overlap sweep line: from (key, start, end) intervals,
+    * the step function of CONCURRENT interval counts per key — "how
+    * many sessions/jobs/calls were active at each moment", the query
+    * behind peak-load sizing, connection-pool audits, and overlap
+    * billing. Output: one row per (key, boundary timestamp) with
+    * `active` = the count in force FROM that timestamp (until the
+    * next boundary); max concurrency is `max(active)` over it.
+    *
+    * Intervals are half-open [start, end): an interval ending at t
+    * never overlaps one starting at t (the convention that makes
+    * back-to-back sessions count 1, not 2). Zero-length intervals
+    * contribute nothing. `endUsCol >= startUsCol` is the caller's
+    * contract (violations subtract before they add — garbage in).
+    *
+    * Scale shape: the classic sweep line is a sequential scan; this
+    * one is ONE hash partition on the key + ONE sort feeding two
+    * window passes over the same (partition, order) — Catalyst plans
+    * a single exchange and a single sort, reused (the scd2
+    * discipline). ±1 deltas ride the shuffle, 16 bytes a row; a
+    * key's whole timeline lands in one partition, so this scales to
+    * any number of keys and any rows-per-key that fit a partition
+    * sort (spill-backed). The running sum uses the default RANGE
+    * frame so order-peers (equal ts, equal sign) share one value;
+    * the last row per timestamp — located by the SAME sort via
+    * lead() — carries the post-timestamp count, and -1 sorts before
+    * +1 so the half-open convention falls out of the order key.
+    */
+  def concurrency(df: DataFrame, keyCol: String,
+      startUsCol: String, endUsCol: String): DataFrame = {
+    val deltas = df.select(col(keyCol), col(startUsCol).as("ts_us"),
+        lit(1L).as("_d"))
+      .union(df.select(col(keyCol), col(endUsCol).as("ts_us"),
+        lit(-1L).as("_d")))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("ts_us"), col("_d"))
+    deltas
+      .withColumn("active", sum(col("_d")).over(w))
+      .withColumn("_nxt", lead(col("ts_us"), 1).over(w))
+      .where(col("_nxt").isNull || col("_nxt") =!= col("ts_us"))
+      .select(col(keyCol), col("ts_us"), col("active"))
+  }
+
   /** First-order transition matrix over per-key ordered sequences:
     * for every consecutive (state, next state) pair within a key's
     * timeline, the corpus-wide count and the row-normalized

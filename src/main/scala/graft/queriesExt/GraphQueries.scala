@@ -355,6 +355,49 @@ object GraphQueries {
     WHERE e.a IS NULL
     ORDER BY node_a, node_b"""))
 
+  /** Neighborhood Jaccard on the q174 graph: structural similarity
+    * |N(a)∩N(b)| / |N(a)∪N(b)| for every pair with a shared
+    * neighbor, the graph-side near-dup signal. The oracle restates
+    * wedge counting + degree arithmetic + the exact integer micro
+    * quotient; a missed wedge, wrong degree, or off-by-one in the
+    * union (e.g. forgetting to subtract the intersection) all
+    * surface as hash mismatches.
+    */
+  private val q189 = Q("q189_neighborhood_jaccard", (s, dir) => {
+    val d = Tables.load(s, dir, "documents").select(col("doc_id"))
+    val edges = d.select((col("doc_id") % 50).as("src"),
+        ((col("doc_id") * 3 + 1) % 50).as("dst"))
+      .union(d.select((col("doc_id") % 50).as("src"),
+        ((col("doc_id") * 7 + 2) % 50).as("dst")))
+      .union(d.select((col("doc_id") % 50).as("src"),
+        ((col("doc_id") * 11 + 5) % 50).as("dst")))
+    Graph.neighborhoodJaccard(edges, "src", "dst")
+      .orderBy(col("node_a"), col("node_b"))
+  }, Some("""
+    WITH d AS (SELECT doc_id FROM documents),
+    e0 AS (
+      SELECT doc_id % 50 AS src, (doc_id * 3 + 1) % 50 AS dst FROM d
+      UNION ALL
+      SELECT doc_id % 50 AS src, (doc_id * 7 + 2) % 50 AS dst FROM d
+      UNION ALL
+      SELECT doc_id % 50 AS src, (doc_id * 11 + 5) % 50 AS dst FROM d),
+    e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM e0 WHERE src <> dst),
+    u AS (SELECT a AS node, b AS nbr FROM e UNION ALL SELECT b, a FROM e),
+    deg AS (SELECT node, count(*) AS dg FROM u GROUP BY node),
+    cen AS (SELECT node FROM deg WHERE dg >= 2),
+    wed AS (SELECT u1.node AS z, u1.nbr AS x, u2.nbr AS y
+            FROM u u1 JOIN u u2 ON u1.node = u2.node AND u1.nbr < u2.nbr),
+    cm AS (SELECT x, y, CAST(count(*) AS BIGINT) AS cn
+           FROM wed JOIN cen ON cen.node = wed.z GROUP BY x, y)
+    SELECT cm.x AS node_a, cm.y AS node_b, cm.cn AS common_neighbors,
+           da.dg + db.dg - cm.cn AS union_size,
+           (cm.cn * 1000000) // (da.dg + db.dg - cm.cn) AS jac_micro
+    FROM cm
+    JOIN deg da ON da.node = cm.x
+    JOIN deg db ON db.node = cm.y
+    ORDER BY node_a, node_b"""))
+
   /** One BFS relaxation round as a CTE: keep every settled distance,
     * add each frontier node's neighbors at +1, take the min.
     */
@@ -400,5 +443,5 @@ object GraphQueries {
     SELECT node, h AS hops FROM b3 ORDER BY node"""))
 
   val list: Seq[Q] = Seq(q102, q118, q127, q146, q147, q149, q174, q175,
-    q187)
+    q187, q189)
 }

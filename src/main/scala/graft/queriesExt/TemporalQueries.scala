@@ -242,5 +242,36 @@ object TemporalQueries {
            END AS r_micro
     FROM m ORDER BY series_a, series_b"""))
 
-  val list: Seq[Q] = Seq(q170, q171, q172, q173, q181, q182)
+  /** Interval-overlap sweep line (Temporal.concurrency): click events
+    * become [ts, ts + value hours) usage intervals pooled into 50
+    * groups; the result is each group's full concurrency step
+    * function. The oracle restates the sweep as delta rows collapsed
+    * per timestamp + a running sum — a wrong boundary order, a
+    * leaked zero-length interval, or peer-frame disagreement all
+    * surface as hash mismatches.
+    */
+  private val q188 = Q("q188_interval_concurrency", (s, dir) => {
+    val iv = Tables.events(s, dir)
+      .where(col("event_type") === "click")
+      .select((col("user_id") % 50).as("k"),
+        unix_micros(col("ts")).as("s_us"),
+        (unix_micros(col("ts")) +
+          floor(col("value") * 3600000000L + lit(0.5)).cast("long")).as("e_us"))
+    Temporal.concurrency(iv, "k", "s_us", "e_us")
+      .orderBy(col("k"), col("ts_us"))
+  }, Some("""
+    WITH iv AS (
+      SELECT user_id % 50 AS k, epoch_us(ts) AS s_us,
+             epoch_us(ts) + CAST(floor(value * 3600000000 + 0.5) AS BIGINT) AS e_us
+      FROM events WHERE event_type = 'click'),
+    d AS (
+      SELECT k, s_us AS ts_us, CAST(1 AS BIGINT) AS dd FROM iv
+      UNION ALL
+      SELECT k, e_us, CAST(-1 AS BIGINT) FROM iv),
+    g AS (SELECT k, ts_us, CAST(SUM(dd) AS BIGINT) AS dd FROM d GROUP BY k, ts_us)
+    SELECT k, ts_us,
+           CAST(SUM(dd) OVER (PARTITION BY k ORDER BY ts_us) AS BIGINT) AS active
+    FROM g ORDER BY k, ts_us"""))
+
+  val list: Seq[Q] = Seq(q170, q171, q172, q173, q181, q182, q188)
 }

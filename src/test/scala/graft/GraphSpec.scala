@@ -143,6 +143,26 @@ class GraphSpec extends SparkSpec {
       s"hub-only pairs must vanish: $capped")
   }
 
+  test("neighborhoodJaccard: triangle+tail hand case, adjacent pairs included, minSim prunes") {
+    // triangle 1-2-3, tail 3-4. N(1)={2,3} N(2)={1,3} N(3)={1,2,4}
+    // N(4)={3}. (3,4) share nothing -> absent; adjacent (1,2) IS
+    // present (common neighbor 3).
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = Graph.neighborhoodJaccard(edges, "src", "dst")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 2L, 1L, 3L, 333333L),
+      (1L, 3L, 1L, 4L, 250000L),
+      (2L, 3L, 1L, 4L, 250000L),
+      (1L, 4L, 1L, 2L, 500000L),
+      (2L, 4L, 1L, 2L, 500000L)), s"wrong similarities: $got")
+    val pruned = Graph.neighborhoodJaccard(edges, "src", "dst",
+        minSimMicro = 400000L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(pruned == Set((1L, 4L, 1L, 2L, 500000L), (2L, 4L, 1L, 2L, 500000L)),
+      s"minSim must prune below-threshold pairs: $pruned")
+  }
+
   test("bfsHops: multi-source min-hop distances, bounded by rounds") {
     // path 1-2-3-4-5, seeds {1,5}: exact dists 0,1,2,1,0. With
     // rounds=1 node 3 (dist 2) is still unreached.

@@ -96,6 +96,32 @@ class TemporalSpec extends SparkSpec {
       s"as-of must be a window composition, not a join:\n${plan.take(2000)}")
   }
 
+  test("concurrency: sweep line — overlaps counted, back-to-back is 1, zero-length invisible") {
+    // key a: [0,10) [5,15) [10,20) — overlap at 5..10 is 2; 10 is
+    // back-to-back (one ends, one starts) so stays 2, NOT 3; ends
+    // step down. [7,7) is zero-length: its boundary row carries the
+    // unchanged count. key b: disjoint singleton.
+    val iv = Seq(("a", 0L, 10L), ("a", 5L, 15L), ("a", 10L, 20L),
+      ("a", 7L, 7L), ("b", 100L, 110L)).toDF("k", "s_us", "e_us")
+    val got = Temporal.concurrency(iv, "k", "s_us", "e_us")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("a", 0L, 1L), ("a", 5L, 2L), ("a", 7L, 2L), ("a", 10L, 2L),
+      ("a", 15L, 1L), ("a", 20L, 0L),
+      ("b", 100L, 1L), ("b", 110L, 0L)), s"wrong step function: $got")
+  }
+
+  test("concurrency plans one exchange + one sort shared by both window passes") {
+    val iv = Seq(("a", 0L, 10L), ("a", 5L, 15L)).toDF("k", "s_us", "e_us")
+    val plan = Temporal.concurrency(iv, "k", "s_us", "e_us")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    val sorts = "Sort \\[".r.findAllIn(plan).size
+    assert(exchanges == 1 && sorts == 1,
+      s"sweep line must reuse one (partition, order): $exchanges exchanges, $sorts sorts\n${plan.take(2000)}")
+    assert(!plan.contains("Join"), "sweep line must not join")
+  }
+
   test("transitionCounts: per-key consecutive pairs, normalized per from_state, id tie-break") {
     val log = Seq(
       // user 1: a -> b -> a; user 2: a -> b; equal-ts pair on user 2
