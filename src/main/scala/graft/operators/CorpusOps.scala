@@ -109,6 +109,91 @@ object CorpusOps {
       .drop("_ts_stratum", "_rate_m")
   }
 
+  /** Distribution-matched resampling: subsample `corpus` so a
+    * metric's distribution matches a REFERENCE corpus's — "make the
+    * web crawl's document-length (quality score, perplexity, ...)
+    * histogram look like the curated set's", the importance-sampling
+    * step a data mixture runs after scoring. The reference defines
+    * `nBins` equi-depth bins (discrete rank-select boundaries, so
+    * each holds ~1/nBins of the reference); each corpus bin i is
+    * then thinned with acceptance rate ∝ pRef_i / pCorpus_i,
+    * normalized so the most under-represented bin (the binding
+    * constraint) keeps 100% — the maximum subsample whose expected
+    * bin mix equals the reference's.
+    *
+    * Determinism end to end: boundaries are actual reference values;
+    * bin assignment is the strict-`>` boundary fold (q132); rates are
+    * computed at the DRIVER in BigInt — keep_micro(i) = floor(1e6 ·
+    * (cntRef_i·nCorpus·cntA_j·nRef) / (cntA_i·nRef·cntRef_j·nCorpus))
+    * against the argmax-ratio bin j (cross-multiplied comparisons,
+    * ties to the smallest bin; 128-bit math, no overflow at any
+    * scale) — and embedded as literals; a row is kept iff
+    * hash48(id) mod 1e6 < keep_micro(bin), the q78 stable-sampling
+    * move. Any engine replays the same decisions bit-for-bit.
+    *
+    * Scale shape: two config-sized summaries (one exactPercentiles
+    * round over the reference + one bin-count aggregation per side —
+    * kilobyte shuffles), then ONE narrow per-row filter (boundary
+    * fold + literal map lookup + hash compare) that composes with
+    * the corpus scan. The corpus is never sorted, joined, or
+    * shuffled. Output: kept rows + `bin` and `keep_micro`.
+    *
+    * Bins the corpus populates but the reference doesn't keep
+    * nothing (rate 0); bins the corpus lacks are vacuous. Requires
+    * both frames non-empty on the metric.
+    */
+  def matchDistribution(corpus: DataFrame, reference: DataFrame,
+      idCol: Column, corpusVal: Column, refVal: Column,
+      nBins: Int = 8): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val ps = (1 until nBins).map(i => (s"_q$i", i.toDouble / nBins))
+    val boundsRow = Quantiles.exactPercentiles(
+        reference.select(refVal.as("_v")), lit("all"), col("_v"),
+        ps, interpolate = false)
+      .select(ps.map { case (n, _) => col(n) }: _*).collect()
+    require(boundsRow.nonEmpty, "reference has no non-null metric values")
+    val bounds = ps.indices.map(i => boundsRow.head.getDouble(i))
+    def binOf(v: Column): Column = bounds
+      .map(b => when(v.cast("double") > lit(b), 1).otherwise(0))
+      .reduce(_ + _)
+    def binCounts(df: DataFrame, v: Column): Map[Int, Long] =
+      df.where(v.isNotNull).select(binOf(v).as("_b"))
+        .groupBy(col("_b")).count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val cntRef = binCounts(reference, refVal)
+    val cntCor = binCounts(corpus, corpusVal)
+    val nRef = cntRef.values.sum
+    val nCor = cntCor.values.sum
+    require(nCor > 0, "corpus has no non-null metric values")
+    // ratio_i = pRef_i / pCorpus_i = (cntRef_i · nCor) / (cntCor_i · nRef);
+    // argmax by cross-multiplication, ties to the smallest bin index
+    val ratios = (0 until nBins).flatMap { i =>
+      val a = cntCor.getOrElse(i, 0L)
+      if (a == 0L) None
+      else Some(i -> ((BigInt(cntRef.getOrElse(i, 0L)) * nCor,
+        BigInt(a) * nRef)))
+    }.toMap
+    val j = ratios.toSeq.sortBy(_._1).reduceLeft[(Int, (BigInt, BigInt))] {
+      case (best @ (_, (bn, bd)), cur @ (_, (cn, cd))) =>
+        if (cn * bd > bn * cd) cur else best // strict >: ties keep the smaller bin
+    }._1
+    val (jn, jd) = ratios(j)
+    require(jn > 0, "reference is empty on every bin the corpus populates")
+    val keepMicro: Seq[(Int, Long)] = (0 until nBins).map { i =>
+      i -> (ratios.get(i) match {
+        case None => 0L
+        case Some((in, id)) => ((BigInt(1000000) * in * jd) / (id * jn)).toLong
+      })
+    }
+    corpus.where(corpusVal.isNotNull)
+      .withColumn("bin", binOf(corpusVal))
+      .withColumn("keep_micro", element_at(
+        map(keepMicro.flatMap { case (b, m) => Seq(lit(b), lit(m)) }: _*),
+        col("bin")))
+      .where(pmod(Dedup.hash48(idCol.cast("string")), lit(1000000L)) <
+        col("keep_micro"))
+  }
+
   /** Overlapping-window document chunking — the RAG/embedding-index
     * preparation step: split each document into `chunkTokens`-token
     * windows advancing by `chunkTokens - overlap`, so consecutive

@@ -59,7 +59,8 @@ object Quantiles {
     *              bits — plenty of spread for any realistic measure)
     */
   def exactPercentiles(df: DataFrame, group: Column, value: Column,
-      ps: Seq[(String, Double)], shift: Int = 44): DataFrame = {
+      ps: Seq[(String, Double)], shift: Int = 44,
+      interpolate: Boolean = true): DataFrame = {
     // shift >= 1 keeps bucket keys non-negative: the rank-location
     // window sorts _b as a SIGNED long, and the full 64-bit order key
     // is only unsigned-comparable
@@ -119,9 +120,46 @@ object Quantiles {
       val pos = lit(p) * (col("_n") - 1).cast("double")
       val loV = col("_m").getItem(s"lo_$name")
       val hiV = col("_m").getItem(s"hi_$name")
-      (loV + (hiV - loV) * (pos - floor(pos))).as(name)
+      // interpolate=false: the DISCRETE rank-select value at rank
+      // floor(p·(n-1))+1 (q150's convention) — an actual data value,
+      // bit-exact across engines with no interpolation arithmetic
+      if (interpolate) (loV + (hiV - loV) * (pos - floor(pos))).as(name)
+      else loV.as(name)
     }
     picked.select((col("_g") +: outs :+ col("_n").as("n")): _*)
+  }
+
+  /** Winsorization — clip, don't drop: replace each row's value by
+    * its group's [pLo, pHi] percentile bound when it falls outside,
+    * the standard tail-taming step before means/regressions on
+    * heavy-tailed measures (a mean survives winsorizing; it does not
+    * survive one colossal outlier). Bounds are DISCRETE rank-select
+    * percentiles (actual data values, no interpolation), so on an
+    * integer grid every comparison and the clipped output are
+    * bit-exact on any engine.
+    *
+    * Output: the input plus `wlo`, `whi` (the group's clip bounds)
+    * and `winsorized` (the clipped value as double). Plan: one
+    * [[exactPercentiles]] round for the bounds (kilobyte shuffles,
+    * two scans) + one broadcast join back — per-row work is a narrow
+    * least/greatest; the data is never sorted or shuffled.
+    */
+  def winsorize(df: DataFrame, group: Column, value: Column,
+      pLo: Double = 0.01, pHi: Double = 0.99): DataFrame = {
+    require(pLo >= 0.0 && pHi <= 1.0 && pLo < pHi,
+      s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    val reserved = Seq("wlo", "whi", "winsorized", "_wg")
+    val clashes = df.columns.filter(reserved.contains).distinct
+    require(clashes.isEmpty,
+      s"winsorize reserves ${reserved.mkString(", ")}; rename ${clashes.mkString(", ")}")
+    val bounds = exactPercentiles(df, group, value,
+        Seq("wlo" -> pLo, "whi" -> pHi), interpolate = false)
+      .select(col("_g").as("_wg"), col("wlo"), col("whi"))
+    df.withColumn("_wg", group)
+      .join(broadcast(bounds), "_wg")
+      .withColumn("winsorized",
+        least(greatest(value.cast("double"), col("wlo")), col("whi")))
+      .drop("_wg")
   }
 
   /** Robust per-group outlier detection: flag rows whose absolute

@@ -270,5 +270,69 @@ object CorpusQueries {
     SELECT doc_id, lang, n_chars, CAST(rn AS INT) AS sample_rank
     FROM r WHERE rn <= 50 ORDER BY doc_id"""))
 
-  val list: Seq[Q] = Seq(q78, q79, q80, q96, q104, q105, q114, q115, q125, q126)
+  /** Distribution-matched resampling (CorpusOps.matchDistribution):
+    * thin the non-English docs so their token-length mix matches the
+    * English reference's quartile distribution — the importance-
+    * sampling step after quality scoring. The oracle replays the
+    * whole chain: rank-select quartile boundaries over the
+    * reference, strict-`>` binning, per-bin count ratios with the
+    * argmax normalization resolved by exact cross-multiplication
+    * (HUGEINT — mirroring the operator's driver-side BigInt), and
+    * the stable md5-bucket accept test. A boundary off by one rank,
+    * a float ratio comparison, or an unstable sample all break the
+    * hash.
+    */
+  private val q192 = Q("q192_match_distribution", (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val metric = size(split(col("text"), " ")).cast("long")
+    CorpusOps.matchDistribution(
+        docs.where(col("lang") =!= "en"), docs.where(col("lang") === "en"),
+        col("doc_id"), metric, metric, nBins = 4)
+      .select(col("doc_id"), col("bin"), col("keep_micro"))
+      .orderBy(col("doc_id"))
+  }, Some("""
+    WITH ref AS (
+      SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+      FROM documents WHERE lang = 'en'),
+    cor AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+      FROM documents WHERE lang <> 'en'),
+    rr AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+                  count(*) OVER () AS n
+           FROM ref),
+    b AS (SELECT
+      max(CASE WHEN rn = CAST(floor(0.25 * (n - 1)) AS BIGINT) + 1 THEN CAST(v AS DOUBLE) END) AS b1,
+      max(CASE WHEN rn = CAST(floor(0.5  * (n - 1)) AS BIGINT) + 1 THEN CAST(v AS DOUBLE) END) AS b2,
+      max(CASE WHEN rn = CAST(floor(0.75 * (n - 1)) AS BIGINT) + 1 THEN CAST(v AS DOUBLE) END) AS b3
+      FROM rr),
+    refb AS (SELECT (CASE WHEN CAST(v AS DOUBLE) > b.b1 THEN 1 ELSE 0 END +
+                     CASE WHEN CAST(v AS DOUBLE) > b.b2 THEN 1 ELSE 0 END +
+                     CASE WHEN CAST(v AS DOUBLE) > b.b3 THEN 1 ELSE 0 END) AS bin
+             FROM ref, b),
+    corb AS (SELECT doc_id, (CASE WHEN CAST(v AS DOUBLE) > b.b1 THEN 1 ELSE 0 END +
+                             CASE WHEN CAST(v AS DOUBLE) > b.b2 THEN 1 ELSE 0 END +
+                             CASE WHEN CAST(v AS DOUBLE) > b.b3 THEN 1 ELSE 0 END) AS bin
+             FROM cor, b),
+    cr AS (SELECT bin, count(*) AS c FROM refb GROUP BY bin),
+    cc AS (SELECT bin, count(*) AS c FROM corb GROUP BY bin),
+    rat AS (SELECT cc.bin,
+                   CAST(COALESCE(cr.c, 0) AS HUGEINT) * (SELECT count(*) FROM cor) AS num,
+                   CAST(cc.c AS HUGEINT) * (SELECT count(*) FROM ref) AS den
+            FROM cc LEFT JOIN cr ON cr.bin = cc.bin),
+    arg AS (SELECT bin, num, den FROM rat r1
+            WHERE NOT EXISTS (SELECT 1 FROM rat r2
+              WHERE r2.num * r1.den > r1.num * r2.den
+                 OR (r2.num * r1.den = r1.num * r2.den AND r2.bin < r1.bin))),
+    km AS (SELECT rat.bin,
+                  CAST((CAST(1000000 AS HUGEINT) * rat.num * arg.den)
+                       // (rat.den * arg.num) AS BIGINT) AS keep_micro
+           FROM rat, arg)
+    SELECT corb.doc_id, corb.bin, km.keep_micro
+    FROM corb JOIN km ON km.bin = corb.bin
+    WHERE CAST(concat('0x', substr(md5(CAST(corb.doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+          % 1000000 < km.keep_micro
+    ORDER BY corb.doc_id"""))
+
+  val list: Seq[Q] = Seq(q78, q79, q80, q96, q104, q105, q114, q115, q125,
+    q126, q192)
 }

@@ -846,6 +846,47 @@ object RelationalQueries {
     GROUP BY o.l_orderkey, o.l_linenumber, o.g, o.price_c
     ORDER BY o.l_orderkey, o.l_linenumber, o.g, o.price_c"""))
 
+  /** Winsorized tail-taming per return flag (operator:
+    * Quantiles.winsorize — one exactPercentiles round for DISCRETE
+    * rank-select p05/p95 bounds, broadcast back, narrow clip; the
+    * data never sorts or shuffles). Cents grid end to end: bounds are
+    * actual data values, clip comparisons and the clipped sum are
+    * pure integers. The oracle replays rank-select + clamp and
+    * re-aggregates — a wrong bound rank, an interpolation sneaking
+    * in, or a mis-clipped boundary row all surface as mismatches.
+    */
+  private val q191 = Q("q191_winsorize", (s, dir) => {
+    val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+      floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long").as("price_c"))
+    graft.operators.Quantiles.winsorize(li, col("l_returnflag"), col("price_c"),
+        pLo = 0.05, pHi = 0.95)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("price_c").cast("double") < col("wlo"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("price_c").cast("double") > col("whi"), 1L).otherwise(0L)).as("n_clip_hi"),
+        max(col("wlo").cast("long")).as("wlo_c"),
+        max(col("whi").cast("long")).as("whi_c"),
+        sum(col("winsorized").cast("long")).as("sum_wins_c"))
+      .orderBy(col("l_returnflag"))
+  }, Some("""
+    WITH o AS (SELECT l_returnflag AS g,
+                      CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+               FROM lineitem),
+    r AS (SELECT *, row_number() OVER (PARTITION BY g ORDER BY c) AS rn,
+                 count(*) OVER (PARTITION BY g) AS n
+          FROM o),
+    b AS (SELECT g,
+                 max(CASE WHEN rn = CAST(floor(0.05 * (n - 1)) AS BIGINT) + 1 THEN c END) AS wlo,
+                 max(CASE WHEN rn = CAST(floor(0.95 * (n - 1)) AS BIGINT) + 1 THEN c END) AS whi
+          FROM r GROUP BY g)
+    SELECT o.g AS l_returnflag, count(*) AS n,
+           CAST(sum(CASE WHEN o.c < b.wlo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+           CAST(sum(CASE WHEN o.c > b.whi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+           max(b.wlo) AS wlo_c, max(b.whi) AS whi_c,
+           CAST(sum(least(greatest(o.c, b.wlo), b.whi)) AS BIGINT) AS sum_wins_c
+    FROM o JOIN b ON o.g = b.g
+    GROUP BY o.g ORDER BY l_returnflag"""))
+
   /** Z-order clustering key over (p_size, whole-dollar price) — the
     * multi-dimensional data-layout key (SkewOps.zorderKey2; locality
     * effect measured in SkewSpec). 10 bits cover both dims (size <=
@@ -875,7 +916,7 @@ object RelationalQueries {
   val list: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q60, q61, q65, q66, q67, q76, q86, q107,
-    q119, q123, q132, q136)
+    q119, q123, q132, q136, q191)
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
     list.map(q => q.name -> q.fn).toMap

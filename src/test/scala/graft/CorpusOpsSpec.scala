@@ -28,6 +28,33 @@ class CorpusOpsSpec extends SparkSpec {
     assert(a == b) // hash-based, not rand(): identical across runs
   }
 
+  test("matchDistribution: binding bin keeps 100%, over-represented bin thins by the exact ratio") {
+    import graft.operators.Dedup
+    // reference: 50/50 across two bins (boundary = rank-select median
+    // of {1,1,2,2} -> 1; bin = v > 1). corpus: 6 rows at v=1 (bin 0),
+    // 2 rows at v=2 (bin 1) -> pCor = (3/4, 1/4). ratios: bin0 2/3,
+    // bin1 2 -> bin 1 binds (keep 1e6), bin0 keeps floor(1e6/3).
+    val ref = Seq(1L, 1L, 2L, 2L).toDF("v")
+    val cor = Seq((10L, 1L), (11L, 1L), (12L, 1L), (13L, 1L), (14L, 1L),
+      (15L, 1L), (16L, 2L), (17L, 2L)).toDF("id", "v")
+    val got = CorpusOps.matchDistribution(cor, ref, col("id"), col("v"),
+        col("v"), nBins = 2)
+      .select(col("id"), col("bin"), col("keep_micro"))
+      .as[(Long, Int, Long)].collect().toSet
+    // every bin-1 row survives with keep_micro = 1e6
+    assert(got.filter(_._2 == 1).map(_._1) == Set(16L, 17L), s"binding bin: $got")
+    assert(got.forall(t => if (t._2 == 1) t._3 == 1000000L else t._3 == 333333L),
+      s"wrong rates: $got")
+    // bin-0 survivors are exactly the rows whose stable hash bucket
+    // clears the 333333 threshold — recompute independently
+    val expected0 = cor.where(col("v") === 1L)
+      .select(col("id"),
+        pmod(Dedup.hash48(col("id").cast("string")), lit(1000000L)).as("b"))
+      .as[(Long, Long)].collect().filter(_._2 < 333333L).map(_._1).toSet
+    assert(got.filter(_._2 == 0).map(_._1) == expected0,
+      s"sample must be the stable hash decision: got $got want bin0=$expected0")
+  }
+
   test("sequence packing: offsets are running sums per shard and boundary spans are flagged") {
     val df = Seq(
       (1L, "s1", 300L), (2L, "s1", 300L), (3L, "s1", 100L),

@@ -181,6 +181,22 @@ class ApproxSpec extends SparkSpec {
     assert(out(25L) == 0 && out(26L) == 1 && out(50L) == 1 && out(51L) == 2)
   }
 
+  test("winsorize clips to discrete rank-select bounds on 1..100; interior rows untouched") {
+    import graft.operators.Quantiles
+    import spark.implicits._
+    val df = (1L to 100L).map(v => (v, "g", v)).toDF("id", "grp", "v")
+    val out = Quantiles.winsorize(df, col("grp"), col("v"), pLo = 0.05, pHi = 0.95)
+      .select(col("id"), col("wlo"), col("whi"), col("winsorized")).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // discrete ranks: floor(.05*99)+1 = 5 -> value 5; floor(.95*99)+1 = 95 -> value 95
+    assert(out(1L) == ((5.0, 95.0, 5.0)), s"low tail must clip up: ${out(1L)}")
+    assert(out(4L)._3 == 5.0 && out(5L)._3 == 5.0 && out(6L)._3 == 6.0)
+    assert(out(95L)._3 == 95.0 && out(96L)._3 == 95.0 && out(100L)._3 == 95.0)
+    assert(out(50L)._3 == 50.0, "interior values pass through unchanged")
+    // two-sided invariants: clipped set size and value bounds
+    assert(out.values.forall(t => t._3 >= 5.0 && t._3 <= 95.0))
+  }
+
   test("topP equals the brute-force nucleus definition across random weights and thresholds") {
     import graft.operators.CorpusOps
     import spark.implicits._
