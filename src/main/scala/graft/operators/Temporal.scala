@@ -335,6 +335,67 @@ object Temporal {
             / sqrt(col("dx").cast("double") * col("dy").cast("double")) * 1e6) / 1e6))
   }
 
+  /** Point-in-time (PIT) join — the feature-store correctness
+    * staple: join each fact row to the dimension version that was
+    * VALID AT THE FACT'S TIME, i.e. the [[graft.operators
+    * .ChangeCapture.scd2]] history row with valid_from <= ts <
+    * valid_to. Training joins that use today's dimension instead of
+    * the as-of version leak the future into features; this operator
+    * is the leak-proof form.
+    *
+    * Same union-tag single-shuffle engine as [[asofJoin]] (the
+    * interval containment never becomes a range join): history rows
+    * enter the per-key timeline at `valid_from`, facts ride after
+    * them at equal timestamps (side ordering — a version starting
+    * exactly at the fact's ts applies), one running
+    * `last(ignoreNulls)` window carries the version, and the
+    * `valid_to` gate nulls out facts that fall in a HISTORY GAP
+    * (e.g. tombstoned keys) rather than leaking the stale version.
+    * Output: every fact row (left join semantics) + the attr columns
+    * as-of the fact time + `asof_valid_from` (the matched version's
+    * start, null when unmatched) — nulls for never-seen keys and
+    * gap hits alike.
+    *
+    * Contract: `factTsCol` and `validFromCol`/`validToCol` share one
+    * orderable grid (the scd2 tsCol's); history intervals per key
+    * are disjoint (scd2 output). One shuffle on the key, linear in
+    * |facts| + |history|.
+    */
+  def pitJoin(facts: DataFrame, history: DataFrame, keyCols: Seq[String],
+      factTsCol: String, attrCols: Seq[String],
+      validFromCol: String = "valid_from",
+      validToCol: String = "valid_to"): DataFrame = {
+    require(keyCols.nonEmpty && attrCols.nonEmpty,
+      "keyCols and attrCols must be non-empty")
+    val reserved = Seq("_pts", "_pside", "_pdim", "_pfact", "_pm", "asof_valid_from")
+    val clashes = (facts.columns ++ history.columns).filter(reserved.contains).distinct
+    require(clashes.isEmpty,
+      s"pitJoin reserves ${reserved.mkString(", ")}; rename ${clashes.mkString(", ")} first")
+    val attrClash = attrCols.filter(facts.columns.contains)
+    require(attrClash.isEmpty,
+      s"attr columns ${attrClash.mkString(", ")} already exist in facts — " +
+        "rename one side to keep the output schema unambiguous")
+    val h = history.select(keyCols.map(col) ++ Seq(
+      col(validFromCol).as("_pts"), lit(0).as("_pside"),
+      struct(attrCols.map(col) ++ Seq(col(validToCol).as("_pvto"),
+        col(validFromCol).as("_pvf")): _*).as("_pdim")): _*)
+    val f = facts.select(keyCols.map(col) ++ Seq(
+      col(factTsCol).as("_pts"), lit(1).as("_pside"),
+      struct(facts.columns.map(col): _*).as("_pfact")): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_pts"), col("_pside"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = h.unionByName(f, allowMissingColumns = true)
+      .withColumn("_pm", last(col("_pdim"), ignoreNulls = true).over(w))
+      .filter(col("_pside") === 1)
+      .withColumn("_pm", when(col("_pm").isNotNull &&
+        (col("_pm.`_pvto`").isNull || col("_pts") < col("_pm.`_pvto`")),
+        col("_pm")))
+    joined.select(facts.columns.map(c => col(s"_pfact.`$c`")) ++
+      attrCols.map(c => col(s"_pm.`$c`").as(c)) :+
+      col("_pm.`_pvf`").as("asof_valid_from"): _*)
+  }
+
   /** Interval-overlap sweep line: from (key, start, end) intervals,
     * the step function of CONCURRENT interval counts per key — "how
     * many sessions/jobs/calls were active at each moment", the query

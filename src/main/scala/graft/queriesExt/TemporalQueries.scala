@@ -273,5 +273,50 @@ object TemporalQueries {
            CAST(SUM(dd) OVER (PARTITION BY k ORDER BY ts_us) AS BIGINT) AS active
     FROM g ORDER BY k, ts_us"""))
 
-  val list: Seq[Q] = Seq(q170, q171, q172, q173, q181, q182, q188)
+  /** Point-in-time join (Temporal.pitJoin): every purchase event
+    * joined to the user's state — the SCD2 history of their
+    * NON-purchase activity — as of the purchase time. The leak-proof
+    * feature join: a purchase before the user's first tracked state
+    * surfaces with nulls, never with a later version. The oracle is
+    * the interval-containment LEFT JOIN over the same q162-style
+    * history CTEs, so the hash match proves the single-shuffle
+    * union-tag plan equals the declarative interval join row for
+    * row (match, gap, and never-seen cases included).
+    */
+  private val q193 = Q("q193_pit_join", (s, dir) => {
+    import graft.operators.ChangeCapture
+    val e = Tables.events(s, dir).select(
+      col("user_id"), col("event_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"))
+    val hist = ChangeCapture.scd2(e.where(col("event_type") =!= "purchase"),
+      keyCols = Seq("user_id"), tsCol = "ts_us",
+      attrCols = Seq("event_type"), tieCols = Seq("event_id"))
+    val facts = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+    Temporal.pitJoin(facts, hist, Seq("user_id"), "ts_us", Seq("event_type"))
+      .orderBy(col("event_id"))
+  }, Some("""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+    ne AS (SELECT * FROM e WHERE event_type <> 'purchase'),
+    o AS (
+      SELECT user_id, event_type, ts_us, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+      FROM ne),
+    c AS (
+      SELECT user_id, event_type, ts_us, event_id FROM o
+      WHERE prev IS NULL OR prev <> event_type),
+    h AS (
+      SELECT user_id, event_type, ts_us AS valid_from,
+             lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to
+      FROM c),
+    f AS (SELECT user_id, event_id, ts_us FROM e WHERE event_type = 'purchase')
+    SELECT f.user_id, f.event_id, f.ts_us, h.event_type,
+           h.valid_from AS asof_valid_from
+    FROM f LEFT JOIN h
+      ON h.user_id = f.user_id AND h.valid_from <= f.ts_us
+     AND (h.valid_to IS NULL OR f.ts_us < h.valid_to)
+    ORDER BY f.event_id"""))
+
+  val list: Seq[Q] = Seq(q170, q171, q172, q173, q181, q182, q188, q193)
 }

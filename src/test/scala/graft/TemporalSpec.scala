@@ -96,6 +96,49 @@ class TemporalSpec extends SparkSpec {
       s"as-of must be a window composition, not a join:\n${plan.take(2000)}")
   }
 
+  test("pitJoin: as-of version, inclusive start, gap nulls, never-seen nulls, no future leak") {
+    // key a history: v1 [10, 20), v2 [20, null); key b: [10, 15) then
+    // a GAP (tombstoned) — no current version
+    val hist = Seq(
+      ("a", "v1", 10L, Some(20L)), ("a", "v2", 20L, None),
+      ("b", "w1", 10L, Some(15L)))
+      .toDF("k", "attr", "valid_from", "valid_to_o")
+      .withColumn("valid_to", col("valid_to_o")).drop("valid_to_o")
+    val facts = Seq(
+      ("a", 1L, 5L),   // before first version -> null (no future leak)
+      ("a", 2L, 10L),  // exactly at valid_from -> v1 (inclusive)
+      ("a", 3L, 19L),  // inside v1
+      ("a", 4L, 20L),  // boundary: v1 expired, v2 starts -> v2
+      ("a", 5L, 99L),  // current version
+      ("b", 6L, 12L),  // inside w1
+      ("b", 7L, 30L),  // in the gap -> null, NOT stale w1
+      ("c", 8L, 50L))  // never-seen key -> null
+      .toDF("k", "fact_id", "ts")
+    val got = Temporal.pitJoin(facts, hist, Seq("k"), "ts", Seq("attr"))
+      .select(col("fact_id"), col("attr"), col("asof_valid_from"))
+      .as[(Long, Option[String], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((None, None)), s"future leak: ${got(1L)}")
+    assert(got(2L) == ((Some("v1"), Some(10L))))
+    assert(got(3L) == ((Some("v1"), Some(10L))))
+    assert(got(4L) == ((Some("v2"), Some(20L))), s"boundary must roll over: ${got(4L)}")
+    assert(got(5L) == ((Some("v2"), Some(20L))))
+    assert(got(6L) == ((Some("w1"), Some(10L))))
+    assert(got(7L) == ((None, None)), s"gap must not leak the stale version: ${got(7L)}")
+    assert(got(8L) == ((None, None)))
+    assert(got.size == 8, "left-join semantics: every fact survives")
+  }
+
+  test("pitJoin plans one shuffle on the key — no range join, no cartesian") {
+    val hist = Seq(("a", "v1", 10L, Option.empty[Long]))
+      .toDF("k", "attr", "valid_from", "valid_to")
+    val facts = Seq(("a", 1L, 15L)).toDF("k", "fact_id", "ts")
+    val plan = Temporal.pitJoin(facts, hist, Seq("k"), "ts", Seq("attr"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Join"),
+      s"PIT must be a window composition, not a join:\n${plan.take(2000)}")
+  }
+
   test("concurrency: sweep line — overlaps counted, back-to-back is 1, zero-length invisible") {
     // key a: [0,10) [5,15) [10,20) — overlap at 5..10 is 2; 10 is
     // back-to-back (one ends, one starts) so stays 2, NOT 3; ends
