@@ -505,4 +505,58 @@ object TextAnalysis {
         (floor(log(col("n_tokens").cast("double")) * 1e6 + lit(0.5)).cast("long") -
           ldiv(col("_clc"), col("n_tokens"))).as("entropy_unat"))
   }
+
+  /** Word-boundary phrase search via an inverted n-gram index — the
+    * "find every document containing this exact phrase" query
+    * (quote detection, benchmark-prompt lookup, dataset audits) run
+    * the way a search engine runs it, not the way a LIKE scan does.
+    *
+    * Plan: postings = one explode of each doc's DISTINCT word
+    * n-grams (built once, reusable across queries — the inverted
+    * index); each phrase contributes its n-gram set as a broadcast
+    * literal frame; a candidate is a doc whose posting set covers
+    * the phrase's gram set (one broadcast join + one
+    * count-distinct-per-(phrase, doc) against the required count);
+    * candidates then pass the EXACT padded-contains verify on their
+    * text. Candidates ⊇ true matches by construction (a doc
+    * containing the phrase contains every one of its n-grams), so
+    * with the verify the result EQUALS the naive definition — the
+    * oracle states `contains(' '||text||' ', ' '||phrase||' ')` over
+    * the full corpus and the hash match proves the index path
+    * lossless. At corpus scale the win is the probe: only postings
+    * of the phrase's grams are touched (gram-key join, pruned by the
+    * broadcast), and the expensive full-text verify runs on
+    * candidates only, never the corpus.
+    *
+    * Phrases must each carry >= n tokens (shorter ones have no
+    * n-gram and would match nothing — rejected eagerly). Output:
+    * (phrase, idCol) matches.
+    */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[String], n: Int = 2): DataFrame = {
+    require(phrases.nonEmpty, "at least one phrase required")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val short = phrases.filter(_.split(" ", -1).length < n)
+    require(short.isEmpty,
+      s"phrases need >= $n tokens for the $n-gram index: ${short.mkString("; ")}")
+    val phraseGrams = phrases.distinct.flatMap { p =>
+      p.split(" ", -1).sliding(n).map(g => (p, g.mkString(" "))).toSeq.distinct
+    }.toDF("phrase", "gram")
+    val gramCounts = phraseGrams.groupBy(col("phrase"))
+      .agg(count(lit(1)).as("_ng"))
+    val postings = docs.select(col(idCol),
+      explode(array_distinct(
+        graft.functions.shingles.wordShingles(col(textCol), n))).as("gram"))
+    val cands = postings.join(broadcast(phraseGrams), "gram")
+      .groupBy(col("phrase"), col(idCol))
+      .agg(count(lit(1)).as("_hit"))
+      .join(broadcast(gramCounts), "phrase")
+      .where(col("_hit") === col("_ng"))
+      .select(col("phrase"), col(idCol))
+    cands.join(docs.select(col(idCol), col(textCol)), idCol)
+      .where(concat(lit(" "), col(textCol), lit(" "))
+        .contains(concat(lit(" "), col("phrase"), lit(" "))))
+      .select(col("phrase"), col(idCol))
+  }
 }

@@ -661,6 +661,26 @@ object TextQueries {
     FROM v CROSS JOIN th
     GROUP BY threshold ORDER BY threshold"""))
 
+  /** Inverted-index phrase search (TextAnalysis.phraseSearch): four
+    * word-boundary phrases located via bigram postings + covering
+    * count + exact verify on candidates only. The oracle is the
+    * NAIVE definition — a full-corpus padded-contains scan — so the
+    * hash match proves the index path returns exactly the scan's
+    * answer (candidates ⊇ matches by the n-gram containment
+    * argument; the verify removes the rest).
+    */
+  private val q194 = Q("q194_phrase_search", (s, dir) => {
+    TextAnalysis.phraseSearch(Tables.load(s, dir, "documents"), "doc_id",
+        "text", Seq("the table", "value fast", "slow filter", "key agg row"))
+      .orderBy(col("phrase"), col("doc_id"))
+  }, Some("""
+    SELECT p.phrase, d.doc_id
+    FROM documents d
+    CROSS JOIN (VALUES ('the table'), ('value fast'), ('slow filter'),
+                       ('key agg row')) p(phrase)
+    WHERE contains(' ' || d.text || ' ', ' ' || p.phrase || ' ')
+    ORDER BY p.phrase, d.doc_id"""))
+
   val list: Seq[Q] = Seq(q51, q52, q53, q54, q55, q56, q74, q89, q100, q101, q108, q112,
-    q120, q128, q129, q138, q141, q142, q143, q144, q148, q176, q183)
+    q120, q128, q129, q138, q141, q142, q143, q144, q148, q176, q183, q194)
 }

@@ -227,6 +227,27 @@ class TextSpec extends SparkSpec {
       s"wrong bigram scores: $byDoc")
   }
 
+  test("phraseSearch: index candidates verified exactly — all-grams-no-phrase docs rejected") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x a b c y"),       // contains "a b c" -> match
+      (2L, "a b z b c"),       // has grams "a b" AND "b c" but NOT the
+                               //   phrase: candidate the verify must kill
+      (3L, "a c b"),           // neither gram adjacent -> no candidate
+      (4L, "a b c"),           // exact doc == phrase -> match
+      (5L, "za b cy"))         // substring without word boundary -> no
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.phraseSearch(docs, "doc_id", "text", Seq("a b c", "a b"))
+      .as[(String, Long)].collect().toSet
+    assert(got == Set(
+      ("a b c", 1L), ("a b c", 4L),
+      ("a b", 1L), ("a b", 2L), ("a b", 4L)), s"wrong matches: $got")
+    // a phrase shorter than the gram width is rejected eagerly
+    intercept[IllegalArgumentException] {
+      TextAnalysis.phraseSearch(docs, "doc_id", "text", Seq("solo"))
+    }
+  }
+
   test("compressionRatio on the fixture corpus: plan is a narrow projection, values populated") {
     val docs = Tables.load(spark, sfDir, "documents")
     val out = TextAnalysis.compressionRatio(docs, "doc_id", "text")
