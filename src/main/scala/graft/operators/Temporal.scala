@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -435,6 +435,73 @@ object Temporal {
       .withColumn("_nxt", lead(col("ts_us"), 1).over(w))
       .where(col("_nxt").isNull || col("_nxt") =!= col("ts_us"))
       .select(col(keyCol), col("ts_us"), col("active"))
+  }
+
+  /** Seasonal (period-bucket) decomposition: split each observation
+    * into its key's PERIODIC component — the mean of its
+    * period-position bucket (e.g. day-of-week means under the
+    * default 7-day period) — and the residual, the de-seasonalized
+    * signal anomaly detectors and trend fits should consume ("is
+    * Monday low because Mondays are low, or is something wrong").
+    *
+    * Integer grid end to end: position = (ts_us div bucketMicros)
+    * mod periodBuckets; seasonal_micro = floor(bucketSum·1e6 /
+    * bucketCount) (exact long division of positive sums);
+    * residual_micro = value·1e6 − seasonal_micro. One hash
+    * partition: the bucket means come from an UNORDERED window over
+    * (key, position) — no join, no second shuffle of the data.
+    */
+  def seasonalDecompose(df: DataFrame, keyCol: String, tsUsCol: String,
+      valCol: String, periodBuckets: Int = 7,
+      bucketMicros: Long = 86400000000L): DataFrame = {
+    require(periodBuckets >= 2 && bucketMicros > 0,
+      s"need periodBuckets >= 2 and bucketMicros > 0, got ($periodBuckets, $bucketMicros)")
+    def ldiv(a: Column, b: Column): Column = ((a - (a % b)) / b).cast("long")
+    val pos = expr(s"(`$tsUsCol` div ${bucketMicros}L) % $periodBuckets")
+    val wb = Window.partitionBy(col(keyCol), col("_pos"))
+    df.withColumn("_pos", pos.cast("long"))
+      .withColumn("seasonal_micro",
+        ldiv(sum(col(valCol)).over(wb) * 1000000L, count(lit(1)).over(wb)))
+      .withColumn("residual_micro",
+        col(valCol) * 1000000L - col("seasonal_micro"))
+      .withColumnRenamed("_pos", "period_pos")
+  }
+
+  /** CUSUM changepoint screen: per key, the cumulative sum of
+    * deviations from the key's overall mean, and the point where
+    * |CUSUM| peaks — the classic "did this metric's level shift,
+    * and when" detector (Page 1954): a mean shift makes the CUSUM
+    * ramp, and the peak sits at the change. Output one row per key:
+    * n, the peak timestamp, the signed peak CUSUM (micro units),
+    * ready for a |peak| > h·n gate.
+    *
+    * Integer grid: mean_micro = floor(1e6·sum/cnt) (positive grid);
+    * cusum_micro(i) = 1e6·runningSum(i) − i·mean_micro — longs
+    * throughout, so the argmax (|cusum| desc, ts asc, tie asc) is
+    * engine-exact. One hash partition on the key feeding the
+    * unordered stats window, the running window, and the ranking
+    * window — Catalyst plans one exchange.
+    */
+  def cusumChangepoint(df: DataFrame, keyCol: String, tsUsCol: String,
+      valCol: String, tieCol: String): DataFrame = {
+    def ldiv(a: Column, b: Column): Column = ((a - (a % b)) / b).cast("long")
+    val wk = Window.partitionBy(col(keyCol))
+    val wo = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsUsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = df
+      .withColumn("_n", count(lit(1)).over(wk))
+      .withColumn("_mean_u", ldiv(sum(col(valCol)).over(wk) * 1000000L, count(lit(1)).over(wk)))
+      .withColumn("_rsum", sum(col(valCol)).over(wo))
+      .withColumn("_rn", count(lit(1)).over(wo))
+      .withColumn("cusum_micro",
+        col("_rsum") * 1000000L - col("_rn") * col("_mean_u"))
+    val wr = Window.partitionBy(col(keyCol))
+      .orderBy(abs(col("cusum_micro")).desc, col(tsUsCol), col(tieCol))
+    scored.withColumn("_rk", row_number().over(wr))
+      .where(col("_rk") === 1)
+      .select(col(keyCol), col("_n").as("n"),
+        col(tsUsCol).as("peak_ts_us"), col("cusum_micro").as("peak_cusum_micro"))
   }
 
   /** First-order transition matrix over per-key ordered sequences:

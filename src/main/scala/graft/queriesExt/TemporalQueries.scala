@@ -318,5 +318,65 @@ object TemporalQueries {
      AND (h.valid_to IS NULL OR f.ts_us < h.valid_to)
     ORDER BY f.event_id"""))
 
-  val list: Seq[Q] = Seq(q170, q171, q172, q173, q181, q182, q188, q193)
+  /** Seasonal decomposition (Temporal.seasonalDecompose): every
+    * event value split into its user's day-of-week mean component
+    * and the de-seasonalized residual, all on the integer micro
+    * grid. The oracle replays the bucket-mean windows with explicit
+    * BIGINT casts (DuckDB window SUMs are HUGEINT) — a wrong period
+    * position, a mean off by a floor, or a residual sign slip all
+    * break the hash.
+    */
+  private val q195 = Q("q195_seasonal_decompose", (s, dir) => {
+    Temporal.seasonalDecompose(cents(s, dir), "user_id", "ts_us", "cents")
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("cents"),
+        col("period_pos"), col("seasonal_micro"), col("residual_micro"))
+      .orderBy(col("event_id"))
+  }, Some(s"""
+    WITH $centsSql,
+    s AS (SELECT user_id, event_id, ts_us, cents,
+                 (ts_us // 86400000000) % 7 AS period_pos
+          FROM e),
+    m AS (SELECT *,
+            (CAST(sum(cents) OVER (PARTITION BY user_id, period_pos) AS BIGINT) * 1000000)
+              // CAST(count(*) OVER (PARTITION BY user_id, period_pos) AS BIGINT) AS seasonal_micro
+          FROM s)
+    SELECT user_id, event_id, ts_us, cents, period_pos, seasonal_micro,
+           cents * 1000000 - seasonal_micro AS residual_micro
+    FROM m ORDER BY event_id"""))
+
+  /** CUSUM changepoint screen (Temporal.cusumChangepoint): per user,
+    * where the cumulative deviation from their mean spend peaks —
+    * the level-shift locator. Exact longs throughout; the oracle
+    * replays running sums and the (|cusum| desc, ts, id) argmax.
+    */
+  private val q196 = Q("q196_cusum_changepoint", (s, dir) => {
+    Temporal.cusumChangepoint(cents(s, dir), "user_id", "ts_us", "cents",
+        tieCol = "event_id")
+      .orderBy(col("user_id"))
+  }, Some(s"""
+    WITH $centsSql,
+    k AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                 (CAST(sum(cents) AS BIGINT) * 1000000)
+                   // CAST(count(*) AS BIGINT) AS mean_u
+          FROM e GROUP BY user_id),
+    r AS (SELECT user_id, ts_us, event_id,
+                 CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rsum,
+                 CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rn
+          FROM e),
+    c AS (SELECT r.user_id, r.ts_us, r.event_id,
+                 r.rsum * 1000000 - r.rn * k.mean_u AS cu
+          FROM r JOIN k USING (user_id)),
+    p AS (SELECT user_id, ts_us, cu,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY abs(cu) DESC, ts_us, event_id) AS rk
+          FROM c)
+    SELECT p.user_id, k.n, p.ts_us AS peak_ts_us,
+           CAST(p.cu AS BIGINT) AS peak_cusum_micro
+    FROM p JOIN k USING (user_id)
+    WHERE p.rk = 1 ORDER BY p.user_id"""))
+
+  val list: Seq[Q] = Seq(q170, q171, q172, q173, q181, q182, q188, q193,
+    q195, q196)
 }

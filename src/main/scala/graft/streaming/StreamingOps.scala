@@ -430,6 +430,50 @@ object StreamingOps {
       .start()
   }
 
+  /** Streaming POINT-IN-TIME ENRICHMENT — the per-micro-batch face of
+    * [[graft.operators.Temporal.pitJoin]]: each arriving fact batch
+    * is joined to the dimension version valid AT EACH FACT'S OWN
+    * EVENT TIME against a static SCD2 history, and the enriched rows
+    * land under `outDir/batchId=N` with overwrite (the idempotence
+    * pattern every sink here uses). This is the leak-proof feature
+    * join running INLINE with ingest — late-arriving facts still get
+    * the version that was true at their timestamp, never today's.
+    *
+    * The history is scoped to the batch's keys FIRST (one left-semi
+    * join), so per-trigger cost follows the BATCH, never the history
+    * — the diffStream contract: at 100 TB the history is the big
+    * side and only touched keys' versions enter the window.
+    * Stateless (no watermarks, no state store): the history is
+    * static; cross-batch consistency is the checkpoint's replay
+    * idempotence.
+    */
+  def pitStream(facts: DataFrame, history: DataFrame, keyCols: Seq[String],
+      factTsCol: String, attrCols: Seq[String],
+      outDir: String, checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery = {
+    // pin the static side once for the stream's lifetime
+    val hist = history.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    facts.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          batch.persist()
+          try {
+            val scoped = hist.join(
+              batch.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
+            graft.operators.Temporal
+              .pitJoin(batch, scoped, keyCols, factTsCol, attrCols)
+              .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .parquet(s"$outDir/batchId=$batchId")
+          } finally batch.unpersist()
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
   /** Streaming MATERIALIZED-VIEW MAINTENANCE — the per-micro-batch
     * face of [[graft.operators.ChangeCapture.maintainAgg]]: a CDC
     * changelog stream (snapshotDiff-shaped rows — change_type plus

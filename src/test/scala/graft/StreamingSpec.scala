@@ -712,6 +712,48 @@ class StreamingSpec extends SparkSpec {
       "the LAST write (+2.0) must win")
   }
 
+  test("pit stream: per-batch as-of enrichment matches the batch operator, stateless") {
+    val base = tmp()
+    // SCD2 history of each user's non-purchase state; facts = the
+    // purchase events, streamed in two slices split on event residue
+    val e = Tables.events(spark, sfDir).select(
+      col("user_id"), col("event_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"))
+    val hist = graft.operators.ChangeCapture.scd2(
+      e.where(col("event_type") =!= "purchase"),
+      keyCols = Seq("user_id"), tsCol = "ts_us",
+      attrCols = Seq("event_type"), tieCols = Seq("event_id"))
+    val facts = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+    val slices = Seq(facts.filter(col("event_id") % 2 === 0),
+      facts.filter(col("event_id") % 2 === 1))
+    val now = System.currentTimeMillis()
+    slices.zipWithIndex.foreach { case (s, i) =>
+      s.coalesce(1).write.mode("overwrite").parquet(s"$base/staging-$i")
+      val part = new java.io.File(s"$base/staging-$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$base/in/slice-$i.parquet")
+      Files.createDirectories(dst.toPath.getParent)
+      Files.copy(part.toPath, dst.toPath)
+      assert(dst.setLastModified(now - (2 - i) * 60000L))
+    }
+    val stream = spark.readStream.schema(slices.head.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+    val q = StreamingOps.pitStream(stream, hist, Seq("user_id"), "ts_us",
+      Seq("event_type"), s"$base/out", s"$base/ck")
+    q.awaitTermination(180000)
+    assert(!q.isActive)
+    assert(q.recentProgress.filter(_.numInputRows > 0).forall(_.stateOperators.isEmpty))
+    slices.zipWithIndex.foreach { case (s, i) =>
+      val got = spark.read.parquet(s"$base/out/batchId=$i")
+      val want = graft.operators.Temporal.pitJoin(s, hist, Seq("user_id"),
+        "ts_us", Seq("event_type"))
+      assert(got.count() == s.count() &&
+        got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"batch $i enrichment diverged")
+    }
+  }
+
   test("link stream: per-batch canonicalization matches the batch operator") {
     val base = tmp()
     val parts = Tables.load(spark, sfDir, "part").select("p_name")

@@ -165,6 +165,38 @@ class TemporalSpec extends SparkSpec {
     assert(!plan.contains("Join"), "sweep line must not join")
   }
 
+  test("seasonalDecompose: bucket means and residuals on a hand grid") {
+    // 2-bucket period, bucket width 10: positions 0,1,0,1. bucket-0
+    // mean (10+30)/2 = 20, bucket-1 mean (20+40)/2 = 30.
+    val df = Seq(("a", 0L, 10L), ("a", 10L, 20L), ("a", 20L, 30L), ("a", 30L, 40L))
+      .toDF("k", "ts_us", "v")
+    val got = Temporal.seasonalDecompose(df, "k", "ts_us", "v",
+        periodBuckets = 2, bucketMicros = 10L)
+      .select(col("ts_us"), col("period_pos"), col("seasonal_micro"), col("residual_micro"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (0L, 0L, 20000000L, -10000000L),
+      (20L, 0L, 20000000L, 10000000L),
+      (10L, 1L, 30000000L, -10000000L),
+      (30L, 1L, 30000000L, 10000000L)), s"wrong decomposition: $got")
+  }
+
+  test("cusumChangepoint: peak sits at the level shift, signed, deterministic") {
+    // 10,10,10 then 20,20,20: mean 15, CUSUM (x1e6) -5,-10,-15,-10,-5,0
+    // -> peak |15e6| at ts 3. Key b is flat: cusum 0 everywhere, the
+    // (|cu|, ts) tie-break picks its FIRST row.
+    val df = Seq(
+      ("a", 1L, 1L, 10L), ("a", 2L, 2L, 10L), ("a", 3L, 3L, 10L),
+      ("a", 4L, 4L, 20L), ("a", 5L, 5L, 20L), ("a", 6L, 6L, 20L),
+      ("b", 1L, 7L, 5L), ("b", 2L, 8L, 5L))
+      .toDF("k", "ts_us", "id", "v")
+    val got = Temporal.cusumChangepoint(df, "k", "ts_us", "v", "id")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("a", 6L, 3L, -15000000L),
+      ("b", 2L, 1L, 0L)), s"wrong peaks: $got")
+  }
+
   test("transitionCounts: per-key consecutive pairs, normalized per from_state, id tie-break") {
     val log = Seq(
       // user 1: a -> b -> a; user 2: a -> b; equal-ts pair on user 2
