@@ -437,6 +437,33 @@ object Temporal {
       .select(col(keyCol), col("ts_us"), col("active"))
   }
 
+  /** Debounce (near-time dedup): drop events that follow their
+    * per-key predecessor within `gapMicros` — the telemetry cleanup
+    * for double-fired clicks, retried webhooks, and chatty sensors,
+    * where EXACT dedup misses duplicates with jittered timestamps.
+    * A row survives iff it is its key's first, or the gap to the
+    * IMMEDIATELY PRECEDING event (kept or not) is >= gapMicros —
+    * the lag definition, deterministic and windowable, unlike
+    * "distance to previous KEPT" which is a sequential chain (that
+    * variant is sessionization territory: [[graft.streaming
+    * .StatefulOps.sessionizeStream]] with the gap as the session
+    * gap). One hash partition + one sort; 16-byte rows ride the
+    * shuffle. Ordering ties break on `tieCol` — at an exactly equal
+    * timestamp the smaller tie survives and the rest debounce away
+    * (gap 0 < gapMicros).
+    */
+  def debounce(df: DataFrame, keyCols: Seq[String], tsUsCol: String,
+      tieCol: String, gapMicros: Long): DataFrame = {
+    require(keyCols.nonEmpty && gapMicros > 0,
+      s"need keys and gapMicros > 0, got (${keyCols.size}, $gapMicros)")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsUsCol), col(tieCol))
+    df.withColumn("_prev_ts", lag(col(tsUsCol), 1).over(w))
+      .where(col("_prev_ts").isNull ||
+        col(tsUsCol) - col("_prev_ts") >= gapMicros)
+      .drop("_prev_ts")
+  }
+
   /** Seasonal (period-bucket) decomposition: split each observation
     * into its key's PERIODIC component — the mean of its
     * period-position bucket (e.g. day-of-week means under the

@@ -377,6 +377,28 @@ object TemporalQueries {
     FROM p JOIN k USING (user_id)
     WHERE p.rk = 1 ORDER BY p.user_id"""))
 
+  /** Debounce (Temporal.debounce): events of the same (user, type)
+    * arriving within 6 hours of their predecessor drop out — the
+    * jitter-tolerant dedup exact hashing can't do. The oracle is the
+    * same lag definition in SQL.
+    */
+  private val q197 = Q("q197_debounce", (s, dir) => {
+    Temporal.debounce(cents(s, dir)
+        .join(Tables.events(s, dir).select(col("event_id"), col("event_type")), "event_id"),
+      keyCols = Seq("user_id", "event_type"), tsUsCol = "ts_us",
+      tieCol = "event_id", gapMicros = 21600000000L)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts_us"))
+      .orderBy(col("event_id"))
+  }, Some(s"""
+    WITH $centsSql,
+    x AS (SELECT e.user_id, ev.event_type, e.event_id, e.ts_us,
+                 lag(e.ts_us) OVER (PARTITION BY e.user_id, ev.event_type
+                                    ORDER BY e.ts_us, e.event_id) AS prev_ts
+          FROM e JOIN events ev ON ev.event_id = e.event_id)
+    SELECT user_id, event_type, event_id, ts_us
+    FROM x WHERE prev_ts IS NULL OR ts_us - prev_ts >= 21600000000
+    ORDER BY event_id"""))
+
   val list: Seq[Q] = Seq(q170, q171, q172, q173, q181, q182, q188, q193,
-    q195, q196)
+    q195, q196, q197)
 }

@@ -165,6 +165,20 @@ class TemporalSpec extends SparkSpec {
     assert(!plan.contains("Join"), "sweep line must not join")
   }
 
+  test("debounce: jittered repeats drop, gap boundary is inclusive, equal-ts keeps the smallest id") {
+    val df = Seq(
+      ("a", 0L, 1L),    // first -> kept
+      ("a", 3L, 2L),    // gap 3 < 5 -> dropped
+      ("a", 5L, 3L),    // gap 2 from ts=3 (dropped row still counts) -> dropped
+      ("a", 10L, 4L),   // gap 5 >= 5 (inclusive) -> kept
+      ("a", 15L, 5L),   // gap 5 -> kept
+      ("b", 7L, 6L), ("b", 7L, 7L)) // equal ts: id 6 kept, id 7 debounced
+      .toDF("k", "ts_us", "id")
+    val got = Temporal.debounce(df, Seq("k"), "ts_us", "id", gapMicros = 5L)
+      .select(col("id")).as[Long].collect().toSet
+    assert(got == Set(1L, 4L, 5L, 6L), s"wrong survivors: $got")
+  }
+
   test("seasonalDecompose: bucket means and residuals on a hand grid") {
     // 2-bucket period, bucket width 10: positions 0,1,0,1. bucket-0
     // mean (10+30)/2 = 20, bucket-1 mean (20+40)/2 = 30.
