@@ -212,6 +212,30 @@ class PlanSpec extends SparkSpec {
     assert(scans == 4, s"expected 4 scans, got $scans:\n${plan.take(3000)}")
   }
 
+  test("q191 winsorize bound join broadcasts (3-row bounds never sort-merge the fact side)") {
+    val plan = planOf("q191_winsorize")
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      s"clip bounds must broadcast:\n${plan.take(2000)}")
+  }
+
+  test("q192 match-distribution per-row path is join-free (literal bins + hash filter only)") {
+    // the two config-sized summaries run at BUILD time (collects in
+    // the operator); the emitted PLAN over the corpus must be a
+    // narrow scan -> filter/project -> sort, with no join of any kind
+    val plan = planOf("q192_match_distribution")
+    assert(!plan.contains("Join"),
+      s"resampling must not join the corpus:\n${plan.take(2000)}")
+  }
+
+  test("q193 point-in-time join plans as a window composition — no join, one exchange for the window") {
+    val plan = planOf("q193_pit_join")
+    // the scd2 build + pitJoin share the user_id hash partitioning;
+    // no Join node may appear anywhere (interval containment must
+    // never become a range join)
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+      s"PIT must stay a window plan:\n${plan.take(2000)}")
+  }
+
   test("q03 fact join degrades to sort-merge when dims exceed the broadcast threshold") {
     // the 100 TB story: a dimension that outgrows the broadcast
     // threshold must NOT fail or cartesian — the planner falls back to
