@@ -170,4 +170,50 @@ object Profiler {
   def psiDrift(baseline: DataFrame, current: DataFrame, value: Column,
       nBins: Int = 8): DataFrame =
     psiAgainst(psiBaseline(baseline, value, nBins), current, value)
+
+  /** CATEGORICAL population-stability drift — [[psiDrift]]'s sibling
+    * for discrete columns (language, source, ship mode, label),
+    * where equi-depth numeric bins make no sense: each observed
+    * category IS a bin, including categories only ONE side carries
+    * (a brand-new category in today's load is exactly the drift a
+    * gate must see — the full-outer category union guarantees it
+    * surfaces, with the standard floor-at-1 smoothing). Same
+    * integer micro-PSI discipline as [[psiAgainst]]: ln of the
+    * proportion ratio quantized to micro-nats first, the product
+    * floored to micro-units — bit-stable across engines.
+    *
+    * Scale shape: two map-side-combined category counts (the only
+    * passes over data), one full-outer join + one window over the
+    * CATEGORY-sized frame (a categorical domain is config-sized by
+    * definition — a "category" column with millions of values is an
+    * id, profile it as one). Nulls are excluded (profile null rates
+    * via [[profile]]); an empty side raises rather than comparing
+    * against undefined proportions.
+    */
+  def psiCategorical(baseline: DataFrame, current: DataFrame,
+      cat: Column): DataFrame = {
+    val bc = baseline.select(cat.cast("string").as("cat"))
+      .filter(col("cat").isNotNull)
+      .groupBy(col("cat")).agg(count(lit(1)).as("base_cnt"))
+    val cc = current.select(cat.cast("string").as("cat"))
+      .filter(col("cat").isNotNull)
+      .groupBy(col("cat")).agg(count(lit(1)).as("cur_cnt"))
+    val j = bc.join(cc, Seq("cat"), "full_outer")
+      .na.fill(0L, Seq("base_cnt", "cur_cnt"))
+    val w = Window.partitionBy(lit(1))
+    def tot(c: Column, side: String): Column =
+      when(sum(c).over(w) === 0, raise_error(
+        lit(s"psiCategorical: $side side has no measurable rows (PSI undefined)")))
+        .otherwise(sum(c).over(w))
+    val bs = greatest(col("base_cnt"), lit(1L)).cast("double")
+    val cs = greatest(col("cur_cnt"), lit(1L)).cast("double")
+    val bt = col("_bt").cast("double")
+    val ct = col("_ct").cast("double")
+    val lnMicro = floor(log((bs * ct) / (cs * bt)) * 1e6 + lit(0.5)).cast("long")
+    j.withColumn("_bt", tot(col("base_cnt"), "baseline"))
+      .withColumn("_ct", tot(col("cur_cnt"), "current"))
+      .withColumn("psi_micro",
+        floor((bs / bt - cs / ct) * lnMicro.cast("double") + lit(0.5)).cast("long"))
+      .select(col("cat"), col("base_cnt"), col("cur_cnt"), col("psi_micro"))
+  }
 }

@@ -738,7 +738,46 @@ object SqlQueries {
     s.sql(q179Sql)
   }, Some(q179Sql.replace("DIV 7", "// 7")))
 
+  /** Categorical drift (Profiler.psiCategorical): order-priority mix
+    * of an even-keyed baseline vs an odd-keyed current load with
+    * 1-URGENT dropped entirely — the vanished-category case a
+    * numeric-bin PSI can't express. Full-outer category union
+    * (1-URGENT still surfaces, with cur_cnt 0 and the floor-at-1
+    * smoothing), micro-nat ln, and micro-PSI contributions, all
+    * mirrored by the oracle's integer arithmetic.
+    */
+  private val q198 = Q("q198_psi_categorical", (s, dir) => {
+    val o = Tables.load(s, dir, "orders")
+    graft.operators.Profiler.psiCategorical(
+        o.where(col("o_orderkey") % 2 === 0),
+        o.where(col("o_orderkey") % 2 === 1 && col("o_orderpriority") =!= "1-URGENT"),
+        col("o_orderpriority"))
+      .orderBy(col("cat"))
+  }, Some("""
+    WITH b AS (SELECT o_orderpriority AS cat FROM orders WHERE o_orderkey % 2 = 0),
+    c AS (SELECT o_orderpriority AS cat FROM orders
+          WHERE o_orderkey % 2 = 1 AND o_orderpriority <> '1-URGENT'),
+    bc AS (SELECT cat, count(*) AS base_cnt FROM b GROUP BY cat),
+    cc AS (SELECT cat, count(*) AS cur_cnt FROM c GROUP BY cat),
+    j AS (SELECT COALESCE(bc.cat, cc.cat) AS cat,
+                 COALESCE(bc.base_cnt, 0) AS base_cnt,
+                 COALESCE(cc.cur_cnt, 0) AS cur_cnt
+          FROM bc FULL OUTER JOIN cc ON bc.cat = cc.cat),
+    t AS (SELECT CAST(sum(base_cnt) AS BIGINT) AS bt,
+                 CAST(sum(cur_cnt) AS BIGINT) AS ct
+          FROM j)
+    SELECT j.cat, j.base_cnt, j.cur_cnt,
+           CAST(floor(
+             (greatest(j.base_cnt, 1) / CAST(t.bt AS DOUBLE)
+              - greatest(j.cur_cnt, 1) / CAST(t.ct AS DOUBLE))
+             * CAST(CAST(floor(ln(
+                 (greatest(j.base_cnt, 1) * CAST(t.ct AS DOUBLE))
+                 / (greatest(j.cur_cnt, 1) * CAST(t.bt AS DOUBLE)))
+                 * 1000000 + 0.5) AS BIGINT) AS DOUBLE)
+             + 0.5) AS BIGINT) AS psi_micro
+    FROM j, t ORDER BY j.cat"""))
+
   val list: Seq[Q] = Seq(q57, q58, q59, q68, q70, q71, q72, q88, q109, q110, q111,
     q121, q122, q133, q134, q151, q152, q153, q154, q155, q157, q158, q159,
-    q166, q167, q178, q179)
+    q166, q167, q178, q179, q198)
 }

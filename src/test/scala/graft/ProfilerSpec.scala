@@ -62,6 +62,33 @@ class ProfilerSpec extends SparkSpec {
     assert(totalPsi > 0.25, s"shifted load must read as drifted, got $totalPsi")
   }
 
+  test("psiCategorical: identical mixes score zero; a vanished and a new category both surface") {
+    val base = (Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(20)("c"))
+      .toDF("cat")
+    val same = Profiler.psiCategorical(base, base, col("cat"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(same.toSet == Set(("a", 50L, 50L, 0L), ("b", 30L, 30L, 0L),
+      ("c", 20L, 20L, 0L)), s"identical mixes must be flat: ${same.toSeq}")
+    // current drops c entirely and introduces d — BOTH must surface
+    val cur = (Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(20)("d"))
+      .toDF("cat")
+    val got = Profiler.psiCategorical(base, cur, col("cat"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == Set("a", "b", "c", "d"))
+    assert(got("c")._2 == 0L && got("c")._3 > 0L,
+      s"vanished category must contribute positive PSI: ${got("c")}")
+    assert(got("d")._1 == 0L && got("d")._3 > 0L,
+      s"new category must contribute positive PSI: ${got("d")}")
+    val total = got.values.map(_._3).sum / 1e6
+    assert(total > 0.25, s"a 20% category swap must read as drifted, got $total")
+    // empty side raises instead of comparing against undefined proportions
+    val ex = intercept[Exception] {
+      Profiler.psiCategorical(base, base.where(col("cat") === "zz"), col("cat"))
+        .collect()
+    }
+    assert(ex.getMessage.contains("no measurable rows"), ex.getMessage)
+  }
+
   test("psiDrift: bins empty on both sides contribute exactly zero") {
     // a constant measure collapses every boundary: all mass lands in
     // bin 0 and bins 1..7 must smooth to 0, not NaN or a spurious hit

@@ -197,6 +197,29 @@ class ApproxSpec extends SparkSpec {
     assert(out.values.forall(t => t._3 >= 5.0 && t._3 <= 95.0))
   }
 
+  test("concurrency equals the brute-force point count at every boundary on random intervals") {
+    import graft.operators.Temporal
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val iv = (1 to 120).map { i =>
+      val s = rnd.nextInt(50).toLong
+      (s"k${i % 3}", s, s + rnd.nextInt(12).toLong) // incl. zero-length
+    }
+    val got = Temporal.concurrency(iv.toDF("k", "s_us", "e_us"),
+        "k", "s_us", "e_us")
+      .as[(String, Long, Long)].collect()
+    // brute force: at boundary t the active count is |{i : s <= t < e}|
+    val byKey = iv.groupBy(_._1)
+    got.foreach { case (k, t, active) =>
+      val want = byKey(k).count { case (_, s, e) => s <= t && t < e }
+      assert(active == want, s"key $k at $t: sweep=$active brute=$want")
+    }
+    // every boundary appears exactly once per key
+    val bounds = iv.flatMap { case (k, s, e) => Seq((k, s), (k, e)) }.toSet
+    assert(got.map(r => (r._1, r._2)).toSet == bounds &&
+      got.length == bounds.size, "one row per distinct boundary")
+  }
+
   test("topP equals the brute-force nucleus definition across random weights and thresholds") {
     import graft.operators.CorpusOps
     import spark.implicits._
