@@ -237,6 +237,41 @@ class StreamingSpec extends SparkSpec {
       Seq("Hell Yeah first", "Hell Yeah second", "Hell Yeah third"), primary.toSeq)
   }
 
+  test("e2e record-granular re-ingest: subset protocol survives a commit-marker replay, delivery stays once") {
+    val base = tmp()
+    ReingestSinkState.reset(s"$base/in")
+    val conf = FirehoseDelivery.Config(s"$base/in", s"$base/out", s"$base/ck",
+      sizeCap = 40L, availableNow = true, maxFilesPerTrigger = Some(1),
+      reingestSink = Some(new FlakyReingestSink("r3", failTimes = 1)),
+      effectivelyOnce = true)
+    writeRecords(conf.inputDir, "events-1.json",
+      Seq(record("r1", envelopeJson("DATA_MESSAGE", Seq("Hello first"))),
+        record("r2", envelopeJson("DATA_MESSAGE", Seq("Hello second"))),
+        record("r3", envelopeJson("DATA_MESSAGE", Seq("Hello third")))))
+    runOnce(conf) // batch 0: r1 delivered; r2+r3 dropped -> put fails r3's slot, retries ONLY r3
+    import scala.jdk.CollectionConverters._
+    assert(ReingestSinkState.calls.asScala.toSeq.length == 2,
+      s"pre-crash protocol: ${ReingestSinkState.calls.asScala.toSeq}")
+    // crash between sink and commit: batch 0 REPLAYS on restart and
+    // re-puts its whole dropped subset (the flaky slot is exhausted,
+    // so the replay succeeds in one call)
+    assert(Files.deleteIfExists(Paths.get(s"$base/ck/commits/0")))
+    Files.deleteIfExists(Paths.get(s"$base/ck/commits/.0.crc"))
+    runOnce(conf) // replay batch 0 + drain run-1's re-ingested files
+    runOnce(conf) // drain the replay's re-ingested copies
+    val calls = ReingestSinkState.calls.asScala.toSeq
+    assert(calls.length == 3 &&
+      calls(2).map(_.split("-").last).sorted == Seq("r2", "r3"),
+      s"replayed batch must re-put the full dropped subset: $calls")
+    // the seen registry absorbs the duplicate re-sends: every payload
+    // delivered exactly once despite the at-least-once replay
+    val primary = spark.read.text(conf.primaryDir).collect().map(_.getString(0))
+    Seq("first", "second", "third").foreach { p =>
+      assert(primary.count(_ == s"Hell Yeah $p") == 1,
+        s"payload '$p' delivered ${primary.count(_ == s"Hell Yeah $p")} times: ${primary.toSeq}")
+    }
+  }
+
   test("e2e record-granular re-ingest: exhaustion fails the query with the terminal message (main.py:125-127)") {
     val base = tmp()
     ReingestSinkState.reset(s"$base/in")
