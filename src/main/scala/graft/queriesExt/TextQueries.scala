@@ -681,6 +681,41 @@ object TextQueries {
     WHERE contains(' ' || d.text || ' ', ' ' || p.phrase || ' ')
     ORDER BY p.phrase, d.doc_id"""))
 
+  /** Trending terms per day: the top-5 event-type tokens of each
+    * user-event day by count — the "what surged today" feed, shaped
+    * exactly like production trending pipelines: one map-side-
+    * combined (day, term) count (the shuffle carries counters, not
+    * events) and a ranking window over the day-sized aggregate frame
+    * only. Ties break (count desc, term asc) so the board is
+    * deterministic.
+    */
+  private val q199 = Q("q199_trending_terms", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val day = expr("unix_micros(ts) div 86400000000L")
+    val counts = Tables.events(s, dir)
+      .select(day.as("day"), explode(split(col("props"), "[^A-Za-z0-9]+")).as("term"))
+      .where(length(col("term")) >= 2)
+      .groupBy(col("day"), col("term")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("day"))
+      .orderBy(col("n").desc, col("term"))
+    counts.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= 5)
+      .orderBy(col("day"), col("rnk"))
+  }, Some("""
+    WITH tok AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             unnest(string_split_regex(props, '[^A-Za-z0-9]+')) AS term
+      FROM events),
+    c AS (SELECT day, term, count(*) AS n FROM tok
+          WHERE len(term) >= 2 GROUP BY day, term),
+    r AS (SELECT day, term, n,
+                 CAST(row_number() OVER (PARTITION BY day
+                   ORDER BY n DESC, term) AS BIGINT) AS rnk
+          FROM c)
+    SELECT day, term, n, rnk FROM r WHERE rnk <= 5
+    ORDER BY day, rnk"""))
+
   val list: Seq[Q] = Seq(q51, q52, q53, q54, q55, q56, q74, q89, q100, q101, q108, q112,
-    q120, q128, q129, q138, q141, q142, q143, q144, q148, q176, q183, q194)
+    q120, q128, q129, q138, q141, q142, q143, q144, q148, q176, q183, q194,
+    q199)
 }
