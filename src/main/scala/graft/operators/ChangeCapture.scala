@@ -182,6 +182,13 @@ object ChangeCapture {
     require(compareCols.nonEmpty, "compareCols must be non-empty")
     require(batch.columns.contains(deleteCol),
       s"batch lacks the delete-marker column '$deleteCol'")
+    // the compaction struct is (orderCols, _del, compareCols) by NAME —
+    // a collision would make the `_w.<field>` reads ambiguous or wrong
+    require(orderCols.intersect(compareCols).isEmpty,
+      s"orderCols and compareCols must be disjoint, both contain " +
+        orderCols.intersect(compareCols).mkString(", "))
+    require(!(orderCols ++ compareCols).contains("_del"),
+      "'_del' is reserved by tombstoneDiff's compaction struct")
     val isDel = coalesce(col(deleteCol).cast("boolean"), lit(false))
     // last-write-per-key compaction: order by (orderCols, marker) so
     // exact order ties resolve tombstone-wins; attrs trail only to

@@ -21,13 +21,13 @@ object Graph {
   /** Micro-rank scale: 1 full unit of probability mass = 1e9. */
   val RANK_SCALE = 1000000000L
 
-  /** Exact long floor-division for NON-NEGATIVE operands: (a - a%b)/b
-    * keeps the divide exactly representable (the quotient is an
-    * integer < 2^53), where a plain `/` would round a near-integer
-    * quotient up through floor. Mirrors DuckDB's `//`.
+  /** Exact long floor-division for NON-NEGATIVE operands — Catalyst
+    * `IntegralDivide` (SQL `div`): pure long arithmetic, exact at any
+    * magnitude (no 2^53 double ceiling). Mirrors DuckDB's `//` on the
+    * non-negative grid these rank units live on.
     */
   private def ldiv(a: Column, b: Column): Column =
-    ((a - (a % b)) / b).cast("long")
+    graft.functions.intmath.ldiv(a, b)
 
   /** Fixed-iteration PageRank over an edge list (src -> dst), damping
     * 85/100, uniform teleport. Returns (node, rank_u) with rank_u in
@@ -270,10 +270,16 @@ object Graph {
     * Same wedge engine as [[linkPredict]]: candidates from the
     * center self-join (sum_z deg(z)² — the price of any
     * common-neighbor definition, capped by `maxCenterDegree` when
-    * hub centers must be skipped; the union in the denominator stays
-    * EXACT either way since degrees come from the full adjacency),
-    * intersections counted map-side, degrees joined back from the
-    * (node, degree) frame. jac_micro = floor(common·1e6 / union) —
+    * hub centers must be skipped). With the cap INACTIVE the result
+    * is exact. With the cap active, skipped hub centers UNDERCOUNT
+    * the intersection, and because union_size is computed as
+    * deg_a + deg_b − common from that capped count, the union is
+    * correspondingly OVERSTATED — jac_micro is a biased-low
+    * approximation in both numerator and denominator (the degrees
+    * themselves stay exact; only `common` is capped). Callers who
+    * need exact similarity on hub-heavy graphs must raise the cap.
+    * Intersections are counted map-side, degrees joined back from
+    * the (node, degree) frame. jac_micro = floor(common·1e6 / union) —
     * an exact integer quotient, bit-stable on any engine. `minSim`
     * (micro units) prunes the long tail before the output shuffle.
     */

@@ -188,7 +188,10 @@ object Profiler {
     * definition — a "category" column with millions of values is an
     * id, profile it as one). Nulls are excluded (profile null rates
     * via [[profile]]); an empty side raises rather than comparing
-    * against undefined proportions.
+    * against undefined proportions — including when BOTH sides are
+    * empty: a flagged sentinel row keeps the guard window non-empty
+    * so the raise still evaluates instead of silently returning an
+    * empty frame (the sentinel never reaches the output).
     */
   def psiCategorical(baseline: DataFrame, current: DataFrame,
       cat: Column): DataFrame = {
@@ -198,8 +201,13 @@ object Profiler {
     val cc = current.select(cat.cast("string").as("cat"))
       .filter(col("cat").isNotNull)
       .groupBy(col("cat")).agg(count(lit(1)).as("cur_cnt"))
+    val sentinel = baseline.sparkSession.range(1)
+      .select(lit("_").as("cat"), lit(0L).as("base_cnt"),
+        lit(0L).as("cur_cnt"), lit(true).as("_sent"))
     val j = bc.join(cc, Seq("cat"), "full_outer")
       .na.fill(0L, Seq("base_cnt", "cur_cnt"))
+      .withColumn("_sent", lit(false))
+      .unionByName(sentinel)
     val w = Window.partitionBy(lit(1))
     def tot(c: Column, side: String): Column =
       when(sum(c).over(w) === 0, raise_error(
@@ -212,6 +220,7 @@ object Profiler {
     val lnMicro = floor(log((bs * ct) / (cs * bt)) * 1e6 + lit(0.5)).cast("long")
     j.withColumn("_bt", tot(col("base_cnt"), "baseline"))
       .withColumn("_ct", tot(col("cur_cnt"), "current"))
+      .filter(!col("_sent"))
       .withColumn("psi_micro",
         floor((bs / bt - cs / ct) * lnMicro.cast("double") + lit(0.5)).cast("long"))
       .select(col("cat"), col("base_cnt"), col("cur_cnt"), col("psi_micro"))

@@ -139,7 +139,12 @@ object Quantiles {
     * bit-exact on any engine.
     *
     * Output: the input plus `wlo`, `whi` (the group's clip bounds)
-    * and `winsorized` (the clipped value as double). Plan: one
+    * and `winsorized` (the clipped value as double). EVERY input row
+    * survives — clip, don't drop: rows whose group expression is
+    * null, or whose group has no non-null values (so no bounds
+    * exist), pass through with `wlo`/`whi`/`winsorized` null via the
+    * LEFT join (an inner join would silently drop them, since null
+    * keys never equi-join). Plan: one
     * [[exactPercentiles]] round for the bounds (kilobyte shuffles,
     * two scans) + one broadcast join back — per-row work is a narrow
     * least/greatest; the data is never sorted or shuffled.
@@ -156,7 +161,7 @@ object Quantiles {
         Seq("wlo" -> pLo, "whi" -> pHi), interpolate = false)
       .select(col("_g").as("_wg"), col("wlo"), col("whi"))
     df.withColumn("_wg", group)
-      .join(broadcast(bounds), "_wg")
+      .join(broadcast(bounds), Seq("_wg"), "left")
       .withColumn("winsorized",
         least(greatest(value.cast("double"), col("wlo")), col("whi")))
       .drop("_wg")

@@ -57,12 +57,11 @@ object SkewOps {
     */
   def zorderKey2(x: Column, y: Column, bits: Int = 21): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
-    // exact long floor-div (a - a%b)/b — Spark's `/` on longs is a
-    // double divide, inexact past 2^53; this mirrors SQL's `//`
+    // exact long division via Catalyst IntegralDivide (SQL `div`) —
+    // Spark's `/` on longs is a double divide, inexact past 2^53
     def bitAt(c: Column, i: Int): Column = {
       val cl = greatest(c.cast("long"), lit(0L))
-      val b = lit(1L << i)
-      (((cl - (cl % b)) / b).cast("long") % 2)
+      (graft.functions.intmath.ldiv(cl, lit(1L << i)) % 2)
     }
     (0 until bits).map { i =>
       bitAt(x, i) * lit(1L << (2 * i)) + bitAt(y, i) * lit(1L << (2 * i + 1))

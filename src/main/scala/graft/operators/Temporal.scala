@@ -483,7 +483,7 @@ object Temporal {
       bucketMicros: Long = 86400000000L): DataFrame = {
     require(periodBuckets >= 2 && bucketMicros > 0,
       s"need periodBuckets >= 2 and bucketMicros > 0, got ($periodBuckets, $bucketMicros)")
-    def ldiv(a: Column, b: Column): Column = ((a - (a % b)) / b).cast("long")
+    import graft.functions.intmath.ldiv
     val pos = expr(s"(`$tsUsCol` div ${bucketMicros}L) % $periodBuckets")
     val wb = Window.partitionBy(col(keyCol), col("_pos"))
     df.withColumn("_pos", pos.cast("long"))
@@ -511,7 +511,7 @@ object Temporal {
     */
   def cusumChangepoint(df: DataFrame, keyCol: String, tsUsCol: String,
       valCol: String, tieCol: String): DataFrame = {
-    def ldiv(a: Column, b: Column): Column = ((a - (a % b)) / b).cast("long")
+    import graft.functions.intmath.ldiv
     val wk = Window.partitionBy(col(keyCol))
     val wo = Window.partitionBy(col(keyCol))
       .orderBy(col(tsUsCol), col(tieCol))

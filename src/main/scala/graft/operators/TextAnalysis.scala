@@ -492,7 +492,7 @@ object TextAnalysis {
     * state, no vocabulary table.
     */
   def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    def ldiv(a: Column, b: Column): Column = ((a - (a % b)) / b).cast("long")
+    import graft.functions.intmath.ldiv
     val freq = df.select(col(idCol), explode(tokens(textCol)).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("_c"))
     freq.groupBy(col(idCol))

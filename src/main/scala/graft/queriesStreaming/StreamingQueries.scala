@@ -187,27 +187,31 @@ object StreamingQueries {
     * (q90's operator), the p50/p90/p99 of end-to-end latency. Values
     * are integer epoch-micros differences and percentiles are
     * rank-select (value at rank floor(p*(n-1))+1 — no interpolation),
-    * so both engines agree exactly. The rank window runs over
-    * completed-funnel rows only (a tiny frame, the documented
-    * small-table window pattern); the funnel itself is q90's
-    * user-key-partitioned min-aggregation chain.
+    * so both engines agree exactly. The percentile selection is
+    * [[graft.operators.Quantiles.exactPercentiles]] — distributed
+    * order-bit bucketed rank-select, NO global single-partition rank
+    * window: the completed-funnel frame SCALES WITH THE CORPUS (at
+    * 100 TB it is millions of rows), so a Window.orderBy over it
+    * would be the one unpartitioned sort left in the corpus. Micros
+    * are integers < 2^53, exact through the double grid and cast
+    * back to long. The funnel itself is q90's user-key-partitioned
+    * min-aggregation chain.
     */
   private val q150 = Q("q150_funnel_latency", (s, dir) => {
-    import org.apache.spark.sql.expressions.Window
     val f = graft.operators.Funnel.orderedFunnel(Tables.events(s, dir),
       col("user_id"), col("ts"), col("event_type"),
       Seq("signup", "click", "purchase"))
     val lat = f.filter(col("t3").isNotNull)
       .select((col("t3") - col("t1")).as("lat"))
-    val n = lat.agg(count(lit(1)).as("n"))
-    val ranked = lat
-      .withColumn("rn", row_number().over(Window.orderBy(col("lat"))))
-      .crossJoin(broadcast(n))
-    Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99)).map { case (name, p) =>
-      ranked.filter(col("rn") === floor(lit(p) * (col("n") - 1).cast("double")) + 1)
-        .select(lit(name).as("p"), col("lat").as("latency_us"),
-          col("n").as("n_completed"))
-    }.reduce(_ unionAll _).orderBy(col("p"))
+    val pct = graft.operators.Quantiles.exactPercentiles(lat, lit(1), col("lat"),
+      Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99), interpolate = false)
+    pct.select(explode(map(
+        lit("p50"), col("p50"), lit("p90"), col("p90"), lit("p99"), col("p99")))
+        .as(Seq("p", "_lat")),
+      col("n").as("n_completed"))
+      .select(col("p"), col("_lat").cast("long").as("latency_us"),
+        col("n_completed"))
+      .orderBy(col("p"))
   }, Some("""
     WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS y FROM events),
     s1 AS (SELECT u, min(t) AS t1 FROM e WHERE y = 'signup' GROUP BY u),
