@@ -254,38 +254,43 @@ object Dedup {
       tauPct: Int): DataFrame = {
     require(tauPct >= 1 && tauPct <= 100, s"tauPct must be in [1,100], got $tauPct")
     import org.apache.spark.sql.expressions.Window
-    val tok = df.select(col(idCol).as("_id"), explode(setCol).as("_t")).distinct()
-    val sizes = tok.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
-    val dfreq = tok.groupBy(col("_t")).agg(count(lit(1)).as("_df"))
-    // per-doc distinct token arrays for the verify stage (narrow)
+    // per-doc distinct token arrays: ONE narrow projection serves the
+    // token stream (explode), the set sizes, and the verify stage —
+    // the first draft's explode().distinct() paid a full token-stream
+    // exchange for what array_distinct computes per row, and a
+    // separate groupBy for the _n that size() already knows.
     val arrs = df
       .select(col(idCol).as("_id"), array_distinct(setCol).as("_set"))
       .select(col("_id"), col("_set"), size(col("_set")).cast("long").as("_n"))
+    val tok = arrs.select(col("_id"), col("_n"), explode(col("_set")).as("_t"))
+    val dfreq = tok.groupBy(col("_t")).agg(count(lit(1)).as("_df"))
     val w = Window.partitionBy(col("_id")).orderBy(col("_df"), col("_t"))
-    // prefix length = n - ceil(tau*n/100) + 1, all integer
-    val prefix = tok.join(dfreq, "_t").join(sizes, "_id")
+    // prefix length = n - ceil(tau*n/100) + 1, all integer; _n rides
+    // the token rows so the PPJoin length filter can run INSIDE the
+    // candidate join, before the dedup shuffle
+    val prefix = tok.join(dfreq, "_t")
       .withColumn("_rn", row_number().over(w))
       .where(col("_rn") <= col("_n") - expr(s"(($tauPct * _n + 99) div 100)") + 1)
-      .select(col("_id"), col("_t"))
-    val cand = prefix.select(col("_id").as("id_a"), col("_t"))
-      .join(prefix.select(col("_id").as("id_b"), col("_t")), "_t")
-      .where(col("id_a") < col("id_b"))
+      .select(col("_id"), col("_n"), col("_t"))
+    val cand = prefix.select(col("_id").as("id_a"), col("_n").as("n_a"), col("_t"))
+      .join(prefix.select(col("_id").as("id_b"), col("_n").as("n_b"), col("_t")), "_t")
+      .where(col("id_a") < col("id_b") &&
+        lit(100) * least(col("n_a"), col("n_b")) >=
+          lit(tauPct) * greatest(col("n_a"), col("n_b")))
       .select(col("id_a"), col("id_b")).distinct()
     // verify per PAIR with array_intersect on the two docs' distinct
     // token ARRAYS — a narrow codegen'd set intersection — instead of
     // re-exploding every candidate into |pair|·|set| (id, token) rows
     // and shuffling them back into a count (the first draft's shape:
     // at sf0.1 that was a 15M-row shuffle for 300k candidates).
-    // The length filter (also lossless: inter <= min, union >= max,
-    // so J <= min/max — PPJoin's filter) prunes size-incompatible
-    // pairs before the intersection runs.
+    // The length filter (lossless: inter <= min, union >= max, so
+    // J <= min/max — PPJoin's filter) already ran inside the candidate
+    // join above, before the dedup shuffle.
     cand
       .join(arrs.select(col("_id").as("id_a"), col("_set").as("_sa"),
         col("_n").as("n_a")), "id_a")
       .join(arrs.select(col("_id").as("id_b"), col("_set").as("_sb"),
         col("_n").as("n_b")), "id_b")
-      .where(lit(100) * least(col("n_a"), col("n_b")) >=
-        lit(tauPct) * greatest(col("n_a"), col("n_b")))
       .withColumn("inter",
         size(array_intersect(col("_sa"), col("_sb"))).cast("long"))
       .where(col("inter") * 100 >= lit(tauPct) * (col("n_a") + col("n_b") - col("inter")))

@@ -44,16 +44,36 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
-    val scored = c.crossJoin(broadcast(q))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("_cos", cosine(col("_qv"), col("_cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("_cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
+    cosineCandidates(corpus, queries, idCol, vecCol)
+      .withColumnRenamed("score", "_cos")
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), q6(col("_cos")).as("cos_sim"))
+  }
+
+  /** The scoring stage of [[bruteForceTopK]] WITHOUT the per-query
+    * rank window: every (query, corpus) pair's raw cosine, query side
+    * broadcast, self excluded. Exists so a hybrid retriever (q145) can
+    * rank this dense leg and a sparse leg in ONE shared window pass —
+    * see [[rankFuseScored]]. Output: (query_id, neighbor_id, score).
+    */
+  def cosineCandidates(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    // Norms are computed ONCE per row on each side of the join, not
+    // per (query, corpus) pair — cosine(q, c) inline would evaluate
+    // dot(q,q) and dot(c,c) inside the cross product, tripling the
+    // FLOPs of the hot loop. sqrt/division/multiplication order is
+    // unchanged, so the double result is bit-identical to cosine().
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+      norm(col(vecCol)).as("_qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+      norm(col(vecCol)).as("_cn"))
+    c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn"))).as("score"))
   }
 
   /** Deterministic pseudo-random hyperplane component: md5-derived
@@ -545,6 +565,56 @@ object Similarity {
     val u = rankings.map(_.select(col("query_id"), col("neighbor_id"),
       contribU.as("_c"))).reduce(_ unionAll _)
     val fused = u.groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("_c")).as("rrf_u"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_u").desc, col("neighbor_id"))
+    fused.withColumn("fused_rank", row_number().over(w))
+      .filter(col("fused_rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"),
+        col("fused_rank").cast("int").as("fused_rank"), col("rrf_u"))
+  }
+
+  /** [[reciprocalRankFusion]] fused with the per-leg ranking itself:
+    * takes each leg's SCORED candidates (query_id, neighbor_id, score
+    * — higher is better; per-leg rank breaks ties by neighbor_id,
+    * exactly the window every individual retriever runs) and performs
+    * per-leg top-`perLegTopK` ranking, the nano-unit RRF sum, and the
+    * fused top-`topK` in ONE query_id partitioning.
+    *
+    * Why this exists (q145): composing bm25Retrieve + bruteForceTopK +
+    * reciprocalRankFusion pays FOUR candidate-scale exchanges — one
+    * rank window per leg, the RRF (query, neighbor) groupBy, and the
+    * fused window (the union erases the legs' partitioning). Here the
+    * union of raw candidates is repartitioned on query_id ONCE;
+    * hash(query_id) satisfies the clustered distribution of the
+    * per-leg window (query_id, leg), the RRF aggregation (query_id,
+    * neighbor_id), and the fused window (query_id), so Catalyst plans
+    * zero further exchanges — verified in PlanSpec. Same bytes
+    * shuffled as ONE of the old exchanges, three stage barriers gone.
+    *
+    * Determinism: scores are compared as doubles; an integer-grid leg
+    * (BM25 micro-units) must pass its LONG units cast to double —
+    * exact (and order-identical) while |score| < 2^53. Rank contribs
+    * floor to integer nano-units before the sum, as in
+    * [[reciprocalRankFusion]]; fused ties break by neighbor_id.
+    */
+  def rankFuseScored(legs: Seq[DataFrame], perLegTopK: Int, k: Int = 60,
+      topK: Int = 5): DataFrame = {
+    require(legs.nonEmpty && perLegTopK >= 1 && k >= 0 && topK >= 1,
+      s"need legs, perLegTopK >= 1, k >= 0, topK >= 1; got (${legs.size}, $perLegTopK, $k, $topK)")
+    val u = legs.zipWithIndex.map { case (df, i) =>
+      df.select(col("query_id"), col("neighbor_id"),
+        col("score").cast("double").as("_score"), lit(i).as("_leg"))
+    }.reduce(_ unionAll _)
+    val wLeg = Window.partitionBy(col("query_id"), col("_leg"))
+      .orderBy(col("_score").desc, col("neighbor_id"))
+    val contribU = floor(lit(1e9) /
+      (lit(k).cast("double") + col("_r").cast("double")) + lit(0.5)).cast("long")
+    val fused = u.repartition(col("query_id"))
+      .withColumn("_r", row_number().over(wLeg))
+      .filter(col("_r") <= perLegTopK)
+      .select(col("query_id"), col("neighbor_id"), contribU.as("_c"))
+      .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(col("_c")).as("rrf_u"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("rrf_u").desc, col("neighbor_id"))

@@ -345,7 +345,38 @@ object TextAnalysis {
       textCol: String, topK: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
     import org.apache.spark.sql.expressions.Window
-    val tok = docs.select(col(idCol).as("_did"), explode(tokens(textCol)).as("term"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_u").desc, col("neighbor_id"))
+    bm25Candidates(docs, queries, idCol, textCol, k1, b)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("int").as("rank"),
+        (col("score_u").cast("double") / lit(1e6)).as("bm25"))
+  }
+
+  /** The candidate-generation stage of [[bm25Retrieve]] WITHOUT the
+    * per-query rank window: every (query, corpus doc) pair sharing a
+    * term, scored on the exact integer micro-unit BM25 grid. Exists so
+    * a hybrid retriever (q145) can rank the sparse and dense legs in
+    * ONE window pass over one query_id partitioning instead of paying
+    * a separate rank exchange per leg — see
+    * [[graft.operators.Similarity.rankFuseScored]].
+    *
+    * Output: (query_id, neighbor_id, score_u: long). score_u orders
+    * identically to [[bm25Retrieve]]'s bm25 (it IS bm25 * 1e6 before
+    * the double division), and stays exact under a double cast while
+    * |score_u| < 2^53 — far above any real per-pair BM25 mass.
+    */
+  def bm25Candidates(docs: DataFrame, queries: DataFrame, idCol: String,
+      textCol: String, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // Contract: null-id docs are excluded everywhere (they could never
+    // join back as candidates). Filtering HERE — not relying on the
+    // join's implicit null rejection — keeps the tf subtree's pushed
+    // filters identical on the contrib and idf paths, which is what
+    // lets ReuseExchange serve both from one token-stream shuffle.
+    val tok = docs.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("_did"), explode(tokens(textCol)).as("term"))
     val dl = tok.groupBy(col("_did")).agg(count(lit(1)).as("_dl"))
     val nDocs = docs.agg(count(lit(1)).cast("double").as("_nd"))
     val qterms = queries
@@ -354,14 +385,28 @@ object TextAnalysis {
     val need = qterms.select(col("term")).distinct()
     val tf = tok.join(broadcast(need), "term")
       .groupBy(col("_did"), col("term")).agg(count(lit(1)).as("_tf"))
-    // df = docs containing the term (tf is one row per (doc, term))
-    val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("_df"))
+    // df = docs containing the term (tf is one row per (doc, term)).
+    // Counted as sum(1 where _tf >= 1) — the SAME number as count(*),
+    // but referencing _tf keeps this subtree's column set identical to
+    // the contrib path's, so Catalyst's ReuseExchange serves BOTH from
+    // one token-stream shuffle (a plain count(*) let pruning turn this
+    // copy into a distinct — a second full explode + exchange of the
+    // corpus token stream; the first draft paid exactly that).
+    val idf = tf.groupBy(col("term"))
+      .agg(sum(when(col("_tf") >= 1, lit(1L))).as("_df"))
       .crossJoin(broadcast(nDocs))
       .select(col("term"),
         floor(log((col("_nd") - col("_df").cast("double") + 0.5) /
           (col("_df").cast("double") + 0.5) + 1.0) * 1e6 + lit(0.5))
           .cast("long").as("_idf_u"))
-    val avgdl = dl.agg((sum(col("_dl")).cast("double") / count(lit(1))).as("_avgdl"))
+    // avgdl = total tokens / N as a SCALAR over the token stream — no
+    // per-doc aggregation pass. Identical to avg over dl rows because
+    // split(text, " ") yields >= 1 token for EVERY doc (empty text ->
+    // [""]) in Spark and in the SQL mirror's string_split alike, so
+    // the dl frame has exactly N rows and sum(dl) is the token total.
+    val avgdl = tok.agg(count(lit(1)).cast("double").as("_tt"))
+      .crossJoin(broadcast(nDocs))
+      .select((col("_tt") / col("_nd")).as("_avgdl"))
     val contrib = tf
       .join(broadcast(qterms), "term") // query term sets are serving-size
       .filter(col("_did") =!= col("query_id"))
@@ -374,14 +419,9 @@ object TextAnalysis {
           (col("_tf").cast("double") +
             lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl").cast("double") / col("_avgdl"))) +
           lit(0.5)).cast("long").as("_c_u"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("_s_u").desc, col("_did"))
     contrib.groupBy(col("query_id"), col("_did"))
-      .agg(sum(col("_c_u")).as("_s_u"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .select(col("query_id"), col("_did").as("neighbor_id"),
-        col("rank").cast("int").as("rank"),
-        (col("_s_u").cast("double") / lit(1e6)).as("bm25"))
+      .agg(sum(col("_c_u")).as("score_u"))
+      .select(col("query_id"), col("_did").as("neighbor_id"), col("score_u"))
   }
 
   /** Token-sequence sentinel for [[bpeTokenize]]: each token rides as

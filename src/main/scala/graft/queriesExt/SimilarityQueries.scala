@@ -702,13 +702,15 @@ object SimilarityQueries {
     import graft.operators.TextAnalysis
     val docs = Tables.load(s, dir, "documents")
     val e = Tables.load(s, dir, "embeddings")
-    val sparse = TextAnalysis.bm25Retrieve(docs,
-        docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", topK = 10)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
-    val dense = Similarity.bruteForceTopK(e,
-        e.filter(col("vec_id") % 97 === 0), "vec_id", "embedding", 10)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
-    Similarity.reciprocalRankFusion(Seq(sparse, dense), k = 60, topK = 5)
+    // scored candidates only — both legs' rank windows, the RRF sum
+    // and the fused top-k run in rankFuseScored's single query_id
+    // partitioning (one exchange on the fusion path, not four)
+    val sparse = TextAnalysis.bm25Candidates(docs,
+        docs.filter(col("doc_id") % 97 === 0), "doc_id", "text")
+      .select(col("query_id"), col("neighbor_id"), col("score_u").as("score"))
+    val dense = Similarity.cosineCandidates(e,
+        e.filter(col("vec_id") % 97 === 0), "vec_id", "embedding")
+    Similarity.rankFuseScored(Seq(sparse, dense), perLegTopK = 10, k = 60, topK = 5)
       .orderBy(col("query_id"), col("fused_rank"))
   }, Some(s"""
     WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -12,10 +12,16 @@ object TimeQ extends App {
   spark.sparkContext.setLogLevel("WARN")
   val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
   graft.Tables.load(spark, sf, "lineitem").count() // warm the reader path
-  for (name <- args; i <- 0 until 2) {
-    val t0 = System.nanoTime()
-    graft.SparkEntry.queries(name)(spark, sf).write.mode("overwrite").format("noop").save()
-    println(s"TIME $name run$i ${(System.nanoTime() - t0) / 1e9}")
+  val runs = sys.env.getOrElse("SPARK_GRAFT_TIMEQ_RUNS", "4").toInt
+  for (name <- args) {
+    val ts = (0 until runs).map { i =>
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, sf).write.mode("overwrite").format("noop").save()
+      val t = (System.nanoTime() - t0) / 1e9
+      println(s"TIME $name run$i $t")
+      t
+    }
+    println(f"TIME $name min ${ts.min}%.3f")
   }
   spark.stop()
 }

@@ -319,6 +319,30 @@ class PlanSpec extends SparkSpec {
       s"the HAVING subquery must plan as a semi join, not a filter:\n${plan.take(2000)}")
   }
 
+  test("q145 fused retrieval: both leg rank windows, the RRF agg and the fused top-k share ONE query_id exchange") {
+    // rankFuseScored repartitions the unioned candidates on query_id
+    // ONCE (REPARTITION_BY_COL); hash(query_id) then satisfies the
+    // per-leg window's (query_id, _leg) clustering, the RRF
+    // (query_id, neighbor_id) aggregation, and the fused window — the
+    // unfused composition paid an exchange at each of those. In the
+    // tree dump everything DOWNSTREAM of the repartition prints above
+    // it, so the prefix must contain both windows, the rrf aggregate,
+    // and zero hash exchanges (the only exchange left is the final
+    // orderBy's range partitioning).
+    val plan = planOf("q145_hybrid_retrieval")
+    assert(plan.contains("REPARTITION_BY_COL"), s"expected the single fusion repartition:\n${plan.take(2000)}")
+    val tail = plan.split("REPARTITION_BY_COL")(0)
+    assert("Window \\[row_number".r.findAllIn(tail).length == 2,
+      s"expected both rank windows above the one repartition:\n${tail.take(3000)}")
+    // the split point is the repartition's own line ("Exchange
+    // hashpartitioning(query_id, n), REPARTITION_BY_COL"), so its
+    // prefix remains in `tail` — exactly one hash exchange may appear
+    assert("Exchange hashpartitioning".r.findAllIn(tail).length == 1,
+      s"fusion tail must not re-exchange:\n${tail.take(3000)}")
+    assert("Exchange rangepartitioning".r.findAllIn(tail).length == 1,
+      s"only the orderBy range exchange may remain:\n${tail.take(3000)}")
+  }
+
   test("psiDrift scores the current load in one scan: baseline enters only as literals") {
     val plan = planOf("q166_psi_drift")
     assert(!plan.contains("SortMergeJoin"),
