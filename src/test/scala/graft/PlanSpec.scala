@@ -33,6 +33,65 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"unexpected CartesianProduct in: $offenders")
   }
 
+  test("no query plans a corpus-scaling single-partition operator (window/coalesce/exchange/sort)") {
+    // the other global scale-killer guard (sibling of the cartesian
+    // test): a Window with an empty partition spec, a coalesce(1) /
+    // repartition(1), a Sort over an already-single partition, or a
+    // SinglePartition shuffle feeding anything but a scalar aggregate
+    // moves the WHOLE frame through one task. Frames that are
+    // config-sized BY CONTRACT (a handful of mixing weights, skyline
+    // candidates, profile rows — they do not grow with the corpus) are
+    // allowlisted by name with the reason pinned here.
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    import org.apache.spark.sql.execution.{CoalesceExec, SortExec, SparkPlan, ProjectExec, FilterExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    val allowed = Set(
+      "q85_mixing_weights",       // stratum-grain weight frame (one row per source)
+      "q104_temperature_sample",  // same stratum-grain summary frame
+      "q119_skyline",             // skyline candidates after per-group dominance reduction
+      "q150_funnel_latency",      // exactPercentiles bucket counters: <= 2^(64-shift)
+                                  // occupied-bucket rows by construction (the
+                                  // partitionBy(lit(1)) group folds to empty)
+      "q166_psi_drift",           // PSI bin grid (config-sized)
+      "q198_psi_categorical")     // PSI category grid (config-sized)
+    // a SinglePartition exchange is legitimate only as the gather step
+    // of a scalar aggregate (partial agg upstream has already reduced
+    // each partition to one row)
+    def scalarAggGather(p: SparkPlan): Boolean = {
+      def strip(q: SparkPlan): SparkPlan = q match {
+        case pe: ProjectExec => strip(pe.child)
+        case fe: FilterExec => strip(fe.child)
+        case other => other
+      }
+      strip(p) match {
+        case a: BaseAggregateExec => a.groupingExpressions.isEmpty
+        case _ => false
+      }
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      if (allowed(name)) None
+      else {
+        val plan = fn(spark, sfDir).queryExecution.sparkPlan
+        val hits = plan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => "unpartitioned Window"
+          case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => "unpartitioned WindowGroupLimit"
+          case c: CoalesceExec if c.numPartitions == 1 => "coalesce(1)"
+          case e: ShuffleExchangeExec
+            if e.outputPartitioning == SinglePartition && !scalarAggGather(e.child) =>
+              "non-scalar SinglePartition exchange"
+          case s: SortExec
+            if s.global && s.child.outputPartitioning == SinglePartition =>
+              "global sort over a single partition"
+        }
+        if (hits.isEmpty) None else Some(s"$name: ${hits.distinct.mkString(", ")}")
+      }
+    }
+    assert(offenders.isEmpty,
+      s"corpus-scaling single-partition plans in:\n  ${offenders.mkString("\n  ")}")
+  }
+
   test("q02 predicates are pushed to the parquet scan") {
     val plan = planOf("q02_predicates")
     assert(plan.contains("PushedFilters:") &&
