@@ -228,33 +228,75 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap(_.map { m =>
-        val cells: Array[Double] = decodeImage(m.payload) match {
-          case Some((w, h, px)) =>
-            // 8x8 average pool over ceil-sized tiles (covers ragged
-            // edges; every pixel lands in exactly one tile)
-            val (tw, th) = ((w + 7) / 8, (h + 7) / 8)
-            val sums = new Array[Double](64)
-            val counts = new Array[Long](64)
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val c = math.min(7, y / th) * 8 + math.min(7, x / tw)
-                sums(c) += px(y * w + x); counts(c) += 1
-                x += 1
-              }
-              y += 1
-            }
-            sums.indices.map(i => if (counts(i) == 0) 0.0 else sums(i) / counts(i)).toArray
-          case None => decodeStub(m.payload).take(64).map(_.toDouble)
-        }
-        val mean = if (cells.isEmpty) 0.0 else cells.sum / cells.length
-        val bits = cells.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
-          if (v >= mean) acc | (1L << i) else acc
+        val bits = decodeImage(m.payload) match {
+          case Some((w, h, px)) => ahash64(w, h, px)
+          case None => thresholdBits(decodeStub(m.payload).take(64).map(_.toDouble))
         }
         (m.media_id, m.kind, bits)
       })
     }.toDF("media_id", "kind", "ahash")
+  }
+
+  /** The aHash fingerprint of one pixel buffer: 8x8 average pool over
+    * ceil-sized tiles (covers ragged edges; every pixel lands in
+    * exactly one tile), each cell thresholded against the grid mean
+    * into one bit. Shared by [[aHash]] (whole images) and
+    * [[frameFeatures]] (video frames).
+    */
+  private[graft] def ahash64(w: Int, h: Int, px: Array[Int]): Long = {
+    if (w <= 0 || h <= 0) return 0L
+    val (tw, th) = ((w + 7) / 8, (h + 7) / 8)
+    val sums = new Array[Double](64)
+    val counts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val c = math.min(7, y / th) * 8 + math.min(7, x / tw)
+        sums(c) += px(y * w + x); counts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    thresholdBits(
+      sums.indices.map(i => if (counts(i) == 0) 0.0 else sums(i) / counts(i)).toArray)
+  }
+
+  private def thresholdBits(cells: Array[Double]): Long = {
+    val mean = if (cells.isEmpty) 0.0 else cells.sum / cells.length
+    cells.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+      if (v >= mean) acc | (1L << i) else acc
+    }
+  }
+
+  /** Per-frame video features through a pluggable [[VideoKernel]]:
+    * every K-th frame decodes executor-side (stub probe bytes in a
+    * codec-less sandbox, real ffmpeg gray frames in production — same
+    * plumbing, see [[VideoKernel.select]]) and fingerprints with the
+    * SAME [[ahash64]] the image dedup path uses, so sampled frames
+    * feed [[perceptualNearDups]] unchanged. Batch-shaped
+    * mapPartitions like [[extractFeatures]]; payload bytes never
+    * shuffle — the output carries only (media_id, frame_idx, t_sec,
+    * frame_ahash, n_px) scalars.
+    */
+  def frameFeatures(video: DataFrame, everyK: Int,
+      kernel: VideoKernel = VideoKernel.select(), maxFrames: Int = 64,
+      batchSize: Int = 64): DataFrame = {
+    require(everyK >= 1 && maxFrames >= 1,
+      s"need everyK >= 1 and maxFrames >= 1, got ($everyK, $maxFrames)")
+    val spark = video.sparkSession
+    import spark.implicits._
+    video.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.flatMap { case (id, payload) =>
+          val fps = kernel.probe(payload).map(_.fps).getOrElse(0.0)
+          kernel.decodeFrames(payload, everyK, maxFrames).map { f =>
+            (id, f.frameIdx, if (fps > 0) f.frameIdx / fps else 0.0,
+              ahash64(f.width, f.height, f.luma), f.luma.length.toLong)
+          }
+        })
+      }.toDF("media_id", "frame_idx", "t_sec", "frame_ahash", "n_px")
   }
 
   /** Perceptual near-dup pairs by Hamming distance over [[aHash]]
