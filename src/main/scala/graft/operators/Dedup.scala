@@ -250,6 +250,32 @@ object Dedup {
     * Output: (id_a, id_b, inter, n_a, n_b, jacc_permille) with
     * id_a < id_b, jacc_permille = (inter*1000) div (union).
     */
+  /** The prefix-filter stage of [[jaccardJoin]], separable so its
+    * skew story is testable on its own (DedupSpec's stopword-flood
+    * probe): takes (_id, _set, _n) rows and emits each set's prefix
+    * tokens — the n - ceil(tau*n/100) + 1 RAREST tokens under the
+    * global document-frequency order. These prefixes are the band
+    * keys of the candidate equi-join, and their rarity is the skew
+    * guarantee: a token of frequency f can appear in at most f
+    * prefixes, and the corpus-wide stopwords that would make a
+    * shared-token join explode are by construction the LAST tokens in
+    * the df order — they enter a prefix only for a set so small that
+    * nearly all of it IS the prefix.
+    */
+  private[graft] def jaccardPrefixes(arrs: DataFrame, tauPct: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = arrs.select(col("_id"), col("_n"), explode(col("_set")).as("_t"))
+    val dfreq = tok.groupBy(col("_t")).agg(count(lit(1)).as("_df"))
+    val w = Window.partitionBy(col("_id")).orderBy(col("_df"), col("_t"))
+    // prefix length = n - ceil(tau*n/100) + 1, all integer; _n rides
+    // the token rows so the PPJoin length filter can run INSIDE the
+    // candidate join, before the dedup shuffle
+    tok.join(dfreq, "_t")
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= col("_n") - expr(s"(($tauPct * _n + 99) div 100)") + 1)
+      .select(col("_id"), col("_n"), col("_t"))
+  }
+
   def jaccardJoin(df: DataFrame, idCol: String, setCol: Column,
       tauPct: Int): DataFrame = {
     require(tauPct >= 1 && tauPct <= 100, s"tauPct must be in [1,100], got $tauPct")
@@ -262,16 +288,7 @@ object Dedup {
     val arrs = df
       .select(col(idCol).as("_id"), array_distinct(setCol).as("_set"))
       .select(col("_id"), col("_set"), size(col("_set")).cast("long").as("_n"))
-    val tok = arrs.select(col("_id"), col("_n"), explode(col("_set")).as("_t"))
-    val dfreq = tok.groupBy(col("_t")).agg(count(lit(1)).as("_df"))
-    val w = Window.partitionBy(col("_id")).orderBy(col("_df"), col("_t"))
-    // prefix length = n - ceil(tau*n/100) + 1, all integer; _n rides
-    // the token rows so the PPJoin length filter can run INSIDE the
-    // candidate join, before the dedup shuffle
-    val prefix = tok.join(dfreq, "_t")
-      .withColumn("_rn", row_number().over(w))
-      .where(col("_rn") <= col("_n") - expr(s"(($tauPct * _n + 99) div 100)") + 1)
-      .select(col("_id"), col("_n"), col("_t"))
+    val prefix = jaccardPrefixes(arrs, tauPct)
     val cand = prefix.select(col("_id").as("id_a"), col("_n").as("n_a"), col("_t"))
       .join(prefix.select(col("_id").as("id_b"), col("_n").as("n_b"), col("_t")), "_t")
       .where(col("id_a") < col("id_b") &&

