@@ -264,16 +264,35 @@ object Dedup {
     */
   private[graft] def jaccardPrefixes(arrs: DataFrame, tauPct: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Tokens ride as xxhash64 LONGS through the candidate machinery
+    // (round 11): both window sorts compare longs instead of shingle
+    // strings, and the candidate equi-join keys on 8-byte hashes.
+    // Losslessness survives intact: the global token order is
+    // (df-per-hash, hash, token) — a TOTAL order on string tokens, and
+    // the prefix bound holds for ANY total order — while joining on
+    // the hash can only WIDEN the candidate set (a collision merges
+    // two tokens' buckets; it never separates equal tokens), and the
+    // exact string-array verify downstream eliminates the extras. The
+    // output is byte-identical with or without collisions.
     val tok = arrs.select(col("_id"), col("_n"), explode(col("_set")).as("_t"))
-    val dfreq = tok.groupBy(col("_t")).agg(count(lit(1)).as("_df"))
-    val w = Window.partitionBy(col("_id")).orderBy(col("_df"), col("_t"))
+      .withColumn("_th", xxhash64(col("_t")))
+    // df as a COUNT WINDOW over the hash partition: tok rows are
+    // per-doc distinct by construction, so count(*) over (_th) is the
+    // document frequency (per hash) — one exchange, where the
+    // groupBy-then-join formulation paid that exchange AND re-shuffled
+    // the token stream into the join
+    val wDf = Window.partitionBy(col("_th"))
+    // _t last: the string comparator only runs on exact (_df, _th)
+    // ties, and even then both orderings emit the same _th rows
+    val w = Window.partitionBy(col("_id"))
+      .orderBy(col("_df"), col("_th"), col("_t"))
     // prefix length = n - ceil(tau*n/100) + 1, all integer; _n rides
     // the token rows so the PPJoin length filter can run INSIDE the
     // candidate join, before the dedup shuffle
-    tok.join(dfreq, "_t")
+    tok.withColumn("_df", count(lit(1)).over(wDf))
       .withColumn("_rn", row_number().over(w))
       .where(col("_rn") <= col("_n") - expr(s"(($tauPct * _n + 99) div 100)") + 1)
-      .select(col("_id"), col("_n"), col("_t"))
+      .select(col("_id"), col("_n"), col("_th").as("_t"))
   }
 
   def jaccardJoin(df: DataFrame, idCol: String, setCol: Column,
@@ -295,19 +314,35 @@ object Dedup {
         lit(100) * least(col("n_a"), col("n_b")) >=
           lit(tauPct) * greatest(col("n_a"), col("n_b")))
       .select(col("id_a"), col("id_b")).distinct()
-    // verify per PAIR with array_intersect on the two docs' distinct
-    // token ARRAYS — a narrow codegen'd set intersection — instead of
-    // re-exploding every candidate into |pair|·|set| (id, token) rows
-    // and shuffling them back into a count (the first draft's shape:
-    // at sf0.1 that was a 15M-row shuffle for 300k candidates).
-    // The length filter (lossless: inter <= min, union >= max, so
-    // J <= min/max — PPJoin's filter) already ran inside the candidate
-    // join above, before the dedup shuffle.
-    cand
-      .join(arrs.select(col("_id").as("id_a"), col("_set").as("_sa"),
-        col("_n").as("n_a")), "id_a")
-      .join(arrs.select(col("_id").as("id_b"), col("_set").as("_sb"),
-        col("_n").as("n_b")), "id_b")
+    // Two-stage verify (round 11). Stage 1 — HASHED screen: intersect
+    // the docs' xxhash64 arrays (8-byte longs, not shingle strings;
+    // far cheaper per pair and far fewer bytes through the fetch
+    // joins). Lossless by a collision argument: when a doc has no
+    // intra-doc hash collision (_cf, checked exactly per doc), every
+    // truly-shared token is a shared hash, so inter_h >= inter and the
+    // screen can only ADMIT extras (cross-collision ghosts), never
+    // drop a qualifying pair; the rare _cf=false doc bypasses the
+    // screen entirely. Stage 2 — EXACT verify: the handful of
+    // survivors (true pairs + ghosts, ~0.15% of candidates at sf0.1)
+    // intersect their string arrays for the exact inter the output
+    // reports. Both stages are narrow per-pair expressions — the
+    // first draft's re-explode of every candidate into |pair|·|set|
+    // (id, token) rows was a 15M-row shuffle for 300k candidates.
+    val hashedArrs = arrs.select(col("_id"),
+      transform(col("_set"), t => xxhash64(t)).as("_seth"), col("_n"))
+      .withColumn("_cf", size(array_distinct(col("_seth"))).cast("long") === col("_n"))
+    val screened = cand
+      .join(hashedArrs.select(col("_id").as("id_a"), col("_seth").as("_ha"),
+        col("_n").as("n_a"), col("_cf").as("_cfa")), "id_a")
+      .join(hashedArrs.select(col("_id").as("id_b"), col("_seth").as("_hb"),
+        col("_n").as("n_b"), col("_cf").as("_cfb")), "id_b")
+      .withColumn("_ih", size(array_intersect(col("_ha"), col("_hb"))).cast("long"))
+      .where(!col("_cfa") || !col("_cfb") ||
+        col("_ih") * 100 >= lit(tauPct) * (col("n_a") + col("n_b") - col("_ih")))
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+    screened
+      .join(arrs.select(col("_id").as("id_a"), col("_set").as("_sa")), "id_a")
+      .join(arrs.select(col("_id").as("id_b"), col("_set").as("_sb")), "id_b")
       .withColumn("inter",
         size(array_intersect(col("_sa"), col("_sb"))).cast("long"))
       .where(col("inter") * 100 >= lit(tauPct) * (col("n_a") + col("n_b") - col("inter")))

@@ -202,11 +202,14 @@ class DedupSpec extends SparkSpec {
     // n = 15, tau = 80% -> prefix length = 15 - 12 + 1 = 4
     val prefix = Dedup.jaccardPrefixes(arrs, tauPct = 80)
     val buckets = prefix.groupBy(col("_t")).agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    // band keys are xxhash64 longs — hash the stopword list to match
+    val stopHashes = stop.toDF("t").select(xxhash64(col("t"))).collect()
+      .map(_.getLong(0)).toSet
     // every doc's prefix = its 3 unique tokens + at most ONE stopword
     // (rank 4 lands on the df-smallest stopword for every doc — that
     // single shared band key is the worst bucket)
-    val (stopBuckets, uniqueBuckets) = buckets.partition(b => stop.contains(b._1))
+    val (stopBuckets, uniqueBuckets) = buckets.partition(b => stopHashes.contains(b._1))
     assert(uniqueBuckets.forall(_._2 == 1L),
       s"unique content tokens must bucket alone: ${uniqueBuckets.filter(_._2 > 1).toSeq}")
     // 11 of the 12 flooded stopwords never become band keys at all
