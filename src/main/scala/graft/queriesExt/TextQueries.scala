@@ -188,6 +188,45 @@ object TextQueries {
            CAST(ord(substr(text, CAST((frame_idx * 37) % len(text) AS INT) + 1, 1)) AS BIGINT) AS frame_probe
     FROM frames ORDER BY media_id, frame_idx"""))
 
+  /** The [[graft.operators.VideoKernel]] decode path under the oracle
+    * (round 11): [[graft.operators.Multimodal.frameFeatures]] runs the
+    * per-frame kernel decode + ahash64 fingerprint through its real
+    * mapPartitions plumbing, pinned to the deterministic Stub kernel
+    * (an environment-dependent select() would break cross-engine
+    * replay). The stub's 1x1 frames make the fingerprint exactly
+    * computable in SQL: cells = [px, 0 x 63], mean = px/64, so bit 0
+    * is always set and bits 1-63 are set iff px = 0 — ahash is 1 for
+    * px > 0 and -1 (all 64 bits) for px = 0. The oracle replays the
+    * frame grid on BYTE length (the stub reads payload bytes, not
+    * chars) and probes bytes through hex(substring(encode(text))).
+    */
+  private val q200 = Q("q200_frame_ahash", (s, dir) => {
+    import graft.operators.{Multimodal, VideoKernel}
+    val video = Multimodal.videoFromDocuments(Tables.load(s, dir, "documents"))
+    Multimodal.frameFeatures(video, everyK = 24, kernel = VideoKernel.Stub)
+      .orderBy(col("media_id"), col("frame_idx"))
+  }, Some("""
+    WITH video AS (
+      SELECT doc_id AS media_id, encode(text) AS payload,
+             octet_length(encode(text)) AS nbytes
+      FROM documents WHERE octet_length(encode(text)) > 0),
+    meta AS (SELECT media_id, payload, nbytes,
+                    nbytes % 240 + 1 AS n_frames FROM video),
+    frames AS (
+      SELECT media_id, payload, nbytes,
+             unnest(range(0, n_frames, 24)) AS frame_idx
+      FROM meta),
+    px AS (
+      SELECT media_id, frame_idx,
+             CAST(concat('0x', substr(hex(payload),
+               CAST((frame_idx * 37) % nbytes AS INT) * 2 + 1, 2)) AS BIGINT) AS p
+      FROM frames)
+    SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(frame_idx AS DOUBLE) / 24.0 AS t_sec,
+           CASE WHEN p = 0 THEN CAST(-1 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS frame_ahash,
+           CAST(1 AS BIGINT) AS n_px
+    FROM px ORDER BY media_id, frame_idx"""))
+
   /** Multimodal audio windowing: fixed 4000-sample hops over metadata
     * sample counts, per-window energy probe (4 deterministic payload
     * reads averaged) — completes the image (q56) / video (q74) / audio
@@ -717,5 +756,5 @@ object TextQueries {
 
   val list: Seq[Q] = Seq(q51, q52, q53, q54, q55, q56, q74, q89, q100, q101, q108, q112,
     q120, q128, q129, q138, q141, q142, q143, q144, q148, q176, q183, q194,
-    q199)
+    q199, q200)
 }
