@@ -293,22 +293,30 @@ object TextAnalysis {
   def bm25(df: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "at least one query term required")
-    val tok = df.select(col(idCol), explode(tokens(textCol)).as("term"))
-    val dl = tok.groupBy(col(idCol)).agg(count(lit(1)).as("_dl"))
+    // same round-11 shape as bm25Candidates: doc length rides the
+    // token rows into the tf aggregation (narrow size(tokens), no dl
+    // scan/exchange/join), avgdl and N are narrow scalar aggregates,
+    // and idf derives from tf with both aggregated columns referenced
+    // so ReuseExchange serves contrib AND idf from one shuffle
+    val docsT = df.select(col(idCol), tokens(textCol).as("_toks"))
+    val tok = docsT.select(col(idCol),
+      size(col("_toks")).cast("long").as("_dl"), explode(col("_toks")).as("term"))
     val nDocs = df.agg(count(lit(1)).cast("double").as("_nd"))
     val qtok = tok.filter(col("term").isin(queryTerms: _*))
-    val tf = qtok.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("_tf"))
-    val idf = qtok.select(col(idCol), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("_df"))
+    val tf = qtok.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("_tf"), max(col("_dl")).as("_dl"))
+    val idf = tf.groupBy(col("term"))
+      .agg(sum(when(col("_tf") >= 1 && col("_dl") >= 1, lit(1L))).as("_df"))
       .crossJoin(broadcast(nDocs))
       .select(col("term"),
         floor(log((col("_nd") - col("_df").cast("double") + 0.5) /
           (col("_df").cast("double") + 0.5) + 1.0) * 1e6 + lit(0.5))
           .cast("long").as("_idf_u"))
-    val avgdl = dl.agg((sum(col("_dl")).cast("double") / count(lit(1))).as("_avgdl"))
+    val avgdl = docsT.agg(sum(size(col("_toks"))).cast("double").as("_tt"))
+      .crossJoin(broadcast(nDocs))
+      .select((col("_tt") / col("_nd")).as("_avgdl"))
     val contrib = tf
       .join(broadcast(idf), "term")
-      .join(dl, idCol)
       .crossJoin(broadcast(avgdl))
       .select(col(idCol),
         floor(col("_idf_u").cast("double") *
@@ -375,43 +383,52 @@ object TextAnalysis {
     // join's implicit null rejection — keeps the tf subtree's pushed
     // filters identical on the contrib and idf paths, which is what
     // lets ReuseExchange serve both from one token-stream shuffle.
-    val tok = docs.filter(col(idCol).isNotNull)
-      .select(col(idCol).as("_did"), explode(tokens(textCol)).as("term"))
-    val dl = tok.groupBy(col("_did")).agg(count(lit(1)).as("_dl"))
+    // Doc length is size(tokens) — a NARROW per-row value, so it rides
+    // the token rows INTO the tf aggregation (max over the group; _dl
+    // is constant per doc) instead of being its own scan + explode +
+    // exchange + join-back. Round 11: that dl subtree, plus the
+    // exploded avgdl pass, collapse into this projection and one
+    // scalar stats scan.
+    val docsT = docs.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("_did"), tokens(textCol).as("_toks"))
+    val tok = docsT.select(col("_did"),
+      size(col("_toks")).cast("long").as("_dl"), explode(col("_toks")).as("term"))
     val nDocs = docs.agg(count(lit(1)).cast("double").as("_nd"))
     val qterms = queries
       .select(col(idCol).as("query_id"), explode(tokens(textCol)).as("term"))
       .distinct()
     val need = qterms.select(col("term")).distinct()
     val tf = tok.join(broadcast(need), "term")
-      .groupBy(col("_did"), col("term")).agg(count(lit(1)).as("_tf"))
+      .groupBy(col("_did"), col("term"))
+      .agg(count(lit(1)).as("_tf"), max(col("_dl")).as("_dl"))
     // df = docs containing the term (tf is one row per (doc, term)).
-    // Counted as sum(1 where _tf >= 1) — the SAME number as count(*),
-    // but referencing _tf keeps this subtree's column set identical to
-    // the contrib path's, so Catalyst's ReuseExchange serves BOTH from
-    // one token-stream shuffle (a plain count(*) let pruning turn this
-    // copy into a distinct — a second full explode + exchange of the
-    // corpus token stream; the first draft paid exactly that).
+    // Counted as sum(1 where _tf >= 1 and _dl >= 1) — the SAME number
+    // as count(*) (tf >= 1 by construction, dl >= 1 because split
+    // yields >= 1 token) — but referencing BOTH aggregated columns
+    // keeps this subtree identical to the contrib path's, so
+    // Catalyst's ReuseExchange serves both from one token-stream
+    // shuffle (a plain count(*) let pruning specialize this copy —
+    // a second full explode + exchange of the corpus token stream;
+    // the first draft paid exactly that).
     val idf = tf.groupBy(col("term"))
-      .agg(sum(when(col("_tf") >= 1, lit(1L))).as("_df"))
+      .agg(sum(when(col("_tf") >= 1 && col("_dl") >= 1, lit(1L))).as("_df"))
       .crossJoin(broadcast(nDocs))
       .select(col("term"),
         floor(log((col("_nd") - col("_df").cast("double") + 0.5) /
           (col("_df").cast("double") + 0.5) + 1.0) * 1e6 + lit(0.5))
           .cast("long").as("_idf_u"))
-    // avgdl = total tokens / N as a SCALAR over the token stream — no
-    // per-doc aggregation pass. Identical to avg over dl rows because
-    // split(text, " ") yields >= 1 token for EVERY doc (empty text ->
-    // [""]) in Spark and in the SQL mirror's string_split alike, so
-    // the dl frame has exactly N rows and sum(dl) is the token total.
-    val avgdl = tok.agg(count(lit(1)).cast("double").as("_tt"))
+    // avgdl = total tokens / N, both from NARROW scalar aggregates (no
+    // explode): sum(size(tokens)) is the token total, and the dl frame
+    // has exactly N rows because split(text, " ") yields >= 1 token
+    // for EVERY doc (empty text -> [""]) in Spark and in the SQL
+    // mirror's string_split alike — so this equals the per-doc mean.
+    val avgdl = docsT.agg(sum(size(col("_toks"))).cast("double").as("_tt"))
       .crossJoin(broadcast(nDocs))
       .select((col("_tt") / col("_nd")).as("_avgdl"))
     val contrib = tf
       .join(broadcast(qterms), "term") // query term sets are serving-size
       .filter(col("_did") =!= col("query_id"))
       .join(broadcast(idf), "term")
-      .join(dl, "_did")
       .crossJoin(broadcast(avgdl))
       .select(col("query_id"), col("_did"),
         floor(col("_idf_u").cast("double") *
