@@ -130,6 +130,45 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: rankFuseScored == rank-then-reciprocalRankFusion on random scored legs") {
+    // the round-11 fusion (one query_id exchange) must be a pure plan
+    // rewrite of the composed path: rank each leg yourself (score
+    // desc, neighbor asc, top-k), feed reciprocalRankFusion — the
+    // fused operator over the RAW scored candidates has to agree
+    // row-for-row, including rrf_u nano-units and tie-breaks
+    import graft.operators.Similarity
+    val gen = for {
+      nq <- Gen.choose(1, 4)
+      rows <- Gen.listOfN(60, for {
+        q <- Gen.choose(0L, nq.toLong - 1)
+        n <- Gen.choose(0L, 11L)
+        s <- Gen.choose(-5000, 5000)
+      } yield (q, n, s.toDouble / 100.0))
+    } yield rows.distinct
+    forAllSampled(gen, 12) { rows =>
+      if (rows.nonEmpty) {
+        // a leg must have ONE score per (query, neighbor) — dedupe
+        val legRows = rows.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+        val half = legRows.length / 2
+        val legs = Seq(legRows.take(half), legRows.drop(half))
+          .filter(_.nonEmpty)
+          .map(_.toDF("query_id", "neighbor_id", "score"))
+        val fused = Similarity.rankFuseScored(legs, perLegTopK = 3, k = 60, topK = 4)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+        val composed = Similarity.reciprocalRankFusion(legs.map { leg =>
+          import org.apache.spark.sql.expressions.Window
+          val w = Window.partitionBy(col("query_id"))
+            .orderBy(col("score").desc, col("neighbor_id"))
+          leg.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+            .select(col("query_id"), col("neighbor_id"), col("rank"))
+        }, k = 60, topK = 4)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+        assert(fused == composed,
+          s"fused path diverged:\nfused=$fused\ncomposed=$composed")
+      }
+    }
+  }
 }
 
 /** B15: approx_count_distinct within the default 5% relative error. */
