@@ -276,12 +276,15 @@ object Dedup {
     // output is byte-identical with or without collisions.
     val tok = arrs.select(col("_id"), col("_n"), explode(col("_set")).as("_t"))
       .withColumn("_th", xxhash64(col("_t")))
-    // df as a COUNT WINDOW over the hash partition: tok rows are
-    // per-doc distinct by construction, so count(*) over (_th) is the
-    // document frequency (per hash) — one exchange, where the
-    // groupBy-then-join formulation paid that exchange AND re-shuffled
-    // the token stream into the join
-    val wDf = Window.partitionBy(col("_th"))
+    // df via groupBy + join-back, NOT a count window over the hash
+    // partition: tok rows are per-doc distinct so both give the same
+    // number, but the groupBy MAP-SIDE COMBINES before its shuffle
+    // (one row per token per input partition) and the join-back's hot
+    // keys are AQE-skew-splittable — a window partition is neither:
+    // a corpus-wide stopword would put its every occurrence into ONE
+    // un-splittable window task (a round-11 interim draft did exactly
+    // that).
+    val dfreq = tok.groupBy(col("_th")).agg(count(lit(1)).as("_df"))
     // _t last: the string comparator only runs on exact (_df, _th)
     // ties, and even then both orderings emit the same _th rows
     val w = Window.partitionBy(col("_id"))
@@ -289,7 +292,7 @@ object Dedup {
     // prefix length = n - ceil(tau*n/100) + 1, all integer; _n rides
     // the token rows so the PPJoin length filter can run INSIDE the
     // candidate join, before the dedup shuffle
-    tok.withColumn("_df", count(lit(1)).over(wDf))
+    tok.join(dfreq, "_th")
       .withColumn("_rn", row_number().over(w))
       .where(col("_rn") <= col("_n") - expr(s"(($tauPct * _n + 99) div 100)") + 1)
       .select(col("_id"), col("_n"), col("_th").as("_t"))

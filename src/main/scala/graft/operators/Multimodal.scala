@@ -290,10 +290,14 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap(_.flatMap { case (id, payload) =>
-          val fps = kernel.probe(payload).map(_.fps).getOrElse(0.0)
-          kernel.decodeFrames(payload, everyK, maxFrames).map { f =>
-            (id, f.frameIdx, if (fps > 0) f.frameIdx / fps else 0.0,
-              ahash64(f.width, f.height, f.luma), f.luma.length.toLong)
+          // ONE probe per payload; its Meta drives both fps and the
+          // decode (on the ffmpeg kernel a second probe would be a
+          // second subprocess spawn per video)
+          kernel.probe(payload).toSeq.flatMap { m =>
+            kernel.decodeFramesFor(m, payload, everyK, maxFrames).map { f =>
+              (id, f.frameIdx, if (m.fps > 0) f.frameIdx / m.fps else 0.0,
+                ahash64(f.width, f.height, f.luma), f.luma.length.toLong)
+            }
           }
         })
       }.toDF("media_id", "frame_idx", "t_sec", "frame_ahash", "n_px")

@@ -142,9 +142,11 @@ object Quantiles {
     * and `winsorized` (the clipped value as double). EVERY input row
     * survives — clip, don't drop: rows whose group expression is
     * null, or whose group has no non-null values (so no bounds
-    * exist), pass through with `wlo`/`whi`/`winsorized` null via the
-    * LEFT join (an inner join would silently drop them, since null
-    * keys never equi-join). Plan: one
+    * exist), pass through with null `wlo`/`whi` and `winsorized` =
+    * the RAW value via the LEFT join (an inner join would silently
+    * drop them, since null keys never equi-join); null VALUES stay
+    * null (Spark's least/greatest skip nulls, which would otherwise
+    * fabricate a bound where a measurement is missing). Plan: one
     * [[exactPercentiles]] round for the bounds (kilobyte shuffles,
     * two scans) + one broadcast join back — per-row work is a narrow
     * least/greatest; the data is never sorted or shuffled.
@@ -162,8 +164,12 @@ object Quantiles {
       .select(col("_g").as("_wg"), col("wlo"), col("whi"))
     df.withColumn("_wg", group)
       .join(broadcast(bounds), Seq("_wg"), "left")
+      // explicit null gates: least/greatest SKIP nulls, so without
+      // them a null value would clip to wlo (a fabricated data point)
+      // and a null-bound row would look clipped when it is not
       .withColumn("winsorized",
-        least(greatest(value.cast("double"), col("wlo")), col("whi")))
+        when(value.isNull || col("wlo").isNull, value.cast("double"))
+          .otherwise(least(greatest(value.cast("double"), col("wlo")), col("whi"))))
       .drop("_wg")
   }
 

@@ -312,9 +312,11 @@ object TextAnalysis {
         floor(log((col("_nd") - col("_df").cast("double") + 0.5) /
           (col("_df").cast("double") + 0.5) + 1.0) * 1e6 + lit(0.5))
           .cast("long").as("_idf_u"))
-    val avgdl = docsT.agg(sum(size(col("_toks"))).cast("double").as("_tt"))
-      .crossJoin(broadcast(nDocs))
-      .select((col("_tt") / col("_nd")).as("_avgdl"))
+    // denominator = docs with NON-NULL text (the dl-frame row count;
+    // see bm25Candidates for the null-text rationale)
+    val avgdl = docsT.filter(col("_toks").isNotNull)
+      .agg((sum(size(col("_toks"))).cast("double") /
+        count(lit(1)).cast("double")).as("_avgdl"))
     val contrib = tf
       .join(broadcast(idf), "term")
       .crossJoin(broadcast(avgdl))
@@ -417,14 +419,17 @@ object TextAnalysis {
         floor(log((col("_nd") - col("_df").cast("double") + 0.5) /
           (col("_df").cast("double") + 0.5) + 1.0) * 1e6 + lit(0.5))
           .cast("long").as("_idf_u"))
-    // avgdl = total tokens / N, both from NARROW scalar aggregates (no
-    // explode): sum(size(tokens)) is the token total, and the dl frame
-    // has exactly N rows because split(text, " ") yields >= 1 token
-    // for EVERY doc (empty text -> [""]) in Spark and in the SQL
-    // mirror's string_split alike — so this equals the per-doc mean.
-    val avgdl = docsT.agg(sum(size(col("_toks"))).cast("double").as("_tt"))
-      .crossJoin(broadcast(nDocs))
-      .select((col("_tt") / col("_nd")).as("_avgdl"))
+    // avgdl from ONE narrow scalar aggregate (no explode): total
+    // tokens / docs-with-tokens. The denominator counts docs whose
+    // text is NON-NULL — exactly the rows the per-doc dl frame (and
+    // the SQL mirror's unnest) would have: split(text, " ") yields
+    // >= 1 token for every non-null text (empty -> [""]), while a
+    // NULL text yields a NULL token array that unnest drops. Using
+    // nDocs here would silently shift every score on a null-text
+    // corpus.
+    val avgdl = docsT.filter(col("_toks").isNotNull)
+      .agg((sum(size(col("_toks"))).cast("double") /
+        count(lit(1)).cast("double")).as("_avgdl"))
     val contrib = tf
       .join(broadcast(qterms), "term") // query term sets are serving-size
       .filter(col("_did") =!= col("query_id"))

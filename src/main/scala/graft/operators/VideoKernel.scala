@@ -24,11 +24,20 @@ trait VideoKernel extends Serializable {
   /** Container metadata, or None when the payload is unreadable. */
   def probe(payload: Array[Byte]): Option[VideoKernel.Meta]
 
-  /** Every-`everyK`-th frame as row-major luminance buffers, oldest
-    * first, at most `maxFrames` of them; empty when undecodable.
+  /** Every-`everyK`-th frame given an ALREADY-PROBED `meta` — the
+    * entry point for callers iterating many payloads
+    * ([[Multimodal.frameFeatures]]), so each payload pays exactly one
+    * probe. Row-major luminance buffers, oldest first, at most
+    * `maxFrames`; empty when undecodable.
     */
-  def decodeFrames(payload: Array[Byte], everyK: Int,
-      maxFrames: Int): Seq[VideoKernel.Frame]
+  def decodeFramesFor(meta: VideoKernel.Meta, payload: Array[Byte],
+      everyK: Int, maxFrames: Int): Seq[VideoKernel.Frame]
+
+  /** Probe + decode in one call (convenience for single payloads). */
+  final def decodeFrames(payload: Array[Byte], everyK: Int,
+      maxFrames: Int): Seq[VideoKernel.Frame] =
+    probe(payload).map(decodeFramesFor(_, payload, everyK, maxFrames))
+      .getOrElse(Seq.empty)
 }
 
 object VideoKernel {
@@ -56,13 +65,12 @@ object VideoKernel {
       Some(Meta(nFrames.toDouble / 24.0, 24.0, "stub", 1, 1, nFrames.toLong))
     }
 
-    def decodeFrames(payload: Array[Byte], everyK: Int,
+    def decodeFramesFor(meta: Meta, payload: Array[Byte], everyK: Int,
         maxFrames: Int): Seq[Frame] =
-      probe(payload).toSeq.flatMap { m =>
-        (0L until m.nFrames by everyK.toLong).take(maxFrames).map { idx =>
-          val px = payload(((idx * 37) % payload.length).toInt) & 0xff
-          Frame(idx, 1, 1, Array(px))
-        }
+      if (payload.isEmpty) Seq.empty
+      else (0L until meta.nFrames by everyK.toLong).take(maxFrames).map { idx =>
+        val px = payload(((idx * 37) % payload.length).toInt) & 0xff
+        Frame(idx, 1, 1, Array(px))
       }
   }
 
@@ -70,11 +78,18 @@ object VideoKernel {
     * every K-th frame to 8-bit-gray rawvideo on a pipe (SCALE.md's
     * documented shape). Cluster-safety rules enforced here:
     *  - payload rides stdin (no temp files, no executor-local paths);
-    *  - one bounded subprocess per CALL, stdout capped at
-    *    `maxOutBytes` — a runaway container cannot fill executor
-    *    memory;
-    *  - `timeoutMs` wall-clock cap, breach -> destroyForcibly and the
-    *    row fails (returns None/empty), never the task;
+    *  - stderr is DISCARDED at the OS level — a chatty decoder can
+    *    never fill the pipe and deadlock against an undrained buffer;
+    *  - a watchdog thread enforces `timeoutMs` wall-clock even while
+    *    the stdout read blocks: killing the process EOFs the pipes,
+    *    which unblocks reader and feeder; breach -> the row fails
+    *    (None/empty), never the task;
+    *  - stdout is capped per call: metadata probes at `probeCapBytes`,
+    *    frame extraction at the DECLARED frame budget
+    *    (width x height x maxFrames + one frame of slack, floored at
+    *    `minFrameCapBytes`) — a runaway container cannot fill executor
+    *    memory, and a legitimate HD request is never starved by a
+    *    fixed cap;
     *  - any launch failure (binary absent, broken pipe) degrades to
     *    None/empty for the same reason.
     */
@@ -82,15 +97,24 @@ object VideoKernel {
       ffprobeBin: String = "ffprobe",
       ffmpegBin: String = "ffmpeg",
       timeoutMs: Long = 30000L,
-      maxOutBytes: Int = 64 << 20) extends VideoKernel {
+      probeCapBytes: Long = 1L << 20,
+      minFrameCapBytes: Long = 64L << 20) extends VideoKernel {
 
     val name = "ffmpeg"
 
-    private def run(cmd: Seq[String], payload: Array[Byte]): Option[Array[Byte]] =
+    private def run(cmd: Seq[String], payload: Array[Byte],
+        capBytes: Long): Option[Array[Byte]] =
       try {
         val pb = new ProcessBuilder(cmd: _*)
-        pb.redirectErrorStream(false)
+        pb.redirectError(ProcessBuilder.Redirect.DISCARD)
         val p = pb.start()
+        val watchdog = new Thread(() =>
+          try {
+            if (!p.waitFor(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS))
+              p.destroyForcibly()
+          } catch { case _: InterruptedException => () })
+        watchdog.setDaemon(true)
+        watchdog.start()
         val feeder = new Thread(() =>
           try { p.getOutputStream.write(payload); p.getOutputStream.close() }
           catch { case _: java.io.IOException => () }) // decoder closed early
@@ -99,19 +123,20 @@ object VideoKernel {
         val out = new java.io.ByteArrayOutputStream()
         val in = p.getInputStream
         val buf = new Array[Byte](64 * 1024)
-        val deadline = System.nanoTime() + timeoutMs * 1000000L
-        var n = in.read(buf)
         var truncated = false
+        var n = in.read(buf) // a kill EOFs this even mid-block
         while (n >= 0 && !truncated) {
-          if (out.size() + n > maxOutBytes || System.nanoTime() > deadline) truncated = true
+          if (out.size().toLong + n > capBytes) truncated = true
           else { out.write(buf, 0, n); n = in.read(buf) }
         }
-        if (truncated || !p.waitFor(math.max(1L,
-            (deadline - System.nanoTime()) / 1000000L),
-            java.util.concurrent.TimeUnit.MILLISECONDS)) {
+        // bounded wait: either the process already exited (watchdog
+        // let it) or the watchdog kills it within the window
+        val finished =
+          p.waitFor(timeoutMs + 1000L, java.util.concurrent.TimeUnit.MILLISECONDS)
+        watchdog.interrupt()
+        if (truncated || !finished || p.exitValue() != 0) {
           p.destroyForcibly(); None
-        } else if (p.exitValue() != 0) None
-        else Some(out.toByteArray)
+        } else Some(out.toByteArray)
       } catch { case _: java.io.IOException => None } // binary absent / pipe broke
 
     /** key=value line output of `-of default=noprint_wrappers=1`. */
@@ -134,7 +159,7 @@ object VideoKernel {
       run(Seq(ffprobeBin, "-v", "error", "-select_streams", "v:0",
           "-show_entries",
           "stream=codec_name,avg_frame_rate,width,height,nb_frames:format=duration",
-          "-of", "default=noprint_wrappers=1", "pipe:0"), payload)
+          "-of", "default=noprint_wrappers=1", "pipe:0"), payload, probeCapBytes)
         .flatMap { out =>
           val m = kv(new String(out, java.nio.charset.StandardCharsets.UTF_8))
           for {
@@ -150,23 +175,23 @@ object VideoKernel {
           }
         }
 
-    def decodeFrames(payload: Array[Byte], everyK: Int,
+    def decodeFramesFor(meta: Meta, payload: Array[Byte], everyK: Int,
         maxFrames: Int): Seq[Frame] =
-      probe(payload).toSeq.flatMap { m =>
-        if (m.width <= 0 || m.height <= 0) Seq.empty
-        else run(Seq(ffmpegBin, "-v", "error", "-i", "pipe:0",
+      if (meta.width <= 0 || meta.height <= 0) Seq.empty
+      else {
+        val frameBytes = meta.width.toLong * meta.height
+        val cap = math.max(minFrameCapBytes, frameBytes * (maxFrames + 1L))
+        run(Seq(ffmpegBin, "-v", "error", "-i", "pipe:0",
             "-vf", s"select=not(mod(n\\,$everyK))", "-vsync", "vfr",
             "-frames:v", maxFrames.toString,
-            "-f", "rawvideo", "-pix_fmt", "gray", "pipe:1"), payload)
+            "-f", "rawvideo", "-pix_fmt", "gray", "pipe:1"), payload, cap)
           .toSeq.flatMap { raw =>
-            val frameBytes = m.width * m.height
-            (0 until raw.length / frameBytes).map { i =>
-              val luma = new Array[Int](frameBytes)
+            val fb = frameBytes.toInt
+            (0 until raw.length / fb).map { i =>
+              val luma = new Array[Int](fb)
               var j = 0
-              while (j < frameBytes) {
-                luma(j) = raw(i * frameBytes + j) & 0xff; j += 1
-              }
-              Frame(i.toLong * everyK, m.width, m.height, luma)
+              while (j < fb) { luma(j) = raw(i * fb + j) & 0xff; j += 1 }
+              Frame(i.toLong * everyK, meta.width, meta.height, luma)
             }
           }
       }

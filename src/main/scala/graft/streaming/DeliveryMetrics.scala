@@ -29,7 +29,11 @@ class DeliveryMetrics extends StreamingQueryListener {
 
   /** Per-(batch, stateful operator) snapshots in arrival order, across
     * every query this listener observed — filter by `queryId` when the
-    * session runs several streams.
+    * session runs several streams. Bounded: only the most recent
+    * [[DeliveryMetrics.MAX_STATE_SNAPSHOTS]] are retained (a listener
+    * on a weeks-lived 200 ms-trigger stream would otherwise grow the
+    * driver heap without limit); the full history lives in the log4j
+    * stream this listener also writes.
     */
   def stateSnapshots: Seq[DeliveryMetrics.StateSnapshot] =
     stateBuf.iterator().asScala.toSeq
@@ -42,6 +46,8 @@ class DeliveryMetrics extends StreamingQueryListener {
     batchesCompleted.incrementAndGet()
     rowsProcessed.addAndGet(p.numInputRows)
     p.stateOperators.foreach { s =>
+      while (stateBuf.size() >= DeliveryMetrics.MAX_STATE_SNAPSHOTS)
+        stateBuf.poll()
       stateBuf.add(DeliveryMetrics.StateSnapshot(
         queryId = p.id,
         batchId = p.batchId,
@@ -67,6 +73,9 @@ class DeliveryMetrics extends StreamingQueryListener {
 }
 
 object DeliveryMetrics {
+
+  /** Retention cap for the in-process state-snapshot ring. */
+  val MAX_STATE_SNAPSHOTS: Int = 4096
 
   /** One stateful operator's footprint after one micro-batch. */
   final case class StateSnapshot(

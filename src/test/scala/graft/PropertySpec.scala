@@ -234,6 +234,25 @@ class ApproxSpec extends SparkSpec {
     assert(out(50L)._3 == 50.0, "interior values pass through unchanged")
     // two-sided invariants: clipped set size and value bounds
     assert(out.values.forall(t => t._3 >= 5.0 && t._3 <= 95.0))
+    // null semantics (Spark least/greatest SKIP nulls — the operator
+    // must gate them explicitly): a null VALUE stays null rather than
+    // fabricating a bound; a null-GROUP row survives the left join
+    // with null bounds and its RAW value (clip, don't drop)
+    val withNulls = Seq(
+      (101L, Option("g"), Option(999L)),   // clips to whi
+      (102L, Option("g"), None),           // null value -> null out
+      (103L, Option.empty[String], Option(7L))) // null group -> raw value
+      .toDF("id", "grp", "v").unionByName(
+        df.select(col("id"), col("grp").cast("string").as("grp"), col("v")))
+    val nOut = Quantiles.winsorize(withNulls, col("grp"), col("v"),
+        pLo = 0.05, pHi = 0.95)
+      .filter(col("id") >= 101L)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(r.fieldIndex("winsorized"))) None
+         else Some(r.getDouble(r.fieldIndex("winsorized"))))).toMap
+    assert(nOut(101L) == Some(95.0), s"outlier must clip: ${nOut(101L)}")
+    assert(nOut(102L).isEmpty, "null value must stay null, not become a bound")
+    assert(nOut(103L) == Some(7.0), "null-group row passes through with its raw value")
   }
 
   test("concurrency equals the brute-force point count at every boundary on random intervals") {
