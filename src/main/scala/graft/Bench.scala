@@ -35,7 +35,7 @@ object Bench {
     // one contended run must not masquerade as a plan regression
     // (BENCH_r02 reported q44 at 8.6 s that re-measured at 2.0 s); min
     // over N runs is the standard contention-robust estimator.
-    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
+    val runs = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_RUNS").flatMap(_.toIntOption).getOrElse(2))
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // noop sink: evaluates every output column of the full plan
       // (count() would let Catalyst prune the projections under test)
@@ -65,7 +65,7 @@ object Bench {
     // code was host contention (VERDICT r10), and one contended run
     // must not masquerade as a regression.
     val streamRuns = math.max(1,
-      sys.env.getOrElse("SPARK_GRAFT_STREAM_RUNS", "3").toInt)
+      sys.env.get("SPARK_GRAFT_STREAM_RUNS").flatMap(_.toIntOption).getOrElse(3))
     def bestOf(label: String)(one: => (Double, String)): String = {
       val oks = (1 to streamRuns).flatMap { i =>
         try Some(one)

@@ -286,7 +286,12 @@ object Multimodal {
       s"need everyK >= 1 and maxFrames >= 1, got ($everyK, $maxFrames)")
     val spark = video.sparkSession
     import spark.implicits._
+    // null media_id or payload cannot produce frames and would NPE the
+    // primitive-tuple decode / kernel probe (a TASK failure, breaking
+    // the kernel's fail-the-row contract) — drop them in-plan, exactly
+    // the rows q200's SQL mirror filters out
     video.select(col("media_id").cast("long"), col("payload"))
+      .filter(col("media_id").isNotNull && col("payload").isNotNull)
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap(_.flatMap { case (id, payload) =>

@@ -297,11 +297,16 @@ object TextAnalysis {
     // token rows into the tf aggregation (narrow size(tokens), no dl
     // scan/exchange/join), avgdl and N are narrow scalar aggregates,
     // and idf derives from tf with both aggregated columns referenced
-    // so ReuseExchange serves contrib AND idf from one shuffle
-    val docsT = df.select(col(idCol), tokens(textCol).as("_toks"))
+    // so ReuseExchange serves contrib AND idf from one shuffle.
+    // Contract (shared with bm25Candidates): null-id docs are excluded
+    // EVERYWHERE — scores, N, df, avgdl — stated here because a SQL
+    // mirror's GROUP BY would instead lump all null ids into one
+    // merged pseudo-doc; the oracle carries the same IS NOT NULL.
+    val docsT = df.filter(col(idCol).isNotNull)
+      .select(col(idCol), tokens(textCol).as("_toks"))
+    val nDocs = docsT.agg(count(lit(1)).cast("double").as("_nd"))
     val tok = docsT.select(col(idCol),
       size(col("_toks")).cast("long").as("_dl"), explode(col("_toks")).as("term"))
-    val nDocs = df.agg(count(lit(1)).cast("double").as("_nd"))
     val qtok = tok.filter(col("term").isin(queryTerms: _*))
     val tf = qtok.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("_tf"), max(col("_dl")).as("_dl"))
@@ -380,22 +385,24 @@ object TextAnalysis {
     */
   def bm25Candidates(docs: DataFrame, queries: DataFrame, idCol: String,
       textCol: String, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    // Contract: null-id docs are excluded everywhere (they could never
-    // join back as candidates). Filtering HERE — not relying on the
-    // join's implicit null rejection — keeps the tf subtree's pushed
-    // filters identical on the contrib and idf paths, which is what
-    // lets ReuseExchange serve both from one token-stream shuffle.
-    // Doc length is size(tokens) — a NARROW per-row value, so it rides
-    // the token rows INTO the tf aggregation (max over the group; _dl
-    // is constant per doc) instead of being its own scan + explode +
-    // exchange + join-back. Round 11: that dl subtree, plus the
-    // exploded avgdl pass, collapse into this projection and one
-    // scalar stats scan.
+    // Contract: null-id docs are excluded EVERYWHERE — candidates AND
+    // the corpus statistics (N, df, avgdl). Excluding them only from
+    // candidates while counting them into N (an interim draft) shifts
+    // every score the moment a null-id doc exists; the oracle states
+    // the same IS NOT NULL. Filtering HERE — not relying on the
+    // join's implicit null rejection — also keeps the tf subtree's
+    // pushed filters identical on the contrib and idf paths, which is
+    // what lets ReuseExchange serve both from one token-stream
+    // shuffle. Doc length is size(tokens) — a NARROW per-row value,
+    // so it rides the token rows INTO the tf aggregation (max over
+    // the group; _dl is constant per doc) instead of being its own
+    // scan + explode + exchange + join-back.
     val docsT = docs.filter(col(idCol).isNotNull)
       .select(col(idCol).as("_did"), tokens(textCol).as("_toks"))
     val tok = docsT.select(col("_did"),
       size(col("_toks")).cast("long").as("_dl"), explode(col("_toks")).as("term"))
-    val nDocs = docs.agg(count(lit(1)).cast("double").as("_nd"))
+    val nDocs = docs.filter(col(idCol).isNotNull)
+      .agg(count(lit(1)).cast("double").as("_nd"))
     val qterms = queries
       .select(col(idCol).as("query_id"), explode(tokens(textCol)).as("term"))
       .distinct()

@@ -129,6 +129,11 @@ object VideoKernel {
           if (out.size().toLong + n > capBytes) truncated = true
           else { out.write(buf, 0, n); n = in.read(buf) }
         }
+        // cap breach: the row's fate is already sealed (None) — kill
+        // NOW rather than sitting in waitFor behind a full stdout
+        // pipe until the watchdog fires (~timeout of dead wall-clock
+        // per bad payload)
+        if (truncated) p.destroyForcibly()
         // bounded wait: either the process already exited (watchdog
         // let it) or the watchdog kills it within the window
         val finished =
@@ -205,12 +210,16 @@ object VideoKernel {
   def ffmpegAvailable: Boolean = onPath("ffprobe") && onPath("ffmpeg")
 
   /** Kernel choice: the `graft.video.kernel` system property ("stub"
-    * | "ffmpeg") wins; otherwise ffmpeg when both binaries are on
-    * PATH, stub when not.
+    * | "ffmpeg") wins — an unrecognized value FAILS FAST rather than
+    * silently auto-detecting (a typo would otherwise run the stub and
+    * ship synthetic fingerprints as real features); unset, ffmpeg
+    * when both binaries are on PATH, stub when not.
     */
   def select(): VideoKernel = sys.props.get("graft.video.kernel") match {
     case Some("stub") => Stub
     case Some("ffmpeg") => new Ffmpeg()
-    case _ => if (ffmpegAvailable) new Ffmpeg() else Stub
+    case Some(other) => throw new IllegalArgumentException(
+      s"graft.video.kernel='$other' — expected 'stub' or 'ffmpeg'")
+    case None => if (ffmpegAvailable) new Ffmpeg() else Stub
   }
 }

@@ -713,9 +713,10 @@ object SimilarityQueries {
     Similarity.rankFuseScored(Seq(sparse, dense), perLegTopK = 10, k = 60, topK = 5)
       .orderBy(col("query_id"), col("fused_rank"))
   }, Some(s"""
-    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents WHERE doc_id IS NOT NULL),
     dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
-    n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents WHERE doc_id IS NOT NULL),
     qterms AS (SELECT DISTINCT doc_id AS query_id, term FROM tok WHERE doc_id % 97 = 0),
     need AS (SELECT DISTINCT term FROM qterms),
     tf AS (SELECT tok.doc_id, tok.term, CAST(count(*) AS BIGINT) AS tf

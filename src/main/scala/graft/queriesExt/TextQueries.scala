@@ -426,9 +426,10 @@ object TextQueries {
         queryTerms = Seq("hash", "join", "scan", "merge"))
       .orderBy(col("doc_id"))
   }, Some("""
-    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents WHERE doc_id IS NOT NULL),
     dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
-    n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents WHERE doc_id IS NOT NULL),
     qt AS (SELECT doc_id, term FROM tok
            WHERE term IN ('hash', 'join', 'scan', 'merge')),
     tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf

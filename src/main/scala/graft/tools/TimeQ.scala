@@ -12,7 +12,7 @@ object TimeQ extends App {
   spark.sparkContext.setLogLevel("WARN")
   val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
   graft.Tables.load(spark, sf, "lineitem").count() // warm the reader path
-  val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_TIMEQ_RUNS", "4").toInt)
+  val runs = math.max(1, sys.env.get("SPARK_GRAFT_TIMEQ_RUNS").flatMap(_.toIntOption).getOrElse(4))
   for (name <- args) {
     val ts = (0 until runs).map { i =>
       val t0 = System.nanoTime()
