@@ -1,6 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Int env knob: a malformed value WARNS and falls back (a crash
+    * here after a full sweep would discard the run — but silence
+    * would hide the typo, so it is loud on stderr).
+    */
+  private def envInt(name: String, default: Int): Int =
+    sys.env.get(name) match {
+      case None => default
+      case Some(v) => v.toIntOption match {
+        case Some(n) => math.max(1, n)
+        case None =>
+          System.err.println(s"[bench] $name='$v' is not an int — using $default")
+          default
+      }
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -35,7 +50,7 @@ object Bench {
     // one contended run must not masquerade as a plan regression
     // (BENCH_r02 reported q44 at 8.6 s that re-measured at 2.0 s); min
     // over N runs is the standard contention-robust estimator.
-    val runs = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_RUNS").flatMap(_.toIntOption).getOrElse(2))
+    val runs = envInt("SPARK_GRAFT_BENCH_RUNS", 2)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // noop sink: evaluates every output column of the full plan
       // (count() would let Catalyst prune the projections under test)
@@ -64,8 +79,7 @@ object Bench {
     // min-of-N: BENCH_r10's apparent 2x throughput drop on identical
     // code was host contention (VERDICT r10), and one contended run
     // must not masquerade as a regression.
-    val streamRuns = math.max(1,
-      sys.env.get("SPARK_GRAFT_STREAM_RUNS").flatMap(_.toIntOption).getOrElse(3))
+    val streamRuns = envInt("SPARK_GRAFT_STREAM_RUNS", 3)
     def bestOf(label: String)(one: => (Double, String)): String = {
       val oks = (1 to streamRuns).flatMap { i =>
         try Some(one)

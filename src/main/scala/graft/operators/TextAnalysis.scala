@@ -26,6 +26,21 @@ object TextAnalysis {
 
   def tokens(textCol: String): Column = split(col(textCol), " ")
 
+  /** Shared BM25 avgdl: total tokens / docs-with-tokens over a
+    * (id, _toks) frame, as ONE narrow scalar aggregate (no explode).
+    * The denominator counts docs whose token array is NON-NULL —
+    * exactly the rows a per-doc dl frame (and a SQL mirror's unnest)
+    * would have: split(text, " ") yields >= 1 token for every
+    * non-null text (empty -> [""]), while a NULL text yields a NULL
+    * array that unnest drops. One definition for both BM25 variants
+    * so the two paths cannot drift apart (the avgdl contract is
+    * oracle-visible: any drift is a score shift).
+    */
+  private def avgdlOf(docsT: DataFrame): DataFrame =
+    docsT.filter(col("_toks").isNotNull)
+      .agg((sum(size(col("_toks"))).cast("double") /
+        count(lit(1)).cast("double")).as("_avgdl"))
+
   /** Count of tokens present in a fixed marker set. */
   def markerScore(toks: Column, markers: Seq[String]): Column =
     size(filterArray(toks, t => t.isInCollection(markers))).cast("long")
@@ -317,11 +332,7 @@ object TextAnalysis {
         floor(log((col("_nd") - col("_df").cast("double") + 0.5) /
           (col("_df").cast("double") + 0.5) + 1.0) * 1e6 + lit(0.5))
           .cast("long").as("_idf_u"))
-    // denominator = docs with NON-NULL text (the dl-frame row count;
-    // see bm25Candidates for the null-text rationale)
-    val avgdl = docsT.filter(col("_toks").isNotNull)
-      .agg((sum(size(col("_toks"))).cast("double") /
-        count(lit(1)).cast("double")).as("_avgdl"))
+    val avgdl = avgdlOf(docsT)
     val contrib = tf
       .join(broadcast(idf), "term")
       .crossJoin(broadcast(avgdl))
@@ -426,17 +437,7 @@ object TextAnalysis {
         floor(log((col("_nd") - col("_df").cast("double") + 0.5) /
           (col("_df").cast("double") + 0.5) + 1.0) * 1e6 + lit(0.5))
           .cast("long").as("_idf_u"))
-    // avgdl from ONE narrow scalar aggregate (no explode): total
-    // tokens / docs-with-tokens. The denominator counts docs whose
-    // text is NON-NULL — exactly the rows the per-doc dl frame (and
-    // the SQL mirror's unnest) would have: split(text, " ") yields
-    // >= 1 token for every non-null text (empty -> [""]), while a
-    // NULL text yields a NULL token array that unnest drops. Using
-    // nDocs here would silently shift every score on a null-text
-    // corpus.
-    val avgdl = docsT.filter(col("_toks").isNotNull)
-      .agg((sum(size(col("_toks"))).cast("double") /
-        count(lit(1)).cast("double")).as("_avgdl"))
+    val avgdl = avgdlOf(docsT) // see avgdlOf for the null-text contract
     val contrib = tf
       .join(broadcast(qterms), "term") // query term sets are serving-size
       .filter(col("_did") =!= col("query_id"))

@@ -87,9 +87,12 @@ object VideoKernel {
     *  - stdout is capped per call: metadata probes at `probeCapBytes`,
     *    frame extraction at the DECLARED frame budget
     *    (width x height x maxFrames + one frame of slack, floored at
-    *    `minFrameCapBytes`) — a runaway container cannot fill executor
-    *    memory, and a legitimate HD request is never starved by a
-    *    fixed cap;
+    *    `minFrameCapBytes` and CEILED at `maxFrameCapBytes`) — a
+    *    runaway container cannot fill executor memory, a legitimate
+    *    HD request is never starved by a fixed cap, and a request
+    *    whose honest budget exceeds the ceiling (UHD x many frames)
+    *    fails its row rather than buffering gigabytes: size maxFrames
+    *    to the ceiling for very large frames;
     *  - any launch failure (binary absent, broken pipe) degrades to
     *    None/empty for the same reason.
     */
@@ -98,7 +101,13 @@ object VideoKernel {
       ffmpegBin: String = "ffmpeg",
       timeoutMs: Long = 30000L,
       probeCapBytes: Long = 1L << 20,
-      minFrameCapBytes: Long = 64L << 20) extends VideoKernel {
+      minFrameCapBytes: Long = 64L << 20,
+      maxFrameCapBytes: Long = 1L << 30) extends VideoKernel {
+
+    require(minFrameCapBytes <= maxFrameCapBytes &&
+      maxFrameCapBytes <= Int.MaxValue.toLong,
+      s"need minFrameCapBytes <= maxFrameCapBytes <= Int.MaxValue " +
+        s"(ByteArrayOutputStream bound), got ($minFrameCapBytes, $maxFrameCapBytes)")
 
     val name = "ffmpeg"
 
@@ -181,11 +190,17 @@ object VideoKernel {
         }
 
     def decodeFramesFor(meta: Meta, payload: Array[Byte], everyK: Int,
-        maxFrames: Int): Seq[Frame] =
-      if (meta.width <= 0 || meta.height <= 0) Seq.empty
+        maxFrames: Int): Seq[Frame] = {
+      val frameBytes =
+        if (meta.width <= 0 || meta.height <= 0) 0L
+        else meta.width.toLong * meta.height
+      // a single frame larger than the ceiling can never fit the
+      // buffer (and its Int-cast below would truncate on crafted
+      // metadata like 65536x65536) — fail the row up front
+      if (frameBytes <= 0 || frameBytes > maxFrameCapBytes) Seq.empty
       else {
-        val frameBytes = meta.width.toLong * meta.height
-        val cap = math.max(minFrameCapBytes, frameBytes * (maxFrames + 1L))
+        val cap = math.min(maxFrameCapBytes,
+          math.max(minFrameCapBytes, frameBytes * (maxFrames + 1L)))
         run(Seq(ffmpegBin, "-v", "error", "-i", "pipe:0",
             "-vf", s"select=not(mod(n\\,$everyK))", "-vsync", "vfr",
             "-frames:v", maxFrames.toString,
@@ -200,6 +215,7 @@ object VideoKernel {
             }
           }
       }
+    }
   }
 
   /** True iff `bin` resolves to an executable on PATH. */

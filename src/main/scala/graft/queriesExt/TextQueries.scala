@@ -209,7 +209,8 @@ object TextQueries {
     WITH video AS (
       SELECT doc_id AS media_id, encode(text) AS payload,
              octet_length(encode(text)) AS nbytes
-      FROM documents WHERE octet_length(encode(text)) > 0),
+      FROM documents
+      WHERE doc_id IS NOT NULL AND octet_length(encode(text)) > 0),
     meta AS (SELECT media_id, payload, nbytes,
                     nbytes % 240 + 1 AS n_frames FROM video),
     frames AS (

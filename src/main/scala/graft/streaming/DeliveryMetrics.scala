@@ -26,6 +26,9 @@ class DeliveryMetrics extends StreamingQueryListener {
 
   private val stateBuf =
     new java.util.concurrent.ConcurrentLinkedQueue[DeliveryMetrics.StateSnapshot]
+  // maintained alongside stateBuf: ConcurrentLinkedQueue.size() is an
+  // O(n) traversal, unaffordable per-add on the listener-bus thread
+  private val stateCount = new AtomicLong(0)
 
   /** Per-(batch, stateful operator) snapshots in arrival order, across
     * every query this listener observed — filter by `queryId` when the
@@ -46,8 +49,11 @@ class DeliveryMetrics extends StreamingQueryListener {
     batchesCompleted.incrementAndGet()
     rowsProcessed.addAndGet(p.numInputRows)
     p.stateOperators.foreach { s =>
-      while (stateBuf.size() >= DeliveryMetrics.MAX_STATE_SNAPSHOTS)
-        stateBuf.poll()
+      while (stateCount.get() >= DeliveryMetrics.MAX_STATE_SNAPSHOTS) {
+        if (stateBuf.poll() != null) stateCount.decrementAndGet()
+        else stateCount.set(0) // raced empty; resync
+      }
+      stateCount.incrementAndGet()
       stateBuf.add(DeliveryMetrics.StateSnapshot(
         queryId = p.id,
         batchId = p.batchId,

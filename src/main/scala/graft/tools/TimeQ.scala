@@ -12,7 +12,12 @@ object TimeQ extends App {
   spark.sparkContext.setLogLevel("WARN")
   val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
   graft.Tables.load(spark, sf, "lineitem").count() // warm the reader path
-  val runs = math.max(1, sys.env.get("SPARK_GRAFT_TIMEQ_RUNS").flatMap(_.toIntOption).getOrElse(4))
+  val runs = sys.env.get("SPARK_GRAFT_TIMEQ_RUNS") match {
+    case None => 4
+    case Some(v) => v.toIntOption.map(math.max(1, _)).getOrElse {
+      System.err.println(s"[timeq] SPARK_GRAFT_TIMEQ_RUNS='$v' is not an int — using 4"); 4
+    }
+  }
   for (name <- args) {
     val ts = (0 until runs).map { i =>
       val t0 = System.nanoTime()
