@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify drivers parse the LAST stdout line as JSON; sbt's
+// trailing "[success] Total time: ..." would otherwise follow the
+// metric line. Suppressing it makes `sbt "runMain graft.Bench"` end
+// with the program's own final println (run with `sbt -error` to
+// drop the leading [info] framing too).
+Global / showSuccess := false
+// showSuccess is read by the command engine, not other settings —
+// exclude it from the unused-key lint
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -462,9 +462,12 @@ object Dedup {
     *
     * 100 TB design: per round, the shuffles carry (node, label) pairs —
     * |V|+|E| longs, never payloads; the driver-side work per round is
-    * one boolean convergence aggregate (`isEmpty` on the changed set),
-    * which is the standard pattern for iterative graph algorithms
-    * (GraphX/Pregel do the same). The input here is the *near-dup pair
+    * one boolean convergence probe (`isEmpty` over the round's OWN
+    * checkpointed frame, which carries the pre-round label as `_old` —
+    * join-free and shuffle-free, where a separate changed-set join
+    * would re-shuffle both label tables every round), the standard
+    * pattern for iterative graph algorithms (GraphX/Pregel do the
+    * same). The input here is the *near-dup pair
     * list* (tiny relative to the corpus: proportional to duplicate
     * density), not the corpus itself.
     *
@@ -486,22 +489,29 @@ object Dedup {
     var converged = false
     var round = 0
     while (!converged && round < maxIter) {
-      // (1) neighbor-min: smallest rep among self and neighbors
+      // (1) neighbor-min: smallest rep among self and neighbors. The
+      // round's STARTING label rides along as `_old` so convergence
+      // is decided from the checkpointed frame itself — the previous
+      // draft paid a separate join-job (jumped x labels) per round on
+      // top of the two checkpoints.
       val nbrMin = edges
         .join(labels.select(col("id").as("b"), col("rep")), "b")
         .groupBy(col("a").as("id")).agg(min(col("rep")).as("nrep"))
       val stepped = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+        .select(col("id"), col("rep").as("_old"),
+          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
         .localCheckpoint() // referenced twice by the jump's self-join
       // (2) pointer jumping: rep := rep(rep) — contracts label chains
       val jumped = stepped.alias("l")
         .join(stepped.select(col("id").as("rep"), col("rep").as("rep2")).alias("r"),
           Seq("rep"), "left")
-        .select(col("id"), least(col("rep"), coalesce(col("rep2"), col("rep"))).as("rep"))
+        .select(col("id"), col("_old"),
+          least(col("rep"), coalesce(col("rep2"), col("rep"))).as("rep"))
         .localCheckpoint()
-      converged = jumped.join(labels.withColumnRenamed("rep", "old"), "id")
-        .filter(col("rep") =!= col("old")).isEmpty
-      labels = jumped
+      // join-free convergence probe over the in-memory checkpoint —
+      // no shuffle, and isEmpty short-circuits on the first change
+      converged = jumped.filter(col("rep") =!= col("_old")).isEmpty
+      labels = jumped.select(col("id"), col("rep"))
       round += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds " +

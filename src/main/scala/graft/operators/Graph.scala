@@ -43,13 +43,22 @@ object Graph {
     *
     * Scale shape: per iteration, ONE shuffle of (node, contribution)
     * longs — the Pregel pattern the connected-components operator
-    * already uses. The node count enters as a broadcast one-row
-    * aggregate (no driver count); `localCheckpoint` truncates the
-    * iterative lineage each round. Edges re-read per iteration —
-    * persist the (small) edge list if it is not already a table.
-    * Iterations are FIXED — no convergence probe, no collect; the
-    * only driver-triggered jobs are the eager per-iteration
-    * `localCheckpoint` materializations that truncate the lineage.
+    * already uses. The LOOP-INVARIANT frames are built ONCE, before
+    * the loop: the edge list pre-joined to its out-degrees and
+    * pre-partitioned on the per-iteration join key (`_src`), and the
+    * node table with its teleport/init mass columns pre-partitioned
+    * on `node` — both persisted, so no iteration re-derives them
+    * (round 11 re-ran scan -> distinct -> groupBy inside EVERY round:
+    * at 100 TB that is iters x a full edge re-scan + re-shuffle).
+    * With both invariants persisted on their join keys, the only
+    * per-round exchange is the contribution aggregation itself.
+    * The node count enters as a broadcast one-row aggregate (no
+    * driver count); `localCheckpoint` truncates the iterative
+    * lineage each round. Iterations are FIXED — no convergence
+    * probe, no collect; the only driver-triggered jobs are the eager
+    * per-iteration `localCheckpoint` materializations that truncate
+    * the lineage. GraphSpec pins the loop-body plan via [[prStep]]:
+    * exactly one scan of each persisted invariant per round.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int): DataFrame = {
@@ -59,24 +68,46 @@ object Graph {
       .union(e.select(col("_dst").as("node"))).distinct()
     val nRow = nodes.agg(count(lit(1)).as("_n"))
     val outdeg = e.groupBy(col("_src")).agg(count(lit(1)).as("_outdeg"))
-    val teleport = ldiv(lit(RANK_SCALE * 15L / 100L), col("_n"))
-    var ranks = nodes.crossJoin(broadcast(nRow))
-      .select(col("node"), ldiv(lit(RANK_SCALE), col("_n")).as("rank_u"))
+    val ej = e.join(outdeg, "_src")
+      .repartition(col("_src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodesT = nodes.crossJoin(broadcast(nRow))
+      .select(col("node"),
+        ldiv(lit(RANK_SCALE * 15L / 100L), col("_n")).as("_tele"),
+        ldiv(lit(RANK_SCALE), col("_n")).as("_init"))
+      .repartition(col("node"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var ranks = nodesT.select(col("node"), col("_init").as("rank_u"))
       .localCheckpoint()
-    for (_ <- 0 until iters) {
-      val contribs = e
-        .join(ranks, e("_src") === ranks("node"))
-        .join(outdeg, "_src")
-        .select(col("_dst").as("node"),
-          ldiv(col("rank_u"), col("_outdeg")).as("_c"))
-      val inSum = contribs.groupBy(col("node")).agg(sum(col("_c")).as("_s"))
-      ranks = nodes.crossJoin(broadcast(nRow))
-        .join(inSum, Seq("node"), "left")
-        .select(col("node"),
-          (teleport + ldiv(lit(85L) * coalesce(col("_s"), lit(0L)), lit(100L))).as("rank_u"))
-        .localCheckpoint()
-    }
+    for (_ <- 0 until iters)
+      ranks = prStep(ej, nodesT, ranks).localCheckpoint()
+    // the final localCheckpoint is eager, so the invariants can go
+    ej.unpersist()
+    nodesT.unpersist()
     ranks
+  }
+
+  /** One synchronous rank round over the persisted loop invariants —
+    * shared by [[pageRank]] and [[personalizedPageRank]] (whose only
+    * difference is what `_tele`/`_init` hold), and a separate seam so
+    * GraphSpec can pin the loop-body plan: one scan of the persisted
+    * edge frame, one scan of the persisted node frame, and the single
+    * contribution shuffle.
+    *
+    * @param ej     persisted (_src, _dst, _outdeg), partitioned by _src
+    * @param nodesT persisted (node, _tele, _init), partitioned by node
+    * @param ranks  previous round's (node, rank_u)
+    */
+  private[graft] def prStep(ej: DataFrame, nodesT: DataFrame,
+      ranks: DataFrame): DataFrame = {
+    val contribs = ej
+      .join(ranks, ej("_src") === ranks("node"))
+      .select(col("_dst").as("node"),
+        ldiv(col("rank_u"), col("_outdeg")).as("_c"))
+    val inSum = contribs.groupBy(col("node")).agg(sum(col("_c")).as("_s"))
+    nodesT.join(inSum, Seq("node"), "left")
+      .select(col("node"),
+        (col("_tele") + ldiv(lit(85L) * coalesce(col("_s"), lit(0L)), lit(100L))).as("rank_u"))
   }
 
   /** Per-node triangle counts over an undirected graph — the local
@@ -152,7 +183,11 @@ object Graph {
     for (_ <- 0 until iters) {
       val deg = e.select(col("a").as("node")).union(e.select(col("b").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("_d"))
+      // keep is referenced by BOTH endpoint joins — checkpoint it so
+      // its lineage (the degree aggregation over e) runs once per
+      // round, not once per join
       val keep = deg.filter(col("_d") >= k).select(col("node"))
+        .localCheckpoint()
       e = e.join(keep.select(col("node").as("a")), "a")
         .join(keep.select(col("node").as("b")), "b")
         .select(col("a"), col("b")).localCheckpoint()
@@ -185,23 +220,22 @@ object Graph {
     // exact Scala floor-div of the constant mass shares (n is a literal)
     val initU = RANK_SCALE / seeds.length
     val teleportU = (RANK_SCALE * 15L / 100L) / seeds.length
-    var ranks = nodes
-      .select(col("node"), when(isSeed, lit(initU)).otherwise(lit(0L)).as("rank_u"))
+    // same hoisted-invariant shape as [[pageRank]] — see there
+    val ej = e.join(outdeg, "_src")
+      .repartition(col("_src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodesT = nodes
+      .select(col("node"),
+        when(isSeed, lit(teleportU)).otherwise(lit(0L)).as("_tele"),
+        when(isSeed, lit(initU)).otherwise(lit(0L)).as("_init"))
+      .repartition(col("node"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var ranks = nodesT.select(col("node"), col("_init").as("rank_u"))
       .localCheckpoint()
-    for (_ <- 0 until iters) {
-      val contribs = e
-        .join(ranks, e("_src") === ranks("node"))
-        .join(outdeg, "_src")
-        .select(col("_dst").as("node"),
-          ldiv(col("rank_u"), col("_outdeg")).as("_c"))
-      val inSum = contribs.groupBy(col("node")).agg(sum(col("_c")).as("_s"))
-      ranks = nodes
-        .join(inSum, Seq("node"), "left")
-        .select(col("node"),
-          (when(isSeed, lit(teleportU)).otherwise(lit(0L)) +
-            ldiv(lit(85L) * coalesce(col("_s"), lit(0L)), lit(100L))).as("rank_u"))
-        .localCheckpoint()
-    }
+    for (_ <- 0 until iters)
+      ranks = prStep(ej, nodesT, ranks).localCheckpoint()
+    ej.unpersist()
+    nodesT.unpersist()
     ranks
   }
 
@@ -334,9 +368,15 @@ object Graph {
     val canon = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
-      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+      .filter(col("a") =!= col("b")).distinct()
+    // loop-invariant adjacency, persisted pre-partitioned on the
+    // per-round join key: the frontier join then shuffles only the
+    // (node, hops) side, and no round re-derives scan -> distinct ->
+    // union (see [[pageRank]] for the same audit)
     val und = canon.select(col("a").as("node"), col("b").as("nbr"))
       .union(canon.select(col("b").as("node"), col("a").as("nbr")))
+      .repartition(col("node"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = und.select(col("node")).distinct()
     var dist = nodes.filter(col("node").isInCollection(seeds))
       .select(col("node"), lit(0L).as("hops")).localCheckpoint()
@@ -347,6 +387,7 @@ object Graph {
         .groupBy(col("node")).agg(min(col("hops")).as("hops"))
         .localCheckpoint()
     }
+    und.unpersist()
     dist
   }
 
@@ -376,9 +417,16 @@ object Graph {
     val canon = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
-      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+      .filter(col("a") =!= col("b")).distinct()
+    // loop-invariant adjacency, persisted pre-partitioned on the
+    // per-round join key (`nbr` — each round joins the label table
+    // onto the NEIGHBOR end): the join then shuffles only the (node,
+    // label) side, and no round re-derives scan -> distinct -> union
+    // (see [[pageRank]] for the same audit)
     val und = canon.select(col("a").as("node"), col("b").as("nbr"))
       .union(canon.select(col("b").as("node"), col("a").as("nbr")))
+      .repartition(col("nbr"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = und.select(col("node")).distinct()
       .select(col("node"), col("node").as("label")).localCheckpoint()
     for (_ <- 0 until iters) {
@@ -392,6 +440,7 @@ object Graph {
         .filter(col("_rn") === 1).select(col("node"), col("label"))
         .localCheckpoint()
     }
+    und.unpersist()
     labels
   }
 }

@@ -289,7 +289,10 @@ object Multimodal {
     // null media_id or payload cannot produce frames and would NPE the
     // primitive-tuple decode / kernel probe (a TASK failure, breaking
     // the kernel's fail-the-row contract) — drop them in-plan, exactly
-    // the rows q200's SQL mirror filters out
+    // the rows q200's SQL mirror filters out. CONTRACT: media_id is
+    // cast to long, and an UNCASTABLE id (cast yields null) is dropped
+    // the same way a genuinely-null id is — callers with string keys
+    // must map them to longs (e.g. xxhash64) before calling
     video.select(col("media_id").cast("long"), col("payload"))
       .filter(col("media_id").isNotNull && col("payload").isNotNull)
       .as[(Long, Array[Byte])]

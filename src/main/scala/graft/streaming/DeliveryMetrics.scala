@@ -49,9 +49,16 @@ class DeliveryMetrics extends StreamingQueryListener {
     batchesCompleted.incrementAndGet()
     rowsProcessed.addAndGet(p.numInputRows)
     p.stateOperators.foreach { s =>
-      while (stateCount.get() >= DeliveryMetrics.MAX_STATE_SNAPSHOTS) {
-        if (stateBuf.poll() != null) stateCount.decrementAndGet()
-        else stateCount.set(0) // raced empty; resync
+      // Eviction is correct under the listener bus's single-writer
+      // delivery (one thread calls onQueryProgress); still, decrement
+      // ONLY on a successful poll and bail out on null — resetting the
+      // counter to 0 on a raced-empty read could let stateBuf exceed
+      // the ceiling if a concurrent producer ever appears.
+      var evicting = stateCount.get() >= DeliveryMetrics.MAX_STATE_SNAPSHOTS
+      while (evicting) {
+        if (stateBuf.poll() != null) {
+          evicting = stateCount.decrementAndGet() >= DeliveryMetrics.MAX_STATE_SNAPSHOTS
+        } else evicting = false // queue drained out from under the counter
       }
       stateCount.incrementAndGet()
       stateBuf.add(DeliveryMetrics.StateSnapshot(

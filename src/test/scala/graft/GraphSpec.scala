@@ -175,6 +175,57 @@ class GraphSpec extends SparkSpec {
     assert(r1 == Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 5L -> 0L))
   }
 
+  test("pageRank loop body scans each persisted invariant once and shuffles once (plan pin)") {
+    // the round-12 hoist: ej (edges + outdegrees, partitioned by _src)
+    // and nodesT (teleport/init mass, partitioned by node) are built
+    // ONCE and persisted; a round must then read each exactly once and
+    // pay exactly one exchange (the contribution aggregation). A
+    // regression that re-derives an invariant inside the loop shows up
+    // here as extra scans/exchanges. Broadcast is disabled so the tiny
+    // test frames plan like corpus-scale ones.
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // AQE wraps exchanges/cache scans in query stages; the static
+    // prepared plan exposes them as plain nodes for exact counting
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+        .select(col("src").as("_src"), col("dst").as("_dst"))
+      val outdeg = e.groupBy(col("_src")).agg(count(lit(1)).as("_outdeg"))
+      val ej = e.join(outdeg, "_src").repartition(col("_src")).persist()
+      val nodesT = e.select(col("_src").as("node"))
+        .union(e.select(col("_dst").as("node"))).distinct()
+        .select(col("node"), lit(50000000L).as("_tele"),
+          lit(333333333L).as("_init"))
+        .repartition(col("node")).persist()
+      try {
+        val ranks = nodesT.select(col("node"), col("_init").as("rank_u"))
+          .localCheckpoint()
+        // executedPlan = after EnsureRequirements (sparkPlan would
+        // hide the exchanges the planner inserts). InMemoryTableScan
+        // has no children, so the counts never descend into the
+        // invariants' own (already-run) build plans.
+        val plan = Graph.prStep(ej, nodesT, ranks).queryExecution.executedPlan
+        val scans = plan.collect { case s: InMemoryTableScanExec => s }
+        assert(scans.length == 2,
+          s"expected exactly one scan of each persisted invariant, got ${scans.length}:\n$plan")
+        // the checkpointed ranks RDD keeps its hash(node) partitioning
+        // and both invariants are persisted pre-partitioned on their
+        // join keys, so the ONLY exchange left is the contribution
+        // aggregation's
+        val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+        assert(shuffles.length == 1,
+          s"expected exactly the contribution shuffle, got ${shuffles.length}:\n$plan")
+      } finally { ej.unpersist(); nodesT.unpersist() }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("labelPropagation: bridged triangles settle into two communities (hand-traced rounds)") {
     // triangles {1,2,3} and {10,11,12} bridged by 3-10. Synchronous
     // min-tie rounds, traced by hand: after round 4 clique A carries
