@@ -36,9 +36,15 @@ object Bench {
     Tables.all.foreach { t =>
       try Tables.load(spark, sfDir, t).count() catch { case _: Throwable => }
     }
+    // local-iteration subset (comma-separated query names); the driver
+    // never sets it, so driver runs always warm + time the full corpus
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     if (new java.io.File(warmDir).isDirectory) {
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .foreach { case (name, fn) =>
         try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] warmup $name: ${e.getMessage}")
@@ -51,7 +57,9 @@ object Bench {
     // (BENCH_r02 reported q44 at 8.6 s that re-measured at 2.0 s); min
     // over N runs is the standard contention-robust estimator.
     val runs = envInt("SPARK_GRAFT_BENCH_RUNS", 2)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       // noop sink: evaluates every output column of the full plan
       // (count() would let Catalyst prune the projections under test)
       val times = (1 to runs).map { _ =>
@@ -81,6 +89,8 @@ object Bench {
     // must not masquerade as a regression.
     val streamRuns = envInt("SPARK_GRAFT_STREAM_RUNS", 3)
     def bestOf(label: String)(one: => (Double, String)): String = {
+      // subset iteration runs skip the streaming legs entirely
+      if (only.isDefined) return "null"
       val oks = (1 to streamRuns).flatMap { i =>
         try Some(one)
         catch { case e: Throwable =>

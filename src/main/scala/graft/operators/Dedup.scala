@@ -497,10 +497,18 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("b"), col("rep")), "b")
         .groupBy(col("a").as("id")).agg(min(col("rep")).as("nrep"))
+      // EAGER checkpoint, deliberately: the pointer jump below is a
+      // SELF-join of the chain — the self-multiplying size-estimate
+      // shape Graph.ckptEager's scaladoc forbids for lazy
+      // checkpointing (a lazy LogicalRDD carries the plan's estimate,
+      // and estimate x estimate doubles the bit length every round).
+      // The eager materialization also pins the frame so the two jump
+      // sides read its blocks instead of re-running the neighbor-min
+      // lineage.
       val stepped = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("rep").as("_old"),
           least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
-        .localCheckpoint() // referenced twice by the jump's self-join
+        .localCheckpoint()
       // (2) pointer jumping: rep := rep(rep) — contracts label chains
       val jumped = stepped.alias("l")
         .join(stepped.select(col("id").as("rep"), col("rep").as("rep2")).alias("r"),

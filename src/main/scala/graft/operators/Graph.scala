@@ -29,6 +29,32 @@ object Graph {
   private def ldiv(a: Column, b: Column): Column =
     graft.functions.intmath.ldiv(a, b)
 
+  /** Checkpoint cadence for the SINGLE-CHAIN fixed-iteration loops
+    * (pageRank/PPR/bfsHops/labelPropagation): LAZY in the steady
+    * state — the plan is truncated at build (each round sees a
+    * LogicalRDD) but nothing runs until the last/periodic EAGER
+    * round, so the whole loop materializes as one multi-stage job
+    * instead of paying a driver job round-trip per iteration.
+    *
+    * SAFETY CONSTRAINT (measured, round 12): a lazily-checkpointed
+    * LogicalRDD carries the size ESTIMATE of the plan it truncates,
+    * and each round's estimate composes the previous round's. That
+    * is safe ONLY for single-chain recurrences — state_{i+1} =
+    * f(invariant, state_i) with the invariants persisted (REAL
+    * stats) — where the estimate's bit length grows LINEARLY per
+    * round. A loop that joins the chain against an aggregate OF THE
+    * CHAIN ITSELF (kCore's e >< keep(e) >< keep(e)) MULTIPLIES
+    * chain-derived estimates: ~3x the bit length per round, and by
+    * round ~15 Catalyst multiplies million-bit BigIntegers at plan
+    * time (the 30-iteration kCore property test went from seconds to
+    * unbounded — StatsProbe measurements in round-12 notes). Such
+    * self-multiplying loops must checkpoint EAGERLY every round and
+    * never lazily checkpoint the derived frame; kCore and
+    * connectedComponents do exactly that.
+    */
+  private[graft] def ckptEager(i: Int, iters: Int): Boolean =
+    i % 4 == 3 || i == iters - 1
+
   /** Fixed-iteration PageRank over an edge list (src -> dst), damping
     * 85/100, uniform teleport. Returns (node, rank_u) with rank_u in
     * micro-rank units.
@@ -62,8 +88,12 @@ object Graph {
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int): DataFrame = {
+    // the distinct edge list feeds FOUR build lineages (nodes x2 via
+    // the union, outdeg, ej) — persist it so the raw-edge scan +
+    // distinct runs once, not once per consumer
     val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
       .filter(col("_src") =!= col("_dst")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("_src").as("node"))
       .union(e.select(col("_dst").as("node"))).distinct()
     val nRow = nodes.agg(count(lit(1)).as("_n"))
@@ -78,10 +108,14 @@ object Graph {
       .repartition(col("node"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var ranks = nodesT.select(col("node"), col("_init").as("rank_u"))
-      .localCheckpoint()
-    for (_ <- 0 until iters)
-      ranks = prStep(ej, nodesT, ranks).localCheckpoint()
-    // the final localCheckpoint is eager, so the invariants can go
+    // [[ckptEager]] cadence: lazy checkpoints truncate each round's
+    // plan at build, the periodic/last eager rounds run the chain as
+    // one multi-stage job (and firebreak the stats estimate — see
+    // ckptEager). The last round is always eager, so the persisted
+    // invariants are fully materialized and safe to release below.
+    for (i <- 0 until iters)
+      ranks = prStep(ej, nodesT, ranks).localCheckpoint(eager = ckptEager(i, iters))
+    e.unpersist()
     ej.unpersist()
     nodesT.unpersist()
     ranks
@@ -180,14 +214,19 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b")).distinct().localCheckpoint()
     var e = canon
+    // EAGER checkpoint every round — deliberately NOT the lazy
+    // [[ckptEager]] cadence: this loop joins the chain against an
+    // aggregate of itself (e >< keep(e) >< keep(e)), the
+    // self-multiplying estimate shape ckptEager's scaladoc forbids
+    // for lazy checkpointing (measured: lazy rounds triple the stats
+    // bit length per round and the 30-iteration property test hangs
+    // in BigInteger plan arithmetic). `keep` stays a PLAIN frame for
+    // the same reason; both endpoint joins re-derive the degree
+    // aggregation, which is the cheaper currency.
     for (_ <- 0 until iters) {
       val deg = e.select(col("a").as("node")).union(e.select(col("b").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("_d"))
-      // keep is referenced by BOTH endpoint joins — checkpoint it so
-      // its lineage (the degree aggregation over e) runs once per
-      // round, not once per join
       val keep = deg.filter(col("_d") >= k).select(col("node"))
-        .localCheckpoint()
       e = e.join(keep.select(col("node").as("a")), "a")
         .join(keep.select(col("node").as("b")), "b")
         .select(col("a"), col("b")).localCheckpoint()
@@ -211,8 +250,10 @@ object Graph {
       seeds: Seq[Long], iters: Int): DataFrame = {
     require(seeds.nonEmpty && iters >= 1,
       s"need seeds and iters >= 1; got (${seeds.size}, $iters)")
+    // same build-lineage persist as [[pageRank]]
     val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
       .filter(col("_src") =!= col("_dst")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("_src").as("node"))
       .union(e.select(col("_dst").as("node"))).distinct()
     val outdeg = e.groupBy(col("_src")).agg(count(lit(1)).as("_outdeg"))
@@ -231,9 +272,10 @@ object Graph {
       .repartition(col("node"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var ranks = nodesT.select(col("node"), col("_init").as("rank_u"))
-      .localCheckpoint()
-    for (_ <- 0 until iters)
-      ranks = prStep(ej, nodesT, ranks).localCheckpoint()
+    // same lazy-then-eager checkpoint cadence as [[pageRank]]
+    for (i <- 0 until iters)
+      ranks = prStep(ej, nodesT, ranks).localCheckpoint(eager = ckptEager(i, iters))
+    e.unpersist()
     ej.unpersist()
     nodesT.unpersist()
     ranks
@@ -379,13 +421,16 @@ object Graph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = und.select(col("node")).distinct()
     var dist = nodes.filter(col("node").isInCollection(seeds))
-      .select(col("node"), lit(0L).as("hops")).localCheckpoint()
-    for (_ <- 0 until rounds) {
+      .select(col("node"), lit(0L).as("hops")).localCheckpoint(eager = false)
+    // lazy-then-eager checkpoint cadence as in [[pageRank]]: plans
+    // stay truncated per round, but the whole fixed-round loop
+    // materializes as ONE multi-stage job at the last round
+    for (i <- 0 until rounds) {
       val reach = und.join(dist, "node")
         .select(col("nbr").as("node"), (col("hops") + 1L).as("hops"))
       dist = dist.union(reach)
         .groupBy(col("node")).agg(min(col("hops")).as("hops"))
-        .localCheckpoint()
+        .localCheckpoint(eager = ckptEager(i, rounds))
     }
     und.unpersist()
     dist
@@ -428,8 +473,9 @@ object Graph {
       .repartition(col("nbr"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = und.select(col("node")).distinct()
-      .select(col("node"), col("node").as("label")).localCheckpoint()
-    for (_ <- 0 until iters) {
+      .select(col("node"), col("node").as("label")).localCheckpoint(eager = false)
+    // lazy-then-eager checkpoint cadence as in [[pageRank]]
+    for (i <- 0 until iters) {
       val nb = und
         .join(labels.select(col("node").as("nbr"), col("label")), "nbr")
         .groupBy(col("node"), col("label")).agg(count(lit(1)).as("_c"))
@@ -438,7 +484,7 @@ object Graph {
       // covers the full node set — no left-join backfill needed
       labels = nb.withColumn("_rn", row_number().over(w))
         .filter(col("_rn") === 1).select(col("node"), col("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager = ckptEager(i, iters))
     }
     und.unpersist()
     labels

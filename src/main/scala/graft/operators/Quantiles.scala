@@ -173,6 +173,158 @@ object Quantiles {
       .drop("_wg")
   }
 
+  /** Per-group (median, MAD) in FOUR data scans where the naive
+    * composition pays five — the round-12 fusion of [[robustOutliers]]'
+    * two [[exactPercentiles]] rounds.
+    *
+    * The trick: the MAD (median of |v - med|) needs no second
+    * HISTOGRAM pass. The median pass's bucket frame — extended with
+    * per-bucket min/max, free aggregates on the same shuffle — plus
+    * the exact median m bounds every bucket's possible deviations:
+    *   minDev = greatest(0, mn - m, m - mx),  maxDev = greatest(mx - m, m - mn)
+    * From those intervals, two weighted order-sweeps over the TINY
+    * bucket frame locate which buckets could hold the deviation ranks
+    * r = floor(0.5*(n-1))+1 and r+1:
+    *   below(b) = sum c_j over { j : maxDev_j <  minDev_b }   (strict)
+    *   poss(b)  = sum c_j over { j : minDev_j <= maxDev_b }   (ties in)
+    * A bucket is a CANDIDATE iff poss(b) >= r and below(b) < rHi.
+    * Every non-candidate is then provably on one side: poss(j) < r
+    * means all of j's deviations rank strictly below r (at most
+    * poss(j) < r deviations are <= maxDev_j); below(j) >= rHi means
+    * they all rank strictly above rHi. So ranking the candidate rows'
+    * exact deviations and offsetting by the case-A mass
+    * (offset = sum c_j over poss(j) < r) selects the true global
+    * deviation ranks — the same selection-pass argument
+    * [[exactPercentiles]] makes per bucket, lifted to a bucket SET.
+    *
+    * Plan: scan 1 = histogram (count/min/max per (group, order-bits
+    * bucket), map-side combined); scan 2 = median selection
+    * ([[exactPercentiles]] arithmetic verbatim); scan 3 = MAD
+    * selection over candidate-bucket rows only; the caller's flag
+    * pass is scan 4. The bucket frame and the one-row-per-group
+    * median are `localCheckpoint`ed — both kilobyte-sized by the
+    * 2^(64-shift) bucket-space bound — because each feeds several
+    * downstream lineages and an un-pinned reference would re-run its
+    * full scan per consumer (the DAG-duplication regression
+    * exactPercentiles documents). Interpolation, rank arithmetic and
+    * tie handling match exactPercentiles bit for bit, so q123's
+    * med/mad values are unchanged (same oracle).
+    */
+  def medianMad(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val bucket = graft.functions.orderbits.doubleOrderBits(col("_v"), 44)
+    val rows = df.select(group.as("_g"), value.cast("double").as("_v"))
+      .filter(col("_v").isNotNull)
+    val byG = Window.partitionBy(col("_g"))
+
+    // scan 1: per-(group, bucket) count + min/max, pinned (tiny)
+    val hist = rows.groupBy(col("_g"), bucket.as("_b"))
+      .agg(count(lit(1)).as("_c"), min(col("_v")).as("_mn"), max(col("_v")).as("_mx"))
+      .localCheckpoint()
+
+    // median rank location over the pinned histogram — the
+    // exactPercentiles pass-1 arithmetic for ps = [("med", 0.5)]
+    val cumb = hist
+      .withColumn("_cum", sum(col("_c")).over(byG.orderBy(col("_b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_n", sum(col("_c")).over(byG))
+    val rLoMed = (floor(lit(0.5) * (col("_n") - 1).cast("double")) + 1).cast("long")
+    val rankStructs = array(
+      struct(lit("lo").as("_rname"), rLoMed.as("_r")),
+      struct(lit("hi").as("_rname"), least(rLoMed + 1, col("_n")).as("_r")))
+    val needed = cumb
+      .select(col("_g"), col("_b"), col("_c"), col("_cum"), col("_n"),
+        explode(rankStructs).as("_rk"))
+      .filter(col("_cum") - col("_c") < col("_rk._r") && col("_rk._r") <= col("_cum"))
+      .groupBy(col("_g"), col("_b"))
+      .agg(collect_list(struct(col("_rk._rname").as("_rname"),
+        (col("_rk._r") - (col("_cum") - col("_c"))).as("_rr"))).as("_rs"),
+        max(col("_n")).as("_n"))
+
+    // scan 2: median selection + interpolation; pinned (one row/group)
+    val medPos = lit(0.5) * (col("_n") - 1).cast("double")
+    val med = rows
+      .withColumn("_b", bucket)
+      .join(broadcast(needed), Seq("_g", "_b"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("_g"), col("_b")).orderBy(col("_v"))))
+      .select(col("_g"), col("_n"), col("_v"), col("_rn"), explode(col("_rs")).as("_rk"))
+      .filter(col("_rn") === col("_rk._rr"))
+      .groupBy(col("_g"))
+      .agg(map_from_entries(collect_list(struct(col("_rk._rname"), col("_v")))).as("_m"),
+        max(col("_n")).as("_n"))
+      .select(col("_g"), col("_n"),
+        (col("_m").getItem("lo") +
+          (col("_m").getItem("hi") - col("_m").getItem("lo")) *
+            (medPos - floor(medPos))).as("med"))
+      .localCheckpoint()
+
+    // deviation interval of each bucket, exact from its true min/max
+    val iv = hist.join(med.select(col("_g"), col("med")), "_g")
+      .select(col("_g"), col("_b"), col("_c"),
+        greatest(lit(0.0), col("_mn") - col("med"), col("med") - col("_mx")).as("_dlo"),
+        greatest(col("_mx") - col("med"), col("med") - col("_mn")).as("_dhi"))
+
+    // weighted order-sweeps over the tiny interval frame: cumulative
+    // event mass at each query point. Query rows carry _w = 0, so tie
+    // ordering among equal (val, tag) rows cannot change their sums.
+    val sweepW = Window.partitionBy(col("_g"))
+      .orderBy(col("_val"), col("_tag"), col("_qb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // below(b): events at _dhi (tag 1), queries at _dlo (tag 0 sorts
+    // first on ties -> strict <)
+    val below = iv.select(col("_g"), col("_dhi").as("_val"), col("_c").as("_w"),
+        lit(1).as("_tag"), lit(null).cast("long").as("_qb"))
+      .unionAll(iv.select(col("_g"), col("_dlo").as("_val"), lit(0L).as("_w"),
+        lit(0).as("_tag"), col("_b").as("_qb")))
+      .withColumn("_cum", sum(col("_w")).over(sweepW))
+      .filter(col("_qb").isNotNull)
+      .select(col("_g"), col("_qb").as("_b"), col("_cum").as("_below"))
+    // poss(b): events at _dlo (tag 0 sorts first on ties -> ties in),
+    // queries at _dhi (tag 1)
+    val poss = iv.select(col("_g"), col("_dlo").as("_val"), col("_c").as("_w"),
+        lit(0).as("_tag"), lit(null).cast("long").as("_qb"))
+      .unionAll(iv.select(col("_g"), col("_dhi").as("_val"), lit(0L).as("_w"),
+        lit(1).as("_tag"), col("_b").as("_qb")))
+      .withColumn("_cum", sum(col("_w")).over(sweepW))
+      .filter(col("_qb").isNotNull)
+      .select(col("_g"), col("_qb").as("_b"), col("_cum").as("_poss"))
+
+    val rLo = (floor(lit(0.5) * (col("_n") - 1).cast("double")) + 1).cast("long")
+    val rHi = least(rLo + 1, col("_n"))
+    val marked = iv
+      .join(below, Seq("_g", "_b")).join(poss, Seq("_g", "_b"))
+      .join(broadcast(med.select(col("_g"), col("_n"))), "_g")
+      .select(col("_g"), col("_b"), col("_c"), col("_below"), col("_poss"),
+        rLo.as("_rlo"), rHi.as("_rhi"))
+    // case-A mass per group: buckets whose deviations all rank < rLo
+    val offsets = marked.groupBy(col("_g"))
+      .agg(sum(when(col("_poss") < col("_rlo"), col("_c")).otherwise(lit(0L))).as("_off"))
+    val cand = marked
+      .filter(col("_poss") >= col("_rlo") && col("_below") < col("_rhi"))
+      .join(offsets, "_g")
+      .join(med, "_g") // med + _n ride to the selection scan
+      .select(col("_g"), col("_b"), col("med"), col("_n"),
+        (col("_rlo") - col("_off")).as("_tlo"), (col("_rhi") - col("_off")).as("_thi"))
+
+    // scan 3: rank candidate rows' exact deviations, pick the two
+    // residual ranks, interpolate — one row per group out
+    val madPos = lit(0.5) * (col("_n") - 1).cast("double")
+    rows
+      .withColumn("_b", bucket)
+      .join(broadcast(cand), Seq("_g", "_b"))
+      .withColumn("_dev", abs(col("_v") - col("med")))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("_g")).orderBy(col("_dev"), col("_v"))))
+      .filter(col("_rn") === col("_tlo") || col("_rn") === col("_thi"))
+      .groupBy(col("_g"))
+      .agg(max(col("med")).as("med"), max(col("_n")).as("_n"),
+        min(when(col("_rn") === col("_tlo"), col("_dev"))).as("_devLo"),
+        min(when(col("_rn") === col("_thi"), col("_dev"))).as("_devHi"))
+      .select(col("_g"), col("med"),
+        (col("_devLo") + (col("_devHi") - col("_devLo")) *
+          (madPos - floor(madPos))).as("mad"))
+  }
+
   /** Robust per-group outlier detection: flag rows whose absolute
     * deviation from the group MEDIAN exceeds `k` times the group's
     * MAD (median absolute deviation) — the mean/stddev z-score's
@@ -186,12 +338,13 @@ object Quantiles {
     * are exact .0/.5 doubles, so the k*MAD comparison is reproducible
     * on any engine (q123).
     *
-    * Cost: two [[exactPercentiles]] rounds (two scans each — median
-    * of values, then median of deviations, which needs the first
-    * median joined back) + one final flag scan: five scans, kilobyte
-    * shuffles, nothing resembling a sort of the data. Cache/persist
-    * the input upstream if scans dominate. The med/mad tables are one
-    * row per group — always broadcast.
+    * Cost: one [[medianMad]] round (three scans — histogram, median
+    * selection, MAD selection over candidate buckets only) + one
+    * final flag scan: FOUR scans, kilobyte shuffles, nothing
+    * resembling a sort of the data (the naive two-exactPercentiles
+    * composition paid five). Cache/persist the input upstream if
+    * scans dominate. The med/mad table is one row per group — always
+    * broadcast.
     */
   def robustOutliers(df: DataFrame, group: Column, value: Column,
       k: Double = 3.0): DataFrame = {
@@ -201,13 +354,9 @@ object Quantiles {
       s"robustOutliers reserves column names ${reserved.mkString(", ")} " +
         s"for its output/scratch; rename the input columns ${clashes.mkString(", ")} first")
     val base = df.withColumn("_rg", group).withColumn("_rv", value.cast("double"))
-    val med = exactPercentiles(base, col("_rg"), col("_rv"), Seq(("med", 0.5)))
-      .select(col("_g").as("_rg"), col("med"))
-    val withMed = base.join(broadcast(med), "_rg")
-    val mad = exactPercentiles(withMed, col("_rg"),
-        abs(col("_rv") - col("med")), Seq(("mad", 0.5)))
-      .select(col("_g").as("_rg"), col("mad"))
-    withMed.join(broadcast(mad), "_rg")
+    val mm = medianMad(base, col("_rg"), col("_rv"))
+      .select(col("_g").as("_rg"), col("med"), col("mad"))
+    base.join(broadcast(mm), "_rg")
       .filter(abs(col("_rv") - col("med")) > lit(k) * col("mad"))
       .drop("_rg", "_rv")
   }

@@ -36,10 +36,23 @@ object TextAnalysis {
     * so the two paths cannot drift apart (the avgdl contract is
     * oracle-visible: any drift is a score shift).
     */
-  private def avgdlOf(docsT: DataFrame): DataFrame =
-    docsT.filter(col("_toks").isNotNull)
-      .agg((sum(size(col("_toks"))).cast("double") /
-        count(lit(1)).cast("double")).as("_avgdl"))
+  /** N and avgdl in ONE scalar aggregate over the tokenized corpus —
+    * the round-12 scan fusion: computing them as separate one-row
+    * frames paid two full corpus scans. Shared by [[bm25]] and
+    * [[bm25Candidates]] so the two variants cannot drift. Null-text
+    * contract: null-toks docs count into `_nd` (they are documents)
+    * but not into `_avgdl` (no measurable length) — numerator and
+    * denominator both skip them. Values are bit-identical to the
+    * former separate aggregates.
+    */
+  private def corpusStatsOf(docsT: DataFrame): DataFrame =
+    docsT.agg(
+      count(lit(1)).cast("double").as("_nd"),
+      // explicit null gate: size(null) is -1 under legacy sizeOfNull
+      // and null under ANSI — the `when` makes the exclusion
+      // independent of that config
+      (sum(when(col("_toks").isNotNull, size(col("_toks")))).cast("double") /
+        count(col("_toks")).cast("double")).as("_avgdl"))
 
   /** Count of tokens present in a fixed marker set. */
   def markerScore(toks: Column, markers: Seq[String]): Column =
@@ -319,7 +332,10 @@ object TextAnalysis {
     // merged pseudo-doc; the oracle carries the same IS NOT NULL.
     val docsT = df.filter(col(idCol).isNotNull)
       .select(col(idCol), tokens(textCol).as("_toks"))
-    val nDocs = docsT.agg(count(lit(1)).cast("double").as("_nd"))
+    // N and avgdl fused into one scalar-aggregate scan (round 12);
+    // both legs broadcast the same one-row frame, so ReuseExchange
+    // serves them from a single broadcast
+    val stats = corpusStatsOf(docsT)
     val tok = docsT.select(col(idCol),
       size(col("_toks")).cast("long").as("_dl"), explode(col("_toks")).as("term"))
     val qtok = tok.filter(col("term").isin(queryTerms: _*))
@@ -327,15 +343,14 @@ object TextAnalysis {
       .agg(count(lit(1)).as("_tf"), max(col("_dl")).as("_dl"))
     val idf = tf.groupBy(col("term"))
       .agg(sum(when(col("_tf") >= 1 && col("_dl") >= 1, lit(1L))).as("_df"))
-      .crossJoin(broadcast(nDocs))
+      .crossJoin(broadcast(stats))
       .select(col("term"),
         floor(log((col("_nd") - col("_df").cast("double") + 0.5) /
           (col("_df").cast("double") + 0.5) + 1.0) * 1e6 + lit(0.5))
           .cast("long").as("_idf_u"))
-    val avgdl = avgdlOf(docsT)
     val contrib = tf
       .join(broadcast(idf), "term")
-      .crossJoin(broadcast(avgdl))
+      .crossJoin(broadcast(stats))
       .select(col(idCol),
         floor(col("_idf_u").cast("double") *
           (col("_tf").cast("double") * (k1 + 1)) /
@@ -412,8 +427,10 @@ object TextAnalysis {
       .select(col(idCol).as("_did"), tokens(textCol).as("_toks"))
     val tok = docsT.select(col("_did"),
       size(col("_toks")).cast("long").as("_dl"), explode(col("_toks")).as("term"))
-    val nDocs = docs.filter(col(idCol).isNotNull)
-      .agg(count(lit(1)).cast("double").as("_nd"))
+    // N and avgdl fused into ONE scalar-aggregate scan (round 12 —
+    // they were two separate full-corpus scans for two one-row
+    // broadcast frames); values bit-identical, see corpusStatsOf
+    val stats = corpusStatsOf(docsT)
     val qterms = queries
       .select(col(idCol).as("query_id"), explode(tokens(textCol)).as("term"))
       .distinct()
@@ -432,17 +449,16 @@ object TextAnalysis {
     // the first draft paid exactly that).
     val idf = tf.groupBy(col("term"))
       .agg(sum(when(col("_tf") >= 1 && col("_dl") >= 1, lit(1L))).as("_df"))
-      .crossJoin(broadcast(nDocs))
+      .crossJoin(broadcast(stats))
       .select(col("term"),
         floor(log((col("_nd") - col("_df").cast("double") + 0.5) /
           (col("_df").cast("double") + 0.5) + 1.0) * 1e6 + lit(0.5))
           .cast("long").as("_idf_u"))
-    val avgdl = avgdlOf(docsT) // see avgdlOf for the null-text contract
     val contrib = tf
       .join(broadcast(qterms), "term") // query term sets are serving-size
       .filter(col("_did") =!= col("query_id"))
       .join(broadcast(idf), "term")
-      .crossJoin(broadcast(avgdl))
+      .crossJoin(broadcast(stats))
       .select(col("query_id"), col("_did"),
         floor(col("_idf_u").cast("double") *
           (col("_tf").cast("double") * (k1 + 1)) /

@@ -763,10 +763,14 @@ object RelationalQueries {
     ORDER BY p_partkey"""))
 
   /** Robust median/MAD outlier detection per order priority (operator:
-    * Quantiles.robustOutliers — five scans, kilobyte shuffles, no data
-    * sort). Prices ride the exact cents grid, so med/mad are exact
-    * .0/.5 doubles and the k*MAD threshold is engine-independent. The
-    * oracle replays the same interpolated rank-select median twice.
+    * Quantiles.robustOutliers — FOUR scans since round 12's medianMad
+    * fusion derives the MAD's candidate buckets from the median
+    * pass's histogram instead of re-bucketing the deviations;
+    * kilobyte shuffles, no data sort). Prices ride the exact cents
+    * grid, so med/mad are exact .0/.5 doubles and the k*MAD threshold
+    * is engine-independent. The oracle replays the same interpolated
+    * rank-select median twice — the fusion changes scan count, not
+    * values.
     */
   private val q123 = Q("q123_robust_outliers", (s, dir) => {
     val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"),
