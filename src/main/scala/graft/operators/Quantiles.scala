@@ -201,12 +201,16 @@ object Quantiles {
     * bucket), map-side combined); scan 2 = median selection
     * ([[exactPercentiles]] arithmetic verbatim); scan 3 = MAD
     * selection over candidate-bucket rows only; the caller's flag
-    * pass is scan 4. The bucket frame and the one-row-per-group
-    * median are `localCheckpoint`ed — both kilobyte-sized by the
-    * 2^(64-shift) bucket-space bound — because each feeds several
-    * downstream lineages and an un-pinned reference would re-run its
-    * full scan per consumer (the DAG-duplication regression
-    * exactPercentiles documents). Interpolation, rank arithmetic and
+    * pass is scan 4. Only the bucket frame is `localCheckpoint`ed —
+    * kilobyte-sized by the 2^(64-shift) bucket-space bound — because
+    * it feeds TWO downstream lineages (median location + deviation
+    * intervals) and an un-pinned reference would re-run its full
+    * scan per consumer (the DAG-duplication regression
+    * exactPercentiles documents); every other frame is referenced
+    * once, and med/_n ride the candidate rows into the MAD scan so
+    * the median lineage runs exactly once. Both sweeps share one
+    * window pass (see the sweep comment). Interpolation, rank
+    * arithmetic and
     * tie handling match exactPercentiles bit for bit, so q123's
     * med/mad values are unchanged (same oracle).
     */
@@ -216,10 +220,16 @@ object Quantiles {
       .filter(col("_v").isNotNull)
     val byG = Window.partitionBy(col("_g"))
 
-    // scan 1: per-(group, bucket) count + min/max, pinned (tiny)
+    // scan 1: per-(group, bucket) count + min/max, pinned (tiny).
+    // LAZY persist, not an eager checkpoint: the pin only needs both
+    // consumers (median location + deviation intervals) to share one
+    // materialization, and persist defers that into the caller's own
+    // job instead of paying a blocking driver job at build time. The
+    // cache is kilobyte-sized and reclaimed by the context cleaner
+    // when the frame goes out of scope.
     val hist = rows.groupBy(col("_g"), bucket.as("_b"))
       .agg(count(lit(1)).as("_c"), min(col("_v")).as("_mn"), max(col("_v")).as("_mx"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // median rank location over the pinned histogram — the
     // exactPercentiles pass-1 arithmetic for ps = [("med", 0.5)]
@@ -240,7 +250,10 @@ object Quantiles {
         (col("_rk._r") - (col("_cum") - col("_c"))).as("_rr"))).as("_rs"),
         max(col("_n")).as("_n"))
 
-    // scan 2: median selection + interpolation; pinned (one row/group)
+    // scan 2: median selection + interpolation — one row per group.
+    // Referenced exactly once (by `iv`), and med/_n then RIDE the
+    // candidate frame into the MAD selection, so this lineage runs
+    // once with no checkpoint.
     val medPos = lit(0.5) * (col("_n") - 1).cast("double")
     val med = rows
       .withColumn("_b", bucket)
@@ -256,53 +269,52 @@ object Quantiles {
         (col("_m").getItem("lo") +
           (col("_m").getItem("hi") - col("_m").getItem("lo")) *
             (medPos - floor(medPos))).as("med"))
-      .localCheckpoint()
 
     // deviation interval of each bucket, exact from its true min/max
-    val iv = hist.join(med.select(col("_g"), col("med")), "_g")
-      .select(col("_g"), col("_b"), col("_c"),
+    val iv = hist.join(broadcast(med), "_g")
+      .select(col("_g"), col("_b"), col("_c"), col("med"), col("_n"),
         greatest(lit(0.0), col("_mn") - col("med"), col("med") - col("_mx")).as("_dlo"),
         greatest(col("_mx") - col("med"), col("med") - col("_mn")).as("_dhi"))
 
-    // weighted order-sweeps over the tiny interval frame: cumulative
-    // event mass at each query point. Query rows carry _w = 0, so tie
-    // ordering among equal (val, tag) rows cannot change their sums.
-    val sweepW = Window.partitionBy(col("_g"))
-      .orderBy(col("_val"), col("_tag"), col("_qb"))
+    // ONE weighted order-sweep serves both counts: each bucket emits
+    // two rows — its interval START (tag 0: poss-event carrying _w2=c,
+    // and below-QUERY point) and its interval END (tag 1: below-event
+    // carrying _w=c, and poss-QUERY point). Sorted by (val, tag),
+    // the running sum of _w at a tag-0 row counts intervals that
+    // ENDED strictly before this start (below: strict <, since
+    // same-value ends sort after), and the running sum of _w2 at a
+    // tag-1 row counts intervals that STARTED at or before this end
+    // (poss: ties in, since same-value starts sort first). Query
+    // rows carry zero weight, so tie order among them is irrelevant.
+    val sweep = iv.select(col("_g"), col("_b"), col("_c"), col("med"), col("_n"),
+        explode(array(
+          struct(col("_dlo").as("_val"), lit(0).as("_tag"),
+            lit(0L).as("_w"), col("_c").as("_w2")),
+          struct(col("_dhi").as("_val"), lit(1).as("_tag"),
+            col("_c").as("_w"), lit(0L).as("_w2")))).as("_e"))
+      .select(col("_g"), col("_b"), col("_c"), col("med"), col("_n"),
+        col("_e._val").as("_val"), col("_e._tag").as("_tag"),
+        col("_e._w").as("_w"), col("_e._w2").as("_w2"))
+    val wv = Window.partitionBy(col("_g"))
+      .orderBy(col("_val"), col("_tag"), col("_b"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // below(b): events at _dhi (tag 1), queries at _dlo (tag 0 sorts
-    // first on ties -> strict <)
-    val below = iv.select(col("_g"), col("_dhi").as("_val"), col("_c").as("_w"),
-        lit(1).as("_tag"), lit(null).cast("long").as("_qb"))
-      .unionAll(iv.select(col("_g"), col("_dlo").as("_val"), lit(0L).as("_w"),
-        lit(0).as("_tag"), col("_b").as("_qb")))
-      .withColumn("_cum", sum(col("_w")).over(sweepW))
-      .filter(col("_qb").isNotNull)
-      .select(col("_g"), col("_qb").as("_b"), col("_cum").as("_below"))
-    // poss(b): events at _dlo (tag 0 sorts first on ties -> ties in),
-    // queries at _dhi (tag 1)
-    val poss = iv.select(col("_g"), col("_dlo").as("_val"), col("_c").as("_w"),
-        lit(0).as("_tag"), lit(null).cast("long").as("_qb"))
-      .unionAll(iv.select(col("_g"), col("_dhi").as("_val"), lit(0L).as("_w"),
-        lit(1).as("_tag"), col("_b").as("_qb")))
-      .withColumn("_cum", sum(col("_w")).over(sweepW))
-      .filter(col("_qb").isNotNull)
-      .select(col("_g"), col("_qb").as("_b"), col("_cum").as("_poss"))
+    val stats2 = sweep
+      .withColumn("_cw", sum(col("_w")).over(wv))
+      .withColumn("_cw2", sum(col("_w2")).over(wv))
+      .groupBy(col("_g"), col("_b"))
+      .agg(max(col("_c")).as("_c"), max(col("med")).as("med"), max(col("_n")).as("_n"),
+        max(when(col("_tag") === 0, col("_cw"))).as("_below"),
+        max(when(col("_tag") === 1, col("_cw2"))).as("_poss"))
 
     val rLo = (floor(lit(0.5) * (col("_n") - 1).cast("double")) + 1).cast("long")
     val rHi = least(rLo + 1, col("_n"))
-    val marked = iv
-      .join(below, Seq("_g", "_b")).join(poss, Seq("_g", "_b"))
-      .join(broadcast(med.select(col("_g"), col("_n"))), "_g")
-      .select(col("_g"), col("_b"), col("_c"), col("_below"), col("_poss"),
-        rLo.as("_rlo"), rHi.as("_rhi"))
-    // case-A mass per group: buckets whose deviations all rank < rLo
-    val offsets = marked.groupBy(col("_g"))
-      .agg(sum(when(col("_poss") < col("_rlo"), col("_c")).otherwise(lit(0L))).as("_off"))
-    val cand = marked
+    // case-A mass (buckets whose deviations all rank < rLo) via a
+    // same-frame window — no separate aggregate + join-back
+    val cand = stats2
+      .withColumn("_rlo", rLo).withColumn("_rhi", rHi)
+      .withColumn("_off", sum(when(col("_poss") < col("_rlo"), col("_c"))
+        .otherwise(lit(0L))).over(Window.partitionBy(col("_g"))))
       .filter(col("_poss") >= col("_rlo") && col("_below") < col("_rhi"))
-      .join(offsets, "_g")
-      .join(med, "_g") // med + _n ride to the selection scan
       .select(col("_g"), col("_b"), col("med"), col("_n"),
         (col("_rlo") - col("_off")).as("_tlo"), (col("_rhi") - col("_off")).as("_thi"))
 

@@ -378,6 +378,35 @@ class PlanSpec extends SparkSpec {
       s"the HAVING subquery must plan as a semi join, not a filter:\n${plan.take(2000)}")
   }
 
+  test("TPC-H EXISTS/NOT-EXISTS shapes stay de-correlated as semi/anti hash joins") {
+    // q121 (EXISTS + NOT EXISTS other-supplier probes), q122 (NOT
+    // EXISTS recent order) and q88 (EXISTS large order, NOT EXISTS
+    // return) rely on Catalyst's subquery de-correlation planning the
+    // probes as LeftSemi/LeftAnti HASH joins. A Spark upgrade or a
+    // stats change silently regressing one to a nested-loop probe
+    // per row is the classic 100x cliff — pin the shapes. q122
+    // legitimately keeps ONE BroadcastNestedLoopJoin: its acctbal
+    // threshold is a one-row global aggregate joined by a theta
+    // condition (scalar broadcast, never corpus x corpus).
+    val shapes = Map(
+      "q121_sole_late_supplier" -> (("LeftSemi", "LeftAnti", 0)),
+      "q122_lapsed_customers" -> (("LeftAnti", "LeftAnti", 1)),
+      "q88_exists_pair" -> (("LeftSemi", "LeftAnti", 0)))
+    for ((name, (need1, need2, bnljAllowed)) <- shapes) {
+      val plan = planOf(name)
+      assert(plan.contains(need1) && plan.contains(need2),
+        s"$name must plan $need1 + $need2 joins:\n${plan.take(2500)}")
+      assert(!plan.contains("CartesianProduct"), s"$name planned a cartesian:\n${plan.take(2500)}")
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+      assert(bnlj <= bnljAllowed,
+        s"$name planned $bnlj BroadcastNestedLoopJoins (allowed $bnljAllowed):\n${plan.take(2500)}")
+      // the semi/anti probes themselves must be HASH joins
+      assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin).*(LeftSemi|LeftAnti)".r
+        .findFirstIn(plan).isDefined,
+        s"$name semi/anti probe is not a hash join:\n${plan.take(2500)}")
+    }
+  }
+
   test("q145 fused retrieval: both leg rank windows, the RRF agg and the fused top-k share ONE query_id exchange") {
     // rankFuseScored repartitions the unioned candidates on query_id
     // ONCE (REPARTITION_BY_COL); hash(query_id) then satisfies the
