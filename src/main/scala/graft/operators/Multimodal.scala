@@ -375,6 +375,43 @@ object Multimodal {
       ((col("n_chars") % 240) + 1).cast("int").as("n_frames"),
       lit(24).as("fps"))
 
+  /** Synthesize a table of REAL YUV4MPEG2 byte streams from the
+    * documents corpus — 2x2 Cmono frames whose luma bytes are
+    * deterministic reads of the document's UTF-8 bytes, assembled
+    * IN-PLAN (binary concat folded over the frame sequence, no UDF).
+    * Unlike [[videoFromDocuments]] (opaque payload + metadata
+    * columns), these payloads are genuine parseable containers:
+    * [[VideoKernel.Y4m]] must actually tokenize the header and walk
+    * FRAME records to recover what this builder wrote, which is what
+    * puts real container parsing under the oracle (q201) — the SQL
+    * mirror recomputes the expected luma bytes from the same
+    * arithmetic without needing a Y4M parser of its own.
+    *
+    * Grid: n_frames = nbytes % 7 + 2 (2..8), pixel j of frame f =
+    * src byte at (f*17 + j*5) mod nbytes. Docs with empty payloads
+    * are excluded (no bytes to probe).
+    */
+  def y4mFromDocuments(docs: DataFrame): DataFrame = {
+    val src = encode(col("text"), "UTF-8")
+    val nb = octet_length(src)
+    val header = lit("YUV4MPEG2 W2 H2 F24:1 Cmono\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val marker = lit("FRAME\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    def px(f: Column, j: Int): Column =
+      col("_src").substr(((f * 17 + j * 5) % col("_nb") + 1).cast("int"), lit(1))
+    docs
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id").as("media_id"), src.as("_src"), nb.as("_nb"),
+        (nb % 7 + 2).cast("int").as("_nf"))
+      .filter(col("_nb") > 0)
+      .select(col("media_id"),
+        aggregate(
+          sequence(lit(0), col("_nf") - 1),
+          header,
+          (acc, f) => concat(acc, marker, px(f, 0), px(f, 1), px(f, 2), px(f, 3)))
+          .as("payload"))
+  }
+
   /** Synthesize an audio media table from the documents corpus: the
     * UTF-8 payload stands in for encoded audio; sample rate and
     * sample count are deterministic metadata (a real ingest reads

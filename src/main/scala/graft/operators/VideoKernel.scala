@@ -74,6 +74,119 @@ object VideoKernel {
       }
   }
 
+  /** Pure-JVM kernel for the YUV4MPEG2 (.y4m) container — REAL
+    * byte-level container parsing with zero codec dependency, so the
+    * genuine parse path runs under the DuckDB oracle (q201) and in
+    * codec-less sandboxes. Y4M is the standard uncompressed
+    * interchange format (mjpegtools/ffmpeg `-f yuv4mpegpipe`):
+    *
+    *   YUV4MPEG2 W<w> H<h> F<num>:<den> [I?] [A?:?] [C<cs>] [X...]\n
+    *   FRAME[ params]\n <planar YCbCr bytes> ... repeated
+    *
+    * The luma plane is the FIRST w*h bytes of every frame — exactly
+    * the gray buffer [[Multimodal.frameFeatures]] fingerprints, no
+    * color conversion needed. Supported colorspaces and their frame
+    * sizes (ceil-divided chroma so odd dimensions parse): C420*
+    * (+jpeg/mpeg2/paldv variants) = y + 2*ceil(w/2)*ceil(h/2), C422 =
+    * y + 2*ceil(w/2)*h, C444 = 3y, Cmono = y; absent C defaults to
+    * C420 per spec. Robustness contract (same row-fails-never-task
+    * rule as [[Ffmpeg]]): bad magic / unparsable header / absurd
+    * dimensions (w*h > `maxPixels`) probe as None; a malformed or
+    * truncated frame record ends the stream at the last whole frame
+    * rather than failing.
+    */
+  case object Y4m extends VideoKernel {
+    val name = "y4m"
+
+    private val MAGIC = "YUV4MPEG2 ".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    private val FRAME = "FRAME".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    private val maxPixels = 1 << 26 // 64 MPx — beyond any sane frame
+
+    private final case class Header(w: Int, h: Int, fps: Double,
+        frameBytes: Long, bodyStart: Int)
+
+    private def parseHeader(p: Array[Byte]): Option[Header] = {
+      if (p.length < MAGIC.length) return None
+      var i = 0
+      while (i < MAGIC.length) { if (p(i) != MAGIC(i)) return None; i += 1 }
+      val nl = p.indexOf('\n'.toByte)
+      if (nl < 0) return None
+      val params = new String(p, MAGIC.length, nl - MAGIC.length,
+        java.nio.charset.StandardCharsets.US_ASCII).split(" ").filter(_.nonEmpty)
+      var w = -1; var h = -1; var fps = -1.0; var cs = "420"
+      params.foreach { t =>
+        t.charAt(0) match {
+          case 'W' => w = t.drop(1).toIntOption.getOrElse(-1)
+          case 'H' => h = t.drop(1).toIntOption.getOrElse(-1)
+          case 'F' => t.drop(1).split(":") match {
+            case Array(n, d) =>
+              fps = (for (nn <- n.toDoubleOption; dd <- d.toDoubleOption if dd > 0)
+                yield nn / dd).getOrElse(-1.0)
+            case _ => fps = -1.0
+          }
+          case 'C' => cs = t.drop(1)
+          case _ => () // I (interlacing), A (aspect), X (comment): ignored
+        }
+      }
+      if (w <= 0 || h <= 0 || fps <= 0 || w.toLong * h > maxPixels) return None
+      val y = w.toLong * h
+      val cw = (w + 1L) / 2; val ch = (h + 1L) / 2
+      val frameBytes = cs match {
+        case s if s.startsWith("420") => y + 2L * cw * ch
+        case s if s.startsWith("422") => y + 2L * cw * h
+        case s if s.startsWith("444") => 3L * y
+        case "mono" => y
+        case _ => return None // unknown colorspace: unreadable, not a guess
+      }
+      Some(Header(w, h, fps, frameBytes, nl + 1))
+    }
+
+    /** Offsets of each frame's PIXEL DATA start, walking FRAME records
+      * until EOF or the first malformed/truncated record.
+      */
+    private def frameOffsets(p: Array[Byte], hd: Header): Seq[Int] = {
+      val out = Seq.newBuilder[Int]
+      var pos = hd.bodyStart
+      var ok = true
+      while (ok && pos < p.length) {
+        // FRAME marker + optional params to newline
+        if (pos + FRAME.length > p.length ||
+            !FRAME.indices.forall(i => p(pos + i) == FRAME(i))) ok = false
+        else {
+          var nl = pos + FRAME.length
+          while (nl < p.length && p(nl) != '\n'.toByte) nl += 1
+          val dataStart = nl + 1L
+          if (nl >= p.length || dataStart + hd.frameBytes > p.length) ok = false
+          else {
+            out += dataStart.toInt
+            pos = (dataStart + hd.frameBytes).toInt
+          }
+        }
+      }
+      out.result()
+    }
+
+    def probe(payload: Array[Byte]): Option[Meta] =
+      parseHeader(payload).map { hd =>
+        val n = frameOffsets(payload, hd).size.toLong
+        Meta(if (hd.fps > 0) n / hd.fps else 0.0, hd.fps, "y4m", hd.w, hd.h, n)
+      }
+
+    def decodeFramesFor(meta: Meta, payload: Array[Byte], everyK: Int,
+        maxFrames: Int): Seq[Frame] =
+      parseHeader(payload).toSeq.flatMap { hd =>
+        val offs = frameOffsets(payload, hd)
+        val yBytes = hd.w * hd.h
+        offs.indices.by(everyK).take(maxFrames).map { idx =>
+          val off = offs(idx)
+          val luma = new Array[Int](yBytes)
+          var j = 0
+          while (j < yBytes) { luma(j) = payload(off + j) & 0xff; j += 1 }
+          Frame(idx.toLong, hd.w, hd.h, luma)
+        }
+      }
+  }
+
   /** Production kernel: `ffprobe` for metadata, `ffmpeg` decoding
     * every K-th frame to 8-bit-gray rawvideo on a pipe (SCALE.md's
     * documented shape). Cluster-safety rules enforced here:
@@ -226,16 +339,19 @@ object VideoKernel {
   def ffmpegAvailable: Boolean = onPath("ffprobe") && onPath("ffmpeg")
 
   /** Kernel choice: the `graft.video.kernel` system property ("stub"
-    * | "ffmpeg") wins — an unrecognized value FAILS FAST rather than
-    * silently auto-detecting (a typo would otherwise run the stub and
-    * ship synthetic fingerprints as real features); unset, ffmpeg
-    * when both binaries are on PATH, stub when not.
+    * | "y4m" | "ffmpeg") wins — an unrecognized value FAILS FAST
+    * rather than silently auto-detecting (a typo would otherwise run
+    * the stub and ship synthetic fingerprints as real features);
+    * unset, ffmpeg when both binaries are on PATH, stub when not
+    * (y4m is never auto-selected: it reads one specific container,
+    * so callers opt in explicitly).
     */
   def select(): VideoKernel = sys.props.get("graft.video.kernel") match {
     case Some("stub") => Stub
+    case Some("y4m") => Y4m
     case Some("ffmpeg") => new Ffmpeg()
     case Some(other) => throw new IllegalArgumentException(
-      s"graft.video.kernel='$other' — expected 'stub' or 'ffmpeg'")
+      s"graft.video.kernel='$other' — expected 'stub', 'y4m' or 'ffmpeg'")
     case None => if (ffmpegAvailable) new Ffmpeg() else Stub
   }
 }

@@ -228,6 +228,61 @@ object TextQueries {
            CAST(1 AS BIGINT) AS n_px
     FROM px ORDER BY media_id, frame_idx"""))
 
+  /** REAL container parsing under the oracle (round 12): the corpus
+    * synthesizes genuine YUV4MPEG2 byte streams in-plan
+    * ([[graft.operators.Multimodal.y4mFromDocuments]] — 2x2 Cmono
+    * frames whose luma bytes are deterministic reads of the doc's
+    * UTF-8 bytes), and [[graft.operators.VideoKernel.Y4m]] must
+    * actually tokenize the header and walk FRAME records to recover
+    * them — unlike q200's Stub, whose "decode" is arithmetic. The
+    * oracle recomputes the expected luma from the same byte
+    * arithmetic (it never parses Y4M) and replays ahash64 on a 2x2
+    * grid exactly: pixels land in cells 0/1/8/9 of the 64-cell grid,
+    * the other 60 cells average 0, so mean = sum(px)/64; a bit is set
+    * iff its cell value >= mean, hence hash = -1 when all four pixels
+    * are zero (0 >= 0 sets every bit) and otherwise the four
+    * pixel-cell bits alone.
+    */
+  private val q201 = Q("q201_y4m_parse", (s, dir) => {
+    import graft.operators.{Multimodal, VideoKernel}
+    val video = Multimodal.y4mFromDocuments(Tables.load(s, dir, "documents"))
+    Multimodal.frameFeatures(video, everyK = 2, kernel = VideoKernel.Y4m)
+      .orderBy(col("media_id"), col("frame_idx"))
+  }, Some("""
+    WITH video AS (
+      SELECT doc_id AS media_id, encode(text) AS src,
+             octet_length(encode(text)) AS nbytes
+      FROM documents
+      WHERE doc_id IS NOT NULL AND octet_length(encode(text)) > 0),
+    meta AS (SELECT media_id, src, nbytes,
+                    nbytes % 7 + 2 AS n_frames FROM video),
+    frames AS (
+      SELECT media_id, src, nbytes,
+             unnest(range(0, n_frames, 2)) AS frame_idx
+      FROM meta),
+    px AS (
+      SELECT media_id, frame_idx,
+             CAST(concat('0x', substr(hex(src),
+               CAST((frame_idx * 17 + 0) % nbytes AS INT) * 2 + 1, 2)) AS BIGINT) AS p0,
+             CAST(concat('0x', substr(hex(src),
+               CAST((frame_idx * 17 + 5) % nbytes AS INT) * 2 + 1, 2)) AS BIGINT) AS p1,
+             CAST(concat('0x', substr(hex(src),
+               CAST((frame_idx * 17 + 10) % nbytes AS INT) * 2 + 1, 2)) AS BIGINT) AS p2,
+             CAST(concat('0x', substr(hex(src),
+               CAST((frame_idx * 17 + 15) % nbytes AS INT) * 2 + 1, 2)) AS BIGINT) AS p3
+      FROM frames)
+    SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(frame_idx AS DOUBLE) / 24.0 AS t_sec,
+           CASE WHEN p0 + p1 + p2 + p3 = 0 THEN CAST(-1 AS BIGINT)
+                ELSE CAST(
+                  (CASE WHEN p0 >= (p0+p1+p2+p3) / 64.0 THEN 1 ELSE 0 END) +
+                  (CASE WHEN p1 >= (p0+p1+p2+p3) / 64.0 THEN 2 ELSE 0 END) +
+                  (CASE WHEN p2 >= (p0+p1+p2+p3) / 64.0 THEN 256 ELSE 0 END) +
+                  (CASE WHEN p3 >= (p0+p1+p2+p3) / 64.0 THEN 512 ELSE 0 END)
+                  AS BIGINT) END AS frame_ahash,
+           CAST(4 AS BIGINT) AS n_px
+    FROM px ORDER BY media_id, frame_idx"""))
+
   /** Multimodal audio windowing: fixed 4000-sample hops over metadata
     * sample counts, per-window energy probe (4 deterministic payload
     * reads averaged) — completes the image (q56) / video (q74) / audio
@@ -758,5 +813,5 @@ object TextQueries {
 
   val list: Seq[Q] = Seq(q51, q52, q53, q54, q55, q56, q74, q89, q100, q101, q108, q112,
     q120, q128, q129, q138, q141, q142, q143, q144, q148, q176, q183, q194,
-    q199, q200)
+    q199, q200, q201)
 }

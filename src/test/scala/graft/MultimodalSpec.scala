@@ -235,6 +235,99 @@ class MultimodalSpec extends SparkSpec {
     assert(broken.probe(p).isEmpty && broken.decodeFrames(p, 2, 4).isEmpty)
   }
 
+  // --- VideoKernel.Y4m: real container parsing, no codecs ---------------
+
+  private def y4m(header: String, frames: Array[Byte]*): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write((header + "\n").getBytes("US-ASCII"))
+    frames.foreach { f => out.write("FRAME\n".getBytes("US-ASCII")); out.write(f) }
+    out.toByteArray
+  }
+
+  test("VideoKernel.Y4m: hand-built mono container probes and decodes frame-exact") {
+    import graft.operators.VideoKernel
+    // 2x2 Cmono: each frame is exactly its 4 luma bytes
+    val p = y4m("YUV4MPEG2 W2 H2 F24:1 Cmono",
+      Array[Byte](10, 20, 30, 40), Array[Byte](50, 60, 70, 80),
+      Array[Byte](90, 100, 110, 120))
+    val meta = VideoKernel.Y4m.probe(p).get
+    assert(meta.width == 2 && meta.height == 2 && meta.fps == 24.0 &&
+      meta.nFrames == 3L && meta.codec == "y4m", meta.toString)
+    assert(meta.durationSec == 3.0 / 24.0)
+    val all = VideoKernel.Y4m.decodeFrames(p, everyK = 1, maxFrames = 64)
+    assert(all.map(_.frameIdx) == Seq(0L, 1L, 2L))
+    assert(all.map(_.luma.toSeq) == Seq(Seq(10, 20, 30, 40),
+      Seq(50, 60, 70, 80), Seq(90, 100, 110, 120)))
+    // sampling grain + maxFrames cap
+    val sampled = VideoKernel.Y4m.decodeFrames(p, everyK = 2, maxFrames = 1)
+    assert(sampled.map(_.frameIdx) == Seq(0L) &&
+      sampled.head.luma.toSeq == Seq(10, 20, 30, 40))
+    // luma bytes are unsigned
+    val neg = y4m("YUV4MPEG2 W1 H1 F1:1 Cmono", Array[Byte](-1))
+    assert(VideoKernel.Y4m.decodeFrames(neg, 1, 4).head.luma.toSeq == Seq(255))
+  }
+
+  test("VideoKernel.Y4m: colorspace frame sizes — luma is the plane prefix, chroma skipped") {
+    import graft.operators.VideoKernel
+    // C420 on 2x2: 4 luma + 2 * (1x1) chroma = 6 bytes per frame
+    val p420 = y4m("YUV4MPEG2 W2 H2 F30:1 C420jpeg",
+      Array[Byte](1, 2, 3, 4, 77, 88), Array[Byte](5, 6, 7, 8, 99, 11))
+    assert(VideoKernel.Y4m.probe(p420).get.nFrames == 2L)
+    assert(VideoKernel.Y4m.decodeFrames(p420, 1, 4).map(_.luma.toSeq) ==
+      Seq(Seq(1, 2, 3, 4), Seq(5, 6, 7, 8)))
+    // C444 on 1x2: 2 luma + 4 chroma; default (no C tag) is C420
+    val p444 = y4m("YUV4MPEG2 W1 H2 F30:1 C444", Array[Byte](9, 8, 0, 0, 0, 0))
+    assert(VideoKernel.Y4m.decodeFrames(p444, 1, 4).map(_.luma.toSeq) == Seq(Seq(9, 8)))
+    val pDefault = y4m("YUV4MPEG2 W2 H2 F30:1", // 420 => 6 bytes/frame
+      Array[Byte](4, 3, 2, 1, 0, 0))
+    assert(VideoKernel.Y4m.probe(pDefault).get.nFrames == 1L)
+    // interlace/aspect/comment params are tolerated
+    val pParams = y4m("YUV4MPEG2 W1 H1 F25:1 Ip A1:1 Cmono Xcomment", Array[Byte](7))
+    assert(VideoKernel.Y4m.probe(pParams).get.fps == 25.0)
+  }
+
+  test("VideoKernel.Y4m: row-fails-never-task — bad magic, bad header, truncation, garbage") {
+    import graft.operators.VideoKernel
+    assert(VideoKernel.Y4m.probe(Array.empty[Byte]).isEmpty)
+    assert(VideoKernel.Y4m.probe("JUNK W2 H2 F24:1\nxxxx".getBytes("US-ASCII")).isEmpty)
+    // missing dimensions / zero fps / unknown colorspace -> unreadable
+    assert(VideoKernel.Y4m.probe("YUV4MPEG2 F24:1 Cmono\n".getBytes("US-ASCII")).isEmpty)
+    assert(VideoKernel.Y4m.probe("YUV4MPEG2 W2 H2 F0:1 Cmono\n".getBytes("US-ASCII")).isEmpty)
+    assert(VideoKernel.Y4m.probe("YUV4MPEG2 W2 H2 F24:1 C999\n".getBytes("US-ASCII")).isEmpty)
+    // absurd crafted dimensions fail the row, not the JVM
+    assert(VideoKernel.Y4m.probe(
+      "YUV4MPEG2 W999999 H999999 F24:1 Cmono\n".getBytes("US-ASCII")).isEmpty)
+    // a truncated trailing frame is dropped; the whole frames survive
+    val good = y4m("YUV4MPEG2 W2 H1 F24:1 Cmono", Array[Byte](1, 2), Array[Byte](3, 4))
+    val truncated = good.dropRight(1)
+    assert(VideoKernel.Y4m.probe(truncated).get.nFrames == 1L)
+    assert(VideoKernel.Y4m.decodeFrames(truncated, 1, 4).map(_.luma.toSeq) == Seq(Seq(1, 2)))
+    // garbage between frames ends the stream at the last whole frame
+    val garbage = good ++ "NOTAFRAME".getBytes("US-ASCII")
+    assert(VideoKernel.Y4m.probe(garbage).get.nFrames == 2L)
+  }
+
+  test("VideoKernel.Y4m: y4mFromDocuments payloads round-trip through the real parser") {
+    import graft.operators.VideoKernel
+    val docs = Tables.load(spark, sfDir, "documents").limit(20)
+    val rows = Multimodal.y4mFromDocuments(docs)
+      .select(col("media_id"), col("payload")).as[(Long, Array[Byte])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, payload) =>
+      val meta = VideoKernel.Y4m.probe(payload).get
+      assert(meta.width == 2 && meta.height == 2 && meta.fps == 24.0)
+      assert(meta.nFrames >= 2L && meta.nFrames <= 8L, meta.toString)
+      val frames = VideoKernel.Y4m.decodeFrames(payload, 1, 64)
+      assert(frames.size.toLong == meta.nFrames)
+      assert(frames.forall(_.luma.length == 4))
+    }
+    // and the in-plan builder matches a reference reconstruction for one doc
+    val (_, p) = rows.head
+    val n = VideoKernel.Y4m.probe(p).get.nFrames
+    assert(new String(p.take(28), "US-ASCII") == "YUV4MPEG2 W2 H2 F24:1 Cmono\n")
+    assert(p.length == 28 + n * (6 + 4))
+  }
+
   test("VideoKernel.Ffmpeg: real subprocess decode when the binaries exist") {
     import graft.operators.VideoKernel
     assume(VideoKernel.ffmpegAvailable, "ffmpeg/ffprobe not on PATH — stub sandbox")
