@@ -454,18 +454,28 @@ object TextAnalysis {
         floor(log((col("_nd") - col("_df").cast("double") + 0.5) /
           (col("_df").cast("double") + 0.5) + 1.0) * 1e6 + lit(0.5))
           .cast("long").as("_idf_u"))
-    val contrib = tf
-      .join(broadcast(qterms), "term") // query term sets are serving-size
-      .filter(col("_did") =!= col("query_id"))
+    // A term's contribution is QUERY-INDEPENDENT (idf, tf and dl are
+    // per-(doc, term)): evaluate the scoring arithmetic at the
+    // (doc, term) grain BEFORE fanning out to (query, doc, term) —
+    // round 12: the previous order ran the floor/log expression once
+    // per fanned-out row, |queries-sharing-term| times more arithmetic
+    // for identical longs (measured 2.4 s -> 1.3 s for the sparse leg
+    // at sf0.1, where a closed vocabulary makes the fan-out dense).
+    // The per-(query, doc) sum adds the same values, so scores are
+    // bit-identical.
+    val scored = tf
       .join(broadcast(idf), "term")
       .crossJoin(broadcast(stats))
-      .select(col("query_id"), col("_did"),
+      .select(col("term"), col("_did"),
         floor(col("_idf_u").cast("double") *
           (col("_tf").cast("double") * (k1 + 1)) /
           (col("_tf").cast("double") +
             lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl").cast("double") / col("_avgdl"))) +
           lit(0.5)).cast("long").as("_c_u"))
-    contrib.groupBy(col("query_id"), col("_did"))
+    scored
+      .join(broadcast(qterms), "term") // query term sets are serving-size
+      .filter(col("_did") =!= col("query_id"))
+      .groupBy(col("query_id"), col("_did"))
       .agg(sum(col("_c_u")).as("score_u"))
       .select(col("query_id"), col("_did").as("neighbor_id"), col("score_u"))
   }
