@@ -70,6 +70,43 @@ object CorpusOps {
     df.withColumn("split", assigned)
   }
 
+  /** CLUSTER-SAFE train/val/test split — the leakage-prevention
+    * composition a real corpus pipeline needs between near-dup
+    * detection and splitting: hashing documents independently
+    * ([[assignSplit]] on doc id) lets two near-duplicates land on
+    * opposite sides of the train/eval boundary, which silently
+    * inflates eval scores (the test set "leaks" via its training-set
+    * twins). Here the split key is the document's near-dup CLUSTER
+    * representative ([[Dedup.connectedComponents]] over the pair
+    * list), so every member of a cluster — including transitive
+    * members that were never a direct candidate pair — shares one
+    * split; documents in no pair keep their own id as the key (their
+    * buckets are unchanged vs a plain assignSplit, so adding the
+    * safety does not reshuffle the un-clustered majority).
+    *
+    * Scale: the pair list is tiny relative to the corpus
+    * (proportional to duplicate density), CC runs on it alone, and
+    * the cluster map joins the corpus on the id key — broadcast when
+    * small, shuffled equi-join otherwise; the split itself stays the
+    * same codegen'd per-row hash expression as [[assignSplit]].
+    * Null ids take the last split name, as in assignSplit.
+    *
+    * Output: the input plus `cluster_rep` (null for singletons),
+    * `split_key`, and `split`.
+    */
+  def clusterSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+      splits: Seq[(String, Double)], buckets: Int = 1000): DataFrame = {
+    val reserved = Seq("cluster_rep", "split_key", "split")
+    val clashes = df.columns.filter(reserved.contains).distinct
+    require(clashes.isEmpty,
+      s"clusterSafeSplit reserves ${reserved.mkString(", ")}; rename ${clashes.mkString(", ")}")
+    val cc = graft.operators.Dedup.connectedComponents(pairs)
+    val keyed = df
+      .join(cc.select(col("id").as(idCol), col("cluster_rep")), Seq(idCol), "left")
+      .withColumn("split_key", coalesce(col("cluster_rep"), col(idCol)))
+    assignSplit(keyed, col("split_key"), splits, buckets)
+  }
+
   /** Temperature-based corpus re-sampling with true UP-sampling — the
     * "epochs per source" step that applies [[Curation.mixingWeights]]'
     * sqrt-temperature weights to the corpus. A stratum with

@@ -203,6 +203,53 @@ object DedupQueries {
            count(*) OVER (PARTITION BY cluster_rep) AS cluster_size
     FROM comp ORDER BY doc_id"""))
 
+  /** Cluster-safe train/val/test split (round 12): q96's hash split
+    * with the split KEY lifted to the near-dup cluster representative,
+    * so near-duplicates — including transitive cluster members that
+    * never shared a candidate pair — can never straddle the
+    * train/eval boundary (eval leakage via training-set twins).
+    * Singletons keep their own id as the key, so their buckets equal
+    * a plain assignSplit's. Oracle: q75's recursive-CTE components
+    * LEFT-joined to the corpus, then the q96 md5-bucket split on
+    * coalesce(cluster_rep, doc_id) with independently-computed
+    * 800/900 bounds.
+    */
+  private val q202 = Q("q202_cluster_safe_split", (s, dir) => {
+    val pairs = Dedup
+      .minhashNearDupsPrepared(shingled(s, dir, "word3"), "doc_id", 0.5)
+      .select(col("id1"), col("id2"))
+    graft.operators.CorpusOps.clusterSafeSplit(
+        Tables.load(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", pairs,
+        splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .select(col("doc_id"), col("lang"), col("cluster_rep"),
+        col("split_key"), col("split"))
+      .orderBy(col("doc_id"))
+  }, Some(s"""
+    ${sigsCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, ${lshCtesSql(0.5)},
+    undirected AS (
+      SELECT id1 AS s, id2 AS d FROM pairs
+      UNION ALL SELECT id2, id1 FROM pairs),
+    cnodes AS (SELECT DISTINCT s AS id FROM undirected),
+    reach AS (
+      SELECT id, id AS r FROM cnodes
+      UNION
+      SELECT u.s AS id, reach.r FROM undirected u JOIN reach ON reach.id = u.d),
+    comp AS (SELECT id AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY id),
+    keyed AS (
+      SELECT d.doc_id, d.lang, comp.cluster_rep,
+             coalesce(comp.cluster_rep, d.doc_id) AS split_key
+      FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id),
+    b AS (
+      SELECT *,
+             CAST(concat('0x', substr(md5(CAST(split_key AS VARCHAR)), 1, 12)) AS BIGINT) % 1000 AS bucket
+      FROM keyed)
+    SELECT doc_id, lang, cluster_rep, split_key,
+           CASE WHEN bucket < 800 THEN 'train'
+                WHEN bucket < 900 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b ORDER BY doc_id"""))
+
   /** Segment-level exact dedup (C4-style "line dedup" over 10-token
     * windows): drop every segment whose exact text occurred earlier in
     * the corpus, re-assemble survivors. One shuffle partitioned by
@@ -459,5 +506,5 @@ object DedupQueries {
     FROM ex LEFT JOIN cands c ON c.id1 = ex.id_a AND c.id2 = ex.id_b"""))
 
   val list: Seq[Q] = Seq(q40, q41, q42, q43, q44, q75, q77, q87, q94, q95, q130,
-    q177, q184)
+    q177, q184, q202)
 }

@@ -218,4 +218,40 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got == Set(1L, 4L),
       s"only strictly-positive-weight rows may be sampled: $got")
   }
+
+  test("clusterSafeSplit: cluster members share a split (incl. transitive), singletons keep plain buckets") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // chain 1~2, 2~3 (3 transitive to 1) + pair 10~11; rest singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val got = CorpusOps.clusterSafeSplit(docs, "doc_id", pairs, splits)
+      .select(col("doc_id"), col("cluster_rep"), col("split_key"), col("split"))
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getLong(1))), r.getLong(2), r.getString(3)))
+      .toMap
+    // every row survives, exactly once
+    assert(got.size == 200)
+    // the chain collapses to rep 1 — INCLUDING the transitive member 3
+    for (i <- Seq(1L, 2L, 3L)) assert(got(i) == ((Some(1L), 1L, got(1L)._3)),
+      s"doc $i must key on cluster rep 1: ${got(i)}")
+    assert(got(10L) == ((Some(10L), 10L, got(10L)._3)) && got(11L)._2 == 10L)
+    assert(got(10L)._3 == got(11L)._3, "pair members split apart")
+    // singletons: null rep, own id as key, and the SAME split a plain
+    // assignSplit would give them (adding safety must not reshuffle
+    // the un-clustered majority)
+    val plain = CorpusOps.assignSplit(docs, col("doc_id"), splits)
+      .select(col("doc_id"), col("split")).as[(Long, String)].collect().toMap
+    (1L to 200L).filterNot(Set(2L, 3L, 11L)).foreach { i =>
+      if (!Set(1L, 10L)(i)) assert(got(i)._1.isEmpty && got(i)._2 == i, s"doc $i: ${got(i)}")
+      assert(got(i)._3 == plain(i), s"doc $i reshuffled: ${got(i)._3} vs ${plain(i)}")
+    }
+    // all three splits are actually populated at n=200
+    assert(got.values.map(_._3).toSet == Set("train", "val", "test"))
+    // reserved-name guard
+    intercept[IllegalArgumentException] {
+      CorpusOps.clusterSafeSplit(docs.withColumn("split", lit("x")),
+        "doc_id", pairs, splits)
+    }
+  }
 }
