@@ -117,27 +117,30 @@ object Bench {
     // window in round 1). Full detail goes to bench_full.json; the
     // stdout line carries the headline total, the slowest queries,
     // and EVERY failure sentinel, and stays ~1.5 KB.
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"stream":$stream,"stream_churn":$churn,"sf":"$sfDir"}"""
-    val fullPath = java.nio.file.Paths.get(
-      sys.props.getOrElse("user.dir", "."), "bench_full.json")
-    try java.nio.file.Files.writeString(fullPath, full + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}")
+    // Subset iteration runs must not clobber the version-controlled
+    // FULL-run artifacts with subset-scoped numbers masquerading as a
+    // corpus total: they get their own metric name and their own file.
+    val metric = if (only.isDefined) "subset_total" else "total"
+    val lineFile = if (only.isDefined) "bench_subset.json" else "bench_line.txt"
+    def writeArtifact(name: String, content: String): Unit = {
+      val p = java.nio.file.Paths.get(sys.props.getOrElse("user.dir", "."), name)
+      try java.nio.file.Files.writeString(p, content + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $p: ${e.getMessage}")
+      }
     }
+    val full = s"""{"metric":"$metric","value":${fmt(total)},"unit":"sec","queries":$qs,"stream":$stream,"stream_churn":$churn,"sf":"$sfDir"}"""
+    if (only.isEmpty) writeArtifact("bench_full.json", full)
     val failed = results.filter(_._2 < 0)
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(15)
     val head = (failed ++ slowest)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries_n":${results.size},"failed_n":${failed.size},"queries":$head,"detail":"bench_full.json","line_file":"bench_line.txt","stream":$stream,"stream_churn":$churn,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"$metric","value":${fmt(total)},"unit":"sec","queries_n":${results.size},"failed_n":${failed.size},"queries":$head,"detail":"bench_full.json","line_file":"$lineFile","stream":$stream,"stream_churn":$churn,"sf":"$sfDir"}"""
     // sbt appends its own "[success]" after our stdout, so a parser
     // keeping only the tail can miss the metric line — it ALSO lands
-    // verbatim in bench_line.txt (path advertised in the line itself).
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(
-      sys.props.getOrElse("user.dir", "."), "bench_line.txt"), line + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write bench_line.txt: ${e.getMessage}")
-    }
+    // verbatim in a file (path advertised in the line itself).
+    writeArtifact(lineFile, line)
     spark.stop()
     // after stop() so no engine shutdown logging can follow it
     println(line)

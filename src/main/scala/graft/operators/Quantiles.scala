@@ -74,28 +74,37 @@ object Quantiles {
     val bucket = graft.functions.orderbits.doubleOrderBits(col("_v"), shift)
     val rows = df.select(group.as("_g"), value.cast("double").as("_v"))
       .filter(col("_v").isNotNull)
+    // pass 1: per-(group, bucket) counts — the tiny histogram frame
+    val hist = rows.groupBy(col("_g"), bucket.as("_b")).agg(count(lit(1)).as("_c"))
+    // pass 2 over only the needed-bucket rows
+    selectRanks(rows, bucket, locateRanks(hist, ps), ps, interpolate)
+      .withColumnRenamed("_n", "n")
+  }
 
-    // pass 1: per-(group, bucket) counts; then cumulative + total
-    // counts over that tiny frame (windows over occupied buckets, not
-    // rows)
+  /** Rank location over a (\_g, \_b, \_c, ...) bucket histogram —
+    * shared bit-for-bit by [[exactPercentiles]] and [[medianMad]] so
+    * the two cannot drift: cumulative + total counts (windows over
+    * occupied buckets, not rows), then for each target rank
+    * floor(p*(n-1))+1 and its +1 neighbor (clamped to n so p = 1.0
+    * stays in range; its interpolation weight there is 0) the bucket
+    * holding it and the residual in-bucket rank. One compact row per
+    * needed (group, bucket) so the selection join cannot duplicate
+    * rows; extra histogram columns (medianMad's min/max) pass through
+    * untouched because only _g/_b/_c are read.
+    */
+  private def locateRanks(hist: DataFrame,
+      ps: Seq[(String, Double)]): DataFrame = {
     val byG = Window.partitionBy(col("_g"))
-    val cumb = rows
-      .groupBy(col("_g"), bucket.as("_b")).agg(count(lit(1)).as("_c"))
+    val cumb = hist
       .withColumn("_cum", sum(col("_c")).over(byG.orderBy(col("_b"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("_n", sum(col("_c")).over(byG))
-
-    // locate each target rank's bucket + residual in-bucket rank; one
-    // compact row per needed (group, bucket) so the selection join
-    // cannot duplicate rows
     val rankStructs = array(ps.flatMap { case (name, p) =>
       val lo = (floor(lit(p) * (col("_n") - 1).cast("double")) + 1).cast("long")
-      // the +1 neighbor is clamped to n so p = 1.0 stays in range;
-      // its interpolation weight there is 0
       Seq(struct(lit(s"lo_$name").as("_rname"), lo.as("_r")),
         struct(lit(s"hi_$name").as("_rname"), least(lo + 1, col("_n")).as("_r")))
     }: _*)
-    val needed = cumb
+    cumb
       .select(col("_g"), col("_b"), col("_c"), col("_cum"), col("_n"),
         explode(rankStructs).as("_rk"))
       .filter(col("_cum") - col("_c") < col("_rk._r") && col("_rk._r") <= col("_cum"))
@@ -103,8 +112,20 @@ object Quantiles {
       .agg(collect_list(struct(col("_rk._rname").as("_rname"),
         (col("_rk._r") - (col("_cum") - col("_c"))).as("_rr"))).as("_rs"),
         max(col("_n")).as("_n"))
+  }
 
-    // pass 2: keep only needed-bucket rows, rank locally, pick residuals
+  /** Selection pass shared by [[exactPercentiles]] and [[medianMad]]:
+    * keep only needed-bucket rows of the (\_g, \_v) frame, rank
+    * locally within each (group, bucket), pick the residual ranks and
+    * interpolate. Returns one row per group: `_g`, a column per
+    * percentile name, and `_n` (the group's non-null row count).
+    * interpolate=false yields the DISCRETE rank-select value at rank
+    * floor(p*(n-1))+1 (q150's convention) — an actual data value,
+    * bit-exact across engines with no interpolation arithmetic.
+    */
+  private def selectRanks(rows: DataFrame, bucket: Column,
+      needed: DataFrame, ps: Seq[(String, Double)],
+      interpolate: Boolean): DataFrame = {
     val picked = rows
       .withColumn("_b", bucket)
       .join(broadcast(needed), Seq("_g", "_b"))
@@ -115,18 +136,14 @@ object Quantiles {
       .groupBy(col("_g"))
       .agg(map_from_entries(collect_list(struct(col("_rk._rname"), col("_v")))).as("_m"),
         max(col("_n")).as("_n"))
-
     val outs = ps.map { case (name, p) =>
       val pos = lit(p) * (col("_n") - 1).cast("double")
       val loV = col("_m").getItem(s"lo_$name")
       val hiV = col("_m").getItem(s"hi_$name")
-      // interpolate=false: the DISCRETE rank-select value at rank
-      // floor(p·(n-1))+1 (q150's convention) — an actual data value,
-      // bit-exact across engines with no interpolation arithmetic
       if (interpolate) (loV + (hiV - loV) * (pos - floor(pos))).as(name)
       else loV.as(name)
     }
-    picked.select((col("_g") +: outs :+ col("_n").as("n")): _*)
+    picked.select((col("_g") +: outs :+ col("_n")): _*)
   }
 
   /** Winsorization — clip, don't drop: replace each row's value by
@@ -218,7 +235,6 @@ object Quantiles {
     val bucket = graft.functions.orderbits.doubleOrderBits(col("_v"), 44)
     val rows = df.select(group.as("_g"), value.cast("double").as("_v"))
       .filter(col("_v").isNotNull)
-    val byG = Window.partitionBy(col("_g"))
 
     // scan 1: per-(group, bucket) count + min/max, pinned (tiny).
     // LAZY persist, not an eager checkpoint: the pin only needs both
@@ -231,44 +247,16 @@ object Quantiles {
       .agg(count(lit(1)).as("_c"), min(col("_v")).as("_mn"), max(col("_v")).as("_mx"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // median rank location over the pinned histogram — the
-    // exactPercentiles pass-1 arithmetic for ps = [("med", 0.5)]
-    val cumb = hist
-      .withColumn("_cum", sum(col("_c")).over(byG.orderBy(col("_b"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("_n", sum(col("_c")).over(byG))
-    val rLoMed = (floor(lit(0.5) * (col("_n") - 1).cast("double")) + 1).cast("long")
-    val rankStructs = array(
-      struct(lit("lo").as("_rname"), rLoMed.as("_r")),
-      struct(lit("hi").as("_rname"), least(rLoMed + 1, col("_n")).as("_r")))
-    val needed = cumb
-      .select(col("_g"), col("_b"), col("_c"), col("_cum"), col("_n"),
-        explode(rankStructs).as("_rk"))
-      .filter(col("_cum") - col("_c") < col("_rk._r") && col("_rk._r") <= col("_cum"))
-      .groupBy(col("_g"), col("_b"))
-      .agg(collect_list(struct(col("_rk._rname").as("_rname"),
-        (col("_rk._r") - (col("_cum") - col("_c"))).as("_rr"))).as("_rs"),
-        max(col("_n")).as("_n"))
-
-    // scan 2: median selection + interpolation — one row per group.
-    // Referenced exactly once (by `iv`), and med/_n then RIDE the
+    // scan 2: median rank location + selection via the SAME
+    // locateRanks/selectRanks helpers exactPercentiles runs — shared
+    // code, so the two paths cannot drift. The median frame is
+    // referenced exactly once (by `iv`), and med/_n then RIDE the
     // candidate frame into the MAD selection, so this lineage runs
     // once with no checkpoint.
-    val medPos = lit(0.5) * (col("_n") - 1).cast("double")
-    val med = rows
-      .withColumn("_b", bucket)
-      .join(broadcast(needed), Seq("_g", "_b"))
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy(col("_g"), col("_b")).orderBy(col("_v"))))
-      .select(col("_g"), col("_n"), col("_v"), col("_rn"), explode(col("_rs")).as("_rk"))
-      .filter(col("_rn") === col("_rk._rr"))
-      .groupBy(col("_g"))
-      .agg(map_from_entries(collect_list(struct(col("_rk._rname"), col("_v")))).as("_m"),
-        max(col("_n")).as("_n"))
-      .select(col("_g"), col("_n"),
-        (col("_m").getItem("lo") +
-          (col("_m").getItem("hi") - col("_m").getItem("lo")) *
-            (medPos - floor(medPos))).as("med"))
+    val med = selectRanks(rows, bucket,
+        locateRanks(hist, Seq(("med", 0.5))), Seq(("med", 0.5)),
+        interpolate = true)
+      .select(col("_g"), col("_n"), col("med"))
 
     // deviation interval of each bucket, exact from its true min/max
     val iv = hist.join(broadcast(med), "_g")

@@ -26,24 +26,18 @@ object TextAnalysis {
 
   def tokens(textCol: String): Column = split(col(textCol), " ")
 
-  /** Shared BM25 avgdl: total tokens / docs-with-tokens over a
-    * (id, _toks) frame, as ONE narrow scalar aggregate (no explode).
-    * The denominator counts docs whose token array is NON-NULL —
-    * exactly the rows a per-doc dl frame (and a SQL mirror's unnest)
-    * would have: split(text, " ") yields >= 1 token for every
-    * non-null text (empty -> [""]), while a NULL text yields a NULL
-    * array that unnest drops. One definition for both BM25 variants
-    * so the two paths cannot drift apart (the avgdl contract is
-    * oracle-visible: any drift is a score shift).
-    */
   /** N and avgdl in ONE scalar aggregate over the tokenized corpus —
     * the round-12 scan fusion: computing them as separate one-row
     * frames paid two full corpus scans. Shared by [[bm25]] and
-    * [[bm25Candidates]] so the two variants cannot drift. Null-text
-    * contract: null-toks docs count into `_nd` (they are documents)
-    * but not into `_avgdl` (no measurable length) — numerator and
-    * denominator both skip them. Values are bit-identical to the
-    * former separate aggregates.
+    * [[bm25Candidates]] so the two variants cannot drift (the avgdl
+    * contract is oracle-visible: any drift is a score shift).
+    * Null-text contract: null-toks docs count into `_nd` (they are
+    * documents) but not into `_avgdl` (no measurable length —
+    * numerator and denominator both skip them, exactly the rows a
+    * per-doc dl frame and a SQL mirror's unnest would have: split
+    * yields >= 1 token for every non-null text, while a NULL text
+    * yields a NULL array that unnest drops). Values are bit-identical
+    * to the former separate aggregates.
     */
   private def corpusStatsOf(docsT: DataFrame): DataFrame =
     docsT.agg(
@@ -461,6 +455,10 @@ object TextAnalysis {
     // per fanned-out row, |queries-sharing-term| times more arithmetic
     // for identical longs (measured 2.4 s -> 1.3 s for the sparse leg
     // at sf0.1, where a closed vocabulary makes the fan-out dense).
+    // No open-vocabulary regression hides here: tf is already
+    // restricted to QUERY terms (the broadcast `need` semi-filter
+    // upstream), so this grain is (doc, query-term) — never the full
+    // corpus vocabulary — and it is always <= the fanned-out grain.
     // The per-(query, doc) sum adds the same values, so scores are
     // bit-identical.
     val scored = tf
