@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Kafka-shaped ingest leg (VERDICT r11 remaining-delta #2): the
+  * production network source mapped onto the SAME
+  * [[FirehoseDelivery.startFromRecords]] seam the file and socket
+  * legs use. [[fromKafka]] is the whole mapping — it consumes the
+  * PUBLIC spark-sql-kafka source schema (`key`/`value` binary,
+  * `topic` string, `partition` int, `offset` long, plus timestamp
+  * columns) and emits the two-column wire contract:
+  *
+  *  - `recordId` = topic-partition-offset — the Kafka replay
+  *    coordinate, so a restarted query re-presents a record under
+  *    the SAME id and the delivery pipeline's batchId-keyed sinks +
+  *    seen-registry keep their effectively-once guarantee (the
+  *    socket leg, with no offsets, cannot make that promise);
+  *  - `data` = value bytes as UTF-8 — the producer publishes the
+  *    wire format (gzip+base64 CWL envelope per message) exactly as
+  *    the file leg expects it per line.
+  *
+  * The adapter is pure column mapping, so it is fully testable
+  * against the documented source schema without a broker
+  * (SourceFormatsSpec runs it through the complete delivery pipeline
+  * over a MemoryStream carrying the same schema); [[records]] wires
+  * the real `format("kafka")` reader and needs the
+  * spark-sql-kafka-0-10 connector on the classpath plus a reachable
+  * broker — both deployment concerns, not engine ones.
+  */
+object KafkaIngest {
+
+  /** The real Kafka reader -> wire contract. Requires the
+    * spark-sql-kafka connector jar at runtime (absent in codec-less
+    * sandboxes; the mapping itself is covered by [[fromKafka]]).
+    */
+  def records(spark: SparkSession, bootstrapServers: String, topics: String,
+      startingOffsets: String = "earliest"): DataFrame =
+    fromKafka(spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topics)
+      .option("startingOffsets", startingOffsets)
+      .load())
+
+  /** The Kafka-schema -> record adaptation alone, source-agnostic:
+    * any frame carrying `value` (binary or string), `topic`,
+    * `partition` and `offset` gains the (recordId, data) wire
+    * contract. Streaming-legal by construction — pure per-row
+    * projection, no ids invented driver-side, and the id is a pure
+    * function of the replay coordinate (no arrival time: a replayed
+    * offset must map to the SAME recordId or the seen-registry
+    * cannot dedup it).
+    */
+  def fromKafka(kafka: DataFrame): DataFrame =
+    kafka.select(
+      concat_ws("-", col("topic"), col("partition"), col("offset")).as("recordId"),
+      col("value").cast("string").as("data"))
+}

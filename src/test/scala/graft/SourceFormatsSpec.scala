@@ -71,6 +71,55 @@ class SourceFormatsSpec extends SparkSpec {
     assert(bare.head.getString(1) == "x" && bare.head.getString(0).startsWith("sock-"))
   }
 
+  test("KafkaIngest.fromKafka: replay-stable ids from the offset coordinate, value bytes to data") {
+    val rows = Seq(
+      (Array[Byte](1), "w1".getBytes("UTF-8"), "events", 0, 41L),
+      (Array[Byte](2), "w2".getBytes("UTF-8"), "events", 0, 42L),
+      (Array[Byte](3), "w2".getBytes("UTF-8"), "events", 1, 41L))
+      .toDF("key", "value", "topic", "partition", "offset")
+    val recs = graft.streaming.KafkaIngest.fromKafka(rows)
+      .as[(String, String)].collect().toSeq
+    assert(recs == Seq(("events-0-41", "w1"), ("events-0-42", "w2"), ("events-1-41", "w2")))
+    // REPLAY STABILITY: identical payloads at different offsets get
+    // different ids; the same offset re-presented gets the SAME id
+    // (no arrival time in the id — the seen-registry depends on it)
+    val again = graft.streaming.KafkaIngest.fromKafka(rows)
+      .as[(String, String)].collect().toSeq
+    assert(again == recs)
+  }
+
+  test("Kafka-shaped ingest: wire-format messages through the full delivery pipeline (MemoryStream, broker-less)") {
+    // the production network leg's MAPPING proven end to end: a
+    // memory stream carrying the exact spark-sql-kafka source schema
+    // feeds KafkaIngest.fromKafka -> startFromRecords; transform +
+    // governor + multi-sink are byte-identical to the file/socket
+    // paths. Only the format("kafka") reader itself needs a broker.
+    // Spark 4.1 moved MemoryStream under execution.streaming.runtime
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val messages = (0 until 5).map(i => s"Hello kafka $i")
+    val wire = Fixtures.wireEncode(Fixtures.envelopeJson("DATA_MESSAGE", messages))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Array[Byte], Array[Byte], String, Int, Long)]
+    val kafkaShaped = ms.toDF()
+      .toDF("key", "value", "topic", "partition", "offset")
+    val base = java.nio.file.Files.createTempDirectory("graft-kafka").toString
+    val conf = graft.streaming.FirehoseDelivery.Config(
+      inputDir = s"$base/in", outputDir = s"$base/out",
+      checkpointDir = s"$base/ck", triggerMs = 200L)
+    val q = graft.streaming.FirehoseDelivery.startFromRecords(
+      graft.streaming.KafkaIngest.fromKafka(kafkaShaped), conf)
+    try {
+      (0 until 3).foreach { off =>
+        ms.addData((Array[Byte](0), wire.getBytes("UTF-8"), "cwl", 0, off.toLong))
+      }
+      q.processAllAvailable()
+      val got = spark.read.textFile(s"${conf.primaryDir}/batchId=*").collect()
+      // 3 records x 5 events = 15 transformed payload lines
+      assert(got.length == 15, s"expected 15 delivered payload lines, got ${got.length}")
+      assert(got.forall(_.contains("Hell Yeah kafka")), got.take(2).mkString("|"))
+    } finally q.stop()
+  }
+
   test("network-attached ingest: wire-format lines over a TCP socket run the full delivery pipeline") {
     // the CWL -> Firehose service hop over an ACTUAL network leg:
     // a local producer writes gzip+base64 envelope lines to a TCP
