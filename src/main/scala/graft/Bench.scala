@@ -122,6 +122,10 @@ object Bench {
     // corpus total: they get their own metric name and their own file.
     val metric = if (only.isDefined) "subset_total" else "total"
     val lineFile = if (only.isDefined) "bench_subset.json" else "bench_line.txt"
+    // subset runs keep their OWN full-detail file too, so the line's
+    // "detail" pointer never aims at a stale full-corpus artifact and
+    // per-query subset timings beyond the 15 slowest are not lost
+    val fullFile = if (only.isDefined) "bench_subset_full.json" else "bench_full.json"
     def writeArtifact(name: String, content: String): Unit = {
       val p = java.nio.file.Paths.get(sys.props.getOrElse("user.dir", "."), name)
       try java.nio.file.Files.writeString(p, content + "\n")
@@ -130,13 +134,13 @@ object Bench {
       }
     }
     val full = s"""{"metric":"$metric","value":${fmt(total)},"unit":"sec","queries":$qs,"stream":$stream,"stream_churn":$churn,"sf":"$sfDir"}"""
-    if (only.isEmpty) writeArtifact("bench_full.json", full)
+    writeArtifact(fullFile, full)
     val failed = results.filter(_._2 < 0)
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(15)
     val head = (failed ++ slowest)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"$metric","value":${fmt(total)},"unit":"sec","queries_n":${results.size},"failed_n":${failed.size},"queries":$head,"detail":"bench_full.json","line_file":"$lineFile","stream":$stream,"stream_churn":$churn,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"$metric","value":${fmt(total)},"unit":"sec","queries_n":${results.size},"failed_n":${failed.size},"queries":$head,"detail":"$fullFile","line_file":"$lineFile","stream":$stream,"stream_churn":$churn,"sf":"$sfDir"}"""
     // sbt appends its own "[success]" after our stdout, so a parser
     // keeping only the tail can miss the metric line — it ALSO lands
     // verbatim in a file (path advertised in the line itself).

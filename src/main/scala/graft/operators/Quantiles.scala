@@ -89,8 +89,9 @@ object Quantiles {
     * stays in range; its interpolation weight there is 0) the bucket
     * holding it and the residual in-bucket rank. One compact row per
     * needed (group, bucket) so the selection join cannot duplicate
-    * rows; extra histogram columns (medianMad's min/max) pass through
-    * untouched because only _g/_b/_c are read.
+    * rows. Only _g/_b/_c are read; extra histogram columns
+    * (medianMad's min/max) are IGNORED and absent from the output —
+    * callers needing them re-join the histogram (as medianMad does).
     */
   private def locateRanks(hist: DataFrame,
       ps: Seq[(String, Double)]): DataFrame = {

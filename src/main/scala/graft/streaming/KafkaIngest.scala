@@ -52,8 +52,17 @@ object KafkaIngest {
     * offset must map to the SAME recordId or the seen-registry
     * cannot dedup it).
     */
-  def fromKafka(kafka: DataFrame): DataFrame =
-    kafka.select(
-      concat_ws("-", col("topic"), col("partition"), col("offset")).as("recordId"),
-      col("value").cast("string").as("data"))
+  def fromKafka(kafka: DataFrame): DataFrame = {
+    // concat_ws SKIPS nulls, which would alias two distinct replay
+    // coordinates — (t, 0, null) and (t, null, 0) both "t-0" — and
+    // the seen-registry would then drop a real record as a replay.
+    // A null coordinate means the frame is not actually Kafka-shaped
+    // (the source never emits them): fail the row loudly instead.
+    val rid = when(
+      col("topic").isNull || col("partition").isNull || col("offset").isNull,
+      raise_error(lit("KafkaIngest: null replay coordinate " +
+        "(topic/partition/offset) — input is not Kafka-shaped")))
+      .otherwise(concat_ws("-", col("topic"), col("partition"), col("offset")))
+    kafka.select(rid.as("recordId"), col("value").cast("string").as("data"))
+  }
 }

@@ -86,6 +86,17 @@ class SourceFormatsSpec extends SparkSpec {
     val again = graft.streaming.KafkaIngest.fromKafka(rows)
       .as[(String, String)].collect().toSeq
     assert(again == recs)
+    // a null coordinate must FAIL loudly, not alias ids (concat_ws
+    // would skip it: (t,0,null) and (t,null,0) -> the same "t-0")
+    val malformed = spark.sql(
+      "SELECT binary('x') AS value, 't' AS topic, 0 AS partition, CAST(NULL AS BIGINT) AS offset")
+    val e = intercept[Exception] {
+      graft.streaming.KafkaIngest.fromKafka(malformed).collect()
+    }
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("null replay coordinate") ||
+        e.getCause != null && e.getCause.getMessage.contains("null replay coordinate")),
+      s"expected the loud coordinate guard, got: $e")
   }
 
   test("Kafka-shaped ingest: wire-format messages through the full delivery pipeline (MemoryStream, broker-less)") {
