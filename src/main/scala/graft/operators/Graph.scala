@@ -47,7 +47,7 @@ object Graph {
     * chain-derived estimates: ~3x the bit length per round, and by
     * round ~15 Catalyst multiplies million-bit BigIntegers at plan
     * time (the 30-iteration kCore property test went from seconds to
-    * unbounded — StatsProbe measurements in round-12 notes). Such
+    * unbounded — measured per-round stats bit lengths are recorded in ROADMAP.md round 12). Such
     * self-multiplying loops must checkpoint EAGERLY every round and
     * never lazily checkpoint the derived frame; kCore and
     * connectedComponents do exactly that.
