@@ -20,6 +20,13 @@ Global / showSuccess := false
 // showSuccess is read by the command engine, not other settings —
 // exclude it from the unused-key lint
 Global / excludeLintKeys += showSuccess
+// With fork := true, sbt's logger prefixes every forked-stdout line
+// with "[info] " at default verbosity, so the metric line the drivers
+// parse would read "[info] {...}" and fail a strict JSON parse.
+// StdoutOutput routes the forked process's stdout straight through,
+// unprefixed under ANY sbt verbosity — the last stdout line of
+// `sbt "runMain graft.Bench"` is then the raw JSON metric line.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -88,6 +88,10 @@ object Graph {
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int): DataFrame = {
+    // iters = 0 would silently return the uniform init ranks — and,
+    // with the post-loop unpersist() below, a frame that recomputes
+    // its whole invariant lineage on every action
+    require(iters >= 1, s"need iters >= 1, got $iters")
     // the distinct edge list feeds FOUR build lineages (nodes x2 via
     // the union, outdeg, ej) — persist it so the raw-edge scan +
     // distinct runs once, not once per consumer

@@ -219,14 +219,17 @@ object Quantiles {
     * bucket), map-side combined); scan 2 = median selection
     * ([[exactPercentiles]] arithmetic verbatim); scan 3 = MAD
     * selection over candidate-bucket rows only; the caller's flag
-    * pass is scan 4. Only the bucket frame is `localCheckpoint`ed —
-    * kilobyte-sized by the 2^(64-shift) bucket-space bound — because
-    * it feeds TWO downstream lineages (median location + deviation
-    * intervals) and an un-pinned reference would re-run its full
-    * scan per consumer (the DAG-duplication regression
-    * exactPercentiles documents); every other frame is referenced
-    * once, and med/_n ride the candidate rows into the MAD scan so
-    * the median lineage runs exactly once. Both sweeps share one
+    * pass is scan 4. The bucket frame is persisted — kilobyte-sized
+    * by the 2^(64-shift) bucket-space bound — because it feeds TWO
+    * downstream lineages (median location + deviation intervals) and
+    * an un-pinned reference would re-run its full scan per consumer
+    * (the DAG-duplication regression exactPercentiles documents),
+    * then released before return once the candidate-bucket frame is
+    * eagerly checkpointed (so long-lived sessions never accrete
+    * CacheManager entries — scans 1+2 run at build, scan 3 stays
+    * lazy); every other frame is referenced once, and med/_n ride the
+    * candidate rows into the MAD scan so the median lineage runs
+    * exactly once. Both sweeps share one
     * window pass (see the sweep comment). Interpolation, rank
     * arithmetic and
     * tie handling match exactPercentiles bit for bit, so q123's
@@ -238,12 +241,13 @@ object Quantiles {
       .filter(col("_v").isNotNull)
 
     // scan 1: per-(group, bucket) count + min/max, pinned (tiny).
-    // LAZY persist, not an eager checkpoint: the pin only needs both
-    // consumers (median location + deviation intervals) to share one
-    // materialization, and persist defers that into the caller's own
-    // job instead of paying a blocking driver job at build time. The
-    // cache is kilobyte-sized and reclaimed by the context cleaner
-    // when the frame goes out of scope.
+    // The pin only needs both consumers (median location + deviation
+    // intervals) to share one materialization; it is explicitly
+    // unpersist()ed below once `cand` is checkpointed — persist
+    // registers the plan in the CacheManager, which holds the entry
+    // (executor blocks included) until unpersist/clearCache, so
+    // leaving it to scope-exit would accrete one cache entry per
+    // medianMad call in a long-lived session.
     val hist = rows.groupBy(col("_g"), bucket.as("_b"))
       .agg(count(lit(1)).as("_c"), min(col("_v")).as("_mn"), max(col("_v")).as("_mx"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -299,6 +303,14 @@ object Quantiles {
     val rHi = least(rLo + 1, col("_n"))
     // case-A mass (buckets whose deviations all rank < rLo) via a
     // same-frame window — no separate aggregate + join-back
+    // EAGER checkpoint: `cand` is the only frame through which the
+    // returned plan still references `hist` (it carries med/_n and the
+    // residual ranks), and it is kilobyte-sized like the bucket frame
+    // itself — materializing it here lets `hist` be unpersisted BEFORE
+    // this function returns, so repeated medianMad/robustOutliers
+    // calls in a long-lived session cannot accrete CacheManager
+    // entries. Scans 1+2 run inside this driver job; the returned
+    // frame (scan 3) stays lazy over the checkpointed candidates.
     val cand = stats2
       .withColumn("_rlo", rLo).withColumn("_rhi", rHi)
       .withColumn("_off", sum(when(col("_poss") < col("_rlo"), col("_c"))
@@ -306,6 +318,8 @@ object Quantiles {
       .filter(col("_poss") >= col("_rlo") && col("_below") < col("_rhi"))
       .select(col("_g"), col("_b"), col("med"), col("_n"),
         (col("_rlo") - col("_off")).as("_tlo"), (col("_rhi") - col("_off")).as("_thi"))
+      .localCheckpoint()
+    hist.unpersist()
 
     // scan 3: rank candidate rows' exact deviations, pick the two
     // residual ranks, interpolate — one row per group out
