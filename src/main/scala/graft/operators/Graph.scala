@@ -48,12 +48,43 @@ object Graph {
     * round ~15 Catalyst multiplies million-bit BigIntegers at plan
     * time (the 30-iteration kCore property test went from seconds to
     * unbounded — measured per-round stats bit lengths are recorded in ROADMAP.md round 12). Such
-    * self-multiplying loops must checkpoint EAGERLY every round and
-    * never lazily checkpoint the derived frame; kCore and
-    * connectedComponents do exactly that.
+    * self-multiplying loops must checkpoint every round and never
+    * lazily checkpoint the derived frame; connectedComponents does
+    * exactly that. ROUND-13 REFINEMENT: when the loop maintains TWO
+    * chains joined against each other (kCore's incremental degrees),
+    * even EAGER checkpoints compound — LogicalRDD carries the
+    * composed estimate as `originStats` regardless of eagerness —
+    * and the firebreak is [[ckptMeasured]], which overwrites the
+    * estimate with measured rowCount x row-width stats.
     */
   private[graft] def ckptEager(i: Int, iters: Int): Boolean =
     i % 4 == 3 || i == iters - 1
+
+  /** Eager localCheckpoint whose LogicalRDD carries MEASURED stats
+    * instead of the composed estimate of the truncated plan — the
+    * round-13 discovery extending [[ckptEager]]'s constraint: even an
+    * EAGER checkpoint propagates the estimate (`originStats`), so a
+    * loop whose per-round plan joins >= 2 chain-derived frames still
+    * compounds ~3x bit-length PER ROUND into plan-time BigInteger
+    * blowup (measured: kCore's incremental-degree shape went
+    * 37 -> 108 -> 321 -> ... -> 6.3M bits by round 12 under plain
+    * eager checkpoints). Overwriting the stats with rowCount x
+    * row-width from the materialized rdd (one cached-scan count job)
+    * firebreaks the recurrence AND keeps broadcast-join decisions
+    * honest — the small `removed`/`dec` frames those loops join
+    * against still qualify for broadcast, which a stats-less
+    * LogicalRDD (defaultSizeInBytes) never would.
+    */
+  private[graft] def ckptMeasured(df: DataFrame): DataFrame = {
+    // LAZY checkpoint + count = ONE driver job that both materializes
+    // the cache and measures the row count (an eager checkpoint would
+    // pay a materialization job AND a count job per call)
+    val ck = df.localCheckpoint(eager = false)
+    val n = ck.count()
+    val rowBytes = ck.schema.map(_.dataType.defaultSize).sum + 8
+    org.apache.spark.sql.graft.shims.withMeasuredStats(
+      ck, BigInt(n) * rowBytes, BigInt(n))
+  }
 
   /** Fixed-iteration PageRank over an edge list (src -> dst), damping
     * 85/100, uniform teleport. Returns (node, rank_u) with rank_u in
@@ -206,9 +237,38 @@ object Graph {
     * Like [[pageRank]], iterations are FIXED (no convergence probe) so
     * an oracle can unroll them as CTEs; `iters` >= the graph's peel
     * depth yields the exact k-core (GraphSpec shows depth-2 chains).
-    * Per iteration: one degree aggregation (map-side combined) + two
-    * semi-join filters of the edge list — all hash-partitioned on
-    * node keys; `localCheckpoint` truncates the loop lineage.
+    *
+    * Degrees are maintained INCREMENTALLY (round 13): the full degree
+    * aggregation runs ONCE before the loop; each round then derives
+    * the removed-node set from the maintained degree table and
+    * subtracts the removed edges' contributions — an edge with
+    * exactly one removed endpoint decrements its SURVIVOR, an edge
+    * with both removed decrements nobody (both rows leave the table
+    * anyway). Late peel rounds remove few nodes, so the per-round
+    * aggregation shrinks from O(|E_remaining|) shuffle records (the
+    * round-12 shape re-aggregated every edge every round) to
+    * O(|removed edges|); the survivor filter is the same two
+    * endpoint joins as before, now against the small `removed` frame
+    * (broadcast when small — `removed` descends from a
+    * measured-stats frame, so the optimizer sees its true scale).
+    * Measured on a 10k-node path at k=2 (30 rounds, ~2 removals per
+    * round, GraphScaleProbe): 867k -> 30k shuffle records (29x).
+    * Wall time at that toy scale RISES 8.1 -> ~11s — the per-round
+    * broadcast-build + count driver jobs are the same per-stage
+    * launch floor ROADMAP documents for q102/q123; what transfers to
+    * a 1000-executor graph is the avoided O(|V|+|E|) re-aggregation
+    * shuffle per round, which dwarfs those fixed-latency jobs the
+    * moment degrees stop fitting a toy.
+    *
+    * The maintained degree table checkpoints with MEASURED stats
+    * every round ([[ckptMeasured]]) — plain eager checkpoints are
+    * NOT enough here: this loop joins each chain against frames
+    * derived from the chains themselves (deg >< removed(deg) ><
+    * dec(e, removed)), and Spark's LogicalRDD carries the composed
+    * size ESTIMATE through eager checkpoints too, so the estimate
+    * triples its bit length per round into plan-time BigInteger
+    * blowup (the round-13 extension of ckptEager's round-12
+    * constraint; both measured in StatsProbe).
     */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String,
       k: Int, iters: Int): DataFrame = {
@@ -218,25 +278,68 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b")).distinct().localCheckpoint()
     var e = canon
-    // EAGER checkpoint every round — deliberately NOT the lazy
-    // [[ckptEager]] cadence: this loop joins the chain against an
-    // aggregate of itself (e >< keep(e) >< keep(e)), the
-    // self-multiplying estimate shape ckptEager's scaladoc forbids
-    // for lazy checkpointing (measured: lazy rounds triple the stats
-    // bit length per round and the 30-iteration property test hangs
-    // in BigInteger plan arithmetic). `keep` stays a PLAIN frame for
-    // the same reason; both endpoint joins re-derive the degree
-    // aggregation, which is the cheaper currency.
+    // the ONLY full degree aggregation; the loop maintains it by delta
+    var deg = ckptMeasured(e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("_d")))
+    // deg goes through [[ckptMeasured]], NOT plain eager
+    // localCheckpoint: its round plan joins two deg-derived frames,
+    // and carried-over stats ESTIMATES would compound ~3x bits/round
+    // even under eager checkpointing (see ckptMeasured) — measured
+    // stats firebreak the recurrence and let the small removed/dec
+    // frames broadcast. e is a SINGLE additive chain (its per-round
+    // joins are against the measured-stats removed frame, so its
+    // estimate grows linearly) — a plain lazy checkpoint truncates
+    // its plan for free; the round's dec/deg count jobs force its
+    // cache, so rounds still execute in lockstep
     for (_ <- 0 until iters) {
-      val deg = e.select(col("a").as("node")).union(e.select(col("b").as("node")))
-        .groupBy(col("node")).agg(count(lit(1)).as("_d"))
-      val keep = deg.filter(col("_d") >= k).select(col("node"))
-      e = e.join(keep.select(col("node").as("a")), "a")
-        .join(keep.select(col("node").as("b")), "b")
-        .select(col("a"), col("b")).localCheckpoint()
+      val (e2, deg2) = kCoreStep(e, deg, k)
+      e = e2.localCheckpoint(eager = false)
+      deg = ckptMeasured(deg2)
     }
-    e.select(col("a").as("node")).union(e.select(col("b").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // survivors' induced degrees: the maintained table IS the induced
+    // degree of e (nodes whose last edge left carry _d = 0 and are
+    // filtered, matching the aggregate-over-e contract)
+    deg.filter(col("_d") >= 1).select(col("node"), col("_d").as("deg"))
+  }
+
+  /** One incremental peel round over (edges, maintained degrees) —
+    * a seam so GraphSpec can pin the delta plan: the round's degree
+    * update scans the edge table ONCE (the removed-endpoint flagging)
+    * instead of re-aggregating it, and filters survivors via the
+    * removed set. Returns (surviving edges, their updated degrees);
+    * both must be checkpointed by the caller (see [[kCore]]).
+    */
+  private[graft] def kCoreStep(e: DataFrame, deg: DataFrame,
+      k: Int): (DataFrame, DataFrame) = {
+    val removed = deg.filter(col("_d") < k).select(col("node"))
+    // flag each edge's endpoints against the removed set (two hash
+    // joins on the SMALL removed frame); survivors keep both nulls
+    val flagged = e
+      .join(removed.select(col("node").as("a"), lit(1).as("_ra")), Seq("a"), "left")
+      .join(removed.select(col("node").as("b"), lit(1).as("_rb")), Seq("b"), "left")
+    val e2 = flagged.filter(col("_ra").isNull && col("_rb").isNull)
+      .select(col("a"), col("b"))
+    // degree delta: exactly-one-removed-endpoint edges decrement
+    // their survivor; the aggregation is O(|removed edges|).
+    // ckptMeasured, not a lazy frame: dec's ESTIMATE is a
+    // join-product (size(e) x size(removed)^2 bytes — Catalyst's
+    // no-CBO join estimate multiplies), so left lazy it would never
+    // broadcast and the deg update would shuffle the WHOLE degree
+    // table every round (measured: ~|deg| shuffle records/round on
+    // the path probe). Measured stats let the optimizer broadcast
+    // dec exactly when it is genuinely small — every late peel
+    // round — and fall back to a shuffle join only when a real
+    // round-1 mass peel makes it big.
+    val dec = ckptMeasured(
+      flagged.filter(col("_ra").isNotNull =!= col("_rb").isNotNull)
+        .select(when(col("_ra").isNotNull, col("b")).otherwise(col("a")).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("_dec")))
+    val deg2 = deg.join(removed, Seq("node"), "left_anti")
+      .join(dec, Seq("node"), "left")
+      .select(col("node"),
+        (col("_d") - coalesce(col("_dec"), lit(0L))).as("_d"))
+    (e2, deg2)
   }
 
   /** Fixed-iteration PERSONALIZED PageRank: identical update rule to

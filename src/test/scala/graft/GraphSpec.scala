@@ -226,6 +226,46 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("kCore round plan maintains degrees by delta: one edge scan, no full re-aggregation (plan pin)") {
+    // the round-13 incremental rewrite: a peel round's degree update
+    // must derive from the REMOVED-node delta (flag edges against the
+    // small removed frame, aggregate only removed-incident survivors)
+    // — never re-aggregate the full edge table. A regression back to
+    // the round-12 shape shows up here as a second scan of the
+    // checkpointed edge RDD (the degree union read it twice).
+    import org.apache.spark.sql.execution.RDDScanExec
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 3L))
+      .toDF("a", "b").localCheckpoint()
+    val deg = graft.operators.Graph.ckptMeasured(
+      e.select(col("a").as("node")).union(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("_d")))
+    val (e2, deg2) = graft.operators.Graph.kCoreStep(e, deg, k = 2)
+    // sparkPlan, not executedPlan: AQE wraps the latter in an
+    // AdaptiveSparkPlanExec leaf that collect() cannot descend into
+    def eScans(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      p.collect {
+        case s: RDDScanExec if s.output.map(_.name).toSet == Set("a", "b") => s
+      }.length
+    // the deg update flags e once (the delta source feeds it through
+    // the checkpointed dec frame, which is already materialized and
+    // scans e zero further times); the survivor filter scans e once
+    assert(eScans(deg2.queryExecution.sparkPlan) == 0,
+      s"deg update must read edges only through the materialized delta:\n${deg2.queryExecution.sparkPlan}")
+    assert(eScans(e2.queryExecution.sparkPlan) == 1,
+      s"survivor filter must scan the edge table exactly once:\n${e2.queryExecution.sparkPlan}")
+    // and the update keeps the anti-join against the removed set
+    val anti = deg2.queryExecution.sparkPlan.collect {
+      case j: BaseJoinExec if j.joinType == LeftAnti => j
+    }
+    assert(anti.nonEmpty, s"expected the removed-node anti join:\n${deg2.queryExecution.sparkPlan}")
+    // semantic check on the same frames: one peel of the pendant
+    // chain removes node 1 and decrements node 2
+    val degMap = deg2.as[(Long, Long)].collect().toMap
+    assert(degMap == Map(2L -> 1L, 3L -> 3L, 4L -> 2L, 5L -> 2L), degMap.toString)
+  }
+
   test("labelPropagation: bridged triangles settle into two communities (hand-traced rounds)") {
     // triangles {1,2,3} and {10,11,12} bridged by 3-10. Synchronous
     // min-tie rounds, traced by hand: after round 4 clique A carries
