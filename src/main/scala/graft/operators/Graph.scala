@@ -116,13 +116,33 @@ object Graph {
     * per-iteration `localCheckpoint` materializations that truncate
     * the lineage. GraphSpec pins the loop-body plan via [[prStep]]:
     * exactly one scan of each persisted invariant per round.
+    *
+    * Hub skew (round 13). The two hub directions behave differently:
+    *  - IN-degree hubs (10^5 pages link to one domain) are absorbed
+    *    for free — the contribution aggregation is map-side combined
+    *    (partial_sum before its exchange, GraphSpec-pinned), so the
+    *    reduce side receives at most numPartitions rows per hub key,
+    *    never its in-degree.
+    *  - OUT-degree hubs concentrate the ej >< ranks join's MAP work:
+    *    both sides are pre-partitioned on the join key, the join has
+    *    NO shuffle read, and AQE's skew-split only rewrites shuffle
+    *    reads — it structurally cannot engage here. `srcSalt` > 1 is
+    *    the lever: ej partitions on (_src, salt-of-dst) so a hub's
+    *    out-edges spread over `srcSalt` partitions, and the ranks
+    *    side is replicated srcSalt x per round (one extra exchange
+    *    of |V| x srcSalt long-pairs — the standard replicate-the-
+    *    small-side salting trade; results are BIT-IDENTICAL because
+    *    the integer grid is aggregation-order-free, GraphSpec-
+    *    proven). Engage it for power-law link graphs; leave 1 for
+    *    the co-partitioned zero-exchange join.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int): DataFrame = {
+      iters: Int, srcSalt: Int = 1): DataFrame = {
     // iters = 0 would silently return the uniform init ranks — and,
     // with the post-loop unpersist() below, a frame that recomputes
     // its whole invariant lineage on every action
     require(iters >= 1, s"need iters >= 1, got $iters")
+    require(srcSalt >= 1, s"need srcSalt >= 1, got $srcSalt")
     // the distinct edge list feeds FOUR build lineages (nodes x2 via
     // the union, outdeg, ej) — persist it so the raw-edge scan +
     // distinct runs once, not once per consumer
@@ -133,8 +153,11 @@ object Graph {
       .union(e.select(col("_dst").as("node"))).distinct()
     val nRow = nodes.agg(count(lit(1)).as("_n"))
     val outdeg = e.groupBy(col("_src")).agg(count(lit(1)).as("_outdeg"))
-    val ej = e.join(outdeg, "_src")
-      .repartition(col("_src"))
+    val ejBase = e.join(outdeg, "_src")
+    val ej = (if (srcSalt == 1) ejBase.repartition(col("_src"))
+      else ejBase
+        .withColumn("_salt", pmod(xxhash64(col("_dst")), lit(srcSalt.toLong)))
+        .repartition(col("_src"), col("_salt")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodesT = nodes.crossJoin(broadcast(nRow))
       .select(col("node"),
@@ -149,7 +172,8 @@ object Graph {
     // ckptEager). The last round is always eager, so the persisted
     // invariants are fully materialized and safe to release below.
     for (i <- 0 until iters)
-      ranks = prStep(ej, nodesT, ranks).localCheckpoint(eager = ckptEager(i, iters))
+      ranks = prStep(ej, nodesT, ranks, srcSalt)
+        .localCheckpoint(eager = ckptEager(i, iters))
     e.unpersist()
     ej.unpersist()
     nodesT.unpersist()
@@ -161,18 +185,31 @@ object Graph {
     * difference is what `_tele`/`_init` hold), and a separate seam so
     * GraphSpec can pin the loop-body plan: one scan of the persisted
     * edge frame, one scan of the persisted node frame, and the single
-    * contribution shuffle.
+    * contribution shuffle (salt = 1); with salt > 1 the ranks side is
+    * replicated salt x and joined on (_src, _salt) so out-degree hub
+    * edges spread across salt partitions (see [[pageRank]]).
     *
     * @param ej     persisted (_src, _dst, _outdeg), partitioned by _src
+    *               (salt = 1) or (_src, _salt) (salt > 1)
     * @param nodesT persisted (node, _tele, _init), partitioned by node
     * @param ranks  previous round's (node, rank_u)
     */
   private[graft] def prStep(ej: DataFrame, nodesT: DataFrame,
-      ranks: DataFrame): DataFrame = {
-    val contribs = ej
-      .join(ranks, ej("_src") === ranks("node"))
-      .select(col("_dst").as("node"),
-        ldiv(col("rank_u"), col("_outdeg")).as("_c"))
+      ranks: DataFrame, salt: Int = 1): DataFrame = {
+    val contribs = if (salt == 1) {
+      ej.join(ranks, ej("_src") === ranks("node"))
+        .select(col("_dst").as("node"),
+          ldiv(col("rank_u"), col("_outdeg")).as("_c"))
+    } else {
+      // integer-grid update is aggregation-order-free, so the salted
+      // split is bit-identical to the unsalted plan (GraphSpec-proven)
+      val ranksS = ranks.select(col("node"), col("rank_u"),
+        explode(sequence(lit(0L), lit(salt.toLong - 1))).as("_salt"))
+      ej.join(ranksS,
+          ej("_src") === ranksS("node") && ej("_salt") === ranksS("_salt"))
+        .select(col("_dst").as("node"),
+          ldiv(col("rank_u"), col("_outdeg")).as("_c"))
+    }
     val inSum = contribs.groupBy(col("node")).agg(sum(col("_c")).as("_s"))
     nodesT.join(inSum, Seq("node"), "left")
       .select(col("node"),

@@ -72,6 +72,14 @@ object GraphScaleProbe {
 
     force(graft.Tables.load(spark, dir, "documents")) // warm reader path
 
+    if (modes("pagerank") || modes("cc")) {
+      // warm the loop code paths so factor-1 is not charged for JIT
+      // (unwarmed, factor 1 measures SLOWER than factor 10)
+      force(Graph.pageRank(edgesAt(spark, dir, 500, 1), "src", "dst", 2))
+      force(graft.operators.Dedup.connectedComponents(
+        edgesAt(spark, dir, 500, 1).select(col("src").as("id1"), col("dst").as("id2"))))
+    }
+
     if (modes("pagerank")) for (factor <- Seq(1, 10)) {
       val edges = edgesAt(spark, dir, 20000, factor)
       val nEdges = force(edges.select(col("src"), col("dst"))

@@ -226,6 +226,69 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("pageRank hub skew: map-side combine absorbs in-degree hubs; srcSalt splits out-degree hubs bit-identically") {
+    // in-degree hub: 400 spokes all link to node 0; out-degree hub:
+    // node 0 links back to every spoke (out-degree 400). The absorb
+    // mechanism for the in-hub is the PARTIAL aggregation before the
+    // contribution exchange (reduce side sees <= numPartitions rows
+    // per key, never the in-degree) — pinned below. The out-hub's
+    // join map work cannot be AQE-split (the pinned loop join has no
+    // shuffle read), so srcSalt is the lever: hub out-edges spread
+    // over (_src, _salt) partitions while the integer grid keeps the
+    // result BIT-IDENTICAL to the unsalted plan.
+    val edges = (1L to 400L).flatMap(i => Seq((i, 0L), (0L, i)))
+    val unsalted = ranks(edges, 3)
+    val salted = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst",
+        iters = 3, srcSalt = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(salted == unsalted, "salted ranks must be bit-identical")
+    // plan pins on the salted round: ranks replicated via explode
+    // (Generate), join keyed on _salt, and the contribution sum still
+    // partially aggregated before its exchange
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val e = edges.toDF("src", "dst")
+      .select(col("src").as("_src"), col("dst").as("_dst"))
+    val outdeg = e.groupBy(col("_src")).agg(count(lit(1)).as("_outdeg"))
+    val ej = e.join(outdeg, "_src")
+      .withColumn("_salt", pmod(xxhash64(col("_dst")), lit(4L)))
+      .repartition(col("_src"), col("_salt")).persist()
+    val nodesT = e.select(col("_src").as("node"))
+      .union(e.select(col("_dst").as("node"))).distinct()
+      .select(col("node"), lit(374064L).as("_tele"), lit(2493765L).as("_init"))
+      .repartition(col("node")).persist()
+    // executedPlan (post-EnsureRequirements) with AQE off, as in the
+    // prStep pin: sparkPlan predates exchange insertion, and AQE
+    // wraps stages in leaves collect() cannot descend into
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val rk = nodesT.select(col("node"), col("_init").as("rank_u")).localCheckpoint()
+      val plan = Graph.prStep(ej, nodesT, rk, salt = 4).queryExecution.executedPlan
+      val saltKeyed = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.leftKeys.exists(_.references.exists(_.name == "_salt")) ||
+             j.rightKeys.exists(_.references.exists(_.name == "_salt")) => j
+      }
+      assert(saltKeyed.nonEmpty, s"expected a _salt-keyed join:\n$plan")
+      // the partial agg must sit BELOW the contribution exchange
+      // (combine before shuffle — the in-degree-hub absorption)
+      val partialBelowExchange = plan.collect {
+        case ex: ShuffleExchangeExec
+          if ex.child.collectFirst {
+            case a: BaseAggregateExec if a.aggregateExpressions.exists(
+              _.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Partial) &&
+              a.groupingExpressions.nonEmpty => a
+          }.nonEmpty => ex
+      }
+      assert(partialBelowExchange.nonEmpty,
+        s"partial agg must feed the exchange, not follow it:\n$plan")
+    } finally {
+      ej.unpersist(); nodesT.unpersist()
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("kCore round plan maintains degrees by delta: one edge scan, no full re-aggregation (plan pin)") {
     // the round-13 incremental rewrite: a peel round's degree update
     // must derive from the REMOVED-node delta (flag edges against the
