@@ -80,16 +80,31 @@ object Multimodal {
       Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))).map { img =>
         val (w, h) = (img.getWidth, img.getHeight)
         val out = new Array[Int](w * h)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            out(y * w + x) =
-              (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
-            x += 1
+        val raster = img.getRaster
+        if (raster.getNumBands == 1 && img.getColorModel.getPixelSize == 8) {
+          // single-band 8-bit (grayscale JPEG/PNG): the sample IS the
+          // luminance — read it raw. getRGB would route linear gray
+          // through the sRGB color model and gamma-shift every value
+          // (10 -> 56), silently breaking codecs that round-trip
+          // exactly (quality-1.0 block-constant MJPEG, q203)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { out(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+            y += 1
           }
-          y += 1
+        } else {
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              out(y * w + x) =
+                (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+              x += 1
+            }
+            y += 1
+          }
         }
         (w, h, out)
       }
@@ -410,6 +425,116 @@ object Multimodal {
           header,
           (acc, f) => concat(acc, marker, px(f, 0), px(f, 1), px(f, 2), px(f, 3)))
           .as("payload"))
+  }
+
+  /** One 16x16 grayscale JPEG at quality 1.0 whose four 8x8 quadrants
+    * are solid values `q(0..3)` (TL, TR, BL, BR). Quality 1.0 means an
+    * all-ones quantization table, and a CONSTANT 8x8 block has only a
+    * DC coefficient — so the lossy codec round-trips these frames
+    * BIT-EXACTLY (measured: all 256 solid values and 200 random
+    * quadrant combinations decode back to their source values), which
+    * is what lets a real compressed codec sit under a DuckDB oracle
+    * that predicts decoded luma from pure arithmetic (q203).
+    */
+  private[graft] def encodeQuadJpeg16(q: Array[Int]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 16) {
+        img.getRaster.setSample(x, y, 0, q((y / 8) * 2 + (x / 8)))
+        x += 1
+      }
+      y += 1
+    }
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    try {
+      val p = w.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(1.0f)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      w.setOutput(ios)
+      w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      ios.close()
+      bos.toByteArray
+    } finally w.dispose()
+  }
+
+  /** Assemble a REAL MJPEG-in-AVI byte stream (RIFF container, LIST
+    * hdrl with the 56-byte `avih` main header + vids/MJPG stream
+    * header, LIST movi of '00dc' chunks, even-byte chunk padding) —
+    * the container [[VideoKernel.MjpegAvi]] walks. `usPerFrame` is
+    * dwMicroSecPerFrame (40000 = exact 25 fps).
+    */
+  private[graft] def buildMjpegAvi(w: Int, h: Int, usPerFrame: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def cc(s: String): Array[Byte] =
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val pad = if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      cc(id) ++ u32(data.length.toLong) ++ data ++ pad
+    }
+    val avih = u32(usPerFrame.toLong) ++ u32(0) ++ u32(0) ++ u32(0) ++
+      u32(frames.size.toLong) ++ u32(0) ++ u32(1) ++ u32(0) ++
+      u32(w.toLong) ++ u32(h.toLong) ++ Array.fill(16)(0.toByte)
+    val strh = cc("vids") ++ cc("MJPG") ++ u32(0) ++ u32(0) ++ u32(0) ++
+      u32(1) ++ u32(1000000L / usPerFrame) ++ u32(0) ++
+      u32(frames.size.toLong) ++ u32(0) ++ u32(0) ++ u32(0) ++
+      Array.fill(8)(0.toByte) // rcFrame
+    val strf = u32(40) ++ u32(w.toLong) ++ u32(h.toLong) ++
+      Array[Byte](1, 0, 24, 0) ++ cc("MJPG") ++ u32(w.toLong * h * 3) ++
+      Array.fill(16)(0.toByte)
+    val strl = cc("strl") ++ chunk("strh", strh) ++ chunk("strf", strf)
+    val hdrl = cc("hdrl") ++ chunk("avih", avih) ++ chunk("LIST", strl)
+    val movi = cc("movi") ++ frames.flatMap(f => chunk("00dc", f)).toArray
+    val body = cc("AVI ") ++ chunk("LIST", hdrl) ++ chunk("LIST", movi)
+    bos.write(cc("RIFF")); bos.write(u32(body.length.toLong)); bos.write(body)
+    bos.toByteArray
+  }
+
+  /** Synthesize a table of REAL MJPEG-AVI byte streams from the
+    * documents corpus — each frame a 16x16 grayscale JPEG of four
+    * solid 8x8 quadrants whose values are deterministic reads of the
+    * doc's UTF-8 bytes, wrapped in a genuine RIFF/AVI container.
+    * Unlike [[y4mFromDocuments]] (uncompressed planar bytes), these
+    * frames pass through a real LOSSY CODEC: [[VideoKernel.MjpegAvi]]
+    * must walk the RIFF chunk framing AND inverse-DCT the JPEG
+    * entropy stream to recover the quadrant values — and the oracle
+    * (q203) still predicts them exactly because quality-1.0
+    * block-constant JPEG is bit-exact (see [[encodeQuadJpeg16]]).
+    *
+    * Grid mirrors q201's: n_frames = nbytes % 7 + 2 (2..8), quadrant
+    * j of frame f = src byte at (f*17 + j*5) mod nbytes. Docs with
+    * empty payloads are excluded. JPEG encode requires ImageIO, so
+    * unlike the in-plan y4m builder this one is a narrow
+    * mapPartitions (payloads are BUILT per-partition and never
+    * shuffle; at scale this is the write side of a media ingest, not
+    * a query-path operator).
+    */
+  def mjpegAviFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col("doc_id").isNotNull)
+      .select(col("doc_id").cast("long").as("media_id"),
+        encode(col("text"), "UTF-8").as("_src"))
+      .filter(col("media_id").isNotNull && octet_length(col("_src")) > 0)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, src) =>
+          val nf = src.length % 7 + 2
+          val frames = (0 until nf).map { f =>
+            encodeQuadJpeg16(Array.tabulate(4)(j =>
+              src((f * 17 + j * 5) % src.length) & 0xff))
+          }
+          (id, buildMjpegAvi(16, 16, 40000, frames))
+        }
+      }.toDF("media_id", "payload")
   }
 
   /** Synthesize an audio media table from the documents corpus: the

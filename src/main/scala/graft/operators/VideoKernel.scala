@@ -187,6 +187,132 @@ object VideoKernel {
       }
   }
 
+  /** Pure-JVM kernel for MJPEG-in-AVI — the first COMPRESSED codec
+    * executed under the oracle (q203): a real RIFF/AVI container walk
+    * (chunk framing, LIST recursion, even-byte padding, `avih` main
+    * header) plus real per-frame JPEG decode through the JDK's
+    * ImageIO leg already proven for still images
+    * ([[Multimodal.decodeImage]], Rec.601 luma). The layout parsed
+    * (public AVI RIFF spec / Video-for-Windows file format):
+    *
+    *   RIFF <sz> 'AVI ' { LIST <sz> 'hdrl' { 'avih' <56-byte main
+    *   header: dwMicroSecPerFrame@0, dwWidth@32, dwHeight@36> ... }
+    *   LIST <sz> 'movi' { '00dc'|'00db' <sz> <jpeg bytes> [pad] ... } }
+    *
+    * All sizes little-endian u32; chunks pad to even offsets. The
+    * frame COUNT comes from walking the movi chunks (never trusted
+    * from the header), mirroring [[Y4m]]'s FRAME walk. Robustness
+    * contract (row fails, never the task): bad magic / missing or
+    * short `avih` / non-positive dims or µs-per-frame / absurd
+    * dimensions (w*h > maxPixels) probe as None; a malformed or
+    * truncated movi chunk ends the stream at the last whole chunk;
+    * a chunk whose JPEG payload does not decode drops THAT frame
+    * (chunk framing is independent of payload validity, unlike
+    * Y4m's length-derived records, so the walk continues).
+    */
+  case object MjpegAvi extends VideoKernel {
+    val name = "mjpegavi"
+
+    private val maxPixels = 1 << 26 // 64 MPx — beyond any sane frame
+
+    /** Little-endian u32 at `off`, or -1 when out of bounds. */
+    private def u32(p: Array[Byte], off: Int): Long =
+      if (off < 0 || off + 4 > p.length) -1L
+      else (p(off) & 0xffL) | ((p(off + 1) & 0xffL) << 8) |
+        ((p(off + 2) & 0xffL) << 16) | ((p(off + 3) & 0xffL) << 24)
+
+    private def fourcc(p: Array[Byte], off: Int, s: String): Boolean =
+      off >= 0 && off + 4 <= p.length &&
+        (0 until 4).forall(i => p(off + i) == s.charAt(i).toByte)
+
+    private final case class Header(w: Int, h: Int, fps: Double,
+        moviStart: Int, moviEnd: Int)
+
+    /** Walk the top-level RIFF chunks for LIST/hdrl (→ avih) and
+      * LIST/movi. Both must be present and well-formed.
+      */
+    private def parseHeader(p: Array[Byte]): Option[Header] = {
+      if (!fourcc(p, 0, "RIFF") || !fourcc(p, 8, "AVI ")) return None
+      val riffEnd = math.min(p.length.toLong, 8L + u32(p, 4))
+      var pos = 12L
+      var avih = -1L
+      var moviStart = -1L; var moviEnd = -1L
+      while (pos + 8 <= riffEnd) {
+        val size = u32(p, pos.toInt + 4)
+        if (size < 0) return None
+        val data = pos + 8
+        if (fourcc(p, pos.toInt, "LIST") && size >= 4) {
+          if (fourcc(p, data.toInt, "hdrl")) {
+            // find 'avih' inside the hdrl list (first sub-chunk by
+            // spec, but walk defensively)
+            var q = data + 4
+            val end = math.min(riffEnd, data + size)
+            while (avih < 0 && q + 8 <= end) {
+              val ssz = u32(p, q.toInt + 4)
+              if (ssz < 0) return None
+              if (fourcc(p, q.toInt, "avih") && ssz >= 40) avih = q + 8
+              q += 8 + ssz + (ssz & 1)
+            }
+          } else if (fourcc(p, data.toInt, "movi")) {
+            moviStart = data + 4
+            moviEnd = math.min(riffEnd, data + size)
+          }
+        }
+        pos = data + size + (size & 1)
+      }
+      if (avih < 0 || moviStart < 0) return None
+      val usPerFrame = u32(p, avih.toInt)
+      val w = u32(p, avih.toInt + 32)
+      val h = u32(p, avih.toInt + 36)
+      if (usPerFrame <= 0 || w <= 0 || h <= 0 || w * h > maxPixels) return None
+      Some(Header(w.toInt, h.toInt, 1e6 / usPerFrame,
+        moviStart.toInt, moviEnd.toInt))
+    }
+
+    /** (offset, length) of each video chunk's JPEG payload, walking
+      * movi until its end or the first malformed/truncated chunk.
+      * Non-video chunk ids (audio '..wb', sub-lists) are skipped but
+      * the walk continues — framing is id-independent.
+      */
+    private def videoChunks(p: Array[Byte], hd: Header): Seq[(Int, Int)] = {
+      val out = Seq.newBuilder[(Int, Int)]
+      var pos = hd.moviStart.toLong
+      var ok = true
+      while (ok && pos + 8 <= hd.moviEnd) {
+        val size = u32(p, pos.toInt + 4)
+        val data = pos + 8
+        if (size < 0 || data + size > hd.moviEnd) ok = false
+        else {
+          if (fourcc(p, pos.toInt, "00dc") || fourcc(p, pos.toInt, "00db"))
+            out += ((data.toInt, size.toInt))
+          pos = data + size + (size & 1)
+        }
+      }
+      out.result()
+    }
+
+    def probe(payload: Array[Byte]): Option[Meta] =
+      parseHeader(payload).map { hd =>
+        val n = videoChunks(payload, hd).size.toLong
+        Meta(n / hd.fps, hd.fps, "mjpeg", hd.w, hd.h, n)
+      }
+
+    def decodeFramesFor(meta: Meta, payload: Array[Byte], everyK: Int,
+        maxFrames: Int): Seq[Frame] =
+      parseHeader(payload).toSeq.flatMap { hd =>
+        val chunks = videoChunks(payload, hd)
+        chunks.indices.by(everyK).take(maxFrames).flatMap { idx =>
+          val (off, len) = chunks(idx)
+          // REAL codec step: the chunk is a standalone JPEG stream,
+          // decoded by the same ImageIO+Rec.601 leg as still images.
+          // Frame dims come from the DECODED image (the container
+          // header is advisory); an undecodable chunk drops its frame
+          Multimodal.decodeImage(java.util.Arrays.copyOfRange(payload, off, off + len))
+            .map { case (w, h, px) => Frame(idx.toLong, w, h, px) }
+        }
+      }
+  }
+
   /** Production kernel: `ffprobe` for metadata, `ffmpeg` decoding
     * every K-th frame to 8-bit-gray rawvideo on a pipe (SCALE.md's
     * documented shape). Cluster-safety rules enforced here:
@@ -339,16 +465,17 @@ object VideoKernel {
   def ffmpegAvailable: Boolean = onPath("ffprobe") && onPath("ffmpeg")
 
   /** Kernel choice: the `graft.video.kernel` system property ("stub"
-    * | "y4m" | "ffmpeg") wins — an unrecognized value FAILS FAST
-    * rather than silently auto-detecting (a typo would otherwise run
-    * the stub and ship synthetic fingerprints as real features);
-    * unset, ffmpeg when both binaries are on PATH, stub when not
-    * (y4m is never auto-selected: it reads one specific container,
-    * so callers opt in explicitly).
+    * | "y4m" | "mjpegavi" | "ffmpeg") wins — an unrecognized value
+    * FAILS FAST rather than silently auto-detecting (a typo would
+    * otherwise run the stub and ship synthetic fingerprints as real
+    * features); unset, ffmpeg when both binaries are on PATH, stub
+    * when not (y4m/mjpegavi are never auto-selected: each reads one
+    * specific container, so callers opt in explicitly).
     */
   def select(): VideoKernel = sys.props.get("graft.video.kernel") match {
     case Some("stub") => Stub
     case Some("y4m") => Y4m
+    case Some("mjpegavi") => MjpegAvi
     case Some("ffmpeg") => new Ffmpeg()
     case Some(other) => throw new IllegalArgumentException(
       s"graft.video.kernel='$other' — expected 'stub', 'y4m' or 'ffmpeg'")

@@ -283,6 +283,64 @@ object TextQueries {
            CAST(4 AS BIGINT) AS n_px
     FROM px ORDER BY media_id, frame_idx"""))
 
+  /** REAL compressed CODEC under the oracle (round 13): the corpus
+    * synthesizes genuine MJPEG-in-AVI byte streams
+    * ([[graft.operators.Multimodal.mjpegAviFromDocuments]] — 16x16
+    * quality-1.0 grayscale JPEGs of four solid 8x8 quadrants, wrapped
+    * in a real RIFF container), and [[graft.operators.VideoKernel.MjpegAvi]]
+    * must walk the RIFF chunk framing AND JPEG-decode each '00dc'
+    * chunk (entropy decode + inverse DCT through ImageIO) to recover
+    * the quadrant values. The oracle never touches a codec: quality
+    * 1.0 means an all-ones quantization table, and a constant 8x8
+    * block has only a DC coefficient, so the lossy round-trip is
+    * BIT-EXACT and the SQL mirror predicts decoded luma from the same
+    * byte arithmetic as q201. ahash replay on the 16x16 grid: the 64
+    * 2x2 cells each average to their quadrant's value, mean =
+    * (q0+q1+q2+q3)/4, and each quadrant owns a fixed 16-bit mask of
+    * the 64-bit hash (TL 0x0F0F0F0F, TR 0xF0F0F0F0, BL/BR the same
+    * shifted 32 — BR's written as its signed-64 literal since the
+    * unsigned form overflows BIGINT); all-equal quadrants set every
+    * bit, hence -1.
+    */
+  private val q203 = Q("q203_mjpeg_avi_decode", (s, dir) => {
+    import graft.operators.{Multimodal, VideoKernel}
+    val video = Multimodal.mjpegAviFromDocuments(Tables.load(s, dir, "documents"))
+    Multimodal.frameFeatures(video, everyK = 2, kernel = VideoKernel.MjpegAvi)
+      .orderBy(col("media_id"), col("frame_idx"))
+  }, Some("""
+    WITH video AS (
+      SELECT doc_id AS media_id, encode(text) AS src,
+             octet_length(encode(text)) AS nbytes
+      FROM documents
+      WHERE doc_id IS NOT NULL AND octet_length(encode(text)) > 0),
+    meta AS (SELECT media_id, src, nbytes,
+                    nbytes % 7 + 2 AS n_frames FROM video),
+    frames AS (
+      SELECT media_id, src, nbytes,
+             unnest(range(0, n_frames, 2)) AS frame_idx
+      FROM meta),
+    px AS (
+      SELECT media_id, frame_idx,
+             CAST(concat('0x', substr(hex(src),
+               CAST((frame_idx * 17 + 0) % nbytes AS INT) * 2 + 1, 2)) AS BIGINT) AS q0,
+             CAST(concat('0x', substr(hex(src),
+               CAST((frame_idx * 17 + 5) % nbytes AS INT) * 2 + 1, 2)) AS BIGINT) AS q1,
+             CAST(concat('0x', substr(hex(src),
+               CAST((frame_idx * 17 + 10) % nbytes AS INT) * 2 + 1, 2)) AS BIGINT) AS q2,
+             CAST(concat('0x', substr(hex(src),
+               CAST((frame_idx * 17 + 15) % nbytes AS INT) * 2 + 1, 2)) AS BIGINT) AS q3
+      FROM frames)
+    SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(frame_idx AS DOUBLE) / 25.0 AS t_sec,
+           CAST(
+             (CASE WHEN q0 >= (q0+q1+q2+q3) / 4.0 THEN 252645135 ELSE 0 END) +
+             (CASE WHEN q1 >= (q0+q1+q2+q3) / 4.0 THEN 4042322160 ELSE 0 END) +
+             (CASE WHEN q2 >= (q0+q1+q2+q3) / 4.0 THEN 1085102592318504960 ELSE 0 END) +
+             (CASE WHEN q3 >= (q0+q1+q2+q3) / 4.0 THEN -1085102596613472256 ELSE 0 END)
+             AS BIGINT) AS frame_ahash,
+           CAST(256 AS BIGINT) AS n_px
+    FROM px ORDER BY media_id, frame_idx"""))
+
   /** Multimodal audio windowing: fixed 4000-sample hops over metadata
     * sample counts, per-window energy probe (4 deterministic payload
     * reads averaged) — completes the image (q56) / video (q74) / audio
@@ -813,5 +871,5 @@ object TextQueries {
 
   val list: Seq[Q] = Seq(q51, q52, q53, q54, q55, q56, q74, q89, q100, q101, q108, q112,
     q120, q128, q129, q138, q141, q142, q143, q144, q148, q176, q183, q194,
-    q199, q200, q201)
+    q199, q200, q201, q203)
 }

@@ -328,6 +328,98 @@ class MultimodalSpec extends SparkSpec {
     assert(p.length == 28 + n * (6 + 4))
   }
 
+  // --- VideoKernel.MjpegAvi: real container walk + real JPEG codec ------
+
+  test("VideoKernel.MjpegAvi: hand-built container probes and JPEG-decodes frame-exact") {
+    import graft.operators.VideoKernel
+    val f0 = Multimodal.encodeQuadJpeg16(Array(10, 20, 30, 40))
+    val f1 = Multimodal.encodeQuadJpeg16(Array(200, 200, 200, 200))
+    val f2 = Multimodal.encodeQuadJpeg16(Array(0, 255, 0, 255))
+    val p = Multimodal.buildMjpegAvi(16, 16, 40000, Seq(f0, f1, f2))
+    val meta = VideoKernel.MjpegAvi.probe(p).get
+    assert(meta.width == 16 && meta.height == 16 && meta.fps == 25.0 &&
+      meta.nFrames == 3L && meta.codec == "mjpeg", meta.toString)
+    val all = VideoKernel.MjpegAvi.decodeFrames(p, everyK = 1, maxFrames = 64)
+    assert(all.map(_.frameIdx) == Seq(0L, 1L, 2L))
+    assert(all.forall(f => f.width == 16 && f.height == 16 && f.luma.length == 256))
+    // quality-1.0 block-constant JPEG round-trips BIT-EXACTLY: every
+    // pixel of each 8x8 quadrant decodes back to its source value
+    def quads(luma: Array[Int]): Seq[Set[Int]] =
+      Seq((0, 0), (0, 8), (8, 0), (8, 8)).map { case (y0, x0) =>
+        (for (y <- y0 until y0 + 8; x <- x0 until x0 + 8) yield luma(y * 16 + x)).toSet
+      }
+    assert(quads(all(0).luma) == Seq(Set(10), Set(20), Set(30), Set(40)))
+    assert(quads(all(1).luma) == Seq(Set(200), Set(200), Set(200), Set(200)))
+    assert(quads(all(2).luma) == Seq(Set(0), Set(255), Set(0), Set(255)))
+    // everyK sampling keeps TRUE frame indexes
+    val sampled = VideoKernel.MjpegAvi.decodeFrames(p, everyK = 2, maxFrames = 64)
+    assert(sampled.map(_.frameIdx) == Seq(0L, 2L))
+  }
+
+  test("VideoKernel.MjpegAvi: row-fails-never-task — bad magic, crafted header, truncation, garbage chunk") {
+    import graft.operators.VideoKernel
+    val k = VideoKernel.MjpegAvi
+    assert(k.probe(Array.empty[Byte]).isEmpty)
+    assert(k.probe("JUNKJUNKJUNKJUNK".getBytes("US-ASCII")).isEmpty)
+    // RIFF but not AVI (a WAV header) is not this container
+    assert(k.probe("RIFF   WAVE".getBytes("ISO-8859-1")).isEmpty)
+    val good = Multimodal.buildMjpegAvi(16, 16, 40000,
+      Seq(Multimodal.encodeQuadJpeg16(Array(1, 2, 3, 4)),
+        Multimodal.encodeQuadJpeg16(Array(5, 6, 7, 8))))
+    // crafted avih fields fail the ROW: the 56-byte main header sits
+    // at offset 32 (RIFF 12 + LIST hdr 8 + 'hdrl' 4 + 'avih' hdr 8);
+    // dwMicroSecPerFrame@+0, dwWidth@+32, dwHeight@+36
+    def patched(off: Int, v: Long): Array[Byte] = {
+      val c = good.clone()
+      for (i <- 0 until 4) c(32 + off + i) = ((v >> (8 * i)) & 0xff).toByte
+      c
+    }
+    assert(k.probe(patched(0, 0L)).isEmpty, "zero usPerFrame")
+    assert(k.probe(patched(32, 0L)).isEmpty, "zero width")
+    assert(k.probe(patched(32, 99999999L)).isEmpty, "absurd dimensions (w*h > 64 MPx)")
+    assert(k.probe(patched(36, 0xFFFFFFFFL)).isEmpty, "u32-max height")
+    // truncation drops the trailing frame; whole chunks survive
+    val truncated = java.util.Arrays.copyOfRange(good, 0, good.length - 10)
+    assert(k.probe(truncated).get.nFrames == 1L)
+    assert(k.decodeFrames(truncated, 1, 4).map(_.frameIdx) == Seq(0L))
+    // a garbage JPEG payload drops ITS frame only — chunk framing is
+    // independent of payload validity, so the walk continues
+    val withGarbage = Multimodal.buildMjpegAvi(16, 16, 40000,
+      Seq(Multimodal.encodeQuadJpeg16(Array(1, 2, 3, 4)),
+        "notajpeg".getBytes("US-ASCII"),
+        Multimodal.encodeQuadJpeg16(Array(5, 6, 7, 8))))
+    assert(k.probe(withGarbage).get.nFrames == 3L) // container-level count
+    assert(k.decodeFrames(withGarbage, 1, 64).map(_.frameIdx) == Seq(0L, 2L))
+  }
+
+  test("VideoKernel.MjpegAvi: mjpegAviFromDocuments payloads round-trip through the real codec") {
+    import graft.operators.VideoKernel
+    val docs = Tables.load(spark, sfDir, "documents").limit(20)
+    val rows = Multimodal.mjpegAviFromDocuments(docs)
+      .select(col("media_id"), col("payload")).as[(Long, Array[Byte])].collect()
+    val srcs = docs.filter(col("doc_id").isNotNull)
+      .select(col("doc_id").cast("long"), encode(col("text"), "UTF-8"))
+      .as[(Long, Array[Byte])].collect().toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, payload) =>
+      val src = srcs(id)
+      val meta = VideoKernel.MjpegAvi.probe(payload).get
+      assert(meta.width == 16 && meta.height == 16 && meta.fps == 25.0)
+      assert(meta.nFrames == (src.length % 7 + 2).toLong, meta.toString)
+      val frames = VideoKernel.MjpegAvi.decodeFrames(payload, 1, 64)
+      assert(frames.size.toLong == meta.nFrames)
+      // decoded luma matches the oracle's byte arithmetic exactly:
+      // quadrant j of frame f = src byte at (f*17 + j*5) mod nbytes
+      frames.foreach { fr =>
+        val f = fr.frameIdx.toInt
+        val want = Array.tabulate(4)(j => src((f * 17 + j * 5) % src.length) & 0xff)
+        for (y <- 0 until 16; x <- 0 until 16)
+          assert(fr.luma(y * 16 + x) == want((y / 8) * 2 + (x / 8)),
+            s"id=$id f=$f px($x,$y)")
+      }
+    }
+  }
+
   test("VideoKernel.Ffmpeg: real subprocess decode when the binaries exist") {
     import graft.operators.VideoKernel
     assume(VideoKernel.ffmpegAvailable, "ffmpeg/ffprobe not on PATH — stub sandbox")
