@@ -450,26 +450,41 @@ object Dedup {
     * A~B, B~C must collapse to one cluster even if A~C was never a
     * candidate).
     *
-    * Algorithm: distributed min-label propagation with pointer jumping.
-    * Each round does (1) neighbor-min — every node takes the smallest
-    * label among itself and its neighbors (equi-join on edges + groupBy
-    * min, both hash-partitioned on node id) — and (2) pointer jumping —
-    * `label := label(label)` (a self-join), which contracts chains
-    * geometrically, so convergence is O(log diameter) rounds, not
-    * O(diameter). Each round's frame is `localCheckpoint`ed to truncate
-    * lineage (an iterative plan would otherwise grow a round's worth of
-    * joins per iteration and choke Catalyst).
+    * Algorithm: CONTRACTION-based Hash-Min (round 13). Each round
+    * (1) computes every region's smallest adjacent region (`groupBy
+    * min` over the symmetric region-graph edges), (2) compresses the
+    * resulting merge chains one step (`m := m(m)`, a self-join on the
+    * small mapping frame), (3) relabels nodes through the mapping,
+    * and (4) CONTRACTS the edge set onto the surviving regions
+    * (self-loops dropped, duplicates merged). Contraction is what the
+    * pre-round-13 pointer-jumping variant lacked: jumping compresses
+    * chains in the LABEL graph, but min-labels still crossed the
+    * ORIGINAL graph one merge-boundary per round — measured on a
+    * 500-node scrambled cycle (the affine family x -> 13x+7 mod n,
+    * GraphScaleProbe's warm-up), it was still merging at round 25.
+    * With contraction every region merges with its smallest neighbor
+    * SIMULTANEOUSLY, so the region count at least halves per round —
+    * genuine O(log n) rounds on ANY topology, and the edge frame
+    * shrinks geometrically with it (late rounds are near-free).
+    * Every per-round frame is checkpointed through
+    * [[Graph.ckptMeasured]]: the contraction joins e with a mapping
+    * derived FROM e, and labels with that same mapping — the
+    * multi-chain shape where even eager checkpoints compound size
+    * ESTIMATES ~3x bit-length per round (Graph.ckptEager's measured
+    * round-13 constraint); measured rowCount x row-width stats
+    * firebreak the recurrence and keep the shrinking mapping frame
+    * honestly broadcastable.
     *
-    * 100 TB design: per round, the shuffles carry (node, label) pairs —
-    * |V|+|E| longs, never payloads; the driver-side work per round is
-    * one boolean convergence probe (`isEmpty` over the round's OWN
-    * checkpointed frame, which carries the pre-round label as `_old` —
-    * join-free and shuffle-free, where a separate changed-set join
-    * would re-shuffle both label tables every round), the standard
-    * pattern for iterative graph algorithms (GraphX/Pregel do the
-    * same). The input here is the *near-dup pair
-    * list* (tiny relative to the corpus: proportional to duplicate
-    * density), not the corpus itself.
+    * 100 TB design: per round, the shuffles carry (node, label) /
+    * (region, region) long pairs — never payloads — and the dominant
+    * |E|-sized contraction join shrinks geometrically after round 1
+    * (near-dup graphs are mostly tiny clusters: one round contracts
+    * them to singletons). The convergence probe is `e.isEmpty` over
+    * the round's own checkpoint — the contracted edge set IS the
+    * not-yet-merged remainder, so no label-diff join is needed. The
+    * input here is the *near-dup pair list* (tiny relative to the
+    * corpus: proportional to duplicate density), not the corpus
+    * itself.
     *
     * Returns (id, cluster_rep, cluster_size) for every node that
     * appears in `pairs`; `cluster_rep` is the smallest member id
@@ -478,53 +493,44 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, idCol1: String = "id1",
       idCol2: String = "id2", maxIter: Int = 25): DataFrame = {
-    val spark = pairs.sparkSession
-    val edges = pairs.select(col(idCol1).as("a"), col(idCol2).as("b"))
+    val nodes = pairs.select(col(idCol1).as("id"))
+      .union(pairs.select(col(idCol2).as("id"))).distinct()
+    var labels = nodes.select(col("id"), col("id").as("rep")).localCheckpoint()
+    // symmetric region graph; self-loops carry no merge information
+    var e = pairs.select(col(idCol1).as("a"), col(idCol2).as("b"))
       .union(pairs.select(col(idCol2).as("a"), col(idCol1).as("b")))
+      .filter(col("a") =!= col("b"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("a").as("id")).distinct()
-      .select(col("id"), col("id").as("rep"))
       .localCheckpoint()
-    var converged = false
+    var done = e.isEmpty
     var round = 0
-    while (!converged && round < maxIter) {
-      // (1) neighbor-min: smallest rep among self and neighbors. The
-      // round's STARTING label rides along as `_old` so convergence
-      // is decided from the checkpointed frame itself — the previous
-      // draft paid a separate join-job (jumped x labels) per round on
-      // top of the two checkpoints.
-      val nbrMin = edges
-        .join(labels.select(col("id").as("b"), col("rep")), "b")
-        .groupBy(col("a").as("id")).agg(min(col("rep")).as("nrep"))
-      // EAGER checkpoint, deliberately: the pointer jump below is a
-      // SELF-join of the chain — the self-multiplying size-estimate
-      // shape Graph.ckptEager's scaladoc forbids for lazy
-      // checkpointing (a lazy LogicalRDD carries the plan's estimate,
-      // and estimate x estimate doubles the bit length every round).
-      // The eager materialization also pins the frame so the two jump
-      // sides read its blocks instead of re-running the neighbor-min
-      // lineage.
-      val stepped = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("rep").as("_old"),
-          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
-        .localCheckpoint()
-      // (2) pointer jumping: rep := rep(rep) — contracts label chains
-      val jumped = stepped.alias("l")
-        .join(stepped.select(col("id").as("rep"), col("rep").as("rep2")).alias("r"),
-          Seq("rep"), "left")
-        .select(col("id"), col("_old"),
-          least(col("rep"), coalesce(col("rep2"), col("rep"))).as("rep"))
-        .localCheckpoint()
-      // join-free convergence probe over the in-memory checkpoint —
-      // no shuffle, and isEmpty short-circuits on the first change
-      converged = jumped.filter(col("rep") =!= col("_old")).isEmpty
-      labels = jumped.select(col("id"), col("rep"))
+    while (!done && round < maxIter) {
+      // (1) every region's smallest neighbor; keep only shrinking
+      // moves — for any edge (x, y) with x < y the y side always
+      // yields one, so every region with a neighbor merges this round
+      val m = e.groupBy(col("a")).agg(min(col("b")).as("m"))
+        .filter(col("m") < col("a"))
+      // (2) one-step chain compression: a -> m -> m(m) where it exists
+      val mj = Graph.ckptMeasured(m.alias("x")
+        .join(m.select(col("a").as("m"), col("m").as("m2")).alias("y"),
+          Seq("m"), "left")
+        .select(col("a").as("_r0"), coalesce(col("m2"), col("m")).as("_r1")))
+      // (3) relabel nodes whose region moved
+      labels = Graph.ckptMeasured(
+        labels.join(mj, labels("rep") === mj("_r0"), "left")
+          .select(col("id"), coalesce(col("_r1"), col("rep")).as("rep")))
+      // (4) contract the edge set onto the surviving regions
+      val eA = e.join(mj, e("a") === mj("_r0"), "left")
+        .select(coalesce(col("_r1"), col("a")).as("a"), col("b"))
+      val eB = eA.join(mj, eA("b") === mj("_r0"), "left")
+        .select(col("a"), coalesce(col("_r1"), col("b")).as("b"))
+      e = Graph.ckptMeasured(eB.filter(col("a") =!= col("b")).distinct())
+      done = e.isEmpty
       round += 1
     }
-    require(converged, s"connectedComponents did not converge in $maxIter rounds " +
-      "(pointer jumping converges in O(log diameter) — raise maxIter only for pathological graphs)")
-    edges.unpersist()
+    require(done, s"connectedComponents did not converge in $maxIter rounds " +
+      "(contraction at least halves the region count per round — " +
+      "raise maxIter only beyond 2^25 regions)")
     val sizes = labels.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "rep")
       .select(col("id"), col("rep").as("cluster_rep"), col("cluster_size"))

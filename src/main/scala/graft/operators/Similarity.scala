@@ -490,28 +490,48 @@ object Similarity {
     * broadcast-argmin assignment — zero corpus shuffle) and the typed
     * [[graft.functions.CentroidAggregator]] (associative sum/count
     * buffers, map-side combined). Deterministic: init is the k
-    * lowest-id vectors; each iteration `localCheckpoint`s the k-row
-    * centroid frame to truncate the iterative lineage (the
-    * connectedComponents discipline). A cell that loses all members
-    * drops out (k shrinks) rather than being re-seeded — acceptable
-    * for codebook training; re-seeding would need an RNG policy.
+    * lowest-id vectors, gathered as TakeOrdered + one scalar
+    * collect_list (no unpartitioned window — the round-13 shape the
+    * corpus-wide single-partition guard enforces); each iteration
+    * `localCheckpoint`s the k-row centroid frame to truncate the
+    * iterative lineage (the connectedComponents discipline). A cell
+    * that loses all members drops out (k shrinks) rather than being
+    * re-seeded — acceptable for codebook training; re-seeding would
+    * need an RNG policy.
+    *
+    * `gridUnits > 0` snaps each round's centroids to the 1/gridUnits
+    * grid (floor(c*g + 0.5)/g per dimension) — the cross-engine /
+    * cross-run REPRODUCIBILITY discipline for iterative training:
+    * double sums are order-dependent at the ulp level, and an
+    * unsnapped round feeds those ulps into the next round's argmin,
+    * so two cluster layouts (or an engine and its oracle, q204) can
+    * drift. Snapping at each round boundary makes the trained
+    * codebook a pure function of the data. 0 keeps raw doubles.
     *
     * Per iteration at 100 TB: one corpus scan + one map-side-combined
     * aggregation; the only cross-node traffic is (cell, sum, count)
     * partials. Returns (cell: Int, ctr: Array[Double]).
     */
   def trainKMeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int, dim: Int): DataFrame = {
+      iters: Int, dim: Int, gridUnits: Long = 0L): DataFrame = {
+    require(gridUnits >= 0L, s"gridUnits must be >= 0, got $gridUnits")
     val centroidUdaf = udaf(new graft.functions.CentroidAggregator(dim))
-    var centroids = df.select(col(idCol).as("_iid"), col(vecCol).as("_iv"))
-      .orderBy(col("_iid")).limit(k)
-      .withColumn("cell",
-        (row_number().over(Window.orderBy(col("_iid"))) - 1).cast("int"))
-      .select(col("cell"), transformArray(col("_iv"), x => x.cast("double")).as("ctr"))
+    def snap(c: DataFrame): DataFrame =
+      if (gridUnits == 0L) c
+      else c.select(col("cell"), transformArray(col("ctr"),
+        v => floor(v * gridUnits + lit(0.5)) / gridUnits).as("ctr"))
+    var centroids = snap(
+      df.select(col(idCol).as("_iid"), col(vecCol).as("_iv"))
+        .orderBy(col("_iid")).limit(k)
+        .agg(array_sort(collect_list(struct(col("_iid"), col("_iv")))).as("_a"))
+        .select(posexplode(col("_a")).as(Seq("cell", "_s")))
+        .select(col("cell").cast("int").as("cell"),
+          transformArray(col("_s").getField("_iv"), x => x.cast("double")).as("ctr")))
       .localCheckpoint()
     for (_ <- 0 until iters) {
-      centroids = assignCells(df, centroids, idCol, vecCol)
-        .groupBy(col("cell")).agg(centroidUdaf(col("_v")).as("ctr"))
+      centroids = snap(
+        assignCells(df, centroids, idCol, vecCol)
+          .groupBy(col("cell")).agg(centroidUdaf(col("_v")).as("ctr")))
         .localCheckpoint()
     }
     centroids

@@ -168,8 +168,9 @@ object VideoKernel {
 
     def probe(payload: Array[Byte]): Option[Meta] =
       parseHeader(payload).map { hd =>
+        // parseHeader already rejects fps <= 0, so the division is safe
         val n = frameOffsets(payload, hd).size.toLong
-        Meta(if (hd.fps > 0) n / hd.fps else 0.0, hd.fps, "y4m", hd.w, hd.h, n)
+        Meta(n / hd.fps, hd.fps, "y4m", hd.w, hd.h, n)
       }
 
     def decodeFramesFor(meta: Meta, payload: Array[Byte], everyK: Int,

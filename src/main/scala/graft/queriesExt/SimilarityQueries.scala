@@ -783,6 +783,74 @@ object SimilarityQueries {
     * A wrong ideal ordering, an unjudged doc scoring non-zero, or a
     * query lost from the judgments side all surface as mismatches.
     */
+  /** Iterative k-means TRAINING under the oracle (round 13) — the
+    * first trained-model loop the DuckDB mirror replays end to end
+    * (the PQ/OPQ queries use fixed anchors; [[Similarity.trainKMeans]]
+    * itself was spec-only). Two determinism disciplines make a lossy
+    * float pipeline exactly reproducible across engines:
+    *  - inputs snap to the 2^-10 grid (exact binary fractions, so
+    *    both engines' per-cell SUMS are exact and order-free — floats
+    *    hold these multiples exactly, and so do double sums of them);
+    *  - `gridUnits = 1e6` snaps each round's centroids, so ulp-level
+    *    sum-order noise cannot feed the next round's argmin (the
+    *    drift channel raw iterative training leaves open).
+    * The oracle unrolls both Lloyd iterations as chained CTEs: argmin
+    * by (quantized dist, cell) — exactly [[Similarity.nearestCentroid]]'s
+    * fold tie-break — then snapped per-cell means. Init = the k
+    * lowest-id vectors (TakeOrdered + one scalar collect_list gather;
+    * no unpartitioned window, per the corpus-wide guard).
+    */
+  private val q204 = Q("q204_kmeans_train", (s, dir) => {
+    val e = Tables.load(s, dir, "embeddings")
+    val q = e.select(col("vec_id"),
+      transform(col("embedding"), x =>
+        (floor(x.cast("double") * 1024 + lit(0.5)) / 1024).cast("float")).as("qv"))
+    Similarity.trainKMeans(q, "vec_id", "qv", k = 8, iters = 2, dim = 64,
+      gridUnits = 1000000L)
+      .select(col("cell"), posexplode(col("ctr")).as(Seq("dim", "centroid")))
+      .select(col("cell"), col("dim").cast("long").as("dim"), col("centroid"))
+      .orderBy(col("cell"), col("dim"))
+  }, Some("""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024 + 0.5) / 1024) AS v
+      FROM embeddings),
+    dims AS (SELECT unnest(range(1, 65)) AS i),
+    seed AS (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT 8),
+    init AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+             list_transform(v, c -> floor(c * 1000000 + 0.5) / 1000000.0) AS ctr
+      FROM seed),
+    c0 AS (SELECT cell, i, ctr[i] AS c FROM init CROSS JOIN dims),
+    d1 AS (
+      SELECT e.vec_id, c0.cell,
+             floor(sum((e.v[c0.i] - c0.c) * (e.v[c0.i] - c0.c)) * 1000000 + 0.5) / 1000000.0 AS dist
+      FROM q e CROSS JOIN c0 GROUP BY 1, 2),
+    a1 AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        FROM d1) WHERE rn = 1),
+    m1 AS (
+      SELECT a.cell, d.i, floor(avg(e.v[d.i]) * 1000000 + 0.5) / 1000000.0 AS c
+      FROM a1 a JOIN q e USING (vec_id) CROSS JOIN dims d
+      GROUP BY a.cell, d.i),
+    d2 AS (
+      SELECT e.vec_id, m1.cell,
+             floor(sum((e.v[m1.i] - m1.c) * (e.v[m1.i] - m1.c)) * 1000000 + 0.5) / 1000000.0 AS dist
+      FROM q e CROSS JOIN m1 GROUP BY 1, 2),
+    a2 AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        FROM d2) WHERE rn = 1),
+    m2 AS (
+      SELECT a.cell, d.i, floor(avg(e.v[d.i]) * 1000000 + 0.5) / 1000000.0 AS c
+      FROM a2 a JOIN q e USING (vec_id) CROSS JOIN dims d
+      GROUP BY a.cell, d.i)
+    SELECT cell, CAST(i - 1 AS BIGINT) AS dim, c AS centroid
+    FROM m2 ORDER BY cell, dim"""))
+
   private val q190 = Q("q190_ndcg_eval", (s, dir) => {
     import graft.operators.RankEval
     import org.apache.spark.sql.expressions.Window
@@ -836,5 +904,5 @@ object SimilarityQueries {
   })
 
   val list: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q62, q69, q73, q91, q92, q97,
-    q103, q116, q117, q131, q139, q140, q145, q190)
+    q103, q116, q117, q131, q139, q140, q145, q190, q204)
 }

@@ -78,6 +78,33 @@ class DedupSpec extends SparkSpec {
     assert(out.size == 11)
   }
 
+  test("connected components: contraction converges on a scrambled 4096-cycle within the round budget") {
+    // the round-13 regression pin: a single cycle whose ids are
+    // SCRAMBLED (so min-labels cannot ride one wavefront) is the
+    // adversarial topology for label propagation — the pre-round-13
+    // pointer-jumping variant was still merging at round 25 on a
+    // 500-node instance of this shape (GraphScaleProbe's affine
+    // warm-up graph), because jumping compresses the LABEL graph
+    // while merges still crossed the ORIGINAL graph one boundary per
+    // round. Contraction merges every region with its smallest
+    // neighbor simultaneously, so 4096 regions must converge in
+    // <= 25 rounds (at-least-halving gives <= 12) — the require
+    // inside the operator IS the assertion.
+    val n = 4096
+    val perm = new scala.util.Random(13).shuffle((0 until n).toVector)
+    val pairs = (0 until n)
+      .map(i => (perm(i).toLong, perm((i + 1) % n).toLong))
+      .toDF("id1", "id2")
+    val out = Dedup.connectedComponents(pairs)
+      .agg(count(lit(1)), countDistinct(col("cluster_rep")),
+        min(col("cluster_rep")), max(col("cluster_size")))
+      .collect().head
+    assert(out.getLong(0) == n.toLong) // every node labeled
+    assert(out.getLong(1) == 1L) // ONE component
+    assert(out.getLong(2) == 0L) // rep = smallest member id
+    assert(out.getLong(3) == n.toLong)
+  }
+
   test("segment dedup drops repeated segments, keeps first occurrence, reassembles in order") {
     // doc 1: segments "a b c" + "d e f"; doc 2 repeats doc 1's first
     // segment then has its own; doc 3 is entirely doc 1's segments

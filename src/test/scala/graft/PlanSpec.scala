@@ -92,6 +92,75 @@ class PlanSpec extends SparkSpec {
       s"corpus-scaling single-partition plans in:\n  ${offenders.mkString("\n  ")}")
   }
 
+  test("allowlisted single-partition frames are MEASURED config-sized at 10x input inflation") {
+    // the allowlist above claims six frames are "config-sized by
+    // contract"; this pins the claim as a measured property: inflate
+    // the tables those queries read 10x (keys shifted so the corpus
+    // genuinely grows) and assert the rows flowing through each
+    // query's SinglePartition exchanges do NOT grow with the input.
+    // part's clones get +i-cent price jitter so they are strictly
+    // DOMINATED: q119's gather is bounded by its OUTPUT (all frontier
+    // ties are real output rows), and the jitter pins that output, so
+    // input-growth would be a plan defect, not a bigger answer.
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val base = java.nio.file.Files.createTempDirectory("graft-inflate10").toString
+    val SHIFT = 1000000000L
+    def inflate(name: String, keys: Seq[String], jitterPrice: Boolean): Unit =
+      (0 until 10).map { i =>
+        val t = Tables.load(spark, sfDir, name)
+        val shifted = keys.foldLeft(t)((d, k) =>
+          d.withColumn(k, col(k) + lit(i * SHIFT)))
+        if (jitterPrice && i > 0)
+          shifted.withColumn("p_retailprice", col("p_retailprice") + lit(i / 100.0))
+        else shifted
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$base/$name.parquet")
+    inflate("documents", Seq("doc_id"), jitterPrice = false)
+    inflate("part", Seq("p_partkey"), jitterPrice = true)
+    inflate("orders", Seq("o_orderkey"), jitterPrice = false)
+    // both keys: 10x distinct users, not 10x duplicate events per user
+    inflate("events", Seq("event_id", "user_id"), jitterPrice = false)
+
+    // rows through every SinglePartition exchange of one run (AQE off
+    // so the static executedPlan carries the exchanges + their metrics)
+    def singlePartRows(name: String, dir: String): Long = {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition =>
+          e.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L)
+      }.sum
+    }
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val measured = Seq("q85_mixing_weights", "q104_temperature_sample",
+        "q119_skyline", "q150_funnel_latency", "q166_psi_drift",
+        "q198_psi_categorical").map { q =>
+        val r1 = singlePartRows(q, sfDir)
+        val r10 = singlePartRows(q, base)
+        (q, r1, r10)
+      }
+      val report = measured.map { case (q, r1, r10) => s"$q: 1x=$r1 10x=$r10" }
+        .mkString("\n  ")
+      info(report)
+      measured.foreach { case (q, r1, r10) =>
+        assert(r1 > 0, s"$q: expected a SinglePartition exchange to measure\n  $report")
+        // config-sized = the gather does not scale with the corpus.
+        // Exact equality holds for the grid/summary frames (identical
+        // attribute distributions); q119 gets boundary slack (a +9c
+        // clone can cross a price-bucket edge and survive the LOCAL
+        // skyline, dying only at the gather)
+        val bound = if (q == "q119_skyline") r1 * 2 else r1
+        assert(r10 <= bound,
+          s"$q: single-partition rows grew with the corpus ($r1 -> $r10)\n  $report")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("q02 predicates are pushed to the parquet scan") {
     val plan = planOf("q02_predicates")
     assert(plan.contains("PushedFilters:") &&

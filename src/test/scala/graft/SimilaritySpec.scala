@@ -397,6 +397,25 @@ class SimilaritySpec extends SparkSpec {
     assert(run() == run(), "identical inputs must train identical centroids")
   }
 
+  test("trainKMeans gridUnits: every centroid lands on the grid and training still converges") {
+    val e = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val snapped = Similarity.trainKMeans(e, "vec_id", "embedding",
+      k = 16, iters = 2, dim = 64, gridUnits = 1000000L)
+    val ctrs = snapped.collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(ctrs.nonEmpty)
+    // snapping contract: every dimension is a fixpoint of the snap
+    // (m/1e6 is not binary-exact, so test idempotence, not c*1e6 ∈ Z)
+    ctrs.values.flatten.foreach { c =>
+      assert(c == math.floor(c * 1e6 + 0.5) / 1e6, s"off-grid centroid value $c")
+    }
+    // snapped training is still training: inertia well below init's
+    val inertia = Similarity.kmeansInertia(e, snapped, "vec_id", "embedding")
+    val init = Similarity.kmeansInertia(e,
+      Similarity.trainKMeans(e, "vec_id", "embedding", 16, 0, 64),
+      "vec_id", "embedding")
+    assert(inertia < init - 100.0, s"snapped training barely moved: $init -> $inertia")
+  }
+
   test("OPQ rotation is orthogonal and cuts quantization error on anisotropic embeddings") {
     // The canonical OPQ regime (Ge et al., CVPR'13): per-dimension
     // variance decays 0.93^d across the 64 dims, so the default
