@@ -77,7 +77,14 @@ object Multimodal {
   private[graft] def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Int])] =
     if (!isImagePayload(payload)) None
     else try {
-      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))).map { img =>
+      // explicit memory-cached stream: ImageIO.read(InputStream) would
+      // consult ImageIO.getUseCache and by default spool every decode
+      // through a TEMP FILE on executor disk — measured dominant in
+      // the per-frame MJPEG path (q203), and pure overhead for
+      // payloads already in memory
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      Option(javax.imageio.ImageIO.read(iis)).map { img =>
         val (w, h) = (img.getWidth, img.getHeight)
         val out = new Array[Int](w * h)
         val raster = img.getRaster
@@ -454,7 +461,10 @@ object Multimodal {
       p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
       p.setCompressionQuality(1.0f)
       val bos = new java.io.ByteArrayOutputStream()
-      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      // memory-cached stream, NOT ImageIO.createImageOutputStream:
+      // the factory consults ImageIO.getUseCache and by default backs
+      // every encode with a temp file on executor disk
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
       w.setOutput(ios)
       w.write(null, new javax.imageio.IIOImage(img, null, null), p)
       ios.close()

@@ -56,7 +56,7 @@ object GraphScaleProbe {
   }
 
   def main(args: Array[String]): Unit = {
-    val modes = if (args.isEmpty) Set("pagerank", "cc", "kcore") else args.toSet
+    val modes = if (args.isEmpty) Set("pagerank", "cc", "kcore", "hub") else args.toSet
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[8]")
@@ -125,6 +125,27 @@ object GraphScaleProbe {
       val n = force(cc)
       val wall = (System.nanoTime() - t0) / 1e9
       println(s"""PROBE {"probe":"cc","factor":$factor,"rows":$n,"wall_sec":${f"$wall%.2f"},"shuffle_mb":${meter.readBytes / (1 << 20)},"shuffle_records":${meter.readRecords}}""")
+    }
+
+    if (modes("hub")) {
+      // out-degree hub: node 0 -> 1..100k plus a background ring, so
+      // one _src partition holds 100k edges. Measures the srcSalt
+      // lever (salt=8 spreads the hub across 8 partitions at the cost
+      // of replicating the ranks side 8x) and pins bit-identity.
+      val n = 100000L
+      val hub = spark.range(1, n + 1).select(lit(0L).as("src"), col("id").as("dst"))
+      val ring = spark.range(1, n + 1).select(col("id").as("src"),
+        (col("id") % n + 1).as("dst"))
+      val edges = hub.union(ring)
+      for (salt <- Seq(1, 8)) {
+        meter.reset()
+        val t0 = System.nanoTime()
+        val pr = Graph.pageRank(edges, "src", "dst", iters = 3, srcSalt = salt)
+        val sum = pr.agg(org.apache.spark.sql.functions.sum(col("rank_u")))
+          .head().getLong(0)
+        val wall = (System.nanoTime() - t0) / 1e9
+        println(s"""PROBE {"probe":"hub","salt":$salt,"edges":${2 * n},"wall_sec":${f"$wall%.2f"},"shuffle_mb":${meter.readBytes / (1 << 20)},"shuffle_records":${meter.readRecords},"rank_sum":$sum}""")
+      }
     }
 
     if (modes("kcore")) {

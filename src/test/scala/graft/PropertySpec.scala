@@ -414,6 +414,35 @@ class PartitionedSinkSpec extends SparkSpec {
       .filter(col("event_type") === "click").count())
   }
 
+  test("IVF cell-partitioned storage: an nprobe read prunes to the probed cells' files") {
+    // substantiates SCALE.md's "at 100 TB the corpus is stored
+    // bucketed by cell so a query reads nprobe/k of the data": the
+    // inverted file IS the storage layout. Write the corpus
+    // partitioned by its nearest-centroid cell, then read two cells
+    // and assert the scan plans PartitionFilters (no full-corpus read)
+    // and touches exactly the probed cells' rows.
+    import graft.functions.CentroidAggregator
+    import graft.operators.Similarity
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-store").toString
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val centroidUdaf = udaf(new CentroidAggregator(64))
+    val centroids = e.groupBy(col("label").cast("int").as("cell"))
+      .agg(centroidUdaf(col("embedding")).as("ctr"))
+    val assigned = Similarity.assignCells(e, centroids, "vec_id", "embedding")
+      .select(col("_id").as("vec_id"), col("_v").as("embedding"), col("cell"))
+    assigned.write.partitionBy("cell").mode("overwrite").parquet(s"$tmp/ivf")
+    val probed = spark.read.parquet(s"$tmp/ivf")
+      .filter(col("cell").isin(0, 1))
+    probed.collect()
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"), plan.take(1500))
+    val want = assigned.filter(col("cell").isin(0, 1)).count()
+    assert(want > 0 && probed.count() == want)
+    // and the pruned scan's input partitions cover ONLY the two cells
+    assert(probed.select(col("cell")).distinct().collect()
+      .map(_.getInt(0)).toSet == Set(0, 1))
+  }
+
   test("schema evolution: appended batches with new columns merge on read") {
     // a long-lived corpus sink gains columns over time (a new quality
     // score, a new provenance field); old files must stay readable and
