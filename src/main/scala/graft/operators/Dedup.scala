@@ -453,8 +453,12 @@ object Dedup {
     * Algorithm: CONTRACTION-based Hash-Min (round 13). Each round
     * (1) computes every region's smallest adjacent region (`groupBy
     * min` over the symmetric region-graph edges), (2) compresses the
-    * resulting merge chains one step (`m := m(m)`, a self-join on the
-    * small mapping frame), (3) relabels nodes through the mapping,
+    * resulting merge chains TO A FIXPOINT (`m := m(m)` doubles the
+    * hop distance per pass — O(log chain) self-joins on the small
+    * mapping frame; one step is not enough: on a monotone-id chain,
+    * the natural shape for sequential doc_ids, a single step shifts
+    * labels by 2 per round and the outer loop degenerates to ~n/2
+    * rounds), (3) relabels nodes through the mapping,
     * and (4) CONTRACTS the edge set onto the surviving regions
     * (self-loops dropped, duplicates merged). Contraction is what the
     * pre-round-13 pointer-jumping variant lacked: jumping compresses
@@ -497,12 +501,13 @@ object Dedup {
       .union(pairs.select(col(idCol2).as("id"))).distinct()
     var labels = nodes.select(col("id"), col("id").as("rep")).localCheckpoint()
     // symmetric region graph; self-loops carry no merge information
-    var e = pairs.select(col(idCol1).as("a"), col(idCol2).as("b"))
-      .union(pairs.select(col(idCol2).as("a"), col(idCol1).as("b")))
-      .filter(col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint()
-    var done = e.isEmpty
+    val (e0, e0Rows) = Graph.ckptMeasuredN(
+      pairs.select(col(idCol1).as("a"), col(idCol2).as("b"))
+        .union(pairs.select(col(idCol2).as("a"), col(idCol1).as("b")))
+        .filter(col("a") =!= col("b"))
+        .distinct())
+    var e = e0
+    var done = e0Rows == 0L
     var round = 0
     while (!done && round < maxIter) {
       // (1) every region's smallest neighbor; keep only shrinking
@@ -510,11 +515,26 @@ object Dedup {
       // yields one, so every region with a neighbor merges this round
       val m = e.groupBy(col("a")).agg(min(col("b")).as("m"))
         .filter(col("m") < col("a"))
-      // (2) one-step chain compression: a -> m -> m(m) where it exists
-      val mj = Graph.ckptMeasured(m.alias("x")
-        .join(m.select(col("a").as("m"), col("m").as("m2")).alias("y"),
-          Seq("m"), "left")
-        .select(col("a").as("_r0"), coalesce(col("m2"), col("m")).as("_r1")))
+      // (2) FULL chain compression to a fixpoint: m := m(m) doubles
+      // the hop distance per pass, so this inner loop is
+      // O(log longest-merge-chain) joins over the (shrinking,
+      // region-count-sized) mapping frame. A single compression step
+      // is NOT enough: on a monotone-id chain (sequential doc_ids —
+      // the natural near-dup shape) m(i) = i-1 and one step shifts
+      // labels by only 2 per round, degenerating the outer loop to
+      // ~n/2 rounds (caught in round-13 self-review; DedupSpec pins
+      // the monotone chain + monotone cycle).
+      var mj = Graph.ckptMeasured(m.select(col("a").as("_r0"), col("m").as("_r1")))
+      var compressing = true
+      while (compressing) {
+        val step = Graph.ckptMeasured(mj.alias("x")
+          .join(mj.select(col("_r0").as("_r1"), col("_r1").as("_r2")).alias("y"),
+            Seq("_r1"), "left")
+          .select(col("_r0"), coalesce(col("_r2"), col("_r1")).as("_r1"),
+            col("_r2").isNotNull.as("_hop")))
+        compressing = !step.filter(col("_hop")).isEmpty
+        mj = step.select(col("_r0"), col("_r1"))
+      }
       // (3) relabel nodes whose region moved
       labels = Graph.ckptMeasured(
         labels.join(mj, labels("rep") === mj("_r0"), "left")
@@ -524,8 +544,10 @@ object Dedup {
         .select(coalesce(col("_r1"), col("a")).as("a"), col("b"))
       val eB = eA.join(mj, eA("b") === mj("_r0"), "left")
         .select(col("a"), coalesce(col("_r1"), col("b")).as("b"))
-      e = Graph.ckptMeasured(eB.filter(col("a") =!= col("b")).distinct())
-      done = e.isEmpty
+      val (e2, eRows) = Graph.ckptMeasuredN(
+        eB.filter(col("a") =!= col("b")).distinct())
+      e = e2
+      done = eRows == 0L
       round += 1
     }
     require(done, s"connectedComponents did not converge in $maxIter rounds " +

@@ -75,15 +75,22 @@ object Graph {
     * against still qualify for broadcast, which a stats-less
     * LogicalRDD (defaultSizeInBytes) never would.
     */
-  private[graft] def ckptMeasured(df: DataFrame): DataFrame = {
+  private[graft] def ckptMeasured(df: DataFrame): DataFrame =
+    ckptMeasuredN(df)._1
+
+  /** [[ckptMeasured]] that also RETURNS the row count it already paid
+    * for — loop drivers (connectedComponents' convergence probe) use
+    * it to decide termination without a second action over the frame.
+    */
+  private[graft] def ckptMeasuredN(df: DataFrame): (DataFrame, Long) = {
     // LAZY checkpoint + count = ONE driver job that both materializes
     // the cache and measures the row count (an eager checkpoint would
     // pay a materialization job AND a count job per call)
     val ck = df.localCheckpoint(eager = false)
     val n = ck.count()
     val rowBytes = ck.schema.map(_.dataType.defaultSize).sum + 8
-    org.apache.spark.sql.graft.shims.withMeasuredStats(
-      ck, BigInt(n) * rowBytes, BigInt(n))
+    (org.apache.spark.sql.graft.shims.withMeasuredStats(
+      ck, BigInt(n) * rowBytes, BigInt(n)), n)
   }
 
   /** Fixed-iteration PageRank over an edge list (src -> dst), damping

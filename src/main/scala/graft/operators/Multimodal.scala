@@ -88,12 +88,18 @@ object Multimodal {
         val (w, h) = (img.getWidth, img.getHeight)
         val out = new Array[Int](w * h)
         val raster = img.getRaster
-        if (raster.getNumBands == 1 && img.getColorModel.getPixelSize == 8) {
-          // single-band 8-bit (grayscale JPEG/PNG): the sample IS the
-          // luminance — read it raw. getRGB would route linear gray
-          // through the sRGB color model and gamma-shift every value
-          // (10 -> 56), silently breaking codecs that round-trip
-          // exactly (quality-1.0 block-constant MJPEG, q203)
+        if (raster.getNumBands == 1 && img.getColorModel.getPixelSize == 8 &&
+            !img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel] &&
+            img.getColorModel.getColorSpace.getType == java.awt.color.ColorSpace.TYPE_GRAY) {
+          // single-band 8-bit GRAYSCALE (gray JPEG/PNG): the sample IS
+          // the luminance — read it raw. getRGB would route linear
+          // gray through the sRGB color model and gamma-shift every
+          // value (10 -> 56), silently breaking codecs that round-trip
+          // exactly (quality-1.0 block-constant MJPEG, q203). The
+          // IndexColorModel + TYPE_GRAY guards matter: palette images
+          // (GIF, indexed PNG/BMP) are ALSO single-band 8-bit, but
+          // their sample is a palette INDEX, not a color — they must
+          // take the getRGB path (round-13 self-review)
           var y = 0
           while (y < h) {
             var x = 0

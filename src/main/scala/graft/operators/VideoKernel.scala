@@ -265,7 +265,11 @@ object VideoKernel {
       val usPerFrame = u32(p, avih.toInt)
       val w = u32(p, avih.toInt + 32)
       val h = u32(p, avih.toInt + 36)
-      if (usPerFrame <= 0 || w <= 0 || h <= 0 || w * h > maxPixels) return None
+      // bound each side BEFORE multiplying: w and h are u32 values up
+      // to 2^32-1, so a crafted header's w*h can overflow Long (wraps
+      // negative and slips past a product-only check)
+      if (usPerFrame <= 0 || w <= 0 || h <= 0 ||
+        w > maxPixels || h > maxPixels || w * h > maxPixels) return None
       Some(Header(w.toInt, h.toInt, 1e6 / usPerFrame,
         moviStart.toInt, moviEnd.toInt))
     }
@@ -479,7 +483,7 @@ object VideoKernel {
     case Some("mjpegavi") => MjpegAvi
     case Some("ffmpeg") => new Ffmpeg()
     case Some(other) => throw new IllegalArgumentException(
-      s"graft.video.kernel='$other' — expected 'stub', 'y4m' or 'ffmpeg'")
+      s"graft.video.kernel='$other' — expected 'stub', 'y4m', 'mjpegavi' or 'ffmpeg'")
     case None => if (ffmpegAvailable) new Ffmpeg() else Stub
   }
 }

@@ -783,6 +783,58 @@ object SimilarityQueries {
     * A wrong ideal ordering, an unjudged doc scoring non-zero, or a
     * query lost from the judgments side all surface as mismatches.
     */
+  private val q190 = Q("q190_ndcg_eval", (s, dir) => {
+    import graft.operators.RankEval
+    import org.apache.spark.sql.expressions.Window
+    val orders = Tables.load(s, dir, "orders")
+    val wq = Window.partitionBy(col("q"))
+      .orderBy(col("o_totalprice").desc, col("doc"))
+    val ranked = orders
+      .select((col("o_custkey") % 50).as("q"), col("o_orderkey").as("doc"),
+        col("o_totalprice"))
+      .withColumn("rnk", row_number().over(wq))
+      .drop("o_totalprice")
+    val judged = orders.where(col("o_orderkey") % 3 === 0)
+      .select((col("o_custkey") % 50).as("q"), col("o_orderkey").as("doc"),
+        expr("(o_orderkey div 3) % 4").as("rel"))
+    RankEval.ndcgAtK(ranked, judged, "q", "doc", "rnk", "rel", k = 10)
+      .orderBy(col("q"))
+  }, Some {
+    val discVals = graft.operators.RankEval.discountMicros(10)
+      .map { case (r, m) => s"($r, $m)" }.mkString(", ")
+    s"""
+    WITH rk AS (
+      SELECT o_custkey % 50 AS q, o_orderkey AS doc,
+             row_number() OVER (PARTITION BY o_custkey % 50
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders),
+    jd AS (
+      SELECT o_custkey % 50 AS q, o_orderkey AS doc,
+             (o_orderkey // 3) % 4 AS rel
+      FROM orders WHERE o_orderkey % 3 = 0),
+    disc(rnk, lmic) AS (VALUES $discVals),
+    dc AS (
+      SELECT rk.q,
+             CAST(SUM((COALESCE(jd.rel, 0) * 1000000000000) // d.lmic) AS BIGINT) AS dcg_unit
+      FROM rk JOIN disc d ON d.rnk = rk.rnk
+      LEFT JOIN jd ON jd.q = rk.q AND jd.doc = rk.doc
+      WHERE rk.rnk <= 10 GROUP BY rk.q),
+    id0 AS (
+      SELECT q, rel,
+             row_number() OVER (PARTITION BY q ORDER BY rel DESC, doc) AS irank
+      FROM jd),
+    ic AS (
+      SELECT q, CAST(SUM((rel * 1000000000000) // d.lmic) AS BIGINT) AS idcg_unit
+      FROM id0 JOIN disc d ON d.rnk = id0.irank
+      WHERE irank <= 10 GROUP BY q)
+    SELECT ic.q AS q, COALESCE(dc.dcg_unit, 0) AS dcg_unit, ic.idcg_unit,
+           CASE WHEN ic.idcg_unit > 0
+                THEN CAST((COALESCE(dc.dcg_unit, 0) * 1000000) // ic.idcg_unit AS BIGINT)
+           END AS ndcg_micro
+    FROM ic LEFT JOIN dc ON dc.q = ic.q
+    ORDER BY q"""
+  })
+
   /** Iterative k-means TRAINING under the oracle (round 13) — the
     * first trained-model loop the DuckDB mirror replays end to end
     * (the PQ/OPQ queries use fixed anchors; [[Similarity.trainKMeans]]
@@ -850,58 +902,6 @@ object SimilarityQueries {
       GROUP BY a.cell, d.i)
     SELECT cell, CAST(i - 1 AS BIGINT) AS dim, c AS centroid
     FROM m2 ORDER BY cell, dim"""))
-
-  private val q190 = Q("q190_ndcg_eval", (s, dir) => {
-    import graft.operators.RankEval
-    import org.apache.spark.sql.expressions.Window
-    val orders = Tables.load(s, dir, "orders")
-    val wq = Window.partitionBy(col("q"))
-      .orderBy(col("o_totalprice").desc, col("doc"))
-    val ranked = orders
-      .select((col("o_custkey") % 50).as("q"), col("o_orderkey").as("doc"),
-        col("o_totalprice"))
-      .withColumn("rnk", row_number().over(wq))
-      .drop("o_totalprice")
-    val judged = orders.where(col("o_orderkey") % 3 === 0)
-      .select((col("o_custkey") % 50).as("q"), col("o_orderkey").as("doc"),
-        expr("(o_orderkey div 3) % 4").as("rel"))
-    RankEval.ndcgAtK(ranked, judged, "q", "doc", "rnk", "rel", k = 10)
-      .orderBy(col("q"))
-  }, Some {
-    val discVals = graft.operators.RankEval.discountMicros(10)
-      .map { case (r, m) => s"($r, $m)" }.mkString(", ")
-    s"""
-    WITH rk AS (
-      SELECT o_custkey % 50 AS q, o_orderkey AS doc,
-             row_number() OVER (PARTITION BY o_custkey % 50
-                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
-      FROM orders),
-    jd AS (
-      SELECT o_custkey % 50 AS q, o_orderkey AS doc,
-             (o_orderkey // 3) % 4 AS rel
-      FROM orders WHERE o_orderkey % 3 = 0),
-    disc(rnk, lmic) AS (VALUES $discVals),
-    dc AS (
-      SELECT rk.q,
-             CAST(SUM((COALESCE(jd.rel, 0) * 1000000000000) // d.lmic) AS BIGINT) AS dcg_unit
-      FROM rk JOIN disc d ON d.rnk = rk.rnk
-      LEFT JOIN jd ON jd.q = rk.q AND jd.doc = rk.doc
-      WHERE rk.rnk <= 10 GROUP BY rk.q),
-    id0 AS (
-      SELECT q, rel,
-             row_number() OVER (PARTITION BY q ORDER BY rel DESC, doc) AS irank
-      FROM jd),
-    ic AS (
-      SELECT q, CAST(SUM((rel * 1000000000000) // d.lmic) AS BIGINT) AS idcg_unit
-      FROM id0 JOIN disc d ON d.rnk = id0.irank
-      WHERE irank <= 10 GROUP BY q)
-    SELECT ic.q AS q, COALESCE(dc.dcg_unit, 0) AS dcg_unit, ic.idcg_unit,
-           CASE WHEN ic.idcg_unit > 0
-                THEN CAST((COALESCE(dc.dcg_unit, 0) * 1000000) // ic.idcg_unit AS BIGINT)
-           END AS ndcg_micro
-    FROM ic LEFT JOIN dc ON dc.q = ic.q
-    ORDER BY q"""
-  })
 
   val list: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q62, q69, q73, q91, q92, q97,
     q103, q116, q117, q131, q139, q140, q145, q190, q204)

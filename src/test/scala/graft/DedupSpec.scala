@@ -105,6 +105,26 @@ class DedupSpec extends SparkSpec {
     assert(out.getLong(3) == n.toLong)
   }
 
+  test("connected components: monotone-id chains and cycles converge (full chain compression)") {
+    // round-13 self-review regression: sequential doc_ids produce
+    // MONOTONE merge chains (m(i) = i-1 for every region), where a
+    // single m := m(m) compression step shifts labels by only 2 per
+    // round — a 200-node ascending chain would need ~100 rounds and
+    // crash the maxIter=25 require. Full per-round compression (jump
+    // to fixpoint) collapses any monotone chain in ONE outer round.
+    val chain = (1L until 200L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val c = Dedup.connectedComponents(chain)
+      .agg(count(lit(1)), countDistinct(col("cluster_rep")), min(col("cluster_rep")))
+      .collect().head
+    assert(c.getLong(0) == 200L && c.getLong(1) == 1L && c.getLong(2) == 1L)
+    // monotone cycle: the same shape closed into a ring
+    val cyc = (0L until 512L).map(i => (i, (i + 1) % 512L)).toDF("id1", "id2")
+    val y = Dedup.connectedComponents(cyc)
+      .agg(count(lit(1)), countDistinct(col("cluster_rep")), min(col("cluster_rep")))
+      .collect().head
+    assert(y.getLong(0) == 512L && y.getLong(1) == 1L && y.getLong(2) == 0L)
+  }
+
   test("segment dedup drops repeated segments, keeps first occurrence, reassembles in order") {
     // doc 1: segments "a b c" + "d e f"; doc 2 repeats doc 1's first
     // segment then has its own; doc 3 is entirely doc 1's segments

@@ -328,6 +328,31 @@ class MultimodalSpec extends SparkSpec {
     assert(p.length == 28 + n * (6 + 4))
   }
 
+  test("decodeImage: palette-indexed images take the color path, not the raw-sample fast path") {
+    // round-13 self-review regression: GIF / indexed PNG are ALSO
+    // single-band 8-bit, but the sample is a palette INDEX — reading
+    // it raw would hash an all-white GIF as luma 0 (index 0). The
+    // gray fast path must require a non-indexed TYPE_GRAY color model.
+    import java.awt.image.{BufferedImage, IndexColorModel}
+    val r = new Array[Byte](256); val g = new Array[Byte](256); val b = new Array[Byte](256)
+    r(0) = 255.toByte; g(0) = 255.toByte; b(0) = 255.toByte // index 0 = white
+    val cm = new IndexColorModel(8, 256, r, g, b)
+    val img = new BufferedImage(8, 8, BufferedImage.TYPE_BYTE_INDEXED, cm)
+    // all pixels stay at index 0 (white)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", bos))
+    val (w, h, px) = Multimodal.decodeImage(bos.toByteArray).get
+    assert(w == 8 && h == 8)
+    assert(px.forall(_ == 255), s"white palette GIF must decode to luma 255, got ${px.take(4).toSeq}")
+    // and a genuine grayscale PNG still reads raw samples exactly
+    val gray = new BufferedImage(4, 4, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 4; x <- 0 until 4) gray.getRaster.setSample(x, y, 0, 10)
+    val bos2 = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(gray, "png", bos2))
+    val (_, _, px2) = Multimodal.decodeImage(bos2.toByteArray).get
+    assert(px2.forall(_ == 10), s"gray PNG must decode raw (no sRGB gamma), got ${px2.take(4).toSeq}")
+  }
+
   // --- VideoKernel.MjpegAvi: real container walk + real JPEG codec ------
 
   test("VideoKernel.MjpegAvi: hand-built container probes and JPEG-decodes frame-exact") {
@@ -378,6 +403,10 @@ class MultimodalSpec extends SparkSpec {
     assert(k.probe(patched(32, 0L)).isEmpty, "zero width")
     assert(k.probe(patched(32, 99999999L)).isEmpty, "absurd dimensions (w*h > 64 MPx)")
     assert(k.probe(patched(36, 0xFFFFFFFFL)).isEmpty, "u32-max height")
+    // u32-max on BOTH sides: w*h wraps Long negative — a product-only
+    // check would pass it (round-13 self-review)
+    val wh = { val c = patched(32, 0xFFFFFFFFL); for (i <- 0 until 4) c(32 + 36 + i) = 0xFF.toByte; c }
+    assert(k.probe(wh).isEmpty, "u32-max width x height (Long overflow)")
     // truncation drops the trailing frame; whole chunks survive
     val truncated = java.util.Arrays.copyOfRange(good, 0, good.length - 10)
     assert(k.probe(truncated).get.nFrames == 1L)
