@@ -517,22 +517,32 @@ object Dedup {
         .filter(col("m") < col("a"))
       // (2) FULL chain compression to a fixpoint: m := m(m) doubles
       // the hop distance per pass, so this inner loop is
-      // O(log longest-merge-chain) joins over the (shrinking,
+      // O(log longest-merge-chain) joins over the (round-shrinking,
       // region-count-sized) mapping frame. A single compression step
       // is NOT enough: on a monotone-id chain (sequential doc_ids —
       // the natural near-dup shape) m(i) = i-1 and one step shifts
       // labels by only 2 per round, degenerating the outer loop to
       // ~n/2 rounds (caught in round-13 self-review; DedupSpec pins
-      // the monotone chain + monotone cycle).
-      var mj = Graph.ckptMeasured(m.select(col("a").as("_r0"), col("m").as("_r1")))
-      var compressing = true
+      // the monotone chain + monotone cycle). Each pass is ONE job:
+      // the mapping's key set never changes across passes, so its row
+      // count is known up front (ckptKnownStats needs no count job)
+      // and the hop-count probe doubles as the materializing action.
+      // Superseded pass frames drop their last reference on
+      // reassignment; localCheckpoint blocks live OUTSIDE
+      // CacheManager, so the ContextCleaner reclaims them on GC
+      // (unlike Dataset.persist entries, which pin until unpersist).
+      val (mj0, mjRows) = Graph.ckptMeasuredN(
+        m.select(col("a").as("_r0"), col("m").as("_r1")))
+      var mj = mj0
+      var compressing = mjRows > 0L
       while (compressing) {
-        val step = Graph.ckptMeasured(mj.alias("x")
+        val step = Graph.ckptKnownStats(mj.alias("x")
           .join(mj.select(col("_r0").as("_r1"), col("_r1").as("_r2")).alias("y"),
             Seq("_r1"), "left")
           .select(col("_r0"), coalesce(col("_r2"), col("_r1")).as("_r1"),
-            col("_r2").isNotNull.as("_hop")))
-        compressing = !step.filter(col("_hop")).isEmpty
+            col("_r2").isNotNull.as("_hop")), mjRows)
+        // one job: materializes the checkpoint AND counts hops
+        compressing = step.filter(col("_hop")).count() > 0L
         mj = step.select(col("_r0"), col("_r1"))
       }
       // (3) relabel nodes whose region moved

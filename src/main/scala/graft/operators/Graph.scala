@@ -88,9 +88,22 @@ object Graph {
     // pay a materialization job AND a count job per call)
     val ck = df.localCheckpoint(eager = false)
     val n = ck.count()
+    (withKnownStats(ck, n), n)
+  }
+
+  /** [[ckptMeasured]] when the caller already KNOWS the row count (an
+    * invariant of its loop, e.g. a mapping frame whose keys never
+    * change across compression passes): lazy checkpoint + measured
+    * stats with NO count job — the caller's own next action over the
+    * returned frame materializes the blocks.
+    */
+  private[graft] def ckptKnownStats(df: DataFrame, n: Long): DataFrame =
+    withKnownStats(df.localCheckpoint(eager = false), n)
+
+  private def withKnownStats(ck: DataFrame, n: Long): DataFrame = {
     val rowBytes = ck.schema.map(_.dataType.defaultSize).sum + 8
-    (org.apache.spark.sql.graft.shims.withMeasuredStats(
-      ck, BigInt(n) * rowBytes, BigInt(n)), n)
+    org.apache.spark.sql.graft.shims.withMeasuredStats(
+      ck, BigInt(n) * rowBytes, BigInt(n))
   }
 
   /** Fixed-iteration PageRank over an edge list (src -> dst), damping

@@ -89,16 +89,16 @@ object Multimodal {
         val out = new Array[Int](w * h)
         val raster = img.getRaster
         if (raster.getNumBands == 1 && img.getColorModel.getPixelSize == 8 &&
-            !img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel] &&
             img.getColorModel.getColorSpace.getType == java.awt.color.ColorSpace.TYPE_GRAY) {
           // single-band 8-bit GRAYSCALE (gray JPEG/PNG): the sample IS
           // the luminance — read it raw. getRGB would route linear
           // gray through the sRGB color model and gamma-shift every
           // value (10 -> 56), silently breaking codecs that round-trip
           // exactly (quality-1.0 block-constant MJPEG, q203). The
-          // IndexColorModel + TYPE_GRAY guards matter: palette images
-          // (GIF, indexed PNG/BMP) are ALSO single-band 8-bit, but
-          // their sample is a palette INDEX, not a color — they must
+          // TYPE_GRAY colorspace guard matters: palette images (GIF,
+          // indexed PNG/BMP) are ALSO single-band 8-bit but their
+          // sample is a palette INDEX, not a color — IndexColorModel
+          // hardcodes an sRGB colorspace, so they fail this test and
           // take the getRGB path (round-13 self-review)
           var y = 0
           while (y < h) {
@@ -121,7 +121,15 @@ object Multimodal {
         }
         (w, h, out)
       }
-    } catch { case _: java.io.IOException => None } // truncated/corrupt container
+    } catch {
+      // NonFatal, not just IOException: JDK readers throw RUNTIME
+      // exceptions on malformed payloads (GIFImageReader
+      // IndexOutOfBounds on a bad LZW table, BMP IllegalArgument on
+      // bogus header fields) — the row-fails-never-task contract
+      // means ANY per-payload decode failure falls back, it never
+      // kills the task (round-13 self-review)
+      case scala.util.control.NonFatal(_) => None
+    }
 
   /** Decoded value buffer: real luminance pixels for image payloads,
     * the deterministic byte-identity fallback for everything else
@@ -174,8 +182,10 @@ object Multimodal {
       }
       Some((fmt.getSampleRate, out))
     } catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException => None
-      case _: java.io.IOException => None
+      // NonFatal for the same reason as decodeImage: a corrupt RIFF
+      // body can drive the JDK WAV parser into runtime exceptions,
+      // and the contract is the ROW fails, never the task
+      case scala.util.control.NonFatal(_) => None
     }
 
   case class AudioRecord(media_id: Long, payload: Array[Byte])

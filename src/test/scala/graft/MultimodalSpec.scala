@@ -328,6 +328,29 @@ class MultimodalSpec extends SparkSpec {
     assert(p.length == 28 + n * (6 + 4))
   }
 
+  test("decodeImage/decodeAudioPcm: malformed payloads with valid magic fail the ROW, never throw") {
+    // round-13 self-review: JDK readers throw RUNTIME exceptions (not
+    // just IOException) on malformed bodies — GIFImageReader can
+    // IndexOutOfBounds on a bad LZW table. A payload passing the
+    // magic sniff but with a garbage body must decode as None (the
+    // stub fallback path), never escape as a task-killing exception.
+    val rnd = new scala.util.Random(99)
+    for (magic <- Seq(
+        Array[Byte](0x89.toByte, 'P', 'N', 'G'),
+        Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte),
+        "GIF89a".getBytes("US-ASCII"),
+        "BM".getBytes("US-ASCII"))) {
+      val junk = new Array[Byte](256); rnd.nextBytes(junk)
+      val p = magic ++ junk
+      assert(Multimodal.decodeImage(p).isEmpty, s"magic ${magic.toSeq} must fail its row")
+      assert(Multimodal.decodeValues(p).nonEmpty) // stub fallback engages
+    }
+    val wavJunk = ("RIFF1234WAVE".getBytes("ISO-8859-1")) ++ {
+      val j = new Array[Byte](128); rnd.nextBytes(j); j
+    }
+    assert(Multimodal.decodeAudioPcm(wavJunk).isEmpty, "corrupt WAV must fail its row")
+  }
+
   test("decodeImage: palette-indexed images take the color path, not the raw-sample fast path") {
     // round-13 self-review regression: GIF / indexed PNG are ALSO
     // single-band 8-bit, but the sample is a palette INDEX — reading
