@@ -107,6 +107,58 @@ object CorpusOps {
     assignSplit(keyed, col("split_key"), splits, buckets)
   }
 
+  /** END-TO-END curation disposition (round 13): the canonical
+    * training-data flow — quality gate -> exact dedup -> near-dup
+    * cluster-safe split — composed as ONE declarative plan, so every
+    * doc gets exactly one disposition:
+    *
+    *  - `low_quality`: q52's composite quality < `qualityMin`
+    *    (evaluated NARROW in the scan projection via
+    *    [[TextAnalysis.qualityColumn]] — no self-join);
+    *  - `exact_dup`: among quality-passing docs, not the minimum
+    *    doc_id of its exact-text md5 group (one hash-partitioned
+    *    window — the same one-shuffle shape as segment dedup; the
+    *    keeper itself stays in the pipeline);
+    *  - `kept`: everything else, with the near-dup CLUSTER-SAFE
+    *    train/val/test split attached ([[clusterSafeSplit]] over the
+    *    caller's candidate `pairs` — computed on the FULL corpus so
+    *    the near-dup relation is independent of the upstream gates,
+    *    and twins of a dropped doc still share a split key).
+    *
+    * Stage order is the standard one (cheap narrow gates prune the
+    * corpus BEFORE the shuffling stages see it), and every rule is on
+    * the deterministic grid, so a DuckDB oracle replays the whole
+    * pipeline end to end (q205).
+    *
+    * Output: (doc_id, quality, disposition, cluster_rep, split) —
+    * cluster_rep/split null unless kept.
+    */
+  def curationPipeline(docs: DataFrame, qualityMin: Double, pairs: DataFrame,
+      splits: Seq[(String, Double)], buckets: Int = 1000): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"),
+      TextAnalysis.qualityColumn("text").as("quality"))
+    val lowQ = base.filter(col("quality") < qualityMin)
+      .select(col("doc_id"), col("quality"),
+        lit("low_quality").as("disposition"),
+        lit(null).cast("long").as("cluster_rep"),
+        lit(null).cast("string").as("split"))
+    val tagged = base.filter(col("quality") >= qualityMin)
+      .withColumn("_keeper",
+        min(col("doc_id")).over(Window.partitionBy(md5(encode(col("text"), "UTF-8")))))
+    val exactDup = tagged.filter(col("doc_id") =!= col("_keeper"))
+      .select(col("doc_id"), col("quality"),
+        lit("exact_dup").as("disposition"),
+        lit(null).cast("long").as("cluster_rep"),
+        lit(null).cast("string").as("split"))
+    val kept = clusterSafeSplit(
+      tagged.filter(col("doc_id") === col("_keeper"))
+        .select(col("doc_id"), col("quality")),
+      "doc_id", pairs, splits, buckets)
+      .select(col("doc_id"), col("quality"), lit("kept").as("disposition"),
+        col("cluster_rep"), col("split"))
+    lowQ.unionByName(exactDup).unionByName(kept)
+  }
+
   /** Temperature-based corpus re-sampling with true UP-sampling — the
     * "epochs per source" step that applies [[Curation.mixingWeights]]'
     * sqrt-temperature weights to the corpus. A stratum with

@@ -411,9 +411,10 @@ object Graph {
     * unrolls iterations with a CASE on the seed set (q149).
     */
   def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      seeds: Seq[Long], iters: Int): DataFrame = {
+      seeds: Seq[Long], iters: Int, srcSalt: Int = 1): DataFrame = {
     require(seeds.nonEmpty && iters >= 1,
       s"need seeds and iters >= 1; got (${seeds.size}, $iters)")
+    require(srcSalt >= 1, s"need srcSalt >= 1, got $srcSalt")
     // same build-lineage persist as [[pageRank]]
     val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
       .filter(col("_src") =!= col("_dst")).distinct()
@@ -426,8 +427,13 @@ object Graph {
     val initU = RANK_SCALE / seeds.length
     val teleportU = (RANK_SCALE * 15L / 100L) / seeds.length
     // same hoisted-invariant shape as [[pageRank]] — see there
-    val ej = e.join(outdeg, "_src")
-      .repartition(col("_src"))
+    // (including the srcSalt out-degree-hub lever: a seed-adjacent
+    // hub concentrates PPR mass flow exactly like the global walk)
+    val ejBase = e.join(outdeg, "_src")
+    val ej = (if (srcSalt == 1) ejBase.repartition(col("_src"))
+      else ejBase
+        .withColumn("_salt", pmod(xxhash64(col("_dst")), lit(srcSalt.toLong)))
+        .repartition(col("_src"), col("_salt")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodesT = nodes
       .select(col("node"),
@@ -438,7 +444,8 @@ object Graph {
     var ranks = nodesT.select(col("node"), col("_init").as("rank_u"))
     // same lazy-then-eager checkpoint cadence as [[pageRank]]
     for (i <- 0 until iters)
-      ranks = prStep(ej, nodesT, ranks).localCheckpoint(eager = ckptEager(i, iters))
+      ranks = prStep(ej, nodesT, ranks, srcSalt)
+        .localCheckpoint(eager = ckptEager(i, iters))
     e.unpersist()
     ej.unpersist()
     nodesT.unpersist()

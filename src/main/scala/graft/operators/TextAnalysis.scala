@@ -71,8 +71,28 @@ object TextAnalysis {
     * composite score in [0,1]. Quantized (1e-6) for reproducibility.
     */
   def qualityScore(df: DataFrame, textCol: String): DataFrame = {
-    val toks = tokens(textCol)
     val q6 = graft.functions.quantize.q6 _
+    val (nToks, avgTokLen, stopRatio, digitRatio, composite) = qualityParts(textCol)
+    df.select(col("doc_id"),
+      nToks.as("n_tokens"),
+      q6(avgTokLen).as("avg_token_len"),
+      q6(stopRatio).as("stopword_ratio"),
+      q6(digitRatio).as("digit_ratio"),
+      q6(composite).as("quality"))
+  }
+
+  /** The q52 quality composite alone, as a reusable narrow COLUMN —
+    * pipeline callers ([[CorpusOps.curationPipeline]]) evaluate it in
+    * their own projection instead of self-joining the corpus against
+    * [[qualityScore]]'s output (which would re-scan and re-shuffle
+    * the corpus just to attach one derived column).
+    */
+  def qualityColumn(textCol: String): Column =
+    graft.functions.quantize.q6(qualityParts(textCol)._5)
+
+  private def qualityParts(textCol: String):
+      (Column, Column, Column, Column, Column) = {
+    val toks = tokens(textCol)
     val nToks = size(toks).cast("long")
     val avgTokLen = aggregate(transformArray(toks, t => length(t).cast("long")),
       lit(0L), (a, x) => a + x).cast("double") / nToks
@@ -82,12 +102,7 @@ object TextAnalysis {
     val lenScore = least(nToks.cast("double") / lit(100.0), lit(1.0))
     val composite = lenScore * (lit(1.0) - digitRatio) *
       least(avgTokLen / lit(8.0), lit(1.0))
-    df.select(col("doc_id"),
-      nToks.as("n_tokens"),
-      q6(avgTokLen).as("avg_token_len"),
-      q6(stopRatio).as("stopword_ratio"),
-      q6(digitRatio).as("digit_ratio"),
-      q6(composite).as("quality"))
+    (nToks, avgTokLen, stopRatio, digitRatio, composite)
   }
 
   /** Token counting: whitespace tokens, regex word-run tokens (a

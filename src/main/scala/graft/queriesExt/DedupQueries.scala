@@ -505,6 +505,67 @@ object DedupQueries {
              // CAST(count(*) AS BIGINT) AS recall_permille
     FROM ex LEFT JOIN cands c ON c.id1 = ex.id_a AND c.id2 = ex.id_b"""))
 
+  /** END-TO-END curation pipeline under the oracle (round 13): the
+    * canonical quality-gate -> exact-dedup -> cluster-safe-split flow
+    * as ONE query ([[graft.operators.CorpusOps.curationPipeline]]),
+    * every doc landing exactly one disposition. The oracle chains the
+    * fragments the stages already proved individually — q52's quality
+    * arithmetic, q40's md5 exact groups (as a window), q202's
+    * recursive-CTE components + md5-bucket split — which is the
+    * point: operator INTEROP stays on the deterministic grid when the
+    * whole pipeline runs as one plan.
+    */
+  private val q205 = Q("q205_curation_pipeline", (s, dir) => {
+    val pairs = Dedup
+      .minhashNearDupsPrepared(shingled(s, dir, "word3"), "doc_id", 0.5)
+      .select(col("id1"), col("id2"))
+    graft.operators.CorpusOps.curationPipeline(
+        Tables.load(s, dir, "documents"),
+        qualityMin = 0.25, pairs,
+        splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .orderBy(col("doc_id"))
+  }, Some(s"""
+    ${sigsCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, ${lshCtesSql(0.5)},
+    undirected AS (
+      SELECT id1 AS s, id2 AS d FROM pairs
+      UNION ALL SELECT id2, id1 FROM pairs),
+    cnodes AS (SELECT DISTINCT s AS id FROM undirected),
+    reach AS (
+      SELECT id, id AS r FROM cnodes
+      UNION
+      SELECT u.s AS id, reach.r FROM undirected u JOIN reach ON reach.id = u.d),
+    comp AS (SELECT id AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY id),
+    t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+    scored AS (
+      SELECT doc_id, text,
+             floor(least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+               * (1.0 - CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / len(text))
+               * least((CAST(list_reduce(list_concat([0], list_transform(toks, x -> len(x))), (a, b) -> a + b) AS DOUBLE) / len(toks)) / 8.0, 1.0)
+               * 1000000 + 0.5) / 1000000.0 AS quality
+      FROM t),
+    tagged AS (
+      SELECT doc_id, quality,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+      FROM scored WHERE quality >= 0.25),
+    kept AS (
+      SELECT g.doc_id, g.quality, comp.cluster_rep,
+             CAST(concat('0x', substr(md5(CAST(coalesce(comp.cluster_rep, g.doc_id) AS VARCHAR)), 1, 12)) AS BIGINT) % 1000 AS bucket
+      FROM tagged g LEFT JOIN comp ON comp.doc_id = g.doc_id
+      WHERE g.doc_id = g.keeper)
+    SELECT doc_id, quality, 'low_quality' AS disposition,
+           CAST(NULL AS BIGINT) AS cluster_rep, CAST(NULL AS VARCHAR) AS split
+    FROM scored WHERE quality < 0.25
+    UNION ALL
+    SELECT doc_id, quality, 'exact_dup', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+    FROM tagged WHERE doc_id <> keeper
+    UNION ALL
+    SELECT doc_id, quality, 'kept', cluster_rep,
+           CASE WHEN bucket < 800 THEN 'train'
+                WHEN bucket < 900 THEN 'val'
+                ELSE 'test' END
+    FROM kept
+    ORDER BY doc_id"""))
+
   val list: Seq[Q] = Seq(q40, q41, q42, q43, q44, q75, q77, q87, q94, q95, q130,
-    q177, q184, q202)
+    q177, q184, q202, q205)
 }

@@ -219,6 +219,33 @@ class CorpusOpsSpec extends SparkSpec {
       s"only strictly-positive-weight rows may be sampled: $got")
   }
 
+  test("curationPipeline: one disposition per doc — quality gate, exact keeper, cluster-safe split") {
+    import spark.implicits._
+    val longText = (1 to 120).map(i => s"word$i").mkString(" ") // quality 1.0
+    val docs = Seq(
+      (1L, longText),           // kept (exact keeper of {1, 4})
+      (2L, longText + " tail"), // kept, near-dup of 1 (via pairs arg)
+      (3L, "1 2 3"),            // low quality: short + all digits
+      (4L, longText),           // exact dup of 1 (larger id loses)
+      (5L, "another " + (1 to 120).map(i => s"tok$i").mkString(" ")) // kept singleton
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id1", "id2")
+    val got = CorpusOps.curationPipeline(docs, qualityMin = 0.25, pairs,
+        splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(2), if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getString(4)))))
+      .toMap
+    assert(got.size == 5, s"every doc gets exactly one disposition: $got")
+    assert(got(3L)._1 == "low_quality" && got(3L)._2.isEmpty && got(3L)._3.isEmpty)
+    assert(got(4L)._1 == "exact_dup", s"doc 4 duplicates doc 1: ${got(4L)}")
+    assert(got(1L)._1 == "kept" && got(2L)._1 == "kept" && got(5L)._1 == "kept")
+    // near-dup twins 1 and 2 share the cluster key, hence the split
+    assert(got(1L)._2 == Some(1L) && got(2L)._2 == Some(1L))
+    assert(got(1L)._3 == got(2L)._3, "near-dup twins must not straddle the boundary")
+    assert(got(5L)._2.isEmpty && got(5L)._3.nonEmpty) // singleton: own bucket
+  }
+
   test("clusterSafeSplit: cluster members share a split (incl. transitive), singletons keep plain buckets") {
     import spark.implicits._
     val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")

@@ -100,6 +100,16 @@ class GraphSpec extends SparkSpec {
         "src", "dst", seeds = Seq(1L, 3L), iters = 1)
       .as[(Long, Long)].collect().toMap
     assert(two(1L) == 75000000L && two(3L) == 75000000L && two(2L) == 850000000L, two.toString)
+    // the srcSalt hub lever (shared prStep seam) is bit-identical
+    // here too — a seed-adjacent out-hub concentrates PPR mass flow
+    // exactly like the global walk
+    val hubEdges = (1L to 50L).map(i => (0L, i)) :+ (7L, 0L)
+    val plain = Graph.personalizedPageRank(hubEdges.toDF("src", "dst"),
+      "src", "dst", seeds = Seq(0L), iters = 3).as[(Long, Long)].collect().toMap
+    val salted = Graph.personalizedPageRank(hubEdges.toDF("src", "dst"),
+      "src", "dst", seeds = Seq(0L), iters = 3, srcSalt = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(salted == plain, "salted PPR must be bit-identical")
   }
 
   test("linkPredict: triangle+tail graph — adjacent pairs excluded, cn and AA hand-checked") {

@@ -472,6 +472,49 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("container parsers never throw: random truncations and bit-flips of valid payloads row-fail at worst") {
+    // the hand-written byte walkers (Y4m header/FRAME walk, MjpegAvi
+    // RIFF walk, ImageIO wrappers) must uphold row-fails-never-task
+    // under ARBITRARY corruption, not just the crafted cases above —
+    // 300 mutations per container class: truncate at a random point,
+    // flip a random byte, or both. Any exception here is a task
+    // killer in production; None/short-decode is the only acceptable
+    // outcome.
+    import graft.operators.VideoKernel
+    val rnd = new scala.util.Random(4242)
+    val y4mP = y4m("YUV4MPEG2 W4 H2 F30:1 C420",
+      Array.fill(12)(7.toByte), Array.fill(12)(9.toByte))
+    val aviP = Multimodal.buildMjpegAvi(16, 16, 40000,
+      Seq(Multimodal.encodeQuadJpeg16(Array(9, 18, 27, 36)),
+        Multimodal.encodeQuadJpeg16(Array(45, 54, 63, 72))))
+    val pngP = {
+      import java.awt.image.BufferedImage
+      val img = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, (x * 32) << 8)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    def mutate(p: Array[Byte]): Array[Byte] = {
+      var c = p.clone()
+      if (rnd.nextBoolean() && c.length > 1)
+        c = java.util.Arrays.copyOfRange(c, 0, 1 + rnd.nextInt(c.length - 1))
+      if (rnd.nextBoolean() && c.nonEmpty) {
+        val i = rnd.nextInt(c.length)
+        c(i) = (c(i) ^ (1 << rnd.nextInt(8))).toByte
+      }
+      c
+    }
+    for (_ <- 0 until 300) {
+      val my = mutate(y4mP)
+      VideoKernel.Y4m.probe(my)
+      VideoKernel.Y4m.decodeFrames(my, 1, 16)
+      val ma = mutate(aviP)
+      VideoKernel.MjpegAvi.probe(ma)
+      VideoKernel.MjpegAvi.decodeFrames(ma, 1, 16)
+      Multimodal.decodeImage(mutate(pngP))
+    }
+  }
+
   test("VideoKernel.Ffmpeg: real subprocess decode when the binaries exist") {
     import graft.operators.VideoKernel
     assume(VideoKernel.ffmpegAvailable, "ffmpeg/ffprobe not on PATH — stub sandbox")
