@@ -114,7 +114,12 @@ object CorpusOps {
     *
     *  - `low_quality`: q52's composite quality < `qualityMin`
     *    (evaluated NARROW in the scan projection via
-    *    [[TextAnalysis.qualityColumn]] — no self-join);
+    *    [[TextAnalysis.qualityColumn]] — no self-join). Null/absent
+    *    text scores null, which is coalesced to the low_quality
+    *    branch (a doc with no text is definitionally low quality) —
+    *    otherwise null-quality rows would fall out of BOTH filter
+    *    branches and the exactly-one-disposition contract would
+    *    silently drop them;
     *  - `exact_dup`: among quality-passing docs, not the minimum
     *    doc_id of its exact-text md5 group (one hash-partitioned
     *    window — the same one-shuffle shape as segment dedup; the
@@ -137,7 +142,7 @@ object CorpusOps {
       splits: Seq[(String, Double)], buckets: Int = 1000): DataFrame = {
     val base = docs.select(col("doc_id"), col("text"),
       TextAnalysis.qualityColumn("text").as("quality"))
-    val lowQ = base.filter(col("quality") < qualityMin)
+    val lowQ = base.filter(col("quality") < qualityMin || col("quality").isNull)
       .select(col("doc_id"), col("quality"),
         lit("low_quality").as("disposition"),
         lit(null).cast("long").as("cluster_rep"),

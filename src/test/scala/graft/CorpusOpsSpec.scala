@@ -227,7 +227,8 @@ class CorpusOpsSpec extends SparkSpec {
       (2L, longText + " tail"), // kept, near-dup of 1 (via pairs arg)
       (3L, "1 2 3"),            // low quality: short + all digits
       (4L, longText),           // exact dup of 1 (larger id loses)
-      (5L, "another " + (1 to 120).map(i => s"tok$i").mkString(" ")) // kept singleton
+      (5L, "another " + (1 to 120).map(i => s"tok$i").mkString(" ")), // kept singleton
+      (6L, null.asInstanceOf[String]) // null text: low quality, never dropped
     ).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L)).toDF("id1", "id2")
     val got = CorpusOps.curationPipeline(docs, qualityMin = 0.25, pairs,
@@ -236,8 +237,9 @@ class CorpusOpsSpec extends SparkSpec {
         ((r.getString(2), if (r.isNullAt(3)) None else Some(r.getLong(3)),
           if (r.isNullAt(4)) None else Some(r.getString(4)))))
       .toMap
-    assert(got.size == 5, s"every doc gets exactly one disposition: $got")
+    assert(got.size == 6, s"every doc gets exactly one disposition: $got")
     assert(got(3L)._1 == "low_quality" && got(3L)._2.isEmpty && got(3L)._3.isEmpty)
+    assert(got(6L)._1 == "low_quality", s"null text is low quality: ${got(6L)}")
     assert(got(4L)._1 == "exact_dup", s"doc 4 duplicates doc 1: ${got(4L)}")
     assert(got(1L)._1 == "kept" && got(2L)._1 == "kept" && got(5L)._1 == "kept")
     // near-dup twins 1 and 2 share the cluster key, hence the split
