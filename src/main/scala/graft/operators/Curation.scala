@@ -212,6 +212,54 @@ object Curation {
         (coalesce(col("n_matched"), lit(0L)) > 0).cast("int").as("contaminated"))
   }
 
+  /** Contamination severity per EVAL doc — the transpose of
+    * [[decontaminate]]: for each eval doc, the fraction of its
+    * distinct n-grams present ANYWHERE in the training corpus. This
+    * is the direction benchmark maintainers audit ("is my eval set
+    * leaked?"), where [[decontaminate]] answers the corpus curator's
+    * question ("which training docs must I drop?").
+    *
+    * Scale shape (the corpus is the 100 TB side here, so it must be
+    * scanned once and never carry the join): the eval gram set is
+    * small by contract and BROADCASTS; corpus grams semi-join against
+    * it in the scan stage, so only grams that occur in the eval set
+    * — at most |eval grams| distinct values — survive into the
+    * `hits` distinct. `hits` is then itself broadcast back onto the
+    * per-eval-doc gram table. Both joins are broadcast; the only
+    * shuffle over corpus-derived data is the distinct on the
+    * post-filter survivor set, bounded by the eval gram count, not
+    * the corpus.
+    *
+    * Same short-doc contract as [[decontaminate]]: an eval doc with
+    * fewer than n tokens has no grams and reports a CLEAN row
+    * (n_grams=0, contaminated=0), not an absent one.
+    */
+  def evalContamination(corpus: DataFrame, evalDocs: DataFrame,
+      idCol: String, text: Column, n: Int = 8): DataFrame = {
+    val grams = graft.functions.shingles.wordShingles(text, n)
+    val evalGrams = evalDocs
+      .select(col(idCol), explode(array_distinct(grams)).as("_g"))
+      .select(col(idCol), Dedup.hash48(col("_g")).as("_h"))
+    val evalSet = evalGrams.select(col("_h")).distinct()
+    val hits = corpus
+      .select(explode(array_distinct(grams)).as("_g"))
+      .select(Dedup.hash48(col("_g")).as("_h"))
+      .join(broadcast(evalSet), Seq("_h"), "left_semi")
+      .distinct()
+      .withColumn("_m", lit(1))
+    val q6 = graft.functions.quantize.q6 _
+    val perDoc = evalGrams.join(broadcast(hits), Seq("_h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("_m"), lit(0))).cast("long").as("n_matched"))
+    evalDocs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        q6(coalesce(col("n_matched").cast("double") / col("n_grams"), lit(0.0))).as("contam_frac"),
+        (coalesce(col("n_matched"), lit(0L)) > 0).cast("int").as("contaminated"))
+  }
+
   /** Temperature-based source mixing weights (alpha = 0.5, the
     * sqrt-temperature rule used for multilingual/multi-source corpus
     * balancing): weight_s ∝ sqrt(share_s), normalized. Returns one row

@@ -294,5 +294,40 @@ object CurationQueries {
            CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
     FROM sp GROUP BY split, lang ORDER BY split, lang"""))
 
-  val list: Seq[Q] = Seq(q81, q82, q83, q84, q85, q99, q106)
+  // ---------------------------------- q206 eval-side contamination
+  /** Contamination severity per EVAL doc (round 13): the transpose of
+    * q84 — for each eval doc (doc_id % 97 = 0), the fraction of its
+    * distinct 8-grams present anywhere in the corpus split. The
+    * oracle is q84's SQL with the roles of the two splits swapped.
+    */
+  private val q206 = Q("q206_eval_contamination", (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    Curation.evalContamination(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", col("text"), n = 8)
+      .orderBy(col("doc_id"))
+  }, Some(s"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 6),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] ||
+                 ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7]))) AS g
+      FROM t),
+    h AS (SELECT doc_id, ${h48("g")} AS h FROM g),
+    corp AS (SELECT DISTINCT h FROM h WHERE doc_id % 97 <> 0),
+    c AS (
+      SELECT h.doc_id, count(*) AS n_grams,
+             CAST(sum(CASE WHEN corp.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+      FROM h LEFT JOIN corp ON h.h = corp.h
+      WHERE h.doc_id % 97 = 0 GROUP BY h.doc_id)
+    SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams,
+           coalesce(n_matched, 0) AS n_matched,
+           floor(coalesce(CAST(n_matched AS DOUBLE) / n_grams, 0.0) * 1000000 + 0.5) / 1000000.0 AS contam_frac,
+           CAST(coalesce(n_matched, 0) > 0 AS INT) AS contaminated
+    FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id
+    WHERE d.doc_id % 97 = 0
+    ORDER BY d.doc_id"""))
+
+  val list: Seq[Q] = Seq(q81, q82, q83, q84, q85, q99, q106, q206)
 }

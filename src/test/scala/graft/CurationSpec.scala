@@ -92,6 +92,36 @@ class CurationSpec extends SparkSpec {
     assert(out(1).getAs[Int]("contaminated") == 0)
   }
 
+  test("evalContamination: transposed direction — leaked eval doc flagged, partial overlap fractional, short doc clean") {
+    val leaked = (1 to 12).map(i => s"e$i").mkString(" ")   // 5 distinct 8-grams
+    val fresh = (1 to 12).map(i => s"f$i").mkString(" ")
+    // half doc: tokens e1..e8 + x1..x4 — exactly one gram (e1..e8)
+    // of its 5 appears in the corpus copy of `leaked`
+    val half = ((1 to 8).map(i => s"e$i") ++ (1 to 4).map(i => s"x$i")).mkString(" ")
+    val corpus = Seq((10L, leaked), (11L, "unrelated corpus words only")).toDF("id", "t")
+    val eval = Seq((0L, leaked), (1L, fresh), (2L, half), (3L, "too short")).toDF("id", "t")
+    val out = Curation.evalContamination(corpus, eval, "id", col("t"), n = 8)
+      .orderBy("id").collect()
+    assert(out(0).getAs[Double]("contam_frac") == 1.0 && out(0).getAs[Int]("contaminated") == 1)
+    assert(out(1).getAs[Long]("n_matched") == 0L && out(1).getAs[Int]("contaminated") == 0)
+    assert(out(2).getAs[Long]("n_grams") == 5L && out(2).getAs[Long]("n_matched") == 1L,
+      s"half-leaked doc: ${out(2)}")
+    assert(out(3).getAs[Long]("n_grams") == 0L && out(3).getAs[Int]("contaminated") == 0,
+      s"short eval doc is a CLEAN row, not absent: ${out(3)}")
+    assert(out.length == 4)
+  }
+
+  test("evalContamination never sort-merge-joins: the corpus side only ever meets broadcasts") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val df = Curation.evalContamination(
+      docs.filter(col("doc_id") % 97 =!= 0),
+      docs.filter(col("doc_id") % 97 === 0), "doc_id", col("text"), 8)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle into a join:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).length == 3,
+      s"eval-set semi, hits attach, and per-doc attach all broadcast:\n$plan")
+  }
+
   test("decontaminate broadcasts the eval gram table") {
     val docs = Tables.load(spark, sfDir, "documents")
     val df = Curation.decontaminate(
