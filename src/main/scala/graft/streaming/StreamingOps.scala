@@ -675,4 +675,118 @@ object StreamingOps {
       .trigger(trigger)
       .start()
   }
+
+  /** The STREAMING serving form of
+    * [[graft.operators.CorpusOps.curationPipeline]]: per micro-batch,
+    * every arriving doc gets exactly one disposition against the
+    * corpus accepted SO FAR —
+    *
+    *  - `low_quality`: q52's composite < `qualityMin` (null text
+    *    included, same contract as the batch pipeline) — evaluated
+    *    narrow, nothing shuffles;
+    *  - `exact_dup`: md5(text) seen in an EARLIER batch's accepted
+    *    set (partition-pruned read of `stateDir/md5`), or a larger
+    *    doc_id within this batch's own md5 group (one
+    *    hash-partitioned window — the batch keeper rule applied at
+    *    the micro-batch grain);
+    *  - `near_dup`: band-key collision with an earlier batch's
+    *    accepted set ([[nearDupAgainstHistory]] over
+    *    `stateDir/bands`). Within-batch near-dups are NOT flagged —
+    *    the [[screenAndMaintain]] contract: arrival order inside one
+    *    trigger is not meaningful, so the batch pipeline's
+    *    cluster-split (not a drop) is the right tool there;
+    *  - `kept`: everything else; kept docs' md5 + band keys enter
+    *    the history so every LATER batch screens against them.
+    *
+    * Streaming serving DROPS near-dups against history rather than
+    * cluster-splitting (the batch pipeline's job at training-set
+    * assembly time): an online feed wants an accept/reject decision
+    * per doc, not a retroactive split over data it already shipped.
+    *
+    * Replay safety, same discipline as [[screenAndMaintain]]: every
+    * write (dispositions under `outDir/batchId=N`, accepted md5s
+    * under `stateDir/md5/batchId=N`, accepted band keys under
+    * `stateDir/bands/batchId=N`) is a batchId-keyed overwrite, and
+    * history reads filter `batchId < N` through the partition
+    * column — a replayed batch screens against exactly the history
+    * its first attempt saw.
+    *
+    * Scale: quality + md5 are narrow per-row work in the batch scan;
+    * the only shuffles are the within-batch keeper window (keyed by
+    * md5, batch-sized) and the two history equi-joins, whose table
+    * sides are partition-pruned parquet bounded by accepted-corpus
+    * keys, never payloads.
+    */
+  def curationStream(stream: DataFrame, idCol: String, textCol: String,
+      qualityMin: Double, stateDir: String, outDir: String,
+      checkpointDir: String, n: Int = 3, k: Int = 8, rowsPerBand: Int = 2,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    def emptyDf(spark: org.apache.spark.sql.SparkSession,
+        fields: (String, org.apache.spark.sql.types.DataType)*) =
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(fields.map { case (f, t) => StructField(f, t) }))
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val scored = batch.select(col(idCol).as("doc_id"),
+          col(textCol).as("text"),
+          graft.operators.TextAnalysis.qualityColumn(textCol).as("quality"))
+        scored.persist()
+        try {
+          val lowQ = scored
+            .filter(col("quality") < qualityMin || col("quality").isNull)
+            .select(col("doc_id"), col("quality"),
+              lit("low_quality").as("disposition"))
+          val pass = scored.filter(col("quality") >= qualityMin)
+            .withColumn("_md5", md5(encode(col("text"), "UTF-8")))
+            .withColumn("_keeper",
+              min(col("doc_id")).over(Window.partitionBy(col("_md5"))))
+          val histMd5 =
+            try spark.read.parquet(s"$stateDir/md5")
+              .filter(col("batchId") < batchId).select(col("_md5"))
+            catch { case _: org.apache.spark.sql.AnalysisException =>
+              emptyDf(spark, "_md5" -> StringType) }
+          val keepers = pass.filter(col("doc_id") === col("_keeper"))
+          val freshMd5 = keepers.join(histMd5, Seq("_md5"), "left_anti")
+          val exactDup = pass.filter(col("doc_id") =!= col("_keeper"))
+            .unionByName(keepers.join(histMd5, Seq("_md5"), "left_semi"))
+            .select(col("doc_id"), col("quality"),
+              lit("exact_dup").as("disposition"))
+          val histBands =
+            try spark.read.parquet(s"$stateDir/bands")
+              .filter(col("batchId") < batchId)
+              .select(col("doc_id"), col("band_key"))
+            catch { case _: org.apache.spark.sql.AnalysisException =>
+              emptyDf(spark, "doc_id" -> LongType, "band_key" -> StringType) }
+          val collided = nearDupAgainstHistory(freshMd5, histBands,
+              "doc_id", "text", "doc_id", n, k, rowsPerBand)
+            .select(col("new_id").as("doc_id")).distinct()
+          val nearDup = freshMd5.join(collided, Seq("doc_id"), "left_semi")
+            .select(col("doc_id"), col("quality"),
+              lit("near_dup").as("disposition"))
+          val kept = freshMd5.join(collided, Seq("doc_id"), "left_anti")
+          kept.persist()
+          try {
+            lowQ.unionByName(exactDup).unionByName(nearDup)
+              .unionByName(kept.select(col("doc_id"), col("quality"),
+                lit("kept").as("disposition")))
+              .write.mode(SaveMode.Overwrite).parquet(s"$outDir/batchId=$batchId")
+            kept.select(col("_md5"))
+              .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/md5/batchId=$batchId")
+            kept.select(col("doc_id"),
+                explode(rowLshBandKeys(col("text"), n, k, rowsPerBand)).as("band_key"))
+              .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/bands/batchId=$batchId")
+          } finally kept.unpersist()
+        } finally scored.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
 }

@@ -1125,6 +1125,54 @@ class StreamingSpec extends SparkSpec {
       s"compacted band table is ${compactBytes / kept} bytes/row for $kept rows")
   }
 
+  test("curationStream: per-batch dispositions against the accepted-so-far corpus") {
+    import spark.implicits._
+    val base = tmp()
+    val textA = (1 to 120).map(i => s"alpha$i word").mkString(" ")
+    val textB = (1 to 120).map(i => s"beta$i token").mkString(" ")
+    val textC = (1 to 120).map(i => s"gamma$i item").mkString(" ")
+    val nearA = textA + " extra trailing tail"
+    // batch 0: A kept (keeper of {1,3}), low-quality, within-batch exact dup
+    // batch 1: exact dup of A vs HISTORY; near-dup of A (bands collide,
+    //          md5 differs); fresh B kept
+    // batch 2: exact dup of B vs the batch-1 accepted set; fresh C kept
+    val batches = Seq(
+      Seq((1L, textA), (2L, "1 2 3"), (3L, textA)),
+      Seq((10L, textA), (11L, nearA), (12L, textB)),
+      Seq((20L, textB), (21L, textC)))
+    val now = System.currentTimeMillis()
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      Files.createDirectories(Paths.get(s"$base/in"))
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$base/staging-$i")
+      val part = new java.io.File(s"$base/staging-$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$base/in/b$i.parquet")
+      Files.copy(part.toPath, dst.toPath)
+      assert(dst.setLastModified(now - (5 - i) * 60000L))
+    }
+    val schema = Seq((1L, "x")).toDF("doc_id", "text").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+    val q = StreamingOps.curationStream(stream, "doc_id", "text",
+      qualityMin = 0.25, s"$base/state", s"$base/out", s"$base/ck")
+    q.awaitTermination(120000)
+    val got = spark.read.parquet(s"$base/out")
+      .select("doc_id", "disposition")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      1L -> "kept", 2L -> "low_quality", 3L -> "exact_dup",
+      10L -> "exact_dup", 11L -> "near_dup", 12L -> "kept",
+      20L -> "exact_dup", 21L -> "kept"),
+      s"every doc gets exactly one disposition against history: $got")
+    // only accepted docs enter the history tables later batches screen on
+    val mdN = spark.read.parquet(s"$base/state/md5").count()
+    val bandIds = spark.read.parquet(s"$base/state/bands")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(mdN == 3L, s"3 accepted md5s, got $mdN")
+    assert(bandIds == Set(1L, 12L, 21L), s"band table is accepted-only: $bandIds")
+  }
+
   test("screenAndMaintain: each batch dedups against all earlier batches in one query") {
     import spark.implicits._
     val base = tmp()
