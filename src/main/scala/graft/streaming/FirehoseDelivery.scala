@@ -73,7 +73,21 @@ object FirehoseDelivery {
       // checkpoint replay and sink re-delivery. The reference tolerates
       // these duplicates (main.py:101-128 re-sends the whole failed
       // subset); this exceeds it. Off by default: reference semantics.
-      effectivelyOnce: Boolean = false) {
+      effectivelyOnce: Boolean = false,
+      // Retry-horizon pruning for the seen registry (effectivelyOnce
+      // only): after each batch N, registry partitions with
+      // batchId < N - seenRetention are deleted, bounding registry
+      // growth to `seenRetention` partitions instead of one per batch
+      // forever. A registry entry only matters while its record can
+      // legitimately re-arrive — checkpoint replay re-runs batch N
+      // itself (its partition is excluded by the anti-join, never
+      // pruned relative to itself) and sink re-delivery is bounded by
+      // the retry budget — so set this comfortably above
+      // `maxAttempts`. Pruning is a pure function of batchId, so a
+      // replayed batch prunes the same horizon its first attempt did.
+      // None (default) keeps every partition: the pre-existing
+      // "pruning is the operator's job" behavior.
+      seenRetention: Option[Int] = None) {
     def primaryDir: String = s"$outputDir/primary"
     def backupDir: String = s"$outputDir/backup"
     def failedDir: String = s"$outputDir/processing-failed"
@@ -198,6 +212,25 @@ object FirehoseDelivery {
     } finally {
       governed.unpersist()
       batch.unpersist()
+    }
+    // Retry-horizon pruning (Config.seenRetention) runs LAST: `admitted`
+    // re-derives its anti-join against the registry lazily on every
+    // downstream sink action, so deleting partitions any earlier races
+    // the batch's own reads (FAILED_READ_FILE on the pruned files —
+    // caught by the pruning spec). After every sink has run, no plan in
+    // this batch reads the registry again, and pruning is a pure
+    // function of batchId so a replayed batch prunes the same horizon.
+    if (conf.effectivelyOnce) conf.seenRetention.foreach { keep =>
+      val root = new org.apache.hadoop.fs.Path(conf.seenDir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("batchId=")) {
+          val n = try name.stripPrefix("batchId=").toLong
+            catch { case _: NumberFormatException => Long.MaxValue }
+          if (n < batchId - keep) fs.delete(st.getPath, true)
+        }
+      }
     }
   }
 

@@ -119,6 +119,38 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.json(conf.backupDir).count() == 2)
   }
 
+  test("seen-registry retry-horizon pruning: beyond-horizon partitions deleted, dedup inside the horizon holds") {
+    val base = tmp()
+    val conf = FirehoseDelivery.Config(s"$base/in", s"$base/out", s"$base/ck",
+      availableNow = true, effectivelyOnce = true, seenRetention = Some(2))
+    var nb = 0
+    def mkBatch(ids: String*) = {
+      nb += 1
+      writeRecords(s"$base/raw-$nb", "b.json",
+        ids.map(id => record(id, envelopeJson("DATA_MESSAGE", Seq(s"Hello $id")))))
+      spark.read.schema("recordId STRING, data STRING").json(s"$base/raw-$nb")
+    }
+    def seenParts() = new java.io.File(s"$base/out/reingest-seen").listFiles()
+      .map(_.getName).filter(_.startsWith("batchId=")).sorted.toSeq
+    (0 to 4).foreach { i =>
+      FirehoseDelivery.processBatch(mkBatch(s"reingest-$i-r1"), i.toLong, conf)
+    }
+    // batch 4 pruned everything below 4-2: partitions 0 and 1 are gone
+    assert(seenParts() == Seq("batchId=2", "batchId=3", "batchId=4"), seenParts().toString)
+    // dedup within the horizon: batch 3's record re-sent at batch 5 is
+    // anti-joined away (its partition survived the prune)
+    FirehoseDelivery.processBatch(mkBatch("reingest-3-r1"), 5L, conf)
+    assert(seenParts() == Seq("batchId=3", "batchId=4", "batchId=5"), seenParts().toString)
+    assert(spark.read.parquet(s"$base/out/reingest-seen/batchId=5").count() == 0,
+      "within-horizon duplicate must not be re-admitted")
+    assert(spark.read.text(s"$base/out/primary/batchId=5").count() == 0,
+      "duplicate must not reach the primary sink")
+    // replay of batch 5 prunes the same horizon and admits the same set
+    FirehoseDelivery.processBatch(mkBatch("reingest-3-r1"), 5L, conf)
+    assert(seenParts() == Seq("batchId=3", "batchId=4", "batchId=5"), seenParts().toString)
+    assert(spark.read.parquet(s"$base/out/reingest-seen/batchId=5").count() == 0)
+  }
+
   test("e2e: control message lands in processing-failed, not primary") {
     val base = tmp()
     val conf = FirehoseDelivery.Config(s"$base/in", s"$base/out", s"$base/ck", availableNow = true)
@@ -1171,6 +1203,57 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id").distinct().as[Long].collect().toSet
     assert(mdN == 3L, s"3 accepted md5s, got $mdN")
     assert(bandIds == Set(1L, 12L, 21L), s"band table is accepted-only: $bandIds")
+  }
+
+  test("curationStream: kill/restart replays a batch against exactly the history its first attempt saw") {
+    import spark.implicits._
+    val base = tmp()
+    val textA = (1 to 120).map(i => s"alpha$i word").mkString(" ")
+    val textB = (1 to 120).map(i => s"beta$i token").mkString(" ")
+    val batches = Seq(
+      Seq((1L, textA), (2L, textB)),
+      Seq((10L, textA), (11L, textA + " extra trailing tail"), (12L, "1 2 3")))
+    val now = System.currentTimeMillis()
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$base/staging-$i")
+      val part = new java.io.File(s"$base/staging-$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$base/in/b$i.parquet")
+      Files.createDirectories(dst.toPath.getParent)
+      Files.copy(part.toPath, dst.toPath)
+      assert(dst.setLastModified(now - (3 - i) * 60000L))
+    }
+    val schema = Seq((1L, "x")).toDF("doc_id", "text").schema
+    def start() = StreamingOps.curationStream(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in"),
+      "doc_id", "text", qualityMin = 0.25,
+      s"$base/state", s"$base/out", s"$base/ck")
+    val q1 = start()
+    q1.awaitTermination(120000)
+    assert(!q1.isActive)
+    val want = Map(1L -> "kept", 2L -> "kept",
+      10L -> "exact_dup", 11L -> "near_dup", 12L -> "low_quality")
+    def dispositions() = spark.read.parquet(s"$base/out")
+      .select("doc_id", "disposition")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dispositions() == want, s"pre-crash: ${dispositions()}")
+    // crash between sink and commit: batch 1's marker vanishes, so the
+    // restart REPLAYS batch 1 — it must screen against batchId < 1
+    // (batch 0 only, NOT its own first-attempt writes under batchId=1)
+    // and overwrite, not duplicate, its output and state partitions
+    assert(Files.deleteIfExists(Paths.get(s"$base/ck/commits/1")),
+      "commit marker for batch 1 missing")
+    Files.deleteIfExists(Paths.get(s"$base/ck/commits/.1.crc"))
+    val q2 = start()
+    q2.awaitTermination(120000)
+    assert(!q2.isActive)
+    assert(dispositions() == want, s"post-replay: ${dispositions()}")
+    val out = spark.read.parquet(s"$base/out")
+    assert(out.count() == 5, "batchId-keyed overwrite must not duplicate rows")
+    assert(spark.read.parquet(s"$base/state/md5").count() == 2L,
+      "accepted history must stay {A, B} after replay")
   }
 
   test("screenAndMaintain: each batch dedups against all earlier batches in one query") {
