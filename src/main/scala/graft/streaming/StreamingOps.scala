@@ -235,6 +235,45 @@ object StreamingOps {
     if (pairs.isStreaming) pairs else pairs.distinct()
   }
 
+  /** The FEEDER for the IVF cell-partitioned corpus store: assign each
+    * arriving vector to its nearest trained centroid
+    * ([[graft.operators.Similarity.assignCells]] — a broadcast argmin,
+    * zero corpus shuffle) and append it under
+    * `indexDir/batchId=N/cell=K`. The layout IS the inverted file
+    * (PropertySpec's storage spec: an nprobe read plans
+    * PartitionFilters on `cell` and touches only the probed cells'
+    * files), so a corpus bootstrapped in batch
+    * (`assignCells(...).write.partitionBy("cell")`) and grown by this
+    * stream serve queries the same way — `spark.read.parquet(indexDir)
+    * .filter(col("cell").isin(probed: _*))` prunes across every batch
+    * directory.
+    *
+    * Replay safety: one batchId-keyed overwrite per micro-batch, the
+    * same discipline as every sink here — a replayed batch rewrites
+    * its own directory, never duplicates. Centroids are the TRAINED
+    * codebook ([[graft.operators.Similarity.trainKMeans]] or any
+    * k-means) and must stay FIXED while the stream runs: re-training
+    * moves cell boundaries, which is a batch re-index (rewrite the
+    * store), not a streaming concern.
+    */
+  def maintainIvfIndex(stream: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, indexDir: String, checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.SaveMode
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Similarity.assignCells(batch, centroids, idCol, vecCol)
+          .select(col("_id").as(idCol), col("_v").as(vecCol), col("cell"))
+          .write.mode(SaveMode.Overwrite).partitionBy("cell")
+          .parquet(s"$indexDir/batchId=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
   /** The FEEDER for [[nearDupAgainstHistory]]'s history table: maintain
     * the band-key table incrementally as documents stream in. Each
     * micro-batch's (doc_id, band_key) rows land under a

@@ -1157,6 +1157,59 @@ class StreamingSpec extends SparkSpec {
       s"compacted band table is ${compactBytes / kept} bytes/row for $kept rows")
   }
 
+  test("maintainIvfIndex: streamed vectors land in the batch path's cells, probes prune, replay overwrites") {
+    import graft.functions.CentroidAggregator
+    import graft.operators.Similarity
+    val base = tmp()
+    val e = Tables.load(spark, sfDir, "embeddings").limit(400)
+    val centroidUdaf = udaf(new CentroidAggregator(64))
+    val centroids = e.groupBy(col("label").cast("int").as("cell"))
+      .agg(centroidUdaf(col("embedding")).as("ctr"))
+    centroids.persist().count()
+    // two file-batches of 200 vectors each
+    val now = System.currentTimeMillis()
+    Seq(col("vec_id") % 2 === 0, col("vec_id") % 2 =!= 0).zipWithIndex.foreach {
+      case (p, i) =>
+        e.filter(p).select("vec_id", "embedding").coalesce(1)
+          .write.mode("overwrite").parquet(s"$base/staging-$i")
+        val part = new java.io.File(s"$base/staging-$i").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(s"$base/in/b$i.parquet")
+        Files.createDirectories(dst.toPath.getParent)
+        Files.copy(part.toPath, dst.toPath)
+        assert(dst.setLastModified(now - (3 - i) * 60000L))
+    }
+    val schema = e.select("vec_id", "embedding").schema
+    def start() = StreamingOps.maintainIvfIndex(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in"),
+      centroids, "vec_id", "embedding", s"$base/ivf", s"$base/ck")
+    val q = start()
+    q.awaitTermination(120000)
+    // stream-grown index == batch assignCells over the full corpus
+    val got = spark.read.parquet(s"$base/ivf")
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val want = Similarity.assignCells(e, centroids, "vec_id", "embedding")
+      .select(col("_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == want, s"stream assignment diverged from batch (${got.size} vs ${want.size})")
+    // an nprobe read prunes to the probed cells across BOTH batch dirs
+    val probed = spark.read.parquet(s"$base/ivf").filter(col("cell").isin(0, 1))
+    probed.collect()
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("cell"), plan.take(800))
+    assert(probed.count() == want.count { case (_, c) => c == 0 || c == 1 })
+    // replay batch 1: its directory is overwritten, never duplicated
+    assert(Files.deleteIfExists(Paths.get(s"$base/ck/commits/1")))
+    Files.deleteIfExists(Paths.get(s"$base/ck/commits/.1.crc"))
+    val q2 = start()
+    q2.awaitTermination(120000)
+    assert(spark.read.parquet(s"$base/ivf").count() == want.size.toLong,
+      "replayed batch must overwrite its batchId directory, not append")
+    centroids.unpersist()
+  }
+
   test("curationStream: per-batch dispositions against the accepted-so-far corpus") {
     import spark.implicits._
     val base = tmp()
