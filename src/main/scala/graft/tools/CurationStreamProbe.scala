@@ -1,0 +1,89 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool: measured throughput point for the round-13 streaming
+  * serving feeders over the sf0.1 documents corpus —
+  * [[graft.streaming.StreamingOps.curationStream]] (full disposition
+  * pipeline per micro-batch, history growing as batches land) and
+  * [[graft.streaming.StreamingOps.maintainIvfIndex]] (cell-assigned
+  * store growth over the embeddings table).
+  *
+  * Shape: the corpus is sliced into `batches` single-file batches
+  * (maxFilesPerTrigger=1), so later batches screen against a growing
+  * accepted history — the steady-state serving cost, not the
+  * empty-history best case. Output: one JSON line per leg, prefixed
+  * PROBE. Numbers are recorded in SCALE.md.
+  */
+object CurationStreamProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val batches = if (args.length > 1) args(1).toInt else 5
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = java.nio.file.Files.createTempDirectory("graft-cstream-probe").toString
+
+    // ---- leg 1: curationStream over documents
+    val docs = graft.Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    val nDocs = docs.count()
+    (0 until batches).foreach { i =>
+      docs.filter(pmod(col("doc_id"), lit(batches)) === i).coalesce(1)
+        .write.mode("overwrite").parquet(s"$base/staging-$i")
+      val part = new java.io.File(s"$base/staging-$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$base/in/b$i.parquet")
+      java.nio.file.Files.createDirectories(dst.toPath.getParent)
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      assert(dst.setLastModified(System.currentTimeMillis() - (batches + 2 - i) * 60000L))
+    }
+    val t0 = System.nanoTime()
+    val q = graft.streaming.StreamingOps.curationStream(
+      spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in"),
+      "doc_id", "text", qualityMin = 0.25,
+      s"$base/state", s"$base/out", s"$base/ck")
+    q.awaitTermination(600000)
+    val curSec = (System.nanoTime() - t0) / 1e9
+    val byDisp = spark.read.parquet(s"$base/out")
+      .groupBy("disposition").count().collect()
+      .map(r => s""""${r.getString(0)}":${r.getLong(1)}""").sorted.mkString(",")
+    println(f"""PROBE {"leg":"curationStream","docs":$nDocs,"batches":$batches,"wall_s":$curSec%.2f,"docs_per_sec":${nDocs / curSec}%.0f,"dispositions":{$byDisp}}""")
+
+    // ---- leg 2: maintainIvfIndex over embeddings
+    import graft.functions.CentroidAggregator
+    val e = graft.Tables.load(spark, sfDir, "embeddings").select("vec_id", "label", "embedding")
+    val nVecs = e.count()
+    val centroidUdaf = udaf(new CentroidAggregator(64))
+    val centroids = e.groupBy(col("label").cast("int").as("cell"))
+      .agg(centroidUdaf(col("embedding")).as("ctr"))
+      .persist()
+    centroids.count()
+    (0 until batches).foreach { i =>
+      e.filter(pmod(col("vec_id"), lit(batches)) === i).select("vec_id", "embedding")
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/vstaging-$i")
+      val part = new java.io.File(s"$base/vstaging-$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$base/vin/b$i.parquet")
+      java.nio.file.Files.createDirectories(dst.toPath.getParent)
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      assert(dst.setLastModified(System.currentTimeMillis() - (batches + 2 - i) * 60000L))
+    }
+    val t1 = System.nanoTime()
+    val q2 = graft.streaming.StreamingOps.maintainIvfIndex(
+      spark.readStream.schema(e.select("vec_id", "embedding").schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/vin"),
+      centroids, "vec_id", "embedding", s"$base/ivf", s"$base/vck")
+    q2.awaitTermination(600000)
+    val ivfSec = (System.nanoTime() - t1) / 1e9
+    val stored = spark.read.parquet(s"$base/ivf").count()
+    println(f"""PROBE {"leg":"maintainIvfIndex","vecs":$nVecs,"stored":$stored,"batches":$batches,"wall_s":$ivfSec%.2f,"vecs_per_sec":${nVecs / ivfSec}%.0f}""")
+    spark.stop()
+  }
+}
