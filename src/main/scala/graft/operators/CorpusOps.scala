@@ -121,9 +121,14 @@ object CorpusOps {
     *    branches and the exactly-one-disposition contract would
     *    silently drop them;
     *  - `exact_dup`: among quality-passing docs, not the minimum
-    *    doc_id of its exact-text md5 group (one hash-partitioned
-    *    window — the same one-shuffle shape as segment dedup; the
-    *    keeper itself stays in the pipeline);
+    *    doc_id of its exact-text md5 group (the [[Dedup.exact]]
+    *    shape: a map-side-combined groupBy(min) whose shuffle carries
+    *    ONE row per distinct text, joined back to attach the keeper —
+    *    NOT a window over md5 partitions, which would concentrate
+    *    every copy of a flooded boilerplate text into one
+    *    unsplittable task; the join is AQE-skew-splittable and
+    *    broadcasts when distinct texts are few. The keeper itself
+    *    stays in the pipeline);
     *  - `kept`: everything else, with the near-dup CLUSTER-SAFE
     *    train/val/test split attached ([[clusterSafeSplit]] over the
     *    caller's candidate `pairs` — computed on the FULL corpus so
@@ -147,9 +152,11 @@ object CorpusOps {
         lit("low_quality").as("disposition"),
         lit(null).cast("long").as("cluster_rep"),
         lit(null).cast("string").as("split"))
-    val tagged = base.filter(col("quality") >= qualityMin)
-      .withColumn("_keeper",
-        min(col("doc_id")).over(Window.partitionBy(md5(encode(col("text"), "UTF-8")))))
+    val pass = base.filter(col("quality") >= qualityMin)
+      .withColumn("_md5", md5(encode(col("text"), "UTF-8")))
+    val tagged = pass.join(
+      pass.groupBy(col("_md5")).agg(min(col("doc_id")).as("_keeper")),
+      Seq("_md5"))
     val exactDup = tagged.filter(col("doc_id") =!= col("_keeper"))
       .select(col("doc_id"), col("quality"),
         lit("exact_dup").as("disposition"),

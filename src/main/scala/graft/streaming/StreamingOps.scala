@@ -762,7 +762,6 @@ object StreamingOps {
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.SaveMode
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     def emptyDf(spark: org.apache.spark.sql.SparkSession,
         fields: (String, org.apache.spark.sql.types.DataType)*) =
@@ -781,10 +780,14 @@ object StreamingOps {
             .filter(col("quality") < qualityMin || col("quality").isNull)
             .select(col("doc_id"), col("quality"),
               lit("low_quality").as("disposition"))
-          val pass = scored.filter(col("quality") >= qualityMin)
+          // keeper via groupBy(min) + join back, not a window — the
+          // CorpusOps.curationPipeline skew rationale (one row per
+          // distinct text through the shuffle, AQE-splittable join)
+          val withMd5 = scored.filter(col("quality") >= qualityMin)
             .withColumn("_md5", md5(encode(col("text"), "UTF-8")))
-            .withColumn("_keeper",
-              min(col("doc_id")).over(Window.partitionBy(col("_md5"))))
+          val pass = withMd5.join(
+            withMd5.groupBy(col("_md5")).agg(min(col("doc_id")).as("_keeper")),
+            Seq("_md5"))
           val histMd5 =
             try spark.read.parquet(s"$stateDir/md5")
               .filter(col("batchId") < batchId).select(col("_md5"))

@@ -248,6 +248,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(5L)._2.isEmpty && got(5L)._3.nonEmpty) // singleton: own bucket
   }
 
+  test("curationPipeline keeper shape: groupBy(min)+join, never a window over md5 partitions") {
+    import spark.implicits._
+    val docs = (1L to 50L).map(i => (i, (1 to 120).map(j => s"w$i-$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id1", "id2")
+    val plan = CorpusOps.curationPipeline(docs, 0.25, pairs,
+      Seq(("train", 0.8), ("val", 0.2))).queryExecution.executedPlan.toString
+    // a window would concentrate every copy of a flooded text into one
+    // unsplittable task; the groupBy is map-side combined (partial min)
+    // and the keeper attach is an AQE-splittable join
+    assert(!plan.contains("Window"), s"keeper must not be a window:\n${plan.take(900)}")
+    assert(plan.contains("partial_min") || plan.contains("partial min"),
+      s"keeper min must partial-aggregate map-side:\n${plan.take(900)}")
+  }
+
   test("clusterSafeSplit: cluster members share a split (incl. transitive), singletons keep plain buckets") {
     import spark.implicits._
     val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
