@@ -129,6 +129,14 @@ object CorpusOps {
     *    unsplittable task; the join is AQE-skew-splittable and
     *    broadcasts when distinct texts are few. The keeper itself
     *    stays in the pipeline);
+    *  - `contaminated` (round 14, only when `evalDocs` is given): a
+    *    quality-passing KEEPER whose text shares at least one distinct
+    *    `evalN`-gram with the benchmark set — the q84/q206 eval-overlap
+    *    rule applied as the pipeline's fourth gate, between exact dedup
+    *    and the split. Shape: the eval gram-hash set is small by
+    *    contract and BROADCASTS; keeper grams semi-join against it in
+    *    their own scan stage, so the contaminated-id set is bounded by
+    *    the keeper count and the corpus never carries the join;
     *  - `kept`: everything else, with the near-dup CLUSTER-SAFE
     *    train/val/test split attached ([[clusterSafeSplit]] over the
     *    caller's candidate `pairs` — computed on the FULL corpus so
@@ -138,37 +146,66 @@ object CorpusOps {
     * Stage order is the standard one (cheap narrow gates prune the
     * corpus BEFORE the shuffling stages see it), and every rule is on
     * the deterministic grid, so a DuckDB oracle replays the whole
-    * pipeline end to end (q205).
+    * pipeline end to end (q205 without decontamination, q207 with).
+    *
+    * The scored projection (doc_id, text, quality) is PERSISTED inside
+    * the pipeline: four-plus disposition lineages branch from it, and
+    * without the cache one action over the returned union re-scans the
+    * corpus and re-runs the tokenizer/quality projection per branch
+    * (the streaming twin persists its scored frame per micro-batch for
+    * exactly this reason). MEMORY_AND_DISK, LRU-evictable; it stays
+    * registered with the session's cache manager until evicted or the
+    * caller clears it — long-lived sessions re-running the pipeline
+    * many times should `spark.catalog.clearCache()` between runs.
     *
     * Output: (doc_id, quality, disposition, cluster_rep, split) —
     * cluster_rep/split null unless kept.
     */
   def curationPipeline(docs: DataFrame, qualityMin: Double, pairs: DataFrame,
-      splits: Seq[(String, Double)], buckets: Int = 1000): DataFrame = {
+      splits: Seq[(String, Double)], buckets: Int = 1000,
+      evalDocs: Option[DataFrame] = None, evalN: Int = 8): DataFrame = {
     val base = docs.select(col("doc_id"), col("text"),
-      TextAnalysis.qualityColumn("text").as("quality"))
+        TextAnalysis.qualityColumn("text").as("quality"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nulls = Seq(lit(null).cast("long").as("cluster_rep"),
+      lit(null).cast("string").as("split"))
     val lowQ = base.filter(col("quality") < qualityMin || col("quality").isNull)
-      .select(col("doc_id"), col("quality"),
-        lit("low_quality").as("disposition"),
-        lit(null).cast("long").as("cluster_rep"),
-        lit(null).cast("string").as("split"))
+      .select(Seq(col("doc_id"), col("quality"),
+        lit("low_quality").as("disposition")) ++ nulls: _*)
     val pass = base.filter(col("quality") >= qualityMin)
       .withColumn("_md5", md5(encode(col("text"), "UTF-8")))
     val tagged = pass.join(
       pass.groupBy(col("_md5")).agg(min(col("doc_id")).as("_keeper")),
       Seq("_md5"))
     val exactDup = tagged.filter(col("doc_id") =!= col("_keeper"))
-      .select(col("doc_id"), col("quality"),
-        lit("exact_dup").as("disposition"),
-        lit(null).cast("long").as("cluster_rep"),
-        lit(null).cast("string").as("split"))
+      .select(Seq(col("doc_id"), col("quality"),
+        lit("exact_dup").as("disposition")) ++ nulls: _*)
+    val keepers = tagged.filter(col("doc_id") === col("_keeper"))
+      .select(col("doc_id"), col("quality"), col("text"))
+    val (contaminated, cleanKeepers) = evalDocs match {
+      case None =>
+        (None, keepers)
+      case Some(ev) =>
+        val grams = explode(array_distinct(
+          graft.functions.shingles.wordShingles(col("text"), evalN))).as("_g")
+        val evalSet = ev.select(grams)
+          .select(Dedup.hash48(col("_g")).as("_h")).distinct()
+        val contamIds = keepers.select(col("doc_id"), grams)
+          .select(col("doc_id"), Dedup.hash48(col("_g")).as("_h"))
+          .join(broadcast(evalSet), Seq("_h"), "left_semi")
+          .select(col("doc_id")).distinct()
+        (Some(keepers.join(contamIds, Seq("doc_id"), "left_semi")
+          .select(Seq(col("doc_id"), col("quality"),
+            lit("contaminated").as("disposition")) ++ nulls: _*)),
+          keepers.join(contamIds, Seq("doc_id"), "left_anti"))
+    }
     val kept = clusterSafeSplit(
-      tagged.filter(col("doc_id") === col("_keeper"))
-        .select(col("doc_id"), col("quality")),
+      cleanKeepers.select(col("doc_id"), col("quality")),
       "doc_id", pairs, splits, buckets)
       .select(col("doc_id"), col("quality"), lit("kept").as("disposition"),
         col("cluster_rep"), col("split"))
-    lowQ.unionByName(exactDup).unionByName(kept)
+    contaminated.foldLeft(lowQ.unionByName(exactDup))(_ unionByName _)
+      .unionByName(kept)
   }
 
   /** Temperature-based corpus re-sampling with true UP-sampling — the

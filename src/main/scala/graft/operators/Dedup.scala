@@ -533,6 +533,11 @@ object Dedup {
       // (unlike Dataset.persist entries, which pin until unpersist).
       val (mj0, mjRows) = Graph.ckptMeasuredN(
         m.select(col("a").as("_r0"), col("m").as("_r1")))
+      // measured byte size of the mapping (actual cached blocks when
+      // ids are variable-width strings — see withKnownStats' policy);
+      // the compression passes keep the same keys and ~same value
+      // widths, so it doubles as their size hint
+      val mjSize = mj0.queryExecution.optimizedPlan.stats.sizeInBytes
       var mj = mj0
       var compressing = mjRows > 0L
       while (compressing) {
@@ -540,7 +545,7 @@ object Dedup {
           .join(mj.select(col("_r0").as("_r1"), col("_r1").as("_r2")).alias("y"),
             Seq("_r1"), "left")
           .select(col("_r0"), coalesce(col("_r2"), col("_r1")).as("_r1"),
-            col("_r2").isNotNull.as("_hop")), mjRows)
+            col("_r2").isNotNull.as("_hop")), mjRows, Some(mjSize))
         // one job: materializes the checkpoint AND counts hops
         compressing = step.filter(col("_hop")).count() > 0L
         mj = step.select(col("_r0"), col("_r1"))

@@ -95,15 +95,47 @@ object Graph {
     * invariant of its loop, e.g. a mapping frame whose keys never
     * change across compression passes): lazy checkpoint + measured
     * stats with NO count job — the caller's own next action over the
-    * returned frame materializes the blocks.
+    * returned frame materializes the blocks. `sizeHint` carries a
+    * measured byte size for VARIABLE-WIDTH frames (the lazy path has
+    * no blocks to measure yet); loop drivers read it off the
+    * already-measured frame the loop iterates on.
     */
-  private[graft] def ckptKnownStats(df: DataFrame, n: Long): DataFrame =
-    withKnownStats(df.localCheckpoint(eager = false), n)
+  private[graft] def ckptKnownStats(df: DataFrame, n: Long,
+      sizeHint: Option[BigInt] = None): DataFrame =
+    withKnownStats(df.localCheckpoint(eager = false), n, sizeHint)
 
-  private def withKnownStats(ck: DataFrame, n: Long): DataFrame = {
+  /** sizeInBytes policy (round-14, closing the round-13 ADVICE):
+    * rowCount x schema defaultSize is only a MEASUREMENT for
+    * fixed-width rows — for string/binary/array columns defaultSize
+    * is a fixed guess, and a drastic underestimate would let the
+    * optimizer broadcast a multi-GB frame (driver OOM risk). So:
+    * fixed-width schemas keep the exact arithmetic; variable-width
+    * schemas take the caller's measured `sizeHint`, else the
+    * MATERIALIZED rdd's actual cached block bytes (driver metadata,
+    * no job — present on the ckptMeasuredN path because count() just
+    * ran), else fall back to the estimate (lazy path with no hint:
+    * short-id mapping frames only — connectedComponents passes the
+    * measured hint for exactly this case).
+    */
+  private def withKnownStats(ck: DataFrame, n: Long,
+      sizeHint: Option[BigInt] = None): DataFrame = {
+    val fixedWidth = ck.schema.forall { f =>
+      import org.apache.spark.sql.types._
+      f.dataType match {
+        case BooleanType | ByteType | ShortType | IntegerType | LongType |
+             FloatType | DoubleType | DateType | TimestampType |
+             TimestampNTZType | _: DecimalType => true
+        case _ => false
+      }
+    }
     val rowBytes = ck.schema.map(_.dataType.defaultSize).sum + 8
-    org.apache.spark.sql.graft.shims.withMeasuredStats(
-      ck, BigInt(n) * rowBytes, BigInt(n))
+    val estimate = BigInt(n) * rowBytes
+    val size =
+      if (fixedWidth) estimate
+      else sizeHint
+        .orElse(org.apache.spark.sql.graft.shims.materializedSizeInBytes(ck).map(BigInt(_)))
+        .getOrElse(estimate)
+    org.apache.spark.sql.graft.shims.withMeasuredStats(ck, size, BigInt(n))
   }
 
   /** Fixed-iteration PageRank over an edge list (src -> dst), damping

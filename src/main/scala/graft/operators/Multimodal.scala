@@ -159,12 +159,35 @@ object Multimodal {
     * ships with every JRE): returns (sampleRate, channel-0 samples) —
     * 16-bit PCM as signed ints, 8-bit PCM as unsigned — or None when
     * the payload is not a decodable WAV.
+    *
+    * COMPRESSED leg (round 14): G.711 µ-law/A-law payloads
+    * (WAVE_FORMAT_MULAW/ALAW, the log-companded telephony codecs the
+    * JDK ships a codec for) are first expanded to 16-bit signed
+    * little-endian PCM through `AudioSystem`'s format conversion —
+    * the real codec path, not a table transcription. The expansion is
+    * a fixed 256-entry function of each encoded byte (CCITT G.711),
+    * so a SQL oracle can predict every decoded sample from byte
+    * arithmetic while this side runs the actual javax.sound decode —
+    * the q203 discipline applied to audio (q208; MultimodalSpec pins
+    * javax == the G.711 closed form over all 256 µ-law bytes).
     */
   private[graft] def decodeAudioPcm(payload: Array[Byte]): Option[(Float, Array[Int])] =
     if (!isWavPayload(payload)) None
     else try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
+      val enc = raw.getFormat.getEncoding
+      val ais =
+        if (enc == javax.sound.sampled.AudioFormat.Encoding.ULAW ||
+            enc == javax.sound.sampled.AudioFormat.Encoding.ALAW) {
+          val f = raw.getFormat
+          javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new javax.sound.sampled.AudioFormat(
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+              f.getSampleRate, 16, f.getChannels, 2 * f.getChannels,
+              f.getSampleRate, false),
+            raw)
+        } else raw
       val fmt = ais.getFormat
       val data = ais.readAllBytes()
       val frameSize = fmt.getFrameSize
@@ -575,6 +598,59 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("payload"),
       lit(16000).as("sample_rate"),
       ((col("n_chars") * 137) % 100000 + 16000).cast("int").as("n_samples"))
+
+  /** Assemble a REAL G.711 µ-law WAV byte stream (RIFF container:
+    * 18-byte `fmt ` chunk with wFormatTag=7, the `fact` chunk
+    * compressed formats carry, then the `data` chunk of 8-bit
+    * log-companded samples) — the container
+    * [[decodeAudioPcm]]'s compressed leg expands through the JDK's
+    * G.711 codec.
+    */
+  private[graft] def buildMulawWav(data: Array[Byte], rate: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def u16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def cc(s: String): Array[Byte] =
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val fmt = u16(7) ++ u16(1) ++ u32(rate.toLong) ++ u32(rate.toLong) ++
+      u16(1) ++ u16(8) ++ u16(0) // mono, 8-bit, blockAlign 1, cbSize 0
+    val body = cc("WAVE") ++
+      cc("fmt ") ++ u32(18) ++ fmt ++
+      cc("fact") ++ u32(4) ++ u32(data.length.toLong) ++
+      cc("data") ++ u32(data.length.toLong) ++ data
+    bos.write(cc("RIFF")); bos.write(u32(body.length.toLong)); bos.write(body)
+    bos.toByteArray
+  }
+
+  /** Synthesize a table of REAL µ-law WAV byte streams from the
+    * documents corpus — each document's UTF-8 bytes become the 8-bit
+    * log-companded sample stream of a genuine RIFF/WAVE container
+    * (8 kHz mono, WAVE_FORMAT_MULAW). Unlike [[audioFromDocuments]]
+    * (opaque payload + metadata columns), these payloads pass through
+    * a real COMPRESSED audio codec: [[decodeAudioPcm]] must parse the
+    * container and run the JDK's G.711 expansion to recover the
+    * samples — and the oracle (q208) still predicts them exactly
+    * because µ-law expansion is the fixed CCITT closed form of each
+    * byte (spec-pinned against javax over all 256 values). Same
+    * builder shape as [[mjpegAviFromDocuments]]: a narrow
+    * mapPartitions (the write side of a media ingest — payloads are
+    * built per-partition and never shuffle).
+    */
+  def mulawWavFromDocuments(docs: DataFrame, rate: Int = 8000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col("doc_id").isNotNull)
+      .select(col("doc_id").cast("long").as("media_id"),
+        encode(col("text"), "UTF-8").as("_src"))
+      .filter(col("media_id").isNotNull && octet_length(col("_src")) > 0)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, src) =>
+        (id, buildMulawWav(src, rate))
+      }).toDF("media_id", "payload")
+  }
 
   /** Fixed-hop audio windowing (the STFT/feature-frame layout step):
     * one row per `winSamples`-sample window, with start time and a

@@ -566,6 +566,86 @@ object DedupQueries {
     FROM kept
     ORDER BY doc_id"""))
 
+  /** q205 with the canonical FOURTH gate composed in (round 14):
+    * quality -> exact dedup -> benchmark DECONTAMINATION -> cluster-
+    * safe split, every doc exactly one disposition. The corpus is the
+    * doc_id % 97 <> 0 split and the benchmark set the % 97 = 0 split
+    * (the q84/q99/q206 convention); a quality-passing keeper sharing
+    * any distinct 8-gram with the benchmark set lands `contaminated`
+    * and never reaches the split. The oracle extends q205's CTE chain
+    * with exactly q84's proven gram fragment — the decontamination
+    * rule is checked IN COMPOSITION with the gates around it, not just
+    * in isolation. The eval gram set broadcasts; the candidate pairs
+    * stay the full-corpus relation (independent of the gates, per the
+    * [[graft.operators.CorpusOps.curationPipeline]] contract).
+    */
+  private val q207 = Q("q207_curation_decontam", (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val pairs = Dedup
+      .minhashNearDupsPrepared(shingled(s, dir, "word3"), "doc_id", 0.5)
+      .select(col("id1"), col("id2"))
+    graft.operators.CorpusOps.curationPipeline(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        qualityMin = 0.25, pairs,
+        splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)),
+        evalDocs = Some(docs.filter(col("doc_id") % 97 === 0)))
+      .orderBy(col("doc_id"))
+  }, Some(s"""
+    ${sigsCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, ${lshCtesSql(0.5)},
+    undirected AS (
+      SELECT id1 AS s, id2 AS d FROM pairs
+      UNION ALL SELECT id2, id1 FROM pairs),
+    cnodes AS (SELECT DISTINCT s AS id FROM undirected),
+    reach AS (
+      SELECT id, id AS r FROM cnodes
+      UNION
+      SELECT u.s AS id, reach.r FROM undirected u JOIN reach ON reach.id = u.d),
+    comp AS (SELECT id AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY id),
+    t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+    scored AS (
+      SELECT doc_id, text,
+             floor(least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+               * (1.0 - CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / len(text))
+               * least((CAST(list_reduce(list_concat([0], list_transform(toks, x -> len(x))), (a, b) -> a + b) AS DOUBLE) / len(toks)) / 8.0, 1.0)
+               * 1000000 + 0.5) / 1000000.0 AS quality
+      FROM t WHERE doc_id % 97 <> 0),
+    tagged AS (
+      SELECT doc_id, quality,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+      FROM scored WHERE quality >= 0.25),
+    g8 AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 6),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] ||
+                 ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7]))) AS g
+      FROM t),
+    h8 AS (SELECT doc_id, ${H48.format("g")} AS h FROM g8),
+    ev AS (SELECT DISTINCT h FROM h8 WHERE doc_id % 97 = 0),
+    contam AS (SELECT DISTINCT h8.doc_id FROM h8 JOIN ev ON h8.h = ev.h
+               WHERE h8.doc_id % 97 <> 0),
+    kept AS (
+      SELECT g.doc_id, g.quality, comp.cluster_rep,
+             CAST(concat('0x', substr(md5(CAST(coalesce(comp.cluster_rep, g.doc_id) AS VARCHAR)), 1, 12)) AS BIGINT) % 1000 AS bucket
+      FROM tagged g LEFT JOIN comp ON comp.doc_id = g.doc_id
+                    LEFT JOIN contam ON contam.doc_id = g.doc_id
+      WHERE g.doc_id = g.keeper AND contam.doc_id IS NULL)
+    SELECT doc_id, quality, 'low_quality' AS disposition,
+           CAST(NULL AS BIGINT) AS cluster_rep, CAST(NULL AS VARCHAR) AS split
+    FROM scored WHERE quality < 0.25
+    UNION ALL
+    SELECT doc_id, quality, 'exact_dup', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+    FROM tagged WHERE doc_id <> keeper
+    UNION ALL
+    SELECT g.doc_id, g.quality, 'contaminated', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+    FROM tagged g JOIN contam ON contam.doc_id = g.doc_id
+    WHERE g.doc_id = g.keeper
+    UNION ALL
+    SELECT doc_id, quality, 'kept', cluster_rep,
+           CASE WHEN bucket < 800 THEN 'train'
+                WHEN bucket < 900 THEN 'val'
+                ELSE 'test' END
+    FROM kept
+    ORDER BY doc_id"""))
+
   val list: Seq[Q] = Seq(q40, q41, q42, q43, q44, q75, q77, q87, q94, q95, q130,
-    q177, q184, q202, q205)
+    q177, q184, q202, q205, q207)
 }

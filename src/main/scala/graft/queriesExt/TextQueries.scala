@@ -728,6 +728,61 @@ object TextQueries {
            floor(sqrt(CAST(sumsq AS DOUBLE) / 256) * 1000000 + 0.5) / 1000000.0 AS rms
     FROM s ORDER BY media_id, win_idx"""))
 
+  /** REAL compressed AUDIO codec under the oracle (round 14 —
+    * completing the trio: image/JPEG q56, video/MJPEG q203, audio
+    * here): the corpus synthesizes genuine G.711 µ-law WAV byte
+    * streams ([[graft.operators.Multimodal.mulawWavFromDocuments]] —
+    * each doc's UTF-8 bytes as the 8-bit log-companded sample
+    * stream), and [[graft.operators.Multimodal.audioRmsWindows]] must
+    * parse the RIFF container AND run the JDK's G.711 expansion
+    * (javax.sound's ULAW->PCM codec) to recover 16-bit samples. The
+    * oracle never touches a codec: µ-law expansion is the fixed CCITT
+    * closed form of each encoded byte u = ~b & 0xff,
+    * t = ((u%16)*8 + 132) << ((u%128)//16), sample = t-132 (sign bit
+    * clear) or 132-t (set) — spec-pinned equal to javax over all 256
+    * values — so the SQL mirror predicts every decoded sample from
+    * byte arithmetic, then replays the q143 RMS window grid over
+    * them. Integer sum-of-squares + floor-1e-6 sqrt keep it exact.
+    */
+  private val q208 = Q("q208_mulaw_audio", (s, dir) => {
+    import s.implicits._
+    import graft.operators.Multimodal
+    val audio = Multimodal.mulawWavFromDocuments(Tables.load(s, dir, "documents"))
+      .as[Multimodal.AudioRecord]
+    Multimodal.audioRmsWindows(audio, winSamples = 256)
+      .orderBy(col("media_id"), col("win_idx"))
+  }, Some("""
+    WITH a AS (
+      SELECT doc_id AS media_id, encode(text) AS src,
+             octet_length(encode(text)) AS nbytes
+      FROM documents
+      WHERE doc_id IS NOT NULL AND octet_length(encode(text)) > 0),
+    d AS (
+      SELECT media_id, nbytes,
+             list_transform(range(0, nbytes), j ->
+               255 - CAST(concat('0x', substr(hex(src), CAST(j AS INT) * 2 + 1, 2)) AS BIGINT)) AS u
+      FROM a),
+    e AS (
+      SELECT media_id, nbytes,
+             list_transform(u, x ->
+               CASE WHEN x >= 128
+                    THEN 132 - (((x % 16) * 8 + 132) * (CAST(1 AS BIGINT) << CAST((x % 128) // 16 AS INT)))
+                    ELSE (((x % 16) * 8 + 132) * (CAST(1 AS BIGINT) << CAST((x % 128) // 16 AS INT))) - 132
+               END) AS smp
+      FROM d),
+    w AS (
+      SELECT media_id, smp, unnest(range(0, CAST(nbytes // 256 AS INT))) AS win_idx
+      FROM e),
+    s AS (
+      SELECT media_id, win_idx,
+             list_reduce(list_concat([CAST(0 AS BIGINT)],
+               list_transform(smp[CAST(win_idx * 256 + 1 AS INT):CAST(win_idx * 256 + 256 AS INT)], x -> x * x)),
+               (p, q) -> p + q) AS sumsq
+      FROM w)
+    SELECT media_id, CAST(win_idx AS BIGINT) AS win_idx, sumsq,
+           floor(sqrt(CAST(sumsq AS DOUBLE) / 256) * 1000000 + 0.5) / 1000000.0 AS rms
+    FROM s ORDER BY media_id, win_idx"""))
+
   /** Count-Min sketch of the corpus token stream (depth 4, width 64).
     * The full counter matrix is hash-checked: Count-Min's elementwise-
     * sum merge makes the sketch a pure multiset function of the stream
@@ -871,5 +926,5 @@ object TextQueries {
 
   val list: Seq[Q] = Seq(q51, q52, q53, q54, q55, q56, q74, q89, q100, q101, q108, q112,
     q120, q128, q129, q138, q141, q142, q143, q144, q148, q176, q183, q194,
-    q199, q200, q201, q203)
+    q199, q200, q201, q203, q208)
 }

@@ -77,16 +77,21 @@ object FirehoseDelivery {
       // Retry-horizon pruning for the seen registry (effectivelyOnce
       // only): after each batch N, registry partitions with
       // batchId < N - seenRetention are deleted, bounding registry
-      // growth to `seenRetention` partitions instead of one per batch
-      // forever. A registry entry only matters while its record can
-      // legitimately re-arrive — checkpoint replay re-runs batch N
-      // itself (its partition is excluded by the anti-join, never
-      // pruned relative to itself) and sink re-delivery is bounded by
-      // the retry budget — so set this comfortably above
-      // `maxAttempts`. Pruning is a pure function of batchId, so a
-      // replayed batch prunes the same horizon its first attempt did.
-      // None (default) keeps every partition: the pre-existing
-      // "pruning is the operator's job" behavior.
+      // growth to the seenRetention+1 partitions in
+      // [N - seenRetention, N] instead of one per batch forever. A
+      // registry entry only matters while its record can legitimately
+      // re-arrive — checkpoint replay re-runs batch N itself (its
+      // partition is excluded by the anti-join, never pruned relative
+      // to itself) and sink re-delivery is bounded by the retry
+      // budget — so the horizon must cover BOTH terms: comfortably
+      // above `maxAttempts` AND above the worst-case source
+      // re-delivery lag in batches (a duplicate re-sent more than
+      // seenRetention batches after first ingestion lands after its
+      // registry partition is gone and is silently re-admitted).
+      // Pruning is a pure function of batchId, so a replayed batch
+      // prunes the same horizon its first attempt did. None (default)
+      // keeps every partition: the pre-existing "pruning is the
+      // operator's job" behavior.
       seenRetention: Option[Int] = None) {
     def primaryDir: String = s"$outputDir/primary"
     def backupDir: String = s"$outputDir/backup"

@@ -261,9 +261,24 @@ object StreamingOps {
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.SaveMode
+    // Centroids are FIXED for the stream's lifetime (the contract
+    // above), so collect them ONCE here — otherwise every micro-batch
+    // re-executes the caller's full centroid lineage (training
+    // aggregation + the argmin's collect) unless the caller thought to
+    // persist it (round-13 ADVICE). k rows of (cell, ctr) — the same
+    // bounded-build contract as the broadcast argmin itself.
+    val fixed = centroids
+      .select(col("cell").cast("int").as("cell"),
+        col("ctr").cast("array<double>").as("ctr"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .toSeq
     stream.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.Similarity.assignCells(batch, centroids, idCol, vecCol)
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val ctrLocal = fixed.toDF("cell", "ctr") // LocalRelation: no re-execution
+        graft.operators.Similarity.assignCells(batch, ctrLocal, idCol, vecCol)
           .select(col("_id").as(idCol), col("_v").as(vecCol), col("cell"))
           .write.mode(SaveMode.Overwrite).partitionBy("cell")
           .parquet(s"$indexDir/batchId=$batchId")
@@ -656,6 +671,33 @@ object StreamingOps {
     spark.read.parquet(outDir).count()
   }
 
+  /** Compaction for [[maintainIvfIndex]]'s cell-partitioned store —
+    * the same small-files failure [[compactBandTable]] solves for the
+    * band table: a long-running feeder accretes one `batchId=N`
+    * directory (with one file set per touched cell) per trigger
+    * forever, and an nprobe read eventually pays file-listing and
+    * open-cost proportional to trigger count, not data size. This
+    * rewrites the store into `outDir` preserving BOTH partition
+    * columns: `batchId` so the feeder's replay discipline keeps
+    * working against the compacted copy (a replayed batch N
+    * overwrites exactly its own `batchId=N` directory, never
+    * duplicates, never resurrects anything), and `cell` so nprobe
+    * reads still plan PartitionFilters and touch only probed cells'
+    * files. `filesPerPartition` bounds writer tasks, so each
+    * (batchId, cell) directory ends with at most that many files.
+    * Swap directories between streaming restarts, like
+    * [[compactBandTable]]. Returns the row count written so callers
+    * can assert the rewrite lost nothing.
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, outDir: String, filesPerPartition: Int = 1): Long = {
+    val t = spark.read.parquet(indexDir) // discovers batchId + cell partitions
+    t.repartition(filesPerPartition, col("batchId"), col("cell"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("batchId", "cell").parquet(outDir)
+    spark.read.parquet(outDir).count()
+  }
+
   /** The full incremental-LSH loop in ONE streaming query: each
     * micro-batch (1) screens its documents against the band table AS
     * OF THE PREVIOUS batch and routes collision pairs to
@@ -725,9 +767,22 @@ object StreamingOps {
     *    narrow, nothing shuffles;
     *  - `exact_dup`: md5(text) seen in an EARLIER batch's accepted
     *    set (partition-pruned read of `stateDir/md5`), or a larger
-    *    doc_id within this batch's own md5 group (one
-    *    hash-partitioned window — the batch keeper rule applied at
+    *    doc_id within this batch's own md5 group (groupBy(min) +
+    *    join back — the batch pipeline's skew-proof keeper shape,
+    *    one row per distinct text through the shuffle — applied at
     *    the micro-batch grain);
+    *  - `contaminated` (round 14, only when `evalDocs` is given): a
+    *    fresh keeper sharing at least one distinct `evalN`-gram with
+    *    the STATIC benchmark set — the batch pipeline's fourth gate
+    *    ([[graft.operators.CorpusOps.curationPipeline]]) applied per
+    *    micro-batch, in the q99 broadcast-BLOOM shape: the eval gram
+    *    hashes are collected ONCE before start() (small by contract,
+    *    and static — the stream must not re-run the eval lineage per
+    *    trigger), a bloom filter over them is broadcast and probed in
+    *    the batch's own scan stage, and the ~fpp survivors are
+    *    exact-confirmed against the broadcast gram set (no false
+    *    negatives + exact confirm = byte-identical to the pure exact
+    *    gate). Contaminated docs never enter the accepted history;
     *  - `near_dup`: band-key collision with an earlier batch's
     *    accepted set ([[nearDupAgainstHistory]] over
     *    `stateDir/bands`). Within-batch near-dups are NOT flagged —
@@ -759,6 +814,8 @@ object StreamingOps {
   def curationStream(stream: DataFrame, idCol: String, textCol: String,
       qualityMin: Double, stateDir: String, outDir: String,
       checkpointDir: String, n: Int = 3, k: Int = 8, rowsPerBand: Int = 2,
+      evalDocs: Option[DataFrame] = None, evalN: Int = 8,
+      evalExpectedGrams: Long = 1L << 20, evalFpp: Double = 0.01,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.SaveMode
@@ -768,6 +825,22 @@ object StreamingOps {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(fields.map { case (f, t) => StructField(f, t) }))
+    // The decontamination gate's static half, built ONCE before
+    // start(): collected eval gram hashes (bounded by contract — the
+    // benchmark set is small) + a bloom over them, broadcast to every
+    // batch. evalDocs must carry `textCol`.
+    val evalGate: Option[(org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter], Array[Long])] =
+      evalDocs.map { ev =>
+        val hashes = ev
+          .select(explode(array_distinct(
+            graft.functions.shingles.wordShingles(col(textCol), evalN))).as("_g"))
+          .select(graft.operators.Dedup.hash48(col("_g")).as("_h")).distinct()
+          .collect().map(_.getLong(0))
+        val bf = org.apache.spark.util.sketch.BloomFilter.create(
+          math.max(evalExpectedGrams, hashes.length.toLong), evalFpp)
+        hashes.foreach(bf.putLong)
+        (ev.sparkSession.sparkContext.broadcast(bf), hashes)
+      }
     stream.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
@@ -799,22 +872,44 @@ object StreamingOps {
             .unionByName(keepers.join(histMd5, Seq("_md5"), "left_semi"))
             .select(col("doc_id"), col("quality"),
               lit("exact_dup").as("disposition"))
+          // decontamination gate (only with evalDocs): bloom probe in
+          // the batch's scan stage, exact confirm on the survivors —
+          // byte-identical to the pure exact gate, per q99
+          val (contaminated, cleanFresh) = evalGate match {
+            case None => (None, freshMd5)
+            case Some((bfBc, hashes)) =>
+              import spark.implicits._
+              val mightContain = udf((h: Long) => bfBc.value.mightContainLong(h))
+              val evalSet = hashes.toSeq.toDF("_h") // LocalRelation, rebuilt free
+              val contamIds = freshMd5
+                .select(col("doc_id"), explode(array_distinct(
+                  graft.functions.shingles.wordShingles(col("text"), evalN))).as("_g"))
+                .select(col("doc_id"), graft.operators.Dedup.hash48(col("_g")).as("_h"))
+                .filter(mightContain(col("_h")))
+                .join(broadcast(evalSet), Seq("_h"), "left_semi")
+                .select(col("doc_id")).distinct()
+              (Some(freshMd5.join(contamIds, Seq("doc_id"), "left_semi")
+                .select(col("doc_id"), col("quality"),
+                  lit("contaminated").as("disposition"))),
+                freshMd5.join(contamIds, Seq("doc_id"), "left_anti"))
+          }
           val histBands =
             try spark.read.parquet(s"$stateDir/bands")
               .filter(col("batchId") < batchId)
               .select(col("doc_id"), col("band_key"))
             catch { case _: org.apache.spark.sql.AnalysisException =>
               emptyDf(spark, "doc_id" -> LongType, "band_key" -> StringType) }
-          val collided = nearDupAgainstHistory(freshMd5, histBands,
+          val collided = nearDupAgainstHistory(cleanFresh, histBands,
               "doc_id", "text", "doc_id", n, k, rowsPerBand)
             .select(col("new_id").as("doc_id")).distinct()
-          val nearDup = freshMd5.join(collided, Seq("doc_id"), "left_semi")
+          val nearDup = cleanFresh.join(collided, Seq("doc_id"), "left_semi")
             .select(col("doc_id"), col("quality"),
               lit("near_dup").as("disposition"))
-          val kept = freshMd5.join(collided, Seq("doc_id"), "left_anti")
+          val kept = cleanFresh.join(collided, Seq("doc_id"), "left_anti")
           kept.persist()
           try {
-            lowQ.unionByName(exactDup).unionByName(nearDup)
+            contaminated.foldLeft(lowQ.unionByName(exactDup))(_ unionByName _)
+              .unionByName(nearDup)
               .unionByName(kept.select(col("doc_id"), col("quality"),
                 lit("kept").as("disposition")))
               .write.mode(SaveMode.Overwrite).parquet(s"$outDir/batchId=$batchId")

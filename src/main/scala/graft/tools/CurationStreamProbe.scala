@@ -43,6 +43,23 @@ object CurationStreamProbe {
       java.nio.file.Files.copy(part.toPath, dst.toPath)
       assert(dst.setLastModified(System.currentTimeMillis() - (batches + 2 - i) * 60000L))
     }
+    // per-trigger wall times (durationMs.triggerExecution) — the
+    // history-growth question (round-13 VERDICT task 6) is whether
+    // LATE triggers cost more than EARLY ones as the md5/band history
+    // accretes batchId dirs; a flat profile means the partition-pruned
+    // equi-joins really are bounded by batch size, not history age
+    val triggerMs = new java.util.concurrent.ConcurrentHashMap[Long, Long]
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val d = e.progress.durationMs.get("triggerExecution")
+        if (d != null && e.progress.numInputRows > 0)
+          triggerMs.put(e.progress.batchId, d.toLong)
+      }
+    }
+    spark.streams.addListener(listener)
     val t0 = System.nanoTime()
     val q = graft.streaming.StreamingOps.curationStream(
       spark.readStream.schema(docs.schema)
@@ -51,10 +68,25 @@ object CurationStreamProbe {
       s"$base/state", s"$base/out", s"$base/ck")
     q.awaitTermination(600000)
     val curSec = (System.nanoTime() - t0) / 1e9
+    spark.streams.removeListener(listener)
     val byDisp = spark.read.parquet(s"$base/out")
       .groupBy("disposition").count().collect()
       .map(r => s""""${r.getString(0)}":${r.getLong(1)}""").sorted.mkString(",")
     println(f"""PROBE {"leg":"curationStream","docs":$nDocs,"batches":$batches,"wall_s":$curSec%.2f,"docs_per_sec":${nDocs / curSec}%.0f,"dispositions":{$byDisp}}""")
+    val ts = triggerMs.entrySet().toArray(Array.empty[java.util.Map.Entry[Long, Long]])
+      .sortBy(_.getKey).map(_.getValue.toLong).toSeq
+    if (ts.size >= 10) {
+      def mean(s: Seq[Long]) = s.sum.toDouble / s.size
+      def files(dir: String) = {
+        def walk(f: java.io.File): Int =
+          if (f.isDirectory) f.listFiles().map(walk).sum
+          else if (f.getName.endsWith(".parquet")) 1 else 0
+        walk(new java.io.File(dir))
+      }
+      val md5Rows = spark.read.parquet(s"$base/state/md5").count()
+      val bandRows = spark.read.parquet(s"$base/state/bands").count()
+      println(f"""PROBE {"leg":"curationStreamPerTrigger","batches":${ts.size},"first5_mean_ms":${mean(ts.take(5))}%.0f,"last5_mean_ms":${mean(ts.takeRight(5))}%.0f,"max_ms":${ts.max},"md5_files":${files(s"$base/state/md5")},"md5_rows":$md5Rows,"band_files":${files(s"$base/state/bands")},"band_rows":$bandRows,"trigger_ms":[${ts.mkString(",")}]}""")
+    }
 
     // ---- leg 2: maintainIvfIndex over embeddings
     import graft.functions.CentroidAggregator

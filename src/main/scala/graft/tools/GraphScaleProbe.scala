@@ -128,23 +128,31 @@ object GraphScaleProbe {
     }
 
     if (modes("hub")) {
-      // out-degree hub: node 0 -> 1..100k plus a background ring, so
-      // one _src partition holds 100k edges. Measures the srcSalt
-      // lever (salt=8 spreads the hub across 8 partitions at the cost
-      // of replicating the ranks side 8x) and pins bit-identity.
-      val n = 100000L
-      val hub = spark.range(1, n + 1).select(lit(0L).as("src"), col("id").as("dst"))
-      val ring = spark.range(1, n + 1).select(col("id").as("src"),
-        (col("id") % n + 1).as("dst"))
-      val edges = hub.union(ring)
-      for (salt <- Seq(1, 8)) {
-        meter.reset()
-        val t0 = System.nanoTime()
-        val pr = Graph.pageRank(edges, "src", "dst", iters = 3, srcSalt = salt)
-        val sum = pr.agg(org.apache.spark.sql.functions.sum(col("rank_u")))
-          .head().getLong(0)
-        val wall = (System.nanoTime() - t0) / 1e9
-        println(s"""PROBE {"probe":"hub","salt":$salt,"edges":${2 * n},"wall_sec":${f"$wall%.2f"},"shuffle_mb":${meter.readBytes / (1 << 20)},"shuffle_records":${meter.readRecords},"rank_sum":$sum}""")
+      // out-degree hub: node 0 -> 1..hubDeg plus a background ring, so
+      // one _src partition holds hubDeg edges. The srcSalt SELECTION
+      // RULE (round-13 VERDICT task 7) needs the full trade curve, not
+      // one point: salt spreads the hub across `salt` partitions but
+      // replicates the ranks side salt x per round (an extra exchange
+      // of |V| x salt long-pairs). Sweep salt over two hub degrees and
+      // record wall + shuffle so SCALE.md can state when the
+      // replication cost exceeds the hub-split win. rank_sum pins
+      // bit-identity across every (deg, salt) cell.
+      for (n <- Seq(25000L, 100000L)) {
+        val hub = spark.range(1, n + 1).select(lit(0L).as("src"), col("id").as("dst"))
+        val ring = spark.range(1, n + 1).select(col("id").as("src"),
+          (col("id") % n + 1).as("dst"))
+        val edges = hub.union(ring)
+        // warm this graph's code paths so salt=1 is not charged for JIT
+        force(Graph.pageRank(edges, "src", "dst", iters = 1))
+        for (salt <- Seq(1, 2, 4, 8, 16)) {
+          meter.reset()
+          val t0 = System.nanoTime()
+          val pr = Graph.pageRank(edges, "src", "dst", iters = 3, srcSalt = salt)
+          val sum = pr.agg(org.apache.spark.sql.functions.sum(col("rank_u")))
+            .head().getLong(0)
+          val wall = (System.nanoTime() - t0) / 1e9
+          println(s"""PROBE {"probe":"hub","hub_degree":$n,"salt":$salt,"edges":${2 * n},"wall_sec":${f"$wall%.2f"},"shuffle_mb":${meter.readBytes / (1 << 20)},"shuffle_records":${meter.readRecords},"rank_sum":$sum}""")
+        }
       }
     }
 

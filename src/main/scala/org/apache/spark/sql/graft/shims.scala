@@ -31,6 +31,27 @@ object shims {
     * broadcast). No-op on frames that are not checkpointed
     * LogicalRDDs.
     */
+  /** Actual cached bytes of a checkpointed frame's materialized RDD
+    * (mem + disk, from the driver's block-manager registry — metadata
+    * only, no job). None when the frame is not a LogicalRDD or its
+    * blocks are not (fully) materialized yet — i.e. for LAZY
+    * checkpoints before their first action. This is what lets
+    * [[withMeasuredStats]] callers carry honest sizes for
+    * VARIABLE-WIDTH schemas (string ids in connectedComponents),
+    * where rowCount x defaultSize is a fixed guess that can
+    * underestimate drastically and mis-broadcast (round-13 ADVICE).
+    */
+  def materializedSizeInBytes(df: DataFrame): Option[Long] =
+    df.queryExecution.logical match {
+      case l: LogicalRDD =>
+        df.sparkSession.sparkContext.getRDDStorageInfo
+          .find(_.id == l.rdd.id)
+          .filter(i => i.isCached &&
+            i.numCachedPartitions == l.rdd.getNumPartitions)
+          .map(i => math.max(i.memSize + i.diskSize, 1L))
+      case _ => None
+    }
+
   def withMeasuredStats(df: DataFrame, sizeInBytes: BigInt,
       rowCount: BigInt): DataFrame =
     df.queryExecution.logical match {

@@ -299,6 +299,32 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("ckptMeasured stats: fixed-width rows keep exact arithmetic; string frames carry measured block bytes") {
+    // round-14 policy pin (closes round-13 ADVICE on withKnownStats):
+    // rowCount x defaultSize is only exact for fixed-width schemas —
+    // a string frame must carry its MATERIALIZED cached-block bytes
+    // instead, or a long-text frame's drastic underestimate could
+    // spuriously broadcast gigabytes.
+    import graft.operators.Graph
+    val fixed = Graph.ckptMeasured(
+      spark.range(100).select(col("id").as("a"), (col("id") * 2).as("b")))
+    val fStats = fixed.queryExecution.optimizedPlan.stats
+    assert(fStats.rowCount.contains(BigInt(100)))
+    assert(fStats.sizeInBytes == BigInt(100) * (8 + 8 + 8),
+      s"fixed-width stays exact arithmetic: ${fStats.sizeInBytes}")
+    // 100 rows x ~1 KB of string payload: the defaultSize guess
+    // (20 bytes/string) would say ~3 KB; the measured blocks must
+    // reflect the actual ~100 KB
+    val big = Graph.ckptMeasured(
+      spark.range(100).select(col("id"),
+        concat_ws("", (0 until 32).map(i => md5(concat(col("id"), lit(i)))): _*).as("txt")))
+    val bStats = big.queryExecution.optimizedPlan.stats
+    assert(bStats.rowCount.contains(BigInt(100)))
+    val guess = BigInt(100) * (8 + 20 + 8)
+    assert(bStats.sizeInBytes > guess * 10,
+      s"string frame must carry measured bytes, not the $guess-byte guess: ${bStats.sizeInBytes}")
+  }
+
   test("kCore round plan maintains degrees by delta: one edge scan, no full re-aggregation (plan pin)") {
     // the round-13 incremental rewrite: a peel round's degree update
     // must derive from the REMOVED-node delta (flag edges against the

@@ -166,6 +166,53 @@ class MultimodalSpec extends SparkSpec {
     assert(fb.getLong(2) == 97L * 97 + 98L * 98, "fallback must fold codepoint squares")
   }
 
+  test("µ-law compressed leg: javax.sound expansion equals the CCITT G.711 closed form on all 256 bytes") {
+    // the q208 oracle states decoded samples as pure byte arithmetic;
+    // this pin is what makes that legitimate: the REAL codec
+    // (javax.sound's ULAW->PCM conversion) and the closed form agree
+    // on every possible encoded byte, so the SQL mirror predicts the
+    // JDK decode exactly.
+    def ccitt(b: Int): Int = {
+      val u = (~b) & 0xff
+      val t = (((u & 0x0f) << 3) + 0x84) << ((u & 0x70) >> 4)
+      if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+    }
+    val allBytes = Array.tabulate(256)(_.toByte)
+    val (rate, decoded) = Multimodal.decodeAudioPcm(
+      Multimodal.buildMulawWav(allBytes, 8000)).get
+    assert(rate == 8000f)
+    assert(decoded.length == 256)
+    val mismatches = (0 until 256).filter(i => decoded(i) != ccitt(i))
+    assert(mismatches.isEmpty,
+      s"javax != G.711 closed form at bytes $mismatches")
+  }
+
+  test("µ-law compressed leg: truncation and garbage fuzz fail the row, never the task") {
+    val rnd = new scala.util.Random(14)
+    val data = { val d = new Array[Byte](512); rnd.nextBytes(d); d }
+    val wav = Multimodal.buildMulawWav(data, 8000)
+    // every truncation point: decode returns Some (a prefix) or None,
+    // NEVER throws — the row-fails-never-the-task contract
+    (0 to wav.length).foreach { cut =>
+      Multimodal.decodeAudioPcm(wav.take(cut)) // must not throw
+    }
+    // garbage bodies behind a valid RIFF/WAVE magic
+    (0 until 200).foreach { _ =>
+      val junk = new Array[Byte](rnd.nextInt(256)); rnd.nextBytes(junk)
+      Multimodal.decodeAudioPcm(
+        "RIFF1234WAVE".getBytes("ISO-8859-1") ++ junk) // must not throw
+    }
+    // bit-flipped fmt chunks (crafted headers): same contract
+    (0 until 100).foreach { _ =>
+      val copy = wav.clone()
+      copy(12 + rnd.nextInt(26)) = rnd.nextInt(256).toByte
+      Multimodal.decodeAudioPcm(copy) // must not throw
+    }
+    // the intact container still decodes sample-exactly after the fuzz
+    val full = Multimodal.decodeAudioPcm(wav).get._2
+    assert(full.length == 512)
+  }
+
   test("aHash + perceptualNearDups: tweaked copies pair up, distinct media do not, no cartesian") {
     import spark.implicits._
     // 64 "pixels" alternating 0/200 (mean ~100 thresholds cleanly)

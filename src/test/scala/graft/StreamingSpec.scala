@@ -1210,6 +1210,68 @@ class StreamingSpec extends SparkSpec {
     centroids.unpersist()
   }
 
+  test("compactIvfIndex: one file set per (batchId, cell), pruning keeps planning, replay keeps overwriting") {
+    import graft.functions.CentroidAggregator
+    val base = tmp()
+    val e = Tables.load(spark, sfDir, "embeddings").limit(400)
+    val centroidUdaf = udaf(new CentroidAggregator(64))
+    val centroids = e.groupBy(col("label").cast("int").as("cell"))
+      .agg(centroidUdaf(col("embedding")).as("ctr"))
+    centroids.persist().count()
+    // four file-batches of 100 vectors each -> 4 batchId dirs x cells
+    val now = System.currentTimeMillis()
+    (0 until 4).foreach { i =>
+      e.filter(col("vec_id") % 4 === i).select("vec_id", "embedding").coalesce(1)
+        .write.mode("overwrite").parquet(s"$base/staging-$i")
+      val part = new java.io.File(s"$base/staging-$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$base/in/b$i.parquet")
+      Files.createDirectories(dst.toPath.getParent)
+      Files.copy(part.toPath, dst.toPath)
+      assert(dst.setLastModified(now - (5 - i) * 60000L))
+    }
+    val schema = e.select("vec_id", "embedding").schema
+    def start(indexDir: String) = StreamingOps.maintainIvfIndex(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in"),
+      centroids, "vec_id", "embedding", indexDir, s"$base/ck")
+    start(s"$base/ivf").awaitTermination(120000)
+    val rowsBefore = spark.read.parquet(s"$base/ivf").count()
+    // compact: rewrite lost nothing, file ceiling holds
+    val written = StreamingOps.compactIvfIndex(spark, s"$base/ivf", s"$base/ivf2")
+    assert(written == rowsBefore, s"compaction lost rows: $written vs $rowsBefore")
+    val nDirs = spark.read.parquet(s"$base/ivf2")
+      .select("batchId", "cell").distinct().count()
+    def parquetFiles(dir: String): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
+      walk(new java.io.File(dir))
+    }
+    val files = parquetFiles(s"$base/ivf2")
+    assert(files.length <= nDirs,
+      s"filesPerPartition=1 must leave <= one file per (batchId, cell) dir: ${files.length} vs $nDirs")
+    // an nprobe read over the COMPACTED store still prunes on cell
+    val probed = spark.read.parquet(s"$base/ivf2").filter(col("cell").isin(0, 1))
+    probed.collect()
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("cell"), plan.take(800))
+    val wantProbed = spark.read.parquet(s"$base/ivf")
+      .filter(col("cell").isin(0, 1)).count()
+    assert(probed.count() == wantProbed)
+    // a replayed batch against the compacted store overwrites its own
+    // batchId partition: no duplicates, nothing resurrected
+    assert(Files.deleteIfExists(Paths.get(s"$base/ck/commits/3")))
+    Files.deleteIfExists(Paths.get(s"$base/ck/commits/.3.crc"))
+    start(s"$base/ivf2").awaitTermination(120000)
+    val after = spark.read.parquet(s"$base/ivf2")
+    assert(after.count() == rowsBefore,
+      "replayed batch must overwrite its compacted batchId directory, not append")
+    assert(after.select("vec_id").distinct().count() == rowsBefore,
+      "every vector exactly once after replay-over-compacted")
+    centroids.unpersist()
+  }
+
   test("curationStream: per-batch dispositions against the accepted-so-far corpus") {
     import spark.implicits._
     val base = tmp()
@@ -1307,6 +1369,76 @@ class StreamingSpec extends SparkSpec {
     assert(out.count() == 5, "batchId-keyed overwrite must not duplicate rows")
     assert(spark.read.parquet(s"$base/state/md5").count() == 2L,
       "accepted history must stay {A, B} after replay")
+  }
+
+  test("curationStream: decontamination gate adds the fifth disposition and survives replay") {
+    import spark.implicits._
+    val base = tmp()
+    val textA = (1 to 120).map(i => s"alpha$i word").mkString(" ")
+    val textB = (1 to 120).map(i => s"beta$i token").mkString(" ")
+    val evalText = (1 to 60).map(i => s"zeta$i mark").mkString(" ")
+    // 8 consecutive eval tokens buried in otherwise-unique text: shares
+    // one 8-gram with the benchmark set, no band keys with anything
+    def contam(tag: String) =
+      (1 to 60).map(i => s"$tag$i item").mkString(" ") + " " +
+        (1 to 4).map(i => s"zeta$i mark").mkString(" ") + " " +
+        (61 to 120).map(i => s"$tag$i item").mkString(" ")
+    val batches = Seq(
+      // kept, low_quality, within-batch exact dup, contaminated
+      Seq((1L, textA), (2L, "1 2 3"), (3L, textA), (4L, contam("delta"))),
+      // exact dup vs history, near-dup vs history, kept, contaminated
+      Seq((10L, textA), (11L, textA + " extra trailing tail"),
+        (12L, textB), (13L, contam("epsilon"))))
+    val now = System.currentTimeMillis()
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      Files.createDirectories(Paths.get(s"$base/in"))
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$base/staging-$i")
+      val part = new java.io.File(s"$base/staging-$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$base/in/b$i.parquet")
+      Files.copy(part.toPath, dst.toPath)
+      assert(dst.setLastModified(now - (3 - i) * 60000L))
+    }
+    val evalDf = Seq((9000L, evalText)).toDF("doc_id", "text")
+    val schema = Seq((1L, "x")).toDF("doc_id", "text").schema
+    def start() = StreamingOps.curationStream(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in"),
+      "doc_id", "text", qualityMin = 0.25,
+      s"$base/state", s"$base/out", s"$base/ck",
+      evalDocs = Some(evalDf))
+    val q1 = start()
+    q1.awaitTermination(120000)
+    val want = Map(
+      1L -> "kept", 2L -> "low_quality", 3L -> "exact_dup",
+      4L -> "contaminated",
+      10L -> "exact_dup", 11L -> "near_dup", 12L -> "kept",
+      13L -> "contaminated")
+    def dispositions() = spark.read.parquet(s"$base/out")
+      .select("doc_id", "disposition")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dispositions() == want, s"got ${dispositions()}")
+    // contaminated docs never enter the accepted history
+    val bandIds = spark.read.parquet(s"$base/state/bands")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(bandIds == Set(1L, 12L), s"accepted-only history, got $bandIds")
+    assert(spark.read.parquet(s"$base/state/md5").count() == 2L)
+    // the exact gate (no bloom) must agree with the bloom-prefiltered
+    // gate through the batch pipeline's rule: doc 4/13 share an 8-gram
+    val evalGrams = evalDf.select(explode(graft.functions.shingles
+      .wordShingles(col("text"), 8)).as("g")).distinct().count()
+    assert(evalGrams > 0)
+    // replay batch 1: the gate is static, history is batchId-pruned —
+    // dispositions and row counts must be identical post-replay
+    assert(Files.deleteIfExists(Paths.get(s"$base/ck/commits/1")))
+    Files.deleteIfExists(Paths.get(s"$base/ck/commits/.1.crc"))
+    val q2 = start()
+    q2.awaitTermination(120000)
+    assert(dispositions() == want, s"post-replay: ${dispositions()}")
+    assert(spark.read.parquet(s"$base/out").count() == 8,
+      "batchId-keyed overwrite must not duplicate rows")
+    assert(spark.read.parquet(s"$base/state/md5").count() == 2L)
   }
 
   test("screenAndMaintain: each batch dedups against all earlier batches in one query") {
