@@ -671,6 +671,31 @@ object StreamingOps {
     spark.read.parquet(outDir).count()
   }
 
+  /** Compaction for [[curationStream]]'s accepted-history state — the
+    * md5 table and the band-key table both accrete one `batchId=N`
+    * directory per trigger forever, and the measured cost of that is
+    * file-LISTING drift, not join growth (SCALE.md round 14: 50
+    * triggers -> 399 files/table and the last triggers pay ~+20%
+    * listing overhead at toy batch sizes). Rewrites BOTH tables into
+    * `outDir/md5` and `outDir/bands` with the SAME batchId partition
+    * column — the `batchId < N` replay filter keeps working against
+    * the compacted copy — and one consolidated file set per
+    * partition. Swap `stateDir`s between streaming restarts, like
+    * [[compactBandTable]]. Returns (md5 rows, band rows) written so
+    * callers can assert the rewrite lost nothing.
+    */
+  def compactCurationHistory(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, outDir: String, filesPerPartition: Int = 1): (Long, Long) = {
+    def compact(sub: String): Long = {
+      val t = spark.read.parquet(s"$stateDir/$sub") // discovers batchId
+      t.repartition(filesPerPartition, col("batchId"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("batchId").parquet(s"$outDir/$sub")
+      spark.read.parquet(s"$outDir/$sub").count()
+    }
+    (compact("md5"), compact("bands"))
+  }
+
   /** Compaction for [[maintainIvfIndex]]'s cell-partitioned store —
     * the same small-files failure [[compactBandTable]] solves for the
     * band table: a long-running feeder accretes one `batchId=N`

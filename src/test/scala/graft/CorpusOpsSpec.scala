@@ -248,6 +248,48 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(5L)._2.isEmpty && got(5L)._3.nonEmpty) // singleton: own bucket
   }
 
+  test("curationPipeline decontamination gate: contaminated keepers drop, gate order holds, n-gram grain exact") {
+    import spark.implicits._
+    val longText = (1 to 120).map(i => s"word$i").mkString(" ")
+    val evalText = (1 to 40).map(i => s"ev$i mk").mkString(" ")
+    // shares exactly one 8-gram with the eval set, otherwise unique
+    val contamText = (1 to 60).map(i => s"ca$i it").mkString(" ") +
+      " " + (1 to 4).map(i => s"ev$i mk").mkString(" ") + " " +
+      (61 to 120).map(i => s"ca$i it").mkString(" ")
+    // shares only a 7-token run with the eval set: NOT contaminated
+    // (the rule is distinct 8-grams, not any overlap)
+    val underText = (1 to 60).map(i => s"ub$i it").mkString(" ") +
+      " ev1 mk ev2 mk ev3 mk ev4 " +
+      (61 to 120).map(i => s"ub$i it").mkString(" ")
+    val docs = Seq(
+      (1L, longText),        // kept
+      (2L, contamText),      // contaminated keeper
+      (3L, contamText),      // exact dup of 2: gate order — exact_dup wins
+      (4L, underText),       // 7-token overlap only: kept
+      (5L, "1 2 3")          // low quality
+    ).toDF("doc_id", "text")
+    val pairs = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    val evalDocs = Seq((900L, evalText)).toDF("doc_id", "text")
+    val got = CorpusOps.curationPipeline(docs, qualityMin = 0.25, pairs,
+        splits = Seq(("train", 0.8), ("val", 0.2)), evalDocs = Some(evalDocs))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(2), if (r.isNullAt(4)) None else Some(r.getString(4)))))
+      .toMap
+    assert(got.size == 5, s"every doc gets exactly one disposition: $got")
+    assert(got(2L)._1 == "contaminated" && got(2L)._2.isEmpty,
+      s"8-gram overlap with the eval set must contaminate: ${got(2L)}")
+    assert(got(3L)._1 == "exact_dup",
+      s"exact-dup gate precedes the contamination gate: ${got(3L)}")
+    assert(got(4L)._1 == "kept",
+      s"a 7-token run is below the 8-gram grain: ${got(4L)}")
+    assert(got(1L)._1 == "kept" && got(5L)._1 == "low_quality")
+    // without evalDocs the same corpus has no contaminated branch
+    val plain = CorpusOps.curationPipeline(docs, 0.25, pairs,
+        Seq(("train", 0.8), ("val", 0.2)))
+      .select("disposition").distinct().as[String].collect().toSet
+    assert(!plain.contains("contaminated"))
+  }
+
   test("curationPipeline keeper shape: groupBy(min)+join, never a window over md5 partitions") {
     import spark.implicits._
     val docs = (1L to 50L).map(i => (i, (1 to 120).map(j => s"w$i-$j").mkString(" ")))

@@ -1371,6 +1371,55 @@ class StreamingSpec extends SparkSpec {
       "accepted history must stay {A, B} after replay")
   }
 
+  test("compactCurationHistory: the stream continues against the compacted state and still screens correctly") {
+    import spark.implicits._
+    val base = tmp()
+    val textA = (1 to 120).map(i => s"alpha$i word").mkString(" ")
+    val textB = (1 to 120).map(i => s"beta$i token").mkString(" ")
+    val now = System.currentTimeMillis()
+    def addBatch(i: Int, rows: Seq[(Long, String)]): Unit = {
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$base/staging-$i")
+      val part = new java.io.File(s"$base/staging-$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$base/in/b$i.parquet")
+      Files.createDirectories(dst.toPath.getParent)
+      Files.copy(part.toPath, dst.toPath)
+      assert(dst.setLastModified(now - (6 - i) * 60000L))
+    }
+    addBatch(0, Seq((1L, textA)))
+    addBatch(1, Seq((2L, textB)))
+    def start(stateDir: String) = StreamingOps.curationStream(
+      spark.readStream.schema(Seq((1L, "x")).toDF("doc_id", "text").schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in"),
+      "doc_id", "text", qualityMin = 0.25,
+      stateDir, s"$base/out", s"$base/ck")
+    start(s"$base/state").awaitTermination(120000)
+    // compact the two-batch history; rewrite loses nothing
+    val (md5N, bandN) = StreamingOps.compactCurationHistory(
+      spark, s"$base/state", s"$base/state2")
+    assert(md5N == 2L, s"2 accepted md5s through compaction, got $md5N")
+    assert(bandN == spark.read.parquet(s"$base/state/bands").count())
+    def files(dir: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(dir))
+    }
+    assert(files(s"$base/state2/md5") <= 2 && files(s"$base/state2/bands") <= 2,
+      "filesPerPartition=1 must leave <= one file per batchId dir")
+    // the swapped-in compacted state keeps screening: an exact dup of
+    // batch 0's doc and a near-dup of it, both vs COMPACTED history
+    addBatch(2, Seq((10L, textA), (11L, textA + " extra trailing tail"), (12L, "1 2 3")))
+    start(s"$base/state2").awaitTermination(120000)
+    val got = spark.read.parquet(s"$base/out")
+      .select("doc_id", "disposition")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "kept", 2L -> "kept", 10L -> "exact_dup",
+      11L -> "near_dup", 12L -> "low_quality"),
+      s"screening against compacted history: $got")
+  }
+
   test("curationStream: decontamination gate adds the fifth disposition and survives replay") {
     import spark.implicits._
     val base = tmp()
