@@ -599,14 +599,14 @@ object Multimodal {
       lit(16000).as("sample_rate"),
       ((col("n_chars") * 137) % 100000 + 16000).cast("int").as("n_samples"))
 
-  /** Assemble a REAL G.711 µ-law WAV byte stream (RIFF container:
-    * 18-byte `fmt ` chunk with wFormatTag=7, the `fact` chunk
-    * compressed formats carry, then the `data` chunk of 8-bit
-    * log-companded samples) — the container
-    * [[decodeAudioPcm]]'s compressed leg expands through the JDK's
-    * G.711 codec.
+  /** Assemble a REAL G.711 WAV byte stream (RIFF container: 18-byte
+    * `fmt ` chunk with wFormatTag 7 = µ-law / 6 = A-law, the `fact`
+    * chunk compressed formats carry, then the `data` chunk of 8-bit
+    * log-companded samples) — the containers [[decodeAudioPcm]]'s
+    * compressed leg expands through the JDK's G.711 codecs.
     */
-  private[graft] def buildMulawWav(data: Array[Byte], rate: Int): Array[Byte] = {
+  private def buildG711Wav(data: Array[Byte], rate: Int,
+      formatTag: Int): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     def u32(v: Long): Array[Byte] = Array(
       (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
@@ -615,7 +615,7 @@ object Multimodal {
       Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
     def cc(s: String): Array[Byte] =
       s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
-    val fmt = u16(7) ++ u16(1) ++ u32(rate.toLong) ++ u32(rate.toLong) ++
+    val fmt = u16(formatTag) ++ u16(1) ++ u32(rate.toLong) ++ u32(rate.toLong) ++
       u16(1) ++ u16(8) ++ u16(0) // mono, 8-bit, blockAlign 1, cbSize 0
     val body = cc("WAVE") ++
       cc("fmt ") ++ u32(18) ++ fmt ++
@@ -624,6 +624,12 @@ object Multimodal {
     bos.write(cc("RIFF")); bos.write(u32(body.length.toLong)); bos.write(body)
     bos.toByteArray
   }
+
+  private[graft] def buildMulawWav(data: Array[Byte], rate: Int): Array[Byte] =
+    buildG711Wav(data, rate, 7)
+
+  private[graft] def buildAlawWav(data: Array[Byte], rate: Int): Array[Byte] =
+    buildG711Wav(data, rate, 6)
 
   /** Synthesize a table of REAL µ-law WAV byte streams from the
     * documents corpus — each document's UTF-8 bytes become the 8-bit
@@ -639,7 +645,23 @@ object Multimodal {
     * mapPartitions (the write side of a media ingest — payloads are
     * built per-partition and never shuffle).
     */
-  def mulawWavFromDocuments(docs: DataFrame, rate: Int = 8000): DataFrame = {
+  def mulawWavFromDocuments(docs: DataFrame, rate: Int = 8000): DataFrame =
+    g711FromDocuments(docs, rate, 7)
+
+  /** The A-law twin of [[mulawWavFromDocuments]] (wFormatTag 6) —
+    * same container, same byte-per-sample grid, the OTHER G.711
+    * companding law (the one European telephony uses). Its expansion
+    * is likewise a fixed closed form of each byte (x = b ^ 0x55;
+    * t = 16m+8 for segment 0, else (16m+264) << (s-1); sign bit SET
+    * means positive — note the polarity is opposite to µ-law's), so
+    * q209 puts the second JDK audio codec under the same oracle
+    * discipline as q208.
+    */
+  def alawWavFromDocuments(docs: DataFrame, rate: Int = 8000): DataFrame =
+    g711FromDocuments(docs, rate, 6)
+
+  private def g711FromDocuments(docs: DataFrame, rate: Int,
+      formatTag: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.filter(col("doc_id").isNotNull)
@@ -648,7 +670,7 @@ object Multimodal {
       .filter(col("media_id").isNotNull && octet_length(col("_src")) > 0)
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, src) =>
-        (id, buildMulawWav(src, rate))
+        (id, buildG711Wav(src, rate, formatTag))
       }).toDF("media_id", "payload")
   }
 

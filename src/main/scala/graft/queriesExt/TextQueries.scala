@@ -783,6 +783,54 @@ object TextQueries {
            floor(sqrt(CAST(sumsq AS DOUBLE) / 256) * 1000000 + 0.5) / 1000000.0 AS rms
     FROM s ORDER BY media_id, win_idx"""))
 
+  /** The A-LAW half of the G.711 pair (q208 is µ-law): same real
+    * RIFF/WAVE container (wFormatTag 6), same javax.sound expansion
+    * on the Spark side, and the oracle replays the A-law closed form
+    * — x = b ^ 85; segment s = (x%128)//16, mantissa m = x%16;
+    * t = 16m+8 when s = 0 else (16m+264) << (s-1); sign bit SET is
+    * POSITIVE (polarity opposite to µ-law, which is why the pair is
+    * worth two oracle rows: a sign mix-up in either leg hash-fails
+    * its own query). Spec-pinned equal to javax on all 256 bytes.
+    */
+  private val q209 = Q("q209_alaw_audio", (s, dir) => {
+    import s.implicits._
+    import graft.operators.Multimodal
+    val audio = Multimodal.alawWavFromDocuments(Tables.load(s, dir, "documents"))
+      .as[Multimodal.AudioRecord]
+    Multimodal.audioRmsWindows(audio, winSamples = 256)
+      .orderBy(col("media_id"), col("win_idx"))
+  }, Some("""
+    WITH a AS (
+      SELECT doc_id AS media_id, encode(text) AS src,
+             octet_length(encode(text)) AS nbytes
+      FROM documents
+      WHERE doc_id IS NOT NULL AND octet_length(encode(text)) > 0),
+    d AS (
+      SELECT media_id, nbytes,
+             list_transform(range(0, nbytes), j ->
+               xor(CAST(concat('0x', substr(hex(src), CAST(j AS INT) * 2 + 1, 2)) AS BIGINT), 85)) AS u
+      FROM a),
+    e AS (
+      SELECT media_id, nbytes,
+             list_transform(u, x ->
+               (CASE WHEN x >= 128 THEN 1 ELSE -1 END) *
+               (CASE WHEN (x % 128) // 16 = 0 THEN (x % 16) * 16 + 8
+                     ELSE ((x % 16) * 16 + 264) * (CAST(1 AS BIGINT) << CAST((x % 128) // 16 - 1 AS INT))
+                END)) AS smp
+      FROM d),
+    w AS (
+      SELECT media_id, smp, unnest(range(0, CAST(nbytes // 256 AS INT))) AS win_idx
+      FROM e),
+    s AS (
+      SELECT media_id, win_idx,
+             list_reduce(list_concat([CAST(0 AS BIGINT)],
+               list_transform(smp[CAST(win_idx * 256 + 1 AS INT):CAST(win_idx * 256 + 256 AS INT)], x -> x * x)),
+               (p, q) -> p + q) AS sumsq
+      FROM w)
+    SELECT media_id, CAST(win_idx AS BIGINT) AS win_idx, sumsq,
+           floor(sqrt(CAST(sumsq AS DOUBLE) / 256) * 1000000 + 0.5) / 1000000.0 AS rms
+    FROM s ORDER BY media_id, win_idx"""))
+
   /** Count-Min sketch of the corpus token stream (depth 4, width 64).
     * The full counter matrix is hash-checked: Count-Min's elementwise-
     * sum merge makes the sketch a pure multiset function of the stream
@@ -926,5 +974,5 @@ object TextQueries {
 
   val list: Seq[Q] = Seq(q51, q52, q53, q54, q55, q56, q74, q89, q100, q101, q108, q112,
     q120, q128, q129, q138, q141, q142, q143, q144, q148, q176, q183, q194,
-    q199, q200, q201, q203, q208)
+    q199, q200, q201, q203, q208, q209)
 }

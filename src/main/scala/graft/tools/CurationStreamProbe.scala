@@ -88,6 +88,31 @@ object CurationStreamProbe {
       println(f"""PROBE {"leg":"curationStreamPerTrigger","batches":${ts.size},"first5_mean_ms":${mean(ts.take(5))}%.0f,"last5_mean_ms":${mean(ts.takeRight(5))}%.0f,"max_ms":${ts.max},"md5_files":${files(s"$base/state/md5")},"md5_rows":$md5Rows,"band_files":${files(s"$base/state/bands")},"band_rows":$bandRows,"trigger_ms":[${ts.mkString(",")}]}""")
     }
 
+    // ---- leg 1b: the decontamination gate's serving cost (round 14)
+    // Same corpus/batching, eval split = doc_id % 97 = 0 (the q207
+    // convention). gate_build_ms is the one-time pre-start cost the
+    // static-eval-set contract buys (collect gram hashes + bloom);
+    // per-doc throughput vs leg 1 isolates the per-trigger gate cost
+    // (bloom probe in the scan + broadcast exact confirm).
+    {
+      val evalDocs = docs.filter(col("doc_id") % 97 === 0)
+      val nEval = evalDocs.count()
+      val tg0 = System.nanoTime()
+      val qg = graft.streaming.StreamingOps.curationStream(
+        spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$base/in"),
+        "doc_id", "text", qualityMin = 0.25,
+        s"$base/gstate", s"$base/gout", s"$base/gck",
+        evalDocs = Some(evalDocs))
+      val gateBuildMs = (System.nanoTime() - tg0) / 1e6 // collect+bloom+start
+      qg.awaitTermination(600000)
+      val gSec = (System.nanoTime() - tg0) / 1e9
+      val gDisp = spark.read.parquet(s"$base/gout")
+        .groupBy("disposition").count().collect()
+        .map(r => s""""${r.getString(0)}":${r.getLong(1)}""").sorted.mkString(",")
+      println(f"""PROBE {"leg":"curationStreamEvalGate","docs":$nDocs,"eval_docs":$nEval,"batches":$batches,"gate_build_ms":$gateBuildMs%.0f,"wall_s":$gSec%.2f,"docs_per_sec":${nDocs / gSec}%.0f,"dispositions":{$gDisp}}""")
+    }
+
     // ---- leg 2: maintainIvfIndex over embeddings
     import graft.functions.CentroidAggregator
     val e = graft.Tables.load(spark, sfDir, "embeddings").select("vec_id", "label", "embedding")

@@ -290,6 +290,24 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!plain.contains("contaminated"))
   }
 
+  test("curationPipeline decontamination gate: the eval gram set meets keeper grams as a broadcast semi join") {
+    import spark.implicits._
+    val docs = (1L to 50L).map(i => (i, (1 to 120).map(j => s"w$i-$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val evalDocs = Seq((900L, (1 to 40).map(i => s"ev$i mk").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id1", "id2")
+    val plan = CorpusOps.curationPipeline(docs, 0.25, pairs,
+        Seq(("train", 0.8), ("val", 0.2)), evalDocs = Some(evalDocs))
+      .queryExecution.executedPlan.toString
+    // the gate's scale contract (q84/q206 family): the benchmark gram
+    // set broadcasts and the corpus-derived side semi-joins it in its
+    // own scan stage — the keeper grams must never shuffle into a
+    // sort-merge join against the eval set
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"expected a broadcast semi join on the gram hash:\n${plan.take(900)}")
+  }
+
   test("curationPipeline keeper shape: groupBy(min)+join, never a window over md5 partitions") {
     import spark.implicits._
     val docs = (1L to 50L).map(i => (i, (1 to 120).map(j => s"w$i-$j").mkString(" ")))

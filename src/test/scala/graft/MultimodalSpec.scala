@@ -184,7 +184,23 @@ class MultimodalSpec extends SparkSpec {
     assert(decoded.length == 256)
     val mismatches = (0 until 256).filter(i => decoded(i) != ccitt(i))
     assert(mismatches.isEmpty,
-      s"javax != G.711 closed form at bytes $mismatches")
+      s"javax != G.711 µ-law closed form at bytes $mismatches")
+    // the A-LAW twin (q209): x = b ^ 0x55, t = 16m+8 in segment 0
+    // else (16m+264) << (s-1); sign bit SET means POSITIVE — the
+    // opposite polarity to µ-law, which this pin keeps honest
+    def alaw(b: Int): Int = {
+      val x = b ^ 0x55
+      val m = x & 0x0f
+      val s = (x & 0x70) >> 4
+      val t = if (s == 0) (m << 4) + 8 else ((m << 4) + 0x108) << (s - 1)
+      if ((x & 0x80) != 0) t else -t
+    }
+    val (aRate, aDecoded) = Multimodal.decodeAudioPcm(
+      Multimodal.buildAlawWav(allBytes, 8000)).get
+    assert(aRate == 8000f && aDecoded.length == 256)
+    val aMismatches = (0 until 256).filter(i => aDecoded(i) != alaw(i))
+    assert(aMismatches.isEmpty,
+      s"javax != G.711 A-law closed form at bytes $aMismatches")
   }
 
   test("µ-law compressed leg: truncation and garbage fuzz fail the row, never the task") {
@@ -208,9 +224,15 @@ class MultimodalSpec extends SparkSpec {
       copy(12 + rnd.nextInt(26)) = rnd.nextInt(256).toByte
       Multimodal.decodeAudioPcm(copy) // must not throw
     }
-    // the intact container still decodes sample-exactly after the fuzz
+    // the A-law container under the same truncation fuzz
+    val alaw = Multimodal.buildAlawWav(data, 8000)
+    (0 to alaw.length by 7).foreach { cut =>
+      Multimodal.decodeAudioPcm(alaw.take(cut)) // must not throw
+    }
+    // the intact containers still decode sample-exactly after the fuzz
     val full = Multimodal.decodeAudioPcm(wav).get._2
     assert(full.length == 512)
+    assert(Multimodal.decodeAudioPcm(alaw).get._2.length == 512)
   }
 
   test("aHash + perceptualNearDups: tweaked copies pair up, distinct media do not, no cartesian") {
