@@ -190,10 +190,16 @@ object CorpusOps {
           graft.functions.shingles.wordShingles(col("text"), evalN))).as("_g")
         val evalSet = ev.select(grams)
           .select(Dedup.hash48(col("_g")).as("_h")).distinct()
+        // persisted for the same reason as `base`: the id set feeds
+        // BOTH the semi (contaminated) and anti (clean keepers)
+        // branches, and its lineage is the keeper-gram explode — a
+        // corpus-scale pass at 100 TB that must run once, not twice.
+        // Small by nature (keepers that overlap the benchmark set).
         val contamIds = keepers.select(col("doc_id"), grams)
           .select(col("doc_id"), Dedup.hash48(col("_g")).as("_h"))
           .join(broadcast(evalSet), Seq("_h"), "left_semi")
           .select(col("doc_id")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         (Some(keepers.join(contamIds, Seq("doc_id"), "left_semi")
           .select(Seq(col("doc_id"), col("quality"),
             lit("contaminated").as("disposition")) ++ nulls: _*)),

@@ -873,6 +873,7 @@ object StreamingOps {
           col(textCol).as("text"),
           graft.operators.TextAnalysis.qualityColumn(textCol).as("quality"))
         scored.persist()
+        var gateCache: Option[DataFrame] = None
         try {
           val lowQ = scored
             .filter(col("quality") < qualityMin || col("quality").isNull)
@@ -900,12 +901,17 @@ object StreamingOps {
           // decontamination gate (only with evalDocs): bloom probe in
           // the batch's scan stage, exact confirm on the survivors —
           // byte-identical to the pure exact gate, per q99
-          val (contaminated, cleanFresh) = evalGate match {
-            case None => (None, freshMd5)
+          val (contaminated, cleanFresh, gateCache0) = evalGate match {
+            case None => (None, freshMd5, None)
             case Some((bfBc, hashes)) =>
               import spark.implicits._
               val mightContain = udf((h: Long) => bfBc.value.mightContainLong(h))
               val evalSet = hashes.toSeq.toDF("_h") // LocalRelation, rebuilt free
+              // persisted per batch: the id set feeds the semi branch,
+              // the anti branch, AND every downstream consumer of
+              // cleanFresh (near-dup screen, kept, history writes) —
+              // without the cache the batch-gram explode re-runs per
+              // sink action. Unpersisted in the finally below.
               val contamIds = freshMd5
                 .select(col("doc_id"), explode(array_distinct(
                   graft.functions.shingles.wordShingles(col("text"), evalN))).as("_g"))
@@ -913,11 +919,14 @@ object StreamingOps {
                 .filter(mightContain(col("_h")))
                 .join(broadcast(evalSet), Seq("_h"), "left_semi")
                 .select(col("doc_id")).distinct()
+                .persist()
               (Some(freshMd5.join(contamIds, Seq("doc_id"), "left_semi")
                 .select(col("doc_id"), col("quality"),
                   lit("contaminated").as("disposition"))),
-                freshMd5.join(contamIds, Seq("doc_id"), "left_anti"))
+                freshMd5.join(contamIds, Seq("doc_id"), "left_anti"),
+                Some(contamIds))
           }
+          gateCache = gateCache0
           val histBands =
             try spark.read.parquet(s"$stateDir/bands")
               .filter(col("batchId") < batchId)
@@ -944,7 +953,10 @@ object StreamingOps {
                 explode(rowLshBandKeys(col("text"), n, k, rowsPerBand)).as("band_key"))
               .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/bands/batchId=$batchId")
           } finally kept.unpersist()
-        } finally scored.unpersist()
+        } finally {
+          scored.unpersist()
+          gateCache.foreach(_.unpersist())
+        }
         ()
       }
       .option("checkpointLocation", checkpointDir)
