@@ -195,13 +195,24 @@ object Profiler {
     */
   def psiCategorical(baseline: DataFrame, current: DataFrame,
       cat: Column): DataFrame = {
-    val bc = baseline.select(cat.cast("string").as("cat"))
-      .filter(col("cat").isNotNull)
-      .groupBy(col("cat")).agg(count(lit(1)).as("base_cnt"))
-    val cc = current.select(cat.cast("string").as("cat"))
-      .filter(col("cat").isNotNull)
-      .groupBy(col("cat")).agg(count(lit(1)).as("cur_cnt"))
-    val sentinel = baseline.sparkSession.range(1)
+    def countsOf(df: DataFrame, cnt: String) =
+      df.select(cat.cast("string").as("cat"))
+        .filter(col("cat").isNotNull)
+        .groupBy(col("cat")).agg(count(lit(1)).as(cnt))
+    psiCategoricalCounts(countsOf(baseline, "base_cnt"),
+      countsOf(current, "cur_cnt"))
+  }
+
+  /** [[psiCategorical]] from PRE-AGGREGATED counts — the serving
+    * seam: a stream scoring every micro-batch against one fixed
+    * baseline must not re-run the baseline's counting lineage per
+    * trigger (the maintainIvfIndex lesson); it collects the
+    * config-sized (cat, base_cnt) table once and replays it as a
+    * LocalRelation. `bc` must have columns (cat, base_cnt), `cc`
+    * (cat, cur_cnt); same math, same sentinel empty-side guard.
+    */
+  def psiCategoricalCounts(bc: DataFrame, cc: DataFrame): DataFrame = {
+    val sentinel = bc.sparkSession.range(1)
       .select(lit("_").as("cat"), lit(0L).as("base_cnt"),
         lit(0L).as("cur_cnt"), lit(true).as("_sent"))
     val j = bc.join(cc, Seq("cat"), "full_outer")

@@ -903,6 +903,73 @@ object SimilarityQueries {
     SELECT cell, CAST(i - 1 AS BIGINT) AS dim, c AS centroid
     FROM m2 ORDER BY cell, dim"""))
 
+  /** IVF cell-occupancy DRIFT — the "when do I re-index?" monitor
+    * that completes the batch-trained / stream-grown ANN lifecycle
+    * (round 14): `maintainIvfIndex`'s contract fixes the centroids
+    * while the stream runs, so the question a production deployment
+    * must answer is when the ARRIVING distribution has drifted far
+    * enough from the trained codebook that nprobe recall degrades
+    * and a batch re-index is due. Composition of two proven
+    * operators: [[Similarity.assignCells]] (broadcast argmin, zero
+    * corpus shuffle) turns both the index-time corpus and the
+    * current load into cell ids, and `Profiler.psiCategorical`
+    * scores the occupancy mix shift per cell — the categorical PSI
+    * because cells ARE categories (a numeric-bin PSI can't see a
+    * vanished cell). The drift construction drops three labels
+    * entirely and thins the rest, exercising the vanished-cell path
+    * (cur_cnt 0 with floor-at-1 smoothing). Scale: two narrow
+    * assignment passes + two map-side-combined cell counts; the PSI
+    * join is cells x cells (config-sized).
+    */
+  private val q210 = Q("q210_ivf_occupancy_drift", (s, dir) => {
+    val centroid = udaf(new CentroidAggregator(64))
+    val e = Tables.load(s, dir, "embeddings")
+    val centroids = e.groupBy(col("label").cast("int").as("cell"))
+      .agg(centroid(col("embedding")).as("ctr"))
+    val base = Similarity.assignCells(e, centroids, "vec_id", "embedding")
+    val cur = Similarity.assignCells(
+      e.filter(col("vec_id") % 3 === 0 && col("label") < 7),
+      centroids, "vec_id", "embedding")
+    graft.operators.Profiler.psiCategorical(base, cur, col("cell"))
+      .orderBy(col("cat"))
+  }, Some("""
+    WITH cent AS (
+      SELECT label AS cell, i, avg(CAST(embedding[i] AS DOUBLE)) AS c
+      FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+      GROUP BY label, i),
+    dists AS (
+      SELECT e.vec_id, e.label, cent.cell,
+             floor(sum((CAST(e.embedding[cent.i] AS DOUBLE) - cent.c) *
+                       (CAST(e.embedding[cent.i] AS DOUBLE) - cent.c)) * 1000000 + 0.5) / 1000000.0 AS qdist
+      FROM embeddings e CROSS JOIN cent
+      GROUP BY e.vec_id, e.label, cent.cell),
+    cells AS (
+      SELECT vec_id, label, cell,
+             row_number() OVER (PARTITION BY vec_id ORDER BY qdist, cell) AS crn
+      FROM dists),
+    b AS (SELECT CAST(cell AS VARCHAR) AS cat FROM cells WHERE crn = 1),
+    c AS (SELECT CAST(cell AS VARCHAR) AS cat FROM cells
+          WHERE crn = 1 AND vec_id % 3 = 0 AND label < 7),
+    bc AS (SELECT cat, count(*) AS base_cnt FROM b GROUP BY cat),
+    cc AS (SELECT cat, count(*) AS cur_cnt FROM c GROUP BY cat),
+    j AS (SELECT COALESCE(bc.cat, cc.cat) AS cat,
+                 COALESCE(bc.base_cnt, 0) AS base_cnt,
+                 COALESCE(cc.cur_cnt, 0) AS cur_cnt
+          FROM bc FULL OUTER JOIN cc ON bc.cat = cc.cat),
+    t AS (SELECT CAST(sum(base_cnt) AS BIGINT) AS bt,
+                 CAST(sum(cur_cnt) AS BIGINT) AS ct
+          FROM j)
+    SELECT j.cat, j.base_cnt, j.cur_cnt,
+           CAST(floor(
+             (greatest(j.base_cnt, 1) / CAST(t.bt AS DOUBLE)
+              - greatest(j.cur_cnt, 1) / CAST(t.ct AS DOUBLE))
+             * CAST(CAST(floor(ln(
+                 (greatest(j.base_cnt, 1) * CAST(t.ct AS DOUBLE))
+                 / (greatest(j.cur_cnt, 1) * CAST(t.bt AS DOUBLE)))
+                 * 1000000 + 0.5) AS BIGINT) AS DOUBLE)
+             + 0.5) AS BIGINT) AS psi_micro
+    FROM j, t ORDER BY j.cat"""))
+
   val list: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q62, q69, q73, q91, q92, q97,
-    q103, q116, q117, q131, q139, q140, q145, q190, q204)
+    q103, q116, q117, q131, q139, q140, q145, q190, q204, q210)
 }

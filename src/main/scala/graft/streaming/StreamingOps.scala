@@ -289,6 +289,67 @@ object StreamingOps {
       .start()
   }
 
+  /** The DRIFT MONITOR for the IVF serving lifecycle (round 14, the
+    * q210 composition per micro-batch): every arriving vector batch
+    * is cell-assigned against the FIXED trained centroids and its
+    * occupancy mix is PSI-scored against the INDEX-TIME baseline
+    * occupancy — the "when do I re-index?" alarm that
+    * [[maintainIvfIndex]]'s centroids-stay-fixed contract implies
+    * someone must watch. Per-cell micro-PSI rows land under
+    * `outDir/batchId=N` with overwrite (the idempotence pattern every
+    * sink here uses); a consumer sums `psi_micro` per batch and fires
+    * the batch re-index at the usual 0.1/0.2 thresholds.
+    *
+    * Both static inputs are collected ONCE before start() (the
+    * maintainIvfIndex lesson): the centroid table (k rows) and the
+    * baseline's (cell, base_cnt) occupancy (<= k rows, computed here
+    * from `baseline` via one assignCells pass) replay as
+    * LocalRelations every trigger — no static lineage re-executes.
+    * Per batch the work is one narrow broadcast-argmin projection +
+    * one map-side-combined cell count + the cells x cells PSI join
+    * (config-sized). Stateless.
+    */
+  def ivfDriftStream(stream: DataFrame, centroids: DataFrame,
+      baseline: DataFrame, idCol: String, vecCol: String,
+      outDir: String, checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.SaveMode
+    val fixedCtrs = centroids
+      .select(col("cell").cast("int").as("cell"),
+        col("ctr").cast("array<double>").as("ctr"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .toSeq
+    val baseCounts = {
+      val spark0 = baseline.sparkSession
+      graft.operators.Similarity.assignCells(
+          baseline, spark0.createDataFrame(fixedCtrs).toDF("cell", "ctr"),
+          idCol, vecCol)
+        .groupBy(col("cell").cast("string").as("cat"))
+        .agg(count(lit(1)).as("base_cnt"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    }
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          import spark.implicits._
+          val ctrLocal = fixedCtrs.toDF("cell", "ctr")
+          val cc = graft.operators.Similarity.assignCells(batch, ctrLocal, idCol, vecCol)
+            .groupBy(col("cell").cast("string").as("cat"))
+            .agg(count(lit(1)).as("cur_cnt"))
+          graft.operators.Profiler.psiCategoricalCounts(
+              baseCounts.toDF("cat", "base_cnt"), cc)
+            .write.mode(SaveMode.Overwrite).parquet(s"$outDir/batchId=$batchId")
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
   /** The FEEDER for [[nearDupAgainstHistory]]'s history table: maintain
     * the band-key table incrementally as documents stream in. Each
     * micro-batch's (doc_id, band_key) rows land under a

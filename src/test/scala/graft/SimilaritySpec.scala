@@ -381,6 +381,42 @@ class SimilaritySpec extends SparkSpec {
     assert(fused == Seq((20L, 1), (30L, 2), (10L, 3)), s"fusion order wrong: $fused")
   }
 
+  test("ivf occupancy drift: vanished cells dominate the PSI signal, a same-mix load scores ~zero") {
+    // the q210 re-index monitor: assignCells + psiCategorical. The
+    // planted drift drops labels 7-9 entirely — their cells must
+    // carry the LARGEST contributions (vanished-category path), and
+    // a current load with the SAME mix must score ~0 everywhere.
+    import graft.functions.CentroidAggregator
+    val e = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val centroidUdaf = udaf(new CentroidAggregator(64))
+    val centroids = e.groupBy(col("label").cast("int").as("cell"))
+      .agg(centroidUdaf(col("embedding")).as("ctr"))
+    val base = Similarity.assignCells(e, centroids, "vec_id", "embedding")
+    val drifted = Similarity.assignCells(
+      e.filter(col("vec_id") % 3 === 0 && col("label") < 7),
+      centroids, "vec_id", "embedding")
+    val psi = graft.operators.Profiler.psiCategorical(base, drifted, col("cell"))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // every dropped-label cell contributes positively, the single
+    // largest contribution is a dropped cell, and the total crosses
+    // the classic PSI >= 0.1 "significant shift" action threshold —
+    // i.e. the monitor actually fires a re-index on this drift.
+    // (Label mass spreads across argmin cells, so surviving cells
+    // that absorbed dropped-label vectors legitimately shift too —
+    // asserting per-cell dominance for ALL dropped cells would claim
+    // more than occupancy drift means.)
+    val vanished = Seq("7", "8", "9").map(psi)
+    assert(vanished.forall(_ > 0), s"dropped cells must contribute: $psi")
+    assert(psi.maxBy(_._2)._1 == "7",
+      s"the heaviest contribution must be a dropped cell: $psi")
+    assert(psi.values.sum > 100000L,
+      s"total micro-PSI must cross the 0.1 action threshold: ${psi.values.sum}")
+    // self-comparison: every cell's contribution is exactly 0
+    val self = graft.operators.Profiler.psiCategorical(base, base, col("cell"))
+      .collect().map(_.getLong(3))
+    assert(self.forall(_ == 0L), s"same mix must score zero: ${self.toSeq}")
+  }
+
   test("trainKMeans: inertia decreases monotonically and training is deterministic") {
     val e = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
     val inertias = Seq(0, 1, 2).map { it =>

@@ -1210,6 +1210,69 @@ class StreamingSpec extends SparkSpec {
     centroids.unpersist()
   }
 
+  test("ivfDriftStream: per-batch occupancy PSI equals the batch composition; replay overwrites") {
+    import graft.functions.CentroidAggregator
+    import graft.operators.{Profiler, Similarity}
+    val base = tmp()
+    val e = Tables.load(spark, sfDir, "embeddings").limit(400)
+    val centroidUdaf = udaf(new CentroidAggregator(64))
+    val centroids = e.groupBy(col("label").cast("int").as("cell"))
+      .agg(centroidUdaf(col("embedding")).as("ctr"))
+    centroids.persist().count()
+    val baseline = e.filter(col("vec_id") % 2 === 0).select("vec_id", "embedding")
+    // two arriving batches: batch 0 = odd vecs, all labels (same mix
+    // as the even-keyed baseline); batch 1 = odd vecs of high labels
+    // only (drifted — half the cells vanish)
+    val slices = Seq(
+      col("vec_id") % 2 =!= 0,
+      col("vec_id") % 2 =!= 0 && col("label") >= 5)
+    val now = System.currentTimeMillis()
+    slices.zipWithIndex.foreach { case (p, i) =>
+      e.filter(p).select("vec_id", "embedding").coalesce(1)
+        .write.mode("overwrite").parquet(s"$base/staging-$i")
+      val part = new java.io.File(s"$base/staging-$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$base/in/b$i.parquet")
+      Files.createDirectories(dst.toPath.getParent)
+      Files.copy(part.toPath, dst.toPath)
+      assert(dst.setLastModified(now - (3 - i) * 60000L))
+    }
+    val schema = e.select("vec_id", "embedding").schema
+    def start() = StreamingOps.ivfDriftStream(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in"),
+      centroids, baseline, "vec_id", "embedding", s"$base/psi", s"$base/ck")
+    start().awaitTermination(120000)
+    // stream == batch: each batchId's rows equal psiCategorical of the
+    // same slice against the same baseline
+    def psiMap(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => r.getAs[String]("cat") ->
+        ((r.getAs[Long]("base_cnt"), r.getAs[Long]("cur_cnt"), r.getAs[Long]("psi_micro"))))
+      .toMap
+    val baseCells = Similarity.assignCells(baseline, centroids, "vec_id", "embedding")
+    slices.zipWithIndex.foreach { case (p, i) =>
+      val want = psiMap(Profiler.psiCategorical(
+        baseCells,
+        Similarity.assignCells(e.filter(p), centroids, "vec_id", "embedding"),
+        col("cell")))
+      val got = psiMap(spark.read.parquet(s"$base/psi/batchId=$i"))
+      assert(got == want, s"batch $i stream != batch composition:\ngot  $got\nwant $want")
+    }
+    // the drifted batch must alarm louder than the in-mix one
+    def total(i: Int) = spark.read.parquet(s"$base/psi/batchId=$i")
+      .agg(sum(col("psi_micro"))).head().getLong(0)
+    assert(total(1) > total(0),
+      s"high-label drift must out-score the low-label batch: ${total(0)} vs ${total(1)}")
+    // replay: batch 1's directory is overwritten, never duplicated
+    assert(Files.deleteIfExists(Paths.get(s"$base/ck/commits/1")))
+    Files.deleteIfExists(Paths.get(s"$base/ck/commits/.1.crc"))
+    val n1 = spark.read.parquet(s"$base/psi/batchId=1").count()
+    start().awaitTermination(120000)
+    assert(spark.read.parquet(s"$base/psi/batchId=1").count() == n1,
+      "replayed batch must overwrite its PSI report, not append")
+    centroids.unpersist()
+  }
+
   test("compactIvfIndex: one file set per (batchId, cell), pruning keeps planning, replay keeps overwriting") {
     import graft.functions.CentroidAggregator
     val base = tmp()
