@@ -55,7 +55,8 @@ class PlanSpec extends SparkSpec {
                                   // occupied-bucket rows by construction (the
                                   // partitionBy(lit(1)) group folds to empty)
       "q166_psi_drift",           // PSI bin grid (config-sized)
-      "q198_psi_categorical")     // PSI category grid (config-sized)
+      "q198_psi_categorical",     // PSI category grid (config-sized)
+      "q210_ivf_occupancy_drift") // PSI over the cell grid (<= k cells by construction)
     // a SinglePartition exchange is legitimate only as the gather step
     // of a scalar aggregate (partial agg upstream has already reduced
     // each partition to one row)
@@ -93,7 +94,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("allowlisted single-partition frames are MEASURED config-sized at 10x input inflation") {
-    // the allowlist above claims six frames are "config-sized by
+    // the allowlist above claims seven frames are "config-sized by
     // contract"; this pins the claim as a measured property: inflate
     // the tables those queries read 10x (keys shifted so the corpus
     // genuinely grows) and assert the rows flowing through each
@@ -121,6 +122,9 @@ class PlanSpec extends SparkSpec {
     inflate("orders", Seq("o_orderkey"), jitterPrice = false)
     // both keys: 10x distinct users, not 10x duplicate events per user
     inflate("events", Seq("event_id", "user_id"), jitterPrice = false)
+    // identical vectors under shifted ids: 10x the corpus, same cells —
+    // q210's gather must stay cell-grid-sized
+    inflate("embeddings", Seq("vec_id"), jitterPrice = false)
 
     // rows through every SinglePartition exchange of one run (AQE off
     // so the static executedPlan carries the exchanges + their metrics)
@@ -137,7 +141,7 @@ class PlanSpec extends SparkSpec {
     try {
       val measured = Seq("q85_mixing_weights", "q104_temperature_sample",
         "q119_skyline", "q150_funnel_latency", "q166_psi_drift",
-        "q198_psi_categorical").map { q =>
+        "q198_psi_categorical", "q210_ivf_occupancy_drift").map { q =>
         val r1 = singlePartRows(q, sfDir)
         val r10 = singlePartRows(q, base)
         (q, r1, r10)
