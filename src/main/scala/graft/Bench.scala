@@ -131,7 +131,14 @@ object Bench {
           else (rps(rps.size / 2 - 1) + rps(rps.size / 2)) / 2.0
         val spread = s""""rps_runs":[${rps.map(v => f"$v%.1f").mkString(",")}],""" +
           s""""rps_median":${f"$med%.1f"},"""
-        oks.maxBy(_._1)._2.replaceFirst("\\{", "{" + java.util.regex.Matcher.quoteReplacement(spread))
+        // prepend the spread fields INSIDE the best run's JSON object by
+        // string structure, not regex: a replaceFirst("{",...) would land
+        // the fields mid-string if a label ever carried an earlier brace.
+        // A record that isn't a JSON object (contract violation) gets the
+        // spread as a wrapper instead of a silent drop.
+        val body = oks.maxBy(_._1)._2.trim
+        if (body.startsWith("{")) "{" + spread + body.tail
+        else s"""{$spread"record":$body}"""
       }
     }
     val stream = bestOf("stream") {

@@ -153,17 +153,46 @@ object CorpusOps {
     * without the cache one action over the returned union re-scans the
     * corpus and re-runs the tokenizer/quality projection per branch
     * (the streaming twin persists its scored frame per micro-batch for
-    * exactly this reason). MEMORY_AND_DISK, LRU-evictable; it stays
-    * registered with the session's cache manager until evicted or the
-    * caller clears it — long-lived sessions re-running the pipeline
-    * many times should `spark.catalog.clearCache()` between runs.
+    * exactly this reason). MEMORY_AND_DISK, LRU-evictable. This
+    * convenience form leaves the cache entries registered until
+    * evicted; a long-lived session running the pipeline over many
+    * corpora should use [[curationRun]], whose handle unpersists
+    * EXACTLY the pipeline's own frames (`spark.catalog.clearCache()`
+    * would nuke unrelated caches too).
     *
     * Output: (doc_id, quality, disposition, cluster_rep, split) —
     * cluster_rep/split null unless kept.
     */
   def curationPipeline(docs: DataFrame, qualityMin: Double, pairs: DataFrame,
       splits: Seq[(String, Double)], buckets: Int = 1000,
-      evalDocs: Option[DataFrame] = None, evalN: Int = 8): DataFrame = {
+      evalDocs: Option[DataFrame] = None, evalN: Int = 8): DataFrame =
+    curationRun(docs, qualityMin, pairs, splits, buckets, evalDocs, evalN).result
+
+  /** A [[curationRun]]'s output plus the release handle for its
+    * internal caches. `cached` is exactly the frames the pipeline
+    * itself persisted (the scored projection and, with a
+    * decontamination gate, the contaminated-id set) — exposed so
+    * callers can inspect their storage; `release()` unpersists them
+    * and nothing else in the session's cache, and a second run after
+    * release re-caches cleanly. Idempotent: releasing twice is a
+    * no-op (unpersist on an unpersisted frame is). Call it after the
+    * LAST action over `result`; releasing earlier just costs
+    * recomputation, never correctness.
+    */
+  final case class CurationRun(result: DataFrame, cached: Seq[DataFrame]) {
+    def release(): Unit = cached.foreach(_.unpersist())
+  }
+
+  /** [[curationPipeline]] with cache ownership returned to the caller
+    * — the long-lived-session form (round-15): each invocation's
+    * MEMORY_AND_DISK frames are handed back in a [[CurationRun]] so
+    * sessions running the pipeline over many corpora can release each
+    * run's cache as soon as its dispositions are materialized, instead
+    * of accreting LRU-evictable entries they can only clear globally.
+    */
+  def curationRun(docs: DataFrame, qualityMin: Double, pairs: DataFrame,
+      splits: Seq[(String, Double)], buckets: Int = 1000,
+      evalDocs: Option[DataFrame] = None, evalN: Int = 8): CurationRun = {
     val base = docs.select(col("doc_id"), col("text"),
         TextAnalysis.qualityColumn("text").as("quality"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -182,9 +211,9 @@ object CorpusOps {
         lit("exact_dup").as("disposition")) ++ nulls: _*)
     val keepers = tagged.filter(col("doc_id") === col("_keeper"))
       .select(col("doc_id"), col("quality"), col("text"))
-    val (contaminated, cleanKeepers) = evalDocs match {
+    val (contaminated, cleanKeepers, contamCache) = evalDocs match {
       case None =>
-        (None, keepers)
+        (None, keepers, None)
       case Some(ev) =>
         val grams = explode(array_distinct(
           graft.functions.shingles.wordShingles(col("text"), evalN))).as("_g")
@@ -203,15 +232,17 @@ object CorpusOps {
         (Some(keepers.join(contamIds, Seq("doc_id"), "left_semi")
           .select(Seq(col("doc_id"), col("quality"),
             lit("contaminated").as("disposition")) ++ nulls: _*)),
-          keepers.join(contamIds, Seq("doc_id"), "left_anti"))
+          keepers.join(contamIds, Seq("doc_id"), "left_anti"),
+          Some(contamIds))
     }
     val kept = clusterSafeSplit(
       cleanKeepers.select(col("doc_id"), col("quality")),
       "doc_id", pairs, splits, buckets)
       .select(col("doc_id"), col("quality"), lit("kept").as("disposition"),
         col("cluster_rep"), col("split"))
-    contaminated.foldLeft(lowQ.unionByName(exactDup))(_ unionByName _)
+    val result = contaminated.foldLeft(lowQ.unionByName(exactDup))(_ unionByName _)
       .unionByName(kept)
+    CurationRun(result, base +: contamCache.toSeq)
   }
 
   /** Temperature-based corpus re-sampling with true UP-sampling — the

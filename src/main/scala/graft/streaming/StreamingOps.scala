@@ -267,12 +267,7 @@ object StreamingOps {
     // aggregation + the argmin's collect) unless the caller thought to
     // persist it (round-13 ADVICE). k rows of (cell, ctr) — the same
     // bounded-build contract as the broadcast argmin itself.
-    val fixed = centroids
-      .select(col("cell").cast("int").as("cell"),
-        col("ctr").cast("array<double>").as("ctr"))
-      .collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1)))
-      .toSeq
+    val fixed = collectCentroids(centroids, "maintainIvfIndex")
     stream.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
@@ -315,12 +310,7 @@ object StreamingOps {
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.SaveMode
-    val fixedCtrs = centroids
-      .select(col("cell").cast("int").as("cell"),
-        col("ctr").cast("array<double>").as("ctr"))
-      .collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1)))
-      .toSeq
+    val fixedCtrs = collectCentroids(centroids, "ivfDriftStream")
     val baseCounts = {
       val spark0 = baseline.sparkSession
       graft.operators.Similarity.assignCells(
@@ -330,6 +320,11 @@ object StreamingOps {
         .agg(count(lit(1)).as("base_cnt"))
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     }
+    // fail at setup with the operator's own message, not per-trigger
+    // through psiCategoricalCounts' raise_error sentinel on every batch
+    require(baseCounts.nonEmpty,
+      "ivfDriftStream: baseline produced no cell assignments (empty or " +
+        "all-null baseline) — occupancy PSI is undefined without a baseline mix")
     stream.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
@@ -721,15 +716,57 @@ object StreamingOps {
     * copy) but one consolidated file set per partition — swap the
     * directories between streaming restarts. Returns the row count
     * written so callers can assert the rewrite lost nothing.
+    *
+    * `writerTasks` is the TOTAL shuffle/writer task count for the
+    * rewrite (0 = the context's defaultParallelism), NOT a per-
+    * directory file cap: rows hash by the partition key, so every
+    * `batchId=N` directory always lands in exactly one task and gets
+    * exactly one file, while independent partitions rewrite in
+    * parallel — a single-task rewrite of the whole store (the old
+    * default of 1) would serialize the compaction this verb exists
+    * to make cheap.
     */
   def compactBandTable(spark: org.apache.spark.sql.SparkSession,
-      tableDir: String, outDir: String, filesPerPartition: Int = 1): Long = {
+      tableDir: String, outDir: String, writerTasks: Int = 0): Long = {
     val t = spark.read.parquet(tableDir)
       .select(col("doc_id"), col("band_key"), col("batchId"))
-    t.repartition(filesPerPartition, col("batchId"))
+    t.repartition(compactTasks(spark, writerTasks), col("batchId"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("batchId").parquet(outDir)
     spark.read.parquet(outDir).count()
+  }
+
+  /** Shared knob resolution for the compaction verbs: 0 means "the
+    * context's defaultParallelism" — proportional to the host, never
+    * a silent single-task rewrite.
+    */
+  private def compactTasks(spark: org.apache.spark.sql.SparkSession,
+      writerTasks: Int): Int = {
+    require(writerTasks >= 0, s"writerTasks must be >= 0, got $writerTasks")
+    if (writerTasks == 0) spark.sparkContext.defaultParallelism else writerTasks
+  }
+
+  /** Shared centroid gather for the IVF streaming verbs: k rows of
+    * (cell, ctr), collected ONCE before start() (the round-13
+    * maintainIvfIndex discipline). Null cells/vectors are rejected
+    * HERE with the operator's name — a null row would otherwise
+    * surface as an unhelpful NPE from getInt/getSeq at stream-
+    * definition time — and an empty table fails fast: a stream
+    * assigning against zero centroids can never produce a cell.
+    */
+  private def collectCentroids(centroids: DataFrame,
+      op: String): Seq[(Int, Seq[Double])] = {
+    val rows = centroids
+      .select(col("cell").cast("int").as("cell"),
+        col("ctr").cast("array<double>").as("ctr"))
+      .filter(col("cell").isNotNull && col("ctr").isNotNull)
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .toSeq
+    require(rows.nonEmpty,
+      s"$op: centroid table has no non-null (cell, ctr) rows — " +
+        "cell assignment is undefined without a codebook")
+    rows
   }
 
   /** Compaction for [[curationStream]]'s accepted-history state — the
@@ -743,13 +780,16 @@ object StreamingOps {
     * the compacted copy — and one consolidated file set per
     * partition. Swap `stateDir`s between streaming restarts, like
     * [[compactBandTable]]. Returns (md5 rows, band rows) written so
-    * callers can assert the rewrite lost nothing.
+    * callers can assert the rewrite lost nothing. `writerTasks` is
+    * the TOTAL rewrite task count (0 = defaultParallelism), not a
+    * per-directory file cap — see [[compactBandTable]]: hashing by
+    * the partition key keeps every directory at exactly one file.
     */
   def compactCurationHistory(spark: org.apache.spark.sql.SparkSession,
-      stateDir: String, outDir: String, filesPerPartition: Int = 1): (Long, Long) = {
+      stateDir: String, outDir: String, writerTasks: Int = 0): (Long, Long) = {
     def compact(sub: String): Long = {
       val t = spark.read.parquet(s"$stateDir/$sub") // discovers batchId
-      t.repartition(filesPerPartition, col("batchId"))
+      t.repartition(compactTasks(spark, writerTasks), col("batchId"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("batchId").parquet(s"$outDir/$sub")
       spark.read.parquet(s"$outDir/$sub").count()
@@ -769,16 +809,18 @@ object StreamingOps {
     * overwrites exactly its own `batchId=N` directory, never
     * duplicates, never resurrects anything), and `cell` so nprobe
     * reads still plan PartitionFilters and touch only probed cells'
-    * files. `filesPerPartition` bounds writer tasks, so each
-    * (batchId, cell) directory ends with at most that many files.
-    * Swap directories between streaming restarts, like
-    * [[compactBandTable]]. Returns the row count written so callers
-    * can assert the rewrite lost nothing.
+    * files. `writerTasks` is the TOTAL rewrite task count (0 =
+    * defaultParallelism), not a per-directory file cap — see
+    * [[compactBandTable]]: rows hash by (batchId, cell), so each
+    * directory always gets exactly one file while the rewrite
+    * parallelizes across directories. Swap directories between
+    * streaming restarts, like [[compactBandTable]]. Returns the row
+    * count written so callers can assert the rewrite lost nothing.
     */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, outDir: String, filesPerPartition: Int = 1): Long = {
+      indexDir: String, outDir: String, writerTasks: Int = 0): Long = {
     val t = spark.read.parquet(indexDir) // discovers batchId + cell partitions
-    t.repartition(filesPerPartition, col("batchId"), col("cell"))
+    t.repartition(compactTasks(spark, writerTasks), col("batchId"), col("cell"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("batchId", "cell").parquet(outDir)
     spark.read.parquet(outDir).count()

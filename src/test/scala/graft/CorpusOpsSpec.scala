@@ -308,6 +308,56 @@ class CorpusOpsSpec extends SparkSpec {
       s"expected a broadcast semi join on the gram hash:\n${plan.take(900)}")
   }
 
+  test("curationRun: release() unpersists exactly the pipeline's frames; a second run re-caches cleanly") {
+    import org.apache.spark.storage.StorageLevel
+    import spark.implicits._
+    val longText = (1 to 120).map(i => s"word$i").mkString(" ")
+    val contamText = (1 to 60).map(i => s"cr$i it").mkString(" ") +
+      " " + (1 to 4).map(i => s"ev$i mk").mkString(" ") + " " +
+      (61 to 120).map(i => s"cr$i it").mkString(" ")
+    val docs = Seq((1L, longText), (2L, contamText), (3L, "1 2 3"))
+      .toDF("doc_id", "text")
+    val pairs = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    val evalDocs = Seq((900L, (1 to 40).map(i => s"ev$i mk").mkString(" ")))
+      .toDF("doc_id", "text")
+    // an unrelated cached frame proves release() is scoped to the run,
+    // not a clearCache() sweep
+    val bystander = Seq((7L, "bystander")).toDF("id", "v")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    bystander.count()
+    try {
+      val run = CorpusOps.curationRun(docs, qualityMin = 0.25, pairs,
+        splits = Seq(("train", 0.8), ("val", 0.2)), evalDocs = Some(evalDocs))
+      assert(run.cached.size == 2,
+        s"with a decontamination gate the run holds 2 frames: ${run.cached.size}")
+      val got = run.result.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(got == Map(1L -> "kept", 2L -> "contaminated", 3L -> "low_quality"),
+        s"dispositions through the handle form must match the plain form: $got")
+      assert(run.cached.forall(_.storageLevel != StorageLevel.NONE),
+        "both internal frames must be registered with the cache manager")
+      run.release()
+      assert(run.cached.forall(_.storageLevel == StorageLevel.NONE),
+        "release() must unpersist every frame the run held")
+      assert(bystander.storageLevel != StorageLevel.NONE,
+        "release() must not touch caches the run does not own")
+      run.release() // idempotent: a double release is a no-op
+      // a second run over the same session re-caches and re-answers cleanly
+      val run2 = CorpusOps.curationRun(docs, 0.25, pairs,
+        Seq(("train", 0.8), ("val", 0.2)), evalDocs = Some(evalDocs))
+      val got2 = run2.result.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(got2 == got, s"post-release re-run diverged: $got2")
+      assert(run2.cached.forall(_.storageLevel != StorageLevel.NONE))
+      run2.release()
+      assert(run2.cached.forall(_.storageLevel == StorageLevel.NONE))
+      // the plain convenience form still carries no gate branch -> 1 frame
+      val run3 = CorpusOps.curationRun(docs, 0.25, pairs,
+        Seq(("train", 0.8), ("val", 0.2)))
+      assert(run3.cached.size == 1,
+        s"without a gate the run holds only the scored projection: ${run3.cached.size}")
+      run3.release()
+    } finally bystander.unpersist()
+  }
+
   test("curationPipeline keeper shape: groupBy(min)+join, never a window over md5 partitions") {
     import spark.implicits._
     val docs = (1L to 50L).map(i => (i, (1 to 120).map(j => s"w$i-$j").mkString(" ")))
