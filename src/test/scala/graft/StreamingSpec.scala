@@ -1335,6 +1335,224 @@ class StreamingSpec extends SparkSpec {
     centroids.unpersist()
   }
 
+  test("IvfStore.reindex: nprobe reads return the retrained assignment, exactly a from-scratch index") {
+    import graft.operators.{IvfStore, Similarity}
+    val base = tmp()
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+    // v1 from half the corpus, then reindex over the full corpus
+    val v1 = IvfStore.reindex(e.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", k = 4, iters = 2, dim = 64,
+      s"$base/store", gridUnits = 1024L)
+    assert(v1 == 1L)
+    val v2 = IvfStore.reindex(e, "vec_id", "embedding", k = 4, iters = 2,
+      dim = 64, s"$base/store", gridUnits = 1024L)
+    assert(v2 == 2L && IvfStore.liveVersion(spark, s"$base/store").contains(2L))
+    // the store's content IS the retrained assignment: identical to a
+    // from-scratch assignCells under the version's own stored codebook
+    val stored = IvfStore.readCorpus(spark, s"$base/store")
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val scratch = Similarity.assignCells(e,
+        IvfStore.readCentroids(spark, s"$base/store"), "vec_id", "embedding")
+      .select(col("_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(stored == scratch,
+      s"reindexed store diverged from a from-scratch index (${stored.size} vs ${scratch.size})")
+    // an nprobe read against the new version prunes on cell and serves
+    // exactly ivfTopK under the same codebook over the same corpus
+    val queries = e.filter(col("vec_id") < 5)
+    val got = IvfStore.topK(spark, s"$base/store", queries,
+      "vec_id", "embedding", k = 3, nprobe = 2)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("cell"),
+      s"store read must partition-prune on cell:\n${plan.take(800)}")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val want = Similarity.ivfTopK(e, queries,
+      IvfStore.readCentroids(spark, s"$base/store"),
+      "vec_id", "embedding", k = 3, nprobe = 2)
+    assert(key(got) == key(want),
+      "store-served top-k must equal ivfTopK under the same codebook")
+  }
+
+  test("IvfStore cutover: an in-flight reader sees old or new, never a mix; unpublished versions are invisible") {
+    import graft.operators.IvfStore
+    val base = tmp()
+    val e = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val half = e.filter(col("vec_id") % 2 === 0)
+    IvfStore.reindex(half, "vec_id", "embedding", 4, 1, 64, s"$base/store")
+    val halfN = half.count()
+    // reader binds to v1 at resolve time
+    val inFlight = IvfStore.readCorpus(spark, s"$base/store")
+    assert(inFlight.count() == halfN)
+    // a COMPLETE but UNPUBLISHED version is invisible to resolution
+    IvfStore.bootstrap(e,
+      IvfStore.readCentroids(spark, s"$base/store"),
+      "vec_id", "embedding", s"$base/other", 9L) // separate dir: build parts
+    val fullData = new java.io.File(IvfStore.dataDir(s"$base/other", 9L))
+    assert(fullData.isDirectory)
+    assert(IvfStore.liveVersion(spark, s"$base/store").contains(1L),
+      "another store's publish must not affect this one")
+    // publish() refuses a marker over a half-written version
+    intercept[IllegalArgumentException] {
+      IvfStore.publish(spark, s"$base/store", 7L)
+    }
+    // cut over to v2 while the v1 reader is in flight
+    val v2 = IvfStore.reindex(e, "vec_id", "embedding", 4, 1, 64, s"$base/store")
+    assert(v2 == 2L)
+    // the in-flight reader still reads exactly v1 (old), never a blend
+    assert(inFlight.count() == halfN,
+      "a reader resolved before the cutover must keep reading its version")
+    assert(inFlight.inputFiles.forall(_.contains("/v=1/")),
+      "in-flight reader's files must all come from v=1")
+    // a fresh resolve reads exactly v2 (new)
+    val after = IvfStore.readCorpus(spark, s"$base/store")
+    assert(after.count() == e.count())
+    assert(after.inputFiles.forall(_.contains("/v=2/")))
+    // old version prunes once its readers drain; live stays v2
+    IvfStore.dropVersionsBelow(spark, s"$base/store", 2L)
+    assert(!new java.io.File(s"$base/store/v=1").exists())
+    assert(IvfStore.liveVersion(spark, s"$base/store").contains(2L))
+    assert(IvfStore.readCorpus(spark, s"$base/store").count() == e.count())
+  }
+
+  test("IvfStore: a feeder resumed against the reindexed version keeps its replay discipline") {
+    import graft.operators.{IvfStore, Similarity}
+    val base = tmp()
+    val e = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val bulk = e.filter(col("vec_id") % 2 === 0)
+    IvfStore.reindex(bulk, "vec_id", "embedding", 4, 2, 64, s"$base/store", 1024L)
+    val dataDir = IvfStore.dataDir(s"$base/store", 2L)
+    val v2 = IvfStore.reindex(bulk, "vec_id", "embedding", 4, 2, 64, s"$base/store", 1024L)
+    assert(v2 == 2L)
+    val bulkN = spark.read.parquet(dataDir).count()
+    // two arrival batches for the resumed feeder
+    val now = System.currentTimeMillis()
+    Seq(col("vec_id") % 4 === 1, col("vec_id") % 4 === 3).zipWithIndex.foreach {
+      case (p, i) =>
+        e.filter(p).coalesce(1).write.mode("overwrite").parquet(s"$base/staging-$i")
+        val part = new java.io.File(s"$base/staging-$i").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(s"$base/in/b$i.parquet")
+        Files.createDirectories(dst.toPath.getParent)
+        Files.copy(part.toPath, dst.toPath)
+        assert(dst.setLastModified(now - (3 - i) * 60000L))
+    }
+    val centroids = IvfStore.readCentroids(spark, s"$base/store")
+    centroids.persist().count()
+    def start() = StreamingOps.maintainIvfIndex(
+      spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in"),
+      centroids, "vec_id", "embedding", dataDir, s"$base/ck")
+    start().awaitTermination(120000)
+    // feeder batchIds 0..1 land BESIDE the bootstrap batchId=-1, never on it
+    val dirs = new java.io.File(dataDir).listFiles().map(_.getName)
+      .filter(_.startsWith("batchId=")).toSet
+    assert(dirs == Set("batchId=-1", "batchId=0", "batchId=1"), dirs.toString)
+    val total = spark.read.parquet(dataDir)
+    val odd = e.filter(col("vec_id") % 2 =!= 0).count()
+    assert(total.count() == bulkN + odd)
+    // replay batch 1: overwrites its own directory; the bootstrap
+    // partition is untouched
+    assert(Files.deleteIfExists(Paths.get(s"$base/ck/commits/1")))
+    Files.deleteIfExists(Paths.get(s"$base/ck/commits/.1.crc"))
+    start().awaitTermination(120000)
+    assert(spark.read.parquet(dataDir).count() == bulkN + odd,
+      "replayed batch must overwrite, never duplicate or touch the bootstrap")
+    assert(spark.read.parquet(s"$dataDir/batchId=-1").count() == bulkN)
+    // the fed store still equals batch assignment under the same codebook
+    val got = spark.read.parquet(dataDir).select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val want = Similarity.assignCells(e, centroids, "vec_id", "embedding")
+      .select(col("_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == want)
+    centroids.unpersist()
+  }
+
+  test("IvfStore e2e: feed -> planted drift fires the occupancy alarm -> reindex -> drift returns to zero") {
+    import graft.operators.{IvfStore, Similarity}
+    val base = tmp()
+    val e = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    // index time: the full corpus under 4 trained cells
+    IvfStore.reindex(e, "vec_id", "embedding", k = 4, iters = 2,
+      dim = 64, s"$base/store", gridUnits = 1024L)
+    // the planted drift is in OCCUPANCY space, where the monitor lives:
+    // drifted traffic = the vectors of the store's own hottest cell —
+    // queries collapsing onto one region of the index, so one cell goes
+    // hot and the rest starve (the skew the q210 monitor exists for).
+    // The synthetic labels don't separate under a trained codebook
+    // (measured: every label spreads ~uniformly over the 4 cells), so a
+    // label-sliced "drift" would be a silent no-op here.
+    val v1Assigned = Similarity.assignCells(e,
+      IvfStore.readCentroids(spark, s"$base/store"), "vec_id", "embedding")
+    val hotCell = v1Assigned.groupBy("cell").count()
+      .orderBy(col("count").desc, col("cell")).head().getInt(0)
+    val hotRegion = e.join(
+      v1Assigned.filter(col("cell") === hotCell)
+        .select(col("_id").as("vec_id")), "vec_id")
+    // arriving traffic: batch 0 in-mix (a fresh corpus-wide sample),
+    // batch 1 DRIFTED (hot-region only)
+    val slices = Seq(
+      e.filter(col("vec_id") % 3 === 0),
+      hotRegion)
+    val now = System.currentTimeMillis()
+    slices.zipWithIndex.foreach { case (s, i) =>
+      s.select("vec_id", "embedding").coalesce(1)
+        .write.mode("overwrite").parquet(s"$base/staging-$i")
+      val part = new java.io.File(s"$base/staging-$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$base/in/b$i.parquet")
+      Files.createDirectories(dst.toPath.getParent)
+      Files.copy(part.toPath, dst.toPath)
+      assert(dst.setLastModified(now - (3 - i) * 60000L))
+    }
+    val schema = e.select("vec_id", "embedding").schema
+    StreamingOps.ivfDriftStream(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in"),
+      IvfStore.readCentroids(spark, s"$base/store"),
+      IvfStore.readCorpus(spark, s"$base/store").select("vec_id", "embedding"),
+      "vec_id", "embedding", s"$base/psi", s"$base/ck")
+      .awaitTermination(120000)
+    def psiTotal(dir: String, b: Int) = spark.read.parquet(s"$dir/batchId=$b")
+      .agg(sum(col("psi_micro"))).head().getLong(0)
+    val alarmThreshold = 200000L // PSI 0.2 in micro-units, the re-index bar
+    assert(psiTotal(s"$base/psi", 0) < alarmThreshold,
+      s"in-mix batch must not alarm: ${psiTotal(s"$base/psi", 0)}")
+    assert(psiTotal(s"$base/psi", 1) > alarmThreshold,
+      s"planted drift must fire the alarm: ${psiTotal(s"$base/psi", 1)}")
+    // the alarm's answer: re-index over the regime the traffic shifted
+    // to — k-means now SPLITS the hot region across all 4 cells (the
+    // production re-balance: more cells where the queries are)
+    val v2 = IvfStore.reindex(hotRegion, "vec_id", "embedding", 4, 2, 64,
+      s"$base/store", 1024L)
+    assert(v2 == 2L)
+    // restart the monitor against the new version: a FRESH sample of
+    // the same shifted traffic, scored under the new codebook + new
+    // baseline, is in-mix again; drift returns to ~zero
+    hotRegion.filter(col("vec_id") % 2 === 1)
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/staging-post")
+    val post = new java.io.File(s"$base/staging-post").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val dst = new java.io.File(s"$base/in2/b0.parquet")
+    Files.createDirectories(dst.toPath.getParent)
+    Files.copy(post.toPath, dst.toPath)
+    StreamingOps.ivfDriftStream(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in2"),
+      IvfStore.readCentroids(spark, s"$base/store"),
+      IvfStore.readCorpus(spark, s"$base/store").select("vec_id", "embedding"),
+      "vec_id", "embedding", s"$base/psi2", s"$base/ck2")
+      .awaitTermination(120000)
+    val after = psiTotal(s"$base/psi2", 0)
+    assert(after < alarmThreshold,
+      s"after reindex, traffic matching the new mix must not alarm: $after")
+    assert(after < psiTotal(s"$base/psi", 1) / 4,
+      s"reindex must collapse the drift score: $after vs ${psiTotal(s"$base/psi", 1)}")
+  }
+
   test("curationStream: per-batch dispositions against the accepted-so-far corpus") {
     import spark.implicits._
     val base = tmp()
