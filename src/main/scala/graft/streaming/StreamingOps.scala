@@ -910,7 +910,17 @@ object StreamingOps {
     *    the batch's own scan stage, and the ~fpp survivors are
     *    exact-confirmed against the broadcast gram set (no false
     *    negatives + exact confirm = byte-identical to the pure exact
-    *    gate). Contaminated docs never enter the accepted history;
+    *    gate). Contaminated docs never enter the accepted history.
+    *    For benchmark sets that ROTATE in production, pass `evalDir`
+    *    instead (round 15): a `version`-partitioned gram-hash table
+    *    ([[publishEvalGrams]]) the gate reads PER TRIGGER through
+    *    `version <= batchId` — grams published at version V first
+    *    gate batch V, no restart needed, and a replayed batch
+    *    filters out later versions so it gates against exactly what
+    *    its first attempt saw (publish versions monotonically; never
+    *    publish V once batch V has committed). Per-trigger cost: one
+    *    partition-pruned read of the config-sized table + a
+    *    broadcast build — vs the static path's one-time collect;
     *  - `near_dup`: band-key collision with an earlier batch's
     *    accepted set ([[nearDupAgainstHistory]] over
     *    `stateDir/bands`). Within-batch near-dups are NOT flagged —
@@ -944,10 +954,14 @@ object StreamingOps {
       checkpointDir: String, n: Int = 3, k: Int = 8, rowsPerBand: Int = 2,
       evalDocs: Option[DataFrame] = None, evalN: Int = 8,
       evalExpectedGrams: Long = 1L << 20, evalFpp: Double = 0.01,
+      evalDir: Option[String] = None,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.SaveMode
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    require(evalDocs.isEmpty || evalDir.isEmpty,
+      "pass evalDocs (static benchmark set, collected once) OR evalDir " +
+        "(version-keyed churning set, read per trigger) — not both")
     def emptyDf(spark: org.apache.spark.sql.SparkSession,
         fields: (String, org.apache.spark.sql.types.DataType)*) =
       spark.createDataFrame(
@@ -1001,12 +1015,29 @@ object StreamingOps {
             .unionByName(keepers.join(histMd5, Seq("_md5"), "left_semi"))
             .select(col("doc_id"), col("quality"),
               lit("exact_dup").as("disposition"))
-          // decontamination gate (only with evalDocs): bloom probe in
-          // the batch's scan stage, exact confirm on the survivors —
-          // byte-identical to the pure exact gate, per q99
-          val (contaminated, cleanFresh, gateCache0) = evalGate match {
-            case None => (None, freshMd5, None)
-            case Some((bfBc, hashes)) =>
+          // decontamination gate. With evalDocs (static set): bloom
+          // probe in the batch's scan stage, exact confirm on the
+          // survivors — byte-identical to the pure exact gate, per
+          // q99. With evalDir (CHURNING set): the version-keyed gram
+          // table is read per trigger through `version <= batchId` —
+          // the accepted-history read discipline, so a replayed batch
+          // gates against exactly the versions its first attempt saw —
+          // and the batch's grams broadcast-semi-join it directly (the
+          // table is config-sized by the same contract that lets the
+          // static path collect it; a per-trigger bloom build would
+          // just repeat the broadcast's hash table on the driver).
+          def contamSplit(contamIds: DataFrame) =
+            (Some(freshMd5.join(contamIds, Seq("doc_id"), "left_semi")
+              .select(col("doc_id"), col("quality"),
+                lit("contaminated").as("disposition"))),
+              freshMd5.join(contamIds, Seq("doc_id"), "left_anti"),
+              Some(contamIds))
+          def batchGramHashes = freshMd5
+            .select(col("doc_id"), explode(array_distinct(
+              graft.functions.shingles.wordShingles(col("text"), evalN))).as("_g"))
+            .select(col("doc_id"), graft.operators.Dedup.hash48(col("_g")).as("_h"))
+          val (contaminated, cleanFresh, gateCache0) = (evalGate, evalDir) match {
+            case (Some((bfBc, hashes)), _) =>
               import spark.implicits._
               val mightContain = udf((h: Long) => bfBc.value.mightContainLong(h))
               val evalSet = hashes.toSeq.toDF("_h") // LocalRelation, rebuilt free
@@ -1015,19 +1046,28 @@ object StreamingOps {
               // cleanFresh (near-dup screen, kept, history writes) —
               // without the cache the batch-gram explode re-runs per
               // sink action. Unpersisted in the finally below.
-              val contamIds = freshMd5
-                .select(col("doc_id"), explode(array_distinct(
-                  graft.functions.shingles.wordShingles(col("text"), evalN))).as("_g"))
-                .select(col("doc_id"), graft.operators.Dedup.hash48(col("_g")).as("_h"))
+              contamSplit(batchGramHashes
                 .filter(mightContain(col("_h")))
                 .join(broadcast(evalSet), Seq("_h"), "left_semi")
                 .select(col("doc_id")).distinct()
-                .persist()
-              (Some(freshMd5.join(contamIds, Seq("doc_id"), "left_semi")
-                .select(col("doc_id"), col("quality"),
-                  lit("contaminated").as("disposition"))),
-                freshMd5.join(contamIds, Seq("doc_id"), "left_anti"),
-                Some(contamIds))
+                .persist())
+            case (None, Some(dir)) =>
+              // versions above the current batchId are INACTIVE: a
+              // publisher stands up version V ahead of time and it
+              // first gates batch V — so the active set is a pure
+              // function of batchId and replay is deterministic as
+              // long as versions are published monotonically (never
+              // publish V once batch V has committed)
+              val evalSet =
+                try spark.read.parquet(dir)
+                  .filter(col("version") <= batchId).select(col("_h"))
+                catch { case _: org.apache.spark.sql.AnalysisException =>
+                  emptyDf(spark, "_h" -> LongType) } // no versions yet: gate open
+              contamSplit(batchGramHashes
+                .join(broadcast(evalSet), Seq("_h"), "left_semi")
+                .select(col("doc_id")).distinct()
+                .persist())
+            case (None, None) => (None, freshMd5, None)
           }
           gateCache = gateCache0
           val histBands =
@@ -1065,5 +1105,38 @@ object StreamingOps {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
+  }
+
+  /** Publish one VERSION of the churning eval-gram table
+    * [[curationStream]]'s `evalDir` gate reads: the benchmark docs'
+    * distinct `evalN`-gram hashes (the exact grain of the static
+    * gate and of q84/q207) land under `evalDir/version=$version`.
+    *
+    * Activation contract: grams published at version V first gate
+    * micro-batch V (the gate filters `version <= batchId`), so stand
+    * a version up AHEAD of the stream progress you want it to apply
+    * from — version 0 before start() reproduces the static gate.
+    * Publish versions monotonically and never a version the stream
+    * has already committed past: the `version <= batchId` filter is
+    * what makes a replayed batch gate against exactly the set its
+    * first attempt saw, and back-publishing below committed progress
+    * would break that determinism. Writes are idempotent per version
+    * (overwrite), so a crashed-and-retried publish converges.
+    *
+    * Scale: one map-side explode over the benchmark set (small by
+    * the gate's contract) + a distinct; the table stays config-sized
+    * so every per-trigger read broadcasts. Returns the gram-hash
+    * count published.
+    */
+  def publishEvalGrams(evalDocs: DataFrame, textCol: String,
+      evalDir: String, version: Long, evalN: Int = 8): Long = {
+    require(version >= 0, s"version must be >= 0 (it gates batchId >= version), got $version")
+    val grams = evalDocs
+      .select(explode(array_distinct(
+        graft.functions.shingles.wordShingles(col(textCol), evalN))).as("_g"))
+      .select(graft.operators.Dedup.hash48(col("_g")).as("_h")).distinct()
+    grams.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$evalDir/version=$version")
+    evalDocs.sparkSession.read.parquet(s"$evalDir/version=$version").count()
   }
 }

@@ -113,6 +113,33 @@ object CurationStreamProbe {
       println(f"""PROBE {"leg":"curationStreamEvalGate","docs":$nDocs,"eval_docs":$nEval,"batches":$batches,"gate_build_ms":$gateBuildMs%.0f,"wall_s":$gSec%.2f,"docs_per_sec":${nDocs / gSec}%.0f,"dispositions":{$gDisp}}""")
     }
 
+    // ---- leg 1c: the CHURNING eval-gate variant (round 15) — same
+    // corpus/batching/eval split as 1b, but the gate reads the
+    // version-keyed gram table per trigger instead of collecting a
+    // static set before start(). publish_ms is the (out-of-stream,
+    // repeatable) refresh cost a rotating benchmark pays; docs/sec vs
+    // leg 1b isolates the per-trigger read+broadcast vs bloom cost.
+    {
+      val evalDocs = docs.filter(col("doc_id") % 97 === 0)
+      val tp0 = System.nanoTime()
+      val nGrams = graft.streaming.StreamingOps.publishEvalGrams(
+        evalDocs, "text", s"$base/evaldir", version = 0L)
+      val publishMs = (System.nanoTime() - tp0) / 1e6
+      val td0 = System.nanoTime()
+      val qd = graft.streaming.StreamingOps.curationStream(
+        spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$base/in"),
+        "doc_id", "text", qualityMin = 0.25,
+        s"$base/dstate", s"$base/dout", s"$base/dck",
+        evalDir = Some(s"$base/evaldir"))
+      qd.awaitTermination(600000)
+      val dSec = (System.nanoTime() - td0) / 1e9
+      val dDisp = spark.read.parquet(s"$base/dout")
+        .groupBy("disposition").count().collect()
+        .map(r => s""""${r.getString(0)}":${r.getLong(1)}""").sorted.mkString(",")
+      println(f"""PROBE {"leg":"curationStreamEvalDirGate","docs":$nDocs,"eval_grams":$nGrams,"batches":$batches,"publish_ms":$publishMs%.0f,"wall_s":$dSec%.2f,"docs_per_sec":${nDocs / dSec}%.0f,"dispositions":{$dDisp}}""")
+    }
+
     // ---- leg 2: maintainIvfIndex over embeddings
     import graft.functions.CentroidAggregator
     val e = graft.Tables.load(spark, sfDir, "embeddings").select("vec_id", "label", "embedding")

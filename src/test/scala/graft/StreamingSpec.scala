@@ -1771,6 +1771,79 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/state/md5").count() == 2L)
   }
 
+  test("curationStream: a CHURNING eval set gains a gram mid-stream and gates the next batch, replay-safe") {
+    import spark.implicits._
+    val base = tmp()
+    val textA = (1 to 120).map(i => s"alpha$i word").mkString(" ")
+    val textC = (1 to 120).map(i => s"gamma$i item").mkString(" ")
+    // one buried 8-gram shared with eval set X resp. Y, otherwise unique
+    def withGram(tag: String, ev: String) =
+      (1 to 60).map(i => s"$tag$i tok").mkString(" ") + " " +
+        (1 to 4).map(i => s"$ev$i mark").mkString(" ") + " " +
+        (61 to 120).map(i => s"$tag$i tok").mkString(" ")
+    val evalX = Seq((9000L, (1 to 60).map(i => s"zeta$i mark").mkString(" ")))
+      .toDF("doc_id", "text")
+    val evalY = Seq((9001L, (1 to 60).map(i => s"yps$i mark").mkString(" ")))
+      .toDF("doc_id", "text")
+    // both versions published BEFORE start: version 0 is active from
+    // batch 0, version 2 only from batch 2 — the active gram set
+    // CHANGES across triggers of one uninterrupted run, which is the
+    // churn contract (no restart, no gate rebuild)
+    val nX = StreamingOps.publishEvalGrams(evalX, "text", s"$base/eval", version = 0L)
+    val nY = StreamingOps.publishEvalGrams(evalY, "text", s"$base/eval", version = 2L)
+    assert(nX > 0 && nY > 0)
+    val batches = Seq(
+      // batch 0: X-gram doc contaminated (v0 active); Y-gram doc KEPT
+      // (v2 not active yet)
+      Seq((1L, textA), (2L, withGram("delta", "zeta")), (3L, withGram("beta", "yps"))),
+      // batch 1: still before v2 — another fresh Y-gram doc stays kept
+      Seq((10L, withGram("kappa", "yps"))),
+      // batch 2: v2 active — a THIRD distinct Y-gram doc is now
+      // contaminated; X remains active (versions accumulate)
+      Seq((20L, withGram("omega", "yps")), (21L, withGram("sigma", "zeta")),
+        (22L, textC)))
+    val now = System.currentTimeMillis()
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      Files.createDirectories(Paths.get(s"$base/in"))
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$base/staging-$i")
+      val part = new java.io.File(s"$base/staging-$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$base/in/b$i.parquet")
+      Files.copy(part.toPath, dst.toPath)
+      assert(dst.setLastModified(now - (5 - i) * 60000L))
+    }
+    val schema = Seq((1L, "x")).toDF("doc_id", "text").schema
+    def start() = StreamingOps.curationStream(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in"),
+      "doc_id", "text", qualityMin = 0.25,
+      s"$base/state", s"$base/out", s"$base/ck",
+      evalDir = Some(s"$base/eval"))
+    start().awaitTermination(120000)
+    val want = Map(
+      1L -> "kept", 2L -> "contaminated", 3L -> "kept",
+      10L -> "kept",
+      20L -> "contaminated", 21L -> "contaminated", 22L -> "kept")
+    def dispositions() = spark.read.parquet(s"$base/out")
+      .select("doc_id", "disposition")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dispositions() == want, s"got ${dispositions()}")
+    // docs 3/10 were ACCEPTED before v2 existed: their band keys are
+    // history — the churn gate is prospective, never retroactive
+    val bandIds = spark.read.parquet(s"$base/state/bands")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(bandIds == Set(1L, 3L, 10L, 22L), s"accepted-only history, got $bandIds")
+    // replay batch 2: version <= batchId re-selects exactly {v0, v2};
+    // dispositions and counts must be identical post-replay
+    assert(Files.deleteIfExists(Paths.get(s"$base/ck/commits/2")))
+    Files.deleteIfExists(Paths.get(s"$base/ck/commits/.2.crc"))
+    start().awaitTermination(120000)
+    assert(dispositions() == want, s"post-replay: ${dispositions()}")
+    assert(spark.read.parquet(s"$base/out").count() == 7,
+      "batchId-keyed overwrite must not duplicate rows")
+  }
+
   test("screenAndMaintain: each batch dedups against all earlier batches in one query") {
     import spark.implicits._
     val base = tmp()
