@@ -155,6 +155,131 @@ object Multimodal {
       p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
       p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
 
+  /** Walk a WAV's RIFF chunks and return the `fmt ` chunk's
+    * wFormatTag — the dispatch key between the JDK codec path and the
+    * hand-rolled IMA-ADPCM leg (the JDK ships no ADPCM codec; handing
+    * tag 0x11 to javax.sound would just throw). Bounds-checked walk:
+    * malformed sizes return None (the row fails, never the task).
+    */
+  private[graft] def wavFormatTag(p: Array[Byte]): Option[Int] = {
+    if (!isWavPayload(p)) return None
+    def u16(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long = (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
+      ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
+    var off = 12
+    while (off + 8 <= p.length) {
+      val id = new String(p, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = u32(off + 4)
+      if (id == "fmt ") {
+        return if (size >= 2 && off + 10 <= p.length) Some(u16(off + 8)) else None
+      }
+      if (size < 0 || size > Int.MaxValue - 9) return None
+      off += 8 + size.toInt + (size.toInt & 1) // chunks pad to even
+    }
+    None
+  }
+
+  /** IMA/DVI ADPCM step-size table (the public reference algorithm's
+    * 89-entry table; IMA "Recommended Practices for Enhancing Digital
+    * Audio Compatibility", 1992) and index-adjust table — shared by
+    * the decoder and MultimodalSpec's hand-traced pins.
+    */
+  private[graft] val ImaStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+  private[graft] val ImaIndexTable: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** One IMA ADPCM state transition: nibble `n` under (predictor,
+    * index) -> (new predictor, new index). The integer diff expansion
+    * (step>>3 + conditional step>>2/step>>1/step terms) IS the spec's
+    * fixed-point form — every operation here has an exact SQL mirror,
+    * which is what lets q211's oracle replay the state machine as a
+    * recursive CTE.
+    */
+  private[graft] def imaStep(pred: Int, idx: Int, n: Int): (Int, Int) = {
+    val step = ImaStepTable(idx)
+    var diff = step >> 3
+    if ((n & 1) != 0) diff += step >> 2
+    if ((n & 2) != 0) diff += step >> 1
+    if ((n & 4) != 0) diff += step
+    val p = math.max(-32768, math.min(32767,
+      if ((n & 8) != 0) pred - diff else pred + diff))
+    val i = math.max(0, math.min(88, idx + ImaIndexTable(n & 7)))
+    (p, i)
+  }
+
+  /** Hand-rolled IMA-ADPCM WAV decode (wFormatTag 0x11, mono) — the
+    * first PREDICTIVE codec under the oracle: unlike the G.711 pair
+    * (memoryless per-byte tables), every sample depends on the running
+    * (predictor, index) state, reset per block by the 4-byte block
+    * header (int16 LE initial predictor = block sample 0, uint8
+    * initial step index, reserved). Nibbles decode low-first, one
+    * sample each. The JDK ships no ADPCM codec, so this is the spec's
+    * own integer state machine ([[imaStep]]); blocks are independent,
+    * so a SQL oracle replays each from its header with a recursive
+    * CTE (q211). Truncated/garbage payloads return None or a partial
+    * last block — never throw (the fuzz contract all container
+    * parsers here obey).
+    */
+  private[graft] def decodeImaAdpcm(payload: Array[Byte]): Option[(Float, Array[Int])] =
+    try {
+      val p = payload
+      def u16(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+      def u32(o: Int): Long = (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
+        ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
+      if (!wavFormatTag(p).contains(0x11)) return None
+      // locate fmt + data by the same bounds-checked walk
+      var off = 12
+      var rate = 0f; var channels = 0; var blockAlign = 0
+      var dataOff = -1; var dataLen = 0
+      while (off + 8 <= p.length) {
+        val id = new String(p, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val size = u32(off + 4)
+        if (size < 0 || size > Int.MaxValue - 9) return None
+        val sz = size.toInt
+        if (id == "fmt " && sz >= 16 && off + 8 + 16 <= p.length) {
+          channels = u16(off + 10)
+          rate = u32(off + 12).toFloat
+          blockAlign = u16(off + 20)
+        } else if (id == "data" && dataOff < 0) {
+          dataOff = off + 8
+          dataLen = math.min(sz, p.length - dataOff) // truncation-tolerant
+        }
+        off += 8 + sz + (sz & 1)
+      }
+      if (channels != 1 || blockAlign < 5 || dataOff < 0 || dataLen < 4) return None
+      val out = new scala.collection.mutable.ArrayBuffer[Int]
+      var b = dataOff
+      val end = dataOff + dataLen
+      while (b + 4 <= end) {
+        var pred = (((p(b + 1) & 0xff) << 8) | (p(b) & 0xff)).toShort.toInt
+        var idx = math.max(0, math.min(88, p(b + 2) & 0xff))
+        out += pred // the header predictor IS the block's first sample
+        val blockEnd = math.min(b + blockAlign, end)
+        var j = b + 4
+        while (j < blockEnd) {
+          val byte = p(j) & 0xff
+          val (p1, i1) = imaStep(pred, idx, byte & 0xf) // low nibble first
+          out += p1
+          val (p2, i2) = imaStep(p1, i1, byte >> 4)
+          out += p2
+          pred = p2; idx = i2
+          j += 1
+        }
+        b += blockAlign
+      }
+      Some((rate, out.toArray))
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+
   /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV/PCM
     * ships with every JRE): returns (sampleRate, channel-0 samples) —
     * 16-bit PCM as signed ints, 8-bit PCM as unsigned — or None when
@@ -173,6 +298,10 @@ object Multimodal {
     */
   private[graft] def decodeAudioPcm(payload: Array[Byte]): Option[(Float, Array[Int])] =
     if (!isWavPayload(payload)) None
+    // IMA ADPCM (round 15): no JDK codec exists — dispatch on the fmt
+    // tag to the spec's own state machine instead of letting
+    // javax.sound throw into the NonFatal fallback
+    else if (wavFormatTag(payload).contains(0x11)) decodeImaAdpcm(payload)
     else try {
       val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
@@ -659,6 +788,66 @@ object Multimodal {
     */
   def alawWavFromDocuments(docs: DataFrame, rate: Int = 8000): DataFrame =
     g711FromDocuments(docs, rate, 6)
+
+  /** Assemble a REAL IMA-ADPCM WAV byte stream: 20-byte `fmt ` chunk
+    * (wFormatTag 0x11, mono, 4-bit, cbSize 2 carrying samplesPerBlock),
+    * `fact` chunk with the true decoded sample count, and a `data`
+    * chunk of `blockAlign`-sized blocks — each a 4-byte header
+    * (initial predictor 0, initial index 0) + nibble data. The doc's
+    * bytes become the nibble stream, so the oracle knows every block's
+    * starting state and payload exactly.
+    */
+  private[graft] def buildImaAdpcmWav(data: Array[Byte], rate: Int,
+      blockAlign: Int = 256): Array[Byte] = {
+    require(blockAlign >= 5, s"blockAlign must be >= 5, got $blockAlign")
+    val bos = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def u16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def cc(s: String): Array[Byte] =
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val chunkBytes = blockAlign - 4
+    val chunks = data.grouped(chunkBytes).toSeq
+    val samplesPerBlock = 1 + 2 * chunkBytes
+    val totalSamples = chunks.map(c => 1L + 2L * c.length).sum
+    val blocks = chunks.flatMap { c =>
+      u16(0) ++ Array(0.toByte, 0.toByte) ++ c // pred=0, index=0, reserved
+    }.toArray
+    val fmt = u16(0x11) ++ u16(1) ++ u32(rate.toLong) ++
+      u32(rate.toLong * blockAlign / samplesPerBlock) ++
+      u16(blockAlign) ++ u16(4) ++ u16(2) ++ u16(samplesPerBlock)
+    val pad = if (blocks.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+    val body = cc("WAVE") ++
+      cc("fmt ") ++ u32(20) ++ fmt ++
+      cc("fact") ++ u32(4) ++ u32(totalSamples) ++
+      cc("data") ++ u32(blocks.length.toLong) ++ blocks ++ pad
+    bos.write(cc("RIFF")); bos.write(u32(body.length.toLong)); bos.write(body)
+    bos.toByteArray
+  }
+
+  /** Synthesize REAL IMA-ADPCM WAV payloads from the documents corpus
+    * — each doc's UTF-8 bytes become the codec's nibble stream inside
+    * genuine 256-byte blocks (so every block after the first STARTS
+    * from whatever (0,0)-seeded header the builder wrote, never from
+    * the previous block's end state — block independence is the
+    * format's seek contract and what makes the oracle replay
+    * per-block). Same narrow mapPartitions shape as the G.711
+    * builders; q211 puts the decode under the oracle.
+    */
+  def imaAdpcmWavFromDocuments(docs: DataFrame, rate: Int = 8000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col("doc_id").isNotNull)
+      .select(col("doc_id").cast("long").as("media_id"),
+        encode(col("text"), "UTF-8").as("_src"))
+      .filter(col("media_id").isNotNull && octet_length(col("_src")) > 0)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, src) =>
+        (id, buildImaAdpcmWav(src, rate))
+      }).toDF("media_id", "payload")
+  }
 
   private def g711FromDocuments(docs: DataFrame, rate: Int,
       formatTag: Int): DataFrame = {

@@ -235,6 +235,67 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeAudioPcm(alaw).get._2.length == 512)
   }
 
+  test("IMA-ADPCM leg: hand-traced fixture, saturation clamps, block-boundary reset") {
+    // the q211 oracle replays the spec's integer state machine as a
+    // recursive CTE; this pin is what makes that legitimate — the
+    // Scala decoder IS that state machine, verified against a
+    // hand-computed trace. From (pred=0, idx=0), step=7:
+    //   nibble 0x3: diff = 7>>3 + 7>>2 + 7>>1 = 0+1+3 = 4 -> pred 4,
+    //               idx 0 + (-1) clamped = 0
+    //   nibble 0x7: diff = 0+1+3+7 = 11 -> pred 15, idx 0+8 = 8
+    //   (step=16) nibble 0xF: diff = 2+4+8+16 = 30, sign -> pred -15,
+    //               idx 8+8 = 16
+    //   (step=34) nibble 0x0: diff = 34>>3 = 4 -> pred -11, idx 15
+    val wav = Multimodal.buildImaAdpcmWav(Array(0x73.toByte, 0x0F.toByte), 8000)
+    val (rate, s) = Multimodal.decodeAudioPcm(wav).get
+    assert(rate == 8000f)
+    // header sample + 4 nibble samples (low nibble first per byte)
+    assert(s.toSeq == Seq(0, 4, 15, -15, -11), s"hand trace diverged: ${s.toSeq}")
+    // saturation: a run of max-positive nibbles (0x7 = +diff, index
+    // racing up) must clamp pred at 32767 and idx at 88, never wrap
+    val up = Multimodal.decodeAudioPcm(
+      Multimodal.buildImaAdpcmWav(Array.fill(64)(0x77.toByte), 8000)).get._2
+    assert(up.max == 32767 && up.last == 32767, s"positive clamp: ${up.takeRight(4).toSeq}")
+    val down = Multimodal.decodeAudioPcm(
+      Multimodal.buildImaAdpcmWav(Array.fill(64)(0xFF.toByte), 8000)).get._2
+    assert(down.min == -32768 && down.last == -32768, s"negative clamp: ${down.takeRight(4).toSeq}")
+    // block independence: 252 data bytes fill block 0 exactly; byte
+    // 253 starts block 1, whose header RESETS state to (0, 0) — its
+    // first nibble must decode as if from a fresh stream, not carry
+    // block 0's saturated predictor
+    val twoBlocks = Multimodal.decodeAudioPcm(
+      Multimodal.buildImaAdpcmWav(
+        Array.fill(252)(0x77.toByte) ++ Array(0x73.toByte), 8000)).get._2
+    assert(twoBlocks.length == (1 + 504) + (1 + 2))
+    assert(twoBlocks(505) == 0 && twoBlocks(506) == 4 && twoBlocks(507) == 15,
+      s"block 1 must restart from its (0,0) header: ${twoBlocks.slice(505, 508).toSeq}")
+    // dispatch: the 0x11 tag never reaches javax (which would throw
+    // into the fallback and decode nothing)
+    assert(Multimodal.wavFormatTag(wav).contains(0x11))
+  }
+
+  test("IMA-ADPCM leg: truncation and garbage fuzz fail the row, never the task") {
+    val rnd = new scala.util.Random(15)
+    val data = { val d = new Array[Byte](600); rnd.nextBytes(d); d } // 3 blocks
+    val wav = Multimodal.buildImaAdpcmWav(data, 8000)
+    (0 to wav.length).foreach { cut =>
+      Multimodal.decodeAudioPcm(wav.take(cut)) // must not throw
+    }
+    (0 until 200).foreach { _ =>
+      val junk = new Array[Byte](rnd.nextInt(256)); rnd.nextBytes(junk)
+      Multimodal.decodeAudioPcm(
+        "RIFF1234WAVE".getBytes("ISO-8859-1") ++ junk) // must not throw
+    }
+    (0 until 100).foreach { _ =>
+      val copy = wav.clone()
+      copy(12 + rnd.nextInt(28)) = rnd.nextInt(256).toByte
+      Multimodal.decodeAudioPcm(copy) // must not throw
+    }
+    // intact container still decodes the full sample count after fuzz:
+    // 2 full blocks (1 + 504 each) + the 96-byte tail block (1 + 192)
+    assert(Multimodal.decodeAudioPcm(wav).get._2.length == 2 * 505 + 193)
+  }
+
   test("aHash + perceptualNearDups: tweaked copies pair up, distinct media do not, no cartesian") {
     import spark.implicits._
     // 64 "pixels" alternating 0/200 (mean ~100 thresholds cleanly)
