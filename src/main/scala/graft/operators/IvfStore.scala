@@ -147,8 +147,26 @@ object IvfStore {
       iters: Int, dim: Int, storeDir: String, gridUnits: Long = 0L): Long = {
     val spark = load.sparkSession
     val next = liveVersion(spark, storeDir).map(_ + 1L).getOrElse(1L)
+    // single-writer guard: two concurrent reindexes would both resolve
+    // `next` and Overwrite the same v=N directories, publishing a
+    // BLEND of two writers' centroids and data (round-15 self-review).
+    // An exclusive claim-file create — the same atomic primitive the
+    // publish marker uses — makes the second writer fail fast instead.
+    // A claim with no marker after a crash is manual-remove territory:
+    // the error names the file, and deleting it is safe exactly
+    // because an unpublished version is invisible to readers.
+    val claim = new Path(s"$storeDir/claims/v-$next")
+    val fs = fsOf(spark, storeDir)
+    fs.mkdirs(claim.getParent)
+    try fs.create(claim, false).close()
+    catch {
+      case e: java.io.IOException => throw new IllegalStateException(
+        s"version $next is already claimed by another reindex ($claim exists) — " +
+          "if that writer crashed before publishing, delete the claim file and retry", e)
+    }
     val trained = Similarity.trainKMeans(load, idCol, vecCol, k, iters, dim, gridUnits)
     bootstrap(load, trained, idCol, vecCol, storeDir, next)
+    fs.delete(claim, false) // published: the claim has done its job
     next
   }
 
@@ -217,14 +235,21 @@ object IvfStore {
 
   /** Prune versions strictly below `keepFrom` (their markers AND
     * their directories) — run once in-flight readers of the old
-    * version have drained. The live marker set never shrinks below
-    * `keepFrom`, so resolution stays well-defined throughout.
+    * version have drained. Refuses a `keepFrom` above the live
+    * version: that off-by-one (`live + 1` read as "drop below the
+    * next one") would delete EVERY version including the live one
+    * and leave resolution undefined — the guard makes the docstring's
+    * invariant real (round-15 self-review).
     */
   def dropVersionsBelow(spark: SparkSession, storeDir: String,
       keepFrom: Long): Unit = {
     val fs = fsOf(spark, storeDir)
     val dir = new Path(s"$storeDir/versions")
     if (!fs.exists(dir)) return
+    val live = liveVersion(spark, storeDir)
+    require(live.exists(_ >= keepFrom),
+      s"dropVersionsBelow(keepFrom=$keepFrom) would delete the live version " +
+        s"(${live.fold("none")(_.toString)}) — pass keepFrom <= liveVersion")
     fs.listStatus(dir).map(_.getPath.getName)
       .filter(_.startsWith("v-"))
       .flatMap(n => n.stripPrefix("v-").toLongOption)

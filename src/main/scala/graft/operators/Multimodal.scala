@@ -155,29 +155,46 @@ object Multimodal {
       p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
       p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
 
-  /** Walk a WAV's RIFF chunks and return the `fmt ` chunk's
-    * wFormatTag — the dispatch key between the JDK codec path and the
-    * hand-rolled IMA-ADPCM leg (the JDK ships no ADPCM codec; handing
-    * tag 0x11 to javax.sound would just throw). Bounds-checked walk:
-    * malformed sizes return None (the row fails, never the task).
-    */
-  private[graft] def wavFormatTag(p: Array[Byte]): Option[Int] = {
-    if (!isWavPayload(p)) return None
-    def u16(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
-    def u32(o: Int): Long = (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
+  private def leU16(p: Array[Byte], o: Int): Int =
+    (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+  private def leU32(p: Array[Byte], o: Int): Long =
+    (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
       ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
-    var off = 12
+
+  /** THE RIFF chunk walk — single-sourced so every WAV consumer
+    * (dispatch sniff, ADPCM decode) shares one set of bounds/padding/
+    * overflow rules: offsets accumulate in LONG (a crafted u32 size
+    * near Int.MaxValue must not wrap the cursor back into range — the
+    * round-15 self-review found exactly that escape), sizes are
+    * clamped to the payload, and the walk simply stops at the first
+    * chunk that doesn't fit. Returns (fourcc, dataOffset,
+    * claimedSize) triples in file order; never throws on any input
+    * that passed [[isWavPayload]].
+    */
+  private[graft] def riffChunks(p: Array[Byte]): Seq[(String, Int, Int)] = {
+    val out = Seq.newBuilder[(String, Int, Int)]
+    var off: Long = 12L
     while (off + 8 <= p.length) {
-      val id = new String(p, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      val size = u32(off + 4)
-      if (id == "fmt ") {
-        return if (size >= 2 && off + 10 <= p.length) Some(u16(off + 8)) else None
-      }
-      if (size < 0 || size > Int.MaxValue - 9) return None
-      off += 8 + size.toInt + (size.toInt & 1) // chunks pad to even
+      val o = off.toInt
+      val id = new String(p, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = leU32(p, o + 4)
+      out += ((id, o + 8, math.min(size, (p.length - o - 8).toLong).toInt))
+      off += 8L + size + (size & 1L) // chunks pad to even; Long math
     }
-    None
+    out.result()
   }
+
+  /** The `fmt ` chunk's wFormatTag — the dispatch key between the JDK
+    * codec path and the hand-rolled IMA-ADPCM leg (the JDK ships no
+    * ADPCM codec; handing tag 0x11 to javax.sound would just throw).
+    * First fmt chunk wins, like every WAV reader. Malformed payloads
+    * return None — the row fails, never the task.
+    */
+  private[graft] def wavFormatTag(p: Array[Byte]): Option[Int] =
+    if (!isWavPayload(p)) None
+    else riffChunks(p).collectFirst {
+      case ("fmt ", off, size) if size >= 2 => leU16(p, off)
+    }
 
   /** IMA/DVI ADPCM step-size table (the public reference algorithm's
     * 89-entry table; IMA "Recommended Practices for Enhancing Digital
@@ -231,30 +248,19 @@ object Multimodal {
   private[graft] def decodeImaAdpcm(payload: Array[Byte]): Option[(Float, Array[Int])] =
     try {
       val p = payload
-      def u16(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
-      def u32(o: Int): Long = (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
-        ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
       if (!wavFormatTag(p).contains(0x11)) return None
-      // locate fmt + data by the same bounds-checked walk
-      var off = 12
-      var rate = 0f; var channels = 0; var blockAlign = 0
-      var dataOff = -1; var dataLen = 0
-      while (off + 8 <= p.length) {
-        val id = new String(p, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
-        val size = u32(off + 4)
-        if (size < 0 || size > Int.MaxValue - 9) return None
-        val sz = size.toInt
-        if (id == "fmt " && sz >= 16 && off + 8 + 16 <= p.length) {
-          channels = u16(off + 10)
-          rate = u32(off + 12).toFloat
-          blockAlign = u16(off + 20)
-        } else if (id == "data" && dataOff < 0) {
-          dataOff = off + 8
-          dataLen = math.min(sz, p.length - dataOff) // truncation-tolerant
-        }
-        off += 8 + sz + (sz & 1)
+      // fmt + data located by the ONE shared bounds-checked walk
+      // ([[riffChunks]] — sizes already clamped to the payload)
+      val chunks = riffChunks(p)
+      val fmt = chunks.collectFirst {
+        case ("fmt ", off, size) if size >= 16 =>
+          (leU16(p, off + 2), leU32(p, off + 4).toFloat, leU16(p, off + 12))
       }
-      if (channels != 1 || blockAlign < 5 || dataOff < 0 || dataLen < 4) return None
+      val data = chunks.collectFirst { case ("data", off, size) => (off, size) }
+      if (fmt.isEmpty || data.isEmpty) return None
+      val (channels, rate, blockAlign) = fmt.get
+      val (dataOff, dataLen) = data.get
+      if (channels != 1 || blockAlign < 5 || dataLen < 4) return None
       val out = new scala.collection.mutable.ArrayBuffer[Int]
       var b = dataOff
       val end = dataOff + dataLen

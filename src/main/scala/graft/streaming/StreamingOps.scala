@@ -748,25 +748,29 @@ object StreamingOps {
 
   /** Shared centroid gather for the IVF streaming verbs: k rows of
     * (cell, ctr), collected ONCE before start() (the round-13
-    * maintainIvfIndex discipline). Null cells/vectors are rejected
-    * HERE with the operator's name — a null row would otherwise
+    * maintainIvfIndex discipline). Null cells/vectors are REJECTED
+    * here with the operator's name — a null row would otherwise
     * surface as an unhelpful NPE from getInt/getSeq at stream-
-    * definition time — and an empty table fails fast: a stream
-    * assigning against zero centroids can never produce a cell.
+    * definition time, and silently dropping it would be worse: the
+    * stream would assign every vector against a SHRUNKEN codebook
+    * with no error anywhere (round-15 self-review). An empty table
+    * fails fast too: a stream assigning against zero centroids can
+    * never produce a cell.
     */
   private def collectCentroids(centroids: DataFrame,
       op: String): Seq[(Int, Seq[Double])] = {
     val rows = centroids
       .select(col("cell").cast("int").as("cell"),
         col("ctr").cast("array<double>").as("ctr"))
-      .filter(col("cell").isNotNull && col("ctr").isNotNull)
       .collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1)))
-      .toSeq
+    val bad = rows.count(r => r.isNullAt(0) || r.isNullAt(1))
+    require(bad == 0,
+      s"$op: centroid table has $bad null (cell, ctr) rows of ${rows.length} — " +
+        "a partial codebook would silently mis-assign every vector; fix the " +
+        "training output instead")
     require(rows.nonEmpty,
-      s"$op: centroid table has no non-null (cell, ctr) rows — " +
-        "cell assignment is undefined without a codebook")
-    rows
+      s"$op: centroid table is empty — cell assignment is undefined without a codebook")
+    rows.map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
   }
 
   /** Compaction for [[curationStream]]'s accepted-history state — the
@@ -1057,12 +1061,17 @@ object StreamingOps {
               // first gates batch V — so the active set is a pure
               // function of batchId and replay is deterministic as
               // long as versions are published monotonically (never
-              // publish V once batch V has committed)
+              // publish V once batch V has committed). Only MARKED
+              // versions are read (publishEvalGrams creates the
+              // marker after the gram files are complete), so a
+              // half-written publish is invisible; the explicit
+              // schema skips footer inference, so an unmarked partial
+              // directory is never even opened.
+              val active = publishedEvalVersions(spark, dir).filter(_ <= batchId)
               val evalSet =
-                try spark.read.parquet(dir)
-                  .filter(col("version") <= batchId).select(col("_h"))
-                catch { case _: org.apache.spark.sql.AnalysisException =>
-                  emptyDf(spark, "_h" -> LongType) } // no versions yet: gate open
+                if (active.isEmpty) emptyDf(spark, "_h" -> LongType) // gate open
+                else spark.read.schema("_h BIGINT, version BIGINT").parquet(dir)
+                  .filter(col("version").isin(active: _*)).select(col("_h"))
               contamSplit(batchGramHashes
                 .join(broadcast(evalSet), Seq("_h"), "left_semi")
                 .select(col("doc_id")).distinct()
@@ -1120,23 +1129,53 @@ object StreamingOps {
     * has already committed past: the `version <= batchId` filter is
     * what makes a replayed batch gate against exactly the set its
     * first attempt saw, and back-publishing below committed progress
-    * would break that determinism. Writes are idempotent per version
-    * (overwrite), so a crashed-and-retried publish converges.
+    * would break that determinism.
+    *
+    * Publish is ATOMIC via the marker discipline (the IvfStore
+    * shape): the gram files land first, then a zero-byte
+    * `_published/v-$version` marker is created LAST, and the gate
+    * reads ONLY marked versions — so a half-written or in-flight
+    * publish is invisible to every trigger, and a crashed publish
+    * retried converges (no marker yet -> safe overwrite + mark).
+    * Published versions are IMMUTABLE: re-publishing a marked
+    * version is a no-op rather than an overwrite, because an
+    * overwrite would race in-flight gate readers mid-scan
+    * (round-15 self-review).
     *
     * Scale: one map-side explode over the benchmark set (small by
     * the gate's contract) + a distinct; the table stays config-sized
     * so every per-trigger read broadcasts. Returns the gram-hash
-    * count published.
+    * count in the published version.
     */
   def publishEvalGrams(evalDocs: DataFrame, textCol: String,
       evalDir: String, version: Long, evalN: Int = 8): Long = {
     require(version >= 0, s"version must be >= 0 (it gates batchId >= version), got $version")
-    val grams = evalDocs
-      .select(explode(array_distinct(
-        graft.functions.shingles.wordShingles(col(textCol), evalN))).as("_g"))
-      .select(graft.operators.Dedup.hash48(col("_g")).as("_h")).distinct()
-    grams.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$evalDir/version=$version")
-    evalDocs.sparkSession.read.parquet(s"$evalDir/version=$version").count()
+    val spark = evalDocs.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(s"$evalDir/_published/v-$version")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      evalDocs
+        .select(explode(array_distinct(
+          graft.functions.shingles.wordShingles(col(textCol), evalN))).as("_g"))
+        .select(graft.operators.Dedup.hash48(col("_g")).as("_h")).distinct()
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$evalDir/version=$version")
+      fs.mkdirs(marker.getParent)
+      if (!fs.exists(marker)) fs.create(marker, false).close()
+    }
+    spark.read.parquet(s"$evalDir/version=$version").count()
+  }
+
+  /** The marked (= fully published) eval-gram versions under
+    * `evalDir` — what the gate trusts; everything else is invisible.
+    */
+  private def publishedEvalVersions(
+      spark: org.apache.spark.sql.SparkSession, evalDir: String): Seq[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$evalDir/_published")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("v-"))
+      .flatMap(_.stripPrefix("v-").toLongOption).toSeq
   }
 }

@@ -51,17 +51,22 @@ object CompactionWinProbe {
         assert(dst.setLastModified(System.currentTimeMillis() - (batches + 2 - i) * 60000L))
       }
 
-    val triggerMs = new java.util.concurrent.ConcurrentHashMap[String, scala.collection.mutable.ArrayBuffer[Long]]
-    @volatile var armLabel = ""
+    // events are keyed by the query's runId, not a mutable arm label:
+    // the listener bus is ASYNC, so an arm's last progress events can
+    // arrive after awaitTermination returns and the next arm started —
+    // a label read at delivery time would credit them to the wrong arm
+    val runArm = new java.util.concurrent.ConcurrentHashMap[java.util.UUID, String]
+    val triggerMs = new java.util.concurrent.ConcurrentHashMap[String, java.util.Queue[Long]]
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
       override def onQueryStarted(e: QueryStartedEvent): Unit = ()
       override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
       override def onQueryProgress(e: QueryProgressEvent): Unit = {
         val d = e.progress.durationMs.get("triggerExecution")
-        if (d != null && e.progress.numInputRows > 0)
-          triggerMs.computeIfAbsent(armLabel,
-            _ => scala.collection.mutable.ArrayBuffer.empty[Long]) += d.toLong
+        val arm = runArm.get(e.progress.runId)
+        if (d != null && arm != null && e.progress.numInputRows > 0)
+          triggerMs.computeIfAbsent(arm,
+            _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]).add(d.toLong)
       }
     }
     spark.streams.addListener(listener)
@@ -74,16 +79,17 @@ object CompactionWinProbe {
       walk(new java.io.File(dir))
     }
     def run(tag: String, inDir: String, state: String, out: String, ck: String): Unit = {
-      armLabel = tag
-      graft.streaming.StreamingOps.curationStream(
+      val q = graft.streaming.StreamingOps.curationStream(
         spark.readStream.schema(docs.schema)
           .option("maxFilesPerTrigger", 1).parquet(inDir),
         "doc_id", "text", qualityMin = 0.25, state, out, ck)
-        .awaitTermination(1200000)
+      runArm.put(q.runId, tag)
+      q.awaitTermination(1200000)
     }
     def mean(s: Seq[Long]): Double = if (s.isEmpty) -1 else s.sum.toDouble / s.size
     def stats(tag: String, swapAt: Int): String = {
-      val ts = triggerMs.get(tag).toSeq
+      val ts = Option(triggerMs.get(tag)).fold(Seq.empty[Long])(
+        _.toArray(Array.empty[java.lang.Long]).map(_.toLong).toSeq)
       f""""triggers":${ts.size},"first5_ms":${mean(ts.take(5))}%.0f,""" +
         f""""pre_swap5_ms":${mean(ts.slice(swapAt - 5, swapAt))}%.0f,""" +
         f""""post_swap5_ms":${mean(ts.slice(swapAt, swapAt + 5))}%.0f,""" +
@@ -93,6 +99,7 @@ object CompactionWinProbe {
     // ---- control arm: all N triggers, no compaction
     stage(s"$base/in-ctl", 0, batches)
     run("control", s"$base/in-ctl", s"$base/ctl-state", s"$base/ctl-out", s"$base/ctl-ck")
+    Thread.sleep(2000) // drain the async listener bus before reading stats
     val ctlFiles = files(s"$base/ctl-state")
     println(s"""PROBE {"leg":"compactionControl","docs":$nDocs,${stats("control", batches / 2)},"state_files":$ctlFiles}""")
 
@@ -112,6 +119,7 @@ object CompactionWinProbe {
     val postFiles = files(s"$base/cmp-state")
     stage(s"$base/in-cmp", batches / 2, batches)
     run("compacted", s"$base/in-cmp", s"$base/cmp-state", s"$base/cmp-out", s"$base/cmp-ck")
+    Thread.sleep(2000) // drain the async listener bus before reading stats
     println(f"""PROBE {"leg":"compactionSwap","docs":$nDocs,${stats("compacted", batches / 2)},"files_pre_swap":$preFiles,"files_post_swap":$postFiles,"files_end":${files(s"$base/cmp-state")},"compact_ms":$compactMs%.0f,"md5_rows":$md5N,"band_rows":$bandN}""")
 
     // the two arms must agree on every disposition — the swap is a

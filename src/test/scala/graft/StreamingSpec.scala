@@ -1398,6 +1398,14 @@ class StreamingSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       IvfStore.publish(spark, s"$base/store", 7L)
     }
+    // a concurrent writer's claim on the next version makes a second
+    // reindex fail fast instead of blending two writers' output
+    Files.createDirectories(Paths.get(s"$base/store/claims"))
+    Files.createFile(Paths.get(s"$base/store/claims/v-2"))
+    intercept[IllegalStateException] {
+      IvfStore.reindex(e, "vec_id", "embedding", 4, 1, 64, s"$base/store")
+    }
+    Files.delete(Paths.get(s"$base/store/claims/v-2")) // writer confirmed dead
     // cut over to v2 while the v1 reader is in flight
     val v2 = IvfStore.reindex(e, "vec_id", "embedding", 4, 1, 64, s"$base/store")
     assert(v2 == 2L)
@@ -1410,6 +1418,10 @@ class StreamingSpec extends SparkSpec {
     val after = IvfStore.readCorpus(spark, s"$base/store")
     assert(after.count() == e.count())
     assert(after.inputFiles.forall(_.contains("/v=2/")))
+    // a keepFrom above live would delete EVERY version — refused
+    intercept[IllegalArgumentException] {
+      IvfStore.dropVersionsBelow(spark, s"$base/store", 3L)
+    }
     // old version prunes once its readers drain; live stays v2
     IvfStore.dropVersionsBelow(spark, s"$base/store", 2L)
     assert(!new java.io.File(s"$base/store/v=1").exists())
@@ -1792,6 +1804,17 @@ class StreamingSpec extends SparkSpec {
     val nX = StreamingOps.publishEvalGrams(evalX, "text", s"$base/eval", version = 0L)
     val nY = StreamingOps.publishEvalGrams(evalY, "text", s"$base/eval", version = 2L)
     assert(nX > 0 && nY > 0)
+    // published versions are IMMUTABLE: re-publishing is a converged
+    // no-op (a crashed-and-retried publisher), never an overwrite that
+    // could race an in-flight gate reader
+    assert(StreamingOps.publishEvalGrams(evalY, "text", s"$base/eval", 2L) == nY)
+    // an UNMARKED version directory (a publish that crashed before its
+    // marker) is invisible to the gate — plant one whose gram would
+    // contaminate doc 22's text and assert it never fires
+    Seq((9002L, textC)).toDF("doc_id", "text")
+      .select(explode(graft.functions.shingles.wordShingles(col("text"), 8)).as("_g"))
+      .select(graft.operators.Dedup.hash48(col("_g")).as("_h")).distinct()
+      .write.parquet(s"$base/eval/version=1")
     val batches = Seq(
       // batch 0: X-gram doc contaminated (v0 active); Y-gram doc KEPT
       // (v2 not active yet)
@@ -1830,7 +1853,10 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(dispositions() == want, s"got ${dispositions()}")
     // docs 3/10 were ACCEPTED before v2 existed: their band keys are
-    // history — the churn gate is prospective, never retroactive
+    // history — the churn gate is prospective, never retroactive.
+    // Doc 22 (textC) being kept ALSO proves the planted unmarked
+    // version=1 directory stayed invisible (its gram would have
+    // contaminated 22 at batches 1+ were it trusted).
     val bandIds = spark.read.parquet(s"$base/state/bands")
       .select("doc_id").distinct().as[Long].collect().toSet
     assert(bandIds == Set(1L, 3L, 10L, 22L), s"accepted-only history, got $bandIds")
