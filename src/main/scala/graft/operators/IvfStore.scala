@@ -170,6 +170,58 @@ object IvfStore {
     next
   }
 
+  /** Close the feed gap a reindex leaves (round 15): while
+    * [[reindex]] retrains, the feeder can KEEP writing to the old
+    * version — pick a boundary batchId N, reindex over
+    * `spark.read.parquet(dataDir(old)).filter(col("batchId") <= N)`,
+    * and then migrate the arrivals the snapshot missed: every
+    * `batchId > afterBatchId` directory of `fromVersion` is
+    * re-assigned under `toVersion`'s STORED codebook and written into
+    * `toVersion` under its ORIGINAL batchId (overwrite — the feeder's
+    * own replay discipline, so re-running a crashed catch-up
+    * converges). Ingestion pauses only for this migration (bounded by
+    * the retrain window's arrivals), not for the retrain itself.
+    * Resume the feeder against the new version with its CONTINUED
+    * checkpoint — its next batchIds are beyond the migrated ones by
+    * construction; a FRESH checkpoint would restart at batchId 0 and
+    * overwrite a migrated directory.
+    *
+    * The boundary is EXPLICIT (`afterBatchId` = the N the snapshot
+    * included) rather than inferred from directory listings: a racy
+    * "whatever is in old but not new" rule would double-count batches
+    * the snapshot already folded into the bootstrap partition.
+    * Returns the number of rows migrated.
+    */
+  def catchUp(spark: SparkSession, storeDir: String, fromVersion: Long,
+      toVersion: Long, afterBatchId: Long): Long = {
+    require(afterBatchId >= BootstrapBatchId,
+      s"afterBatchId must be >= $BootstrapBatchId, got $afterBatchId")
+    val from = new Path(dataDir(storeDir, fromVersion))
+    val fs = fsOf(spark, storeDir)
+    require(fs.exists(from), s"no data under version $fromVersion at $from")
+    val ctrs = centroidsOf(spark, storeDir, toVersion)
+    val pending = fs.listStatus(from).map(_.getPath.getName)
+      .filter(_.startsWith("batchId="))
+      .flatMap(n => n.stripPrefix("batchId=").toLongOption)
+      .filter(_ > afterBatchId).sorted
+    pending.map { b =>
+      val rows = spark.read.parquet(s"${dataDir(storeDir, fromVersion)}/batchId=$b")
+        .drop("cell") // re-assign under the NEW codebook
+      val cols = rows.columns.filterNot(_ == "cell")
+      require(cols.length == 2,
+        s"batchId=$b carries unexpected columns ${cols.mkString(",")} — expected (id, vec)")
+      val (idCol, vecCol) =
+        if (rows.schema(cols(0)).dataType.typeName == "array") (cols(1), cols(0))
+        else (cols(0), cols(1))
+      Similarity.assignCells(rows, ctrs, idCol, vecCol)
+        .select(col("_id").as(idCol), col("_v").as(vecCol), col("cell"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("cell")
+        .parquet(s"${dataDir(storeDir, toVersion)}/batchId=$b")
+      spark.read.parquet(s"${dataDir(storeDir, toVersion)}/batchId=$b").count()
+    }.sum
+  }
+
   /** The live version's inverted file (carries `cell` and `batchId`
     * partition columns). Binds to the version that is live AT CALL
     * TIME — the old-or-new contract.

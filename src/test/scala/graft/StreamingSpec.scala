@@ -1483,6 +1483,66 @@ class StreamingSpec extends SparkSpec {
     centroids.unpersist()
   }
 
+  test("IvfStore.catchUp: arrivals during a retrain migrate into the new version, exactly once, re-assigned") {
+    import graft.operators.{IvfStore, Similarity}
+    val base = tmp()
+    val e = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    // v1 = the initial corpus (vec_id % 4 == 0) indexed
+    IvfStore.reindex(e.filter(col("vec_id") % 4 === 0), "vec_id", "embedding",
+      4, 2, 64, s"$base/store", 1024L)
+    // three feeder batches (vec_id % 4 in {1,2,3}) land into v1 while
+    // the store serves
+    val now = System.currentTimeMillis()
+    (0 until 3).foreach { i =>
+      e.filter(col("vec_id") % 4 === i + 1).coalesce(1)
+        .write.mode("overwrite").parquet(s"$base/staging-$i")
+      val part = new java.io.File(s"$base/staging-$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$base/in/b$i.parquet")
+      Files.createDirectories(dst.toPath.getParent)
+      Files.copy(part.toPath, dst.toPath)
+      assert(dst.setLastModified(now - (5 - i) * 60000L))
+    }
+    val v1Data = IvfStore.dataDir(s"$base/store", 1L)
+    StreamingOps.maintainIvfIndex(
+      spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in"),
+      IvfStore.readCentroids(spark, s"$base/store"),
+      "vec_id", "embedding", v1Data, s"$base/ck")
+      .awaitTermination(120000)
+    // retrain SNAPSHOT = everything through batchId 0; batches 1,2
+    // arrive "during the retrain"
+    val snapshot = spark.read.parquet(v1Data).filter(col("batchId") <= 0)
+      .select("vec_id", "embedding")
+    val v2 = IvfStore.reindex(snapshot, "vec_id", "embedding", 4, 2, 64,
+      s"$base/store", 1024L)
+    assert(v2 == 2L)
+    val migrated = IvfStore.catchUp(spark, s"$base/store", 1L, 2L, afterBatchId = 0L)
+    val want = spark.read.parquet(v1Data)
+      .filter(col("batchId").isin(1, 2)).count()
+    assert(migrated == want, s"migrated $migrated of $want pending rows")
+    // the new version now carries EVERY vector exactly once...
+    val v2Data = spark.read.parquet(IvfStore.dataDir(s"$base/store", 2L))
+    assert(v2Data.count() == e.count())
+    assert(v2Data.select("vec_id").distinct().count() == e.count())
+    // ...assigned under the NEW codebook, byte-equal to a batch pass
+    val got = v2Data.select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val scratch = Similarity.assignCells(e,
+        IvfStore.readCentroids(spark, s"$base/store"), "vec_id", "embedding")
+      .select(col("_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == scratch, "catch-up rows must be re-assigned, not copied")
+    // migrated directories keep the feeder layout: cell-pruned reads plan
+    val probed = spark.read.parquet(IvfStore.dataDir(s"$base/store", 2L))
+      .filter(col("cell") === 0)
+    probed.collect()
+    assert(probed.queryExecution.executedPlan.toString.contains("PartitionFilters: ["))
+    // a crashed catch-up re-run converges (overwrite, not append)
+    assert(IvfStore.catchUp(spark, s"$base/store", 1L, 2L, 0L) == want)
+    assert(spark.read.parquet(IvfStore.dataDir(s"$base/store", 2L)).count() == e.count())
+  }
+
   test("IvfStore e2e: feed -> planted drift fires the occupancy alarm -> reindex -> drift returns to zero") {
     import graft.operators.{IvfStore, Similarity}
     val base = tmp()
