@@ -470,6 +470,69 @@ object CorpusOps {
       .drop("_ws_g", "_ws_id", "_ws_key")
   }
 
+  /** Whole-document bin packing, next-fit style (round 15) — the
+    * OTHER packing mode trainers use: [[packSequences]] lays documents
+    * end-to-end and CHOPS at the budget (attention masks handle the
+    * splice); this one keeps every document intact and opens a new bin
+    * whenever the next document would overflow — the "no document may
+    * span sequences" loader contract. Within each shard, documents are
+    * taken in `idCol` order and folded:
+    *
+    *   fits  = fill == 0 || fill + n_tok <= budget
+    *   bin'  = if fits then bin else bin + 1
+    *   fill' = if fits then fill + n_tok else n_tok
+    *
+    * starting from (bin 0, fill 0). The `fill == 0` arm makes an
+    * EMPTY bin always accept its first document, so an oversize
+    * document (n_tok > budget) occupies a bin of its own — including
+    * bin 0 when it leads the shard — and the next document opens a
+    * fresh bin (its fill can never accept more). One uniform rule,
+    * no oversize special case.
+    * Output: (shard, doc id, n_tok, bin_idx, fill_after) one row per
+    * document.
+    *
+    * Shape: ONE shuffle (repartition on the shard key), a
+    * sort-within-partitions on (shard, id), then a sequential
+    * per-shard fold in mapPartitions. The fold is the honest plan: a
+    * bin boundary is a data-dependent RESET of the running fill, which
+    * no window/prefix-sum algebra expresses (the reset depends on the
+    * fill, which depends on earlier resets) — so this is the
+    * documented mapPartitions-as-last-resort case, like the multimodal
+    * decoders. Shards are the unit of parallelism exactly as in
+    * [[packSequences]]; rows carry (shard, id, n_tok) only — text
+    * never moves, and per-row state is two longs. The q212 oracle
+    * replays the fold as a recursive CTE per shard (the q211
+    * state-machine discipline applied to packing).
+    */
+  def packBinsNextFit(df: DataFrame, shardCol: Column, idCol: Column,
+      tokenCountCol: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(shardCol.cast("string").as("shard"),
+        idCol.cast("long").as("doc_id"),
+        tokenCountCol.cast("long").as("n_tok"))
+      .filter(col("shard").isNotNull && col("doc_id").isNotNull &&
+        col("n_tok").isNotNull)
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .as[(String, Long, Long)]
+      .mapPartitions { it =>
+        // a partition holds whole shards (hash-partitioned on shard),
+        // possibly several — reset the fold at each shard boundary
+        var shard: String = null
+        var bin = 0L
+        var fill = 0L
+        it.map { case (s, id, tok) =>
+          if (s != shard) { shard = s; bin = 0L; fill = 0L }
+          if (fill == 0L || fill + tok <= budget) fill += tok
+          else { bin += 1L; fill = tok }
+          (s, id, tok, bin, fill)
+        }
+      }
+      .toDF("shard", "doc_id", "n_tok", "bin_idx", "fill_after")
+  }
+
   /** Context-window sequence packing, contiguous-chop style: within
     * each shard (`shardCol`), lay documents end-to-end in `orderCol`
     * order and cut every `budget` tokens. Each document reports its

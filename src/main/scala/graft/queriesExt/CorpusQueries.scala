@@ -333,6 +333,48 @@ object CorpusQueries {
           % 1000000 < km.keep_micro
     ORDER BY corb.doc_id"""))
 
+  /** Whole-document next-fit bin packing under the oracle (round 15):
+    * the loader mode where no document may span sequences —
+    * [[graft.operators.CorpusOps.packBinsNextFit]] keeps documents
+    * intact and opens a new bin on overflow, folding per shard in
+    * `doc_id` order. A bin boundary is a data-dependent RESET of the
+    * running fill (not prefix-sum expressible), so the Spark side is
+    * one repartition(shard) + sortWithinPartitions + a sequential
+    * per-shard fold, and the oracle replays the SAME fold as a
+    * recursive CTE stepping one document per iteration per shard —
+    * the q211 state-machine discipline applied to packing. The
+    * `fill = 0` anchor arm makes an empty bin always accept its first
+    * document, so oversize docs take a bin of their own with no
+    * special case.
+    */
+  private val q212 = Q("q212_pack_bins_next_fit", (s, dir) => {
+    CorpusOps.packBinsNextFit(
+        Tables.load(s, dir, "documents").filter(col("text").isNotNull),
+        col("lang"), col("doc_id"), size(split(col("text"), " ")),
+        budget = 512L)
+      .orderBy(col("shard"), col("doc_id"))
+  }, Some("""
+    WITH RECURSIVE
+    t AS (
+      SELECT lang AS shard, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS INT) AS pos
+      FROM documents
+      WHERE lang IS NOT NULL AND doc_id IS NOT NULL AND text IS NOT NULL),
+    rec AS (
+      SELECT shard, pos, doc_id, n_tok,
+             CAST(0 AS BIGINT) AS bin_idx, n_tok AS fill_after
+      FROM t WHERE pos = 1
+      UNION ALL
+      SELECT t.shard, t.pos, t.doc_id, t.n_tok,
+             CASE WHEN r.fill_after + t.n_tok <= 512
+                  THEN r.bin_idx ELSE r.bin_idx + 1 END,
+             CASE WHEN r.fill_after + t.n_tok <= 512
+                  THEN r.fill_after + t.n_tok ELSE t.n_tok END
+      FROM rec r JOIN t ON t.shard = r.shard AND t.pos = r.pos + 1)
+    SELECT shard, doc_id, n_tok, bin_idx, fill_after
+    FROM rec ORDER BY shard, doc_id"""))
+
   val list: Seq[Q] = Seq(q78, q79, q80, q96, q104, q105, q114, q115, q125,
-    q126, q192)
+    q126, q192, q212)
 }

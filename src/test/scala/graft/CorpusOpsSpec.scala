@@ -219,6 +219,44 @@ class CorpusOpsSpec extends SparkSpec {
       s"only strictly-positive-weight rows may be sampled: $got")
   }
 
+  test("packBinsNextFit: hand fixture — overflow opens bins, oversize docs own one, shard state resets") {
+    import spark.implicits._
+    // shard a: 300 + 200 fill bin 0 (500 <= 512); 100 overflows -> bin 1;
+    //          an OVERSIZE doc (600 > 512) -> bin 2 alone; then 10 -> bin 3
+    // shard b: leads with an oversize doc -> bin 0 (empty bin always
+    //          accepts its first); 512 exact-fit -> bin 1; 1 -> bin 2
+    //          (512 + 1 overflows)
+    val df = Seq(
+      ("a", 1L, 300L), ("a", 2L, 200L), ("a", 3L, 100L), ("a", 4L, 600L), ("a", 5L, 10L),
+      ("b", 1L, 9999L), ("b", 2L, 512L), ("b", 3L, 1L)
+    ).toDF("shard", "doc_id", "n_tok")
+    val got = CorpusOps.packBinsNextFit(df, col("shard"), col("doc_id"),
+        col("n_tok"), budget = 512L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(3), r.getLong(4))))
+      .toMap
+    val want = Map(
+      ("a", 1L) -> ((0L, 300L)), ("a", 2L) -> ((0L, 500L)),
+      ("a", 3L) -> ((1L, 100L)), ("a", 4L) -> ((2L, 600L)),
+      ("a", 5L) -> ((3L, 10L)),
+      ("b", 1L) -> ((0L, 9999L)), ("b", 2L) -> ((1L, 512L)),
+      ("b", 3L) -> ((2L, 1L)))
+    assert(got == want, s"fold diverged:\ngot  $got\nwant $want")
+    // shards co-resident in one partition must not leak fold state:
+    // force everything into a single partition and re-check
+    val one = CorpusOps.packBinsNextFit(df.coalesce(1), col("shard"),
+        col("doc_id"), col("n_tok"), budget = 512L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(one == want, "single-partition run must reset state at shard boundaries")
+    // plan shape: exactly one exchange (the shard repartition) feeds
+    // the fold — the sort is within partitions, never global
+    val plan = CorpusOps.packBinsNextFit(df, col("shard"), col("doc_id"),
+      col("n_tok"), 512L).queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(shard"), plan.take(600))
+    assert(!plan.contains("rangepartitioning"),
+      s"sort must stay within partitions:\n${plan.take(600)}")
+  }
+
   test("curationPipeline: one disposition per doc — quality gate, exact keeper, cluster-safe split") {
     import spark.implicits._
     val longText = (1 to 120).map(i => s"word$i").mkString(" ") // quality 1.0
