@@ -232,18 +232,25 @@ object Multimodal {
     (p, i)
   }
 
-  /** Hand-rolled IMA-ADPCM WAV decode (wFormatTag 0x11, mono) — the
-    * first PREDICTIVE codec under the oracle: unlike the G.711 pair
-    * (memoryless per-byte tables), every sample depends on the running
-    * (predictor, index) state, reset per block by the 4-byte block
-    * header (int16 LE initial predictor = block sample 0, uint8
-    * initial step index, reserved). Nibbles decode low-first, one
-    * sample each. The JDK ships no ADPCM codec, so this is the spec's
-    * own integer state machine ([[imaStep]]); blocks are independent,
-    * so a SQL oracle replays each from its header with a recursive
-    * CTE (q211). Truncated/garbage payloads return None or a partial
-    * last block — never throw (the fuzz contract all container
-    * parsers here obey).
+  /** Hand-rolled IMA-ADPCM WAV decode (wFormatTag 0x11, mono or
+    * stereo) — the first PREDICTIVE codec under the oracle: unlike the
+    * G.711 pair (memoryless per-byte tables), every sample depends on
+    * the running (predictor, index) state, reset per block by each
+    * channel's 4-byte block header (int16 LE initial predictor = the
+    * block's first sample of that channel, uint8 initial step index,
+    * reserved). Nibbles decode low-first, one sample each. STEREO
+    * (q213) adds the format's channel interleave: after the per-
+    * channel headers, data runs in 4-BYTE GROUPS alternating channels
+    * (ch0 bytes 0-3, ch1 bytes 4-7, ch0 bytes 8-11, ...), each channel
+    * folding its OWN (predictor, index) — a wrong de-interleave
+    * scrambles which nibbles feed which state and hash-fails the
+    * oracle. Channel 0's samples are returned, matching the PCM leg's
+    * channel-0 contract. The JDK ships no ADPCM codec, so this is the
+    * spec's own integer state machine ([[imaStep]]); blocks are
+    * independent, so a SQL oracle replays each from its header with a
+    * recursive CTE (q211 mono, q213 stereo). Truncated/garbage
+    * payloads return None or a partial last block — never throw (the
+    * fuzz contract all container parsers here obey).
     */
   private[graft] def decodeImaAdpcm(payload: Array[Byte]): Option[(Float, Array[Int])] =
     try {
@@ -260,23 +267,32 @@ object Multimodal {
       if (fmt.isEmpty || data.isEmpty) return None
       val (channels, rate, blockAlign) = fmt.get
       val (dataOff, dataLen) = data.get
-      if (channels != 1 || blockAlign < 5 || dataLen < 4) return None
+      if (channels < 1 || channels > 2 || blockAlign < 4 * channels + 1 ||
+        dataLen < 4 * channels) return None
       val out = new scala.collection.mutable.ArrayBuffer[Int]
       var b = dataOff
       val end = dataOff + dataLen
-      while (b + 4 <= end) {
-        var pred = (((p(b + 1) & 0xff) << 8) | (p(b) & 0xff)).toShort.toInt
-        var idx = math.max(0, math.min(88, p(b + 2) & 0xff))
-        out += pred // the header predictor IS the block's first sample
+      while (b + 4 * channels <= end) {
+        val pred = new Array[Int](channels)
+        val idx = new Array[Int](channels)
+        var c = 0
+        while (c < channels) {
+          val h = b + 4 * c
+          pred(c) = (((p(h + 1) & 0xff) << 8) | (p(h) & 0xff)).toShort.toInt
+          idx(c) = math.max(0, math.min(88, p(h + 2) & 0xff))
+          c += 1
+        }
+        out += pred(0) // channel 0's header predictor IS its first sample
         val blockEnd = math.min(b + blockAlign, end)
-        var j = b + 4
+        var j = b + 4 * channels
         while (j < blockEnd) {
+          // 4-byte groups alternate channels; mono degenerates to ch 0
+          val ch = ((j - b - 4 * channels) / 4) % channels
           val byte = p(j) & 0xff
-          val (p1, i1) = imaStep(pred, idx, byte & 0xf) // low nibble first
-          out += p1
+          val (p1, i1) = imaStep(pred(ch), idx(ch), byte & 0xf) // low nibble first
           val (p2, i2) = imaStep(p1, i1, byte >> 4)
-          out += p2
-          pred = p2; idx = i2
+          if (ch == 0) { out += p1; out += p2 }
+          pred(ch) = p2; idx(ch) = i2
           j += 1
         }
         b += blockAlign
@@ -831,6 +847,68 @@ object Multimodal {
       cc("data") ++ u32(blocks.length.toLong) ++ blocks ++ pad
     bos.write(cc("RIFF")); bos.write(u32(body.length.toLong)); bos.write(body)
     bos.toByteArray
+  }
+
+  /** Assemble a STEREO IMA-ADPCM WAV: per block, TWO 4-byte channel
+    * headers (both seeded (0, 0)) followed by the data bytes laid
+    * down in container order — the format's 4-byte-group channel
+    * interleave then assigns groups 0, 2, 4, ... to channel 0 and
+    * 1, 3, 5, ... to channel 1. `data` is truncated to whole 8-byte
+    * group pairs so every block carries complete groups (the q213
+    * oracle's byte-selection closed form depends on it).
+    */
+  private[graft] def buildImaAdpcmStereoWav(data: Array[Byte], rate: Int,
+      blockAlign: Int = 256): Array[Byte] = {
+    require(blockAlign >= 9 && (blockAlign - 8) % 8 == 0,
+      s"stereo blockAlign must be 8 + a multiple of 8, got $blockAlign")
+    val bos = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def u16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def cc(s: String): Array[Byte] =
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val usable = data.take(data.length - data.length % 8)
+    val chunkBytes = blockAlign - 8
+    val chunks = usable.grouped(chunkBytes).toSeq
+    // per channel per FULL block: 1 header sample + (chunkBytes/2
+    // bytes for this channel) * 2 nibbles = 1 + chunkBytes
+    val spb = 1 + chunkBytes
+    val totalSamples = chunks.map(c => 1L + c.length.toLong).sum // per channel
+    val header = u16(0) ++ Array(0.toByte, 0.toByte)
+    val blocks = chunks.flatMap(c => header ++ header ++ c).toArray
+    val fmt = u16(0x11) ++ u16(2) ++ u32(rate.toLong) ++
+      u32(rate.toLong * blockAlign / math.max(spb, 1)) ++
+      u16(blockAlign) ++ u16(4) ++ u16(2) ++ u16(spb)
+    val pad = if (blocks.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+    val body = cc("WAVE") ++
+      cc("fmt ") ++ u32(20) ++ fmt ++
+      cc("fact") ++ u32(4) ++ u32(totalSamples) ++
+      cc("data") ++ u32(blocks.length.toLong) ++ blocks ++ pad
+    bos.write(cc("RIFF")); bos.write(u32(body.length.toLong)); bos.write(body)
+    bos.toByteArray
+  }
+
+  /** The STEREO twin of [[imaAdpcmWavFromDocuments]] (q213): doc
+    * bytes land in container order and the 4-byte-group interleave
+    * deals them to the two channels — channel 0 gets bytes whose
+    * in-block offset has (offset / 4) even. Decoding channel 0
+    * correctly therefore REQUIRES the de-interleave: treating the
+    * stream as mono (the classic ADPCM decoder bug) feeds channel 1's
+    * nibbles into channel 0's predictor and hash-fails the oracle.
+    */
+  def imaAdpcmStereoWavFromDocuments(docs: DataFrame, rate: Int = 8000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col("doc_id").isNotNull)
+      .select(col("doc_id").cast("long").as("media_id"),
+        encode(col("text"), "UTF-8").as("_src"))
+      .filter(col("media_id").isNotNull && octet_length(col("_src")) >= 8)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, src) =>
+        (id, buildImaAdpcmStereoWav(src, rate))
+      }).toDF("media_id", "payload")
   }
 
   /** Synthesize REAL IMA-ADPCM WAV payloads from the documents corpus

@@ -913,6 +913,86 @@ object TextQueries {
     FROM sq ORDER BY media_id, win_idx"""
   })
 
+  /** STEREO IMA-ADPCM under the oracle (round 15) — q211 proved the
+    * predictive state machine; this pins the format's CHANNEL
+    * INTERLEAVE, the classic ADPCM decoder bug: after the two
+    * per-channel block headers, data runs in 4-byte groups
+    * alternating channels, and each channel folds its OWN
+    * (predictor, index). Doc bytes land in container order, so
+    * channel 0's nibble stream is exactly the bytes whose in-block
+    * offset has (offset/4) even — the oracle SELECTS those bytes with
+    * a closed form ((jb//8)*4 + jb%4 ranks them within the block) and
+    * replays q211's recursive CTE over them; a decoder that treats
+    * the stream as mono feeds channel 1's nibbles into channel 0's
+    * predictor and hash-fails. 248 data bytes per block -> 249
+    * channel-0 samples per full block (header + 124 bytes x 2
+    * nibbles); doc bytes truncate to whole 8-byte group pairs by the
+    * builder's contract.
+    */
+  private val q213 = Q("q213_ima_adpcm_stereo", (s, dir) => {
+    import s.implicits._
+    import graft.operators.Multimodal
+    val audio = Multimodal.imaAdpcmStereoWavFromDocuments(Tables.load(s, dir, "documents"))
+      .as[Multimodal.AudioRecord]
+    Multimodal.audioRmsWindows(audio, winSamples = 64)
+      .orderBy(col("media_id"), col("win_idx"))
+  }, Some {
+    val stepTable = graft.operators.Multimodal.ImaStepTable.mkString("[", ", ", "]")
+    s"""
+    WITH RECURSIVE
+    a AS (
+      SELECT doc_id AS media_id, encode(text) AS src,
+             octet_length(encode(text)) - octet_length(encode(text)) % 8 AS usable
+      FROM documents
+      WHERE doc_id IS NOT NULL AND octet_length(encode(text)) >= 8),
+    byt AS (
+      SELECT media_id, CAST(j // 248 AS INT) AS blk,
+             CAST(((j % 248) // 8) * 4 + (j % 4) AS INT) AS bj,
+             CAST(concat('0x', substr(hex(src), CAST(j AS INT) * 2 + 1, 2)) AS INT) AS b
+      FROM a, unnest(range(0, usable)) AS t(j)
+      WHERE ((j % 248) // 4) % 2 = 0),
+    nib AS (
+      SELECT media_id, blk, bj * 2 + k AS pos,
+             CASE WHEN k = 0 THEN b % 16 ELSE b // 16 END AS n
+      FROM byt, unnest([0, 1]) AS u(k)),
+    steps AS (SELECT $stepTable AS tbl),
+    dec AS (
+      SELECT media_id, blk, -1 AS pos, CAST(0 AS BIGINT) AS pred, 0 AS idx
+      FROM (SELECT DISTINCT media_id, blk FROM nib)
+      UNION ALL
+      SELECT d.media_id, d.blk, nb.pos,
+             greatest(-32768, least(32767,
+               d.pred + (CASE WHEN nb.n >= 8 THEN -1 ELSE 1 END) *
+                 (tbl[d.idx + 1] // 8
+                  + (nb.n % 2) * (tbl[d.idx + 1] // 4)
+                  + ((nb.n // 2) % 2) * (tbl[d.idx + 1] // 2)
+                  + ((nb.n // 4) % 2) * tbl[d.idx + 1]))) AS pred,
+             greatest(0, least(88, d.idx +
+               CASE WHEN nb.n % 8 < 4 THEN -1 ELSE (nb.n % 8 - 3) * 2 END)) AS idx
+      FROM dec d, steps
+      JOIN nib nb ON nb.media_id = d.media_id AND nb.blk = d.blk
+                 AND nb.pos = d.pos + 1),
+    smp AS (
+      SELECT media_id, blk * 249 + pos + 1 AS gpos, pred
+      FROM dec),
+    arr AS (
+      SELECT media_id, list(pred ORDER BY gpos) AS s, count(*) AS ns
+      FROM smp GROUP BY media_id),
+    w AS (
+      SELECT media_id, s, unnest(range(0, CAST(ns // 64 AS INT))) AS win_idx
+      FROM arr),
+    sq AS (
+      SELECT media_id, win_idx,
+             list_reduce(list_concat([CAST(0 AS BIGINT)],
+               list_transform(s[CAST(win_idx * 64 + 1 AS INT):CAST(win_idx * 64 + 64 AS INT)],
+                 x -> x * x)),
+               (p1, q1) -> p1 + q1) AS sumsq
+      FROM w)
+    SELECT media_id, CAST(win_idx AS BIGINT) AS win_idx, sumsq,
+           floor(sqrt(CAST(sumsq AS DOUBLE) / 64) * 1000000 + 0.5) / 1000000.0 AS rms
+    FROM sq ORDER BY media_id, win_idx"""
+  })
+
   /** Count-Min sketch of the corpus token stream (depth 4, width 64).
     * The full counter matrix is hash-checked: Count-Min's elementwise-
     * sum merge makes the sketch a pure multiset function of the stream
@@ -1056,5 +1136,5 @@ object TextQueries {
 
   val list: Seq[Q] = Seq(q51, q52, q53, q54, q55, q56, q74, q89, q100, q101, q108, q112,
     q120, q128, q129, q138, q141, q142, q143, q144, q148, q176, q183, q194,
-    q199, q200, q201, q203, q208, q209, q211)
+    q199, q200, q201, q203, q208, q209, q211, q213)
 }

@@ -274,6 +274,36 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.wavFormatTag(wav).contains(0x11))
   }
 
+  test("IMA-ADPCM stereo: the 4-byte-group de-interleave feeds each channel its own state") {
+    // 16 data bytes = 4 groups: ch0 gets bytes 0-3 and 8-11, ch1 gets
+    // 4-7 and 12-15. Decoding channel 0 of the stereo container must
+    // equal a MONO decode of exactly ch0's bytes — and differ from a
+    // mono decode of the full byte stream (the classic mono-misread
+    // bug that would thread ch1's nibbles through ch0's predictor).
+    val bytes = Array.tabulate(16)(i => ((i * 37 + 11) & 0xff).toByte)
+    val ch0Bytes = bytes.slice(0, 4) ++ bytes.slice(8, 12)
+    val stereo = Multimodal.decodeAudioPcm(
+      Multimodal.buildImaAdpcmStereoWav(bytes, 8000)).get._2
+    val ch0Mono = Multimodal.decodeAudioPcm(
+      Multimodal.buildImaAdpcmWav(ch0Bytes, 8000)).get._2
+    assert(stereo.toSeq == ch0Mono.toSeq,
+      s"stereo ch0 must equal a mono decode of ch0's bytes:\n${stereo.toSeq}\n${ch0Mono.toSeq}")
+    val misread = Multimodal.decodeAudioPcm(
+      Multimodal.buildImaAdpcmWav(bytes, 8000)).get._2
+    assert(stereo.toSeq != misread.toSeq.take(stereo.length),
+      "a mono misread of the interleaved stream must NOT reproduce ch0")
+    // builder truncates to whole 8-byte group pairs: 19 bytes -> 16
+    val trunc = Multimodal.decodeAudioPcm(
+      Multimodal.buildImaAdpcmStereoWav(bytes ++ Array[Byte](1, 2, 3), 8000)).get._2
+    assert(trunc.toSeq == stereo.toSeq, "partial group pairs must be truncated")
+    // stereo truncation fuzz: same row-fails-never-task contract
+    val wav = Multimodal.buildImaAdpcmStereoWav(
+      Array.tabulate(600)(i => (i * 13).toByte), 8000)
+    (0 to wav.length by 3).foreach { cut =>
+      Multimodal.decodeAudioPcm(wav.take(cut)) // must not throw
+    }
+  }
+
   test("IMA-ADPCM leg: truncation and garbage fuzz fail the row, never the task") {
     val rnd = new scala.util.Random(15)
     val data = { val d = new Array[Byte](600); rnd.nextBytes(d); d } // 3 blocks
