@@ -29,6 +29,71 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: IMA-ADPCM decode — sample count closed form, 16-bit bounds, mono == stereo ch0 slice") {
+    import graft.operators.Multimodal
+    val bytesGen = Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue))
+      .suchThat(_.length >= 8)
+    forAllSampled(bytesGen, 40) { bytes =>
+      // mono: blocks of 252 data bytes; samples = per block 1 + 2*len
+      val (_, mono) = Multimodal.decodeAudioPcm(
+        Multimodal.buildImaAdpcmWav(bytes, 8000)).get
+      val wantMono = bytes.grouped(252).map(c => 1 + 2 * c.length).sum
+      assert(mono.length == wantMono, s"mono count ${mono.length} != $wantMono")
+      assert(mono.forall(s => s >= -32768 && s <= 32767), "decode must stay 16-bit")
+      // stereo: usable = whole 8-byte group pairs; ch0 samples per
+      // block = 1 + data-bytes-in-block (half the bytes, two nibbles)
+      val usable = bytes.take(bytes.length - bytes.length % 8)
+      val (_, st) = Multimodal.decodeAudioPcm(
+        Multimodal.buildImaAdpcmStereoWav(bytes, 8000)).get
+      val wantSt = usable.grouped(248).map(c => 1 + c.length).sum
+      assert(st.length == wantSt, s"stereo ch0 count ${st.length} != $wantSt")
+      assert(st.forall(s => s >= -32768 && s <= 32767))
+      // cross-check: stereo ch0 == mono decode of ch0's bytes, blocked
+      // the stereo way (248-byte stereo block -> 124 ch0 bytes/block)
+      val ch0 = usable.zipWithIndex.collect {
+        case (b, j) if ((j % 248) / 4) % 2 == 0 => b
+      }
+      val ref = ch0.grouped(124).flatMap { blockBytes =>
+        var pred = 0; var idx = 0
+        val out = scala.collection.mutable.ArrayBuffer(0)
+        blockBytes.foreach { by =>
+          val (p1, i1) = Multimodal.imaStep(pred, idx, by & 0xf)
+          val (p2, i2) = Multimodal.imaStep(p1, i1, (by & 0xff) >> 4)
+          out += p1; out += p2; pred = p2; idx = i2
+        }
+        out
+      }.toSeq
+      assert(st.toSeq == ref, "stereo ch0 must equal an independent per-block fold of ch0's bytes")
+    }
+  }
+
+  test("property: packBinsNextFit equals an independent sequential fold on random shards") {
+    import graft.operators.CorpusOps
+    val rowsGen = Gen.listOfN(40, for {
+      shard <- Gen.oneOf("a", "b", "c")
+      tok <- Gen.choose(1L, 700L) // spans under- and over-budget (512)
+    } yield (shard, tok))
+    forAllSampled(rowsGen, 15) { rows =>
+      val df = rows.zipWithIndex.map { case ((s, t), i) => (s, i.toLong, t) }
+        .toDF("shard", "doc_id", "n_tok")
+      val got = CorpusOps.packBinsNextFit(df, col("shard"), col("doc_id"),
+          col("n_tok"), budget = 512L)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(3), r.getLong(4))))
+        .toMap
+      // reference: a plain Scala fold per shard in doc_id order
+      val want = rows.zipWithIndex.map { case ((s, t), i) => (s, i.toLong, t) }
+        .groupBy(_._1).flatMap { case (s, docs) =>
+          var bin = 0L; var fill = 0L
+          docs.sortBy(_._2).map { case (_, id, tok) =>
+            if (fill == 0L || fill + tok <= 512L) fill += tok
+            else { bin += 1L; fill = tok }
+            (s, id) -> ((bin, fill))
+          }
+        }.toMap
+      assert(got == want, s"fold diverged on ${rows.take(6)}...")
+    }
+  }
+
   test("property: base64 wire encode/decode round-trips through the transform") {
     val msgGen = Gen.listOf(Gen.alphaNumStr.suchThat(_.length < 50)).map(_.take(5))
     forAllSampled(msgGen.suchThat(_.nonEmpty), 15) { msgs =>
