@@ -232,6 +232,109 @@ object Multimodal {
     (p, i)
   }
 
+  /** One IMA ADPCM ENCODE step (round 15, q214): the reference
+    * greedy — sign bit from the residual's sign, then magnitude bits
+    * by successive subtraction of step, step>>1, step>>2 — followed
+    * by the DECODER's own state update ([[imaStep]]), which is what
+    * keeps encoder and decoder predictors in lockstep (the encoder
+    * tracks what the decoder WILL reconstruct, not the true signal).
+    * Returns (nibble, predictor', index').
+    */
+  private[graft] def imaEncodeStep(pred: Int, idx: Int, sample: Int): (Int, Int, Int) = {
+    val step = ImaStepTable(idx)
+    var diff = sample - pred
+    var nibble = 0
+    if (diff < 0) { nibble = 8; diff = -diff }
+    if (diff >= step) { nibble |= 4; diff -= step }
+    if (diff >= (step >> 1)) { nibble |= 2; diff -= step >> 1 }
+    if (diff >= (step >> 2)) { nibble |= 1 }
+    val (p, i) = imaStep(pred, idx, nibble)
+    (nibble, p, i)
+  }
+
+  /** Encode 16-bit PCM samples into a genuine mono IMA-ADPCM WAV —
+    * the inverse of [[decodeImaAdpcm]], so REAL audio can flow
+    * through the compressed path end to end. Standard block layout:
+    * each block's header stores its FIRST sample verbatim as the
+    * initial predictor (that sample round-trips exactly) with the
+    * index reset to 0 (blocks stay independent — the format's seek
+    * contract and what lets the q214 oracle replay per block);
+    * the following `blockAlign - 4` bytes carry two greedy nibbles
+    * each, low first, covering the next `(blockAlign-4)*2` samples.
+    * Input is truncated by at most one trailing sample so the last
+    * block's nibbles fill whole bytes.
+    */
+  private[graft] def encodeImaAdpcmWav(pcm: Array[Int], rate: Int,
+      blockAlign: Int = 256): Array[Byte] = {
+    require(blockAlign >= 5, s"blockAlign must be >= 5, got $blockAlign")
+    require(pcm.forall(s => s >= -32768 && s <= 32767),
+      "PCM samples must be 16-bit signed")
+    val perBlock = 1 + (blockAlign - 4) * 2
+    val tailLen = pcm.length % perBlock
+    val usable =
+      if (tailLen != 0 && (tailLen - 1) % 2 == 1) pcm.length - 1 else pcm.length
+    val blocks = new java.io.ByteArrayOutputStream()
+    var off = 0
+    while (off < usable) {
+      val n = math.min(perBlock, usable - off)
+      var pred = pcm(off)
+      var idx = 0
+      blocks.write(pred & 0xff); blocks.write((pred >> 8) & 0xff)
+      blocks.write(idx); blocks.write(0)
+      var j = 1
+      while (j < n) {
+        val (lo, p1, i1) = imaEncodeStep(pred, idx, pcm(off + j))
+        val (hi, p2, i2) =
+          if (j + 1 < n) imaEncodeStep(p1, i1, pcm(off + j + 1))
+          else (0, p1, i1) // can't happen: (n-1) is even by construction
+        blocks.write(lo | (hi << 4))
+        pred = p2; idx = i2
+        j += 2
+      }
+      off += n
+    }
+    val data = blocks.toByteArray
+    // same container framing as the builder (20-byte fmt, fact, data)
+    val bos = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def u16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def cc(s: String): Array[Byte] =
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val fmt = u16(0x11) ++ u16(1) ++ u32(rate.toLong) ++
+      u32(rate.toLong * blockAlign / perBlock) ++
+      u16(blockAlign) ++ u16(4) ++ u16(2) ++ u16(perBlock)
+    val pad = if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+    val body = cc("WAVE") ++
+      cc("fmt ") ++ u32(20) ++ fmt ++
+      cc("fact") ++ u32(4) ++ u32(usable.toLong) ++
+      cc("data") ++ u32(data.length.toLong) ++ data ++ pad
+    bos.write(cc("RIFF")); bos.write(u32(body.length.toLong)); bos.write(body)
+    bos.toByteArray
+  }
+
+  /** Synthesize ENCODED IMA-ADPCM WAVs from deterministic PCM derived
+    * from the documents corpus (sample j = (byte_j - 128) * 256 —
+    * full 16-bit swing, integer-exact on both engines), for q214:
+    * unlike [[imaAdpcmWavFromDocuments]] (doc bytes ARE the nibbles,
+    * decode-only coverage), here the ENCODER's greedy runs for real
+    * and the oracle replays the fused encode-decode state machine.
+    */
+  def imaAdpcmEncodedFromDocuments(docs: DataFrame, rate: Int = 8000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col("doc_id").isNotNull)
+      .select(col("doc_id").cast("long").as("media_id"),
+        encode(col("text"), "UTF-8").as("_src"))
+      .filter(col("media_id").isNotNull && octet_length(col("_src")) > 0)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, src) =>
+        (id, encodeImaAdpcmWav(src.map(b => ((b & 0xff) - 128) * 256), rate))
+      }).toDF("media_id", "payload")
+  }
+
   /** Hand-rolled IMA-ADPCM WAV decode (wFormatTag 0x11, mono or
     * stereo) — the first PREDICTIVE codec under the oracle: unlike the
     * G.711 pair (memoryless per-byte tables), every sample depends on

@@ -993,6 +993,98 @@ object TextQueries {
     FROM sq ORDER BY media_id, win_idx"""
   })
 
+  /** IMA-ADPCM ENCODER under the oracle (round 15) — q211/q213 put
+    * the decoder's state machine under a recursive-CTE replay; here
+    * the ENCODER runs for real too: deterministic 16-bit PCM derived
+    * from doc bytes (sample = (byte-128)*256) is greedily encoded
+    * ([[graft.operators.Multimodal.imaEncodeStep]] — sign bit from
+    * the residual, magnitude by successive subtraction of step,
+    * step>>1, step>>2, then the DECODER's own update keeps both
+    * predictors in lockstep), written into a genuine wFormatTag-0x11
+    * container, and decoded back through [[graft.operators.Multimodal.decodeAudioPcm]].
+    * The oracle replays the FUSED encode-decode machine per block:
+    * each recursion step computes the greedy nibble from
+    * (pred, idx, target) in a lateral, then the q211 decode update —
+    * so both halves of the codec are hash-checked in one query. Block
+    * headers store the first sample verbatim (round-trips exactly,
+    * index reset per block); input truncates by at most one sample so
+    * nibbles fill whole bytes.
+    */
+  private val q214 = Q("q214_ima_adpcm_roundtrip", (s, dir) => {
+    import s.implicits._
+    import graft.operators.Multimodal
+    val audio = Multimodal.imaAdpcmEncodedFromDocuments(Tables.load(s, dir, "documents"))
+      .as[Multimodal.AudioRecord]
+    Multimodal.audioRmsWindows(audio, winSamples = 64)
+      .orderBy(col("media_id"), col("win_idx"))
+  }, Some {
+    val stepTable = graft.operators.Multimodal.ImaStepTable.mkString("[", ", ", "]")
+    s"""
+    WITH RECURSIVE
+    a AS (
+      SELECT doc_id AS media_id, encode(text) AS src,
+             octet_length(encode(text)) AS nbytes
+      FROM documents
+      WHERE doc_id IS NOT NULL AND octet_length(encode(text)) > 0),
+    u AS (
+      SELECT media_id, src,
+             nbytes - (CASE WHEN nbytes % 505 >= 1 AND (nbytes % 505 - 1) % 2 = 1
+                            THEN 1 ELSE 0 END) AS usable
+      FROM a),
+    pcm AS (
+      SELECT media_id, CAST(j // 505 AS INT) AS blk, CAST(j % 505 AS INT) AS pos,
+             (CAST(concat('0x', substr(hex(src), CAST(j AS INT) * 2 + 1, 2)) AS BIGINT) - 128) * 256 AS s
+      FROM u, unnest(range(0, usable)) AS t(j)),
+    steps AS (SELECT $stepTable AS tbl),
+    dec AS (
+      SELECT media_id, blk, pos, s AS pred, 0 AS idx
+      FROM pcm WHERE pos = 0
+      UNION ALL
+      SELECT d.media_id, d.blk, p.pos,
+             greatest(-32768, least(32767,
+               d.pred + (CASE WHEN c2.nib >= 8 THEN -1 ELSE 1 END) *
+                 (c1.step // 8
+                  + (c2.nib % 2) * (c1.step // 4)
+                  + ((c2.nib // 2) % 2) * (c1.step // 2)
+                  + ((c2.nib // 4) % 2) * c1.step))) AS pred,
+             greatest(0, least(88, d.idx +
+               CASE WHEN c2.nib % 8 < 4 THEN -1 ELSE (c2.nib % 8 - 3) * 2 END)) AS idx
+      FROM dec d
+      JOIN pcm p ON p.media_id = d.media_id AND p.blk = d.blk AND p.pos = d.pos + 1
+      CROSS JOIN steps
+      CROSS JOIN LATERAL (SELECT tbl[d.idx + 1] AS step,
+                                 abs(p.s - d.pred) AS ad,
+                                 p.s - d.pred < 0 AS neg) c1
+      CROSS JOIN LATERAL (SELECT
+        (CASE WHEN c1.neg THEN 8 ELSE 0 END)
+        + (CASE WHEN c1.ad >= c1.step THEN 4 ELSE 0 END)
+        + (CASE WHEN c1.ad - (CASE WHEN c1.ad >= c1.step THEN c1.step ELSE 0 END)
+                 >= c1.step // 2 THEN 2 ELSE 0 END)
+        + (CASE WHEN c1.ad - (CASE WHEN c1.ad >= c1.step THEN c1.step ELSE 0 END)
+                 - (CASE WHEN c1.ad - (CASE WHEN c1.ad >= c1.step THEN c1.step ELSE 0 END)
+                         >= c1.step // 2 THEN c1.step // 2 ELSE 0 END)
+                 >= c1.step // 4 THEN 1 ELSE 0 END) AS nib) c2),
+    smp AS (
+      SELECT media_id, blk * 505 + pos AS gpos, pred
+      FROM dec),
+    arr AS (
+      SELECT media_id, list(pred ORDER BY gpos) AS s, count(*) AS ns
+      FROM smp GROUP BY media_id),
+    w AS (
+      SELECT media_id, s, unnest(range(0, CAST(ns // 64 AS INT))) AS win_idx
+      FROM arr),
+    sq AS (
+      SELECT media_id, win_idx,
+             list_reduce(list_concat([CAST(0 AS BIGINT)],
+               list_transform(s[CAST(win_idx * 64 + 1 AS INT):CAST(win_idx * 64 + 64 AS INT)],
+                 x -> x * x)),
+               (p1, q1) -> p1 + q1) AS sumsq
+      FROM w)
+    SELECT media_id, CAST(win_idx AS BIGINT) AS win_idx, sumsq,
+           floor(sqrt(CAST(sumsq AS DOUBLE) / 64) * 1000000 + 0.5) / 1000000.0 AS rms
+    FROM sq ORDER BY media_id, win_idx"""
+  })
+
   /** Count-Min sketch of the corpus token stream (depth 4, width 64).
     * The full counter matrix is hash-checked: Count-Min's elementwise-
     * sum merge makes the sketch a pure multiset function of the stream
@@ -1136,5 +1228,5 @@ object TextQueries {
 
   val list: Seq[Q] = Seq(q51, q52, q53, q54, q55, q56, q74, q89, q100, q101, q108, q112,
     q120, q128, q129, q138, q141, q142, q143, q144, q148, q176, q183, q194,
-    q199, q200, q201, q203, q208, q209, q211, q213)
+    q199, q200, q201, q203, q208, q209, q211, q213, q214)
 }

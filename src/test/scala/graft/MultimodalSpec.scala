@@ -274,6 +274,42 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.wavFormatTag(wav).contains(0x11))
   }
 
+  test("IMA-ADPCM encoder: decode(encode(pcm)) is the encoder's own prediction and tracks a smooth signal") {
+    // lockstep: the container round-trip must reproduce EXACTLY the
+    // sample sequence the encoder's internal decoder-update predicted
+    // — that equality is the whole design (the encoder tracks what
+    // the decoder will reconstruct, not the true signal)
+    val pcm = Array.tabulate(1011)(i =>
+      (math.sin(i * 0.05) * 12000).toInt) // 2 blocks + partial
+    val decoded = Multimodal.decodeAudioPcm(
+      Multimodal.encodeImaAdpcmWav(pcm, 8000)).get._2
+    val usable = if ((pcm.length % 505 - 1) % 2 == 1) pcm.length - 1 else pcm.length
+    assert(decoded.length == usable)
+    var pred = 0; var idx = 0
+    val predicted = (0 until usable).map { j =>
+      if (j % 505 == 0) { pred = pcm(j); idx = 0; pred }
+      else {
+        val (_, p, i) = Multimodal.imaEncodeStep(pred, idx, pcm(j))
+        pred = p; idx = i; p
+      }
+    }
+    assert(decoded.toSeq == predicted,
+      "container round-trip must equal the encoder's internal prediction")
+    // block-leading samples round-trip EXACTLY (stored verbatim)
+    assert(decoded(0) == pcm(0) && decoded(505) == pcm(505))
+    // fidelity on the smooth signal: the adaptive step tracks a sine
+    // well — RMS error under 5% of the 12000 amplitude
+    val errSq = (0 until usable).map(j => {
+      val e = (decoded(j) - pcm(j)).toDouble; e * e
+    }).sum / usable
+    assert(math.sqrt(errSq) < 600.0,
+      s"ADPCM RMS error ${math.sqrt(errSq)} too high for a smooth signal")
+    // a single-sample input is one header-only block, exact
+    val one = Multimodal.decodeAudioPcm(
+      Multimodal.encodeImaAdpcmWav(Array(1234), 8000)).get._2
+    assert(one.toSeq == Seq(1234))
+  }
+
   test("IMA-ADPCM stereo: the 4-byte-group de-interleave feeds each channel its own state") {
     // 16 data bytes = 4 groups: ch0 gets bytes 0-3 and 8-11, ch1 gets
     // 4-7 and 12-15. Decoding channel 0 of the stereo container must
