@@ -524,10 +524,85 @@ object CorpusOps {
         var bin = 0L
         var fill = 0L
         it.map { case (s, id, tok) =>
+          // n_tok <= 0 would re-enter the empty-bin arm mid-shard
+          // (fill stays 0, every successor joins "this" bin) —
+          // diverging from the documented fold. A non-positive token
+          // count is a caller bug; fail loudly, not creatively
+          // (round-15 ADVICE).
+          require(tok > 0, s"n_tok must be positive, got $tok for doc $id in shard $s")
           if (s != shard) { shard = s; bin = 0L; fill = 0L }
           if (fill == 0L || fill + tok <= budget) fill += tok
           else { bin += 1L; fill = tok }
           (s, id, tok, bin, fill)
+        }
+      }
+      .toDF("shard", "doc_id", "n_tok", "bin_idx", "fill_after")
+  }
+
+  /** Whole-document bin packing, FIRST-FIT-DECREASING (round 16) —
+    * the standard fix for [[packBinsNextFit]]'s padding waste: next-fit
+    * abandons a bin the moment one document overflows it, so a small
+    * document arriving after a large one opens a fresh bin even when
+    * an earlier bin still has room. FFD sorts each shard's documents
+    * by token count DESCENDING (ties to the lower doc id) and places
+    * each into the FIRST open bin with room, opening a new bin only
+    * when none fits — the classic 11/9·OPT+6/9 offline heuristic
+    * (Johnson 1973; public result).
+    *
+    * Open bins are CAPPED at `maxOpen` per shard: when a new bin
+    * opens beyond the cap, the OLDEST open bin closes (it can never
+    * receive another document). The cap is the scale concession that
+    * keeps per-shard fold state bounded (classic FFD keeps every bin
+    * open, O(bins) state and O(n·bins) scans on a 100 TB shard) AND
+    * keeps the q216 oracle's recursive-CTE state a bounded fill list.
+    * With decreasing order the loss is small: once sizes shrink, old
+    * bins are nearly full anyway.
+    *
+    * Same honest plan as next-fit: ONE shuffle (repartition on
+    * shard), sortWithinPartitions (shard, n_tok desc, doc_id), a
+    * sequential per-shard fold in mapPartitions carrying at most
+    * `maxOpen` (bin, fill) pairs. Rows are (shard, id, n_tok) —
+    * text never moves. Output: (shard, doc_id, n_tok, bin_idx,
+    * fill_after) where fill_after is the receiving bin's fill after
+    * placement; bin_idx counts bins in open order per shard.
+    */
+  def packBinsFirstFitDecreasing(df: DataFrame, shardCol: Column,
+      idCol: Column, tokenCountCol: Column, budget: Long,
+      maxOpen: Int = 4): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(maxOpen >= 1, s"maxOpen must be >= 1, got $maxOpen")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(shardCol.cast("string").as("shard"),
+        idCol.cast("long").as("doc_id"),
+        tokenCountCol.cast("long").as("n_tok"))
+      .filter(col("shard").isNotNull && col("doc_id").isNotNull &&
+        col("n_tok").isNotNull)
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("n_tok").desc, col("doc_id"))
+      .as[(String, Long, Long)]
+      .mapPartitions { it =>
+        var shard: String = null
+        var nbins = 0L
+        // open bins in bin-idx (= creation) order, <= maxOpen entries
+        val open = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        it.map { case (s, id, tok) =>
+          require(tok > 0, s"n_tok must be positive, got $tok for doc $id in shard $s")
+          if (s != shard) { shard = s; nbins = 0L; open.clear() }
+          val slot = open.indexWhere { case (_, f) => f + tok <= budget }
+          val (binIdx, fillAfter) =
+            if (slot >= 0) {
+              val (b, f) = open(slot)
+              open(slot) = (b, f + tok)
+              (b, f + tok)
+            } else {
+              val b = nbins
+              nbins += 1L
+              if (open.size >= maxOpen) open.remove(0)
+              open += ((b, tok))
+              (b, tok)
+            }
+          (s, id, tok, binIdx, fillAfter)
         }
       }
       .toDF("shard", "doc_id", "n_tok", "bin_idx", "fill_after")

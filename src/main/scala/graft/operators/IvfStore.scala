@@ -19,8 +19,17 @@ import org.apache.spark.sql.functions._
   * {{{
   *   storeDir/v=N/data/batchId=M/cell=K/part-….parquet   // the inverted file
   *   storeDir/v=N/centroids/part-….parquet               // the codebook that built it
+  *   storeDir/v=N/codebooks/part-….parquet               // PQ codebooks (iff PQ-enabled)
   *   storeDir/versions/v-N                               // empty marker = N is publishable
   * }}}
+  *
+  * PQ-enabled versions (round 16) additionally carry the per-row
+  * `c0..c{nSub-1}` PQ code columns INSIDE the data files, beside the
+  * vector. Parquet is columnar, so the ADC serving scan
+  * ([[topKPq]]) that selects only id + codes reads the 16-32x
+  * smaller code leg and never pays for the vector bytes — "codes
+  * beside vectors" costs nothing at read time and keeps every write
+  * path (feeder, catch-up, compaction) a single table.
   *
   * Atomic cutover, from first principles of what object stores give
   * us: a version's data and codebook are written COMPLETELY first,
@@ -33,6 +42,17 @@ import org.apache.spark.sql.functions._
   * publishes (new versions only ADD directories), so every reader
   * sees old or new, never a mix. A half-written version has no marker
   * and is invisible.
+  *
+  * Filesystem contract: the marker AND claim protocol require an FS
+  * whose `create(path, overwrite=false)` is an ATOMIC exclusive
+  * create — true on HDFS, ABFS, GCS and local filesystems. Hadoop's
+  * S3A implements it as a non-atomic existence check then PUT, so on
+  * plain S3 two concurrent re-indexers could both win the claim;
+  * deploy there with S3 conditional-PUT (If-None-Match) enabled in
+  * the connector, or route claims through a coordination service.
+  * The WORST outcome without it is a blended unpublished version —
+  * readers of published versions are never affected, but the blend
+  * could then be published.
   *
   * The re-assigned corpus lands under the reserved `batchId=-1`
   * bootstrap partition: feeder batchIds are >= 0, so a
@@ -61,6 +81,16 @@ object IvfStore {
 
   def centroidsDir(storeDir: String, version: Long): String =
     s"$storeDir/v=$version/centroids"
+
+  def codebooksDir(storeDir: String, version: Long): String =
+    s"$storeDir/v=$version/codebooks"
+
+  /** True iff `version` stores PQ codebooks (and therefore per-row
+    * code columns) — written before publish, so on a published
+    * version this is a stable property, not a race.
+    */
+  def hasPq(spark: SparkSession, storeDir: String, version: Long): Boolean =
+    fsOf(spark, storeDir).exists(new Path(codebooksDir(storeDir, version)))
 
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -108,25 +138,62 @@ object IvfStore {
     * codebook. Data lands partitioned by cell under the reserved
     * bootstrap batchId; the codebook is stored beside it so readers
     * and feeders always probe with exactly the centroids that built
-    * the version. Returns the row count written.
+    * the version. When `codebooks` is given (subspace: Int,
+    * code: Int, subvec: numeric array — [[Similarity.trainPqCodebooks]]'s
+    * shape), it is stored under the version too and every data row
+    * additionally carries its `nSub` PQ codes, encoded against the
+    * STORED codebooks in the same narrow pass as the cell assignment
+    * — the compressed leg [[topKPq]] serves from. Returns the row
+    * count written (the bootstrap partition only — a re-bootstrap
+    * over a version that already carries feeder batches reports its
+    * own rows, not the directory total).
     */
   def bootstrap(load: DataFrame, centroids: DataFrame, idCol: String,
-      vecCol: String, storeDir: String, version: Long): Long = {
+      vecCol: String, storeDir: String, version: Long,
+      codebooks: Option[DataFrame] = None, nSub: Int = 8,
+      subDim: Int = 8): Long = {
     val spark = load.sparkSession
     centroids
       .select(col("cell").cast("int").as("cell"),
         col("ctr").cast("array<double>").as("ctr"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(centroidsDir(storeDir, version))
+    codebooks.foreach(_
+      .select(col("subspace").cast("int").as("subspace"),
+        col("code").cast("int").as("code"), col("subvec"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(codebooksDir(storeDir, version)))
     val stored = centroidsOf(spark, storeDir, version)
-    Similarity.assignCells(load, stored, idCol, vecCol)
+    val assigned = Similarity.assignCells(load, stored, idCol, vecCol)
       .select(col("_id").as(idCol), col("_v").as(vecCol), col("cell"))
+    withCodes(spark, assigned, storeDir, version, vecCol, nSub, subDim)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("cell")
       .parquet(s"${dataDir(storeDir, version)}/batchId=$BootstrapBatchId")
     publish(spark, storeDir, version)
-    spark.read.parquet(dataDir(storeDir, version)).count()
+    spark.read
+      .parquet(s"${dataDir(storeDir, version)}/batchId=$BootstrapBatchId")
+      .count()
   }
+
+  /** Append the version's PQ code columns `c0..c{nSub-1}` to `rows`
+    * (no-op on a version without codebooks) — one narrow projection
+    * against the broadcast codebook array, the [[Similarity.pqEncode]]
+    * move with the codes kept beside the full row.
+    */
+  private def withCodes(spark: SparkSession, rows: DataFrame,
+      storeDir: String, version: Long, vecCol: String, nSub: Int,
+      subDim: Int): DataFrame =
+    if (!hasPq(spark, storeDir, version)) rows
+    else {
+      val cbs = Similarity.pqCodebookArray(codebooksOf(spark, storeDir, version))
+      val codeCols = (0 until nSub).map(sIdx =>
+        element_at(col("_codes"), sIdx + 1).as(s"c$sIdx"))
+      rows.crossJoin(broadcast(cbs))
+        .withColumn("_codes",
+          graft.functions.pq.encodeCodes(col(vecCol), col("_cbs"), nSub, subDim))
+        .select(rows.columns.map(col).toIndexedSeq ++ codeCols: _*)
+    }
 
   /** THE RE-INDEX VERB: retrain k-means on `load` (the corpus the
     * store should now serve — typically the live version's corpus, or
@@ -142,9 +209,25 @@ object IvfStore {
     * resume the feeder against `dataDir(storeDir, newVersion)` and
     * restart the drift monitor with `centroidsOf`/the re-indexed
     * corpus as its new baseline.
+    *
+    * `pqCodes > 0` makes the new version PQ-enabled: per-subspace
+    * codebooks ([[Similarity.trainPqCodebooks]], `pqCodes` entries x
+    * `nSub` subspaces of `subDim` dims) train on the same `load` and
+    * every row stores its codes beside the vector — [[topKPq]] then
+    * serves the compressed plan from this version. `load` is scanned
+    * `iters + 1 + nSub * (pqIters + 1)` times total; persist it when
+    * it is not already a materialized table.
+    *
+    * `staleClaimMs`: a claim whose version was never published and
+    * whose file is older than this many milliseconds is treated as a
+    * crashed writer's leftover and reclaimed automatically (see
+    * [[reclaim]]). The default (Long.MaxValue) keeps the strict
+    * behavior: any existing claim fails fast with the file named.
     */
   def reindex(load: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int, dim: Int, storeDir: String, gridUnits: Long = 0L): Long = {
+      iters: Int, dim: Int, storeDir: String, gridUnits: Long = 0L,
+      pqCodes: Int = 0, nSub: Int = 8, subDim: Int = 8, pqIters: Int = 2,
+      staleClaimMs: Long = Long.MaxValue): Long = {
     val spark = load.sparkSession
     val next = liveVersion(spark, storeDir).map(_ + 1L).getOrElse(1L)
     // single-writer guard: two concurrent reindexes would both resolve
@@ -152,22 +235,52 @@ object IvfStore {
     // BLEND of two writers' centroids and data (round-15 self-review).
     // An exclusive claim-file create — the same atomic primitive the
     // publish marker uses — makes the second writer fail fast instead.
-    // A claim with no marker after a crash is manual-remove territory:
-    // the error names the file, and deleting it is safe exactly
-    // because an unpublished version is invisible to readers.
+    // (Requires atomic exclusive create — see the object docstring's
+    // filesystem contract for the S3 caveat.)
     val claim = new Path(s"$storeDir/claims/v-$next")
     val fs = fsOf(spark, storeDir)
     fs.mkdirs(claim.getParent)
+    if (fs.exists(claim) && staleClaimMs != Long.MaxValue &&
+        !fs.exists(new Path(s"$storeDir/versions/v-$next"))) {
+      val age = System.currentTimeMillis() - fs.getFileStatus(claim).getModificationTime
+      if (age > staleClaimMs) reclaim(spark, storeDir, next)
+    }
     try fs.create(claim, false).close()
     catch {
       case e: java.io.IOException => throw new IllegalStateException(
         s"version $next is already claimed by another reindex ($claim exists) — " +
-          "if that writer crashed before publishing, delete the claim file and retry", e)
+          s"if that writer crashed before publishing, run reclaim(storeDir, $next) " +
+          "(or pass staleClaimMs) and retry", e)
     }
     val trained = Similarity.trainKMeans(load, idCol, vecCol, k, iters, dim, gridUnits)
-    bootstrap(load, trained, idCol, vecCol, storeDir, next)
+    val cbs =
+      if (pqCodes <= 0) None
+      else Some(Similarity.trainPqCodebooks(load, idCol, vecCol, nSub, subDim,
+        pqCodes, pqIters))
+    bootstrap(load, trained, idCol, vecCol, storeDir, next, cbs, nSub, subDim)
     fs.delete(claim, false) // published: the claim has done its job
     next
+  }
+
+  /** Recover from a CRASHED reindex without filesystem surgery
+    * (round 16): delete `version`'s leftover claim file and its
+    * half-written `v=N` directory so the next [[reindex]] can claim
+    * it again. Refuses a PUBLISHED version — its claim is gone by
+    * construction and its directories belong to readers. Safe by the
+    * unpublished-invisible invariant: no reader can hold an
+    * unpublished version, so deleting its directories affects no one.
+    * Two operators racing reclaim-then-reindex still exclude each
+    * other at the claim re-create; the narrow window where one
+    * reclaims the other's FRESH claim is why the automatic path
+    * ([[reindex]]'s `staleClaimMs`) also requires the claim to be
+    * old — pick a threshold well above your longest retrain.
+    */
+  def reclaim(spark: SparkSession, storeDir: String, version: Long): Unit = {
+    val fs = fsOf(spark, storeDir)
+    require(!fs.exists(new Path(s"$storeDir/versions/v-$version")),
+      s"version $version is published — its claim cannot be stale; nothing to reclaim")
+    fs.delete(new Path(s"$storeDir/v=$version"), true)
+    fs.delete(new Path(s"$storeDir/claims/v-$version"), false)
   }
 
   /** Close the feed gap a reindex leaves (round 15): while
@@ -191,9 +304,24 @@ object IvfStore {
     * "whatever is in old but not new" rule would double-count batches
     * the snapshot already folded into the bootstrap partition.
     * Returns the number of rows migrated.
+    *
+    * ONE job migrates everything (round 16 — the verb exists to
+    * minimize the ingestion pause, so its cost must not grow as 2
+    * driver-coordinated jobs per pending directory): all pending
+    * batchIds read in one multi-path scan that keeps `batchId` as a
+    * partition column, one re-assign (and, on a PQ-enabled target
+    * version, one re-encode under the NEW codebooks), one
+    * dynamic-partition-overwrite write partitioned by
+    * (batchId, cell). Dynamic mode touches only the partitions the
+    * frame carries — the bootstrap partition and any batches already
+    * beyond the window stay intact, and a re-run of a crashed
+    * catch-up overwrites exactly its own directories (the feeder's
+    * replay discipline). The count comes from the migrated frame
+    * itself, persisted across the write, not a directory re-scan.
     */
   def catchUp(spark: SparkSession, storeDir: String, fromVersion: Long,
-      toVersion: Long, afterBatchId: Long): Long = {
+      toVersion: Long, afterBatchId: Long, nSub: Int = 8,
+      subDim: Int = 8): Long = {
     require(afterBatchId >= BootstrapBatchId,
       s"afterBatchId must be >= $BootstrapBatchId, got $afterBatchId")
     val from = new Path(dataDir(storeDir, fromVersion))
@@ -204,22 +332,40 @@ object IvfStore {
       .filter(_.startsWith("batchId="))
       .flatMap(n => n.stripPrefix("batchId=").toLongOption)
       .filter(_ > afterBatchId).sorted
-    pending.map { b =>
-      val rows = spark.read.parquet(s"${dataDir(storeDir, fromVersion)}/batchId=$b")
-        .drop("cell") // re-assign under the NEW codebook
-      val cols = rows.columns.filterNot(_ == "cell")
-      require(cols.length == 2,
-        s"batchId=$b carries unexpected columns ${cols.mkString(",")} — expected (id, vec)")
-      val (idCol, vecCol) =
-        if (rows.schema(cols(0)).dataType.typeName == "array") (cols(1), cols(0))
-        else (cols(0), cols(1))
-      Similarity.assignCells(rows, ctrs, idCol, vecCol)
-        .select(col("_id").as(idCol), col("_v").as(vecCol), col("cell"))
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .partitionBy("cell")
-        .parquet(s"${dataDir(storeDir, toVersion)}/batchId=$b")
-      spark.read.parquet(s"${dataDir(storeDir, toVersion)}/batchId=$b").count()
-    }.sum
+    if (pending.isEmpty) return 0L
+    val rows = spark.read
+      .option("basePath", dataDir(storeDir, fromVersion))
+      .parquet(pending.map(b => s"${dataDir(storeDir, fromVersion)}/batchId=$b"): _*)
+    // drop the OLD version's derived columns (cell, and codes if the
+    // old version was PQ-enabled) — both are re-derived under the new
+    // version's centroids/codebooks
+    val derived = Set("cell", "batchId") ++ rows.columns.filter(_.matches("c\\d+"))
+    val cols = rows.columns.filterNot(derived.contains)
+    require(cols.length == 2,
+      s"pending batches carry unexpected columns ${cols.mkString(",")} — expected (id, vec)")
+    val (idCol, vecCol) =
+      if (rows.schema(cols(0)).dataType.typeName == "array") (cols(1), cols(0))
+      else (cols(0), cols(1))
+    // the assignCells argmin inlined so batchId rides along (the
+    // helper projects it away): same broadcast one-row centroid
+    // array, same narrow fold, zero corpus shuffle
+    val assigned = rows.select(col(idCol), col(vecCol), col("batchId"))
+      .crossJoin(broadcast(Similarity.centroidArray(ctrs)))
+      .withColumn("cell",
+        Similarity.nearestCentroid(col(vecCol), col("_ctrs")).getField("cell"))
+      .select(col(idCol), col(vecCol), col("batchId"), col("cell"))
+    val coded = withCodes(spark, assigned, storeDir, toVersion, vecCol, nSub, subDim)
+      .select((Seq(idCol, vecCol) ++
+        (if (hasPq(spark, storeDir, toVersion)) (0 until nSub).map(i => s"c$i") else Nil) ++
+        Seq("batchId", "cell")).map(col): _*)
+      .persist()
+    try {
+      coded.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batchId", "cell")
+        .parquet(dataDir(storeDir, toVersion))
+      coded.count() // served from the persisted frame the write produced
+    } finally { coded.unpersist(); () }
   }
 
   /** The live version's inverted file (carries `cell` and `batchId`
@@ -235,6 +381,15 @@ object IvfStore {
 
   def centroidsOf(spark: SparkSession, storeDir: String, version: Long): DataFrame =
     spark.read.parquet(centroidsDir(storeDir, version))
+
+  /** The live version's PQ codebooks (subspace, code, subvec) —
+    * fails on a version bootstrapped without PQ.
+    */
+  def readCodebooks(spark: SparkSession, storeDir: String): DataFrame =
+    codebooksOf(spark, storeDir, requireLive(spark, storeDir))
+
+  def codebooksOf(spark: SparkSession, storeDir: String, version: Long): DataFrame =
+    spark.read.parquet(codebooksDir(storeDir, version))
 
   private def requireLive(spark: SparkSession, storeDir: String): Long =
     liveVersion(spark, storeDir).getOrElse(
@@ -256,21 +411,8 @@ object IvfStore {
       idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val v = requireLive(spark, storeDir)
-    val centroids = centroidsOf(spark, storeDir, v)
-    val cellW = Window.partitionBy(col("query_id")).orderBy(col("_d"), col("cell"))
-    val queryCells = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("_d", Similarity.q6(Similarity.l2sq(col("_qv"), col("ctr"))))
-      .withColumn("_rn", row_number().over(cellW))
-      .filter(col("_rn") <= nprobe)
-      .select(col("query_id"), col("_qv"), col("cell"))
-    // the probe set is collected from its own pass over the query-side
-    // plan (small by contract — the same bounded-gather rationale as
-    // the centroid collect), so the returned frame stays LAZY and the
-    // scan filter is a literal IN the parquet source can partition-prune
-    val probed = queryCells.select(col("cell")).distinct()
-      .collect().map(_.getInt(0)).toSeq
+    val queryCells = probeCells(spark, storeDir, v, queries, idCol, vecCol, nprobe)
+    val probed = probedSet(queryCells)
     val corpusCells = spark.read.parquet(dataDir(storeDir, v))
       .filter(col("cell").isin(probed: _*))
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"), col("cell"))
@@ -283,6 +425,117 @@ object IvfStore {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         Similarity.q6(col("_cos")).as("cos_sim"))
+  }
+
+  /** The per-query probe list (query_id, _qv, cell) against version
+    * `v`'s stored centroids — shared by [[topK]] and [[topKPq]]. The
+    * caller's `queries` frame is COLLECTED once (small by the serving
+    * contract) and rebuilt as a LocalRelation: the probe derivation
+    * and the candidate join both consume the same materialized rows,
+    * so a nondeterministic query source cannot yield a probe set that
+    * disagrees with the join side, and the caller's plan never
+    * executes twice (round-15 ADVICE).
+    */
+  private def probeCells(spark: SparkSession, storeDir: String, v: Long,
+      queries: DataFrame, idCol: String, vecCol: String,
+      nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qRows = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(qRows.collect(): _*), qRows.schema)
+    val cellW = Window.partitionBy(col("query_id")).orderBy(col("_d"), col("cell"))
+    local
+      .crossJoin(broadcast(centroidsOf(spark, storeDir, v)))
+      .withColumn("_d", Similarity.q6(Similarity.l2sq(col("_qv"), col("ctr"))))
+      .withColumn("_rn", row_number().over(cellW))
+      .filter(col("_rn") <= nprobe)
+      .select(col("query_id"), col("_qv"), col("cell"))
+  }
+
+  /** The distinct probed-cell set, collected (<= |queries| x nprobe
+    * ints, small by the serving contract) so the data scan can take
+    * it as a LITERAL `cell IN (...)` filter — which the parquet
+    * source turns into PartitionFilters: only probed cells' files are
+    * ever listed or read, across every batchId directory.
+    */
+  private def probedSet(queryCells: DataFrame): Seq[Int] =
+    queryCells.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+
+  /** Serve top-k COMPRESSED from the live store (round 16): the
+    * [[Similarity.ivfPqTopK]] plan over the STORED codes — (1) probe
+    * each query's `nprobe` nearest cells against the live version's
+    * centroids, (2) ADC-score the probed cells' code columns against
+    * a broadcast integer-quantized distance table built from the live
+    * version's STORED codebooks, (3) exact-L2 re-rank the `shortlist`
+    * survivors from the probed cells' vectors. Identical ranking math
+    * (1e-6 integer grids, lowest-id tie-breaks) and the same
+    * completeness guard (a neighbor missing any subspace's
+    * distance-table entry is excluded, not under-counted).
+    *
+    * THE 100 TB point: the ADC leg selects only id + the `nSub` int
+    * code columns, so the columnar scan reads the 16-32x smaller code
+    * leg of the probed cells — the vector column's bytes are touched
+    * only by the shortlist re-rank fetch (|queries| x shortlist
+    * rows). [[topK]] reads full-width vectors for every candidate in
+    * the probed cells; this reads them for the shortlist only.
+    * Version binding, probe collection, and the old-or-new contract
+    * are exactly [[topK]]'s.
+    */
+  def topKPq(spark: SparkSession, storeDir: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int, shortlist: Int,
+      nSub: Int = 8, subDim: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && shortlist >= k && nprobe >= 1,
+      s"need 1 <= k <= shortlist and nprobe >= 1, got (k=$k, shortlist=$shortlist, nprobe=$nprobe)")
+    val v = requireLive(spark, storeDir)
+    require(hasPq(spark, storeDir, v),
+      s"live version $v of $storeDir stores no PQ codebooks — bootstrap/reindex with PQ " +
+        "or serve exact with topK")
+    val queryCells = probeCells(spark, storeDir, v, queries, idCol, vecCol, nprobe)
+    val probed = probedSet(queryCells)
+    val probes = queryCells.select(col("query_id"), col("cell"))
+    val qvecs = queryCells.select(col("query_id"), col("_qv")).distinct()
+    // ADC leg: codes-only scan of the probed cells (id + nSub ints —
+    // the vector column is pruned away by the projection)
+    val codeRows = spark.read.parquet(dataDir(storeDir, v))
+      .filter(col("cell").isin(probed: _*))
+      .select(col(idCol).as("neighbor_id") +: col("cell") +:
+        (0 until nSub).map(i => col(s"c$i")): _*)
+      .select(col("neighbor_id"), col("cell"),
+        posexplode(array((0 until nSub).map(i => col(s"c$i")): _*))
+          .as(Seq("subspace", "code")))
+    val dtable = qvecs
+      .crossJoin(broadcast(codebooksOf(spark, storeDir, v)))
+      .select(col("query_id"), col("subspace"), col("code"),
+        floor(Similarity.l2sq(
+            slice(col("_qv"), col("subspace") * subDim + 1, lit(subDim)),
+            col("subvec")) * 1e6 + lit(0.5)).cast("long").as("_dq"))
+    val sw = Window.partitionBy(col("query_id")).orderBy(col("_dist"), col("neighbor_id"))
+    val short = codeRows.join(broadcast(probes), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .join(broadcast(dtable), Seq("query_id", "subspace", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg((sum(col("_dq")).cast("double") / 1e6).as("_dist"),
+        count(lit(1)).as("_matched"))
+      .filter(col("_matched") === nSub)
+      .withColumn("_rm", row_number().over(sw))
+      .filter(col("_rm") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact re-rank: vectors fetched ONLY for probed cells, joined to
+    // the shortlist — |queries| x shortlist full-width rows move
+    val vecs = spark.read.parquet(dataDir(storeDir, v))
+      .filter(col("cell").isin(probed: _*))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("_nv"))
+    val rw = Window.partitionBy(col("query_id")).orderBy(col("_ed"), col("neighbor_id"))
+    short.join(vecs, "neighbor_id")
+      .join(broadcast(qvecs), "query_id")
+      .withColumn("_ed",
+        floor(Similarity.l2sq(col("_nv"), col("_qv")) * 1e6 + lit(0.5)).cast("long"))
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        Similarity.q6(col("_ed").cast("double") / 1e6).as("exact_dist"))
   }
 
   /** Prune versions strictly below `keepFrom` (their markers AND

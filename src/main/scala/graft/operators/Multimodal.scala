@@ -552,6 +552,136 @@ object Multimodal {
     }.toDF("media_id", "kind", "ahash")
   }
 
+  /** Perceptual DCT-HASH: the classic pHash (round 16) — the
+    * robustness upgrade over [[aHash]] for image dedup: aHash
+    * thresholds raw 8x8 cell means against their mean, so any
+    * NON-LINEAR luminance change (gamma shift, clamped brightness,
+    * tone curve) that reorders cells around the mean flips bits;
+    * pHash thresholds the 64 LOW-FREQUENCY DCT-II coefficients of a
+    * 32x32 pool against their AC median — global tone moves live
+    * almost entirely in the DC coefficient (excluded) and the median
+    * re-centers what leaks, so the low-frequency STRUCTURE is what is
+    * fingerprinted. Real image payloads decode through ImageIO and
+    * average-pool to 32x32; non-image payloads take the deterministic
+    * fallback (first 1024 stub values as the grid, zero-padded) so
+    * synthetic corpora stay oracle-replayable — the q142 discipline.
+    * Output bits are split into (phash_hi, phash_lo) unsigned 32-bit
+    * halves: bit (u*8+v) of the logical 64 sits in lo for positions
+    * 0-31 and hi for 32-63, so no engine ever materializes a signed
+    * 2^63 — both halves stay exact BIGINTs in any SQL dialect.
+    * Hamming distance over (hi, lo) is the same banded join
+    * [[perceptualNearDups]] runs on aHash.
+    */
+  def pHash(media: Dataset[MediaRecord], batchSize: Int = 64): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { m =>
+        val grid = decodeImage(m.payload) match {
+          case Some((w, h, px)) => pool32(w, h, px)
+          case None =>
+            val vals = decodeStub(m.payload)
+            Array.tabulate(1024)(i =>
+              if (i < vals.length) vals(i).toLong * 1000L else 0L)
+        }
+        val bits = phashBits(grid)
+        (m.media_id, m.kind, bits >>> 32, bits & 0xffffffffL)
+      })
+    }.toDF("media_id", "kind", "phash_hi", "phash_lo")
+  }
+
+  /** Average-pool any (w, h) luminance buffer to the 32x32 pHash grid
+    * (ceil-sized tiles, every pixel in exactly one tile — the
+    * [[ahash64]] pooling at 32 resolution), each cell quantized to
+    * the 1e-3 integer grid so the downstream DCT is pure long
+    * arithmetic: floor(mean*1000 + 0.5).
+    */
+  private[graft] def pool32(w: Int, h: Int, px: Array[Int]): Array[Long] = {
+    val out = new Array[Long](1024)
+    if (w <= 0 || h <= 0) return out
+    val (tw, th) = ((w + 31) / 32, (h + 31) / 32)
+    val sums = new Array[Double](1024)
+    val counts = new Array[Long](1024)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val c = math.min(31, y / th) * 32 + math.min(31, x / tw)
+        sums(c) += px(y * w + x); counts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var i = 0
+    while (i < 1024) {
+      if (counts(i) > 0)
+        out(i) = math.floor(sums(i) / counts(i) * 1000.0 + 0.5).toLong
+      i += 1
+    }
+    out
+  }
+
+  /** The integer cos table: cosT(u)(x) = floor(cos((2x+1)uπ/64)·1e4
+    * + 0.5) for the 8 low frequencies u over 32 positions x. Each
+    * entry sits >= 0.011 grid units from a rounding boundary
+    * (measured over all 1024 candidates), so a 1-ulp libm difference
+    * between engines can never flip a table value — the table, not
+    * libm, defines the transform (the q211 integer-state-machine
+    * discipline applied to a linear transform).
+    */
+  private[graft] val phashCos: Array[Array[Long]] =
+    Array.tabulate(8, 32)((u, x) =>
+      math.floor(math.cos((2 * x + 1) * u * math.Pi / 64) * 1e4 + 0.5).toLong)
+
+  /** pHash bits of a 1024-long (32x32, row-major, 1e-3-quantized)
+    * grid: separable integer DCT-II to the low 8x8 block
+    * (rows then columns — F(u)(v) = Σ_y cosT(u)(y)·Σ_x g(y,x)·cosT(v)(x);
+    * max |term| ≈ 2.6e16, exact in Long), bit u*8+v set iff the
+    * coefficient strictly exceeds the MEDIAN of the 63 AC
+    * coefficients (the 32nd smallest, ties to the value itself — an
+    * exact integer pick, no averaging); the DC bit is always 0.
+    */
+  private[graft] def phashBits(grid: Array[Long]): Long = {
+    // row pass: g1(y)(v) = sum_x grid(y*32+x) * cosT(v)(x)
+    val g1 = Array.ofDim[Long](32, 8)
+    var y = 0
+    while (y < 32) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0L
+        var x = 0
+        while (x < 32) { acc += grid(y * 32 + x) * phashCos(v)(x); x += 1 }
+        g1(y)(v) = acc
+        v += 1
+      }
+      y += 1
+    }
+    // column pass: f(u)(v) = sum_y cosT(u)(y) * g1(y)(v)
+    val f = new Array[Long](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0L
+        var yy = 0
+        while (yy < 32) { acc += phashCos(u)(yy) * g1(yy)(v); yy += 1 }
+        f(u * 8 + v) = acc
+        v += 1
+      }
+      u += 1
+    }
+    val ac = new Array[Long](63)
+    System.arraycopy(f, 1, ac, 0, 63)
+    java.util.Arrays.sort(ac)
+    val med = ac(31)
+    var bits = 0L
+    var i = 1
+    while (i < 64) {
+      if (f(i) > med) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
   /** The aHash fingerprint of one pixel buffer: 8x8 average pool over
     * ceil-sized tiles (covers ragged edges; every pixel lands in
     * exactly one tile), each cell thresholded against the grid mean

@@ -375,6 +375,55 @@ object CorpusQueries {
     SELECT shard, doc_id, n_tok, bin_idx, fill_after
     FROM rec ORDER BY shard, doc_id"""))
 
+  /** FIRST-FIT-DECREASING whole-document packing (round 16 — the
+    * padding fix over q212's next-fit): per shard, docs sorted by
+    * token count desc and placed into the first of at most 4 open
+    * bins with room. The oracle replays the fold as a recursive CTE
+    * whose state carries the OPEN-BIN FILL LIST — `list_filter` finds
+    * the first fit, `list_transform` updates it, slice-and-append
+    * evicts the oldest past the cap; the cap is exactly what keeps
+    * that CTE state bounded (and the 100 TB fold state O(1)).
+    */
+  private val q216 = Q("q216_pack_bins_ffd", (s, dir) => {
+    CorpusOps.packBinsFirstFitDecreasing(
+        Tables.load(s, dir, "documents").filter(col("text").isNotNull),
+        col("lang"), col("doc_id"), size(split(col("text"), " ")),
+        budget = 512L, maxOpen = 4)
+      .orderBy(col("shard"), col("doc_id"))
+  }, Some("""
+    WITH RECURSIVE
+    t AS (
+      SELECT lang AS shard, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             CAST(row_number() OVER (PARTITION BY lang
+                ORDER BY len(string_split(text, ' ')) DESC, doc_id) AS INT) AS pos
+      FROM documents
+      WHERE lang IS NOT NULL AND doc_id IS NOT NULL AND text IS NOT NULL),
+    rec AS (
+      SELECT shard, pos, doc_id, n_tok,
+             CAST(0 AS BIGINT) AS bin_idx, n_tok AS fill_after,
+             [{'b': CAST(0 AS BIGINT), 'f': n_tok}] AS open,
+             CAST(1 AS BIGINT) AS nbins
+      FROM t WHERE pos = 1
+      UNION ALL
+      SELECT t.shard, t.pos, t.doc_id, t.n_tok,
+             CASE WHEN h.hit IS NOT NULL THEN h.hit.b ELSE r.nbins END,
+             CASE WHEN h.hit IS NOT NULL THEN h.hit.f + t.n_tok ELSE t.n_tok END,
+             CASE WHEN h.hit IS NOT NULL
+                  THEN list_transform(r.open, x ->
+                    CASE WHEN x.b = h.hit.b THEN {'b': x.b, 'f': x.f + t.n_tok} ELSE x END)
+                  ELSE list_append(
+                    CASE WHEN len(r.open) >= 4 THEN r.open[2:] ELSE r.open END,
+                    {'b': r.nbins, 'f': t.n_tok})
+             END,
+             CASE WHEN h.hit IS NOT NULL THEN r.nbins ELSE r.nbins + 1 END
+      FROM rec r
+      JOIN t ON t.shard = r.shard AND t.pos = r.pos + 1
+      CROSS JOIN LATERAL (
+        SELECT list_filter(r.open, x -> x.f + t.n_tok <= 512)[1] AS hit) h)
+    SELECT shard, doc_id, n_tok, bin_idx, fill_after
+    FROM rec ORDER BY shard, doc_id"""))
+
   val list: Seq[Q] = Seq(q78, q79, q80, q96, q104, q105, q114, q115, q125,
-    q126, q192, q212)
+    q126, q192, q212, q216)
 }

@@ -689,6 +689,91 @@ object SimilarityQueries {
            floor(CAST(ed AS DOUBLE) / 1000000.0 * 1000000 + 0.5) / 1000000.0 AS exact_dist
     FROM rr WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** THE VERSIONED STORE SERVES COMPRESSED (round 16, B41/B54): the
+    * q140 ivfPqTopK plan executed from [[graft.operators.IvfStore]]'s
+    * at-rest layout instead of in-flight frames — bootstrap writes
+    * the label-centroid cells, the 16 anchor PQ codebooks, and every
+    * row's codes INTO the store (codes as int columns beside the
+    * vector, so the ADC scan's columnar projection reads the 16-32x
+    * smaller code leg), then [[graft.operators.IvfStore.topKPq]]
+    * probes 2 cells per query, ADC-scores the stored codes, and
+    * exact-re-ranks the 16-deep shortlist to top-4. The oracle is
+    * q140's CTE stack re-parameterized over the same arithmetic: the
+    * stored codes must be indistinguishable from freshly-encoded ones
+    * or the hash fails. (Store round-trip is exact: centroids are
+    * array<double> both sides, codebook subvecs keep their float
+    * type, codes are ints.)
+    */
+  private val q215 = Q("q215_ivfstore_pq_topk", (s, dir) => {
+    import graft.operators.IvfStore
+    val e = Tables.load(s, dir, "embeddings")
+    val centroid = udaf(new CentroidAggregator(64))
+    val centroids = e.groupBy(col("label").cast("int").as("cell"))
+      .agg(centroid(col("embedding")).as("ctr"))
+    val store = java.nio.file.Files.createTempDirectory("graft-q215").toString
+    IvfStore.bootstrap(e.select("vec_id", "embedding"), centroids,
+      "vec_id", "embedding", store, 1L, Some(pqCodebooks(e)))
+    IvfStore.topKPq(s, store, e.filter(col("vec_id") % 89 === 0),
+        "vec_id", "embedding", k = 4, nprobe = 2, shortlist = 16)
+      .orderBy(col("query_id"), col("rank"))
+  }, Some(s"""
+    $pqAssignCtes,
+    cent AS (
+      SELECT label AS cell, sd.i, avg(CAST(embedding[sd.i] AS DOUBLE)) AS c
+      FROM embeddings CROSS JOIN sd GROUP BY label, sd.i),
+    cdist AS (
+      SELECT e.vec_id, cent.cell,
+             floor(sum((CAST(e.embedding[cent.i] AS DOUBLE) - cent.c) *
+                       (CAST(e.embedding[cent.i] AS DOUBLE) - cent.c)) * 1000000 + 0.5) / 1000000.0 AS qdist
+      FROM embeddings e CROSS JOIN cent
+      GROUP BY e.vec_id, cent.cell),
+    cell_rank AS (
+      SELECT vec_id, cell,
+             row_number() OVER (PARTITION BY vec_id ORDER BY qdist, cell) AS crn
+      FROM cdist),
+    corpus_cell AS (SELECT vec_id, cell FROM cell_rank WHERE crn = 1),
+    probe AS (SELECT vec_id AS query_id, cell FROM cell_rank
+              WHERE crn <= 2 AND vec_id % 89 = 0),
+    qd AS (
+      SELECT q.vec_id AS query_id, dims.s, a.code,
+             CAST(floor(sum((CAST(q.embedding[dims.i] AS DOUBLE) - CAST(a.embedding[dims.i] AS DOUBLE)) *
+                            (CAST(q.embedding[dims.i] AS DOUBLE) - CAST(a.embedding[dims.i] AS DOUBLE)))
+                        * 1000000 + 0.5) AS BIGINT) AS dq
+      FROM embeddings q, dims, anchors a
+      WHERE q.vec_id % 89 = 0
+      GROUP BY q.vec_id, dims.s, a.code),
+    approx AS (
+      SELECT p.query_id, asg.vec_id AS neighbor_id, CAST(sum(qd.dq) AS BIGINT) AS dsum
+      FROM assign asg
+      JOIN corpus_cell cc ON cc.vec_id = asg.vec_id
+      JOIN probe p ON p.cell = cc.cell
+      JOIN qd ON qd.query_id = p.query_id AND qd.s = asg.s AND qd.code = asg.code
+      WHERE asg.vec_id <> p.query_id
+      GROUP BY p.query_id, asg.vec_id),
+    topm AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY dsum, neighbor_id) AS rm
+        FROM approx)
+      WHERE rm <= 16),
+    ex AS (
+      SELECT t.query_id, t.neighbor_id,
+             CAST(floor(sum((CAST(q.embedding[sd.i] AS DOUBLE) - CAST(c.embedding[sd.i] AS DOUBLE)) *
+                            (CAST(q.embedding[sd.i] AS DOUBLE) - CAST(c.embedding[sd.i] AS DOUBLE)))
+                        * 1000000 + 0.5) AS BIGINT) AS ed
+      FROM topm t
+      JOIN embeddings c ON c.vec_id = t.neighbor_id
+      JOIN embeddings q ON q.vec_id = t.query_id
+      CROSS JOIN sd
+      GROUP BY t.query_id, t.neighbor_id),
+    rr AS (
+      SELECT query_id, neighbor_id, ed,
+             row_number() OVER (PARTITION BY query_id ORDER BY ed, neighbor_id) AS rank
+      FROM ex)
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           floor(CAST(ed AS DOUBLE) / 1000000.0 * 1000000 + 0.5) / 1000000.0 AS exact_dist
+    FROM rr WHERE rank <= 4 ORDER BY query_id, rank"""))
+
   /** The full hybrid-retrieval serving pipeline, composed end to end:
     * per-query SPARSE retrieval (TextAnalysis.bm25Retrieve —
     * more-like-this over each query document's own terms) and DENSE
@@ -971,5 +1056,5 @@ object SimilarityQueries {
     FROM j, t ORDER BY j.cat"""))
 
   val list: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q62, q69, q73, q91, q92, q97,
-    q103, q116, q117, q131, q139, q140, q145, q190, q204, q210)
+    q103, q116, q117, q131, q139, q140, q145, q190, q204, q210, q215)
 }

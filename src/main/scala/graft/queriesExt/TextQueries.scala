@@ -695,6 +695,74 @@ object TextQueries {
       FROM bv a JOIN bv c ON a.band = c.band AND a.bv = c.bv AND a.media_id < c.media_id)
     SELECT id1, id2, hamming FROM p WHERE hamming <= 4 ORDER BY id1, id2"""))
 
+  /** DCT perceptual hash under the oracle (round 16,
+    * [[graft.operators.Multimodal.pHash]]): the full pHash arithmetic
+    * — 32x32 grid, separable integer DCT-II to the low 8x8 block
+    * (cos table quantized floor(cos·1e4+0.5); every entry measured
+    * >= 0.011 grid units from a rounding boundary, so libm ulp
+    * differences cannot flip it), strict-> threshold against the
+    * 63-AC-coefficient median, DC bit 0 — replayed by the oracle as
+    * two grouped integer sum passes over the SAME quantized table.
+    * The grid is the deterministic non-image fallback (the q142
+    * discipline): payload byte i = (doc_id·31 + i·7) mod 251, so both
+    * engines derive identical grids without a codec. The hash ships
+    * as unsigned 32-bit halves (phash_hi, phash_lo) so neither engine
+    * touches a signed 2^63. A real image payload takes ImageIO +
+    * 32x32 average-pool through the SAME DCT (MultimodalSpec pins the
+    * gamma-robustness aHash lacks).
+    */
+  private val q217 = Q("q217_phash_dct", (s, dir) => {
+    import s.implicits._
+    import graft.operators.Multimodal
+    val media = Tables.load(s, dir, "documents")
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        Multimodal.MediaRecord(id, "synthetic",
+          Array.tabulate(1024)(i => ((id * 31 + i * 7) % 251).toByte),
+          32, 32, 1)
+      }
+    Multimodal.pHash(media)
+      .select(col("media_id"), col("phash_hi"), col("phash_lo"))
+      .orderBy(col("media_id"))
+  }, Some("""
+    WITH pos AS (SELECT unnest(range(0, 1024)) AS i),
+    c8 AS (
+      SELECT uu.u, xx.x,
+             CAST(floor(cos((2 * xx.x + 1) * uu.u * pi() / 64) * 10000 + 0.5) AS BIGINT) AS t
+      FROM (SELECT unnest(range(0, 8)) AS u) uu,
+           (SELECT unnest(range(0, 32)) AS x) xx),
+    g AS (
+      SELECT d.doc_id AS media_id, p.i // 32 AS y, p.i % 32 AS x,
+             CAST(((d.doc_id * 31 + p.i * 7) % 251) * 1000 AS BIGINT) AS val
+      FROM documents d CROSS JOIN pos p
+      WHERE d.doc_id IS NOT NULL),
+    g1 AS (
+      SELECT g.media_id, g.y, c.u AS v, CAST(sum(g.val * c.t) AS BIGINT) AS s
+      FROM g JOIN c8 c ON c.x = g.x
+      GROUP BY g.media_id, g.y, c.u),
+    f AS (
+      SELECT g1.media_id, c.u, g1.v, CAST(sum(c.t * g1.s) AS BIGINT) AS coef
+      FROM g1 JOIN c8 c ON c.x = g1.y
+      GROUP BY g1.media_id, c.u, g1.v),
+    med AS (
+      SELECT media_id, coef,
+             row_number() OVER (PARTITION BY media_id ORDER BY coef) AS rn
+      FROM f WHERE NOT (u = 0 AND v = 0)),
+    medv AS (SELECT media_id, coef AS med FROM med WHERE rn = 32)
+    SELECT f.media_id,
+           CAST(sum(CASE WHEN NOT (f.u = 0 AND f.v = 0) AND f.coef > m.med
+                          AND f.u * 8 + f.v >= 32
+                     THEN CAST(1 AS BIGINT) << CAST(f.u * 8 + f.v - 32 AS INT)
+                     ELSE 0 END) AS BIGINT) AS phash_hi,
+           CAST(sum(CASE WHEN NOT (f.u = 0 AND f.v = 0) AND f.coef > m.med
+                          AND f.u * 8 + f.v < 32
+                     THEN CAST(1 AS BIGINT) << CAST(f.u * 8 + f.v AS INT)
+                     ELSE 0 END) AS BIGINT) AS phash_lo
+    FROM f JOIN medv m ON m.media_id = f.media_id
+    GROUP BY f.media_id
+    ORDER BY f.media_id"""))
+
   /** Real-kernel audio feature path (Multimodal.audioRmsWindows):
     * per-window RMS energy over the decoded sample stream. On this
     * synthetic corpus the payloads are UTF-8 text, so the kernel's
@@ -1227,6 +1295,6 @@ object TextQueries {
     ORDER BY day, rnk"""))
 
   val list: Seq[Q] = Seq(q51, q52, q53, q54, q55, q56, q74, q89, q100, q101, q108, q112,
-    q120, q128, q129, q138, q141, q142, q143, q144, q148, q176, q183, q194,
+    q120, q128, q129, q138, q141, q142, q143, q144, q148, q176, q183, q194, q217,
     q199, q200, q201, q203, q208, q209, q211, q213, q214)
 }

@@ -257,6 +257,68 @@ class CorpusOpsSpec extends SparkSpec {
       s"sort must stay within partitions:\n${plan.take(600)}")
   }
 
+  test("packBinsFirstFitDecreasing: beats next-fit padding on the planted fixture; cap evicts oldest; shard resets") {
+    import spark.implicits._
+    // budget 10, sizes (9, 9, 2, 2): next-fit in id order opens FOUR
+    // bins (9 | 2 | 9 | 2 — the 2 after the second 9 overflows); FFD
+    // sorts desc (9, 9, 2, 2) and packs THREE (9 | 9 | 2+2): the small
+    // docs backfill the first bin with room
+    val df = Seq(
+      ("a", 1L, 9L), ("a", 2L, 2L), ("a", 3L, 9L), ("a", 4L, 2L)
+    ).toDF("shard", "doc_id", "n_tok")
+    def bins(got: org.apache.spark.sql.DataFrame): Long =
+      got.agg(max(col("bin_idx"))).head.getLong(0) + 1
+    val nf = CorpusOps.packBinsNextFit(df, col("shard"), col("doc_id"),
+      col("n_tok"), budget = 10L)
+    val ffd = CorpusOps.packBinsFirstFitDecreasing(df, col("shard"),
+      col("doc_id"), col("n_tok"), budget = 10L)
+    assert(bins(nf) == 4L, "fixture must make next-fit waste a bin")
+    assert(bins(ffd) == 3L, "FFD must backfill the open bin next-fit abandoned")
+    val got = ffd.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(3), r.getLong(4)))).toMap
+    // desc order (9@1, 9@3, 2@2, 2@4): 9->bin0, 9->bin1 (9+9>10),
+    // 2->bin2 (no room in 0/1), 2->bin2 (2+2<=10)
+    assert(got == Map(
+      ("a", 1L) -> ((0L, 9L)), ("a", 3L) -> ((1L, 9L)),
+      ("a", 2L) -> ((2L, 2L)), ("a", 4L) -> ((2L, 4L))), got.toString)
+    // cap: maxOpen=2 — a third bin's opening closes bin 0, so a later
+    // small doc that WOULD fit bin 0 lands in a live bin instead
+    val capped = CorpusOps.packBinsFirstFitDecreasing(
+      Seq(("a", 1L, 9L), ("a", 2L, 8L), ("a", 3L, 7L), ("a", 4L, 1L))
+        .toDF("shard", "doc_id", "n_tok"),
+      col("shard"), col("doc_id"), col("n_tok"), budget = 10L, maxOpen = 2)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(3), r.getLong(4)))).toMap
+    // desc: 9->b0, 8->b1, 7->b2 (evicts b0), 1->b1 (8+1<=10; b0 closed
+    // even though 9+1 would fit)
+    assert(capped == Map(1L -> ((0L, 9L)), 2L -> ((1L, 8L)),
+      3L -> ((2L, 7L)), 4L -> ((1L, 9L))), capped.toString)
+    // shard co-residency: state resets per shard in one partition
+    val two = Seq(("a", 1L, 9L), ("a", 2L, 2L), ("b", 1L, 3L), ("b", 2L, 3L))
+      .toDF("shard", "doc_id", "n_tok").coalesce(1)
+    val t = CorpusOps.packBinsFirstFitDecreasing(two, col("shard"),
+        col("doc_id"), col("n_tok"), budget = 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(3), r.getLong(4)))).toMap
+    // shard a: 9 -> b0; 2 overflows (9+2 > 10) -> b1. shard b resets.
+    assert(t == Map(("a", 1L) -> ((0L, 9L)), ("a", 2L) -> ((1L, 2L)),
+      ("b", 1L) -> ((0L, 3L)), ("b", 2L) -> ((0L, 6L))), t.toString)
+    // plan shape: one exchange, sort within partitions
+    val plan = CorpusOps.packBinsFirstFitDecreasing(df, col("shard"),
+      col("doc_id"), col("n_tok"), 10L).queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(shard"), plan.take(600))
+    assert(!plan.contains("rangepartitioning"),
+      s"sort must stay within partitions:\n${plan.take(600)}")
+    // non-positive token counts fail loudly (round-15 ADVICE, both folds)
+    val bad = Seq(("a", 1L, 0L)).toDF("shard", "doc_id", "n_tok")
+    intercept[org.apache.spark.SparkException] {
+      CorpusOps.packBinsFirstFitDecreasing(bad, col("shard"), col("doc_id"),
+        col("n_tok"), 10L).collect()
+    }
+    intercept[org.apache.spark.SparkException] {
+      CorpusOps.packBinsNextFit(bad, col("shard"), col("doc_id"),
+        col("n_tok"), 10L).collect()
+    }
+  }
+
   test("curationPipeline: one disposition per doc — quality gate, exact keeper, cluster-safe split") {
     import spark.implicits._
     val longText = (1 to 120).map(i => s"word$i").mkString(" ") // quality 1.0

@@ -382,6 +382,87 @@ class MultimodalSpec extends SparkSpec {
       "banded candidates must be an equi-join")
   }
 
+  test("pHash: a gamma-shifted near-dup that aHash misses, pHash catches; banded candidates unchanged") {
+    import java.awt.image.BufferedImage
+    // structured scene: a spectrum-rich sum of low-frequency waves +
+    // a gentle ramp (measured: most aHash cells cluster near the grid
+    // mean, most low DCT coefficients decisively signed). Gamma is
+    // MONOTONE but NON-LINEAR: it moves the mean relative to the
+    // ordered cell values (the aHash threshold crossing shifts ->
+    // whole runs of bits flip: 8 bits at every gamma in 1.5-2.2)
+    // while the low-frequency sign structure survives (pHash moves
+    // <= 1 bit over the same range) — constants pinned by a
+    // parameter search over the exact integer pipeline.
+    def grid(gamma: Double): Int => Int = { i =>
+      val (y, x) = (i / 64, i % 64)
+      val _ = y
+      val b = 132.0 +
+        26.0 * math.sin(2 * math.Pi * 2 * x / 64.0 + 2.57) +
+        26.0 * math.sin(2 * math.Pi * 3 * x / 64.0 + 0.60) +
+        18.0 * math.sin(2 * math.Pi * 2 * x / 64.0 + 2.94) +
+        37.0 * math.sin(2 * math.Pi * 3 * x / 64.0 + 2.00) +
+        1.0 * x
+      val lin = math.max(5.0, math.min(245.0, b)) / 255.0
+      math.max(0, math.min(255, (math.pow(lin, gamma) * 255.0 + 0.5).toInt))
+    }
+    def png(v: Int => Int): Array[Byte] = {
+      val img = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+      for (i <- 0 until 4096) {
+        val g = v(i)
+        img.setRGB(i % 64, i / 64, g << 16 | g << 8 | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    val base = grid(1.0)
+    def rec(id: Long, p: Array[Byte]) = MediaRecord(id, "image", p, 64, 64, 3)
+    // the far control is the NEGATED scene — low-frequency structure
+    // inverted (a high-frequency change would be invisible to pHash
+    // BY DESIGN: the low 8x8 block carries no high frequencies)
+    val media = Seq(rec(1L, png(base)), rec(2L, png(grid(1.8))),
+      rec(3L, png(i => 255 - base(i)))).toDS()
+    val a = Multimodal.aHash(media).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val p = Multimodal.pHash(media).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2) << 32) | r.getLong(3))).toMap
+    val aHam = java.lang.Long.bitCount(a(1L) ^ a(2L))
+    val pHam = java.lang.Long.bitCount(p(1L) ^ p(2L))
+    assert(aHam > 4, s"fixture must defeat aHash at the q142 threshold, got $aHam bits")
+    assert(pHam <= 4, s"pHash must hold the gamma-shifted pair within 4 bits, got $pHam")
+    assert(java.lang.Long.bitCount(p(1L) ^ p(3L)) > 4,
+      "a genuinely different (negated) scene must stay far under pHash")
+    // the SAME banded-Hamming candidate join serves both hashes: feed
+    // perceptualNearDups the combined 64-bit pHash under its expected
+    // column name — candidates and verify logic are unchanged
+    val pframe = Multimodal.pHash(media).select(col("media_id"),
+      (shiftleft(col("phash_hi"), 32).bitwiseOR(col("phash_lo"))).as("ahash"))
+    val pairs = Multimodal.perceptualNearDups(pframe, maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"wrong pHash pairs: $pairs")
+    val aPairs = Multimodal.perceptualNearDups(Multimodal.aHash(media), maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!aPairs.contains((1L, 2L)), "aHash at the same threshold must miss the pair")
+    // DC invariance: a pure brightness LIFT (add a constant, clamp-free)
+    // lives in the excluded DC coefficient — pHash is bit-identical
+    def lifted(delta: Int): Array[Byte] = {
+      val img = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val base = 40 + x + (if ((x / 16 + y / 16) % 2 == 0) 0 else 30) + delta
+        val v = math.max(0, math.min(255, base))
+        img.setRGB(x, y, v << 16 | v << 8 | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    val lift = Seq(rec(10L, lifted(0)), rec(11L, lifted(40))).toDS()
+    val lp = Multimodal.pHash(lift).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2) << 32) | r.getLong(3))).toMap
+    assert(lp(10L) == lp(11L), "a clamp-free constant lift must not move a single pHash bit")
+    // fallback path determinism: non-image payloads hash by stub bytes
+    val txt = Seq(MediaRecord(20L, "text", "hello world".getBytes("UTF-8"), 0, 0, 1)).toDS()
+    assert(Multimodal.pHash(txt).count() == 1)
+  }
+
   test("VideoKernel.Stub: deterministic frames; frameFeatures grain, t_sec and ahash stability") {
     import graft.operators.VideoKernel
     val payload = ("x" * 100).getBytes("UTF-8") // 100 % 240 + 1 = 101 frames

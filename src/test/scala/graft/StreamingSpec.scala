@@ -1543,6 +1543,169 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(IvfStore.dataDir(s"$base/store", 2L)).count() == e.count())
   }
 
+  test("IvfStore PQ: the compressed serving plan — topKPq == ivfPqTopK under the stored codebooks, ADC scan reads codes not vectors") {
+    import graft.operators.{IvfStore, Similarity}
+    val base = tmp()
+    val e = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val centroids = Similarity.trainKMeans(e, "vec_id", "embedding", 4, 2, 64, 1024L)
+    val cbs = Similarity.trainPqCodebooks(e, "vec_id", "embedding",
+      nSub = 8, subDim = 8, codes = 16, iters = 1)
+    val n = IvfStore.bootstrap(e, centroids, "vec_id", "embedding",
+      s"$base/store", 1L, Some(cbs))
+    assert(n == e.count())
+    assert(IvfStore.hasPq(spark, s"$base/store", 1L))
+    // every stored row carries its codes, equal to a from-scratch
+    // pqEncode under the version's own stored codebooks
+    val storedCbs = IvfStore.readCodebooks(spark, s"$base/store")
+    val stored = IvfStore.readCorpus(spark, s"$base/store")
+    assert((0 until 8).forall(i => stored.columns.contains(s"c$i")))
+    val gotCodes = stored.select("vec_id", "c0", "c3", "c7").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    val wantCodes = Similarity.pqEncode(e, storedCbs, "vec_id", "embedding")
+      .select("_id", "c0", "c3", "c7").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(gotCodes == wantCodes, "stored codes must equal pqEncode under the stored codebooks")
+    // served results: exactly the ivfPqTopK plan over the same inputs
+    val queries = e.filter(col("vec_id") < 5)
+    val got = IvfStore.topKPq(spark, s"$base/store", queries,
+      "vec_id", "embedding", k = 5, nprobe = 3, shortlist = 20)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val want = Similarity.ivfPqTopK(e, queries,
+      IvfStore.readCentroids(spark, s"$base/store"), storedCbs,
+      "vec_id", "embedding", k = 5, nprobe = 3, shortlist = 20)
+    assert(key(got) == key(want),
+      "store-served compressed top-k must equal ivfPqTopK under the same codebooks")
+    // THE code-leg assertion: the ADC scan's ReadSchema carries the
+    // int codes and NOT the vector column — the 16-32x smaller read;
+    // the only scan that reads `embedding` is the shortlist re-rank
+    val scanLines = got.queryExecution.executedPlan.toString
+      .split("\n").filter(_.contains("ReadSchema"))
+    val codeScans = scanLines.filter(l => l.contains("c0:int"))
+    assert(codeScans.nonEmpty, s"no codes scan found:\n${scanLines.mkString("\n")}")
+    assert(codeScans.forall(!_.contains("embedding")),
+      s"ADC scan must not read the vector column:\n${codeScans.mkString("\n")}")
+    assert(scanLines.exists(l => l.contains("PartitionFilters") && l.contains("cell")),
+      "probed-cell partition pruning must reach the scans")
+    // exact serving still works beside the compressed plan
+    val exact = IvfStore.topK(spark, s"$base/store", queries,
+      "vec_id", "embedding", k = 3, nprobe = 2)
+    assert(exact.count() == queries.count() * 3)
+  }
+
+  test("IvfStore PQ: reindex to a PQ version + single-job catchUp re-encodes arrivals under the NEW codebooks") {
+    import graft.operators.{IvfStore, Similarity}
+    val base = tmp()
+    val e = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    // v1: plain (exact-only) version over a quarter of the corpus
+    IvfStore.reindex(e.filter(col("vec_id") % 4 === 0), "vec_id", "embedding",
+      4, 2, 64, s"$base/store", 1024L)
+    // feeder batches land into v1
+    val now = System.currentTimeMillis()
+    (0 until 3).foreach { i =>
+      e.filter(col("vec_id") % 4 === i + 1).coalesce(1)
+        .write.mode("overwrite").parquet(s"$base/staging-$i")
+      val part = new java.io.File(s"$base/staging-$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$base/in/b$i.parquet")
+      Files.createDirectories(dst.toPath.getParent)
+      Files.copy(part.toPath, dst.toPath)
+      assert(dst.setLastModified(now - (5 - i) * 60000L))
+    }
+    val v1Data = IvfStore.dataDir(s"$base/store", 1L)
+    StreamingOps.maintainIvfIndex(
+      spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in"),
+      IvfStore.readCentroids(spark, s"$base/store"),
+      "vec_id", "embedding", v1Data, s"$base/ck")
+      .awaitTermination(120000)
+    // v2: PQ-ENABLED reindex over the snapshot (through batchId 0)
+    val snapshot = spark.read.parquet(v1Data).filter(col("batchId") <= 0)
+      .select("vec_id", "embedding")
+    val v2 = IvfStore.reindex(snapshot, "vec_id", "embedding", 4, 2, 64,
+      s"$base/store", 1024L, pqCodes = 16, pqIters = 1)
+    assert(v2 == 2L && IvfStore.hasPq(spark, s"$base/store", 2L))
+    val migrated = IvfStore.catchUp(spark, s"$base/store", 1L, 2L, afterBatchId = 0L)
+    val want = spark.read.parquet(v1Data).filter(col("batchId").isin(1, 2)).count()
+    assert(migrated == want, s"migrated $migrated of $want pending rows")
+    val v2Data = spark.read.parquet(IvfStore.dataDir(s"$base/store", 2L))
+    assert(v2Data.count() == e.count())
+    assert(v2Data.select("vec_id").distinct().count() == e.count())
+    // migrated rows carry codes, equal to pqEncode under v2's codebooks
+    val storedCbs = IvfStore.readCodebooks(spark, s"$base/store")
+    val gotCodes = v2Data.filter(col("batchId") > 0)
+      .select("vec_id", "c0", "c7").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    // batch 0 ingested the %4==1 file, so batches 1,2 hold %4 in {2,3}
+    val migratedVecs = e.filter(col("vec_id") % 4 === 2 || col("vec_id") % 4 === 3)
+    val wantCodes = Similarity.pqEncode(migratedVecs, storedCbs, "vec_id", "embedding")
+      .select("_id", "c0", "c7").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(gotCodes == wantCodes,
+      "migrated rows must be re-ENCODED under the new version's codebooks")
+    // bootstrap partition untouched by the dynamic-overwrite migration
+    assert(v2Data.filter(col("batchId") === IvfStore.BootstrapBatchId).count() ==
+      snapshot.count())
+    // a crashed catch-up re-run converges through the single-job path too
+    assert(IvfStore.catchUp(spark, s"$base/store", 1L, 2L, 0L) == want)
+    assert(spark.read.parquet(IvfStore.dataDir(s"$base/store", 2L)).count() == e.count())
+    // and the compressed plan serves the caught-up store end to end
+    val queries = e.filter(col("vec_id") < 5)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val got = IvfStore.topKPq(spark, s"$base/store", queries,
+      "vec_id", "embedding", k = 5, nprobe = 3, shortlist = 20)
+    val scratch = Similarity.ivfPqTopK(e, queries,
+      IvfStore.readCentroids(spark, s"$base/store"), storedCbs,
+      "vec_id", "embedding", k = 5, nprobe = 3, shortlist = 20)
+    assert(key(got) == key(scratch),
+      "compressed serving over the caught-up store must equal the from-scratch plan")
+  }
+
+  test("IvfStore.reclaim: a crashed reindex is recoverable; published versions refuse; fresh claims still exclude") {
+    import graft.operators.IvfStore
+    val base = tmp()
+    val e = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    IvfStore.reindex(e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+      4, 1, 64, s"$base/store", 1024L)
+    // simulate a writer that crashed between claim and publish: its
+    // claim file exists and v=2 is half-written (no marker)
+    Files.createDirectories(Paths.get(s"$base/store/claims"))
+    Files.createFile(Paths.get(s"$base/store/claims/v-2"))
+    Files.createDirectories(Paths.get(s"$base/store/v=2/data"))
+    Files.write(Paths.get(s"$base/store/v=2/data/garbage"), Array[Byte](1, 2, 3))
+    // strict default: the claim blocks and the error names the remedy
+    val ex = intercept[IllegalStateException] {
+      IvfStore.reindex(e, "vec_id", "embedding", 4, 1, 64, s"$base/store", 1024L)
+    }
+    assert(ex.getMessage.contains("reclaim"))
+    // reclaim removes the claim AND the half-written version
+    IvfStore.reclaim(spark, s"$base/store", 2L)
+    assert(!Files.exists(Paths.get(s"$base/store/claims/v-2")))
+    assert(!Files.exists(Paths.get(s"$base/store/v=2")))
+    // the re-run converges
+    val v2 = IvfStore.reindex(e, "vec_id", "embedding", 4, 1, 64, s"$base/store", 1024L)
+    assert(v2 == 2L && IvfStore.liveVersion(spark, s"$base/store").contains(2L))
+    assert(IvfStore.readCorpus(spark, s"$base/store").count() == e.count())
+    // a PUBLISHED version refuses reclaim — its dirs belong to readers
+    intercept[IllegalArgumentException] {
+      IvfStore.reclaim(spark, s"$base/store", 2L)
+    }
+    // stale-claim auto path: an old claim with no marker is reclaimed
+    Files.createFile(Paths.get(s"$base/store/claims/v-3"))
+    Thread.sleep(100)
+    val v3 = IvfStore.reindex(e, "vec_id", "embedding", 4, 1, 64,
+      s"$base/store", 1024L, staleClaimMs = 50L)
+    assert(v3 == 3L)
+    // ...but a FRESH claim still excludes even with the auto path on —
+    // concurrent-writer exclusion holds
+    Files.createFile(Paths.get(s"$base/store/claims/v-4"))
+    intercept[IllegalStateException] {
+      IvfStore.reindex(e, "vec_id", "embedding", 4, 1, 64,
+        s"$base/store", 1024L, staleClaimMs = 3600000L)
+    }
+  }
+
   test("IvfStore e2e: feed -> planted drift fires the occupancy alarm -> reindex -> drift returns to zero") {
     import graft.operators.{IvfStore, Similarity}
     val base = tmp()
