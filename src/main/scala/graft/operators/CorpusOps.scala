@@ -539,6 +539,83 @@ object CorpusOps {
       .toDF("shard", "doc_id", "n_tok", "bin_idx", "fill_after")
   }
 
+  /** DSIR importance weights (round 16; Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling" — the
+    * public method behind domain-matched pre-training data selection):
+    * score every raw document by how much more likely its hashed
+    * n-gram bag is under the TARGET distribution than under the RAW
+    * distribution, `w(doc) = Σ_grams log p_target(bucket) −
+    * log p_raw(bucket)`, with unigram+bigram features hashed into
+    * `dim` buckets (the paper's hashed n-gram generative model) and
+    * add-1 smoothing. Downstream, resample raw docs with weights
+    * ∝ exp(w) (e.g. [[weightedSample]] / [[topP]]) to shift the
+    * corpus toward the target domain.
+    *
+    * Everything lives on integer grids: bucket log-probs are
+    * micro-nats (floor(ln·1e6+0.5) of the smoothed ratio), the
+    * per-doc weight is a BIGINT sum — exact under any aggregation
+    * order, engine-reproducible. Buckets come from the md5-derived
+    * [[graft.functions.codecs]] hash48 (the q128 discipline), not a
+    * JVM-private hash.
+    *
+    * Shape: both distribution tables are `dim`-row aggregates
+    * (map-side combined) joined back as broadcasts; grams come from a
+    * posexplode + one windowed `lead` (whole-stage codegen — the
+    * repetitionStats lesson: no per-row lambda trees); the raw
+    * distribution folds out of the same per-doc bucket lineage the
+    * scoring join reads (persist `raw` upstream when it is hot), the
+    * target is scanned once — no shuffle wider than the
+    * (doc, bucket) count.
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: Column,
+      textCol: Column, dim: Int = 64): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    def gramBuckets(df: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      df.filter(idCol.isNotNull && textCol.isNotNull)
+        .select(idCol.as("doc_id"),
+          posexplode(split(textCol, " ")).as(Seq("pos", "term")))
+        .select(col("doc_id"), col("term"),
+          lead(col("term"), 1).over(w).as("_t1"))
+        .select(col("doc_id"), explode(array(col("term"),
+          when(col("_t1").isNotNull,
+            concat_ws(" ", col("term"), col("_t1"))))).as("gram"))
+        .filter(col("gram").isNotNull)
+        .select(col("doc_id"),
+          pmod(graft.functions.codecs.hash48(col("gram")), lit(dim.toLong))
+            .as("bucket"))
+    }
+    val allBuckets = raw.sparkSession.range(0, dim).select(col("id").as("bucket"))
+    val docBuckets = gramBuckets(raw)
+      .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    val tCounts = gramBuckets(target)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+    // folds out of docBuckets' lineage (same one-pass gram plan); the
+    // operator returns a LAZY frame, so no internal persist to leak —
+    // callers scoring many loads against one raw corpus should persist
+    // the raw side themselves
+    val rCounts = docBuckets.groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
+    val tTotal = tCounts.agg(coalesce(sum(col("cnt")), lit(0L)).as("_t"))
+    val rTotal = rCounts.agg(coalesce(sum(col("cnt")), lit(0L)).as("_r"))
+    val lr = allBuckets
+      .join(tCounts.withColumnRenamed("cnt", "_tc"), Seq("bucket"), "left")
+      .join(rCounts.withColumnRenamed("cnt", "_rc"), Seq("bucket"), "left")
+      .crossJoin(broadcast(tTotal)).crossJoin(broadcast(rTotal))
+      .select(col("bucket"),
+        // add-1 smoothing over the dim-bucket support: absent buckets
+        // still get a defined log-prob, the ratio never divides by 0
+        (floor(log((coalesce(col("_tc"), lit(0L)) + 1).cast("double") /
+            (col("_t") + dim).cast("double")) * 1e6 + lit(0.5)).cast("long") -
+         floor(log((coalesce(col("_rc"), lit(0L)) + 1).cast("double") /
+            (col("_r") + dim).cast("double")) * 1e6 + lit(0.5)).cast("long"))
+          .as("lr_u"))
+    docBuckets.join(broadcast(lr), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_grams"),
+        sum(col("cnt") * col("lr_u")).as("dsir_weight_u"))
+  }
+
   /** Whole-document bin packing, FIRST-FIT-DECREASING (round 16) —
     * the standard fix for [[packBinsNextFit]]'s padding waste: next-fit
     * abandons a bin the moment one document overflows it, so a small

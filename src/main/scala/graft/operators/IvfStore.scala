@@ -408,9 +408,21 @@ object IvfStore {
     * over the candidates, identical ranking math to ivfTopK.
     */
   def topK(spark: SparkSession, storeDir: String, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame =
+    topKOf(spark, storeDir, requireLive(spark, storeDir), queries,
+      idCol, vecCol, k, nprobe)
+
+  /** [[topK]] pinned to an explicit PUBLISHED version — the binding
+    * primitive streaming serving needs: resolve `liveVersion` once
+    * per trigger, then serve the whole micro-batch against that
+    * version no matter what a concurrent reindex publishes mid-batch
+    * (see [[graft.streaming.StreamingOps.serveTopKStream]]).
+    */
+  def topKOf(spark: SparkSession, storeDir: String, version: Long,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val v = requireLive(spark, storeDir)
+    val v = version
     val queryCells = probeCells(spark, storeDir, v, queries, idCol, vecCol, nprobe)
     val probed = probedSet(queryCells)
     val corpusCells = spark.read.parquet(dataDir(storeDir, v))
@@ -484,13 +496,23 @@ object IvfStore {
     */
   def topKPq(spark: SparkSession, storeDir: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int, shortlist: Int,
-      nSub: Int = 8, subDim: Int = 8): DataFrame = {
+      nSub: Int = 8, subDim: Int = 8): DataFrame =
+    topKPqOf(spark, storeDir, requireLive(spark, storeDir), queries,
+      idCol, vecCol, k, nprobe, shortlist, nSub, subDim)
+
+  /** [[topKPq]] pinned to an explicit published version — see
+    * [[topKOf]] for why the pin exists.
+    */
+  def topKPqOf(spark: SparkSession, storeDir: String, version: Long,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nprobe: Int, shortlist: Int, nSub: Int = 8,
+      subDim: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1 && shortlist >= k && nprobe >= 1,
       s"need 1 <= k <= shortlist and nprobe >= 1, got (k=$k, shortlist=$shortlist, nprobe=$nprobe)")
-    val v = requireLive(spark, storeDir)
+    val v = version
     require(hasPq(spark, storeDir, v),
-      s"live version $v of $storeDir stores no PQ codebooks — bootstrap/reindex with PQ " +
+      s"version $v of $storeDir stores no PQ codebooks — bootstrap/reindex with PQ " +
         "or serve exact with topK")
     val queryCells = probeCells(spark, storeDir, v, queries, idCol, vecCol, nprobe)
     val probed = probedSet(queryCells)

@@ -76,6 +76,35 @@ object Similarity {
         (dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn"))).as("score"))
   }
 
+  /** HARD-NEGATIVE MINING for contrastive training data (round 16 —
+    * the standard pipeline op for embedding-model fine-tuning, e.g.
+    * dense-retriever training: for each anchor, the k most similar
+    * corpus items with a DIFFERENT label are the negatives that
+    * actually teach the model, random negatives being trivially
+    * separable). Same broadcast shape as [[bruteForceTopK]] — the
+    * corpus scans once, queries broadcast — plus the label
+    * inequality filter inside the scan; per-query top-k by quantized
+    * cosine, ties to the lowest neighbor id. Emits the neighbor's
+    * label so downstream batch construction can stratify.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+      norm(col(vecCol)).as("_qn"), col(labelCol).as("_ql"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+      norm(col(vecCol)).as("_cn"), col(labelCol).as("neighbor_label"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id") &&
+        col("neighbor_label") =!= col("_ql"))
+      .select(col("query_id"), col("neighbor_id"), col("neighbor_label"),
+        q6(dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn"))).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Deterministic pseudo-random hyperplane component: md5-derived
     * integer in [-1000, 1000] for (plane j, dimension i). Matches the
     * SQL formulation `CAST(concat('0x', substr(md5(j || '_' || i), 1,

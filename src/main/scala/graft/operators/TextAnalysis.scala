@@ -668,4 +668,118 @@ object TextAnalysis {
         .contains(concat(lit(" "), col("phrase"), lit(" "))))
       .select(col("phrase"), col(idCol))
   }
+
+  /** Gopher-style REPETITION signals (round 16; Rae et al. 2021,
+    * "Scaling Language Models: ... Gopher", appendix A — the public
+    * repetition filters production pre-training pipelines run): per
+    * document, (a) for each n in `topNs`, the fraction of the
+    * document's CHARACTERS covered by its single most frequent word
+    * n-gram (count x gram length / doc length — a page that is one
+    * slogan repeated scores near 1), and (b) for `dupN`, the fraction
+    * of n-gram OCCURRENCES whose gram appears more than once (the
+    * duplicated-n-gram signal; Gopher's char-weighted variant is
+    * ill-defined under overlaps, so the occurrence fraction is the
+    * deterministic adaptation — documented, not hidden). Ties for
+    * the top gram break to the lexicographically smallest.
+    *
+    * Shape: tokens posexplode (codegen'd generator), one window pass
+    * per shard of `lead`s builds every n-gram by string concat —
+    * NO higher-order-function lambdas (the first formulation built
+    * grams with transform+slice per row and spent ~10 s at sf0.1
+    * interpreting lambda trees; leads + concat stay inside
+    * whole-stage codegen) — then one (doc, n, gram) count shuffle,
+    * one per-(doc, n) fold, one pivot back to a row per document.
+    * Fractions on the 1e-6 floor grid.
+    */
+  def repetitionStats(df: DataFrame, idCol: Column, textCol: Column,
+      topNs: Seq[Int] = Seq(2, 3, 4), dupN: Int = 5): DataFrame = {
+    require(topNs.nonEmpty && (topNs :+ dupN).forall(_ >= 1),
+      s"n-gram sizes must be >= 1, got topNs=$topNs dupN=$dupN")
+    val allNs = (topNs :+ dupN).distinct.sorted
+    val maxN = allNs.max
+    val toks = split(textCol, " ")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val leads = (1 until maxN).map(j => lead(col("term"), j).over(w).as(s"_t$j"))
+    val withLeads = df
+      .filter(idCol.isNotNull && textCol.isNotNull)
+      .select(idCol.as("doc_id"), length(textCol).as("n_chars"),
+        posexplode(toks).as(Seq("pos", "term")))
+      .select(col("doc_id") +: col("n_chars") +: col("term") +: leads: _*)
+    def gramOf(n: Int): Column = {
+      val parts = col("term") +: (1 until n).map(j => col(s"_t$j"))
+      // a lead past the shard tail is null -> no n-gram starts here
+      if (n == 1) struct(lit(1).as("n"), col("term").as("gram"))
+      else struct(lit(n).as("n"),
+        when(col(s"_t${n - 1}").isNotNull, concat_ws(" ", parts: _*)).as("gram"))
+    }
+    val rows = withLeads
+      .select(col("doc_id"), col("n_chars"),
+        explode(array(allNs.map(gramOf): _*)).as("_g"))
+      .select(col("doc_id"), col("n_chars"), col("_g.n"), col("_g.gram"))
+      .filter(col("gram").isNotNull)
+    val counts = rows.groupBy(col("doc_id"), col("n_chars"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    // per (doc, n): total occurrences, duplicated occurrences, and the
+    // top gram via min(struct(-cnt, gram)) — largest count, ties to
+    // the smallest gram, one aggregation instead of a ranking window
+    val pern = counts.groupBy(col("doc_id"), col("n_chars"), col("n"))
+      .agg(sum(col("cnt")).as("total"),
+        sum(when(col("cnt") >= 2, col("cnt")).otherwise(0L)).as("dup_occ"),
+        min(struct((-col("cnt")).as("nc"), col("gram").as("g"))).as("top"))
+      .select(col("doc_id"), col("n"),
+        graft.functions.quantize.q6(
+          ((-col("top.nc")) * length(col("top.g"))).cast("double") /
+            col("n_chars")).as("top_frac"),
+        graft.functions.quantize.q6(
+          col("dup_occ").cast("double") / col("total")).as("dup_frac"))
+    val aggs =
+      topNs.map(n => max(when(col("n") === n, col("top_frac")))
+        .as(s"top${n}_frac")) :+
+      max(when(col("n") === dupN, col("dup_frac"))).as(s"dup${dupN}_frac")
+    pern.groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .na.fill(0.0) // a doc shorter than n grams has no rows for that n
+  }
+
+  /** Gopher-style QUALITY GATE (round 16; Rae et al. 2021 appendix A
+    * — the rule set, with thresholds as parameters because they are
+    * corpus-tuned in every production pipeline): a document keeps iff
+    * (1) its word count lies in [minWords, maxWords], (2) its mean
+    * word length lies in [minMeanLen, maxMeanLen], (3) it contains at
+    * least `minStopHits` occurrences of the given stop words (the
+    * "must contain 2 of the/be/to/of/and/..." rule), and (4) its
+    * top-2-gram character fraction ([[repetitionStats]]) does not
+    * exceed `maxTop2Frac`. Emits every signal plus the composite
+    * `keep` so downstream curation can audit which rule fired —
+    * the [[graft.operators.CorpusOps]] disposition discipline.
+    *
+    * Shape: rules 1-3 are NARROW per-row folds over the token array;
+    * rule 4 joins [[repetitionStats]]'s one-shuffle output back on
+    * doc_id. Mean word length uses the 1e-6 grid.
+    */
+  def gopherQualityGate(df: DataFrame, idCol: Column, textCol: Column,
+      minWords: Long, maxWords: Long, minMeanLen: Double,
+      maxMeanLen: Double, stopWords: Seq[String], minStopHits: Long,
+      maxTop2Frac: Double): DataFrame = {
+    require(stopWords.nonEmpty, "stopWords must be non-empty")
+    val toks = split(textCol, " ")
+    val narrow = df.filter(idCol.isNotNull && textCol.isNotNull)
+      .select(idCol.as("doc_id"),
+        size(toks).cast("long").as("n_words"),
+        graft.functions.quantize.q6(
+          aggregate(transformArray(toks, t => length(t).cast("long")),
+            lit(0L), (a, x) => a + x).cast("double") / size(toks))
+          .as("mean_word_len"),
+        size(filterArray(toks, t => t.isInCollection(stopWords)))
+          .cast("long").as("stop_hits"))
+    val top2 = repetitionStats(df, idCol, textCol, topNs = Seq(2), dupN = 2)
+      .select(col("doc_id"), col("top2_frac"))
+    narrow.join(top2, "doc_id")
+      .withColumn("keep",
+        col("n_words").between(minWords, maxWords) &&
+        col("mean_word_len").between(minMeanLen, maxMeanLen) &&
+        (col("stop_hits") >= minStopHits) &&
+        (col("top2_frac") <= maxTop2Frac))
+  }
 }

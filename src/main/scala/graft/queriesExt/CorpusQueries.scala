@@ -424,6 +424,51 @@ object CorpusQueries {
     SELECT shard, doc_id, n_tok, bin_idx, fill_after
     FROM rec ORDER BY shard, doc_id"""))
 
+  /** DSIR importance weights (round 16, [[CorpusOps.dsirWeights]];
+    * Xie et al. 2023): every document scored by the hashed-n-gram
+    * log-likelihood ratio between the TARGET distribution (here: the
+    * English slice) and the raw corpus — the public
+    * data-selection-by-importance-resampling method. All integer
+    * micro-nats: the oracle rebuilds unigram+bigram features with the
+    * q128 md5 bucket hash, both smoothed distributions, the per-bucket
+    * log-ratio over the full 64-bucket support, and the exact BIGINT
+    * per-doc sum.
+    */
+  private val q221 = Q("q221_dsir_weights", (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    CorpusOps.dsirWeights(docs, docs.filter(col("lang") === "en"),
+        col("doc_id"), col("text"), dim = 64)
+      .orderBy(col("doc_id"))
+  }, Some("""
+    WITH t AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+    ge AS (
+      SELECT doc_id, lang, unnest(list_concat(toks,
+        [array_to_string(toks[i+1:i+2], ' ') for i in range(0, len(toks) - 1)])) AS gram
+      FROM t),
+    g AS (
+      SELECT doc_id, lang,
+             CAST(concat('0x', substr(md5(gram), 1, 12)) AS BIGINT) % 64 AS bucket
+      FROM ge),
+    tgt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS tc FROM g
+            WHERE lang = 'en' GROUP BY bucket),
+    raws AS (SELECT bucket, CAST(count(*) AS BIGINT) AS rc FROM g GROUP BY bucket),
+    tot AS (SELECT (SELECT coalesce(sum(tc), 0) FROM tgt) AS tt,
+                   (SELECT coalesce(sum(rc), 0) FROM raws) AS rt),
+    lr AS (
+      SELECT b.bucket,
+             CAST(floor(ln((coalesce(tgt.tc, 0) + 1) * 1.0 / (tot.tt + 64)) * 1000000 + 0.5) AS BIGINT)
+           - CAST(floor(ln((coalesce(raws.rc, 0) + 1) * 1.0 / (tot.rt + 64)) * 1000000 + 0.5) AS BIGINT) AS lr_u
+      FROM (SELECT unnest(range(0, 64)) AS bucket) b
+      LEFT JOIN tgt USING (bucket) LEFT JOIN raws USING (bucket), tot),
+    db AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+           FROM g GROUP BY doc_id, bucket)
+    SELECT db.doc_id, CAST(sum(db.cnt) AS BIGINT) AS n_grams,
+           CAST(sum(db.cnt * lr.lr_u) AS BIGINT) AS dsir_weight_u
+    FROM db JOIN lr USING (bucket)
+    GROUP BY db.doc_id ORDER BY db.doc_id"""))
+
   val list: Seq[Q] = Seq(q78, q79, q80, q96, q104, q105, q114, q115, q125,
-    q126, q192, q212, q216)
+    q126, q192, q212, q216, q221)
 }

@@ -774,6 +774,34 @@ object SimilarityQueries {
            floor(CAST(ed AS DOUBLE) / 1000000.0 * 1000000 + 0.5) / 1000000.0 AS exact_dist
     FROM rr WHERE rank <= 4 ORDER BY query_id, rank"""))
 
+  /** Hard-negative mining for contrastive training data (round 16,
+    * [[Similarity.hardNegatives]]): per anchor, the 5 most-similar
+    * corpus vectors with a DIFFERENT label — the negatives a
+    * dense-retriever fine-tune actually learns from. q46's broadcast
+    * scan + ranked window with the label inequality pushed into the
+    * scan; the oracle adds the same predicate to the q46 CTE.
+    */
+  private val q220 = Q("q220_hard_negatives", (s, dir) => {
+    val e = Tables.load(s, dir, "embeddings")
+    Similarity.hardNegatives(e, e.filter(col("vec_id") % 97 === 0),
+        "vec_id", "embedding", "label", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }, Some(s"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv, label AS ql
+      FROM embeddings WHERE vec_id % 97 = 0),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+             floor(${cosSql("q.qv", "c.embedding")} * 1000000 + 0.5) / 1000000.0 AS cos_sim
+      FROM embeddings c CROSS JOIN q
+      WHERE c.vec_id <> q.query_id AND c.label <> q.ql),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, neighbor_label, cos_sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   /** The full hybrid-retrieval serving pipeline, composed end to end:
     * per-query SPARSE retrieval (TextAnalysis.bm25Retrieve —
     * more-like-this over each query document's own terms) and DENSE
@@ -1056,5 +1084,5 @@ object SimilarityQueries {
     FROM j, t ORDER BY j.cat"""))
 
   val list: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q62, q69, q73, q91, q92, q97,
-    q103, q116, q117, q131, q139, q140, q145, q190, q204, q210, q215)
+    q103, q116, q117, q131, q139, q140, q145, q190, q204, q210, q215, q220)
 }

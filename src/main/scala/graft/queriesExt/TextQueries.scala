@@ -763,6 +763,97 @@ object TextQueries {
     GROUP BY f.media_id
     ORDER BY f.media_id"""))
 
+  /** Gopher repetition signals under the oracle (round 16,
+    * [[graft.operators.TextAnalysis.repetitionStats]]): per document
+    * the top-{2,3,4}-gram CHARACTER fractions and the duplicated-
+    * 5-gram occurrence fraction — the public Rae et al. 2021
+    * repetition filters. The oracle rebuilds every n-gram by list
+    * slicing, ranks the top gram with the identical (count desc,
+    * gram asc) tie-break, and replays the 1e-6 floor grid.
+    */
+  private val q218 = Q("q218_gopher_repetition", (s, dir) => {
+    TextAnalysis.repetitionStats(Tables.load(s, dir, "documents"),
+        col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+  }, Some("""
+    WITH t AS (
+      SELECT doc_id, len(text) AS n_chars, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+    ge AS (
+      SELECT doc_id, n_chars,
+             unnest(flatten([ list_transform(range(0, len(toks) - nn + 1),
+                i -> {'n': nn, 'gram': array_to_string(toks[i+1:i+nn], ' ')})
+                for nn in [2, 3, 4, 5] ])) AS ng
+      FROM t),
+    g AS (SELECT doc_id, n_chars, ng.n AS n, ng.gram AS gram FROM ge),
+    c AS (
+      SELECT doc_id, n_chars, n, gram, CAST(count(*) AS BIGINT) AS cnt
+      FROM g GROUP BY doc_id, n_chars, n, gram),
+    pern AS (
+      SELECT doc_id, n_chars, n, sum(cnt) AS total,
+             coalesce(sum(cnt) FILTER (WHERE cnt >= 2), 0) AS dup_occ
+      FROM c GROUP BY doc_id, n_chars, n),
+    top AS (
+      SELECT doc_id, n, cnt AS top_cnt, len(gram) AS top_len
+      FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, n
+                       ORDER BY cnt DESC, gram) AS rn FROM c)
+      WHERE rn = 1),
+    m AS (
+      SELECT p.doc_id, p.n,
+             floor(CAST(t2.top_cnt * t2.top_len AS DOUBLE) / p.n_chars * 1000000 + 0.5) / 1000000.0 AS top_frac,
+             floor(CAST(p.dup_occ AS DOUBLE) / p.total * 1000000 + 0.5) / 1000000.0 AS dup_frac
+      FROM pern p JOIN top t2 ON t2.doc_id = p.doc_id AND t2.n = p.n)
+    SELECT doc_id,
+           coalesce(max(CASE WHEN n = 2 THEN top_frac END), 0) AS top2_frac,
+           coalesce(max(CASE WHEN n = 3 THEN top_frac END), 0) AS top3_frac,
+           coalesce(max(CASE WHEN n = 4 THEN top_frac END), 0) AS top4_frac,
+           coalesce(max(CASE WHEN n = 5 THEN dup_frac END), 0) AS dup5_frac
+    FROM m GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Gopher quality gate under the oracle (round 16,
+    * [[graft.operators.TextAnalysis.gopherQualityGate]]): word-count
+    * band, mean-word-length band, minimum stop-word occurrences, and
+    * the top-2-gram repetition ceiling, composed into an auditable
+    * per-rule signal row + the `keep` verdict (cast to int — the
+    * hash compare stays on integer ground). Thresholds sized from the
+    * corpus distributions so every rule actually fires on some rows.
+    */
+  private val q219 = Q("q219_gopher_quality_gate", (s, dir) => {
+    TextAnalysis.gopherQualityGate(Tables.load(s, dir, "documents"),
+        col("doc_id"), col("text"), minWords = 20L, maxWords = 90L,
+        minMeanLen = 3.8, maxMeanLen = 5.2, stopWords = Seq("the", "a"),
+        minStopHits = 2L, maxTop2Frac = 0.12)
+      .withColumn("keep", col("keep").cast("int"))
+      .orderBy(col("doc_id"))
+  }, Some("""
+    WITH t AS (
+      SELECT doc_id, len(text) AS n_chars, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+    w AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             floor(CAST(list_reduce(list_transform(toks, s -> CAST(len(s) AS BIGINT)),
+                       (a, b) -> a + b) AS DOUBLE) / len(toks) * 1000000 + 0.5) / 1000000.0 AS mean_word_len,
+             CAST(len(list_filter(toks, s -> s IN ('the', 'a'))) AS BIGINT) AS stop_hits
+      FROM t),
+    g AS (
+      SELECT t.doc_id, t.n_chars, array_to_string(t.toks[r.i+1:r.i+2], ' ') AS gram
+      FROM t CROSS JOIN LATERAL (SELECT unnest(range(0, len(t.toks) - 1)) AS i) r),
+    c AS (
+      SELECT doc_id, n_chars, gram, CAST(count(*) AS BIGINT) AS cnt
+      FROM g GROUP BY doc_id, n_chars, gram),
+    top AS (
+      SELECT doc_id,
+             floor(CAST(cnt * len(gram) AS DOUBLE) / n_chars * 1000000 + 0.5) / 1000000.0 AS top2_frac
+      FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                       ORDER BY cnt DESC, gram) AS rn FROM c)
+      WHERE rn = 1)
+    SELECT w.doc_id, w.n_words, w.mean_word_len, w.stop_hits, top.top2_frac,
+           CAST((w.n_words BETWEEN 20 AND 90)
+                AND (w.mean_word_len BETWEEN 3.8 AND 5.2)
+                AND w.stop_hits >= 2 AND top.top2_frac <= 0.12 AS INT) AS keep
+    FROM w JOIN top USING (doc_id) ORDER BY w.doc_id"""))
+
   /** Real-kernel audio feature path (Multimodal.audioRmsWindows):
     * per-window RMS energy over the decoded sample stream. On this
     * synthetic corpus the payloads are UTF-8 text, so the kernel's
@@ -1295,6 +1386,6 @@ object TextQueries {
     ORDER BY day, rnk"""))
 
   val list: Seq[Q] = Seq(q51, q52, q53, q54, q55, q56, q74, q89, q100, q101, q108, q112,
-    q120, q128, q129, q138, q141, q142, q143, q144, q148, q176, q183, q194, q217,
+    q120, q128, q129, q138, q141, q142, q143, q144, q148, q176, q183, q194, q217, q218, q219,
     q199, q200, q201, q203, q208, q209, q211, q213, q214)
 }

@@ -345,6 +345,64 @@ object StreamingOps {
       .start()
   }
 
+  /** STREAMING SERVING against the versioned IVF store (round 16 —
+    * the last verb of the lifecycle: feed, alarm, re-index, COMPACT
+    * serve): each query micro-batch resolves
+    * [[graft.operators.IvfStore.liveVersion]] ONCE and serves the
+    * whole batch against that pinned version
+    * ([[graft.operators.IvfStore.topKOf]], or
+    * [[graft.operators.IvfStore.topKPqOf]] when `compressed`), so a
+    * reindex that publishes mid-trigger NEVER mixes versions inside a
+    * batch: the in-flight trigger completes on v=N, the next trigger
+    * binds v=N+1 — the store's old-or-new reader contract lifted to
+    * the micro-batch grain. Every output row carries
+    * `served_version` so consumers can audit exactly that.
+    *
+    * Results land under `outDir/batchId=N` with overwrite (the
+    * repo-wide replay discipline). One caveat follows from it: a
+    * batch REPLAYED after a crash re-resolves the CURRENT live
+    * version, which may be newer than its first attempt's — the
+    * overwrite keeps the output dir single-version either way, and
+    * serving (unlike ingestion) has no exactly-once obligation to an
+    * older index.
+    *
+    * 100 TB shape: per trigger the driver-side work is one marker
+    * listing + the |queries| x nprobe probe collect; the cluster-side
+    * work is the probed-cell scan (codes-only when compressed) — no
+    * state, no stream-stream join, nothing grows with stream length.
+    * Keep old versions on disk until their in-flight triggers drain
+    * before [[graft.operators.IvfStore.dropVersionsBelow]].
+    */
+  def serveTopKStream(queryStream: DataFrame, storeDir: String,
+      idCol: String, vecCol: String, k: Int, nprobe: Int,
+      outDir: String, checkpointDir: String,
+      compressed: Boolean = false, shortlist: Int = 0,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.SaveMode
+    import graft.operators.IvfStore
+    require(!compressed || shortlist >= k,
+      s"compressed serving needs shortlist >= k, got (k=$k, shortlist=$shortlist)")
+    queryStream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val v = IvfStore.liveVersion(spark, storeDir).getOrElse(
+          throw new IllegalStateException(
+            s"no published version under $storeDir — bootstrap or reindex before serving"))
+        val served =
+          if (compressed)
+            IvfStore.topKPqOf(spark, storeDir, v, batch, idCol, vecCol, k, nprobe, shortlist)
+          else
+            IvfStore.topKOf(spark, storeDir, v, batch, idCol, vecCol, k, nprobe)
+        served.withColumn("served_version", lit(v))
+          .write.mode(SaveMode.Overwrite).parquet(s"$outDir/batchId=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
   /** The FEEDER for [[nearDupAgainstHistory]]'s history table: maintain
     * the band-key table incrementally as documents stream in. Each
     * micro-batch's (doc_id, band_key) rows land under a

@@ -319,6 +319,40 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("dsirWeights: target-domain documents outscore off-domain ones; weights are deterministic integers") {
+    import spark.implicits._
+    // two synthetic "domains" with disjoint vocabulary; the target
+    // distribution is domain A, so A-like raw docs must carry higher
+    // importance weights than B-like ones
+    val raw = Seq(
+      (1L, "alpha beta alpha gamma beta alpha"),
+      (2L, "beta gamma alpha beta gamma beta"),
+      (3L, "zulu yankee zulu xray yankee zulu"),
+      (4L, "xray zulu yankee xray zulu yankee")
+    ).toDF("doc_id", "text")
+    val target = Seq(
+      (10L, "alpha beta gamma alpha beta"),
+      (11L, "gamma alpha beta beta alpha")
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.dsirWeights(raw, target, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.size == 4)
+    val aMin = math.min(got(1L), got(2L))
+    val bMax = math.max(got(3L), got(4L))
+    assert(aMin > bMax,
+      s"target-domain docs must outscore off-domain: A >= $aMin vs B <= $bMax")
+    // integer weights are exactly reproducible run over run
+    val again = CorpusOps.dsirWeights(raw, target, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(again == got)
+    // distribution tables are dim-bounded: the per-doc scoring join is
+    // a broadcast, never a shuffle of the corpus against the corpus
+    val plan = CorpusOps.dsirWeights(raw, target, col("doc_id"), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(600))
+  }
+
   test("curationPipeline: one disposition per doc — quality gate, exact keeper, cluster-safe split") {
     import spark.implicits._
     val longText = (1 to 120).map(i => s"word$i").mkString(" ") // quality 1.0

@@ -512,4 +512,29 @@ class SimilaritySpec extends SparkSpec {
         s"OPQ recall must not regress: $recallOpq vs $recallPlain")
     } finally corpus.unpersist()
   }
+
+  test("hardNegatives: same-label vectors never mine as negatives; ranking matches the filtered brute force") {
+    import graft.operators.Similarity
+    val e = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding", "label")
+    val queries = e.filter(col("vec_id") < 3)
+    val got = Similarity.hardNegatives(e, queries, "vec_id", "embedding", "label", k = 4)
+    val rows = got.collect()
+    assert(rows.nonEmpty && rows.length == queries.count() * 4)
+    // no negative shares its anchor's label
+    val qLabels = queries.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.forall(r => r.getAs[Int]("neighbor_label") != qLabels(r.getAs[Long]("query_id"))),
+      "a same-label vector leaked into the negatives")
+    // equivalent to brute-force top-k over the label-filtered corpus,
+    // per query (the filter commutes with the ranking)
+    val want = qLabels.toSeq.flatMap { case (qid, ql) =>
+      Similarity.bruteForceTopK(e.filter(col("label") =!= ql),
+          e.filter(col("vec_id") === qid), "vec_id", "embedding", k = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    }.toSet
+    assert(rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+      r.getAs[Int]("rank"))).toSet == want)
+    // the scan stays a broadcast loop — no shuffle of the corpus side
+    assert(!got.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
+  }
 }

@@ -1706,6 +1706,60 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("serveTopKStream: per-trigger version binding across a mid-stream reindex — old or new, never mixed") {
+    import graft.operators.IvfStore
+    val base = tmp()
+    val e = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    // v1: half the corpus, PQ-enabled — the serving leg runs compressed
+    IvfStore.reindex(e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+      4, 2, 64, s"$base/store", 1024L, pqCodes = 16, pqIters = 1)
+    def addQueryFile(name: String, pred: org.apache.spark.sql.Column): Unit = {
+      e.filter(pred).coalesce(1).write.mode("overwrite").parquet(s"$base/staging-$name")
+      val part = new java.io.File(s"$base/staging-$name").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$base/in/$name.parquet")
+      Files.createDirectories(dst.toPath.getParent)
+      Files.copy(part.toPath, dst.toPath)
+      ()
+    }
+    def serve() = StreamingOps.serveTopKStream(
+      spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in"),
+      s"$base/store", "vec_id", "embedding", k = 3, nprobe = 2,
+      s"$base/out", s"$base/ck", compressed = true, shortlist = 12)
+    addQueryFile("q0", col("vec_id") < 5)
+    serve().awaitTermination(120000)
+    def batchResult(b: Long) = spark.read.parquet(s"$base/out/batchId=$b")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "rank", "exact_dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    // trigger 0 bound v1 and matches a batch serve pinned to v1
+    val b0 = batchResult(0L)
+    assert(b0.select("served_version").distinct().collect().map(_.getLong(0)).toSeq == Seq(1L),
+      "first trigger must bind (and tag) version 1 — and only it")
+    assert(key(b0) == key(IvfStore.topKPqOf(spark, s"$base/store", 1L,
+      e.filter(col("vec_id") < 5), "vec_id", "embedding", 3, 2, 12)))
+    // reindex mid-stream: full corpus becomes v2
+    val v2 = IvfStore.reindex(e, "vec_id", "embedding", 4, 2, 64,
+      s"$base/store", 1024L, pqCodes = 16, pqIters = 1)
+    assert(v2 == 2L)
+    // the next trigger (same checkpoint — a RESUMED serving fleet)
+    // binds v2: new corpus, new codebooks, tagged as such
+    addQueryFile("q1", col("vec_id") >= 5 && col("vec_id") < 10)
+    serve().awaitTermination(120000)
+    val b1 = batchResult(1L)
+    assert(b1.select("served_version").distinct().collect().map(_.getLong(0)).toSeq == Seq(2L),
+      "post-reindex trigger must bind (and tag) version 2 — and only it")
+    assert(key(b1) == key(IvfStore.topKPqOf(spark, s"$base/store", 2L,
+      e.filter(col("vec_id") >= 5 && col("vec_id") < 10), "vec_id", "embedding", 3, 2, 12)))
+    // no batch directory ever mixes versions
+    val perBatch = spark.read.option("basePath", s"$base/out").parquet(s"$base/out")
+      .groupBy(col("batchId")).agg(countDistinct(col("served_version")).as("nv"))
+      .collect().map(r => r.getLong(1))
+    assert(perBatch.nonEmpty && perBatch.forall(_ == 1L),
+      "a served batch must carry exactly one version")
+  }
+
   test("IvfStore e2e: feed -> planted drift fires the occupancy alarm -> reindex -> drift returns to zero") {
     import graft.operators.{IvfStore, Similarity}
     val base = tmp()

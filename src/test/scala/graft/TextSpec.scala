@@ -257,4 +257,50 @@ class TextSpec extends SparkSpec {
     assert(rows.getLong(0) > 0)
     assert(rows.getDouble(1) > 0.0 && rows.getDouble(2) < 1.5)
   }
+
+  test("repetitionStats: hand fixture — top-gram char coverage, tie to smallest gram, dup fraction") {
+    val docs = Seq(
+      (1L, "x y x y x y"),          // alternating pair: top3 ties break to "x y x"
+      (2L, "a b c d e f"),          // all-unique: every top count is 1, dup 0
+      (3L, "p q p q p q p q p q")   // every 5-gram duplicated: dup5 = 1
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // expectations computed independently (count x gram chars / doc
+    // chars, 1e-6 floor grid); overlaps can push coverage above 1 —
+    // that is the signal working, not an error
+    assert(got(1L) == ((0.818182, 0.909091, 1.272727, 0.0)), got(1L).toString)
+    assert(got(2L) == ((0.272727, 0.454545, 0.636364, 0.0)), got(2L).toString)
+    assert(got(3L) == ((0.789474, 1.052632, 1.473684, 1.0)), got(3L).toString)
+    // plan: one gram-count shuffle + the pivot — no self-joins
+    val plan = TextAnalysis.repetitionStats(docs, col("doc_id"), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"grams must come from a per-row transform, not a join:\n${plan.take(600)}")
+  }
+
+  test("gopherQualityGate: each rule fires independently; keep is their conjunction") {
+    val docs = Seq(
+      (1L, "the cat saw a dog near the red barn door"),  // 10 words, passes all
+      (2L, "the a"),                                     // too few words
+      (3L, ("the dove " * 40).trim),                     // top2 repetition ceiling
+      (4L, "one two three four five six seven eight nine ten") // no stop hits
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherQualityGate(docs, col("doc_id"), col("text"),
+        minWords = 3L, maxWords = 100L, minMeanLen = 1.0, maxMeanLen = 10.0,
+        stopWords = Seq("the", "a"), minStopHits = 2L, maxTop2Frac = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(3), r.getBoolean(5)))).toMap
+    assert(got(1L)._3, s"doc 1 must keep: ${got(1L)}")
+    assert(!got(2L)._3 && got(2L)._1 == 2L, "doc 2 fails the word-count floor")
+    assert(!got(3L)._3, "doc 3 fails the top-2-gram repetition ceiling")
+    assert(!got(4L)._3 && got(4L)._2 == 0L, "doc 4 fails the stop-word rule")
+    // signals are auditable: doc 3's failure is repetition, not length
+    val d3 = TextAnalysis.gopherQualityGate(docs, col("doc_id"), col("text"),
+        3L, 100L, 1.0, 10.0, Seq("the", "a"), 2L, 0.5)
+      .filter(col("doc_id") === 3L).head()
+    assert(d3.getAs[Double]("top2_frac") > 0.5 &&
+      d3.getAs[Long]("n_words") == 80L)
+  }
 }
