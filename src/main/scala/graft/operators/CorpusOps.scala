@@ -616,6 +616,43 @@ object CorpusOps {
         sum(col("cnt") * col("lr_u")).as("dsir_weight_u"))
   }
 
+  /** Gumbel top-k (round 16): sample `k` rows per group WITHOUT
+    * replacement with inclusion odds proportional to exp(score) —
+    * the resampling step DSIR prescribes over its log-ratio weights
+    * ([[dsirWeights]]), and the general "softmax sampling" primitive.
+    * The Gumbel-max trick (public): ranking by score + Gumbel(0,1)
+    * noise descending IS sampling ∝ exp(score); with the score in
+    * integer micro-nats and the noise derived from the md5 uniform of
+    * the id, the perturbed key stays an INTEGER —
+    * `key_u = score_u − floor(ln(max(e_unat,1)/1e6)·1e6+0.5)` where
+    * `e_unat` is [[weightedSample]]'s micro-nat exponential — so
+    * unlike keying on exp(score) directly, no libm transcendental
+    * ever sits raw in a sort comparison. Equivalent to
+    * Efraimidis-Spirakis with weight exp(score) by monotonicity
+    * (−ln u / e^s orders exactly as s − ln(−ln u) reversed). Ties
+    * break by id. Same shape as [[weightedSample]]: narrow key
+    * computation + per-group top-k window.
+    */
+  def gumbelTopK(df: DataFrame, idCol: Column, scoreUCol: Column,
+      groupCol: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (Dedup.hash48(idCol.cast("string")).cast("double") + 1.0) /
+      lit(281474976710656.0) // 2^48
+    val eUnat = floor(-log(u) * 1e6 + lit(0.5)).cast("long")
+    // e_unat = 0 (u within ~5e-7 of 1) would send ln to -Inf; the
+    // floor-to-1 guard keeps the key finite and both engines agree
+    val gumbelU = floor(log(greatest(eUnat, lit(1L)).cast("double") / 1e6) *
+      1e6 + lit(0.5)).cast("long")
+    val w = Window.partitionBy(col("_gk_g"))
+      .orderBy(col("_gk_key").desc, col("_gk_id"))
+    df.withColumn("_gk_g", groupCol)
+      .withColumn("_gk_id", idCol)
+      .withColumn("_gk_key", scoreUCol.cast("long") - gumbelU)
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+      .drop("_gk_g", "_gk_id", "_gk_key")
+  }
+
   /** Whole-document bin packing, FIRST-FIT-DECREASING (round 16) —
     * the standard fix for [[packBinsNextFit]]'s padding waste: next-fit
     * abandons a bin the moment one document overflows it, so a small

@@ -237,21 +237,8 @@ object IvfStore {
     // publish marker uses — makes the second writer fail fast instead.
     // (Requires atomic exclusive create — see the object docstring's
     // filesystem contract for the S3 caveat.)
-    val claim = new Path(s"$storeDir/claims/v-$next")
+    val claim = claimVersion(spark, storeDir, next, staleClaimMs)
     val fs = fsOf(spark, storeDir)
-    fs.mkdirs(claim.getParent)
-    if (fs.exists(claim) && staleClaimMs != Long.MaxValue &&
-        !fs.exists(new Path(s"$storeDir/versions/v-$next"))) {
-      val age = System.currentTimeMillis() - fs.getFileStatus(claim).getModificationTime
-      if (age > staleClaimMs) reclaim(spark, storeDir, next)
-    }
-    try fs.create(claim, false).close()
-    catch {
-      case e: java.io.IOException => throw new IllegalStateException(
-        s"version $next is already claimed by another reindex ($claim exists) — " +
-          s"if that writer crashed before publishing, run reclaim(storeDir, $next) " +
-          "(or pass staleClaimMs) and retry", e)
-    }
     val trained = Similarity.trainKMeans(load, idCol, vecCol, k, iters, dim, gridUnits)
     val cbs =
       if (pqCodes <= 0) None
@@ -259,6 +246,78 @@ object IvfStore {
         pqCodes, pqIters))
     bootstrap(load, trained, idCol, vecCol, storeDir, next, cbs, nSub, subDim)
     fs.delete(claim, false) // published: the claim has done its job
+    next
+  }
+
+  /** Exclusive-create the claim for `version`, optionally auto-
+    * reclaiming a stale one first — the single-writer guard shared by
+    * every verb that writes a new version ([[reindex]],
+    * [[compactVersion]]).
+    */
+  private def claimVersion(spark: SparkSession, storeDir: String,
+      version: Long, staleClaimMs: Long): Path = {
+    val claim = new Path(s"$storeDir/claims/v-$version")
+    val fs = fsOf(spark, storeDir)
+    fs.mkdirs(claim.getParent)
+    if (fs.exists(claim) && staleClaimMs != Long.MaxValue &&
+        !fs.exists(new Path(s"$storeDir/versions/v-$version"))) {
+      val age = System.currentTimeMillis() - fs.getFileStatus(claim).getModificationTime
+      if (age > staleClaimMs) reclaim(spark, storeDir, version)
+    }
+    try fs.create(claim, false).close()
+    catch {
+      case e: java.io.IOException => throw new IllegalStateException(
+        s"version $version is already claimed by another writer ($claim exists) — " +
+          s"if that writer crashed before publishing, run reclaim(storeDir, $version) " +
+          "(or pass staleClaimMs) and retry", e)
+    }
+    claim
+  }
+
+  /** VERSION-SAFE COMPACTION (round 16): rewrite the live version's
+    * accreted batchId directories into version live+1 with a bounded
+    * file count, copying the centroids (and codebooks, when PQ) so
+    * the new version is self-contained, and cut readers over by the
+    * same atomic marker every other writer uses — in-flight readers
+    * keep their version, the old one is [[dropVersionsBelow]] fodder
+    * once they drain. Unlike
+    * [[graft.streaming.StreamingOps.compactIvfIndex]] (which targets
+    * a plain feeder dir and needs a stop-the-world swap), this never
+    * mutates a directory a reader could hold. BatchId partitions are
+    * PRESERVED, so a feeder resumed against the new version with its
+    * continued checkpoint keeps its replay discipline unchanged.
+    * Claims exclude concurrent writers exactly as in [[reindex]].
+    * Returns the new version number.
+    *
+    * Feeder coordination: compaction is a snapshot of the data dir's
+    * call-time contents. A feeder still writing into the OLD version
+    * during the compaction would strand its new batches there —
+    * pause it across the (fast) rewrite, or run [[catchUp]] from the
+    * old to the new version afterwards (same boundary discipline as
+    * a reindex) before dropping the old one.
+    */
+  def compactVersion(spark: SparkSession, storeDir: String,
+      writerTasks: Int = 0, staleClaimMs: Long = Long.MaxValue): Long = {
+    val v = requireLive(spark, storeDir)
+    val next = v + 1L
+    val claim = claimVersion(spark, storeDir, next, staleClaimMs)
+    val fs = fsOf(spark, storeDir)
+    val tasks = if (writerTasks > 0) writerTasks
+      else spark.sparkContext.defaultParallelism
+    spark.read.parquet(centroidsDir(storeDir, v))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(centroidsDir(storeDir, next))
+    if (hasPq(spark, storeDir, v))
+      spark.read.parquet(codebooksDir(storeDir, v))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(codebooksDir(storeDir, next))
+    spark.read.parquet(dataDir(storeDir, v)) // batchId + cell discovered
+      .repartition(tasks, col("batchId"), col("cell"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("batchId", "cell")
+      .parquet(dataDir(storeDir, next))
+    publish(spark, storeDir, next)
+    fs.delete(claim, false)
     next
   }
 

@@ -669,6 +669,39 @@ object TextAnalysis {
       .select(col("phrase"), col(idCol))
   }
 
+  /** PII scrubbing pass (round 16) — the redaction step every
+    * production training-data pipeline runs before text leaves the
+    * curation boundary: emails, North-American-style phone numbers
+    * and SSN-shaped ids are replaced with typed placeholder tokens,
+    * and per-type match counts are emitted BESIDE the scrubbed text
+    * so the pipeline can alarm on PII-dense sources instead of
+    * silently laundering them. Patterns are deliberately RE2-safe
+    * (character classes and bounded repetition only — no
+    * backreferences or lookaround), so the same regexes run
+    * identically under Java's engine here and RE2-family engines
+    * elsewhere; counts are taken on the ORIGINAL text, replacements
+    * applied email -> phone -> ssn (the shapes are disjoint, so order
+    * only matters for the placeholder a hybrid string would get).
+    *
+    * Shape: one narrow projection — regexp_count + regexp_replace
+    * per row, no shuffle, no UDF.
+    */
+  def scrubPii(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\d{3}-\\d{3}-\\d{4}"
+    val ssn = "\\d{3}-\\d{2}-\\d{4}"
+    df.filter(idCol.isNotNull && textCol.isNotNull)
+      .select(idCol.as("doc_id"),
+        regexp_count(textCol, lit(email)).cast("long").as("n_emails"),
+        regexp_count(textCol, lit(phone)).cast("long").as("n_phones"),
+        regexp_count(textCol, lit(ssn)).cast("long").as("n_ssns"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(textCol, email, "[EMAIL]"),
+            phone, "[PHONE]"),
+          ssn, "[SSN]").as("clean_text"))
+  }
+
   /** Gopher-style REPETITION signals (round 16; Rae et al. 2021,
     * "Scaling Language Models: ... Gopher", appendix A — the public
     * repetition filters production pre-training pipelines run): per
@@ -756,7 +789,11 @@ object TextAnalysis {
     *
     * Shape: rules 1-3 are NARROW per-row folds over the token array;
     * rule 4 joins [[repetitionStats]]'s one-shuffle output back on
-    * doc_id. Mean word length uses the 1e-6 grid.
+    * doc_id. Mean word length uses the 1e-6 grid. A document with
+    * fewer than 2 tokens has no 2-gram, so it has no repetition row
+    * and DROPS from the gate (the inner join) — pre-filter or score
+    * such fragments separately; a real pipeline's minWords floor is
+    * far above 2 anyway.
     */
   def gopherQualityGate(df: DataFrame, idCol: Column, textCol: Column,
       minWords: Long, maxWords: Long, minMeanLen: Double,

@@ -469,6 +469,68 @@ object CorpusQueries {
     FROM db JOIN lr USING (bucket)
     GROUP BY db.doc_id ORDER BY db.doc_id"""))
 
+  /** The DSIR pipeline END TO END (round 16): q221's importance
+    * weights resampled with [[CorpusOps.gumbelTopK]] — sampling
+    * ∝ exp(weight) per language without replacement via the
+    * Gumbel-max trick, the perturbed key kept INTEGER
+    * (score_u − micro-nat ln(−ln u)) so no raw libm value ever sits
+    * in a sort comparison. The oracle stacks q221's CTEs under the
+    * q126 hash-uniform race replayed in Gumbel form.
+    */
+  private val q223 = Q("q223_dsir_resample", (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val w = CorpusOps.dsirWeights(docs, docs.filter(col("lang") === "en"),
+      col("doc_id"), col("text"), dim = 64)
+    val joined = docs.select(col("doc_id"), col("lang")).join(w, "doc_id")
+    CorpusOps.gumbelTopK(joined, col("doc_id"), col("dsir_weight_u"),
+        col("lang"), k = 30)
+      .select(col("doc_id"), col("lang"), col("dsir_weight_u"), col("sample_rank"))
+      .orderBy(col("doc_id"))
+  }, Some("""
+    WITH t AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+    ge AS (
+      SELECT doc_id, lang, unnest(list_concat(toks,
+        [array_to_string(toks[i+1:i+2], ' ') for i in range(0, len(toks) - 1)])) AS gram
+      FROM t),
+    g AS (
+      SELECT doc_id, lang,
+             CAST(concat('0x', substr(md5(gram), 1, 12)) AS BIGINT) % 64 AS bucket
+      FROM ge),
+    tgt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS tc FROM g
+            WHERE lang = 'en' GROUP BY bucket),
+    raws AS (SELECT bucket, CAST(count(*) AS BIGINT) AS rc FROM g GROUP BY bucket),
+    tot AS (SELECT (SELECT coalesce(sum(tc), 0) FROM tgt) AS tt,
+                   (SELECT coalesce(sum(rc), 0) FROM raws) AS rt),
+    lr AS (
+      SELECT b.bucket,
+             CAST(floor(ln((coalesce(tgt.tc, 0) + 1) * 1.0 / (tot.tt + 64)) * 1000000 + 0.5) AS BIGINT)
+           - CAST(floor(ln((coalesce(raws.rc, 0) + 1) * 1.0 / (tot.rt + 64)) * 1000000 + 0.5) AS BIGINT) AS lr_u
+      FROM (SELECT unnest(range(0, 64)) AS bucket) b
+      LEFT JOIN tgt USING (bucket) LEFT JOIN raws USING (bucket), tot),
+    db AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+           FROM g GROUP BY doc_id, bucket),
+    dsir AS (
+      SELECT db.doc_id, CAST(sum(db.cnt * lr.lr_u) AS BIGINT) AS dsir_weight_u
+      FROM db JOIN lr USING (bucket) GROUP BY db.doc_id),
+    j AS (
+      SELECT d.doc_id, d.lang, s.dsir_weight_u,
+             CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS hv
+      FROM documents d JOIN dsir s USING (doc_id)),
+    k2 AS (
+      SELECT *, CAST(floor(-ln((CAST(hv AS DOUBLE) + 1) / 281474976710656.0) * 1000000 + 0.5) AS BIGINT) AS e_unat
+      FROM j),
+    k3 AS (
+      SELECT *, dsir_weight_u
+             - CAST(floor(ln(CAST(greatest(e_unat, 1) AS DOUBLE) / 1000000.0) * 1000000 + 0.5) AS BIGINT) AS key_u
+      FROM k2),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY lang ORDER BY key_u DESC, doc_id) AS rn
+      FROM k3)
+    SELECT doc_id, lang, dsir_weight_u, CAST(rn AS INT) AS sample_rank
+    FROM r WHERE rn <= 30 ORDER BY doc_id"""))
+
   val list: Seq[Q] = Seq(q78, q79, q80, q96, q104, q105, q114, q115, q125,
-    q126, q192, q212, q216, q221)
+    q126, q192, q212, q216, q221, q223)
 }

@@ -854,6 +854,46 @@ object TextQueries {
                 AND w.stop_hits >= 2 AND top.top2_frac <= 0.12 AS INT) AS keep
     FROM w JOIN top USING (doc_id) ORDER BY w.doc_id"""))
 
+  /** PII scrubbing under the oracle (round 16,
+    * [[graft.operators.TextAnalysis.scrubPii]]): the corpus carries
+    * no PII, so both engines PLANT identical deterministic PII spans
+    * (email, phone, SSN shapes derived from doc_id) and the operator
+    * must count them on the original text and redact them with typed
+    * placeholders — full scrubbed strings hash-compared, so a
+    * greediness or match-order divergence between the regex engines
+    * would fail loudly. RE2-safe patterns only (no backreferences or
+    * lookaround), which is exactly the production constraint.
+    */
+  private val q222 = Q("q222_pii_scrub", (s, dir) => {
+    val withPii = Tables.load(s, dir, "documents")
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"), concat(
+        col("text"), lit(" reach user"), col("doc_id").cast("string"),
+        lit("@example.com or call 415-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" ref 123-45-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")).as("text"))
+    TextAnalysis.scrubPii(withPii, col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+  }, Some("""
+    WITH p AS (
+      SELECT doc_id,
+             text || ' reach user' || CAST(doc_id AS VARCHAR) ||
+             '@example.com or call 415-555-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+             ' ref 123-45-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(t, '\d{3}-\d{2}-\d{4}')) AS BIGINT) AS n_ssns,
+           regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\d{3}-\d{3}-\d{4}', '[PHONE]', 'g'),
+             '\d{3}-\d{2}-\d{4}', '[SSN]', 'g') AS clean_text
+    FROM p ORDER BY doc_id"""))
+
   /** Real-kernel audio feature path (Multimodal.audioRmsWindows):
     * per-window RMS energy over the decoded sample stream. On this
     * synthetic corpus the payloads are UTF-8 text, so the kernel's
@@ -1386,6 +1426,6 @@ object TextQueries {
     ORDER BY day, rnk"""))
 
   val list: Seq[Q] = Seq(q51, q52, q53, q54, q55, q56, q74, q89, q100, q101, q108, q112,
-    q120, q128, q129, q138, q141, q142, q143, q144, q148, q176, q183, q194, q217, q218, q219,
+    q120, q128, q129, q138, q141, q142, q143, q144, q148, q176, q183, q194, q217, q218, q219, q222,
     q199, q200, q201, q203, q208, q209, q211, q213, q214)
 }

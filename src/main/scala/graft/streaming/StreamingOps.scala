@@ -255,11 +255,19 @@ object StreamingOps {
     * k-means) and must stay FIXED while the stream runs: re-training
     * moves cell boundaries, which is a batch re-index (rewrite the
     * store), not a streaming concern.
+    *
+    * PQ-enabled store versions (round 16): pass the version's stored
+    * PQ codebooks (`IvfStore.readCodebooks`) and every fed row also
+    * carries its `c0..c{nSub-1}` code columns — the same layout
+    * `IvfStore.bootstrap` writes, so `topKPq` serves fed batches and
+    * bootstrap bulk identically.
     */
   def maintainIvfIndex(stream: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, indexDir: String, checkpointDir: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery = {
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      codebooks: Option[DataFrame] = None, nSub: Int = 8,
+      subDim: Int = 8): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.SaveMode
     // Centroids are FIXED for the stream's lifetime (the contract
     // above), so collect them ONCE here — otherwise every micro-batch
@@ -268,14 +276,40 @@ object StreamingOps {
     // persist it (round-13 ADVICE). k rows of (cell, ctr) — the same
     // bounded-build contract as the broadcast argmin itself.
     val fixed = collectCentroids(centroids, "maintainIvfIndex")
+    // feeding a PQ-enabled store version? pass its STORED codebooks
+    // (IvfStore.readCodebooks) so every fed row carries the same
+    // c0..c{nSub-1} code columns bootstrap writes — a PQ version with
+    // code-less batch dirs would be SILENTLY invisible to topKPq (the
+    // all-subspaces-matched ADC guard excludes null-coded rows rather
+    // than mis-rank them). Collected once, same rationale as centroids.
+    val fixedCbs = codebooks.map { c =>
+      val rows = c.select(col("subspace").cast("int"), col("code").cast("int"),
+        col("subvec")).collect()
+      require(rows.nonEmpty, "maintainIvfIndex: codebooks frame is empty")
+      (rows, c.select(col("subspace").cast("int").as("subspace"),
+        col("code").cast("int").as("code"), col("subvec")).schema)
+    }
     stream.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
         val ctrLocal = fixed.toDF("cell", "ctr") // LocalRelation: no re-execution
-        graft.operators.Similarity.assignCells(batch, ctrLocal, idCol, vecCol)
+        val assigned = graft.operators.Similarity.assignCells(batch, ctrLocal, idCol, vecCol)
           .select(col("_id").as(idCol), col("_v").as(vecCol), col("cell"))
-          .write.mode(SaveMode.Overwrite).partitionBy("cell")
+        val coded = fixedCbs match {
+          case None => assigned
+          case Some((rows, schema)) =>
+            val cbLocal = spark.createDataFrame(
+              java.util.Arrays.asList(rows: _*), schema)
+            val codeCols = (0 until nSub).map(sIdx =>
+              element_at(col("_codes"), sIdx + 1).as(s"c$sIdx"))
+            assigned
+              .crossJoin(broadcast(graft.operators.Similarity.pqCodebookArray(cbLocal)))
+              .withColumn("_codes", graft.functions.pq.encodeCodes(
+                col(vecCol), col("_cbs"), nSub, subDim))
+              .select(col(idCol) +: col(vecCol) +: codeCols :+ col("cell"): _*)
+        }
+        coded.write.mode(SaveMode.Overwrite).partitionBy("cell")
           .parquet(s"$indexDir/batchId=$batchId")
         ()
       }

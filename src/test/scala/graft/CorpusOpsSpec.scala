@@ -319,6 +319,26 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("gumbelTopK: k per group; a dominant score always wins; integer keys are deterministic") {
+    import spark.implicits._
+    // the Gumbel noise key is bounded: e_unat in (0, ~31e6] gives
+    // ln-noise in about [-13.9e6, +3.5e6], so a score gap > 2e7
+    // guarantees inclusion order regardless of the hash draw
+    val df = (1L to 20L).map(i =>
+        (i, if (i <= 2) 100000000L + i else 0L, s"g${i % 2}"))
+      .toDF("id", "score_u", "grp")
+    val got = CorpusOps.gumbelTopK(df, col("id"), col("score_u"), col("grp"), k = 3)
+      .collect().map(r => (r.getString(2), r.getLong(0), r.getInt(3)))
+    assert(got.length == 6, s"3 per group x 2 groups, got ${got.length}")
+    // the two dominant-score rows (ids 1, 2) land at rank 1 of their groups
+    val rank1 = got.filter(_._3 == 1).map(_._2).toSet
+    assert(rank1 == Set(1L, 2L), s"dominant scores must win their groups: $rank1")
+    // deterministic run over run
+    val again = CorpusOps.gumbelTopK(df, col("id"), col("score_u"), col("grp"), k = 3)
+      .collect().map(r => (r.getString(2), r.getLong(0), r.getInt(3)))
+    assert(again.sortBy(x => (x._1, x._3)).toSeq == got.sortBy(x => (x._1, x._3)).toSeq)
+  }
+
   test("dsirWeights: target-domain documents outscore off-domain ones; weights are deterministic integers") {
     import spark.implicits._
     // two synthetic "domains" with disjoint vocabulary; the target

@@ -1662,6 +1662,79 @@ class StreamingSpec extends SparkSpec {
       "compressed serving over the caught-up store must equal the from-scratch plan")
   }
 
+  test("IvfStore.compactVersion: PQ feeder batches compact into a NEW published version — content, codes, serving identical") {
+    import graft.operators.{IvfStore, Similarity}
+    val base = tmp()
+    val e = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    // v1: PQ-enabled over a quarter of the corpus
+    IvfStore.reindex(e.filter(col("vec_id") % 4 === 0), "vec_id", "embedding",
+      4, 2, 64, s"$base/store", 1024L, pqCodes = 16, pqIters = 1)
+    // PQ-AWARE feeder: three batches encoded under the STORED codebooks
+    val now = System.currentTimeMillis()
+    (0 until 3).foreach { i =>
+      e.filter(col("vec_id") % 4 === i + 1).coalesce(1)
+        .write.mode("overwrite").parquet(s"$base/staging-$i")
+      val part = new java.io.File(s"$base/staging-$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$base/in/b$i.parquet")
+      Files.createDirectories(dst.toPath.getParent)
+      Files.copy(part.toPath, dst.toPath)
+      assert(dst.setLastModified(now - (5 - i) * 60000L))
+    }
+    StreamingOps.maintainIvfIndex(
+      spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in"),
+      IvfStore.readCentroids(spark, s"$base/store"),
+      "vec_id", "embedding", IvfStore.dataDir(s"$base/store", 1L), s"$base/ck",
+      codebooks = Some(IvfStore.readCodebooks(spark, s"$base/store")))
+      .awaitTermination(120000)
+    // fed rows carry codes equal to pqEncode under the stored codebooks
+    val storedCbs = IvfStore.readCodebooks(spark, s"$base/store")
+    val v1Data = spark.read.parquet(IvfStore.dataDir(s"$base/store", 1L))
+    assert(v1Data.count() == e.count())
+    val fedCodes = v1Data.filter(col("batchId") >= 0)
+      .select("vec_id", "c0", "c7").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    val wantCodes = Similarity.pqEncode(e.filter(col("vec_id") % 4 =!= 0),
+        storedCbs, "vec_id", "embedding")
+      .select("_id", "c0", "c7").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(fedCodes == wantCodes, "fed batches must carry stored-codebook codes")
+    // the compressed plan serves bootstrap bulk AND fed batches
+    val queries = e.filter(col("vec_id") < 5)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val servedV1 = key(IvfStore.topKPq(spark, s"$base/store", queries,
+      "vec_id", "embedding", k = 5, nprobe = 3, shortlist = 20))
+    // compact into v2: fewer files, identical content, atomic cutover
+    def nFiles(v: Long): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1L else 0L
+      walk(new java.io.File(IvfStore.dataDir(s"$base/store", v)))
+    }
+    val before = nFiles(1L)
+    val v2 = IvfStore.compactVersion(spark, s"$base/store", writerTasks = 2)
+    assert(v2 == 2L && IvfStore.liveVersion(spark, s"$base/store").contains(2L))
+    assert(nFiles(2L) <= before, s"compaction must not grow files: ${nFiles(2L)} vs $before")
+    def contents(v: Long) = spark.read.parquet(IvfStore.dataDir(s"$base/store", v))
+      .select(col("vec_id"), col("cell").cast("int"),
+        col("batchId").cast("long"), col("c0"), col("c7")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getInt(4))).toSet
+    assert(contents(2L) == contents(1L),
+      "compaction must preserve rows, batchIds, cells AND codes exactly")
+    assert(IvfStore.hasPq(spark, s"$base/store", 2L), "codebooks must copy to the new version")
+    // serving through the compacted version is identical
+    assert(key(IvfStore.topKPq(spark, s"$base/store", queries,
+      "vec_id", "embedding", k = 5, nprobe = 3, shortlist = 20)) == servedV1)
+    // claims still exclude concurrent writers of the next version
+    Files.createDirectories(Paths.get(s"$base/store/claims"))
+    Files.createFile(Paths.get(s"$base/store/claims/v-3"))
+    intercept[IllegalStateException] {
+      IvfStore.compactVersion(spark, s"$base/store")
+    }
+  }
+
   test("IvfStore.reclaim: a crashed reindex is recoverable; published versions refuse; fresh claims still exclude") {
     import graft.operators.IvfStore
     val base = tmp()

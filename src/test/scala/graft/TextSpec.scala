@@ -258,6 +258,24 @@ class TextSpec extends SparkSpec {
     assert(rows.getDouble(1) > 0.0 && rows.getDouble(2) < 1.5)
   }
 
+  test("scrubPii: plants are counted on the original and redacted with typed placeholders; clean text passes through") {
+    val docs = Seq(
+      (1L, "mail me at jo.doe+x@corp.example.org and bob@ex.io today"),
+      (2L, "call 415-555-0137 or 212-555-9999 about 123-45-6789"),
+      (3L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.scrubPii(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got(1L) == ((2L, 0L, 0L, "mail me at [EMAIL] and [EMAIL] today")), got(1L).toString)
+    assert(got(2L) == ((0L, 2L, 1L, "call [PHONE] or [PHONE] about [SSN]")), got(2L).toString)
+    assert(got(3L) == ((0L, 0L, 0L, "no pii here at all")), got(3L).toString)
+    // narrow plan: no shuffle, no UDF
+    val plan = TextAnalysis.scrubPii(docs, col("doc_id"), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"PII scrub must not shuffle:\n${plan.take(400)}")
+  }
+
   test("repetitionStats: hand fixture — top-gram char coverage, tie to smallest gram, dup fraction") {
     val docs = Seq(
       (1L, "x y x y x y"),          // alternating pair: top3 ties break to "x y x"
