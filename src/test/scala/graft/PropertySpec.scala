@@ -234,6 +234,26 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("pHash invariants: constant image hashes to zero; exact-tile upscales pool to the identical hash") {
+    import graft.operators.Multimodal
+    // constant luminance: every AC coefficient is exactly 0, the AC
+    // median is 0, strict-> sets no bit, the DC bit is 0 by contract
+    val flat = Array.fill(1024)(137)
+    assert(Multimodal.phashBits(Multimodal.pool32(32, 32, flat)) == 0L)
+    // an exact 2x2-block upscale pools back to the SAME 32x32 grid,
+    // so the DCT sees identical input — hash equality is exact, not
+    // approximate (the pooling contract at integer tile boundaries)
+    val rnd = new scala.util.Random(11)
+    val g = Array.fill(1024)(rnd.nextInt(256))
+    val up = new Array[Int](64 * 64)
+    for (y <- 0 until 64; x <- 0 until 64) up(y * 64 + x) = g((y / 2) * 32 + (x / 2))
+    assert(Multimodal.phashBits(Multimodal.pool32(32, 32, g)) ==
+      Multimodal.phashBits(Multimodal.pool32(64, 64, up)))
+    // and a random grid produces a well-mixed hash (not degenerate)
+    val bits = java.lang.Long.bitCount(Multimodal.phashBits(Multimodal.pool32(32, 32, g)))
+    assert(bits >= 16 && bits <= 48, s"random-grid pHash should be mixed, got $bits bits")
+  }
 }
 
 /** B15: approx_count_distinct within the default 5% relative error. */

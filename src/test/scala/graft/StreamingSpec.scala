@@ -1825,6 +1825,23 @@ class StreamingSpec extends SparkSpec {
       "post-reindex trigger must bind (and tag) version 2 — and only it")
     assert(key(b1) == key(IvfStore.topKPqOf(spark, s"$base/store", 2L,
       e.filter(col("vec_id") >= 5 && col("vec_id") < 10), "vec_id", "embedding", 3, 2, 12)))
+    // a mid-stream COMPACTION cuts over the same way: the next
+    // trigger binds the compacted version and serves identically
+    val v3 = IvfStore.compactVersion(spark, s"$base/store", writerTasks = 2)
+    assert(v3 == 3L)
+    addQueryFile("q2", col("vec_id") >= 10 && col("vec_id") < 15)
+    serve().awaitTermination(120000)
+    val b2 = batchResult(2L)
+    assert(b2.select("served_version").distinct().collect().map(_.getLong(0)).toSeq == Seq(3L),
+      "post-compaction trigger must bind (and tag) the compacted version")
+    assert(key(b2) == key(IvfStore.topKPqOf(spark, s"$base/store", 3L,
+      e.filter(col("vec_id") >= 10 && col("vec_id") < 15), "vec_id", "embedding", 3, 2, 12)))
+    // compaction changed the files, not the answers: the same queries
+    // against v2 and v3 rank identically
+    assert(key(IvfStore.topKPqOf(spark, s"$base/store", 3L,
+        e.filter(col("vec_id") >= 10 && col("vec_id") < 15), "vec_id", "embedding", 3, 2, 12)) ==
+      key(IvfStore.topKPqOf(spark, s"$base/store", 2L,
+        e.filter(col("vec_id") >= 10 && col("vec_id") < 15), "vec_id", "embedding", 3, 2, 12)))
     // no batch directory ever mixes versions
     val perBatch = spark.read.option("basePath", s"$base/out").parquet(s"$base/out")
       .groupBy(col("batchId")).agg(countDistinct(col("served_version")).as("nv"))
