@@ -777,7 +777,97 @@ object SqlQueries {
              + 0.5) AS BIGINT) AS psi_micro
     FROM j, t ORDER BY j.cat"""))
 
+  /** TPC-H Q8-shaped national market share (round 16): of all PROMO-
+    * part revenue sold into ASIA-region customers over two years,
+    * the share supplied by one nation, per year. The classic
+    * two-level aggregation with a conditional numerator; revenue in
+    * exact cents, the share quantized on the 1e-6 grid AFTER one
+    * double division (numerator and denominator are exact BIGINTs,
+    * so both engines divide the same integers). The nation dimension
+    * joins twice (customer side for the region, supplier side for
+    * the share) — both broadcastable.
+    */
+  private val marketShareSql = """
+    SELECT o_year,
+           CAST(CAST(floor(CAST(nation_vol AS DOUBLE) / CAST(total_vol AS DOUBLE)
+             * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS mkt_share
+    FROM (
+      SELECT o_year,
+             sum(CASE WHEN nation = 'NATION_3' THEN vol_c ELSE 0 END) AS nation_vol,
+             sum(vol_c) AS total_vol
+      FROM (
+        SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+               CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS vol_c,
+               n2.n_name AS nation
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+          AND EXTRACT(YEAR FROM o_orderdate) BETWEEN 1996 AND 1997
+      ) all_nations
+      GROUP BY o_year
+    ) shares
+    ORDER BY o_year"""
+  private val q224 = Q("q224_market_share", (s, dir) => {
+    Tables.registerAll(s, dir)
+    s.sql(marketShareSql)
+  }, Some(marketShareSql))
+
+  /** TPC-H Q13-shaped customer order-count distribution: LEFT join so
+    * zero-order customers land in the c_count=0 bucket (the point of
+    * Q13), with an excluded order class pushed into the JOIN
+    * CONDITION — in the WHERE it would silently turn the outer join
+    * inner (the classic Q13 trap). The testdata carries no comment
+    * column, so the excluded class is the urgent priority.
+    */
+  private val custDistSql = """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC"""
+  private val q225 = Q("q225_custdist", (s, dir) => {
+    Tables.registerAll(s, dir)
+    s.sql(custDistSql)
+  }, Some(custDistSql))
+
+  /** TPC-H Q17-shaped small-quantity-order revenue: the correlated
+    * "below 20% of this part's average quantity" subquery, written as
+    * the de-correlated per-part aggregate joined back (what Catalyst
+    * rewrites the correlated form into — stated directly so both
+    * engines run the same shape). Determinism: l_quantity values are
+    * integers in doubles, so sum and count are exact and the single
+    * avg division is bit-identical; the 0.2 threshold quantizes to
+    * integer micro-units BEFORE the strict-< comparison, and the
+    * yearly average divides exact total cents by 7.0 once.
+    */
+  private val smallQtySql = """
+    WITH agg AS (
+      SELECT l_partkey AS a_partkey,
+             CAST(floor(avg(l_quantity) * 0.2 * 1000000 + 0.5) AS BIGINT) AS qlim_u
+      FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(CAST(floor(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 7.0 + 0.5) AS BIGINT) AS DOUBLE) / 100.0 AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN agg ON a_partkey = l_partkey
+    WHERE p_brand = 'Brand#1' AND p_size <= 3
+      AND l_quantity * 1000000.0 < CAST(qlim_u AS DOUBLE)"""
+  private val q226 = Q("q226_small_qty_revenue", (s, dir) => {
+    Tables.registerAll(s, dir)
+    s.sql(smallQtySql)
+  }, Some(smallQtySql))
+
   val list: Seq[Q] = Seq(q57, q58, q59, q68, q70, q71, q72, q88, q109, q110, q111,
     q121, q122, q133, q134, q151, q152, q153, q154, q155, q157, q158, q159,
-    q166, q167, q178, q179, q198)
+    q166, q167, q178, q179, q198, q224, q225, q226)
 }
