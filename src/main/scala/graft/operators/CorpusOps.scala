@@ -563,12 +563,38 @@ object CorpusOps {
     * posexplode + one windowed `lead` (whole-stage codegen — the
     * repetitionStats lesson: no per-row lambda trees); the raw
     * distribution folds out of the same per-doc bucket lineage the
-    * scoring join reads (persist `raw` upstream when it is hot), the
-    * target is scanned once — no shuffle wider than the
-    * (doc, bucket) count.
+    * scoring join reads, the target is scanned once — no shuffle wider
+    * than the (doc, bucket) count.
+    *
+    * The shared (doc, bucket) lineage feeds BOTH the per-doc scoring
+    * join and the raw distribution — a corpus-scale gram pass that
+    * must run once, not twice. [[dsirRun]] therefore PERSISTS it and
+    * hands the cache back in a release handle (the [[curationRun]]
+    * discipline, round 17); this convenience form drops the handle —
+    * the cache is still LRU-evictable, so one-shot callers pay
+    * nothing, but long-lived sessions scoring many corpora should
+    * call [[dsirRun]] and `release()` per run.
     */
   def dsirWeights(raw: DataFrame, target: DataFrame, idCol: Column,
-      textCol: Column, dim: Int = 64): DataFrame = {
+      textCol: Column, dim: Int = 64): DataFrame =
+    dsirRun(raw, target, idCol, textCol, dim).result
+
+  /** A [[dsirRun]]'s scores plus the release handle for the persisted
+    * per-doc bucket counts — see [[CurationRun]] for the handle
+    * contract (idempotent, releases exactly this run's frame).
+    */
+  final case class DsirRun(result: DataFrame, cached: Seq[DataFrame]) {
+    def release(): Unit = cached.foreach(_.unpersist())
+  }
+
+  /** [[dsirWeights]] with cache ownership returned to the caller: the
+    * (doc_id, bucket, cnt) frame — the one corpus-scale pass — is
+    * persisted so the raw-distribution fold and the scoring join both
+    * read the materialized counts instead of re-running the gram
+    * explode, and handed back for release after the last action.
+    */
+  def dsirRun(raw: DataFrame, target: DataFrame, idCol: Column,
+      textCol: Column, dim: Int = 64): DsirRun = {
     require(dim > 0, s"dim must be positive, got $dim")
     def gramBuckets(df: DataFrame): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
@@ -589,12 +615,12 @@ object CorpusOps {
     val allBuckets = raw.sparkSession.range(0, dim).select(col("id").as("bucket"))
     val docBuckets = gramBuckets(raw)
       .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tCounts = gramBuckets(target)
       .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
-    // folds out of docBuckets' lineage (same one-pass gram plan); the
-    // operator returns a LAZY frame, so no internal persist to leak —
-    // callers scoring many loads against one raw corpus should persist
-    // the raw side themselves
+    // folds out of the PERSISTED docBuckets (round 17): the raw
+    // distribution and the scoring join share one materialization of
+    // the corpus gram pass instead of executing its lineage twice
     val rCounts = docBuckets.groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
     val tTotal = tCounts.agg(coalesce(sum(col("cnt")), lit(0L)).as("_t"))
     val rTotal = rCounts.agg(coalesce(sum(col("cnt")), lit(0L)).as("_r"))
@@ -610,10 +636,11 @@ object CorpusOps {
          floor(log((coalesce(col("_rc"), lit(0L)) + 1).cast("double") /
             (col("_r") + dim).cast("double")) * 1e6 + lit(0.5)).cast("long"))
           .as("lr_u"))
-    docBuckets.join(broadcast(lr), "bucket")
+    val result = docBuckets.join(broadcast(lr), "bucket")
       .groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_grams"),
         sum(col("cnt") * col("lr_u")).as("dsir_weight_u"))
+    DsirRun(result, Seq(docBuckets))
   }
 
   /** Gumbel top-k (round 16): sample `k` rows per group WITHOUT
@@ -721,6 +748,114 @@ object CorpusOps {
       }
       .toDF("shard", "doc_id", "n_tok", "bin_idx", "fill_after")
   }
+
+  /** A [[pretrainingRun]]'s dispositions plus the release handle for
+    * its internal caches — the [[CurationRun]] contract: `release()`
+    * unpersists exactly this run's frames, idempotently, after the
+    * last action over `result`.
+    */
+  final case class PretrainRun(result: DataFrame, cached: Seq[DataFrame]) {
+    def release(): Unit = cached.foreach(_.unpersist())
+  }
+
+  /** THE PRETRAINING-CORPUS SPINE (round 17) — the round-16 curation
+    * operators composed into one auditable pipeline, the q205/q207
+    * discipline applied to the new family: interop bugs live in the
+    * seams, so the composition itself is oracle-checked (q227), not
+    * just its fragments.
+    *
+    *   Gopher quality gate  ->  PII scrub  ->  DSIR importance
+    *   weights  ->  Gumbel top-k resample per language  ->  FFD
+    *   whole-doc packing
+    *
+    * Every input document (non-null id and text) lands EXACTLY ONE
+    * disposition:
+    *  - `gated`       — failed the Gopher gate (or had no 2-gram for
+    *                    its repetition rule: too short is a fail, not
+    *                    a crash — the gate's inner-join drop becomes
+    *                    an explicit reject here);
+    *  - `not_sampled` — passed the gate, scrubbed and DSIR-weighted,
+    *                    but lost the per-language Gumbel resample;
+    *  - `packed`      — sampled, with its FFD bin assignment.
+    *
+    * Columns: (doc_id, lang, disposition, dsir_weight_u, sample_rank,
+    * bin_idx, n_tok) — weight/rank/bin/n_tok null where the doc never
+    * reached that stage. The gate reads the ORIGINAL text (PII tokens
+    * are real quality signal); DSIR, sampling and packing read the
+    * SCRUBBED text (nothing downstream of the curation boundary sees
+    * raw PII) — n_tok is the scrubbed token count, the one the packed
+    * shards actually ship.
+    *
+    * Scale shape, stage by stage (each proven on its own oracle row):
+    * the gate is rules 1-3 narrow + one (doc, n, gram) count shuffle
+    * (q218/q219); the scrub is shuffle-free (q222); DSIR's widest
+    * shuffle is the (doc, bucket) count with both distributions
+    * broadcast (q221), its corpus gram pass persisted ONCE
+    * ([[dsirRun]]); the resample is one per-language window (q223);
+    * packing is one shard shuffle with maxOpen-bounded fold state
+    * (q216). The scrubbed projection is persisted — it feeds DSIR's
+    * raw AND target sides, the weight join, and the packer.
+    */
+  def pretrainingRun(docs: DataFrame, minWords: Long, maxWords: Long,
+      minMeanLen: Double, maxMeanLen: Double, stopWords: Seq[String],
+      minStopHits: Long, maxTop2Frac: Double, targetPred: Column,
+      dim: Int = 64, samplesPerLang: Int = 30, packBudget: Long = 512L,
+      maxOpen: Int = 4): PretrainRun = {
+    val base = docs
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val gate = TextAnalysis.gopherQualityGate(base, col("doc_id"), col("text"),
+        minWords, maxWords, minMeanLen, maxMeanLen, stopWords, minStopHits,
+        maxTop2Frac)
+      .select(col("doc_id"), col("keep"))
+    val tagged = base.join(gate, Seq("doc_id"), "left")
+      .withColumn("_keep", coalesce(col("keep"), lit(false)))
+    val nulls = Seq(lit(null).cast("long").as("dsir_weight_u"),
+      lit(null).cast("int").as("sample_rank"),
+      lit(null).cast("long").as("bin_idx"),
+      lit(null).cast("long").as("n_tok"))
+    val gated = tagged.filter(!col("_keep"))
+      .select(Seq(col("doc_id"), col("lang"),
+        lit("gated").as("disposition")) ++ nulls: _*)
+    val kept = tagged.filter(col("_keep")).select("doc_id", "lang", "text")
+    val scrubbed = TextAnalysis.scrubPii(kept, col("doc_id"), col("text"))
+      .join(kept.select("doc_id", "lang"), "doc_id")
+      .select(col("doc_id"), col("lang"), col("clean_text"),
+        size(split(col("clean_text"), " ")).cast("long").as("n_tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dsir = dsirRun(scrubbed, scrubbed.filter(targetPred),
+      col("doc_id"), col("clean_text"), dim)
+    val weighted = scrubbed.select("doc_id", "lang", "n_tok")
+      .join(dsir.result.select(col("doc_id"), col("dsir_weight_u")), "doc_id")
+    val sampled = gumbelTopK(weighted, col("doc_id"),
+      col("dsir_weight_u"), col("lang"), samplesPerLang)
+    val bins = packBinsFirstFitDecreasing(sampled, col("lang"), col("doc_id"),
+        col("n_tok"), packBudget, maxOpen)
+      .select(col("doc_id"), col("bin_idx"))
+    val packed = sampled.join(bins, "doc_id")
+      .select(col("doc_id"), col("lang"), lit("packed").as("disposition"),
+        col("dsir_weight_u"), col("sample_rank"), col("bin_idx"), col("n_tok"))
+    val notSampled = weighted
+      .join(sampled.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), lit("not_sampled").as("disposition"),
+        col("dsir_weight_u"), lit(null).cast("int").as("sample_rank"),
+        lit(null).cast("long").as("bin_idx"), col("n_tok"))
+    PretrainRun(gated.unionByName(notSampled).unionByName(packed),
+      scrubbed +: dsir.cached)
+  }
+
+  /** [[pretrainingRun]] without the cache handle — the one-shot
+    * convenience form ([[curationPipeline]]'s relationship to
+    * [[curationRun]]).
+    */
+  def pretrainingPipeline(docs: DataFrame, minWords: Long, maxWords: Long,
+      minMeanLen: Double, maxMeanLen: Double, stopWords: Seq[String],
+      minStopHits: Long, maxTop2Frac: Double, targetPred: Column,
+      dim: Int = 64, samplesPerLang: Int = 30, packBudget: Long = 512L,
+      maxOpen: Int = 4): DataFrame =
+    pretrainingRun(docs, minWords, maxWords, minMeanLen, maxMeanLen,
+      stopWords, minStopHits, maxTop2Frac, targetPred, dim, samplesPerLang,
+      packBudget, maxOpen).result
 
   /** Context-window sequence packing, contiguous-chop style: within
     * each shard (`shardCol`), lay documents end-to-end in `orderCol`

@@ -85,6 +85,36 @@ object IvfStore {
   def codebooksDir(storeDir: String, version: Long): String =
     s"$storeDir/v=$version/codebooks"
 
+  /** The PQ geometry `(nSub, subDim)` of a codebooks frame —
+    * `max(subspace) + 1` subspaces of `size(subvec)` dims each. One
+    * config-sized aggregation (the codebooks table is nSub x codes
+    * rows by construction). Fails loudly on an empty frame or on
+    * ragged subvec lengths — both mean the frame is not a
+    * [[Similarity.trainPqCodebooks]]-shaped codebook.
+    */
+  def geometryOf(codebooks: DataFrame): (Int, Int) = {
+    val r = codebooks.agg(
+      max(col("subspace")).cast("int").as("maxSub"),
+      min(size(col("subvec"))).as("minDim"),
+      max(size(col("subvec"))).as("maxDim"),
+      count(lit(1)).as("n")).collect().head
+    require(r.getLong(3) > 0, "codebooks frame is empty — no PQ geometry to derive")
+    require(r.getInt(1) == r.getInt(2),
+      s"codebooks carry ragged subvec lengths ${r.getInt(1)}..${r.getInt(2)} — not a PQ codebook")
+    (r.getInt(0) + 1, r.getInt(1))
+  }
+
+  /** The PQ geometry `(nSub, subDim)` a store version was built with,
+    * derived from its STORED codebooks — the store is SELF-DESCRIBING
+    * (round 17): no consumption site needs (or accepts unvalidated)
+    * caller-supplied geometry. One config-sized read at bind time.
+    */
+  def pqGeometry(spark: SparkSession, storeDir: String, version: Long): (Int, Int) = {
+    require(hasPq(spark, storeDir, version),
+      s"version $version of $storeDir stores no PQ codebooks — no geometry to derive")
+    geometryOf(codebooksOf(spark, storeDir, version))
+  }
+
   /** True iff `version` stores PQ codebooks (and therefore per-row
     * code columns) — written before publish, so on a published
     * version this is a stable property, not a race.
@@ -143,15 +173,18 @@ object IvfStore {
     * shape), it is stored under the version too and every data row
     * additionally carries its `nSub` PQ codes, encoded against the
     * STORED codebooks in the same narrow pass as the cell assignment
-    * — the compressed leg [[topKPq]] serves from. Returns the row
-    * count written (the bootstrap partition only — a re-bootstrap
-    * over a version that already carries feeder batches reports its
-    * own rows, not the directory total).
+    * — the compressed leg [[topKPq]] serves from. The PQ geometry is
+    * DERIVED from the codebooks frame itself ([[geometryOf]]) — the
+    * store records it implicitly and every reader re-derives it, so
+    * no caller-supplied (nSub, subDim) can ever disagree with the
+    * stored codes (round 17). Returns the row count written (the
+    * bootstrap partition only — a re-bootstrap over a version that
+    * already carries feeder batches reports its own rows, not the
+    * directory total).
     */
   def bootstrap(load: DataFrame, centroids: DataFrame, idCol: String,
       vecCol: String, storeDir: String, version: Long,
-      codebooks: Option[DataFrame] = None, nSub: Int = 8,
-      subDim: Int = 8): Long = {
+      codebooks: Option[DataFrame] = None): Long = {
     val spark = load.sparkSession
     centroids
       .select(col("cell").cast("int").as("cell"),
@@ -166,7 +199,7 @@ object IvfStore {
     val stored = centroidsOf(spark, storeDir, version)
     val assigned = Similarity.assignCells(load, stored, idCol, vecCol)
       .select(col("_id").as(idCol), col("_v").as(vecCol), col("cell"))
-    withCodes(spark, assigned, storeDir, version, vecCol, nSub, subDim)
+    withCodes(spark, assigned, storeDir, version, vecCol)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("cell")
       .parquet(s"${dataDir(storeDir, version)}/batchId=$BootstrapBatchId")
@@ -179,13 +212,14 @@ object IvfStore {
   /** Append the version's PQ code columns `c0..c{nSub-1}` to `rows`
     * (no-op on a version without codebooks) — one narrow projection
     * against the broadcast codebook array, the [[Similarity.pqEncode]]
-    * move with the codes kept beside the full row.
+    * move with the codes kept beside the full row. Geometry comes
+    * from the version's OWN stored codebooks ([[pqGeometry]]).
     */
   private def withCodes(spark: SparkSession, rows: DataFrame,
-      storeDir: String, version: Long, vecCol: String, nSub: Int,
-      subDim: Int): DataFrame =
+      storeDir: String, version: Long, vecCol: String): DataFrame =
     if (!hasPq(spark, storeDir, version)) rows
     else {
+      val (nSub, subDim) = pqGeometry(spark, storeDir, version)
       val cbs = Similarity.pqCodebookArray(codebooksOf(spark, storeDir, version))
       val codeCols = (0 until nSub).map(sIdx =>
         element_at(col("_codes"), sIdx + 1).as(s"c$sIdx"))
@@ -244,7 +278,7 @@ object IvfStore {
       if (pqCodes <= 0) None
       else Some(Similarity.trainPqCodebooks(load, idCol, vecCol, nSub, subDim,
         pqCodes, pqIters))
-    bootstrap(load, trained, idCol, vecCol, storeDir, next, cbs, nSub, subDim)
+    bootstrap(load, trained, idCol, vecCol, storeDir, next, cbs)
     fs.delete(claim, false) // published: the claim has done its job
     next
   }
@@ -253,6 +287,18 @@ object IvfStore {
     * reclaiming a stale one first — the single-writer guard shared by
     * every verb that writes a new version ([[reindex]],
     * [[compactVersion]]).
+    *
+    * The auto-reclaim path is TOCTOU-safe (round 17): two writers
+    * that both age-check the same stale claim race not on delete (a
+    * delete would also remove the OTHER writer's fresh claim after it
+    * re-created one — the round-16 window) but on an atomic RENAME of
+    * the stale claim file to a writer-unique tombstone. Rename of one
+    * source path succeeds for exactly one caller on any rename-atomic
+    * FS (the object docstring's filesystem contract), so exactly one
+    * writer owns the reclaim; it then re-creates the claim FIRST —
+    * holding exclusivity — and only then deletes the crashed writer's
+    * half-written version directory. The loser's rename returns
+    * false and it fails fast with the usual already-claimed error.
     */
   private def claimVersion(spark: SparkSession, storeDir: String,
       version: Long, staleClaimMs: Long): Path = {
@@ -262,17 +308,43 @@ object IvfStore {
     if (fs.exists(claim) && staleClaimMs != Long.MaxValue &&
         !fs.exists(new Path(s"$storeDir/versions/v-$version"))) {
       val age = System.currentTimeMillis() - fs.getFileStatus(claim).getModificationTime
-      if (age > staleClaimMs) reclaim(spark, storeDir, version)
+      if (age > staleClaimMs) {
+        val tomb = staleTombstone(storeDir, version)
+        if (fs.rename(claim, tomb)) {
+          // we own the reclaim: take the claim BEFORE touching the
+          // half-written directory, so no third writer can claim and
+          // start writing a directory we are about to delete
+          try fs.create(claim, false).close()
+          catch {
+            case e: java.io.IOException =>
+              fs.delete(tomb, false)
+              throw alreadyClaimed(claim, version, e)
+          }
+          fs.delete(new Path(s"$storeDir/v=$version"), true)
+          fs.delete(tomb, false)
+          return claim
+        }
+        // rename lost: another writer reclaimed first — fall through
+        // to the exclusive create, which will fail with the remedy
+      }
     }
     try fs.create(claim, false).close()
     catch {
-      case e: java.io.IOException => throw new IllegalStateException(
-        s"version $version is already claimed by another writer ($claim exists) — " +
-          s"if that writer crashed before publishing, run reclaim(storeDir, $version) " +
-          "(or pass staleClaimMs) and retry", e)
+      case e: java.io.IOException => throw alreadyClaimed(claim, version, e)
     }
     claim
   }
+
+  private def staleTombstone(storeDir: String, version: Long): Path =
+    new Path(s"$storeDir/claims/v-$version.stale." +
+      java.util.UUID.randomUUID().toString)
+
+  private def alreadyClaimed(claim: Path, version: Long,
+      e: java.io.IOException): IllegalStateException =
+    new IllegalStateException(
+      s"version $version is already claimed by another writer ($claim exists) — " +
+        s"if that writer crashed before publishing, run reclaim(storeDir, $version) " +
+        "(or pass staleClaimMs) and retry", e)
 
   /** VERSION-SAFE COMPACTION (round 16): rewrite the live version's
     * accreted batchId directories into version live+1 with a bounded
@@ -292,9 +364,13 @@ object IvfStore {
     * Feeder coordination: compaction is a snapshot of the data dir's
     * call-time contents. A feeder still writing into the OLD version
     * during the compaction would strand its new batches there —
-    * pause it across the (fast) rewrite, or run [[catchUp]] from the
-    * old to the new version afterwards (same boundary discipline as
-    * a reindex) before dropping the old one.
+    * pause it across the (fast) rewrite, or heal MECHANICALLY
+    * (round 17): `catchUp(storeDir, v, next, afterBatchId =
+    * maxBatchId(spark, storeDir, next))` migrates exactly the batches
+    * the snapshot missed (batchId partitions are preserved, so the
+    * new version's max batchId IS the snapshot boundary), and
+    * [[strandedBatchIds]] audits that nothing is left behind before
+    * [[dropVersionsBelow]].
     */
   def compactVersion(spark: SparkSession, storeDir: String,
       writerTasks: Int = 0, staleClaimMs: Long = Long.MaxValue): Long = {
@@ -322,24 +398,58 @@ object IvfStore {
   }
 
   /** Recover from a CRASHED reindex without filesystem surgery
-    * (round 16): delete `version`'s leftover claim file and its
-    * half-written `v=N` directory so the next [[reindex]] can claim
-    * it again. Refuses a PUBLISHED version — its claim is gone by
-    * construction and its directories belong to readers. Safe by the
-    * unpublished-invisible invariant: no reader can hold an
-    * unpublished version, so deleting its directories affects no one.
-    * Two operators racing reclaim-then-reindex still exclude each
-    * other at the claim re-create; the narrow window where one
-    * reclaims the other's FRESH claim is why the automatic path
-    * ([[reindex]]'s `staleClaimMs`) also requires the claim to be
-    * old — pick a threshold well above your longest retrain.
+    * (round 16; rename-serialized round 17): remove `version`'s
+    * leftover claim file and its half-written `v=N` directory so the
+    * next [[reindex]] can claim it again. Refuses a PUBLISHED version
+    * — its claim is gone by construction and its directories belong
+    * to readers. Safe by the unpublished-invisible invariant: no
+    * reader can hold an unpublished version, so deleting its
+    * directories affects no one.
+    *
+    * Concurrency: the claim is first atomically RENAMED to a
+    * caller-unique tombstone — of two racing reclaimers exactly one
+    * wins the rename, the other fails loudly — then the winner
+    * RE-CREATES the claim (excluding any writer from starting on the
+    * version mid-surgery), deletes the half-written directory, and
+    * finally releases both the tombstone and the claim. A writer that
+    * claimed the version between the rename and the re-create makes
+    * the re-create fail: the reclaim aborts without touching the
+    * directory that writer now owns.
     */
   def reclaim(spark: SparkSession, storeDir: String, version: Long): Unit = {
     val fs = fsOf(spark, storeDir)
     require(!fs.exists(new Path(s"$storeDir/versions/v-$version")),
       s"version $version is published — its claim cannot be stale; nothing to reclaim")
+    val claim = new Path(s"$storeDir/claims/v-$version")
+    fs.mkdirs(claim.getParent)
+    if (fs.exists(claim)) {
+      val tomb = staleTombstone(storeDir, version)
+      if (!fs.rename(claim, tomb))
+        throw new IllegalStateException(
+          s"another process is concurrently reclaiming version $version of $storeDir — retry")
+      try fs.create(claim, false).close()
+      catch {
+        case e: java.io.IOException =>
+          fs.delete(tomb, false)
+          throw new IllegalStateException(
+            s"a writer claimed version $version mid-reclaim — its directories are " +
+              "live, nothing was deleted", e)
+      }
+      fs.delete(tomb, false)
+    } else {
+      // no claim on disk (the crashed writer died after deleting it,
+      // or never claimed): still take the claim before surgery so a
+      // concurrent writer cannot start on the directory being deleted
+      try fs.create(claim, false).close()
+      catch {
+        case e: java.io.IOException =>
+          throw new IllegalStateException(
+            s"a writer claimed version $version mid-reclaim — its directories are " +
+              "live, nothing was deleted", e)
+      }
+    }
     fs.delete(new Path(s"$storeDir/v=$version"), true)
-    fs.delete(new Path(s"$storeDir/claims/v-$version"), false)
+    fs.delete(claim, false)
   }
 
   /** Close the feed gap a reindex leaves (round 15): while
@@ -379,8 +489,8 @@ object IvfStore {
     * itself, persisted across the write, not a directory re-scan.
     */
   def catchUp(spark: SparkSession, storeDir: String, fromVersion: Long,
-      toVersion: Long, afterBatchId: Long, nSub: Int = 8,
-      subDim: Int = 8): Long = {
+      toVersion: Long, afterBatchId: Long, idCol: String = "",
+      vecCol: String = ""): Long = {
     require(afterBatchId >= BootstrapBatchId,
       s"afterBatchId must be >= $BootstrapBatchId, got $afterBatchId")
     val from = new Path(dataDir(storeDir, fromVersion))
@@ -395,27 +505,46 @@ object IvfStore {
     val rows = spark.read
       .option("basePath", dataDir(storeDir, fromVersion))
       .parquet(pending.map(b => s"${dataDir(storeDir, fromVersion)}/batchId=$b"): _*)
-    // drop the OLD version's derived columns (cell, and codes if the
-    // old version was PQ-enabled) — both are re-derived under the new
-    // version's centroids/codebooks
+    // (id, vec) come from the CALLER when given (round-17 ADVICE —
+    // callers know their columns; schema-sniffing a store whose id is
+    // literally named like `c1` mis-classifies it as a derived code
+    // column). The sniff survives as the no-args convenience AND as
+    // validation of explicit names.
     val derived = Set("cell", "batchId") ++ rows.columns.filter(_.matches("c\\d+"))
-    val cols = rows.columns.filterNot(derived.contains)
-    require(cols.length == 2,
-      s"pending batches carry unexpected columns ${cols.mkString(",")} — expected (id, vec)")
-    val (idCol, vecCol) =
-      if (rows.schema(cols(0)).dataType.typeName == "array") (cols(1), cols(0))
-      else (cols(0), cols(1))
+    val (useId, useVec) =
+      if (idCol.nonEmpty || vecCol.nonEmpty) {
+        require(idCol.nonEmpty && vecCol.nonEmpty,
+          s"pass BOTH idCol and vecCol or neither, got (idCol='$idCol', vecCol='$vecCol')")
+        Seq(idCol, vecCol).foreach(c => require(rows.columns.contains(c),
+          s"column '$c' not present in pending batches (have ${rows.columns.mkString(",")})"))
+        require(rows.schema(vecCol).dataType.typeName == "array",
+          s"vecCol '$vecCol' is not an array column")
+        (idCol, vecCol)
+      } else {
+        val cols = rows.columns.filterNot(derived.contains)
+        require(cols.length == 2,
+          s"pending batches carry unexpected columns ${cols.mkString(",")} — " +
+            "expected (id, vec); pass idCol/vecCol explicitly if your columns " +
+            "collide with the derived-name sniff")
+        val arrays = cols.filter(c => rows.schema(c).dataType.typeName == "array")
+        require(arrays.length == 1,
+          s"cannot orient (id, vec) among ${cols.mkString(",")} — " +
+            s"${arrays.length} array columns; pass idCol/vecCol explicitly")
+        (cols.find(_ != arrays.head).get, arrays.head)
+      }
     // the assignCells argmin inlined so batchId rides along (the
     // helper projects it away): same broadcast one-row centroid
     // array, same narrow fold, zero corpus shuffle
-    val assigned = rows.select(col(idCol), col(vecCol), col("batchId"))
+    val assigned = rows.select(col(useId), col(useVec), col("batchId"))
       .crossJoin(broadcast(Similarity.centroidArray(ctrs)))
       .withColumn("cell",
-        Similarity.nearestCentroid(col(vecCol), col("_ctrs")).getField("cell"))
-      .select(col(idCol), col(vecCol), col("batchId"), col("cell"))
-    val coded = withCodes(spark, assigned, storeDir, toVersion, vecCol, nSub, subDim)
-      .select((Seq(idCol, vecCol) ++
-        (if (hasPq(spark, storeDir, toVersion)) (0 until nSub).map(i => s"c$i") else Nil) ++
+        Similarity.nearestCentroid(col(useVec), col("_ctrs")).getField("cell"))
+      .select(col(useId), col(useVec), col("batchId"), col("cell"))
+    val toPq = hasPq(spark, storeDir, toVersion)
+    val nSubTo = if (toPq) pqGeometry(spark, storeDir, toVersion)._1 else 0
+    val coded = withCodes(spark, assigned, storeDir, toVersion, useVec)
+      .select((Seq(useId, useVec) ++
+        (if (toPq) (0 until nSubTo).map(i => s"c$i") else Nil) ++
         Seq("batchId", "cell")).map(col): _*)
       .persist()
     try {
@@ -555,17 +684,24 @@ object IvfStore {
     */
   def topKPq(spark: SparkSession, storeDir: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int, shortlist: Int,
-      nSub: Int = 8, subDim: Int = 8): DataFrame =
+      nSub: Int = 0, subDim: Int = 0): DataFrame =
     topKPqOf(spark, storeDir, requireLive(spark, storeDir), queries,
       idCol, vecCol, k, nprobe, shortlist, nSub, subDim)
 
   /** [[topKPq]] pinned to an explicit published version — see
     * [[topKOf]] for why the pin exists.
+    *
+    * Geometry is SELF-DESCRIBED (round 17): `(nSub, subDim)` derive
+    * from the version's own stored codebooks ([[pqGeometry]]) — a
+    * store built with any geometry serves correctly with no geometry
+    * args. Explicit values (when > 0) are VALIDATED against the
+    * stored geometry and fail loudly on mismatch, never silently
+    * serve a degraded shortlist from a prefix of the code columns.
     */
   def topKPqOf(spark: SparkSession, storeDir: String, version: Long,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
-      nprobe: Int, shortlist: Int, nSub: Int = 8,
-      subDim: Int = 8): DataFrame = {
+      nprobe: Int, shortlist: Int, nSubReq: Int = 0,
+      subDimReq: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1 && shortlist >= k && nprobe >= 1,
       s"need 1 <= k <= shortlist and nprobe >= 1, got (k=$k, shortlist=$shortlist, nprobe=$nprobe)")
@@ -573,6 +709,11 @@ object IvfStore {
     require(hasPq(spark, storeDir, v),
       s"version $v of $storeDir stores no PQ codebooks — bootstrap/reindex with PQ " +
         "or serve exact with topK")
+    val (nSub, subDim) = pqGeometry(spark, storeDir, v)
+    require(nSubReq <= 0 || nSubReq == nSub,
+      s"requested nSub=$nSubReq but version $v stores nSub=$nSub codebooks")
+    require(subDimReq <= 0 || subDimReq == subDim,
+      s"requested subDim=$subDimReq but version $v stores subDim=$subDim codebooks")
     val queryCells = probeCells(spark, storeDir, v, queries, idCol, vecCol, nprobe)
     val probed = probedSet(queryCells)
     val probes = queryCells.select(col("query_id"), col("cell"))
@@ -617,6 +758,54 @@ object IvfStore {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         Similarity.q6(col("_ed").cast("double") / 1e6).as("exact_dist"))
+  }
+
+  /** The batchId directories present under a version's data dir —
+    * one listing, no data read.
+    */
+  private def batchIdsOf(spark: SparkSession, storeDir: String,
+      version: Long): Seq[Long] = {
+    val dir = new Path(dataDir(storeDir, version))
+    val fs = fsOf(spark, storeDir)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("batchId="))
+      .flatMap(n => n.stripPrefix("batchId=").toLongOption)
+      .toSeq.sorted
+  }
+
+  /** The highest batchId stored under `version` (the reserved
+    * bootstrap id when no feeder batch has landed) — after a
+    * [[compactVersion]], this IS the snapshot boundary to pass
+    * [[catchUp]] as `afterBatchId`, because compaction preserves
+    * batchId partitions. Fails on a version with no data directory.
+    */
+  def maxBatchId(spark: SparkSession, storeDir: String, version: Long): Long = {
+    val ids = batchIdsOf(spark, storeDir, version)
+    require(ids.nonEmpty, s"version $version of $storeDir has no batchId directories")
+    ids.max
+  }
+
+  /** BatchIds present under `fromVersion` but missing from
+    * `toVersion` — the post-cutover audit that nothing a still-running
+    * feeder wrote into the old version is about to be dropped
+    * (round-17 ADVICE: compaction/reindex coordination with a live
+    * feeder was convention-only; this makes it checkable). Empty means
+    * the old version is safe to [[dropVersionsBelow]]; non-empty names
+    * exactly the batches to [[catchUp]]. One directory listing per
+    * version, no data read. Only batchIds STRICTLY ABOVE
+    * `afterBatchId` count: after a COMPACTION (batchIds preserved)
+    * the default — every feeder batch — is right; after a REINDEX,
+    * batches at or below the snapshot boundary are folded into the
+    * new version's bootstrap bulk and are NOT stranded, so pass the
+    * reindex's snapshot boundary.
+    */
+  def strandedBatchIds(spark: SparkSession, storeDir: String,
+      fromVersion: Long, toVersion: Long,
+      afterBatchId: Long = BootstrapBatchId): Seq[Long] = {
+    val to = batchIdsOf(spark, storeDir, toVersion).toSet
+    batchIdsOf(spark, storeDir, fromVersion)
+      .filter(b => b > afterBatchId && !to.contains(b))
   }
 
   /** Prune versions strictly below `keepFrom` (their markers AND

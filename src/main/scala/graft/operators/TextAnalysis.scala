@@ -669,37 +669,62 @@ object TextAnalysis {
       .select(col("phrase"), col(idCol))
   }
 
-  /** PII scrubbing pass (round 16) — the redaction step every
-    * production training-data pipeline runs before text leaves the
-    * curation boundary: emails, North-American-style phone numbers
-    * and SSN-shaped ids are replaced with typed placeholder tokens,
-    * and per-type match counts are emitted BESIDE the scrubbed text
-    * so the pipeline can alarm on PII-dense sources instead of
-    * silently laundering them. Patterns are deliberately RE2-safe
-    * (character classes and bounded repetition only — no
+  /** PII scrubbing pass (round 16; counts/anchoring hardened round
+    * 17) — the redaction step every production training-data pipeline
+    * runs before text leaves the curation boundary: emails,
+    * North-American-style phone numbers and SSN-shaped ids are
+    * replaced with typed placeholder tokens, and per-type match
+    * counts are emitted BESIDE the scrubbed text so the pipeline can
+    * alarm on PII-dense sources instead of silently laundering them.
+    * Patterns are deliberately RE2-safe (character classes, bounded
+    * repetition, alternation and capture groups only — no
     * backreferences or lookaround), so the same regexes run
     * identically under Java's engine here and RE2-family engines
-    * elsewhere; counts are taken on the ORIGINAL text, replacements
-    * applied email -> phone -> ssn (the shapes are disjoint, so order
-    * only matters for the placeholder a hybrid string would get).
+    * elsewhere.
     *
-    * Shape: one narrow projection — regexp_count + regexp_replace
-    * per row, no shuffle, no UDF.
+    * Round-17 hardening (both were ADVICE findings):
+    *  - The numeric shapes are BOUNDARY-ANCHORED — `(^|[^0-9-])` /
+    *    `($|[^0-9-])` around the digit groups — so a phone/SSN-shaped
+    *    substring INSIDE a longer digit-dash run (an 11-digit id, a
+    *    part number) is never partially redacted. Lookaround is not
+    *    RE2-safe, so the boundaries are consuming groups restored by
+    *    `$1`/`$3` in the replacement; because a consumed trailing
+    *    boundary hides an IMMEDIATELY adjacent second match, each
+    *    anchored replacement runs twice (the second pass catches the
+    *    odd/even leftovers — deterministic in any engine).
+    *  - Counts are derived FROM THE REDACTIONS, not re-matched on the
+    *    original text: each stage's count is the placeholder-
+    *    occurrence delta across that stage (exact integer
+    *    `(len_before_strip - len_after_strip) / len(placeholder)`
+    *    arithmetic on literal `replace`, no regex), so a phone
+    *    swallowed by the email replacement is counted as the EMAIL it
+    *    was part of — counts always agree with the emitted text.
+    *
+    * Shape: one narrow projection — regexp_replace + length
+    * arithmetic per row, no shuffle, no UDF.
     */
   def scrubPii(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val phone = "\\d{3}-\\d{3}-\\d{4}"
-    val ssn = "\\d{3}-\\d{2}-\\d{4}"
+    val phone = "(^|[^0-9-])(\\d{3}-\\d{3}-\\d{4})($|[^0-9-])"
+    val ssn = "(^|[^0-9-])(\\d{3}-\\d{2}-\\d{4})($|[^0-9-])"
+    def twice(c: Column, pat: String, rep: String): Column =
+      regexp_replace(regexp_replace(c, pat, rep), pat, rep)
+    // occurrences of the literal `tok` in `c`: exact length arithmetic
+    // over literal replace — no regex, no escaping concerns
+    def occ(c: Column, tok: String): Column =
+      ((length(c) - length(replace(c, lit(tok), lit("")))) / tok.length)
+        .cast("long")
+    val t1 = regexp_replace(textCol, email, "[EMAIL]")
+    val t2 = twice(t1, phone, "$1[PHONE]$3")
+    val t3 = twice(t2, ssn, "$1[SSN]$3")
     df.filter(idCol.isNotNull && textCol.isNotNull)
-      .select(idCol.as("doc_id"),
-        regexp_count(textCol, lit(email)).cast("long").as("n_emails"),
-        regexp_count(textCol, lit(phone)).cast("long").as("n_phones"),
-        regexp_count(textCol, lit(ssn)).cast("long").as("n_ssns"),
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(textCol, email, "[EMAIL]"),
-            phone, "[PHONE]"),
-          ssn, "[SSN]").as("clean_text"))
+      .select(idCol.as("doc_id"), textCol.as("_t0"),
+        t1.as("_t1"), t2.as("_t2"), t3.as("_t3"))
+      .select(col("doc_id"),
+        (occ(col("_t1"), "[EMAIL]") - occ(col("_t0"), "[EMAIL]")).as("n_emails"),
+        (occ(col("_t2"), "[PHONE]") - occ(col("_t1"), "[PHONE]")).as("n_phones"),
+        (occ(col("_t3"), "[SSN]") - occ(col("_t2"), "[SSN]")).as("n_ssns"),
+        col("_t3").as("clean_text"))
   }
 
   /** Gopher-style REPETITION signals (round 16; Rae et al. 2021,

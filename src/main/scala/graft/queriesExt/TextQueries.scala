@@ -854,15 +854,20 @@ object TextQueries {
                 AND w.stop_hits >= 2 AND top.top2_frac <= 0.12 AS INT) AS keep
     FROM w JOIN top USING (doc_id) ORDER BY w.doc_id"""))
 
-  /** PII scrubbing under the oracle (round 16,
+  /** PII scrubbing under the oracle (round 16; hardened round 17,
     * [[graft.operators.TextAnalysis.scrubPii]]): the corpus carries
     * no PII, so both engines PLANT identical deterministic PII spans
-    * (email, phone, SSN shapes derived from doc_id) and the operator
-    * must count them on the original text and redact them with typed
-    * placeholders — full scrubbed strings hash-compared, so a
-    * greediness or match-order divergence between the regex engines
-    * would fail loudly. RE2-safe patterns only (no backreferences or
-    * lookaround), which is exactly the production constraint.
+    * (email, phone, SSN shapes derived from doc_id) PLUS a
+    * phone-shaped substring buried INSIDE a longer digit run — the
+    * round-17 anchoring trap: the boundary-anchored patterns must
+    * leave the long run untouched where the old unanchored shape
+    * would have partially redacted it. Counts are redaction-derived
+    * (placeholder-occurrence deltas), so the oracle replays the same
+    * staged length arithmetic; full scrubbed strings hash-compared,
+    * so a greediness or match-order divergence between the regex
+    * engines would fail loudly. RE2-safe patterns only (capture
+    * groups, no backreferences or lookaround — the consuming-boundary
+    * + run-twice idiom), which is exactly the production constraint.
     */
   private val q222 = Q("q222_pii_scrub", (s, dir) => {
     val withPii = Tables.load(s, dir, "documents")
@@ -872,7 +877,9 @@ object TextQueries {
         lit("@example.com or call 415-555-"),
         lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
         lit(" ref 123-45-"),
-        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")).as("text"))
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" sku 9123-456-78901"),
+        pmod(col("doc_id"), lit(10)).cast("string")).as("text"))
     TextAnalysis.scrubPii(withPii, col("doc_id"), col("text"))
       .orderBy(col("doc_id"))
   }, Some("""
@@ -882,17 +889,35 @@ object TextQueries {
              '@example.com or call 415-555-' ||
              lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
              ' ref 123-45-' ||
-             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
-      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+             ' sku 9123-456-78901' || CAST(doc_id % 10 AS VARCHAR) AS t0
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+    s1 AS (
+      SELECT doc_id, t0,
+             regexp_replace(t0,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1
+      FROM p),
+    s2 AS (
+      SELECT doc_id, t0, t1,
+             regexp_replace(regexp_replace(t1,
+               '(^|[^0-9-])(\d{3}-\d{3}-\d{4})($|[^0-9-])', '\1[PHONE]\3', 'g'),
+               '(^|[^0-9-])(\d{3}-\d{3}-\d{4})($|[^0-9-])', '\1[PHONE]\3', 'g') AS t2
+      FROM s1),
+    s3 AS (
+      SELECT doc_id, t0, t1, t2,
+             regexp_replace(regexp_replace(t2,
+               '(^|[^0-9-])(\d{3}-\d{2}-\d{4})($|[^0-9-])', '\1[SSN]\3', 'g'),
+               '(^|[^0-9-])(\d{3}-\d{2}-\d{4})($|[^0-9-])', '\1[SSN]\3', 'g') AS t3
+      FROM s2)
     SELECT doc_id,
-           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-           CAST(len(regexp_extract_all(t, '\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
-           CAST(len(regexp_extract_all(t, '\d{3}-\d{2}-\d{4}')) AS BIGINT) AS n_ssns,
-           regexp_replace(regexp_replace(regexp_replace(t,
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-             '\d{3}-\d{3}-\d{4}', '[PHONE]', 'g'),
-             '\d{3}-\d{2}-\d{4}', '[SSN]', 'g') AS clean_text
-    FROM p ORDER BY doc_id"""))
+           CAST((len(t1) - len(replace(t1, '[EMAIL]', ''))) // 7
+              - (len(t0) - len(replace(t0, '[EMAIL]', ''))) // 7 AS BIGINT) AS n_emails,
+           CAST((len(t2) - len(replace(t2, '[PHONE]', ''))) // 7
+              - (len(t1) - len(replace(t1, '[PHONE]', ''))) // 7 AS BIGINT) AS n_phones,
+           CAST((len(t3) - len(replace(t3, '[SSN]', ''))) // 5
+              - (len(t2) - len(replace(t2, '[SSN]', ''))) // 5 AS BIGINT) AS n_ssns,
+           t3 AS clean_text
+    FROM s3 ORDER BY doc_id"""))
 
   /** Real-kernel audio feature path (Multimodal.audioRmsWindows):
     * per-window RMS energy over the decoded sample stream. On this

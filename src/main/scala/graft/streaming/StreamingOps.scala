@@ -260,15 +260,36 @@ object StreamingOps {
     * PQ codebooks (`IvfStore.readCodebooks`) and every fed row also
     * carries its `c0..c{nSub-1}` code columns — the same layout
     * `IvfStore.bootstrap` writes, so `topKPq` serves fed batches and
-    * bootstrap bulk identically.
+    * bootstrap bulk identically. The geometry is DERIVED from the
+    * codebooks frame itself (`IvfStore.geometryOf` — round 17), never
+    * caller-supplied, so fed codes can't silently disagree with the
+    * store's. FAIL-FAST GUARD (round 17): a feeder pointed at a
+    * PQ-enabled store version's data dir (`storeDir/v=N/data` with a
+    * sibling `codebooks` directory) WITHOUT codebooks would write
+    * code-less rows that `topKPq`'s all-subspaces-matched ADC guard
+    * silently excludes — invisible until recall drops. That
+    * misconfiguration now throws at start(), not at recall time.
     */
   def maintainIvfIndex(stream: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, indexDir: String, checkpointDir: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow(),
-      codebooks: Option[DataFrame] = None, nSub: Int = 8,
-      subDim: Int = 8): org.apache.spark.sql.streaming.StreamingQuery = {
+      codebooks: Option[DataFrame] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.SaveMode
+    if (codebooks.isEmpty) {
+      // feeding a versioned store's data dir? its layout is
+      // storeDir/v=N/data — a sibling codebooks dir means the version
+      // is PQ-enabled and this feeder MUST encode
+      val dir = new org.apache.hadoop.fs.Path(indexDir)
+      val fs = dir.getFileSystem(stream.sparkSession.sparkContext.hadoopConfiguration)
+      if (dir.getName == "data" && dir.getParent != null &&
+          fs.exists(new org.apache.hadoop.fs.Path(dir.getParent, "codebooks")))
+        throw new IllegalStateException(
+          s"$indexDir belongs to a PQ-enabled store version (sibling codebooks " +
+            "directory exists) but this feeder was started WITHOUT codebooks — " +
+            "its rows would carry no code columns and be silently invisible to " +
+            "topKPq; pass codebooks = Some(IvfStore.readCodebooks(...)) ")
+    }
     // Centroids are FIXED for the stream's lifetime (the contract
     // above), so collect them ONCE here — otherwise every micro-batch
     // re-executes the caller's full centroid lineage (training
@@ -286,8 +307,9 @@ object StreamingOps {
       val rows = c.select(col("subspace").cast("int"), col("code").cast("int"),
         col("subvec")).collect()
       require(rows.nonEmpty, "maintainIvfIndex: codebooks frame is empty")
+      val geom = graft.operators.IvfStore.geometryOf(c)
       (rows, c.select(col("subspace").cast("int").as("subspace"),
-        col("code").cast("int").as("code"), col("subvec")).schema)
+        col("code").cast("int").as("code"), col("subvec")).schema, geom)
     }
     stream.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -298,7 +320,7 @@ object StreamingOps {
           .select(col("_id").as(idCol), col("_v").as(vecCol), col("cell"))
         val coded = fixedCbs match {
           case None => assigned
-          case Some((rows, schema)) =>
+          case Some((rows, schema, (nSub, subDim))) =>
             val cbLocal = spark.createDataFrame(
               java.util.Arrays.asList(rows: _*), schema)
             val codeCols = (0 until nSub).map(sIdx =>
@@ -399,6 +421,11 @@ object StreamingOps {
     * overwrite keeps the output dir single-version either way, and
     * serving (unlike ingestion) has no exactly-once obligation to an
     * older index.
+    *
+    * PQ geometry is never a parameter here: each trigger's
+    * `topKPqOf` derives (nSub, subDim) from the bound version's OWN
+    * stored codebooks (round 17) — a mid-stream reindex to a
+    * different geometry is served correctly on the very next trigger.
     *
     * 100 TB shape: per trigger the driver-side work is one marker
     * listing + the |queries| x nprobe probe collect; the cluster-side

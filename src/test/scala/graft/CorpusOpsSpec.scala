@@ -373,6 +373,88 @@ class CorpusOpsSpec extends SparkSpec {
       plan.take(600))
   }
 
+  test("dsirRun: the corpus gram pass materializes ONCE — both consumers read the cache; release() unpersists exactly this run's frame") {
+    import spark.implicits._
+    val raw = Seq(
+      (1L, "alpha beta alpha gamma beta alpha"),
+      (2L, "beta gamma alpha beta gamma beta"),
+      (3L, "zulu yankee zulu xray yankee zulu")
+    ).toDF("doc_id", "text")
+    val target = Seq((10L, "alpha beta gamma alpha beta")).toDF("doc_id", "text")
+    val run = CorpusOps.dsirRun(raw, target, col("doc_id"), col("text"))
+    assert(run.cached.size == 1)
+    assert(run.cached.head.storageLevel.useMemory || run.cached.head.storageLevel.useDisk,
+      "the (doc, bucket) frame must be persisted")
+    val rows = run.result.collect()
+    assert(rows.length == 3)
+    // the ONE-PASS pin: the raw distribution fold and the scoring join
+    // both read the persisted (doc, bucket) counts — the executed plan
+    // carries (at least) two in-memory scans of the SAME cache, and
+    // the raw gram explode appears at most once (inside the cached
+    // plan), never as two live corpus passes
+    val plan = run.result.queryExecution.executedPlan.toString
+    val imr = "InMemoryTableScan".r.findAllIn(plan).length +
+      "TableCacheQueryStage".r.findAllIn(plan).length
+    assert(imr >= 2, s"expected both consumers on the cache, got $imr:\n${plan.take(1200)}")
+    // the convenience form gives the same integers
+    val viaConvenience = CorpusOps.dsirWeights(raw, target, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(viaConvenience == rows.map(r => r.getLong(0) -> r.getLong(2)).toMap)
+    // release is scoped and idempotent
+    run.release()
+    assert(run.cached.head.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE)
+    run.release() // no-op
+    // a fresh run after release re-caches cleanly and agrees
+    val again = CorpusOps.dsirRun(raw, target, col("doc_id"), col("text"))
+    assert(again.result.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap ==
+      rows.map(r => r.getLong(0) -> r.getLong(2)).toMap)
+    again.release()
+  }
+
+  test("pretrainingRun: every doc exactly one disposition; scrub feeds DSIR and packing; too-short docs are gated, not dropped") {
+    import spark.implicits._
+    def prose(n: Int, seed: Int) = (1 to n)
+      .map(i => if (i % 5 == 0) "the" else s"word${(i * seed) % 23}").mkString(" ")
+    val docs = Seq(
+      (1L, "en", prose(40, 3) + " mail bob@ex.io now"),   // kept; email scrubbed
+      (2L, "en", prose(45, 7)),                            // kept
+      (3L, "en", prose(44, 11)),                           // kept
+      (4L, "fr", prose(42, 5)),                            // kept
+      (5L, "en", "tiny"),                                  // < 2 tokens: gated (no 2-gram)
+      (6L, "en", prose(500, 3)),                           // too long: gated
+      (7L, "en", ("spam beacon " * 30).trim)               // repetitive: gated by top2
+    ).toDF("doc_id", "lang", "text")
+    val run = CorpusOps.pretrainingRun(docs,
+      minWords = 10L, maxWords = 100L, minMeanLen = 1.0, maxMeanLen = 9.0,
+      stopWords = Seq("the"), minStopHits = 1L, maxTop2Frac = 0.5,
+      targetPred = col("lang") === "en", dim = 16, samplesPerLang = 2,
+      packBudget = 64L, maxOpen = 2)
+    val rows = run.result.collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == (1L to 7L),
+      "every doc exactly one disposition")
+    val byId = rows.map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(byId(5L) == "gated" && byId(6L) == "gated" && byId(7L) == "gated", byId.toString)
+    // en keepers: 3 docs, k=2 -> exactly 2 packed + 1 not_sampled;
+    // fr keeper: 1 doc -> packed
+    val en = rows.filter(r => r.getString(1) == "en" && r.getString(2) != "gated")
+    assert(en.count(_.getString(2) == "packed") == 2 &&
+      en.count(_.getString(2) == "not_sampled") == 1, en.mkString(";"))
+    assert(byId(4L) == "packed")
+    // packed rows carry rank, bin and the SCRUBBED token count; doc 1's
+    // n_tok must count "[EMAIL]" as one token (scrub happened upstream)
+    rows.filter(_.getString(2) == "packed").foreach { r =>
+      assert(!r.isNullAt(4) && !r.isNullAt(5) && r.getLong(6) > 0L, r.toString)
+    }
+    val nTok1 = rows.find(_.getLong(0) == 1L).get.getLong(6)
+    assert(nTok1 == 43L, s"40 words + 'mail [EMAIL] now' = 43 scrubbed tokens, got $nTok1")
+    // handle releases its caches (scrubbed projection + dsir buckets)
+    assert(run.cached.size == 2)
+    run.release()
+    assert(run.cached.forall(_.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE))
+  }
+
   test("curationPipeline: one disposition per doc — quality gate, exact keeper, cluster-safe split") {
     import spark.implicits._
     val longText = (1 to 120).map(i => s"word$i").mkString(" ") // quality 1.0

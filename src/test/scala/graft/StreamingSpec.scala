@@ -1779,6 +1779,149 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("IvfStore self-describing geometry: non-default (nSub=4, subDim=16) serves with NO geometry args; wrong explicit args throw; code-less feeder vs PQ version fails at start") {
+    import graft.operators.{IvfStore, Similarity}
+    val base = tmp()
+    val e = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val centroids = Similarity.trainKMeans(e, "vec_id", "embedding", 4, 2, 64, 1024L)
+    // NON-DEFAULT geometry: 4 subspaces of 16 dims
+    val cbs = Similarity.trainPqCodebooks(e, "vec_id", "embedding",
+      nSub = 4, subDim = 16, codes = 8, iters = 1)
+    IvfStore.bootstrap(e, centroids, "vec_id", "embedding", s"$base/store", 1L, Some(cbs))
+    assert(IvfStore.pqGeometry(spark, s"$base/store", 1L) == ((4, 16)))
+    // exactly c0..c3 stored — the round-16 default (8) would have
+    // mis-encoded or mis-read this store
+    val stored = IvfStore.readCorpus(spark, s"$base/store")
+    assert(stored.columns.count(_.matches("c\\d+")) == 4)
+    // serving with NO geometry args equals the from-scratch plan under
+    // the same (4, 16) codebooks
+    val queries = e.filter(col("vec_id") < 5)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val got = IvfStore.topKPq(spark, s"$base/store", queries,
+      "vec_id", "embedding", k = 5, nprobe = 3, shortlist = 20)
+    val want = Similarity.ivfPqTopK(e, queries,
+      IvfStore.readCentroids(spark, s"$base/store"),
+      IvfStore.readCodebooks(spark, s"$base/store"),
+      "vec_id", "embedding", k = 5, nprobe = 3, shortlist = 20,
+      nSub = 4, subDim = 16)
+    assert(key(got) == key(want),
+      "a (4,16) store must serve correctly with geometry derived, not defaulted")
+    // explicit-but-wrong geometry fails loudly instead of silently
+    // serving a degraded shortlist from a code-column prefix
+    val ex = intercept[IllegalArgumentException] {
+      IvfStore.topKPq(spark, s"$base/store", queries,
+        "vec_id", "embedding", 5, 3, 20, nSub = 8, subDim = 8).collect()
+    }
+    assert(ex.getMessage.contains("nSub"))
+    // catchUp with explicit (idCol, vecCol) — no schema sniff — and
+    // derived geometry migrates + re-encodes correctly: a pending
+    // batch lands in v1 (code-less — catchUp re-derives everything),
+    // then a same-geometry v2 reindex over the bootstrap snapshot
+    val pend = Similarity.assignCells(e.filter(col("vec_id") % 7 === 0),
+        IvfStore.readCentroids(spark, s"$base/store"), "vec_id", "embedding")
+      .select(col("_id").as("vec_id"), col("_v").as("embedding"), col("cell"))
+    pend.write.partitionBy("cell")
+      .parquet(s"${IvfStore.dataDir(s"$base/store", 1L)}/batchId=0")
+    val snapshot = spark.read
+      .parquet(s"${IvfStore.dataDir(s"$base/store", 1L)}/batchId=-1")
+      .select("vec_id", "embedding")
+    val v2 = IvfStore.reindex(snapshot, "vec_id", "embedding", 4, 2, 64,
+      s"$base/store", 1024L, pqCodes = 8, nSub = 4, subDim = 16, pqIters = 1)
+    assert(v2 == 2L && IvfStore.pqGeometry(spark, s"$base/store", 2L) == ((4, 16)))
+    val migrated = IvfStore.catchUp(spark, s"$base/store", 1L, 2L,
+      afterBatchId = -1L, idCol = "vec_id", vecCol = "embedding")
+    assert(migrated == e.filter(col("vec_id") % 7 === 0).count())
+    val reread = spark.read.parquet(IvfStore.dataDir(s"$base/store", 2L))
+    assert(reread.filter(col("batchId") === 0).columns.count(_.matches("c\\d+")) == 4,
+      "migrated rows must carry the derived (4,16) geometry's code columns")
+    // mismatched explicit columns fail loudly
+    val exCols = intercept[IllegalArgumentException] {
+      IvfStore.catchUp(spark, s"$base/store", 1L, 2L, -1L,
+        idCol = "vec_id", vecCol = "nope")
+    }
+    assert(exCols.getMessage.contains("nope"))
+    IvfStore.bootstrap(e.filter(col("vec_id") % 7 =!= 0), centroids,
+      "vec_id", "embedding", s"$base/store2", 1L, Some(cbs))
+    // the feeder guard: a code-less feeder against this PQ version
+    // throws at start(), not at recall time
+    Files.createDirectories(Paths.get(s"$base/never-read"))
+    val exFeed = intercept[IllegalStateException] {
+      StreamingOps.maintainIvfIndex(
+        spark.readStream.schema(e.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$base/never-read"),
+        IvfStore.readCentroids(spark, s"$base/store"),
+        "vec_id", "embedding", IvfStore.dataDir(s"$base/store", 1L), s"$base/ck-guard")
+    }
+    assert(exFeed.getMessage.contains("codebooks"))
+    // a PQ-aware feeder with the (4,16) codebooks encodes 4 columns
+    e.filter(col("vec_id") % 11 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$base/staging-g")
+    val part = new java.io.File(s"$base/staging-g").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val dst = new java.io.File(s"$base/in-g/b0.parquet")
+    Files.createDirectories(dst.toPath.getParent)
+    Files.copy(part.toPath, dst.toPath)
+    StreamingOps.maintainIvfIndex(
+      spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in-g"),
+      IvfStore.readCentroids(spark, s"$base/store2"),
+      "vec_id", "embedding", IvfStore.dataDir(s"$base/store2", 1L), s"$base/ck-g",
+      codebooks = Some(IvfStore.readCodebooks(spark, s"$base/store2")))
+      .awaitTermination(120000)
+    val fed = spark.read.parquet(
+      s"${IvfStore.dataDir(s"$base/store2", 1L)}/batchId=0")
+    assert(fed.columns.count(_.matches("c\\d+")) == 4,
+      "the feeder must encode with the codebooks' own geometry")
+  }
+
+  test("IvfStore.strandedBatchIds + maxBatchId: a feeder writing through a compaction is detected and healed mechanically") {
+    import graft.operators.{IvfStore, Similarity}
+    val base = tmp()
+    val e = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    IvfStore.reindex(e.filter(col("vec_id") % 3 === 0), "vec_id", "embedding",
+      4, 2, 64, s"$base/store", 1024L, pqCodes = 16, pqIters = 1)
+    val ctrs = IvfStore.readCentroids(spark, s"$base/store")
+    val cbs = IvfStore.readCodebooks(spark, s"$base/store")
+    // the PQ-aware feeder's layout, written directly: cell-assigned
+    // rows WITH their stored-codebook codes (the maintainIvfIndex
+    // batch body, minus the stream plumbing already e2e'd above)
+    def feedBatch(b: Long, pred: org.apache.spark.sql.Column): Unit = {
+      val assigned = Similarity.assignCells(e.filter(pred), ctrs, "vec_id", "embedding")
+        .select(col("_id").as("vec_id"), col("_v").as("embedding"), col("cell"))
+      val codes = Similarity.pqEncode(e.filter(pred), cbs, "vec_id", "embedding")
+        .withColumnRenamed("_id", "vec_id")
+      assigned.join(codes, "vec_id")
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"${IvfStore.dataDir(s"$base/store", 1L)}/batchId=$b")
+    }
+    feedBatch(0L, col("vec_id") % 3 === 1)
+    assert(IvfStore.maxBatchId(spark, s"$base/store", 1L) == 0L)
+    val v2 = IvfStore.compactVersion(spark, s"$base/store", writerTasks = 2)
+    assert(v2 == 2L)
+    assert(IvfStore.strandedBatchIds(spark, s"$base/store", 1L, 2L).isEmpty,
+      "compaction preserves batchIds — nothing stranded yet")
+    // the feeder keeps writing into the OLD version mid-cutover
+    feedBatch(1L, col("vec_id") % 3 === 2)
+    assert(IvfStore.strandedBatchIds(spark, s"$base/store", 1L, 2L) == Seq(1L),
+      "a batch landed in the old version after the snapshot must be reported")
+    // mechanical heal: catchUp from the new version's own max batchId
+    val boundary = IvfStore.maxBatchId(spark, s"$base/store", 2L)
+    assert(boundary == 0L)
+    val migrated = IvfStore.catchUp(spark, s"$base/store", 1L, 2L,
+      afterBatchId = boundary)
+    assert(migrated == e.filter(col("vec_id") % 3 === 2).count())
+    assert(IvfStore.strandedBatchIds(spark, s"$base/store", 1L, 2L).isEmpty,
+      "after the heal the audit must come back clean")
+    // the healed version serves every vector; migrated rows carry codes
+    val v2Data = spark.read.parquet(IvfStore.dataDir(s"$base/store", 2L))
+    assert(v2Data.count() == e.count())
+    assert(v2Data.filter(col("batchId") === 1L)
+      .columns.count(_.matches("c\\d+")) == 8)
+    IvfStore.dropVersionsBelow(spark, s"$base/store", 2L)
+    assert(!new java.io.File(s"$base/store/v=1").exists())
+  }
+
   test("serveTopKStream: per-trigger version binding across a mid-stream reindex — old or new, never mixed") {
     import graft.operators.IvfStore
     val base = tmp()

@@ -258,11 +258,23 @@ class TextSpec extends SparkSpec {
     assert(rows.getDouble(1) > 0.0 && rows.getDouble(2) < 1.5)
   }
 
-  test("scrubPii: plants are counted on the original and redacted with typed placeholders; clean text passes through") {
+  test("scrubPii: counts equal the actual redactions; digit-run and adjacency traps (round 17)") {
     val docs = Seq(
       (1L, "mail me at jo.doe+x@corp.example.org and bob@ex.io today"),
       (2L, "call 415-555-0137 or 212-555-9999 about 123-45-6789"),
-      (3L, "no pii here at all")
+      (3L, "no pii here at all"),
+      // a phone-shaped substring INSIDE a longer digit-dash run must
+      // NOT be partially redacted (the old unanchored pattern bit
+      // into "234-567-8901" here)
+      (4L, "sku 9234-567-89012 stays"),
+      // a phone swallowed by the email match is counted as the EMAIL
+      // it was part of, never double-counted as a phone: the whole
+      // local part 415-555-0137@ex.io is one email
+      (5L, "ping 415-555-0137@ex.io now"),
+      // back-to-back numbers separated by one space: the consuming
+      // trailing boundary hides the second match from pass one; the
+      // run-twice idiom catches it
+      (6L, "415-555-0137 212-555-9999 123-45-6789 321-54-9876 end")
     ).toDF("doc_id", "text")
     val got = TextAnalysis.scrubPii(docs, col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) ->
@@ -270,6 +282,9 @@ class TextSpec extends SparkSpec {
     assert(got(1L) == ((2L, 0L, 0L, "mail me at [EMAIL] and [EMAIL] today")), got(1L).toString)
     assert(got(2L) == ((0L, 2L, 1L, "call [PHONE] or [PHONE] about [SSN]")), got(2L).toString)
     assert(got(3L) == ((0L, 0L, 0L, "no pii here at all")), got(3L).toString)
+    assert(got(4L) == ((0L, 0L, 0L, "sku 9234-567-89012 stays")), got(4L).toString)
+    assert(got(5L) == ((1L, 0L, 0L, "ping [EMAIL] now")), got(5L).toString)
+    assert(got(6L) == ((0L, 2L, 2L, "[PHONE] [PHONE] [SSN] [SSN] end")), got(6L).toString)
     // narrow plan: no shuffle, no UDF
     val plan = TextAnalysis.scrubPii(docs, col("doc_id"), col("text"))
       .queryExecution.executedPlan.toString
