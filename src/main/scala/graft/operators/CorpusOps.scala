@@ -808,8 +808,12 @@ object CorpusOps {
         minWords, maxWords, minMeanLen, maxMeanLen, stopWords, minStopHits,
         maxTop2Frac)
       .select(col("doc_id"), col("keep"))
+    // persisted: the gate verdict splits into the `gated` branch AND
+    // the kept pipeline — without the cache the gate's repetition
+    // shuffle (the spine's widest stage) executes once per branch
     val tagged = base.join(gate, Seq("doc_id"), "left")
       .withColumn("_keep", coalesce(col("keep"), lit(false)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nulls = Seq(lit(null).cast("long").as("dsir_weight_u"),
       lit(null).cast("int").as("sample_rank"),
       lit(null).cast("long").as("bin_idx"),
@@ -841,7 +845,7 @@ object CorpusOps {
         col("dsir_weight_u"), lit(null).cast("int").as("sample_rank"),
         lit(null).cast("long").as("bin_idx"), col("n_tok"))
     PretrainRun(gated.unionByName(notSampled).unionByName(packed),
-      scrubbed +: dsir.cached)
+      Seq(tagged, scrubbed) ++ dsir.cached)
   }
 
   /** [[pretrainingRun]] without the cache handle — the one-shot

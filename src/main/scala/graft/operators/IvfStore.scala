@@ -355,11 +355,24 @@ object IvfStore {
     * once they drain. Unlike
     * [[graft.streaming.StreamingOps.compactIvfIndex]] (which targets
     * a plain feeder dir and needs a stop-the-world swap), this never
-    * mutates a directory a reader could hold. BatchId partitions are
-    * PRESERVED, so a feeder resumed against the new version with its
-    * continued checkpoint keeps its replay discipline unchanged.
-    * Claims exclude concurrent writers exactly as in [[reindex]].
-    * Returns the new version number.
+    * mutates a directory a reader could hold. By default batchId
+    * partitions are PRESERVED, so a feeder resumed against the new
+    * version with its continued checkpoint keeps its replay
+    * discipline unchanged. Claims exclude concurrent writers exactly
+    * as in [[reindex]]. Returns the new version number.
+    *
+    * `foldBatchesUpTo` (round 17 — measured: preserving every batchId
+    * caps files per partition but the DIRECTORY count still grows one
+    * per batch, and the serving scan's listing cost with it; see
+    * SCALE.md's storeCompaction probe): batchIds at or below this
+    * value are RE-KEYED to the reserved bootstrap partition in the
+    * new version, collapsing their directories into one. Safe under
+    * the same contract catchUp already imposes: the resumed feeder's
+    * CONTINUED checkpoint commits batchIds strictly beyond what it
+    * already wrote, so a folded batch can never be replayed into the
+    * new version unless the checkpoint is reset (the documented
+    * failure mode). Pass `maxBatchId(spark, storeDir, live)` to fold
+    * everything committed so far; leave the default to preserve all.
     *
     * Feeder coordination: compaction is a snapshot of the data dir's
     * call-time contents. A feeder still writing into the OLD version
@@ -373,7 +386,8 @@ object IvfStore {
     * [[dropVersionsBelow]].
     */
   def compactVersion(spark: SparkSession, storeDir: String,
-      writerTasks: Int = 0, staleClaimMs: Long = Long.MaxValue): Long = {
+      writerTasks: Int = 0, staleClaimMs: Long = Long.MaxValue,
+      foldBatchesUpTo: Long = Long.MinValue): Long = {
     val v = requireLive(spark, storeDir)
     val next = v + 1L
     val claim = claimVersion(spark, storeDir, next, staleClaimMs)
@@ -387,7 +401,13 @@ object IvfStore {
       spark.read.parquet(codebooksDir(storeDir, v))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(codebooksDir(storeDir, next))
-    spark.read.parquet(dataDir(storeDir, v)) // batchId + cell discovered
+    val data = spark.read.parquet(dataDir(storeDir, v)) // batchId + cell discovered
+    val folded =
+      if (foldBatchesUpTo == Long.MinValue) data
+      else data.withColumn("batchId",
+        when(col("batchId") <= foldBatchesUpTo, lit(BootstrapBatchId))
+          .otherwise(col("batchId").cast("long")))
+    folded
       .repartition(tasks, col("batchId"), col("cell"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("batchId", "cell")
@@ -795,10 +815,10 @@ object IvfStore {
     * exactly the batches to [[catchUp]]. One directory listing per
     * version, no data read. Only batchIds STRICTLY ABOVE
     * `afterBatchId` count: after a COMPACTION (batchIds preserved)
-    * the default — every feeder batch — is right; after a REINDEX,
-    * batches at or below the snapshot boundary are folded into the
-    * new version's bootstrap bulk and are NOT stranded, so pass the
-    * reindex's snapshot boundary.
+    * the default — every feeder batch — is right; after a REINDEX or
+    * a FOLDING compaction (`foldBatchesUpTo`), batches at or below
+    * the boundary are folded into the new version's bootstrap bulk
+    * and are NOT stranded, so pass that boundary.
     */
   def strandedBatchIds(spark: SparkSession, storeDir: String,
       fromVersion: Long, toVersion: Long,

@@ -787,6 +787,45 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Perceptual near-dup pairs over [[pHash]] fingerprints (round 17)
+    * — [[perceptualNearDups]]' byte-banded LSH generalized to the
+    * (phash_hi, phash_lo) unsigned-half representation the DCT hash
+    * ships in: 8 bands = 4 bytes of each 32-bit half, so the
+    * pigeonhole argument is unchanged (a pair within Hamming distance
+    * 7 over the logical 64 bits must agree on at least one whole
+    * byte, which lives entirely in one half) and the candidate
+    * equi-join is exhaustive for maxHamming <= 7. Verification is
+    * exact `bit_count(hi XOR hi) + bit_count(lo XOR lo)`. Keeping the
+    * halves split — rather than fusing to one signed 64-bit value —
+    * is what lets the SAME arithmetic replay on engines without
+    * unsigned 64-bit integers (the q217 discipline), and costs
+    * nothing here: band extraction and XOR are per-half anyway.
+    */
+  def phashNearDups(hashes: DataFrame, maxHamming: Int = 4): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"byte-banding is exhaustive only for maxHamming <= 7, got $maxHamming")
+    val bands = (0 until 8).map { i =>
+      val half = if (i < 4) col("phash_lo") else col("phash_hi")
+      struct(lit(i).as("band"),
+        shiftright(half, (i % 4) * 8).bitwiseAND(lit(255L)).as("bv"))
+    }
+    val banded = hashes.select(col("media_id"), col("phash_hi"), col("phash_lo"),
+        explode(array(bands: _*)).as("_b"))
+      .select(col("media_id"), col("phash_hi"), col("phash_lo"),
+        col("_b.band"), col("_b.bv"))
+    val a = banded.select(col("band"), col("bv"),
+      col("media_id").as("id1"), col("phash_hi").as("_h1"), col("phash_lo").as("_l1"))
+    val b = banded.select(col("band"), col("bv"),
+      col("media_id").as("id2"), col("phash_hi").as("_h2"), col("phash_lo").as("_l2"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        (bit_count(col("_h1").bitwiseXOR(col("_h2"))) +
+          bit_count(col("_l1").bitwiseXOR(col("_l2")))).cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** STUB resize: metadata-only transform (a real kernel would
     * resample the decoded buffer); demonstrates that metadata
     * operations never touch payload bytes — Catalyst prunes the

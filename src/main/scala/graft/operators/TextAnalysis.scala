@@ -820,6 +820,20 @@ object TextAnalysis {
     * such fragments separately; a real pipeline's minWords floor is
     * far above 2 anyway.
     */
+  /** The Gopher gate's thresholds as one value — what
+    * [[graft.streaming.StreamingOps.curationStream]] takes to run
+    * this gate as its quality stage (round 17).
+    */
+  final case class GopherGate(minWords: Long, maxWords: Long,
+      minMeanLen: Double, maxMeanLen: Double, stopWords: Seq[String],
+      minStopHits: Long, maxTop2Frac: Double)
+
+  /** [[gopherQualityGate]] from a [[GopherGate]] parameter bundle. */
+  def gopherQualityGate(df: DataFrame, idCol: Column, textCol: Column,
+      g: GopherGate): DataFrame =
+    gopherQualityGate(df, idCol, textCol, g.minWords, g.maxWords,
+      g.minMeanLen, g.maxMeanLen, g.stopWords, g.minStopHits, g.maxTop2Frac)
+
   def gopherQualityGate(df: DataFrame, idCol: Column, textCol: Column,
       minWords: Long, maxWords: Long, minMeanLen: Double,
       maxMeanLen: Double, stopWords: Seq[String], minStopHits: Long,

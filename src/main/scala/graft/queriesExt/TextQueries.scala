@@ -763,6 +763,93 @@ object TextQueries {
     GROUP BY f.media_id
     ORDER BY f.media_id"""))
 
+  /** pHash near-dup JOIN end to end (round 17,
+    * [[graft.operators.Multimodal.phashNearDups]]): q217 proved the
+    * DCT hash itself; this proves the COMPOSITION — hash production
+    * through the byte-banded candidate join over the (phash_hi,
+    * phash_lo) halves to exact XOR-popcount verification. The planted
+    * grids form groups (g = doc_id % 200 share a base grid; each
+    * member perturbs ONE deterministic cell by one gray step), so
+    * within-group pairs sit a few bits apart and cross-group pairs
+    * far — the oracle replays the full integer DCT of q217 over the
+    * perturbed grids, re-derives every hash, and runs the same
+    * 8-band join + popcount filter; any divergence in banding, the
+    * pair dedup, or the split-half Hamming arithmetic fails the hash
+    * compare. Bands: 4 bytes of each unsigned 32-bit half — the
+    * pigeonhole exhaustiveness argument is per-byte, so splitting
+    * halves changes nothing (<= 7 Hamming implies one agreeing byte).
+    */
+  private val q228 = Q("q228_phash_neardup_join", (s, dir) => {
+    import s.implicits._
+    import graft.operators.Multimodal
+    val media = Tables.load(s, dir, "documents")
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val j0 = ((id / 200) % 1024).toInt
+        Multimodal.MediaRecord(id, "synthetic",
+          Array.tabulate(1024)(i =>
+            (((id % 200) * 31 + i * 7) % 251 + (if (i == j0) 1 else 0)).toByte),
+          32, 32, 1)
+      }
+    Multimodal.phashNearDups(Multimodal.pHash(media), maxHamming = 6)
+      .orderBy(col("id1"), col("id2"))
+  }, Some("""
+    WITH pos AS (SELECT unnest(range(0, 1024)) AS i),
+    c8 AS (
+      SELECT uu.u, xx.x,
+             CAST(floor(cos((2 * xx.x + 1) * uu.u * pi() / 64) * 10000 + 0.5) AS BIGINT) AS t
+      FROM (SELECT unnest(range(0, 8)) AS u) uu,
+           (SELECT unnest(range(0, 32)) AS x) xx),
+    g AS (
+      SELECT d.doc_id AS media_id, p.i // 32 AS y, p.i % 32 AS x,
+             CAST((((d.doc_id % 200) * 31 + p.i * 7) % 251
+                   + CASE WHEN p.i = (d.doc_id // 200) % 1024 THEN 1 ELSE 0 END)
+                  * 1000 AS BIGINT) AS val
+      FROM documents d CROSS JOIN pos p
+      WHERE d.doc_id IS NOT NULL),
+    g1 AS (
+      SELECT g.media_id, g.y, c.u AS v, CAST(sum(g.val * c.t) AS BIGINT) AS s
+      FROM g JOIN c8 c ON c.x = g.x
+      GROUP BY g.media_id, g.y, c.u),
+    f AS (
+      SELECT g1.media_id, c.u, g1.v, CAST(sum(c.t * g1.s) AS BIGINT) AS coef
+      FROM g1 JOIN c8 c ON c.x = g1.y
+      GROUP BY g1.media_id, c.u, g1.v),
+    med AS (
+      SELECT media_id, coef,
+             row_number() OVER (PARTITION BY media_id ORDER BY coef) AS rn
+      FROM f WHERE NOT (u = 0 AND v = 0)),
+    medv AS (SELECT media_id, coef AS med FROM med WHERE rn = 32),
+    h AS (
+      SELECT f.media_id,
+             CAST(sum(CASE WHEN NOT (f.u = 0 AND f.v = 0) AND f.coef > m.med
+                            AND f.u * 8 + f.v >= 32
+                       THEN CAST(1 AS BIGINT) << CAST(f.u * 8 + f.v - 32 AS INT)
+                       ELSE 0 END) AS BIGINT) AS phash_hi,
+             CAST(sum(CASE WHEN NOT (f.u = 0 AND f.v = 0) AND f.coef > m.med
+                            AND f.u * 8 + f.v < 32
+                       THEN CAST(1 AS BIGINT) << CAST(f.u * 8 + f.v AS INT)
+                       ELSE 0 END) AS BIGINT) AS phash_lo
+      FROM f JOIN medv m ON m.media_id = f.media_id
+      GROUP BY f.media_id),
+    k4 AS (SELECT unnest(range(0, 4)) AS k),
+    bv AS (
+      SELECT media_id, phash_hi, phash_lo, CAST(k AS INT) AS band,
+             (phash_lo >> CAST(k * 8 AS INT)) & 255 AS bv
+      FROM h CROSS JOIN k4
+      UNION ALL
+      SELECT media_id, phash_hi, phash_lo, CAST(k + 4 AS INT),
+             (phash_hi >> CAST(k * 8 AS INT)) & 255
+      FROM h CROSS JOIN k4),
+    pr AS (
+      SELECT DISTINCT a.media_id AS id1, c.media_id AS id2,
+             CAST(bit_count(xor(a.phash_hi, c.phash_hi))
+                + bit_count(xor(a.phash_lo, c.phash_lo)) AS INT) AS hamming
+      FROM bv a JOIN bv c ON a.band = c.band AND a.bv = c.bv
+                         AND a.media_id < c.media_id)
+    SELECT id1, id2, hamming FROM pr WHERE hamming <= 6 ORDER BY id1, id2"""))
+
   /** Gopher repetition signals under the oracle (round 16,
     * [[graft.operators.TextAnalysis.repetitionStats]]): per document
     * the top-{2,3,4}-gram CHARACTER fractions and the duplicated-
@@ -1452,5 +1539,5 @@ object TextQueries {
 
   val list: Seq[Q] = Seq(q51, q52, q53, q54, q55, q56, q74, q89, q100, q101, q108, q112,
     q120, q128, q129, q138, q141, q142, q143, q144, q148, q176, q183, q194, q217, q218, q219, q222,
-    q199, q200, q201, q203, q208, q209, q211, q213, q214)
+    q199, q200, q201, q203, q208, q209, q211, q213, q214, q228)
 }

@@ -1071,6 +1071,22 @@ object StreamingOps {
     * md5, batch-sized) and the two history equi-joins, whose table
     * sides are partition-pruned parquet bounded by accepted-corpus
     * keys, never payloads.
+    *
+    * GOPHER QUALITY STAGE (round 17): pass `gopher` and the quality
+    * disposition gates on the Gopher rules
+    * ([[graft.operators.TextAnalysis.gopherQualityGate]]) instead of
+    * the q52 scalar (`qualityMin` is then unused — production serving
+    * gates on the rule set, not the heuristic), and EVERY disposition
+    * row additionally carries the per-rule audit columns (n_words,
+    * mean_word_len, stop_hits, top2_frac) so a consumer can see which
+    * rule fired without re-running the gate. A doc too short for a
+    * 2-gram has no repetition row and FAILS the gate (left-join +
+    * coalesce-false — the explicit reject, with null top2_frac in its
+    * audit columns). Rules 1-3 stay narrow per-row folds; rule 4's
+    * repetition pass is per-batch-local (one (doc, n, gram) count
+    * shuffle bounded by the micro-batch), stateless across triggers,
+    * so replay determinism is untouched. With `gopher` unset the
+    * output schema is byte-identical to round 16.
     */
   def curationStream(stream: DataFrame, idCol: String, textCol: String,
       qualityMin: Double, stateDir: String, outDir: String,
@@ -1078,6 +1094,7 @@ object StreamingOps {
       evalDocs: Option[DataFrame] = None, evalN: Int = 8,
       evalExpectedGrams: Long = 1L << 20, evalFpp: Double = 0.01,
       evalDir: Option[String] = None,
+      gopher: Option[graft.operators.TextAnalysis.GopherGate] = None,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.SaveMode
@@ -1106,23 +1123,42 @@ object StreamingOps {
         hashes.foreach(bf.putLong)
         (ev.sparkSession.sparkContext.broadcast(bf), hashes)
       }
+    // with the Gopher stage on, every disposition row also carries
+    // the gate's per-rule audit columns
+    val audit: Seq[String] =
+      if (gopher.isDefined)
+        Seq("n_words", "mean_word_len", "stop_hits", "top2_frac")
+      else Seq.empty
     stream.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val scored = batch.select(col(idCol).as("doc_id"),
+        val scored0 = batch.select(col(idCol).as("doc_id"),
           col(textCol).as("text"),
           graft.operators.TextAnalysis.qualityColumn(textCol).as("quality"))
+        val scored = gopher match {
+          case None =>
+            scored0.withColumn("_pass",
+              col("quality").isNotNull && col("quality") >= qualityMin)
+          case Some(g) =>
+            scored0.join(
+              graft.operators.TextAnalysis
+                .gopherQualityGate(batch, col(idCol), col(textCol), g)
+                .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+                  col("stop_hits"), col("top2_frac"), col("keep")),
+              Seq("doc_id"), "left")
+              .withColumn("_pass", coalesce(col("keep"), lit(false)))
+        }
         scored.persist()
+        def out(df: DataFrame, disp: String): DataFrame =
+          df.select(Seq(col("doc_id"), col("quality")) ++ audit.map(col) :+
+            lit(disp).as("disposition"): _*)
         var gateCache: Option[DataFrame] = None
         try {
-          val lowQ = scored
-            .filter(col("quality") < qualityMin || col("quality").isNull)
-            .select(col("doc_id"), col("quality"),
-              lit("low_quality").as("disposition"))
+          val lowQ = out(scored.filter(!col("_pass")), "low_quality")
           // keeper via groupBy(min) + join back, not a window — the
           // CorpusOps.curationPipeline skew rationale (one row per
           // distinct text through the shuffle, AQE-splittable join)
-          val withMd5 = scored.filter(col("quality") >= qualityMin)
+          val withMd5 = scored.filter(col("_pass"))
             .withColumn("_md5", md5(encode(col("text"), "UTF-8")))
           val pass = withMd5.join(
             withMd5.groupBy(col("_md5")).agg(min(col("doc_id")).as("_keeper")),
@@ -1134,10 +1170,9 @@ object StreamingOps {
               emptyDf(spark, "_md5" -> StringType) }
           val keepers = pass.filter(col("doc_id") === col("_keeper"))
           val freshMd5 = keepers.join(histMd5, Seq("_md5"), "left_anti")
-          val exactDup = pass.filter(col("doc_id") =!= col("_keeper"))
-            .unionByName(keepers.join(histMd5, Seq("_md5"), "left_semi"))
-            .select(col("doc_id"), col("quality"),
-              lit("exact_dup").as("disposition"))
+          val exactDup = out(pass.filter(col("doc_id") =!= col("_keeper"))
+            .unionByName(keepers.join(histMd5, Seq("_md5"), "left_semi")),
+            "exact_dup")
           // decontamination gate. With evalDocs (static set): bloom
           // probe in the batch's scan stage, exact confirm on the
           // survivors — byte-identical to the pure exact gate, per
@@ -1150,9 +1185,8 @@ object StreamingOps {
           // static path collect it; a per-trigger bloom build would
           // just repeat the broadcast's hash table on the driver).
           def contamSplit(contamIds: DataFrame) =
-            (Some(freshMd5.join(contamIds, Seq("doc_id"), "left_semi")
-              .select(col("doc_id"), col("quality"),
-                lit("contaminated").as("disposition"))),
+            (Some(out(freshMd5.join(contamIds, Seq("doc_id"), "left_semi"),
+              "contaminated")),
               freshMd5.join(contamIds, Seq("doc_id"), "left_anti"),
               Some(contamIds))
           def batchGramHashes = freshMd5
@@ -1207,16 +1241,14 @@ object StreamingOps {
           val collided = nearDupAgainstHistory(cleanFresh, histBands,
               "doc_id", "text", "doc_id", n, k, rowsPerBand)
             .select(col("new_id").as("doc_id")).distinct()
-          val nearDup = cleanFresh.join(collided, Seq("doc_id"), "left_semi")
-            .select(col("doc_id"), col("quality"),
-              lit("near_dup").as("disposition"))
+          val nearDup = out(
+            cleanFresh.join(collided, Seq("doc_id"), "left_semi"), "near_dup")
           val kept = cleanFresh.join(collided, Seq("doc_id"), "left_anti")
           kept.persist()
           try {
             contaminated.foldLeft(lowQ.unionByName(exactDup))(_ unionByName _)
               .unionByName(nearDup)
-              .unionByName(kept.select(col("doc_id"), col("quality"),
-                lit("kept").as("disposition")))
+              .unionByName(out(kept, "kept"))
               .write.mode(SaveMode.Overwrite).parquet(s"$outDir/batchId=$batchId")
             kept.select(col("_md5"))
               .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/md5/batchId=$batchId")

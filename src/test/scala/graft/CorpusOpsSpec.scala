@@ -448,8 +448,9 @@ class CorpusOpsSpec extends SparkSpec {
     }
     val nTok1 = rows.find(_.getLong(0) == 1L).get.getLong(6)
     assert(nTok1 == 43L, s"40 words + 'mail [EMAIL] now' = 43 scrubbed tokens, got $nTok1")
-    // handle releases its caches (scrubbed projection + dsir buckets)
-    assert(run.cached.size == 2)
+    // handle releases its caches (gate verdicts + scrubbed projection
+    // + dsir buckets)
+    assert(run.cached.size == 3)
     run.release()
     assert(run.cached.forall(_.storageLevel ==
       org.apache.spark.storage.StorageLevel.NONE))

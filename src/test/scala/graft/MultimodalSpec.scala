@@ -439,6 +439,14 @@ class MultimodalSpec extends SparkSpec {
     val pairs = Multimodal.perceptualNearDups(pframe, maxHamming = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)), s"wrong pHash pairs: $pairs")
+    // the round-17 split-half join (phashNearDups) — the operator a
+    // pipeline actually wires q217's output into — catches the gamma
+    // pair and excludes the negated control, with no cross product
+    val split = Multimodal.phashNearDups(Multimodal.pHash(media), maxHamming = 4)
+    val sPairs = split.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sPairs == Set((1L, 2L)), s"wrong split-half pairs: $sPairs")
+    assert(!split.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+      "split-half banded candidates must be an equi-join")
     val aPairs = Multimodal.perceptualNearDups(Multimodal.aHash(media), maxHamming = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(!aPairs.contains((1L, 2L)), "aHash at the same threshold must miss the pair")

@@ -1727,9 +1727,28 @@ class StreamingSpec extends SparkSpec {
     // serving through the compacted version is identical
     assert(key(IvfStore.topKPq(spark, s"$base/store", queries,
       "vec_id", "embedding", k = 5, nprobe = 3, shortlist = 20)) == servedV1)
+    // FOLDING compaction (round 17): batchIds at or below the boundary
+    // collapse into the bootstrap partition — directory count drops to
+    // one, rows/codes/serving stay identical
+    val boundary = IvfStore.maxBatchId(spark, s"$base/store", 2L)
+    val v3 = IvfStore.compactVersion(spark, s"$base/store", writerTasks = 2,
+      foldBatchesUpTo = boundary)
+    assert(v3 == 3L)
+    val v3dirs = new java.io.File(IvfStore.dataDir(s"$base/store", 3L))
+      .listFiles().map(_.getName).filter(_.startsWith("batchId=")).toSeq
+    assert(v3dirs == Seq("batchId=-1"), s"folded version must carry one batch dir: $v3dirs")
+    def rowsOf(v: Long) = spark.read.parquet(IvfStore.dataDir(s"$base/store", v))
+      .select(col("vec_id"), col("cell").cast("int"), col("c0"), col("c7")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+    assert(rowsOf(3L) == rowsOf(2L), "folding must preserve rows, cells and codes")
+    assert(key(IvfStore.topKPq(spark, s"$base/store", queries,
+      "vec_id", "embedding", k = 5, nprobe = 3, shortlist = 20)) == servedV1)
+    assert(IvfStore.strandedBatchIds(spark, s"$base/store", 2L, 3L,
+      afterBatchId = boundary).isEmpty,
+      "nothing above the fold boundary existed, so nothing is stranded")
     // claims still exclude concurrent writers of the next version
     Files.createDirectories(Paths.get(s"$base/store/claims"))
-    Files.createFile(Paths.get(s"$base/store/claims/v-3"))
+    Files.createFile(Paths.get(s"$base/store/claims/v-4"))
     intercept[IllegalStateException] {
       IvfStore.compactVersion(spark, s"$base/store")
     }
@@ -1993,6 +2012,96 @@ class StreamingSpec extends SparkSpec {
       "a served batch must carry exactly one version")
   }
 
+  test("RAG loop e2e: chunk -> embed -> PQ store -> compressed serving, provenance intact across a mid-stream compaction") {
+    import graft.operators.{CorpusOps, IvfStore}
+    val base = tmp()
+    // 1. overlapping-window chunking (q114's operator) over documents;
+    //    provenance rides as id = doc_id * 1000 + chunk_idx
+    val chunks = CorpusOps.chunkDocuments(
+        Tables.load(spark, sfDir, "documents")
+          .filter(col("doc_id").isNotNull && col("text").isNotNull)
+          .filter(col("doc_id") < 200),
+        col("doc_id"), col("text"), chunkTokens = 32, overlap = 8)
+      .select((col("doc_id") * 1000 + col("chunk_idx")).as("chunk_id"),
+        col("doc_id"), col("chunk_idx"), col("chunk_text"))
+    // 2. deterministic stub embeddings derived from chunk TEXT (the
+    //    q200 stub discipline: the vectorizer is fake, the plumbing —
+    //    schema, ids, store lifecycle — is real)
+    val embedded = chunks.withColumn("vec",
+      transform(sequence(lit(0), lit(63)),
+        d => pmod(xxhash64(col("chunk_text"), d), lit(1000)).cast("double") / lit(100.0))
+        .cast("array<float>"))
+    embedded.persist().count()
+    val all = embedded.select(col("chunk_id"), col("vec"))
+    val nChunks = all.count()
+    // 3. PQ-enabled store v1 over the bootstrap half
+    val v1 = IvfStore.reindex(all.filter(col("chunk_id") % 2 === 0),
+      "chunk_id", "vec", 4, 2, 64, s"$base/store", 1024L, pqCodes = 8, pqIters = 1)
+    assert(v1 == 1L)
+    // 4. the feeder grows the live version with the other half (one
+    //    file batch), encoding under the STORED codebooks
+    all.filter(col("chunk_id") % 2 =!= 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$base/staging")
+    val part = new java.io.File(s"$base/staging").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val dst = new java.io.File(s"$base/in/b0.parquet")
+    Files.createDirectories(dst.toPath.getParent)
+    Files.copy(part.toPath, dst.toPath)
+    StreamingOps.maintainIvfIndex(
+      spark.readStream.schema(all.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in"),
+      IvfStore.readCentroids(spark, s"$base/store"),
+      "chunk_id", "vec", IvfStore.dataDir(s"$base/store", 1L), s"$base/ck-feed",
+      codebooks = Some(IvfStore.readCodebooks(spark, s"$base/store")))
+      .awaitTermination(120000)
+    assert(spark.read.parquet(IvfStore.dataDir(s"$base/store", 1L)).count() == nChunks)
+    // 5. compressed serving: queries are a handful of chunk vectors
+    def addQueryFile(name: String, pred: org.apache.spark.sql.Column): Unit = {
+      all.filter(pred).coalesce(1).write.mode("overwrite").parquet(s"$base/qs-$name")
+      val f = new java.io.File(s"$base/qs-$name").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val d = new java.io.File(s"$base/qin/$name.parquet")
+      Files.createDirectories(d.toPath.getParent)
+      Files.copy(f.toPath, d.toPath)
+      ()
+    }
+    def serve() = StreamingOps.serveTopKStream(
+      spark.readStream.schema(all.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/qin"),
+      s"$base/store", "chunk_id", "vec", k = 3, nprobe = 2,
+      s"$base/out", s"$base/ck-serve", compressed = true, shortlist = 12)
+    val q0 = col("chunk_id") % 97 === 0
+    addQueryFile("q0", q0)
+    serve().awaitTermination(120000)
+    val b0 = spark.read.parquet(s"$base/out/batchId=0")
+    assert(b0.select("served_version").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+    // PROVENANCE: every served neighbor decodes to a real
+    // (doc_id, chunk_idx) of the chunked corpus
+    val chunkKeys = chunks.select(col("doc_id"), col("chunk_idx")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val servedKeys = b0.select((col("neighbor_id") / 1000).cast("long"),
+        pmod(col("neighbor_id"), lit(1000)).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(servedKeys.nonEmpty && servedKeys.forall(chunkKeys.contains),
+      "every served neighbor must decode to a chunk that exists")
+    // 6. mid-stream COMPACTION: the next trigger binds the compacted
+    //    version and ranks identically for the same queries
+    val v2 = IvfStore.compactVersion(spark, s"$base/store", writerTasks = 2)
+    assert(v2 == 2L)
+    addQueryFile("q1", q0)
+    serve().awaitTermination(120000)
+    val b1 = spark.read.parquet(s"$base/out/batchId=1")
+    assert(b1.select("served_version").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "rank", "exact_dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(key(b1) == key(b0),
+      "compaction changed the files, not the answers — same queries, same ranking")
+    embedded.unpersist()
+  }
+
   test("IvfStore e2e: feed -> planted drift fires the occupancy alarm -> reindex -> drift returns to zero") {
     import graft.operators.{IvfStore, Similarity}
     val base = tmp()
@@ -2121,6 +2230,89 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id").distinct().as[Long].collect().toSet
     assert(mdN == 3L, s"3 accepted md5s, got $mdN")
     assert(bandIds == Set(1L, 12L, 21L), s"band table is accepted-only: $bandIds")
+  }
+
+  test("curationStream + Gopher gate: stream == batch rule-for-rule over 3 batches, audit columns on every row, replay stable") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val base = tmp()
+    def prose(tag: String, n: Int) = (1 to n)
+      .map(i => if (i % 5 == 0) "the" else s"$tag$i").mkString(" ")
+    val textA = prose("alpha", 40)
+    val textB = prose("beta", 40)
+    val textC = prose("gamma", 40)
+    val longWords = "the the " + (1 to 18).map(i => s"extraordinarily$i").mkString(" ")
+    val repetitive = "the " + ("spam beacon " * 30).trim
+    val noStops = (1 to 40).map(i => s"plain$i").mkString(" ")
+    val batches = Seq(
+      // b0: A kept; 2-word doc fails minWords; in-batch exact dup of A;
+      //     long words fail mean length; 1-token doc has NO 2-gram
+      Seq((1L, textA), (2L, "the tiny"), (3L, textA), (4L, longWords), (5L, "solo")),
+      // b1: exact dup of A vs history; near-dup of A; no-stopword fail
+      Seq((10L, textA), (11L, textA + " extra trailing tail"), (12L, noStops)),
+      // b2: fresh B and C kept; repetition rule fires
+      Seq((20L, textB), (21L, repetitive), (22L, textC)))
+    val now = System.currentTimeMillis()
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      Files.createDirectories(Paths.get(s"$base/in"))
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$base/staging-$i")
+      val part = new java.io.File(s"$base/staging-$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$base/in/b$i.parquet")
+      Files.copy(part.toPath, dst.toPath)
+      assert(dst.setLastModified(now - (5 - i) * 60000L))
+    }
+    val gate = TextAnalysis.GopherGate(minWords = 10L, maxWords = 100L,
+      minMeanLen = 1.0, maxMeanLen = 9.0, stopWords = Seq("the"),
+      minStopHits = 1L, maxTop2Frac = 0.5)
+    val schema = Seq((1L, "x")).toDF("doc_id", "text").schema
+    def start() = StreamingOps.curationStream(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in"),
+      "doc_id", "text", qualityMin = 0.0, s"$base/state", s"$base/out",
+      s"$base/ck", gopher = Some(gate))
+    start().awaitTermination(120000)
+    val outRows = spark.read.parquet(s"$base/out")
+    val got = outRows.select("doc_id", "disposition")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      1L -> "kept", 2L -> "low_quality", 3L -> "exact_dup",
+      4L -> "low_quality", 5L -> "low_quality",
+      10L -> "exact_dup", 11L -> "near_dup", 12L -> "low_quality",
+      20L -> "kept", 21L -> "low_quality", 22L -> "kept"),
+      s"Gopher rules must decide the quality stage: $got")
+    // RULE-FOR-RULE: the stream's audit columns equal the batch
+    // operator's signals for every doc the gate scored, per batch
+    def sig(r: org.apache.spark.sql.Row, fromIdx: Int) = (
+      if (r.isNullAt(fromIdx)) None else Some(r.getLong(fromIdx)),
+      if (r.isNullAt(fromIdx + 1)) None else Some(r.getDouble(fromIdx + 1)),
+      if (r.isNullAt(fromIdx + 2)) None else Some(r.getLong(fromIdx + 2)),
+      if (r.isNullAt(fromIdx + 3)) None else Some(r.getDouble(fromIdx + 3)))
+    val streamSigs = outRows
+      .select("doc_id", "n_words", "mean_word_len", "stop_hits", "top2_frac")
+      .collect().map(r => r.getLong(0) -> sig(r, 1)).toMap
+    batches.foreach { rows =>
+      val want = TextAnalysis.gopherQualityGate(
+          rows.toDF("doc_id", "text"), col("doc_id"), col("text"), gate)
+        .select("doc_id", "n_words", "mean_word_len", "stop_hits", "top2_frac")
+        .collect().map(r => r.getLong(0) -> sig(r, 1)).toMap
+      want.foreach { case (id, s) =>
+        assert(streamSigs(id) == s, s"doc $id: stream ${streamSigs(id)} vs batch $s")
+      }
+    }
+    // a doc with no 2-gram is an explicit reject with null top2_frac
+    assert(streamSigs(5L)._4.isEmpty, s"doc 5 must carry a null top2_frac: ${streamSigs(5L)}")
+    // REPLAY: batch 2 re-runs against exactly the history its first
+    // attempt saw and reproduces its rows byte-for-byte
+    val before = outRows.filter(col("doc_id") >= 20L).collect()
+      .map(_.toString).sorted.toSeq
+    assert(Files.deleteIfExists(Paths.get(s"$base/ck/commits/2")))
+    Files.deleteIfExists(Paths.get(s"$base/ck/commits/.2.crc"))
+    start().awaitTermination(120000)
+    val after = spark.read.parquet(s"$base/out").filter(col("doc_id") >= 20L)
+      .collect().map(_.toString).sorted.toSeq
+    assert(after == before, "a replayed batch must reproduce its dispositions exactly")
   }
 
   test("curationStream: kill/restart replays a batch against exactly the history its first attempt saw") {
