@@ -593,30 +593,38 @@ object CorpusOps {
     * read the materialized counts instead of re-running the gram
     * explode, and handed back for release after the last action.
     */
+  /** The hashed unigram+bigram feature stream shared by the DSIR
+    * family and the NB classifier: one (doc_id, bucket) row per gram
+    * occurrence, buckets from the md5-derived hash48 (the q128
+    * discipline). Narrow: posexplode + one windowed lead, whole-stage
+    * codegen (the repetitionStats lesson — no per-row lambda trees).
+    */
+  private[operators] def gramBuckets(df: DataFrame, idCol: Column,
+      textCol: Column, dim: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    df.filter(idCol.isNotNull && textCol.isNotNull)
+      .select(idCol.as("doc_id"),
+        posexplode(split(textCol, " ")).as(Seq("pos", "term")))
+      .select(col("doc_id"), col("term"),
+        lead(col("term"), 1).over(w).as("_t1"))
+      .select(col("doc_id"), explode(array(col("term"),
+        when(col("_t1").isNotNull,
+          concat_ws(" ", col("term"), col("_t1"))))).as("gram"))
+      .filter(col("gram").isNotNull)
+      .select(col("doc_id"),
+        pmod(graft.functions.codecs.hash48(col("gram")), lit(dim.toLong))
+          .as("bucket"))
+  }
+
   def dsirRun(raw: DataFrame, target: DataFrame, idCol: Column,
       textCol: Column, dim: Int = 64): DsirRun = {
     require(dim > 0, s"dim must be positive, got $dim")
-    def gramBuckets(df: DataFrame): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("pos"))
-      df.filter(idCol.isNotNull && textCol.isNotNull)
-        .select(idCol.as("doc_id"),
-          posexplode(split(textCol, " ")).as(Seq("pos", "term")))
-        .select(col("doc_id"), col("term"),
-          lead(col("term"), 1).over(w).as("_t1"))
-        .select(col("doc_id"), explode(array(col("term"),
-          when(col("_t1").isNotNull,
-            concat_ws(" ", col("term"), col("_t1"))))).as("gram"))
-        .filter(col("gram").isNotNull)
-        .select(col("doc_id"),
-          pmod(graft.functions.codecs.hash48(col("gram")), lit(dim.toLong))
-            .as("bucket"))
-    }
     val allBuckets = raw.sparkSession.range(0, dim).select(col("id").as("bucket"))
-    val docBuckets = gramBuckets(raw)
+    val docBuckets = gramBuckets(raw, idCol, textCol, dim)
       .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tCounts = gramBuckets(target)
+    val tCounts = gramBuckets(target, idCol, textCol, dim)
       .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
     // folds out of the PERSISTED docBuckets (round 17): the raw
     // distribution and the scoring join share one materialization of
@@ -641,6 +649,85 @@ object CorpusOps {
       .agg(sum(col("cnt")).as("n_grams"),
         sum(col("cnt") * col("lr_u")).as("dsir_weight_u"))
     DsirRun(result, Seq(docBuckets))
+  }
+
+  /** Hashed-gram multinomial NAIVE BAYES classifier (round 17) — the
+    * engine-native analogue of the fastText-style linear classifiers
+    * production pipelines use for domain routing and quality gating
+    * (CCNet's LM filter, the "classify against a trusted reference"
+    * pattern): train per-class hashed unigram+bigram distributions on
+    * a LABELED slice, score every corpus document by
+    * `argmax_c [ ln P(c) + Σ_grams ln P(bucket | c) ]` with add-1
+    * smoothing over the `dim`-bucket support — multinomial NB, the
+    * standard public formulation.
+    *
+    * Everything integral (the [[dsirWeights]] discipline): per-bucket
+    * class log-probs and the class priors are micro-nats
+    * (floor(ln·1e6+0.5)), the per-doc per-class score an exact BIGINT
+    * sum — reproducible on any engine and aggregation order. Ties
+    * break to the lexicographically smallest class. Output one row
+    * per corpus doc: (doc_id, predicted, score_u, margin_u) — margin
+    * against the runner-up class, the thresholding signal a quality
+    * gate wants (small margin = uncertain routing).
+    *
+    * Shape: the class-conditional table is a (labels x dim)-row
+    * aggregate joined back as a BROADCAST; the corpus side is one
+    * (doc, bucket) count shuffle + one (doc, label) fold + one
+    * per-doc window over |labels| rows. Features come from the shared
+    * [[gramBuckets]] stream. Nothing wider than the (doc, bucket)
+    * count ever shuffles.
+    */
+  def nbClassify(train: DataFrame, corpus: DataFrame, idCol: Column,
+      textCol: Column, labelCol: Column, dim: Int = 64): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val spark = train.sparkSession
+    val labeled = train.filter(labelCol.isNotNull)
+      .select(idCol.as("doc_id"), labelCol.cast("string").as("label"),
+        textCol.as("_txt"))
+    // class-conditional bucket counts over the dim-bucket support
+    val labelGrams = gramBuckets(labeled, col("doc_id"), col("_txt"), dim)
+      .join(labeled.select(col("doc_id"), col("label")), "doc_id")
+    val classCounts = labelGrams.groupBy(col("label"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val classTotals = classCounts.groupBy(col("label"))
+      .agg(sum(col("cnt")).as("tot"))
+    val labels = labeled.select(col("label")).distinct()
+    val grid = labels.crossJoin(
+      spark.range(0, dim).select(col("id").as("bucket")))
+    val lp = grid
+      .join(classCounts, Seq("label", "bucket"), "left")
+      .join(classTotals, Seq("label"), "left")
+      .select(col("label"), col("bucket"),
+        floor(log((coalesce(col("cnt"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("tot"), lit(0L)) + dim).cast("double")) * 1e6 + lit(0.5))
+          .cast("long").as("lp_u"))
+    val docCounts = labeled.groupBy(col("label")).agg(count(lit(1)).as("nd"))
+    val nTotal = labeled.agg(count(lit(1)).as("_n"))
+    val priors = docCounts.crossJoin(broadcast(nTotal))
+      .select(col("label"),
+        floor(log(col("nd").cast("double") / col("_n").cast("double")) * 1e6 +
+          lit(0.5)).cast("long").as("prior_u"))
+    // corpus side: observed-feature fold per (doc, label), then the
+    // per-doc argmax window over |labels| rows
+    val docBuckets = gramBuckets(
+        corpus.select(idCol.as("doc_id"), textCol.as("_txt")),
+        col("doc_id"), col("_txt"), dim)
+      .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    val scores = docBuckets.join(broadcast(lp), "bucket")
+      .groupBy(col("doc_id"), col("label"))
+      .agg(sum(col("cnt") * col("lp_u")).as("_like_u"))
+      .join(broadcast(priors), "label")
+      .select(col("doc_id"), col("label"),
+        (col("_like_u") + col("prior_u")).as("score_u"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_u").desc, col("label"))
+    scores
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_next", lead(col("score_u"), 1).over(w))
+      .filter(col("_rn") === 1)
+      .select(col("doc_id"), col("label").as("predicted"), col("score_u"),
+        // a single-class training set has no runner-up: margin 0
+        coalesce(col("score_u") - col("_next"), lit(0L)).as("margin_u"))
   }
 
   /** Gumbel top-k (round 16): sample `k` rows per group WITHOUT

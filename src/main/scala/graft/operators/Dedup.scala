@@ -191,6 +191,58 @@ object Dedup {
         graft.functions.quantize.q6(col("jac")).as("jaccard"))
   }
 
+  /** FUZZY benchmark decontamination (round 17) — the near-dup
+    * generalization of the exact n-gram overlap gate
+    * ([[Curation.decontaminate]] / q84/q99): exact overlap misses
+    * lightly paraphrased or truncated eval leakage that still shares
+    * most of its shingle set. Corpus documents whose shingle-set
+    * Jaccard against ANY benchmark document reaches `threshold` are
+    * flagged, each with its BEST match (highest quantized Jaccard,
+    * ties to the lowest eval id).
+    *
+    * Both sides are [[prepareHashedShingles]] frames. Candidates come
+    * from the SAME banded-MinHash key space computed on each side —
+    * a CROSS-FRAME band equi-join, so cost scales with collision
+    * density, never |corpus| x |eval| — and survivors verify with
+    * exact hashed-set Jaccard. The banding is part of the CONTRACT
+    * (the q42 discipline): a pair no band catches is not flagged;
+    * with the default 4 bands of 2 rows the catch probability is
+    * 1-(1-j^2)^4 (~97% at j=0.7, ~31% at j=0.3) — tune k/rowsPerBand
+    * to the S-curve rather than treating this as exhaustive well
+    * below the threshold it is banded for.
+    *
+    * 100 TB shape: the eval side is small by contract but NOTHING
+    * here requires it — both sides shuffle only on band keys and the
+    * verify join moves candidate pairs' shingle arrays only.
+    */
+  def fuzzyDecontaminate(corpusHashed: DataFrame, evalHashed: DataFrame,
+      idCol: String, threshold: Double, k: Int = 8,
+      rowsPerBand: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def bandsOf(df: DataFrame) = lshBands(
+      minhashSignaturesHashed(
+        df.select(col(idCol), explode_outer(col("_hs")).as("_h")),
+        idCol, col("_h"), k),
+      idCol, k, rowsPerBand)
+    val cands = bandsOf(corpusHashed).select(col(idCol).as("doc_id"),
+        col("band_idx"), col("band_key"))
+      .join(bandsOf(evalHashed).select(col(idCol).as("eval_id"),
+        col("band_idx"), col("band_key")), Seq("band_idx", "band_key"))
+      .select(col("doc_id"), col("eval_id")).distinct()
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("_jq").desc, col("eval_id"))
+    cands
+      .join(corpusHashed.select(col(idCol).as("doc_id"), col("_hs").as("_h1")),
+        "doc_id")
+      .join(evalHashed.select(col(idCol).as("eval_id"), col("_hs").as("_h2")),
+        "eval_id")
+      .withColumn("_jq", graft.functions.quantize.q6(jaccard(col("_h1"), col("_h2"))))
+      .filter(col("_jq") >= threshold)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("doc_id"), col("eval_id"), col("_jq").as("jaccard"))
+  }
+
   /** Asymmetric shingle CONTAINMENT for candidate pairs:
     * |A intersect B| / |A| — Jaccard's directional sibling, and the
     * measure that catches what Jaccard structurally cannot: a short

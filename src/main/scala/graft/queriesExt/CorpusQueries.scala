@@ -693,6 +693,73 @@ object CorpusQueries {
     FROM sampled sa JOIN rec ON rec.doc_id = sa.doc_id
     ORDER BY doc_id"""))
 
+  /** Hashed-gram multinomial Naive Bayes under the oracle (round 17,
+    * [[CorpusOps.nbClassify]]): the fastText-style domain/quality
+    * router — per-class hashed unigram+bigram distributions trained
+    * on the doc_id % 7 == 0 labeled slice (label = lang), every other
+    * document scored argmax_c [ln P(c) + Σ ln P(bucket|c)] in integer
+    * micro-nats with add-1 smoothing over the 64-bucket support. The
+    * oracle rebuilds the class-conditional table, the priors, and the
+    * exact BIGINT scores; predicted class, winning score AND the
+    * runner-up margin (the gate-threshold signal) all hash-compare,
+    * plus the truth label and a correctness bit for accuracy audits.
+    */
+  private val q229 = Q("q229_nb_classifier", (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    CorpusOps.nbClassify(docs.filter(col("doc_id") % 7 === 0),
+        docs.filter(col("doc_id") % 7 =!= 0),
+        col("doc_id"), col("text"), col("lang"), dim = 64)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("correct", (col("predicted") === col("lang")).cast("int"))
+      .select(col("doc_id"), col("lang"), col("predicted"), col("score_u"),
+        col("margin_u"), col("correct"))
+      .orderBy(col("doc_id"))
+  }, Some("""
+    WITH t AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+    ge AS (
+      SELECT doc_id, lang, unnest(list_concat(toks,
+        [array_to_string(toks[i+1:i+2], ' ') for i in range(0, len(toks) - 1)])) AS gram
+      FROM t),
+    g AS (
+      SELECT doc_id, lang,
+             CAST(concat('0x', substr(md5(gram), 1, 12)) AS BIGINT) % 64 AS bucket
+      FROM ge),
+    cc AS (SELECT lang AS label, bucket, CAST(count(*) AS BIGINT) AS cnt
+           FROM g WHERE doc_id % 7 = 0 GROUP BY 1, 2),
+    ct AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS tot FROM cc GROUP BY 1),
+    lbls AS (SELECT DISTINCT lang AS label FROM t WHERE doc_id % 7 = 0),
+    grid AS (SELECT l.label, b.bucket FROM lbls l
+             CROSS JOIN (SELECT unnest(range(0, 64)) AS bucket) b),
+    lp AS (
+      SELECT grid.label, grid.bucket,
+             CAST(floor(ln((coalesce(cc.cnt, 0) + 1) * 1.0 /
+               (coalesce(ct.tot, 0) + 64)) * 1000000 + 0.5) AS BIGINT) AS lp_u
+      FROM grid LEFT JOIN cc ON cc.label = grid.label AND cc.bucket = grid.bucket
+                LEFT JOIN ct ON ct.label = grid.label),
+    dc AS (SELECT lang AS label, CAST(count(*) AS BIGINT) AS nd
+           FROM t WHERE doc_id % 7 = 0 GROUP BY 1),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t WHERE doc_id % 7 = 0),
+    pr AS (SELECT label,
+                  CAST(floor(ln(nd * 1.0 / nt.n) * 1000000 + 0.5) AS BIGINT) AS prior_u
+           FROM dc, nt),
+    db AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+           FROM g WHERE doc_id % 7 <> 0 GROUP BY 1, 2),
+    sc AS (SELECT db.doc_id, lp.label, CAST(sum(db.cnt * lp.lp_u) AS BIGINT) AS like_u
+           FROM db JOIN lp USING (bucket) GROUP BY 1, 2),
+    ss AS (SELECT sc.doc_id, sc.label, sc.like_u + pr.prior_u AS score_u
+           FROM sc JOIN pr USING (label)),
+    r AS (SELECT *,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY score_u DESC, label) AS rn,
+                 lead(score_u) OVER (PARTITION BY doc_id ORDER BY score_u DESC, label) AS nxt
+          FROM ss)
+    SELECT r.doc_id, t.lang, r.label AS predicted, r.score_u,
+           coalesce(r.score_u - r.nxt, 0) AS margin_u,
+           CAST(r.label = t.lang AS INT) AS correct
+    FROM r JOIN t ON t.doc_id = r.doc_id
+    WHERE r.rn = 1 ORDER BY r.doc_id"""))
+
   val list: Seq[Q] = Seq(q78, q79, q80, q96, q104, q105, q114, q115, q125,
-    q126, q192, q212, q216, q221, q223, q227)
+    q126, q192, q212, q216, q221, q223, q227, q229)
 }

@@ -646,6 +646,88 @@ object DedupQueries {
     FROM kept
     ORDER BY doc_id"""))
 
+  /** FUZZY decontamination under the oracle (round 17,
+    * [[Dedup.fuzzyDecontaminate]]): the near-dup generalization of
+    * q84/q99's exact 8-gram gate, exercised on exactly the leakage
+    * the exact gate structurally misses — both engines PLANT a
+    * benchmark set of LIGHTLY PARAPHRASED corpus docs (every 7th
+    * token of each doc_id % 83 == 0 document dropped, eval_id =
+    * doc_id + 10^7): the paraphrase's longest surviving token run is
+    * 6, so it contains NO 8-gram and the exact gate cannot fire,
+    * while word-3-shingle Jaccard stays ~0.45-0.6 — exactly the
+    * leakage class this operator exists for (DedupSpec pins the
+    * exact-gate miss on the same construction). Gate tuning is
+    * recall-oriented: 8 single-row bands (catch 1-(1-j)^8 ~ 0.99 at
+    * j = 0.45) and a 0.4 threshold. Candidates come from the SAME
+    * banded-MinHash key space on both sides (the q42 discipline:
+    * banding is part of the contract — the oracle replays it, so a
+    * band-missed pair is consistently absent from both engines),
+    * survivors verify with exact hashed-set Jaccard, best match per
+    * doc by (quantized jac desc, eval_id).
+    */
+  private val q230 = Q("q230_fuzzy_decontamination", (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val corpusSh = shingled(s, dir, "word3")
+    val toks = split(col("text"), " ")
+    val planted = docs
+      .filter(col("doc_id") % 83 === 0 && col("text").isNotNull)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        array_join(transform(
+          filter(sequence(lit(1), size(toks)), i => i % 7 =!= 4),
+          i => element_at(toks, i)), " ").as("text"))
+    val evalSh = Dedup.prepareHashedShingles(planted, "doc_id",
+      Dedup.wordShingles("text"))
+    Dedup.fuzzyDecontaminate(corpusSh, evalSh, "doc_id", threshold = 0.4,
+        rowsPerBand = 1)
+      .orderBy(col("doc_id"))
+  }, Some(s"""
+    WITH ev AS (
+      SELECT doc_id + 10000000 AS doc_id,
+             array_to_string(list_transform(
+               list_filter(range(1, len(string_split(text, ' ')) + 1),
+                 i -> i % 7 <> 4),
+               i -> string_split(text, ' ')[i]), ' ') AS text
+      FROM documents WHERE doc_id % 83 = 0 AND text IS NOT NULL),
+    alldocs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id, text FROM ev),
+    sh AS (
+      SELECT doc_id, list_distinct(list_transform(
+        range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+        i -> concat_ws(' ', string_split(text, ' ')[i],
+          string_split(text, ' ')[i+1], string_split(text, ' ')[i+2]))) AS s
+      FROM alldocs),
+    hsed AS (
+      SELECT doc_id, s,
+             list_distinct(list_transform(s, g -> ${H48.format("g")})) AS hs
+      FROM sh),
+    sigs AS (
+      SELECT doc_id, ${(0 until 8).map(sigSql).mkString(", ")} FROM hsed),
+    bands AS (
+      SELECT doc_id, b.band_idx,
+             concat_ws(':', CAST(b.band_idx AS VARCHAR),
+               CASE b.band_idx
+                 WHEN 0 THEN sig0 WHEN 1 THEN sig1 WHEN 2 THEN sig2
+                 WHEN 3 THEN sig3 WHEN 4 THEN sig4 WHEN 5 THEN sig5
+                 WHEN 6 THEN sig6 ELSE sig7 END) AS band_key
+      FROM sigs, (SELECT unnest(range(8)) AS band_idx) b),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_id, e.doc_id AS eval_id
+      FROM bands a JOIN bands e USING (band_idx, band_key)
+      WHERE a.doc_id < 10000000 AND e.doc_id >= 10000000),
+    verified AS (
+      SELECT cands.doc_id, cands.eval_id,
+             floor(CAST(len(list_intersect(s1.hs, s2.hs)) AS DOUBLE) /
+                   len(list_distinct(list_concat(s1.hs, s2.hs))) * 1000000 + 0.5)
+               / 1000000.0 AS jac
+      FROM cands JOIN hsed s1 ON s1.doc_id = cands.doc_id
+                 JOIN hsed s2 ON s2.doc_id = cands.eval_id),
+    flagged AS (SELECT * FROM verified WHERE jac >= 0.4),
+    best AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                        ORDER BY jac DESC, eval_id) AS rn FROM flagged)
+    SELECT doc_id, eval_id, jac AS jaccard FROM best WHERE rn = 1
+    ORDER BY doc_id"""))
+
   val list: Seq[Q] = Seq(q40, q41, q42, q43, q44, q75, q77, q87, q94, q95, q130,
-    q177, q184, q202, q205, q207)
+    q177, q184, q202, q205, q207, q230)
 }

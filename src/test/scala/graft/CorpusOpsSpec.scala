@@ -456,6 +456,47 @@ class CorpusOpsSpec extends SparkSpec {
       org.apache.spark.storage.StorageLevel.NONE))
   }
 
+  test("nbClassify: disjoint-vocab domains route correctly; margins positive; deterministic; single-class margin is 0") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "news", "alpha beta gamma alpha beta delta"),
+      (2L, "news", "beta gamma alpha delta beta alpha"),
+      (3L, "code", "zulu yankee xray zulu whiskey xray"),
+      (4L, "code", "xray zulu yankee whiskey zulu yankee")
+    ).toDF("doc_id", "label", "text")
+    val corpus = Seq(
+      (10L, "alpha beta gamma beta"),     // news-like
+      (11L, "zulu xray yankee whiskey"),  // code-like
+      (12L, "alpha zulu beta xray alpha") // mixed, alpha/beta-heavy -> news
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.nbClassify(train, corpus, col("doc_id"), col("text"),
+        col("label"), dim = 32)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.size == 3)
+    assert(got(10L)._1 == "news" && got(11L)._1 == "code" && got(12L)._1 == "news",
+      got.toString)
+    assert(got.values.forall(_._3 >= 0L), s"margins must be >= 0: $got")
+    assert(got(10L)._3 > 0L && got(11L)._3 > 0L,
+      "clear-cut docs must carry a positive runner-up margin")
+    // integer scores are exactly reproducible
+    val again = CorpusOps.nbClassify(train, corpus, col("doc_id"), col("text"),
+        col("label"), dim = 32)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(again == got)
+    // the class-conditional table joins back as a broadcast — the
+    // corpus never shuffles against the corpus
+    val plan = CorpusOps.nbClassify(train, corpus, col("doc_id"), col("text"),
+      col("label"), dim = 32).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+    // one training class: everything routes there with margin 0
+    val one = CorpusOps.nbClassify(train.filter(col("label") === "news"),
+        corpus, col("doc_id"), col("text"), col("label"), dim = 32)
+      .collect().map(r => (r.getString(1), r.getLong(3)))
+    assert(one.forall { case (p, m) => p == "news" && m == 0L }, one.mkString(";"))
+  }
+
   test("curationPipeline: one disposition per doc — quality gate, exact keeper, cluster-safe split") {
     import spark.implicits._
     val longText = (1 to 120).map(i => s"word$i").mkString(" ") // quality 1.0

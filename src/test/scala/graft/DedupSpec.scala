@@ -191,6 +191,43 @@ class DedupSpec extends SparkSpec {
       3L -> ((3L, 3L, 1.0)))) // every "z z z" instance has corpus freq 3
   }
 
+  test("fuzzyDecontaminate catches a paraphrase the exact 8-gram gate misses; unrelated docs stay clean") {
+    import spark.implicits._
+    import graft.operators.{Curation, Dedup}
+    val words = (1 to 60).map(i => s"tok$i")
+    val source = words.mkString(" ")
+    // the paraphrase: every 7th token dropped — the longest surviving
+    // token run is 6, so the paraphrase contains NO 8-gram at all and
+    // the exact gate structurally cannot fire; 3-shingle Jaccard
+    // stays well above 0.5
+    val paraphrase = words.zipWithIndex.collect {
+      case (w, i) if (i + 1) % 7 != 4 => w
+    }.mkString(" ")
+    val unrelated = (1 to 60).map(i => s"other$i").mkString(" ")
+    val corpus = Seq((1L, source), (2L, unrelated)).toDF("doc_id", "text")
+    val eval = Seq((100L, paraphrase)).toDF("doc_id", "text")
+    // the exact gate (q84's rule) cannot flag the source: an 8-gram
+    // needs 8 consecutive tokens and the paraphrase's longest run is 6
+    val exactFlagged = Curation.decontaminate(corpus, eval, "doc_id", col("text"), n = 8)
+      .filter(col("contaminated") === 1).select("doc_id").collect().map(_.getLong(0)).toSet
+    // recall-oriented tuning for a decontamination gate: 8 single-row
+    // bands (catch probability 1-(1-j)^8 ~ 0.99 at j = 0.45) and a
+    // 0.4 threshold — a paraphrase this heavy sits near j ~ 0.45
+    val fuzzy = Dedup.fuzzyDecontaminate(
+      Dedup.prepareHashedShingles(corpus, "doc_id", Dedup.wordShingles("text")),
+      Dedup.prepareHashedShingles(eval, "doc_id", Dedup.wordShingles("text")),
+      "doc_id", threshold = 0.4, rowsPerBand = 1)
+    val rows = fuzzy.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSet == Set(1L),
+      s"the paraphrased source must be flagged, the unrelated doc not: ${rows.mkString(";")}")
+    assert(rows.head._2 == 100L && rows.head._3 >= 0.4 && rows.head._3 < 1.0,
+      s"best match with a sub-identical Jaccard: ${rows.head}")
+    assert(!exactFlagged.contains(1L),
+      s"the exact 8-gram gate must MISS the 7-periodic paraphrase, flagged: $exactFlagged")
+    // candidate generation is the band equi-join, never a cross product
+    assert(!fuzzy.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+  }
+
   test("containmentPairs: a quoted excerpt scores 1.0 directionally while Jaccard stays low") {
     val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma"
