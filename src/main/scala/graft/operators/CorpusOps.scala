@@ -679,6 +679,20 @@ object CorpusOps {
     */
   def nbClassify(train: DataFrame, corpus: DataFrame, idCol: Column,
       textCol: Column, labelCol: Column, dim: Int = 64): DataFrame = {
+    val (lp, priors) = nbModel(train, idCol, textCol, labelCol, dim)
+    nbScore(corpus, lp, priors, idCol, textCol, dim)
+  }
+
+  /** Train the NB model tables: the per-(label, bucket) micro-nat
+    * log-probs over the full `dim`-bucket support (add-1 smoothed)
+    * and the per-label micro-nat priors — both config-sized
+    * (labels x dim and labels rows), the broadcast/collect side of
+    * every scoring call. Split from the scorer so streaming serving
+    * ([[graft.streaming.StreamingOps.classifyStream]]) can train ONCE
+    * and score every micro-batch against the same frozen tables.
+    */
+  def nbModel(train: DataFrame, idCol: Column, textCol: Column,
+      labelCol: Column, dim: Int = 64): (DataFrame, DataFrame) = {
     require(dim > 0, s"dim must be positive, got $dim")
     val spark = train.sparkSession
     val labeled = train.filter(labelCol.isNotNull)
@@ -707,8 +721,24 @@ object CorpusOps {
       .select(col("label"),
         floor(log(col("nd").cast("double") / col("_n").cast("double")) * 1e6 +
           lit(0.5)).cast("long").as("prior_u"))
-    // corpus side: observed-feature fold per (doc, label), then the
-    // per-doc argmax window over |labels| rows
+    (lp, priors)
+  }
+
+  /** Score `corpus` against a trained NB model ([[nbModel]]'s
+    * (lp, priors) tables — or any frames of that shape, e.g.
+    * LocalRelations rebuilt from a one-time collect in a streaming
+    * trigger). One (doc, bucket) count shuffle, one (doc, label)
+    * fold, the |labels|-row per-doc argmax window.
+    *
+    * A document with NO grams (null or empty text) has no feature
+    * rows and therefore NO output row — multinomial NB over zero
+    * observations is the bare prior, a meaningless routing; callers
+    * that must disposition every doc should pre-filter empties
+    * explicitly (the pretrainingRun gate's explicit-reject
+    * discipline) rather than read silence as a class.
+    */
+  def nbScore(corpus: DataFrame, lp: DataFrame, priors: DataFrame,
+      idCol: Column, textCol: Column, dim: Int = 64): DataFrame = {
     val docBuckets = gramBuckets(
         corpus.select(idCol.as("doc_id"), textCol.as("_txt")),
         col("doc_id"), col("_txt"), dim)

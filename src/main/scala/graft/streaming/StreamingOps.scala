@@ -496,6 +496,54 @@ object StreamingOps {
       .trigger(trigger)
       .start()
 
+  /** STREAMING DOMAIN ROUTING (round 17) — the per-micro-batch face
+    * of [[graft.operators.CorpusOps.nbClassify]]: every arriving
+    * document is scored against a FROZEN Naive Bayes model and its
+    * (predicted, score_u, margin_u) row lands under
+    * `outDir/batchId=N` with overwrite (the repo-wide replay
+    * discipline). This is the ingest-time router a 100 TB pipeline
+    * runs INLINE with arrival: domain quotas, quality gates and
+    * language routing act one trigger after the data lands.
+    *
+    * The model tables are trained and COLLECTED ONCE before start()
+    * (the maintainIvfIndex lesson: otherwise every trigger re-executes
+    * the training lineage) — both are config-sized by construction
+    * (labels x dim log-probs, labels priors) and replay as
+    * LocalRelations per trigger. Stateless; per batch the work is one
+    * batch-local (doc, bucket) count + two broadcast joins + the
+    * |labels|-row argmax window.
+    */
+  def classifyStream(stream: DataFrame, train: DataFrame, idCol: String,
+      textCol: String, labelCol: String, outDir: String,
+      checkpointDir: String, dim: Int = 64,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.SaveMode
+    val (lpDf, priorsDf) = graft.operators.CorpusOps.nbModel(
+      train, col(idCol), col(textCol), col(labelCol), dim)
+    val lpRows = lpDf.collect()
+    val lpSchema = lpDf.schema
+    require(lpRows.nonEmpty,
+      "classifyStream: the training set produced an empty model — no labeled docs?")
+    val priorRows = priorsDf.collect()
+    val priorSchema = priorsDf.schema
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val lp = spark.createDataFrame(
+          java.util.Arrays.asList(lpRows: _*), lpSchema)
+        val priors = spark.createDataFrame(
+          java.util.Arrays.asList(priorRows: _*), priorSchema)
+        graft.operators.CorpusOps.nbScore(batch, lp, priors,
+            col(idCol), col(textCol), dim)
+          .write.mode(SaveMode.Overwrite).parquet(s"$outDir/batchId=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
   /** Streaming DATA-QUALITY MONITOR — the per-micro-batch face of
     * [[graft.operators.Profiler]]: every arriving batch is profiled
     * (per-column totals/nulls/exact distincts/bounds) and the report

@@ -339,6 +339,20 @@ class CorpusOpsSpec extends SparkSpec {
     assert(again.sortBy(x => (x._1, x._3)).toSeq == got.sortBy(x => (x._1, x._3)).toSeq)
   }
 
+  test("gumbelTopK plans a WindowGroupLimit: the per-group top-k never materializes a full per-group sort") {
+    // the 100 TB shape of sampling ∝ exp(score): groups are languages
+    // (few, huge) — Spark's rank-limit pushdown keeps ~k rows per
+    // map task, so the final one-task-per-group step moves k x tasks
+    // rows, not the corpus. A regression to a plain window would
+    // serialize whole languages through single tasks.
+    val df = Seq((1L, "en", 5L), (2L, "en", 3L), (3L, "fr", 9L))
+      .toDF("id", "grp", "score_u")
+    val plan = CorpusOps.gumbelTopK(df, col("id"), col("score_u"), col("grp"), 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank-limit pushdown must plan WindowGroupLimit:\n${plan.take(800)}")
+  }
+
   test("dsirWeights: target-domain documents outscore off-domain ones; weights are deterministic integers") {
     import spark.implicits._
     // two synthetic "domains" with disjoint vocabulary; the target

@@ -2315,6 +2315,61 @@ class StreamingSpec extends SparkSpec {
     assert(after == before, "a replayed batch must reproduce its dispositions exactly")
   }
 
+  test("classifyStream: frozen NB model routes every batch; stream == batch scoring; replay overwrites") {
+    import spark.implicits._
+    import graft.operators.CorpusOps
+    val base = tmp()
+    val train = Seq(
+      (1L, "news", "alpha beta gamma alpha beta delta"),
+      (2L, "news", "beta gamma alpha delta beta alpha"),
+      (3L, "code", "zulu yankee xray zulu whiskey xray"),
+      (4L, "code", "xray zulu yankee whiskey zulu yankee")
+    ).toDF("doc_id", "label", "text")
+    val batches = Seq(
+      Seq((10L, "alpha beta gamma beta"), (11L, "zulu xray yankee whiskey")),
+      Seq((20L, "alpha zulu beta xray alpha"), (21L, "whiskey yankee zulu")))
+    val now = System.currentTimeMillis()
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$base/staging-$i")
+      val part = new java.io.File(s"$base/staging-$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$base/in/b$i.parquet")
+      Files.createDirectories(dst.toPath.getParent)
+      Files.copy(part.toPath, dst.toPath)
+      assert(dst.setLastModified(now - (4 - i) * 60000L))
+    }
+    val schema = Seq((1L, "x")).toDF("doc_id", "text").schema
+    def start() = StreamingOps.classifyStream(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in"),
+      train, "doc_id", "text", "label", s"$base/out", s"$base/ck", dim = 32)
+    start().awaitTermination(120000)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "predicted", "score_u", "margin_u").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val got = key(spark.read.parquet(s"$base/out"))
+    // stream == batch, batch by batch, against the same frozen model
+    val want = batches.map(rows => key(CorpusOps.nbClassify(
+      train, rows.toDF("doc_id", "text"),
+      col("doc_id"), col("text"), col("label"), dim = 32)))
+      .reduce(_ ++ _)
+    assert(got == want, s"stream routing must equal batch scoring:\n$got\nvs\n$want")
+    // a replayed batch overwrites its own directory, never duplicates
+    assert(Files.deleteIfExists(Paths.get(s"$base/ck/commits/1")))
+    Files.deleteIfExists(Paths.get(s"$base/ck/commits/.1.crc"))
+    start().awaitTermination(120000)
+    assert(key(spark.read.parquet(s"$base/out")) == want)
+    // an empty training set fails at setup, not per trigger
+    intercept[IllegalArgumentException] {
+      StreamingOps.classifyStream(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$base/in"),
+        train.filter(col("label").isNull), "doc_id", "text", "label",
+        s"$base/out2", s"$base/ck2", dim = 32)
+    }
+  }
+
   test("curationStream: kill/restart replays a batch against exactly the history its first attempt saw") {
     import spark.implicits._
     val base = tmp()
