@@ -739,6 +739,14 @@ object CorpusOps {
     */
   def nbScore(corpus: DataFrame, lp: DataFrame, priors: DataFrame,
       idCol: Column, textCol: Column, dim: Int = 64): DataFrame = {
+    // the model is self-describing (the IvfStore geometry discipline):
+    // its bucket support IS the feature dim, and a mismatched caller
+    // dim would hash grams into buckets the lp grid doesn't cover —
+    // silently dropping features from the fold. One config-sized agg.
+    val lpDim = lp.agg(max(col("bucket"))).head.getLong(0) + 1
+    require(dim.toLong == lpDim,
+      s"dim=$dim disagrees with the model's bucket support ($lpDim) — " +
+        "score with the dim the model was trained with")
     val docBuckets = gramBuckets(
         corpus.select(idCol.as("doc_id"), textCol.as("_txt")),
         col("doc_id"), col("_txt"), dim)

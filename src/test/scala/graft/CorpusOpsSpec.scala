@@ -509,6 +509,14 @@ class CorpusOpsSpec extends SparkSpec {
         corpus, col("doc_id"), col("text"), col("label"), dim = 32)
       .collect().map(r => (r.getString(1), r.getLong(3)))
     assert(one.forall { case (p, m) => p == "news" && m == 0L }, one.mkString(";"))
+    // a dim that disagrees with the model's bucket support fails loudly
+    // instead of silently dropping features from the fold
+    val (lp, priors) = CorpusOps.nbModel(train, col("doc_id"), col("text"),
+      col("label"), dim = 32)
+    val exDim = intercept[IllegalArgumentException] {
+      CorpusOps.nbScore(corpus, lp, priors, col("doc_id"), col("text"), dim = 64)
+    }
+    assert(exDim.getMessage.contains("bucket support"))
   }
 
   test("curationPipeline: one disposition per doc — quality gate, exact keeper, cluster-safe split") {
