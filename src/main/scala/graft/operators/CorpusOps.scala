@@ -895,13 +895,22 @@ object CorpusOps {
     *
     * Every input document (non-null id and text) lands EXACTLY ONE
     * disposition:
-    *  - `gated`       — failed the Gopher gate (or had no 2-gram for
-    *                    its repetition rule: too short is a fail, not
-    *                    a crash — the gate's inner-join drop becomes
-    *                    an explicit reject here);
-    *  - `not_sampled` — passed the gate, scrubbed and DSIR-weighted,
-    *                    but lost the per-language Gumbel resample;
-    *  - `packed`      — sampled, with its FFD bin assignment.
+    *  - `gated`        — failed the Gopher gate (or had no 2-gram for
+    *                     its repetition rule: too short is a fail, not
+    *                     a crash — the gate's inner-join drop becomes
+    *                     an explicit reject here);
+    *  - `contaminated` — (only with `evalDocs`, round 17) a gate
+    *                     survivor whose SCRUBBED text sits within
+    *                     `fuzzyTau` shingle-Jaccard of a benchmark doc
+    *                     ([[Dedup.fuzzyDecontaminate]] — the near-dup
+    *                     gate, catching paraphrased leakage the exact
+    *                     8-gram rule cannot); removed BEFORE the DSIR
+    *                     distributions so leaked text never shapes the
+    *                     importance weights it would itself be
+    *                     selected by;
+    *  - `not_sampled`  — passed the gates, scrubbed and DSIR-weighted,
+    *                     but lost the per-language Gumbel resample;
+    *  - `packed`       — sampled, with its FFD bin assignment.
     *
     * Columns: (doc_id, lang, disposition, dsir_weight_u, sample_rank,
     * bin_idx, n_tok) — weight/rank/bin/n_tok null where the doc never
@@ -925,7 +934,8 @@ object CorpusOps {
       minMeanLen: Double, maxMeanLen: Double, stopWords: Seq[String],
       minStopHits: Long, maxTop2Frac: Double, targetPred: Column,
       dim: Int = 64, samplesPerLang: Int = 30, packBudget: Long = 512L,
-      maxOpen: Int = 4): PretrainRun = {
+      maxOpen: Int = 4, evalDocs: Option[DataFrame] = None,
+      fuzzyTau: Double = 0.5, fuzzyRowsPerBand: Int = 2): PretrainRun = {
     val base = docs
       .filter(col("doc_id").isNotNull && col("text").isNotNull)
       .select(col("doc_id"), col("lang"), col("text"))
@@ -952,9 +962,32 @@ object CorpusOps {
       .select(col("doc_id"), col("lang"), col("clean_text"),
         size(split(col("clean_text"), " ")).cast("long").as("n_tok"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dsir = dsirRun(scrubbed, scrubbed.filter(targetPred),
+    // fuzzy decontamination gate (scrubbed text vs the benchmark set):
+    // flagged docs leave the pipeline HERE, before the DSIR
+    // distributions — leaked text must not shape the weights
+    val (contaminated, clean) = evalDocs match {
+      case None => (None, scrubbed)
+      case Some(ev) =>
+        val corpusSh = Dedup.prepareHashedShingles(
+          scrubbed.select(col("doc_id"), col("clean_text").as("text")),
+          "doc_id", Dedup.wordShingles("text"))
+        val evalSh = Dedup.prepareHashedShingles(
+          ev.filter(col("doc_id").isNotNull && col("text").isNotNull),
+          "doc_id", Dedup.wordShingles("text"))
+        val flagged = Dedup.fuzzyDecontaminate(corpusSh, evalSh, "doc_id",
+            fuzzyTau, rowsPerBand = fuzzyRowsPerBand)
+          .select(col("doc_id"))
+        (Some(scrubbed.join(flagged, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("lang"),
+            lit("contaminated").as("disposition"),
+            lit(null).cast("long").as("dsir_weight_u"),
+            lit(null).cast("int").as("sample_rank"),
+            lit(null).cast("long").as("bin_idx"), col("n_tok"))),
+          scrubbed.join(flagged, Seq("doc_id"), "left_anti"))
+    }
+    val dsir = dsirRun(clean, clean.filter(targetPred),
       col("doc_id"), col("clean_text"), dim)
-    val weighted = scrubbed.select("doc_id", "lang", "n_tok")
+    val weighted = clean.select("doc_id", "lang", "n_tok")
       .join(dsir.result.select(col("doc_id"), col("dsir_weight_u")), "doc_id")
     val sampled = gumbelTopK(weighted, col("doc_id"),
       col("dsir_weight_u"), col("lang"), samplesPerLang)
@@ -969,7 +1002,9 @@ object CorpusOps {
       .select(col("doc_id"), col("lang"), lit("not_sampled").as("disposition"),
         col("dsir_weight_u"), lit(null).cast("int").as("sample_rank"),
         lit(null).cast("long").as("bin_idx"), col("n_tok"))
-    PretrainRun(gated.unionByName(notSampled).unionByName(packed),
+    PretrainRun(
+      contaminated.foldLeft(gated.unionByName(notSampled))(_ unionByName _)
+        .unionByName(packed),
       Seq(tagged, scrubbed) ++ dsir.cached)
   }
 
@@ -981,10 +1016,11 @@ object CorpusOps {
       minMeanLen: Double, maxMeanLen: Double, stopWords: Seq[String],
       minStopHits: Long, maxTop2Frac: Double, targetPred: Column,
       dim: Int = 64, samplesPerLang: Int = 30, packBudget: Long = 512L,
-      maxOpen: Int = 4): DataFrame =
+      maxOpen: Int = 4, evalDocs: Option[DataFrame] = None,
+      fuzzyTau: Double = 0.5, fuzzyRowsPerBand: Int = 2): DataFrame =
     pretrainingRun(docs, minWords, maxWords, minMeanLen, maxMeanLen,
       stopWords, minStopHits, maxTop2Frac, targetPred, dim, samplesPerLang,
-      packBudget, maxOpen).result
+      packBudget, maxOpen, evalDocs, fuzzyTau, fuzzyRowsPerBand).result
 
   /** Context-window sequence packing, contiguous-chop style: within
     * each shard (`shardCol`), lay documents end-to-end in `orderCol`

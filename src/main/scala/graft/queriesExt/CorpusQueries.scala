@@ -760,6 +760,247 @@ object CorpusQueries {
     FROM r JOIN t ON t.doc_id = r.doc_id
     WHERE r.rn = 1 ORDER BY r.doc_id"""))
 
+  /** THE SPINE WITH FUZZY DECONTAMINATION COMPOSED IN (round 17 — the
+    * q205 -> q207 move applied to the round's own composition): q227's
+    * gate -> scrub -> DSIR -> resample -> pack with
+    * [[graft.operators.Dedup.fuzzyDecontaminate]] inserted between
+    * scrub and DSIR, so paraphrased benchmark leakage leaves the
+    * pipeline BEFORE it can shape the importance weights that would
+    * select it. Both engines plant the benchmark set as 7-periodic
+    * token-drop paraphrases of the SCRUBBED doc_id % 83 == 0 docs (no
+    * 8-gram survives a 6-token run — this leakage is invisible to the
+    * exact gate by construction); a gate-surviving source lands
+    * `contaminated`, a gate-failed one stays `gated` — still exactly
+    * one disposition per doc. The oracle is q227's CTE stack with
+    * q230's banding/verify fragments spliced in (8 single-row bands,
+    * tau 0.4 on the quantized Jaccard), the DSIR distributions
+    * rebuilt over the CLEAN keepers only.
+    */
+  private val q231 = Q("q231_spine_decontam", (s, dir) => {
+    import graft.operators.TextAnalysis
+    val withPii = Tables.load(s, dir, "documents")
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"), col("lang"), concat(
+        col("text"), lit(" reach user"), col("doc_id").cast("string"),
+        lit("@example.com or call 415-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")).as("text"))
+    val scrub83 = TextAnalysis.scrubPii(
+      withPii.filter(col("doc_id") % 83 === 0), col("doc_id"), col("text"))
+    val toksE = split(col("clean_text"), " ")
+    val evalDocs = scrub83.select(
+      (col("doc_id") + 10000000L).as("doc_id"),
+      array_join(transform(
+        filter(sequence(lit(1), size(toksE)), i => i % 7 =!= 4),
+        i => element_at(toksE, i)), " ").as("text"))
+    CorpusOps.pretrainingPipeline(withPii,
+        minWords = 20L, maxWords = 95L, minMeanLen = 4.5, maxMeanLen = 5.6,
+        stopWords = Seq("the", "a"), minStopHits = 1L, maxTop2Frac = 0.12,
+        targetPred = col("lang") === "en", dim = 64, samplesPerLang = 25,
+        packBudget = 512L, maxOpen = 4, evalDocs = Some(evalDocs),
+        fuzzyTau = 0.4, fuzzyRowsPerBand = 1)
+      .orderBy(col("doc_id"))
+  }, Some(raw"""
+    WITH RECURSIVE
+    p AS (
+      SELECT doc_id, lang,
+             text || ' reach user' || CAST(doc_id AS VARCHAR) ||
+             '@example.com or call 415-555-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t0
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+    t AS (SELECT doc_id, lang, t0, len(t0) AS n_chars,
+                 string_split(t0, ' ') AS toks FROM p),
+    w AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             floor(CAST(list_reduce(list_transform(toks, s -> CAST(len(s) AS BIGINT)),
+                       (a, b) -> a + b) AS DOUBLE) / len(toks) * 1000000 + 0.5) / 1000000.0 AS mean_word_len,
+             CAST(len(list_filter(toks, s -> s IN ('the', 'a'))) AS BIGINT) AS stop_hits
+      FROM t),
+    g2 AS (
+      SELECT t.doc_id, t.n_chars, array_to_string(t.toks[r.i+1:r.i+2], ' ') AS gram
+      FROM t CROSS JOIN LATERAL (SELECT unnest(range(0, len(t.toks) - 1)) AS i) r),
+    c2 AS (
+      SELECT doc_id, n_chars, gram, CAST(count(*) AS BIGINT) AS cnt
+      FROM g2 GROUP BY doc_id, n_chars, gram),
+    top AS (
+      SELECT doc_id,
+             floor(CAST(cnt * len(gram) AS DOUBLE) / n_chars * 1000000 + 0.5) / 1000000.0 AS top2_frac
+      FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                       ORDER BY cnt DESC, gram) AS rn FROM c2)
+      WHERE rn = 1),
+    gatepass AS (
+      SELECT w.doc_id FROM w JOIN top USING (doc_id)
+      WHERE w.n_words BETWEEN 20 AND 95
+        AND w.mean_word_len BETWEEN 4.5 AND 5.6
+        AND w.stop_hits >= 1 AND top.top2_frac <= 0.12),
+    scrub AS (
+      SELECT t.doc_id, t.lang,
+             regexp_replace(regexp_replace(
+               regexp_replace(regexp_replace(
+                 regexp_replace(t.t0,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                 '(^|[^0-9-])(\d{3}-\d{3}-\d{4})($$|[^0-9-])', '\1[PHONE]\3', 'g'),
+                 '(^|[^0-9-])(\d{3}-\d{3}-\d{4})($$|[^0-9-])', '\1[PHONE]\3', 'g'),
+               '(^|[^0-9-])(\d{3}-\d{2}-\d{4})($$|[^0-9-])', '\1[SSN]\3', 'g'),
+               '(^|[^0-9-])(\d{3}-\d{2}-\d{4})($$|[^0-9-])', '\1[SSN]\3', 'g') AS clean
+      FROM t JOIN gatepass USING (doc_id)),
+    scrub83 AS (
+      SELECT t.doc_id,
+             regexp_replace(regexp_replace(
+               regexp_replace(regexp_replace(
+                 regexp_replace(t.t0,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                 '(^|[^0-9-])(\d{3}-\d{3}-\d{4})($$|[^0-9-])', '\1[PHONE]\3', 'g'),
+                 '(^|[^0-9-])(\d{3}-\d{3}-\d{4})($$|[^0-9-])', '\1[PHONE]\3', 'g'),
+               '(^|[^0-9-])(\d{3}-\d{2}-\d{4})($$|[^0-9-])', '\1[SSN]\3', 'g'),
+               '(^|[^0-9-])(\d{3}-\d{2}-\d{4})($$|[^0-9-])', '\1[SSN]\3', 'g') AS clean
+      FROM t WHERE t.doc_id % 83 = 0),
+    evp AS (
+      SELECT doc_id + 10000000 AS doc_id,
+             array_to_string(list_transform(
+               list_filter(range(1, len(string_split(clean, ' ')) + 1),
+                 i -> i % 7 <> 4),
+               i -> string_split(clean, ' ')[i]), ' ') AS text
+      FROM scrub83),
+    dsh AS (
+      SELECT doc_id, text FROM evp
+      UNION ALL SELECT doc_id, clean AS text FROM scrub),
+    shx AS (
+      SELECT doc_id, list_distinct(list_transform(
+        range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+        i -> concat_ws(' ', string_split(text, ' ')[i],
+          string_split(text, ' ')[i+1], string_split(text, ' ')[i+2]))) AS s
+      FROM dsh),
+    hsx AS (
+      SELECT doc_id, s,
+             list_distinct(list_transform(s,
+               g -> CAST(concat('0x', substr(md5(g), 1, 12)) AS BIGINT))) AS hs
+      FROM shx),
+    sgx AS (
+      SELECT doc_id, ${(0 until 8).map(graft.queriesExt.DedupQueries.sigSql).mkString(", ")}
+      FROM hsx),
+    bnx AS (
+      SELECT doc_id, b.band_idx,
+             concat_ws(':', CAST(b.band_idx AS VARCHAR),
+               CASE b.band_idx
+                 WHEN 0 THEN sig0 WHEN 1 THEN sig1 WHEN 2 THEN sig2
+                 WHEN 3 THEN sig3 WHEN 4 THEN sig4 WHEN 5 THEN sig5
+                 WHEN 6 THEN sig6 ELSE sig7 END) AS band_key
+      FROM sgx, (SELECT unnest(range(8)) AS band_idx) b),
+    cnx AS (
+      SELECT DISTINCT a.doc_id AS doc_id, e.doc_id AS eval_id
+      FROM bnx a JOIN bnx e USING (band_idx, band_key)
+      WHERE a.doc_id < 10000000 AND e.doc_id >= 10000000),
+    vfx AS (
+      SELECT cnx.doc_id,
+             floor(CAST(len(list_intersect(s1.hs, s2.hs)) AS DOUBLE) /
+                   len(list_distinct(list_concat(s1.hs, s2.hs))) * 1000000 + 0.5)
+               / 1000000.0 AS jac
+      FROM cnx JOIN hsx s1 ON s1.doc_id = cnx.doc_id
+               JOIN hsx s2 ON s2.doc_id = cnx.eval_id),
+    flagged AS (SELECT DISTINCT doc_id FROM vfx WHERE jac >= 0.4),
+    cleank AS (
+      SELECT * FROM scrub
+      WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+    ntokAll AS (
+      SELECT doc_id, lang, clean,
+             CAST(len(string_split(clean, ' ')) AS BIGINT) AS n_tok
+      FROM scrub),
+    ntok AS (
+      SELECT doc_id, lang, clean,
+             CAST(len(string_split(clean, ' ')) AS BIGINT) AS n_tok
+      FROM cleank),
+    ktoks AS (SELECT doc_id, lang, string_split(clean, ' ') AS toks FROM cleank),
+    ge AS (
+      SELECT doc_id, lang, unnest(list_concat(toks,
+        [array_to_string(toks[i+1:i+2], ' ') for i in range(0, len(toks) - 1)])) AS gram
+      FROM ktoks),
+    g AS (
+      SELECT doc_id, lang,
+             CAST(concat('0x', substr(md5(gram), 1, 12)) AS BIGINT) % 64 AS bucket
+      FROM ge),
+    tgt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS tc FROM g
+            WHERE lang = 'en' GROUP BY bucket),
+    raws AS (SELECT bucket, CAST(count(*) AS BIGINT) AS rc FROM g GROUP BY bucket),
+    tot AS (SELECT (SELECT coalesce(sum(tc), 0) FROM tgt) AS tt,
+                   (SELECT coalesce(sum(rc), 0) FROM raws) AS rt),
+    lr AS (
+      SELECT b.bucket,
+             CAST(floor(ln((coalesce(tgt.tc, 0) + 1) * 1.0 / (tot.tt + 64)) * 1000000 + 0.5) AS BIGINT)
+           - CAST(floor(ln((coalesce(raws.rc, 0) + 1) * 1.0 / (tot.rt + 64)) * 1000000 + 0.5) AS BIGINT) AS lr_u
+      FROM (SELECT unnest(range(0, 64)) AS bucket) b
+      LEFT JOIN tgt USING (bucket) LEFT JOIN raws USING (bucket), tot),
+    db AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+           FROM g GROUP BY doc_id, bucket),
+    dsir AS (
+      SELECT db.doc_id, CAST(sum(db.cnt * lr.lr_u) AS BIGINT) AS dsir_weight_u
+      FROM db JOIN lr USING (bucket) GROUP BY db.doc_id),
+    j AS (
+      SELECT n.doc_id, n.lang, n.n_tok, s.dsir_weight_u,
+             CAST(concat('0x', substr(md5(CAST(n.doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS hv
+      FROM ntok n JOIN dsir s USING (doc_id)),
+    k2 AS (
+      SELECT *, CAST(floor(-ln((CAST(hv AS DOUBLE) + 1) / 281474976710656.0) * 1000000 + 0.5) AS BIGINT) AS e_unat
+      FROM j),
+    k3 AS (
+      SELECT *, dsir_weight_u
+             - CAST(floor(ln(CAST(greatest(e_unat, 1) AS DOUBLE) / 1000000.0) * 1000000 + 0.5) AS BIGINT) AS key_u
+      FROM k2),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY lang ORDER BY key_u DESC, doc_id) AS rn
+      FROM k3),
+    sampled AS (SELECT doc_id, lang, n_tok, dsir_weight_u,
+                       CAST(rn AS INT) AS sample_rank
+                FROM r WHERE rn <= 25),
+    tp AS (
+      SELECT lang AS shard, doc_id, n_tok,
+             CAST(row_number() OVER (PARTITION BY lang
+                ORDER BY n_tok DESC, doc_id) AS INT) AS pos
+      FROM sampled),
+    rec AS (
+      SELECT shard, pos, doc_id, n_tok,
+             CAST(0 AS BIGINT) AS bin_idx, n_tok AS fill_after,
+             [{'b': CAST(0 AS BIGINT), 'f': n_tok}] AS open,
+             CAST(1 AS BIGINT) AS nbins
+      FROM tp WHERE pos = 1
+      UNION ALL
+      SELECT tp.shard, tp.pos, tp.doc_id, tp.n_tok,
+             CASE WHEN h.hit IS NOT NULL THEN h.hit.b ELSE rec.nbins END,
+             CASE WHEN h.hit IS NOT NULL THEN h.hit.f + tp.n_tok ELSE tp.n_tok END,
+             CASE WHEN h.hit IS NOT NULL
+                  THEN list_transform(rec.open, x ->
+                    CASE WHEN x.b = h.hit.b THEN {'b': x.b, 'f': x.f + tp.n_tok} ELSE x END)
+                  ELSE list_append(
+                    CASE WHEN len(rec.open) >= 4 THEN rec.open[2:] ELSE rec.open END,
+                    {'b': rec.nbins, 'f': tp.n_tok})
+             END,
+             CASE WHEN h.hit IS NOT NULL THEN rec.nbins ELSE rec.nbins + 1 END
+      FROM rec
+      JOIN tp ON tp.shard = rec.shard AND tp.pos = rec.pos + 1
+      CROSS JOIN LATERAL (
+        SELECT list_filter(rec.open, x -> x.f + tp.n_tok <= 512)[1] AS hit) h)
+    SELECT t.doc_id, t.lang, 'gated' AS disposition,
+           CAST(NULL AS BIGINT) AS dsir_weight_u,
+           CAST(NULL AS INT) AS sample_rank,
+           CAST(NULL AS BIGINT) AS bin_idx,
+           CAST(NULL AS BIGINT) AS n_tok
+    FROM t WHERE t.doc_id NOT IN (SELECT doc_id FROM gatepass)
+    UNION ALL
+    SELECT na.doc_id, na.lang, 'contaminated',
+           CAST(NULL AS BIGINT), CAST(NULL AS INT), CAST(NULL AS BIGINT),
+           na.n_tok
+    FROM ntokAll na JOIN flagged USING (doc_id)
+    UNION ALL
+    SELECT n.doc_id, n.lang, 'not_sampled', s.dsir_weight_u,
+           CAST(NULL AS INT), CAST(NULL AS BIGINT), n.n_tok
+    FROM ntok n JOIN dsir s USING (doc_id)
+    WHERE n.doc_id NOT IN (SELECT doc_id FROM sampled)
+    UNION ALL
+    SELECT sa.doc_id, sa.lang, 'packed', sa.dsir_weight_u,
+           sa.sample_rank, rec.bin_idx, sa.n_tok
+    FROM sampled sa JOIN rec ON rec.doc_id = sa.doc_id
+    ORDER BY doc_id"""))
+
   val list: Seq[Q] = Seq(q78, q79, q80, q96, q104, q105, q114, q115, q125,
-    q126, q192, q212, q216, q221, q223, q227, q229)
+    q126, q192, q212, q216, q221, q223, q227, q229, q231)
 }

@@ -66,7 +66,7 @@ object DedupQueries {
   private def shinglesSql(textExpr: String): String =
     s"list_distinct(list_transform(range(1, greatest(len(string_split($textExpr, ' ')) - 1, 1)), " +
       s"i -> concat_ws(' ', string_split($textExpr, ' ')[i], string_split($textExpr, ' ')[i+1], string_split($textExpr, ' ')[i+2])))"
-  private def sigSql(i: Int): String =
+  private[queriesExt] def sigSql(i: Int): String =
     s"list_min(list_transform(hs, h -> (${Dedup.MINHASH_A(i)} * h + ${Dedup.MINHASH_B(i)}) % ${Dedup.MINHASH_P})) AS sig$i"
   private def sigsCteFor(shingleExpr: String): String =
     s"""WITH sh AS (

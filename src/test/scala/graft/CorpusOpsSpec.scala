@@ -470,6 +470,49 @@ class CorpusOpsSpec extends SparkSpec {
       org.apache.spark.storage.StorageLevel.NONE))
   }
 
+  test("pretrainingRun + evalDocs: a paraphrased keeper lands contaminated BEFORE the DSIR distributions; gated plants stay gated") {
+    import spark.implicits._
+    def prose(tag: String, n: Int) = (1 to n)
+      .map(i => if (i % 5 == 0) "the" else s"$tag${(i * 3) % 29}").mkString(" ")
+    val leakedText = prose("leak", 40)
+    val docs = Seq(
+      (1L, "en", prose("alpha", 40)),
+      (2L, "en", leakedText),            // keeper whose paraphrase is in the eval set
+      (3L, "en", prose("gamma", 41)),
+      (4L, "en", "tiny")                 // gated; even if eval-similar it stays gated
+    ).toDF("doc_id", "lang", "text")
+    val paraphrase = leakedText.split(" ").zipWithIndex.collect {
+      case (w, i) if (i + 1) % 7 != 4 => w
+    }.mkString(" ")
+    val eval = Seq((100L, paraphrase)).toDF("doc_id", "text")
+    val run = CorpusOps.pretrainingRun(docs,
+      minWords = 10L, maxWords = 100L, minMeanLen = 1.0, maxMeanLen = 9.0,
+      stopWords = Seq("the"), minStopHits = 1L, maxTop2Frac = 0.9,
+      targetPred = col("lang") === "en", dim = 16, samplesPerLang = 5,
+      packBudget = 64L, maxOpen = 2, evalDocs = Some(eval),
+      fuzzyTau = 0.35, fuzzyRowsPerBand = 1)
+    val got = run.result.collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got.size == 4, s"exactly one disposition per doc: $got")
+    assert(got(2L) == "contaminated", got.toString)
+    assert(got(4L) == "gated", got.toString)
+    assert(Set("packed").contains(got(1L)) && Set("packed").contains(got(3L)),
+      s"clean keepers proceed to sampling/packing: $got")
+    // the contaminated doc must not have shaped the weights: rerun
+    // WITHOUT it in the corpus and the clean docs' weights agree
+    val runWo = CorpusOps.pretrainingRun(docs.filter(col("doc_id") =!= 2L),
+      minWords = 10L, maxWords = 100L, minMeanLen = 1.0, maxMeanLen = 9.0,
+      stopWords = Seq("the"), minStopHits = 1L, maxTop2Frac = 0.9,
+      targetPred = col("lang") === "en", dim = 16, samplesPerLang = 5,
+      packBudget = 64L, maxOpen = 2)
+    def weights(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("dsir_weight_u").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(weights(run.result) == weights(runWo.result),
+      "DSIR weights must be computed over the decontaminated corpus")
+    run.release(); runWo.release()
+  }
+
   test("nbClassify: disjoint-vocab domains route correctly; margins positive; deterministic; single-class margin is 0") {
     import spark.implicits._
     val train = Seq(
