@@ -61,6 +61,10 @@ object Bench {
           System.err.println(s"[bench] warmup $name: ${e.getMessage}")
         }
       }
+      // warmup runs of the composed-pipeline convenience forms persist
+      // frames whose release handles the one-shot wrappers drop —
+      // clear them so measurement starts against an empty block manager
+      spark.catalog.clearCache()
     } else System.err.println(
       s"[bench] warmup dir $warmDir missing — timings will include first-run JIT noise")
     // Best-of-N per query (default 2): this bench shares its host, and
@@ -75,11 +79,24 @@ object Bench {
       // (count() would let Catalyst prune the projections under test)
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-          (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name: ${e.getMessage}"); -1.0
-        }
+        val dt =
+          try { fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+            (System.nanoTime() - t0) / 1e9 }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name: ${e.getMessage}"); -1.0
+          }
+        // cache hygiene between measured runs (round 18): the
+        // composed-pipeline queries call the one-shot convenience
+        // forms (pretrainingPipeline, curationPipeline) which by
+        // design drop their release handles — without this, every run
+        // leaks persisted frames into the long-lived session ("Asked
+        // to cache already cached data" warnings) and later runs
+        // measure against an ever-fuller block manager. Clearing per
+        // RUN (not just per name) keeps each best-of-N sample
+        // independent; non-pipeline queries hold no caches, so this
+        // is a no-op for them. The clear is OUTSIDE the timed window.
+        spark.catalog.clearCache()
+        dt
       }
       // sentinel -1 so a crashed query can't masquerade as a fast one
       val ok = times.filter(_ >= 0)

@@ -617,22 +617,16 @@ object CorpusOps {
           .as("bucket"))
   }
 
-  def dsirRun(raw: DataFrame, target: DataFrame, idCol: Column,
-      textCol: Column, dim: Int = 64): DsirRun = {
-    require(dim > 0, s"dim must be positive, got $dim")
-    val allBuckets = raw.sparkSession.range(0, dim).select(col("id").as("bucket"))
-    val docBuckets = gramBuckets(raw, idCol, textCol, dim)
-      .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tCounts = gramBuckets(target, idCol, textCol, dim)
-      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
-    // folds out of the PERSISTED docBuckets (round 17): the raw
-    // distribution and the scoring join share one materialization of
-    // the corpus gram pass instead of executing its lineage twice
-    val rCounts = docBuckets.groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
+  /** The smoothed log-ratio table from two bucket-count frames — the
+    * shared tail of [[dsirRun]] and [[dsirModel]]. Both totals fold
+    * from the given counts; everything integral (micro-nats).
+    */
+  private def dsirLr(spark: org.apache.spark.sql.SparkSession, tCounts: DataFrame,
+      rCounts: DataFrame, dim: Int): DataFrame = {
+    val allBuckets = spark.range(0, dim).select(col("id").as("bucket"))
     val tTotal = tCounts.agg(coalesce(sum(col("cnt")), lit(0L)).as("_t"))
     val rTotal = rCounts.agg(coalesce(sum(col("cnt")), lit(0L)).as("_r"))
-    val lr = allBuckets
+    allBuckets
       .join(tCounts.withColumnRenamed("cnt", "_tc"), Seq("bucket"), "left")
       .join(rCounts.withColumnRenamed("cnt", "_rc"), Seq("bucket"), "left")
       .crossJoin(broadcast(tTotal)).crossJoin(broadcast(rTotal))
@@ -644,11 +638,73 @@ object CorpusOps {
          floor(log((coalesce(col("_rc"), lit(0L)) + 1).cast("double") /
             (col("_r") + dim).cast("double")) * 1e6 + lit(0.5)).cast("long"))
           .as("lr_u"))
+  }
+
+  def dsirRun(raw: DataFrame, target: DataFrame, idCol: Column,
+      textCol: Column, dim: Int = 64): DsirRun = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val docBuckets = gramBuckets(raw, idCol, textCol, dim)
+      .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tCounts = gramBuckets(target, idCol, textCol, dim)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+    // folds out of the PERSISTED docBuckets (round 17): the raw
+    // distribution and the scoring join share one materialization of
+    // the corpus gram pass instead of executing its lineage twice
+    val rCounts = docBuckets.groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
+    val lr = dsirLr(raw.sparkSession, tCounts, rCounts, dim)
     val result = docBuckets.join(broadcast(lr), "bucket")
       .groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_grams"),
         sum(col("cnt") * col("lr_u")).as("dsir_weight_u"))
     DsirRun(result, Seq(docBuckets))
+  }
+
+  /** The FROZEN DSIR model: the (bucket, lr_u) log-ratio table alone —
+    * `dim` rows, the config-sized artifact a train-once/score-often
+    * split ships (the [[nbModel]]/[[nbScore]] discipline applied to
+    * DSIR, round 18). [[dsirWeights]] == [[dsirScore]] against this
+    * model over the same raw corpus — integer micro-nats, exactly
+    * reproducible — so a model trained offline scores streams
+    * ([[graft.streaming.StreamingOps.dsirScoreStream]]) with
+    * batch-identical weights.
+    */
+  def dsirModel(raw: DataFrame, target: DataFrame, idCol: Column,
+      textCol: Column, dim: Int = 64): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    dsirLr(raw.sparkSession,
+      gramBuckets(target, idCol, textCol, dim)
+        .groupBy(col("bucket")).agg(count(lit(1)).as("cnt")),
+      gramBuckets(raw, idCol, textCol, dim)
+        .groupBy(col("bucket")).agg(count(lit(1)).as("cnt")),
+      dim)
+  }
+
+  /** Score `docs` against a frozen [[dsirModel]] table (or any
+    * (bucket, lr_u) frame of that shape, e.g. a LocalRelation rebuilt
+    * from a one-time collect in a streaming trigger). One batch-local
+    * (doc, bucket) count + one broadcast join + one per-doc fold —
+    * nothing model-sized ever shuffles. Same self-describing dim
+    * check as [[nbScore]] (an eager config-sized agg at call time): a
+    * mismatched caller dim would hash grams into buckets the model
+    * doesn't cover, silently dropping features. Docs with no grams
+    * (null/empty text) produce no row — the nbScore contract.
+    */
+  def dsirScore(docs: DataFrame, lr: DataFrame, idCol: Column,
+      textCol: Column, dim: Int = 64): DataFrame = {
+    val lrRow = lr.agg(max(col("bucket"))).head
+    require(!lrRow.isNullAt(0),
+      "empty DSIR model (lr has no rows) — train on non-empty corpora")
+    val lrDim = lrRow.getLong(0) + 1
+    require(dim.toLong == lrDim,
+      s"dim=$dim disagrees with the model's bucket support ($lrDim) — " +
+        "score with the dim the model was trained with")
+    gramBuckets(docs, idCol, textCol, dim)
+      .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(lr), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_grams"),
+        sum(col("cnt") * col("lr_u")).as("dsir_weight_u"))
   }
 
   /** Hashed-gram multinomial NAIVE BAYES classifier (round 17) — the
@@ -695,7 +751,13 @@ object CorpusOps {
       labelCol: Column, dim: Int = 64): (DataFrame, DataFrame) = {
     require(dim > 0, s"dim must be positive, got $dim")
     val spark = train.sparkSession
-    val labeled = train.filter(labelCol.isNotNull)
+    // id/text nullability filtered HERE, not just inside gramBuckets
+    // (round-17 ADVICE): priors, the label set and the gram counts
+    // must see the SAME document set — a label whose docs are all
+    // null-text must not become a routable class with a real prior
+    // but purely add-1-smoothed likelihoods
+    val labeled = train
+      .filter(labelCol.isNotNull && idCol.isNotNull && textCol.isNotNull)
       .select(idCol.as("doc_id"), labelCol.cast("string").as("label"),
         textCol.as("_txt"))
     // class-conditional bucket counts over the dim-bucket support
@@ -742,8 +804,15 @@ object CorpusOps {
     // the model is self-describing (the IvfStore geometry discipline):
     // its bucket support IS the feature dim, and a mismatched caller
     // dim would hash grams into buckets the lp grid doesn't cover —
-    // silently dropping features from the fold. One config-sized agg.
-    val lpDim = lp.agg(max(col("bucket"))).head.getLong(0) + 1
+    // silently dropping features from the fold. This validation is an
+    // EAGER config-sized job at call time (one agg over the lp frame;
+    // cheap against a LocalRelation or a persisted model, a full
+    // lineage execution otherwise — materialize the model first when
+    // scoring repeatedly, as classifyStream's one-time collect does).
+    val lpRow = lp.agg(max(col("bucket"))).head
+    require(!lpRow.isNullAt(0),
+      "empty NB model (lp has no rows) — train on a non-empty labeled set")
+    val lpDim = lpRow.getLong(0) + 1
     require(dim.toLong == lpDim,
       s"dim=$dim disagrees with the model's bucket support ($lpDim) — " +
         "score with the dim the model was trained with")
@@ -943,12 +1012,30 @@ object CorpusOps {
         minWords, maxWords, minMeanLen, maxMeanLen, stopWords, minStopHits,
         maxTop2Frac)
       .select(col("doc_id"), col("keep"))
+    // Every multi-consumer frame below is PERSISTED and then
+    // LINEAGE-CUT ([[org.apache.spark.sql.graft.shims.cutLineage]],
+    // round 18): the persist makes each corpus-scale stage execute
+    // once no matter how many dispositions fan out of it, and the cut
+    // makes every downstream reference a LogicalRDD LEAF instead of a
+    // nested-InMemoryRelation subtree. Without the cut, the composed
+    // plan's PRINTED form grows exponentially in the persist-stack
+    // depth, and AQE re-renders it on every stage update — measured
+    // (SpineDecontamProbe, sf0.1, gated spine): the second write of a
+    // fully-cached result burned 38 s of pure driver time at 3
+    // task-seconds of real work. With the cuts the spine plans in
+    // milliseconds at ANY stack depth. Cost of the cut: the run is
+    // EAGER (each stage materializes at construction — same total
+    // work, moved earlier); the release handle still frees exactly
+    // this run's caches.
+    def cachedLeaf(df: DataFrame): (DataFrame, DataFrame) = {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (org.apache.spark.sql.graft.shims.cutLineage(p), p)
+    }
     // persisted: the gate verdict splits into the `gated` branch AND
     // the kept pipeline — without the cache the gate's repetition
     // shuffle (the spine's widest stage) executes once per branch
-    val tagged = base.join(gate, Seq("doc_id"), "left")
-      .withColumn("_keep", coalesce(col("keep"), lit(false)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (tagged, taggedP) = cachedLeaf(base.join(gate, Seq("doc_id"), "left")
+      .withColumn("_keep", coalesce(col("keep"), lit(false))))
     val nulls = Seq(lit(null).cast("long").as("dsir_weight_u"),
       lit(null).cast("int").as("sample_rank"),
       lit(null).cast("long").as("bin_idx"),
@@ -957,40 +1044,56 @@ object CorpusOps {
       .select(Seq(col("doc_id"), col("lang"),
         lit("gated").as("disposition")) ++ nulls: _*)
     val kept = tagged.filter(col("_keep")).select("doc_id", "lang", "text")
-    val scrubbed = TextAnalysis.scrubPii(kept, col("doc_id"), col("text"))
-      .join(kept.select("doc_id", "lang"), "doc_id")
-      .select(col("doc_id"), col("lang"), col("clean_text"),
-        size(split(col("clean_text"), " ")).cast("long").as("n_tok"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (scrubbed, scrubbedP) = cachedLeaf(
+      TextAnalysis.scrubPii(kept, col("doc_id"), col("text"))
+        .join(kept.select("doc_id", "lang"), "doc_id")
+        .select(col("doc_id"), col("lang"), col("clean_text"),
+          size(split(col("clean_text"), " ")).cast("long").as("n_tok")))
     // fuzzy decontamination gate (scrubbed text vs the benchmark set):
     // flagged docs leave the pipeline HERE, before the DSIR
-    // distributions — leaked text must not shape the weights
-    val (contaminated, clean) = evalDocs match {
-      case None => (None, scrubbed)
+    // distributions — leaked text must not shape the weights. The
+    // shingle frames are cached because fuzzyDecontaminate references
+    // each TWICE (band signatures + the verify join — the
+    // prepareHashedShingles contract); `flagged` because the semi-join
+    // AND the anti-join consume it; `clean` because it stands where
+    // `scrubbed` stands in the gate-less spine — DSIR raw side, target
+    // side, weight join, resample, packer.
+    val (contaminated, clean, gateCached) = evalDocs match {
+      case None => (None, scrubbed, Seq.empty[DataFrame])
       case Some(ev) =>
-        val corpusSh = Dedup.prepareHashedShingles(
+        val (corpusSh, corpusShP) = cachedLeaf(Dedup.prepareHashedShingles(
           scrubbed.select(col("doc_id"), col("clean_text").as("text")),
-          "doc_id", Dedup.wordShingles("text"))
-        val evalSh = Dedup.prepareHashedShingles(
+          "doc_id", Dedup.wordShingles("text")))
+        val (evalSh, evalShP) = cachedLeaf(Dedup.prepareHashedShingles(
           ev.filter(col("doc_id").isNotNull && col("text").isNotNull),
-          "doc_id", Dedup.wordShingles("text"))
-        val flagged = Dedup.fuzzyDecontaminate(corpusSh, evalSh, "doc_id",
-            fuzzyTau, rowsPerBand = fuzzyRowsPerBand)
-          .select(col("doc_id"))
+          "doc_id", Dedup.wordShingles("text")))
+        val (flagged, flaggedP) = cachedLeaf(
+          Dedup.fuzzyDecontaminate(corpusSh, evalSh, "doc_id",
+              fuzzyTau, rowsPerBand = fuzzyRowsPerBand)
+            .select(col("doc_id")))
+        val (cleanL, cleanP) = cachedLeaf(
+          scrubbed.join(flagged, Seq("doc_id"), "left_anti"))
         (Some(scrubbed.join(flagged, Seq("doc_id"), "left_semi")
           .select(col("doc_id"), col("lang"),
             lit("contaminated").as("disposition"),
             lit(null).cast("long").as("dsir_weight_u"),
             lit(null).cast("int").as("sample_rank"),
             lit(null).cast("long").as("bin_idx"), col("n_tok"))),
-          scrubbed.join(flagged, Seq("doc_id"), "left_anti"))
+          cleanL,
+          Seq(corpusShP, evalShP, flaggedP, cleanP))
     }
     val dsir = dsirRun(clean, clean.filter(targetPred),
       col("doc_id"), col("clean_text"), dim)
-    val weighted = clean.select("doc_id", "lang", "n_tok")
-      .join(dsir.result.select(col("doc_id"), col("dsir_weight_u")), "doc_id")
-    val sampled = gumbelTopK(weighted, col("doc_id"),
-      col("dsir_weight_u"), col("lang"), samplesPerLang)
+    // `weighted` (narrow 4-column corpus frame): read by the resample
+    // AND the not_sampled anti-join; `sampled` (k rows per language —
+    // config-sized): read by the packer's fold, the pack join and the
+    // anti-join. Cached+cut so the DSIR-fold/window machinery above
+    // them executes exactly once per run.
+    val (weighted, weightedP) = cachedLeaf(
+      clean.select("doc_id", "lang", "n_tok")
+        .join(dsir.result.select(col("doc_id"), col("dsir_weight_u")), "doc_id"))
+    val (sampled, sampledP) = cachedLeaf(gumbelTopK(weighted, col("doc_id"),
+      col("dsir_weight_u"), col("lang"), samplesPerLang))
     val bins = packBinsFirstFitDecreasing(sampled, col("lang"), col("doc_id"),
         col("n_tok"), packBudget, maxOpen)
       .select(col("doc_id"), col("bin_idx"))
@@ -1005,7 +1108,7 @@ object CorpusOps {
     PretrainRun(
       contaminated.foldLeft(gated.unionByName(notSampled))(_ unionByName _)
         .unionByName(packed),
-      Seq(tagged, scrubbed) ++ dsir.cached)
+      Seq(taggedP, scrubbedP, weightedP, sampledP) ++ gateCached ++ dsir.cached)
   }
 
   /** [[pretrainingRun]] without the cache handle — the one-shot

@@ -214,18 +214,43 @@ object Dedup {
     * 100 TB shape: the eval side is small by contract but NOTHING
     * here requires it — both sides shuffle only on band keys and the
     * verify join moves candidate pairs' shingle arrays only.
+    *
+    * HOT-BUCKET GUARDRAIL (round 18, the [[Similarity.bandedAnnPairs]]
+    * `maxBucket` discipline): with `rowsPerBand = 1` a band key is a
+    * SINGLE minhash value, and minhash minima concentrate on
+    * globally-frequent shingles — corpus-side band-bucket occupancy
+    * GROWS with corpus size, and the band join degrades quadratically
+    * inside hot buckets. `maxBucket = Some(cap)` drops corpus band
+    * keys whose occupancy exceeds `cap` BEFORE the join (one
+    * map-side-combined count over the band frame). This is part of
+    * the recall CONTRACT, like the banding itself: a pair only a hot
+    * band would have caught is not flagged — but a hot bucket is by
+    * definition a near-uninformative key (a shingle shared by `> cap`
+    * documents separates nothing), and the pair's other `k/rowsPerBand - 1`
+    * bands still vote. Default None preserves the exhaustive-banded
+    * semantics the oracle states; at 100 TB with rowsPerBand = 1, set
+    * a cap (SCALE.md carries the measured occupancy/wall lines).
     */
   def fuzzyDecontaminate(corpusHashed: DataFrame, evalHashed: DataFrame,
       idCol: String, threshold: Double, k: Int = 8,
-      rowsPerBand: Int = 2): DataFrame = {
+      rowsPerBand: Int = 2, maxBucket: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def bandsOf(df: DataFrame) = lshBands(
       minhashSignaturesHashed(
         df.select(col(idCol), explode_outer(col("_hs")).as("_h")),
         idCol, col("_h"), k),
       idCol, k, rowsPerBand)
-    val cands = bandsOf(corpusHashed).select(col(idCol).as("doc_id"),
-        col("band_idx"), col("band_key"))
+    val corpusBands = bandsOf(corpusHashed).select(col(idCol).as("doc_id"),
+      col("band_idx"), col("band_key"))
+    val corpusPruned = maxBucket match {
+      case Some(cap) =>
+        val small = corpusBands.groupBy(col("band_idx"), col("band_key"))
+          .agg(count(lit(1)).as("_n")).filter(col("_n") <= cap)
+          .select(col("band_idx"), col("band_key"))
+        corpusBands.join(small, Seq("band_idx", "band_key"))
+      case None => corpusBands
+    }
+    val cands = corpusPruned
       .join(bandsOf(evalHashed).select(col(idCol).as("eval_id"),
         col("band_idx"), col("band_key")), Seq("band_idx", "band_key"))
       .select(col("doc_id"), col("eval_id")).distinct()
@@ -241,6 +266,73 @@ object Dedup {
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .select(col("doc_id"), col("eval_id"), col("_jq").as("jaccard"))
+  }
+
+  /** CROSS-DOCUMENT exact substring spans (round 18) — the span-level
+    * dedup of Lee et al. 2021 ("Deduplicating Training Data Makes
+    * Language Models Better"): find, in every document, the maximal
+    * token spans of length >= `n` whose every n-token window also
+    * appears in at least one OTHER document. This is the dedup class
+    * the doc-level family structurally misses: a 50-token quote
+    * shared by two otherwise-different documents changes neither
+    * whole-doc hash ([[exactDedup]]) nor doc-level Jaccard enough for
+    * MinHash ([[minhashNearDupsOn]]) — but it is exactly the repeated
+    * text span-level dedup exists to remove.
+    *
+    * Definition (mirrors the brute-force oracle): position `p` of doc
+    * `d` is SHARED iff the n-gram starting at `p` (single-space
+    * tokenization, hashed — the q84/q177 gram discipline) occurs in
+    * >= 2 DISTINCT documents; within-doc repetition alone does not
+    * count (min(doc) != max(doc) is the exact >= 2-distinct test, no
+    * count-distinct needed). Shared positions merge into maximal
+    * spans when they overlap or touch (next start <= prev start + n);
+    * output one row per merged span: (id, start_tok, end_tok,
+    * span_tok), token positions 1-based inclusive.
+    *
+    * 100 TB shape — and why this never goes quadratic where the naive
+    * cross-doc join would: the postings stream (doc, pos, gramHash) is
+    * one narrow Generate; the shared-gram table is ONE map-side
+    * combined (min, max) aggregate on the hash; membership is an
+    * equi-join of postings against that table (cost linear in
+    * postings, NEVER doc x doc — a gram shared by a million documents
+    * adds a million posting rows, not 10^12 pairs); the merge is one
+    * per-document window over the doc's own shared positions. Compare
+    * the verify-join families: here there is nothing to verify — the
+    * gram hash IS the (48-bit-collision-bounded) evidence, exactly as
+    * [[Curation.decontaminate]] treats it.
+    */
+  def crossDocSpans(df: DataFrame, idCol: String, textCol: Column,
+      n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 2, s"span grain n must be >= 2 tokens, got $n")
+    val postings = df
+      .filter(col(idCol).isNotNull && textCol.isNotNull)
+      .select(col(idCol),
+        posexplode(graft.functions.shingles.wordShingles(textCol, n))
+          .as(Seq("_p", "_g")))
+      .select(col(idCol), (col("_p") + 1).cast("long").as("pos"),
+        hash48(col("_g")).as("_h"))
+    val shared = postings.groupBy(col("_h"))
+      .agg(min(col(idCol)).as("_lo"), max(col(idCol)).as("_hi"))
+      .filter(col("_lo") =!= col("_hi"))
+      .select(col("_h"))
+    val hits = postings.join(shared, "_h").select(col(idCol), col("pos"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val run = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    hits
+      // fixed-length intervals sorted by start: merge iff the next
+      // start is within prev start + n (overlap or adjacency), so a
+      // single lag decides the island break — no running-max needed
+      .withColumn("_brk",
+        when(lag(col("pos"), 1).over(w).isNull ||
+          col("pos") > lag(col("pos"), 1).over(w) + n, 1).otherwise(0))
+      .withColumn("_isl", sum(col("_brk")).over(run))
+      .groupBy(col(idCol), col("_isl"))
+      .agg(min(col("pos")).as("start_tok"),
+        (max(col("pos")) + n - 1).as("end_tok"))
+      .select(col(idCol), col("start_tok"), col("end_tok"),
+        (col("end_tok") - col("start_tok") + 1).as("span_tok"))
   }
 
   /** Asymmetric shingle CONTAINMENT for candidate pairs:

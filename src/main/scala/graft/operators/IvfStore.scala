@@ -383,7 +383,13 @@ object IvfStore {
     * the snapshot missed (batchId partitions are preserved, so the
     * new version's max batchId IS the snapshot boundary), and
     * [[strandedBatchIds]] audits that nothing is left behind before
-    * [[dropVersionsBelow]].
+    * [[dropVersionsBelow]]. The heal is safe in the FOLDING case too
+    * (round 18): a fold collapses batch dirs into the bootstrap
+    * partition, so `maxBatchId(next)` alone would under-state the
+    * boundary — the fold records itself in the new version
+    * ([[foldBoundary]]) and catchUp/strandedBatchIds floor their
+    * afterBatchId with it, so folded batches can never be re-migrated
+    * as duplicates.
     */
   def compactVersion(spark: SparkSession, storeDir: String,
       writerTasks: Int = 0, staleClaimMs: Long = Long.MaxValue,
@@ -412,9 +418,43 @@ object IvfStore {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("batchId", "cell")
       .parquet(dataDir(storeDir, next))
+    // a FOLDING compaction records its boundary IN the new version
+    // (round 18): after a full fold the new version's only batch dir
+    // is the bootstrap id, so maxBatchId(next) = bootstrap and the
+    // documented mechanical heal (catchUp with that as afterBatchId)
+    // would re-migrate every folded batch — duplicating rows the fold
+    // already moved into the bootstrap partition. [[foldBoundary]]
+    // makes the boundary self-describing (the PQ-geometry
+    // discipline); [[catchUp]]/[[strandedBatchIds]] floor their
+    // afterBatchId with it automatically.
+    if (foldBatchesUpTo != Long.MinValue) {
+      val m = new Path(s"$storeDir/v=$next/fold-$foldBatchesUpTo")
+      fs.mkdirs(m.getParent)
+      if (!fs.exists(m)) fs.create(m, false).close()
+    }
     publish(spark, storeDir, next)
     fs.delete(claim, false)
     next
+  }
+
+  /** The fold boundary a FOLDING [[compactVersion]] recorded in
+    * `version` (the `foldBatchesUpTo` it was built with), or None on
+    * a version produced without folding. Feeder batches at or below
+    * this boundary were re-keyed into the version's bootstrap
+    * partition — they are NOT missing and must never be re-migrated.
+    * One directory listing, no data read.
+    */
+  def foldBoundary(spark: SparkSession, storeDir: String,
+      version: Long): Option[Long] = {
+    val dir = new Path(s"$storeDir/v=$version")
+    val fs = fsOf(spark, storeDir)
+    if (!fs.exists(dir)) None
+    else {
+      val bs = fs.listStatus(dir).map(_.getPath.getName)
+        .filter(_.startsWith("fold-"))
+        .flatMap(n => n.stripPrefix("fold-").toLongOption)
+      if (bs.isEmpty) None else Some(bs.max)
+    }
   }
 
   /** Recover from a CRASHED reindex without filesystem surgery
@@ -517,10 +557,18 @@ object IvfStore {
     val fs = fsOf(spark, storeDir)
     require(fs.exists(from), s"no data under version $fromVersion at $from")
     val ctrs = centroidsOf(spark, storeDir, toVersion)
+    // the caller's boundary is FLOORED by the target version's
+    // recorded fold boundary (round 18): batches a folding compaction
+    // re-keyed into the bootstrap partition are already in toVersion
+    // under a different batchId, so migrating them again — which the
+    // otherwise-correct heal `afterBatchId = maxBatchId(next)` would
+    // do after a full fold (maxBatchId = bootstrap) — duplicates rows
+    val boundary = math.max(afterBatchId,
+      foldBoundary(spark, storeDir, toVersion).getOrElse(BootstrapBatchId))
     val pending = fs.listStatus(from).map(_.getPath.getName)
       .filter(_.startsWith("batchId="))
       .flatMap(n => n.stripPrefix("batchId=").toLongOption)
-      .filter(_ > afterBatchId).sorted
+      .filter(_ > boundary).sorted
     if (pending.isEmpty) return 0L
     val rows = spark.read
       .option("basePath", dataDir(storeDir, fromVersion))
@@ -798,7 +846,11 @@ object IvfStore {
     * bootstrap id when no feeder batch has landed) — after a
     * [[compactVersion]], this IS the snapshot boundary to pass
     * [[catchUp]] as `afterBatchId`, because compaction preserves
-    * batchId partitions. Fails on a version with no data directory.
+    * batchId partitions. After a FOLDING compaction this under-states
+    * the boundary (folded dirs collapse to the bootstrap id), but
+    * catchUp/strandedBatchIds floor it with the recorded
+    * [[foldBoundary]], so the recipe stays safe. Fails on a version
+    * with no data directory.
     */
   def maxBatchId(spark: SparkSession, storeDir: String, version: Long): Long = {
     val ids = batchIdsOf(spark, storeDir, version)
@@ -815,17 +867,24 @@ object IvfStore {
     * exactly the batches to [[catchUp]]. One directory listing per
     * version, no data read. Only batchIds STRICTLY ABOVE
     * `afterBatchId` count: after a COMPACTION (batchIds preserved)
-    * the default — every feeder batch — is right; after a REINDEX or
-    * a FOLDING compaction (`foldBatchesUpTo`), batches at or below
-    * the boundary are folded into the new version's bootstrap bulk
-    * and are NOT stranded, so pass that boundary.
+    * the default — every feeder batch — is right; after a REINDEX
+    * over a `batchId <= N` snapshot, pass N. A FOLDING compaction's
+    * boundary is applied AUTOMATICALLY (round 18): the fold records
+    * itself in the new version ([[foldBoundary]]) and this audit
+    * floors `afterBatchId` with it.
     */
   def strandedBatchIds(spark: SparkSession, storeDir: String,
       fromVersion: Long, toVersion: Long,
       afterBatchId: Long = BootstrapBatchId): Seq[Long] = {
+    // floored by toVersion's recorded fold boundary (round 18, the
+    // catchUp rule): folded batches live in the bootstrap partition,
+    // so their original ids are absent from toVersion's listing but
+    // NOT stranded
+    val boundary = math.max(afterBatchId,
+      foldBoundary(spark, storeDir, toVersion).getOrElse(BootstrapBatchId))
     val to = batchIdsOf(spark, storeDir, toVersion).toSet
     batchIdsOf(spark, storeDir, fromVersion)
-      .filter(b => b > afterBatchId && !to.contains(b))
+      .filter(b => b > boundary && !to.contains(b))
   }
 
   /** Prune versions strictly below `keepFrom` (their markers AND

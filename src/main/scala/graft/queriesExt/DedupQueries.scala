@@ -50,16 +50,27 @@ object DedupQueries {
     * many cheap reads.
     */
   private def shingled(s: org.apache.spark.sql.SparkSession, dir: String,
-      kind: String): org.apache.spark.sql.DataFrame =
-    shingleCache.computeIfAbsent((System.identityHashCode(s), dir, kind), _ => {
-      val docs = Tables.load(s, dir, "documents")
-      val sh = kind match {
-        case "word3"  => Dedup.wordShingles("text")
-        case "char12" => Dedup.charShingles("text", 12)
-      }
-      Dedup.prepareHashedShingles(docs, "doc_id", sh)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+      kind: String): org.apache.spark.sql.DataFrame = {
+    val df = shingleCache.computeIfAbsent(
+      (System.identityHashCode(s), dir, kind), _ => {
+        val docs = Tables.load(s, dir, "documents")
+        val sh = kind match {
+          case "word3"  => Dedup.wordShingles("text")
+          case "char12" => Dedup.charShingles("text", 12)
+        }
+        Dedup.prepareHashedShingles(docs, "doc_id", sh)
+      })
+    // (re-)persist on every lookup, not just at insert: an external
+    // `spark.catalog.clearCache()` (the bench's round-18 per-run
+    // hygiene) unpersists the frame while this map still returns it —
+    // without the re-arm, every later near-dup query would silently
+    // re-derive the shingles three times per DAG. persist() on an
+    // already-cached frame is a no-op (no warning: CacheManager keys
+    // on the plan, and this IS the same plan).
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df
+  }
 
   // DuckDB fragments mirroring Dedup.scala's constants/functions.
   private val H48 = "CAST(concat('0x', substr(md5(%s), 1, 12)) AS BIGINT)"
@@ -728,6 +739,63 @@ object DedupQueries {
     SELECT doc_id, eval_id, jac AS jaccard FROM best WHERE rn = 1
     ORDER BY doc_id"""))
 
+  /** CROSS-DOCUMENT exact substring spans under the oracle (round 18,
+    * [[Dedup.crossDocSpans]] — Lee et al. 2021): both engines plant
+    * the SAME 12-token sentence on every doc_id % 97 == 0 document, so
+    * each planted doc shares >= 8-token runs with every other planted
+    * doc while whole-doc hashes and doc-level Jaccard stay distinct —
+    * exactly the leakage class q40 and q42 structurally miss (DedupSpec
+    * pins the miss explicitly). The oracle states the NAIVE definition:
+    * every position whose hashed 8-gram occurs in >= 2 distinct docs
+    * (brute-force gram table, min != max as the 2-distinct test), spans
+    * merged by the lag/island window. Natural cross-doc repeats in the
+    * corpus text count too — the plant guarantees rows, the oracle
+    * replays everything.
+    */
+  private val q232 = Q("q232_cross_doc_spans", (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val quote = (1 to 12).map(i => s"sharedquote$i").mkString(" ")
+    val planted = docs
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"),
+        when(col("doc_id") % 97 === 0,
+          concat_ws(" ", col("text"), lit(quote)))
+          .otherwise(col("text")).as("text"))
+    Dedup.crossDocSpans(planted, "doc_id", col("text"), n = 8)
+      .orderBy(col("doc_id"), col("start_tok"))
+  }, Some(s"""
+    WITH p AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 97 = 0
+                  THEN concat_ws(' ', text,
+                    '${(1 to 12).map(i => s"sharedquote$i").mkString(" ")}')
+                  ELSE text END AS t
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+    t AS (SELECT doc_id, string_split(t, ' ') AS toks FROM p),
+    g AS (
+      SELECT t.doc_id, r.i AS pos,
+             CAST(concat('0x', substr(md5(
+               array_to_string(t.toks[r.i:r.i+7], ' ')), 1, 12)) AS BIGINT) AS h
+      FROM t CROSS JOIN LATERAL
+        (SELECT unnest(range(1, greatest(len(t.toks) - 6, 1))) AS i) r),
+    sh AS (SELECT h FROM g GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+    hits AS (SELECT g.doc_id, g.pos FROM g JOIN sh USING (h)),
+    w AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                    OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS UNBOUNDED PRECEDING) AS island
+      FROM w)
+    SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_tok,
+           CAST(max(pos) + 7 AS BIGINT) AS end_tok,
+           CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_tok
+    FROM isl GROUP BY doc_id, island ORDER BY doc_id, start_tok"""))
+
   val list: Seq[Q] = Seq(q40, q41, q42, q43, q44, q75, q77, q87, q94, q95, q130,
-    q177, q184, q202, q205, q207, q230)
+    q177, q184, q202, q205, q207, q230, q232)
 }

@@ -544,6 +544,61 @@ object StreamingOps {
       .start()
   }
 
+  /** Streaming DSIR scoring (round 18) — the per-micro-batch face of
+    * [[graft.operators.CorpusOps.dsirWeights]], closing the last
+    * batch-only gap in the ingest-time curation story: every arriving
+    * document is scored against a FROZEN importance-ratio model
+    * ([[graft.operators.CorpusOps.dsirModel]] — two distributions
+    * folded into one dim-row (bucket, lr_u) table) and its
+    * (n_grams, dsir_weight_u) row lands under `outDir/batchId=N` with
+    * overwrite (the repo-wide replay discipline). Downstream, the
+    * weights feed the resample/mix steps exactly as the batch
+    * pipeline's do — in integer micro-nats, so stream == batch to the
+    * last bit.
+    *
+    * The model is derived and COLLECTED ONCE before start() (the
+    * classifyStream discipline: otherwise every trigger re-executes
+    * the two corpus-scale gram passes) and replays as a LocalRelation
+    * per trigger. An empty TARGET fails AT SETUP — with add-1
+    * smoothing an all-smoothed model is well-defined but meaningless
+    * (every weight a constant), exactly the silent mis-routing a
+    * fail-fast exists to prevent. Stateless; per batch the work is
+    * one batch-local (doc, bucket) count + one broadcast join + one
+    * per-doc fold.
+    */
+  def dsirScoreStream(stream: DataFrame, raw: DataFrame, target: DataFrame,
+      idCol: String, textCol: String, outDir: String,
+      checkpointDir: String, dim: Int = 64,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.SaveMode
+    require(!target
+        .filter(col(idCol).isNotNull && col(textCol).isNotNull &&
+          col(textCol) =!= "").isEmpty,
+      "dsirScoreStream: the target corpus has no scorable docs — an " +
+        "all-smoothed model would score every document identically; " +
+        "pass a non-empty target")
+    val lrDf = graft.operators.CorpusOps.dsirModel(
+      raw, target, col(idCol), col(textCol), dim)
+    val lrRows = lrDf.collect()
+    val lrSchema = lrDf.schema
+    require(lrRows.nonEmpty,
+      "dsirScoreStream: model derivation produced no rows")
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val lr = spark.createDataFrame(
+          java.util.Arrays.asList(lrRows: _*), lrSchema)
+        graft.operators.CorpusOps.dsirScore(batch, lr,
+            col(idCol), col(textCol), dim)
+          .write.mode(SaveMode.Overwrite).parquet(s"$outDir/batchId=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
   /** Streaming DATA-QUALITY MONITOR — the per-micro-batch face of
     * [[graft.operators.Profiler]]: every arriving batch is profiled
     * (per-column totals/nulls/exact distincts/bounds) and the report

@@ -41,6 +41,43 @@ object shims {
     * where rowCount x defaultSize is a fixed guess that can
     * underestimate drastically and mis-broadcast (round-13 ADVICE).
     */
+  /** Cut the LOGICAL lineage of a persisted frame (round 18): returns
+    * a frame whose logical plan is a [[LogicalRDD]] LEAF over the
+    * input's execution RDD, stats carried over from the origin
+    * (`LogicalRDD.fromDataset` — the `Dataset.checkpoint` machinery,
+    * minus the extra serialization round).
+    *
+    * Why this exists: a composed pipeline that persists N stacked
+    * frames (tagged -> scrubbed -> flagged -> clean -> weighted ...)
+    * and fans each out into several consumers produces a logical plan
+    * whose PRINTED form is exponential in the stack depth — every
+    * InMemoryRelation occurrence renders its entire cached child
+    * plan, which itself renders nested InMemoryRelations. The work is
+    * deduplicated at runtime (cache scans), but AQE renders the plan
+    * description string on every stage update
+    * (`ExplainUtils.generateOperatorIDs` / `generateTreeString`), and
+    * that DRIVER-side rendering measured 20-60 s per action on the
+    * gated pretraining spine (SpineDecontamProbe: second write of a
+    * fully-cached result = 38 s wall, 3 task-seconds). A LogicalRDD
+    * leaf renders as one `Scan ExistingRDD` line — the rendering cost
+    * disappears and the optimizer/canonicalization walk shrinks with
+    * it.
+    *
+    * Contract: EAGER — building the execution RDD under AQE
+    * materializes the frame's stages (and therefore its cache) at
+    * call time. Call AFTER `persist`, use the returned leaf for every
+    * downstream reference, and release the PERSISTED original when
+    * done (the run-handle discipline). After release, downstream
+    * actions still work — the leaf's RDD recomputes through the
+    * now-uncached plan — just slower. Deterministic inputs stay
+    * deterministic: the RDD re-executes the same physical plan.
+    */
+  def cutLineage(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    org.apache.spark.sql.classic.Dataset.ofRows(ds.sparkSession,
+      LogicalRDD.fromDataset(ds.queryExecution.toRdd, ds, isStreaming = false))
+  }
+
   def materializedSizeInBytes(df: DataFrame): Option[Long] =
     df.queryExecution.logical match {
       case l: LogicalRDD =>

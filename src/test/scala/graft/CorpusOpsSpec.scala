@@ -463,8 +463,9 @@ class CorpusOpsSpec extends SparkSpec {
     val nTok1 = rows.find(_.getLong(0) == 1L).get.getLong(6)
     assert(nTok1 == 43L, s"40 words + 'mail [EMAIL] now' = 43 scrubbed tokens, got $nTok1")
     // handle releases its caches (gate verdicts + scrubbed projection
-    // + dsir buckets)
-    assert(run.cached.size == 3)
+    // + weighted + sampled + dsir buckets — round 18 added the
+    // weighted/sampled stages to the lineage-cut persist set)
+    assert(run.cached.size == 5)
     run.release()
     assert(run.cached.forall(_.storageLevel ==
       org.apache.spark.storage.StorageLevel.NONE))
@@ -511,6 +512,58 @@ class CorpusOpsSpec extends SparkSpec {
     assert(weights(run.result) == weights(runWo.result),
       "DSIR weights must be computed over the decontaminated corpus")
     run.release(); runWo.release()
+  }
+
+  test("pretrainingRun: persisted stages are LINEAGE-CUT leaves — the gate/fuzzy machinery never re-executes in the result plan, and the plan string stays flat (round 18)") {
+    import spark.implicits._
+    def prose(tag: String, n: Int) = (1 to n)
+      .map(i => if (i % 5 == 0) "the" else s"$tag${(i * 3) % 29}").mkString(" ")
+    val leakedText = prose("leak", 40)
+    val docs = Seq(
+      (1L, "en", prose("alpha", 40)),
+      (2L, "en", leakedText),
+      (3L, "en", prose("gamma", 41)),
+      (4L, "en", "tiny")
+    ).toDF("doc_id", "lang", "text")
+    val paraphrase = leakedText.split(" ").zipWithIndex.collect {
+      case (w, i) if (i + 1) % 7 != 4 => w
+    }.mkString(" ")
+    val eval = Seq((100L, paraphrase)).toDF("doc_id", "text")
+    val run = CorpusOps.pretrainingRun(docs,
+      minWords = 10L, maxWords = 100L, minMeanLen = 1.0, maxMeanLen = 9.0,
+      stopWords = Seq("the"), minStopHits = 1L, maxTop2Frac = 0.9,
+      targetPred = col("lang") === "en", dim = 16, samplesPerLang = 5,
+      packBudget = 64L, maxOpen = 2, evalDocs = Some(eval),
+      fuzzyTau = 0.35, fuzzyRowsPerBand = 1)
+    // the handle owns all 9 run-scoped caches: tagged, scrubbed,
+    // weighted, sampled + corpusSh, evalSh, flagged, clean + the
+    // dsirRun (doc, bucket) frame
+    assert(run.cached.size == 9, s"expected 9 cached frames, got ${run.cached.size}")
+    assert(run.cached.forall(df =>
+      df.storageLevel.useMemory || df.storageLevel.useDisk),
+      "every handle entry must be persisted")
+    val rows = run.result.collect()
+    assert(rows.length == 4)
+    val plan = run.result.queryExecution.executedPlan.toString
+    // every persisted stage surfaces as a LogicalRDD leaf downstream
+    assert(plan.contains("Scan ExistingRDD"), plan.take(800))
+    // the fuzzy gate's band/shingle columns must NOT appear — the
+    // banded-MinHash + verify subtree lives entirely behind the
+    // flagged/clean leaves and re-executes in NO downstream lineage
+    assert(!plan.contains("band_key") && !plan.contains("_hs"),
+      s"fuzzy machinery leaked into the result plan:\n${plan.take(1200)}")
+    // and the rendered plan is FLAT: round 17's nested-InMemoryRelation
+    // prints grew exponentially with persist depth, costing tens of
+    // seconds of pure driver time per AQE update (SpineDecontamProbe:
+    // 38 s wall / 3 task-seconds on a fully-cached second write)
+    assert(plan.length < 200000, s"plan string blew up: ${plan.length} chars")
+    // release() frees the caches; the leaves recompute through the
+    // now-uncached plans and the result stays correct
+    run.release()
+    assert(run.cached.forall(_.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE))
+    val again = run.result.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(again == rows.map(r => r.getLong(0) -> r.getString(2)).toMap)
   }
 
   test("nbClassify: disjoint-vocab domains route correctly; margins positive; deterministic; single-class margin is 0") {

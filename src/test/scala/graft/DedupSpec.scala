@@ -228,6 +228,86 @@ class DedupSpec extends SparkSpec {
     assert(!fuzzy.queryExecution.executedPlan.toString.contains("CartesianProduct"))
   }
 
+  test("fuzzyDecontaminate maxBucket: hot band buckets are dropped before the join; cold pairs keep their recall (round 18)") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // a HOT bucket: 30 near-identical docs share their minhash minima,
+    // so every band key collides 30-wide — exactly the
+    // frequent-shingle concentration that makes single-row bands
+    // degrade quadratically as the corpus grows
+    val core = (1 to 50).map(i => s"hot$i").mkString(" ")
+    val hotDocs = (1 to 30).map(i => (100L + i, s"$core uniq$i"))
+    // a COLD true pair on disjoint vocabulary: bucket occupancy 1
+    val words = (1 to 60).map(i => s"cold$i")
+    val source = words.mkString(" ")
+    val paraphrase = words.zipWithIndex.collect {
+      case (w, i) if (i + 1) % 7 != 4 => w
+    }.mkString(" ")
+    val corpus = (hotDocs :+ (1L -> source)).toDF("doc_id", "text")
+    val eval = Seq((500L, core + " evaltail"), (501L, paraphrase))
+      .toDF("doc_id", "text")
+    val corpusSh = Dedup.prepareHashedShingles(corpus, "doc_id",
+      Dedup.wordShingles("text"))
+    val evalSh = Dedup.prepareHashedShingles(eval, "doc_id",
+      Dedup.wordShingles("text"))
+    // no cap: hot docs AND the cold source are flagged
+    val open = Dedup.fuzzyDecontaminate(corpusSh, evalSh, "doc_id",
+        threshold = 0.4, rowsPerBand = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(open.contains(1L) && hotDocs.map(_._1).count(open.contains) >= 25,
+      s"uncapped gate must flag the hot family and the cold pair: $open")
+    // cap 5: every hot band key (occupancy 30) is pruned BEFORE the
+    // join — the hot family drops out (the documented recall
+    // contract: a pair only a hot band would catch is not flagged) —
+    // while the cold pair's occupancy-1 buckets survive untouched
+    val capped = Dedup.fuzzyDecontaminate(corpusSh, evalSh, "doc_id",
+        threshold = 0.4, rowsPerBand = 1, maxBucket = Some(5))
+      .collect().map(_.getLong(0)).toSet
+    assert(capped == Set(1L),
+      s"capped gate must keep the cold pair and drop the hot family: $capped")
+  }
+
+  test("crossDocSpans: a 12-token cross-doc quote is caught at 8-gram grain — whole-doc hash and doc-level MinHash both miss it (round 18)") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val quote = (1 to 12).map(i => s"q$i").mkString(" ")
+    val a = (1 to 30).map(i => s"a$i").mkString(" ") + " " + quote
+    val b = quote + " " + (1 to 30).map(i => s"b$i").mkString(" ")
+    val c = (1 to 30).map(i => s"c$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val spans = Dedup.crossDocSpans(docs, "doc_id", col("text"), n = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // the quote occupies tokens 31-42 of doc 1 and 1-12 of doc 2; the
+    // unrelated doc 3 reports nothing
+    assert(spans == Set((1L, 31L, 42L, 12L), (2L, 1L, 12L, 12L)), spans.toString)
+    // whole-doc dedup (q40's operator) misses: three distinct hashes
+    assert(Dedup.exact(docs, "doc_id", col("text")).count() == 3,
+      "exact whole-doc dedup must treat all three docs as unique")
+    // doc-level MinHash (q42's operator) misses: word-3-shingle
+    // Jaccard(a, b) ~ 10/68 ~ 0.15, far below any sane near-dup bar
+    val pairs = Dedup.minhashNearDupsOn(docs, "doc_id",
+      Dedup.wordShingles("text"), threshold = 0.35, rowsPerBand = 1)
+    assert(pairs.collect().isEmpty,
+      "doc-level MinHash must NOT pair docs that only share a quote")
+    // within-doc repetition alone is NOT cross-doc: one doc repeating
+    // its own 8-gram reports no span
+    val selfRep = Seq((9L, ((1 to 10).map(i => s"s$i").mkString(" ") + " ") * 2))
+      .toDF("doc_id", "text")
+    assert(Dedup.crossDocSpans(selfRep, "doc_id", col("text"), n = 8).count() == 0,
+      "within-doc repeats must not count as cross-doc spans")
+    // adjacency merges: doc 2's quote + doc 4 carrying the SAME quote
+    // twice back-to-back merges into ONE 24-token span, not two
+    val d = quote + " " + quote
+    val spans2 = Dedup.crossDocSpans(
+      Seq((2L, b), (4L, d)).toDF("doc_id", "text"),
+      "doc_id", col("text"), n = 8)
+      .filter(col("doc_id") === 4L).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(spans2 == Set((1L, 24L)),
+      s"back-to-back shared runs must merge into one span: $spans2")
+  }
+
   test("containmentPairs: a quoted excerpt scores 1.0 directionally while Jaccard stays low") {
     val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma"

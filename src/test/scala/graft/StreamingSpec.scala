@@ -1746,6 +1746,28 @@ class StreamingSpec extends SparkSpec {
     assert(IvfStore.strandedBatchIds(spark, s"$base/store", 2L, 3L,
       afterBatchId = boundary).isEmpty,
       "nothing above the fold boundary existed, so nothing is stranded")
+    // round 18 (ADVICE): the fold RECORDS its boundary in the new
+    // version, so the mechanical heal is duplicate-safe after a full
+    // fold too — maxBatchId(v3) is the bootstrap id (the old feeder
+    // dirs collapsed), and without the recorded floor the documented
+    // recipe `catchUp(afterBatchId = maxBatchId(next))` would
+    // re-migrate every folded batch as duplicates
+    assert(IvfStore.foldBoundary(spark, s"$base/store", 3L).contains(boundary),
+      "a folding compaction must record its boundary in the new version")
+    assert(IvfStore.foldBoundary(spark, s"$base/store", 2L).isEmpty,
+      "a non-folding compaction records no boundary")
+    assert(IvfStore.maxBatchId(spark, s"$base/store", 3L) ==
+      IvfStore.BootstrapBatchId)
+    assert(IvfStore.strandedBatchIds(spark, s"$base/store", 2L, 3L).isEmpty,
+      "folded batches must not read as stranded under the DEFAULT boundary")
+    val healed = IvfStore.catchUp(spark, s"$base/store", 2L, 3L,
+      afterBatchId = IvfStore.maxBatchId(spark, s"$base/store", 3L),
+      idCol = "vec_id", vecCol = "embedding")
+    assert(healed == 0L, s"the heal recipe after a full fold must migrate nothing, got $healed")
+    assert(rowsOf(3L) == rowsOf(2L), "no duplicates after the heal")
+    assert(spark.read.parquet(IvfStore.dataDir(s"$base/store", 3L)).count() ==
+      spark.read.parquet(IvfStore.dataDir(s"$base/store", 2L)).count(),
+      "row COUNT must match too (set equality would mask duplicates)")
     // claims still exclude concurrent writers of the next version
     Files.createDirectories(Paths.get(s"$base/store/claims"))
     Files.createFile(Paths.get(s"$base/store/claims/v-4"))
