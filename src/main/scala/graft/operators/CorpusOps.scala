@@ -1004,7 +1004,8 @@ object CorpusOps {
       minStopHits: Long, maxTop2Frac: Double, targetPred: Column,
       dim: Int = 64, samplesPerLang: Int = 30, packBudget: Long = 512L,
       maxOpen: Int = 4, evalDocs: Option[DataFrame] = None,
-      fuzzyTau: Double = 0.5, fuzzyRowsPerBand: Int = 2): PretrainRun = {
+      fuzzyTau: Double = 0.5, fuzzyRowsPerBand: Int = 2,
+      domainTrain: Option[DataFrame] = None, nbDim: Int = 64): PretrainRun = {
     val base = docs
       .filter(col("doc_id").isNotNull && col("text").isNotNull)
       .select(col("doc_id"), col("lang"), col("text"))
@@ -1084,31 +1085,75 @@ object CorpusOps {
     }
     val dsir = dsirRun(clean, clean.filter(targetPred),
       col("doc_id"), col("clean_text"), dim)
-    // `weighted` (narrow 4-column corpus frame): read by the resample
-    // AND the not_sampled anti-join; `sampled` (k rows per language —
-    // config-sized): read by the packer's fold, the pack join and the
-    // anti-join. Cached+cut so the DSIR-fold/window machinery above
-    // them executes exactly once per run.
-    val (weighted, weightedP) = cachedLeaf(
-      clean.select("doc_id", "lang", "n_tok")
-        .join(dsir.result.select(col("doc_id"), col("dsir_weight_u")), "doc_id"))
+    // DOMAIN ROUTING leg (round 18, the q229 NB classifier composed
+    // in): with `domainTrain` (a (doc_id, text, label) labeled
+    // slice), every clean keeper is routed by the frozen NB model —
+    // trained ONCE, its two config-sized tables cached+cut like every
+    // other stage — and the resample quota applies per (lang, domain)
+    // cell instead of per language: the fastText-style production
+    // pattern where the router feeds the mixing step. Routing reads
+    // the SCRUBBED text (nothing downstream of the curation boundary
+    // sees raw PII). Packing stays per-language (shards are the
+    // language unit; domains mix within a shard). The output gains a
+    // trailing `domain` column (null on gated/contaminated rows —
+    // they never reach the router) ONLY when the leg is active, so
+    // the plain spine's schema is untouched.
+    val weightedBase = clean.select("doc_id", "lang", "n_tok")
+      .join(dsir.result.select(col("doc_id"), col("dsir_weight_u")), "doc_id")
+    val (withDomain, domainCached) = domainTrain match {
+      case None => (weightedBase, Seq.empty[DataFrame])
+      case Some(tr) =>
+        val (lpRaw, priorsRaw) = nbModel(tr, col("doc_id"), col("text"),
+          col("label"), nbDim)
+        val (lp, lpP) = cachedLeaf(lpRaw)
+        val (priors, priorsP) = cachedLeaf(priorsRaw)
+        val routed = nbScore(clean.select(col("doc_id"), col("clean_text")),
+            lp, priors, col("doc_id"), col("clean_text"), nbDim)
+          .select(col("doc_id"), col("predicted").as("domain"))
+        // every gate-passing doc has >= minWords grams, so the router
+        // covers it; the coalesce is the explicit-reject discipline
+        // for callers who lower the gate below the 1-gram floor
+        (weightedBase.join(routed, Seq("doc_id"), "left")
+          .withColumn("domain", coalesce(col("domain"), lit("unrouted"))),
+          Seq(lpP, priorsP))
+    }
+    // `weighted` (narrow 4/5-column corpus frame): read by the
+    // resample AND the not_sampled anti-join; `sampled` (k rows per
+    // group — config-sized): read by the packer's fold, the pack join
+    // and the anti-join. Cached+cut so the DSIR-fold/window machinery
+    // above them executes exactly once per run.
+    val (weighted, weightedP) = cachedLeaf(withDomain)
+    val sampleGroup =
+      // the \\u0001 separator keeps the composite key injective
+      // (("ab","c") must not collide with ("a","bc")); the oracle
+      // partitions by the two columns directly — equivalent
+      if (domainTrain.isDefined) concat_ws("\u0001", col("lang"), col("domain"))
+      else col("lang")
     val (sampled, sampledP) = cachedLeaf(gumbelTopK(weighted, col("doc_id"),
-      col("dsir_weight_u"), col("lang"), samplesPerLang))
+      col("dsir_weight_u"), sampleGroup, samplesPerLang))
+    val domTail: Seq[Column] =
+      if (domainTrain.isDefined) Seq(col("domain")) else Seq.empty
     val bins = packBinsFirstFitDecreasing(sampled, col("lang"), col("doc_id"),
         col("n_tok"), packBudget, maxOpen)
       .select(col("doc_id"), col("bin_idx"))
     val packed = sampled.join(bins, "doc_id")
-      .select(col("doc_id"), col("lang"), lit("packed").as("disposition"),
-        col("dsir_weight_u"), col("sample_rank"), col("bin_idx"), col("n_tok"))
+      .select(Seq(col("doc_id"), col("lang"), lit("packed").as("disposition"),
+        col("dsir_weight_u"), col("sample_rank"), col("bin_idx"),
+        col("n_tok")) ++ domTail: _*)
     val notSampled = weighted
       .join(sampled.select("doc_id"), Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("lang"), lit("not_sampled").as("disposition"),
+      .select(Seq(col("doc_id"), col("lang"), lit("not_sampled").as("disposition"),
         col("dsir_weight_u"), lit(null).cast("int").as("sample_rank"),
-        lit(null).cast("long").as("bin_idx"), col("n_tok"))
+        lit(null).cast("long").as("bin_idx"), col("n_tok")) ++ domTail: _*)
+    // gated/contaminated rows predate the router: unionByName with
+    // allowMissingColumns appends their null `domain` when the leg is
+    // active, and is a plain union otherwise
+    def u(a: DataFrame, b: DataFrame): DataFrame =
+      a.unionByName(b, allowMissingColumns = domainTrain.isDefined)
     PretrainRun(
-      contaminated.foldLeft(gated.unionByName(notSampled))(_ unionByName _)
-        .unionByName(packed),
-      Seq(taggedP, scrubbedP, weightedP, sampledP) ++ gateCached ++ dsir.cached)
+      u(contaminated.foldLeft(u(gated, notSampled))(u), packed),
+      Seq(taggedP, scrubbedP, weightedP, sampledP) ++ gateCached ++
+        domainCached ++ dsir.cached)
   }
 
   /** [[pretrainingRun]] without the cache handle — the one-shot
@@ -1120,10 +1165,12 @@ object CorpusOps {
       minStopHits: Long, maxTop2Frac: Double, targetPred: Column,
       dim: Int = 64, samplesPerLang: Int = 30, packBudget: Long = 512L,
       maxOpen: Int = 4, evalDocs: Option[DataFrame] = None,
-      fuzzyTau: Double = 0.5, fuzzyRowsPerBand: Int = 2): DataFrame =
+      fuzzyTau: Double = 0.5, fuzzyRowsPerBand: Int = 2,
+      domainTrain: Option[DataFrame] = None, nbDim: Int = 64): DataFrame =
     pretrainingRun(docs, minWords, maxWords, minMeanLen, maxMeanLen,
       stopWords, minStopHits, maxTop2Frac, targetPred, dim, samplesPerLang,
-      packBudget, maxOpen, evalDocs, fuzzyTau, fuzzyRowsPerBand).result
+      packBudget, maxOpen, evalDocs, fuzzyTau, fuzzyRowsPerBand,
+      domainTrain, nbDim).result
 
   /** Context-window sequence packing, contiguous-chop style: within
     * each shard (`shardCol`), lay documents end-to-end in `orderCol`

@@ -1001,6 +1001,213 @@ object CorpusQueries {
     FROM sampled sa JOIN rec ON rec.doc_id = sa.doc_id
     ORDER BY doc_id"""))
 
+  /** THE SPINE WITH NB DOMAIN ROUTING COMPOSED IN (round 18 — the
+    * q205 -> q207 move applied to q229): q227's gate -> scrub -> DSIR
+    * -> resample -> pack with [[CorpusOps.nbClassify]]'s model spliced
+    * between the weights and the resample, so the per-language Gumbel
+    * quota becomes a per-(lang, domain) quota — the fastText-style
+    * production pattern where the router feeds the mixing step. The
+    * model trains on the doc_id % 7 == 0 slice (label = `source`, the
+    * planted-PII text) and routes every keeper on its SCRUBBED text;
+    * featurization is the SAME hashed unigram+bigram stream DSIR uses
+    * (dim 64), so the oracle's scoring join reads the `db` counts the
+    * DSIR fold already built. Exactly-one-disposition preserved; the
+    * output gains a trailing `domain` column (null on gated rows),
+    * hash-compared like every other.
+    */
+  private val q233 = Q("q233_spine_domains", (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    def planted(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = concat(
+      c, lit(" reach user"), col("doc_id").cast("string"),
+      lit("@example.com or call 415-555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+    val withPii = docs
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"), col("lang"), planted(col("text")).as("text"))
+    val train = docs
+      .filter(col("doc_id").isNotNull && col("text").isNotNull &&
+        col("doc_id") % 7 === 0)
+      .select(col("doc_id"), planted(col("text")).as("text"),
+        col("source").as("label"))
+    CorpusOps.pretrainingPipeline(withPii,
+        minWords = 20L, maxWords = 95L, minMeanLen = 4.5, maxMeanLen = 5.6,
+        stopWords = Seq("the", "a"), minStopHits = 1L, maxTop2Frac = 0.12,
+        targetPred = col("lang") === "en", dim = 64, samplesPerLang = 3,
+        packBudget = 512L, maxOpen = 4,
+        domainTrain = Some(train), nbDim = 64)
+      .orderBy(col("doc_id"))
+  }, Some("""
+    WITH RECURSIVE
+    p AS (
+      SELECT doc_id, lang, source,
+             text || ' reach user' || CAST(doc_id AS VARCHAR) ||
+             '@example.com or call 415-555-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t0
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+    t AS (SELECT doc_id, lang, source, t0, len(t0) AS n_chars,
+                 string_split(t0, ' ') AS toks FROM p),
+    w AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             floor(CAST(list_reduce(list_transform(toks, s -> CAST(len(s) AS BIGINT)),
+                       (a, b) -> a + b) AS DOUBLE) / len(toks) * 1000000 + 0.5) / 1000000.0 AS mean_word_len,
+             CAST(len(list_filter(toks, s -> s IN ('the', 'a'))) AS BIGINT) AS stop_hits
+      FROM t),
+    g2 AS (
+      SELECT t.doc_id, t.n_chars, array_to_string(t.toks[r.i+1:r.i+2], ' ') AS gram
+      FROM t CROSS JOIN LATERAL (SELECT unnest(range(0, len(t.toks) - 1)) AS i) r),
+    c2 AS (
+      SELECT doc_id, n_chars, gram, CAST(count(*) AS BIGINT) AS cnt
+      FROM g2 GROUP BY doc_id, n_chars, gram),
+    top AS (
+      SELECT doc_id,
+             floor(CAST(cnt * len(gram) AS DOUBLE) / n_chars * 1000000 + 0.5) / 1000000.0 AS top2_frac
+      FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                       ORDER BY cnt DESC, gram) AS rn FROM c2)
+      WHERE rn = 1),
+    gatepass AS (
+      SELECT w.doc_id FROM w JOIN top USING (doc_id)
+      WHERE w.n_words BETWEEN 20 AND 95
+        AND w.mean_word_len BETWEEN 4.5 AND 5.6
+        AND w.stop_hits >= 1 AND top.top2_frac <= 0.12),
+    scrub AS (
+      SELECT t.doc_id, t.lang,
+             regexp_replace(regexp_replace(
+               regexp_replace(regexp_replace(
+                 regexp_replace(t.t0,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                 '(^|[^0-9-])(\d{3}-\d{3}-\d{4})($|[^0-9-])', '\1[PHONE]\3', 'g'),
+                 '(^|[^0-9-])(\d{3}-\d{3}-\d{4})($|[^0-9-])', '\1[PHONE]\3', 'g'),
+               '(^|[^0-9-])(\d{3}-\d{2}-\d{4})($|[^0-9-])', '\1[SSN]\3', 'g'),
+               '(^|[^0-9-])(\d{3}-\d{2}-\d{4})($|[^0-9-])', '\1[SSN]\3', 'g') AS clean
+      FROM t JOIN gatepass USING (doc_id)),
+    ntok AS (
+      SELECT doc_id, lang, clean,
+             CAST(len(string_split(clean, ' ')) AS BIGINT) AS n_tok
+      FROM scrub),
+    ktoks AS (SELECT doc_id, lang, string_split(clean, ' ') AS toks FROM scrub),
+    ge AS (
+      SELECT doc_id, lang, unnest(list_concat(toks,
+        [array_to_string(toks[i+1:i+2], ' ') for i in range(0, len(toks) - 1)])) AS gram
+      FROM ktoks),
+    g AS (
+      SELECT doc_id, lang,
+             CAST(concat('0x', substr(md5(gram), 1, 12)) AS BIGINT) % 64 AS bucket
+      FROM ge),
+    tgt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS tc FROM g
+            WHERE lang = 'en' GROUP BY bucket),
+    raws AS (SELECT bucket, CAST(count(*) AS BIGINT) AS rc FROM g GROUP BY bucket),
+    tot AS (SELECT (SELECT coalesce(sum(tc), 0) FROM tgt) AS tt,
+                   (SELECT coalesce(sum(rc), 0) FROM raws) AS rt),
+    lr AS (
+      SELECT b.bucket,
+             CAST(floor(ln((coalesce(tgt.tc, 0) + 1) * 1.0 / (tot.tt + 64)) * 1000000 + 0.5) AS BIGINT)
+           - CAST(floor(ln((coalesce(raws.rc, 0) + 1) * 1.0 / (tot.rt + 64)) * 1000000 + 0.5) AS BIGINT) AS lr_u
+      FROM (SELECT unnest(range(0, 64)) AS bucket) b
+      LEFT JOIN tgt USING (bucket) LEFT JOIN raws USING (bucket), tot),
+    db AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+           FROM g GROUP BY doc_id, bucket),
+    dsir AS (
+      SELECT db.doc_id, CAST(sum(db.cnt * lr.lr_u) AS BIGINT) AS dsir_weight_u
+      FROM db JOIN lr USING (bucket) GROUP BY db.doc_id),
+    getr AS (
+      SELECT doc_id, source AS label, unnest(list_concat(toks,
+        [array_to_string(toks[i+1:i+2], ' ') for i in range(0, len(toks) - 1)])) AS gram
+      FROM t WHERE doc_id % 7 = 0),
+    gtr AS (
+      SELECT doc_id, label,
+             CAST(concat('0x', substr(md5(gram), 1, 12)) AS BIGINT) % 64 AS bucket
+      FROM getr),
+    cc AS (SELECT label, bucket, CAST(count(*) AS BIGINT) AS cnt
+           FROM gtr GROUP BY 1, 2),
+    ct AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS tot FROM cc GROUP BY 1),
+    lbls AS (SELECT DISTINCT source AS label FROM t WHERE doc_id % 7 = 0),
+    grid AS (SELECT l.label, b.bucket FROM lbls l
+             CROSS JOIN (SELECT unnest(range(0, 64)) AS bucket) b),
+    lp AS (
+      SELECT grid.label, grid.bucket,
+             CAST(floor(ln((coalesce(cc.cnt, 0) + 1) * 1.0 /
+               (coalesce(ct.tot, 0) + 64)) * 1000000 + 0.5) AS BIGINT) AS lp_u
+      FROM grid LEFT JOIN cc ON cc.label = grid.label AND cc.bucket = grid.bucket
+                LEFT JOIN ct ON ct.label = grid.label),
+    dc AS (SELECT source AS label, CAST(count(*) AS BIGINT) AS nd
+           FROM t WHERE doc_id % 7 = 0 GROUP BY 1),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t WHERE doc_id % 7 = 0),
+    pr AS (SELECT label,
+                  CAST(floor(ln(nd * 1.0 / nt.n) * 1000000 + 0.5) AS BIGINT) AS prior_u
+           FROM dc, nt),
+    sc AS (SELECT db.doc_id, lp.label, CAST(sum(db.cnt * lp.lp_u) AS BIGINT) AS like_u
+           FROM db JOIN lp USING (bucket) GROUP BY 1, 2),
+    ss AS (SELECT sc.doc_id, sc.label, sc.like_u + pr.prior_u AS score_u
+           FROM sc JOIN pr USING (label)),
+    rte AS (SELECT doc_id, label AS domain FROM (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                         ORDER BY score_u DESC, label) AS rn FROM ss)
+            WHERE rn = 1),
+    j AS (
+      SELECT n.doc_id, n.lang, n.n_tok, s.dsir_weight_u,
+             coalesce(rte.domain, 'unrouted') AS domain,
+             CAST(concat('0x', substr(md5(CAST(n.doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS hv
+      FROM ntok n JOIN dsir s USING (doc_id)
+                  LEFT JOIN rte ON rte.doc_id = n.doc_id),
+    k2 AS (
+      SELECT *, CAST(floor(-ln((CAST(hv AS DOUBLE) + 1) / 281474976710656.0) * 1000000 + 0.5) AS BIGINT) AS e_unat
+      FROM j),
+    k3 AS (
+      SELECT *, dsir_weight_u
+             - CAST(floor(ln(CAST(greatest(e_unat, 1) AS DOUBLE) / 1000000.0) * 1000000 + 0.5) AS BIGINT) AS key_u
+      FROM k2),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY lang, domain ORDER BY key_u DESC, doc_id) AS rn
+      FROM k3),
+    sampled AS (SELECT doc_id, lang, domain, n_tok, dsir_weight_u,
+                       CAST(rn AS INT) AS sample_rank
+                FROM r WHERE rn <= 3),
+    tp AS (
+      SELECT lang AS shard, doc_id, n_tok,
+             CAST(row_number() OVER (PARTITION BY lang
+                ORDER BY n_tok DESC, doc_id) AS INT) AS pos
+      FROM sampled),
+    rec AS (
+      SELECT shard, pos, doc_id, n_tok,
+             CAST(0 AS BIGINT) AS bin_idx, n_tok AS fill_after,
+             [{'b': CAST(0 AS BIGINT), 'f': n_tok}] AS open,
+             CAST(1 AS BIGINT) AS nbins
+      FROM tp WHERE pos = 1
+      UNION ALL
+      SELECT tp.shard, tp.pos, tp.doc_id, tp.n_tok,
+             CASE WHEN h.hit IS NOT NULL THEN h.hit.b ELSE rec.nbins END,
+             CASE WHEN h.hit IS NOT NULL THEN h.hit.f + tp.n_tok ELSE tp.n_tok END,
+             CASE WHEN h.hit IS NOT NULL
+                  THEN list_transform(rec.open, x ->
+                    CASE WHEN x.b = h.hit.b THEN {'b': x.b, 'f': x.f + tp.n_tok} ELSE x END)
+                  ELSE list_append(
+                    CASE WHEN len(rec.open) >= 4 THEN rec.open[2:] ELSE rec.open END,
+                    {'b': rec.nbins, 'f': tp.n_tok})
+             END,
+             CASE WHEN h.hit IS NOT NULL THEN rec.nbins ELSE rec.nbins + 1 END
+      FROM rec
+      JOIN tp ON tp.shard = rec.shard AND tp.pos = rec.pos + 1
+      CROSS JOIN LATERAL (
+        SELECT list_filter(rec.open, x -> x.f + tp.n_tok <= 512)[1] AS hit) h)
+    SELECT t.doc_id, t.lang, 'gated' AS disposition,
+           CAST(NULL AS BIGINT) AS dsir_weight_u,
+           CAST(NULL AS INT) AS sample_rank,
+           CAST(NULL AS BIGINT) AS bin_idx,
+           CAST(NULL AS BIGINT) AS n_tok,
+           CAST(NULL AS VARCHAR) AS domain
+    FROM t WHERE t.doc_id NOT IN (SELECT doc_id FROM gatepass)
+    UNION ALL
+    SELECT jj.doc_id, jj.lang, 'not_sampled', jj.dsir_weight_u,
+           CAST(NULL AS INT), CAST(NULL AS BIGINT), jj.n_tok, jj.domain
+    FROM j jj
+    WHERE jj.doc_id NOT IN (SELECT doc_id FROM sampled)
+    UNION ALL
+    SELECT sa.doc_id, sa.lang, 'packed', sa.dsir_weight_u,
+           sa.sample_rank, rec.bin_idx, sa.n_tok, sa.domain
+    FROM sampled sa JOIN rec ON rec.doc_id = sa.doc_id
+    ORDER BY doc_id"""))
+
   val list: Seq[Q] = Seq(q78, q79, q80, q96, q104, q105, q114, q115, q125,
-    q126, q192, q212, q216, q221, q223, q227, q229, q231)
+    q126, q192, q212, q216, q221, q223, q227, q229, q231, q233)
 }

@@ -566,6 +566,64 @@ class CorpusOpsSpec extends SparkSpec {
     assert(again == rows.map(r => r.getLong(0) -> r.getString(2)).toMap)
   }
 
+  test("pretrainingRun + domainTrain: NB routing feeds the resample — quota per (lang, domain) cell, domain null on gated rows, plain spine schema untouched (round 18)") {
+    import spark.implicits._
+    def prose(tag: String, n: Int, seed: Int) = (1 to n)
+      .map(i => if (i % 5 == 0) "the" else s"$tag${(i * seed) % 23}").mkString(" ")
+    // two disjoint-vocabulary domains, 3 en keepers each + 1 gated doc
+    val docs = Seq(
+      (1L, "en", prose("news", 40, 3)),
+      (2L, "en", prose("news", 41, 7)),
+      (3L, "en", prose("news", 42, 11)),
+      (4L, "en", prose("code", 40, 5)),
+      (5L, "en", prose("code", 41, 13)),
+      (6L, "en", prose("code", 42, 17)),
+      (7L, "en", "tiny")
+    ).toDF("doc_id", "lang", "text")
+    val train = Seq(
+      (100L, prose("news", 30, 19), "news"),
+      (101L, prose("news", 31, 23), "news"),
+      (102L, prose("code", 30, 29), "code"),
+      (103L, prose("code", 31, 31), "code")
+    ).toDF("doc_id", "text", "label")
+    val run = CorpusOps.pretrainingRun(docs,
+      minWords = 10L, maxWords = 100L, minMeanLen = 1.0, maxMeanLen = 9.0,
+      stopWords = Seq("the"), minStopHits = 1L, maxTop2Frac = 0.5,
+      targetPred = col("lang") === "en", dim = 16, samplesPerLang = 2,
+      packBudget = 64L, maxOpen = 2, domainTrain = Some(train), nbDim = 128)
+    val rows = run.result.collect()
+    assert(run.result.columns.toSeq ==
+      Seq("doc_id", "lang", "disposition", "dsir_weight_u", "sample_rank",
+        "bin_idx", "n_tok", "domain"), run.result.columns.mkString(","))
+    assert(rows.map(_.getLong(0)).sorted.toSeq == (1L to 7L),
+      "every doc exactly one disposition")
+    val byId = rows.map(r => r.getLong(0) ->
+      ((r.getString(2), if (r.isNullAt(7)) null else r.getString(7)))).toMap
+    assert(byId(7L) == (("gated", null)), byId.toString)
+    // disjoint vocab routes each family to its own domain
+    (1L to 3L).foreach(i => assert(byId(i)._2 == "news", byId.toString))
+    (4L to 6L).foreach(i => assert(byId(i)._2 == "code", byId.toString))
+    // quota is PER (lang, domain) CELL: k=2 over 3 docs in each of the
+    // two (en, domain) cells -> exactly 2 packed + 1 not_sampled per cell
+    Seq("news", "code").foreach { d =>
+      val cell = rows.filter(r => !r.isNullAt(7) && r.getString(7) == d)
+      assert(cell.count(_.getString(2) == "packed") == 2 &&
+        cell.count(_.getString(2) == "not_sampled") == 1,
+        s"$d: ${cell.map(r => r.getLong(0) -> r.getString(2)).mkString(";")}")
+    }
+    // the model tables ride the release handle (+2 over the plain spine)
+    assert(run.cached.size == 7, run.cached.size.toString)
+    run.release()
+    // the plain spine's schema stays 7 columns — no domain leakage
+    val plain = CorpusOps.pretrainingRun(docs,
+      minWords = 10L, maxWords = 100L, minMeanLen = 1.0, maxMeanLen = 9.0,
+      stopWords = Seq("the"), minStopHits = 1L, maxTop2Frac = 0.5,
+      targetPred = col("lang") === "en", dim = 16, samplesPerLang = 2,
+      packBudget = 64L, maxOpen = 2)
+    assert(!plain.result.columns.contains("domain"))
+    plain.release()
+  }
+
   test("nbClassify: disjoint-vocab domains route correctly; margins positive; deterministic; single-class margin is 0") {
     import spark.implicits._
     val train = Seq(

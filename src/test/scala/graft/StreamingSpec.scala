@@ -2392,6 +2392,68 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("dsirScoreStream: frozen importance model scores every batch; stream == batch weights; replay overwrites; empty target fails at setup") {
+    import spark.implicits._
+    import graft.operators.CorpusOps
+    val base = tmp()
+    val raw = Seq(
+      (1L, "alpha beta alpha gamma beta alpha"),
+      (2L, "beta gamma alpha beta gamma beta"),
+      (3L, "zulu yankee zulu xray yankee zulu"),
+      (4L, "xray zulu yankee whiskey zulu yankee")
+    ).toDF("doc_id", "text")
+    val target = Seq((100L, "alpha beta gamma alpha beta")).toDF("doc_id", "text")
+    val batches = Seq(
+      Seq((10L, "alpha beta gamma beta"), (11L, "zulu xray yankee whiskey")),
+      Seq((20L, "alpha zulu beta xray alpha"), (21L, "beta gamma alpha")))
+    val now = System.currentTimeMillis()
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$base/staging-$i")
+      val part = new java.io.File(s"$base/staging-$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$base/in/b$i.parquet")
+      Files.createDirectories(dst.toPath.getParent)
+      Files.copy(part.toPath, dst.toPath)
+      assert(dst.setLastModified(now - (4 - i) * 60000L))
+    }
+    val schema = Seq((1L, "x")).toDF("doc_id", "text").schema
+    def start() = StreamingOps.dsirScoreStream(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in"),
+      raw, target, "doc_id", "text", s"$base/out", s"$base/ck", dim = 32)
+    start().awaitTermination(120000)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_grams", "dsir_weight_u").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = key(spark.read.parquet(s"$base/out"))
+    // stream == batch, in exact integer micro-nats, against the same
+    // frozen model — and that model reproduces the dsirWeights integers
+    val model = CorpusOps.dsirModel(raw, target, col("doc_id"), col("text"), dim = 32)
+    val want = batches.map(rows => key(CorpusOps.dsirScore(
+      rows.toDF("doc_id", "text"), model, col("doc_id"), col("text"), dim = 32)))
+      .reduce(_ ++ _)
+    assert(got == want, s"stream weights must equal batch scoring:\n$got\nvs\n$want")
+    // dsirScore over the raw corpus against its own model == dsirWeights
+    assert(key(CorpusOps.dsirScore(raw, model, col("doc_id"), col("text"), dim = 32)) ==
+      key(CorpusOps.dsirWeights(raw, target, col("doc_id"), col("text"), dim = 32)),
+      "the frozen-model split must reproduce the one-shot weights bit-for-bit")
+    // a replayed batch overwrites its own directory, never duplicates
+    assert(Files.deleteIfExists(Paths.get(s"$base/ck/commits/1")))
+    Files.deleteIfExists(Paths.get(s"$base/ck/commits/.1.crc"))
+    start().awaitTermination(120000)
+    assert(key(spark.read.parquet(s"$base/out")) == want)
+    // an empty TARGET fails at setup (an all-smoothed model scores
+    // every doc identically — silent mis-routing), not per trigger
+    intercept[IllegalArgumentException] {
+      StreamingOps.dsirScoreStream(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$base/in"),
+        raw, target.filter(col("doc_id").isNull), "doc_id", "text",
+        s"$base/out2", s"$base/ck2", dim = 32)
+    }
+  }
+
   test("curationStream: kill/restart replays a batch against exactly the history its first attempt saw") {
     import spark.implicits._
     val base = tmp()
