@@ -335,6 +335,75 @@ object Dedup {
         (col("end_tok") - col("start_tok") + 1).as("span_tok"))
   }
 
+  /** Cross-document span REDACTION (round 18) — the application Lee
+    * et al. 2021 run [[crossDocSpans]] for: remove the duplicated text
+    * itself, keeping exactly ONE copy in the corpus. Ownership is per
+    * gram: the LOWEST doc id containing an n-gram owns it (the
+    * [[exact]] keeper rule at span grain); every position of every
+    * OTHER doc covered by a shared n-gram window is cut. Owner docs
+    * keep their text; a doc that is a whole copy of a lower-id doc
+    * redacts to the empty string. Output one row per input doc:
+    * (id, n_redacted_tok, clean_text) — clean text is the surviving
+    * tokens re-joined, full strings hash-compared by the oracle.
+    *
+    * A position can be covered by overlapping windows with DIFFERENT
+    * owners; it survives only if NO foreign-owned window covers it —
+    * which the per-position flag + island merge handles with no
+    * special casing. Same scale shape as [[crossDocSpans]] (postings,
+    * one (min, max) aggregate, an equi-join, a per-doc window) plus
+    * one per-doc spans list (merged spans are disjoint, their count
+    * bounded by the doc's own length) and a narrow rebuild pass.
+    */
+  def redactCrossDocSpans(df: DataFrame, idCol: String, textCol: Column,
+      n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 2, s"span grain n must be >= 2 tokens, got $n")
+    val base = df.filter(col(idCol).isNotNull && textCol.isNotNull)
+      .select(col(idCol), textCol.as("_t"))
+    val postings = base
+      .select(col(idCol),
+        posexplode(graft.functions.shingles.wordShingles(col("_t"), n))
+          .as(Seq("_p", "_g")))
+      .select(col(idCol), (col("_p") + 1).cast("long").as("pos"),
+        hash48(col("_g")).as("_h"))
+    val shared = postings.groupBy(col("_h"))
+      .agg(min(col(idCol)).as("_lo"), max(col(idCol)).as("_hi"))
+      .filter(col("_lo") =!= col("_hi"))
+      .select(col("_h"), col("_lo"))
+    // a hit = a window this doc does NOT own
+    val hits = postings.join(shared, "_h")
+      .filter(col(idCol) =!= col("_lo"))
+      .select(col(idCol), col("pos"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val run = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val spans = hits
+      .withColumn("_brk",
+        when(lag(col("pos"), 1).over(w).isNull ||
+          col("pos") > lag(col("pos"), 1).over(w) + n, 1).otherwise(0))
+      .withColumn("_isl", sum(col("_brk")).over(run))
+      .groupBy(col(idCol), col("_isl"))
+      .agg(min(col("pos")).as("_s"), (max(col("pos")) + n - 1).as("_e"))
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("_s"), col("_e"))).as("_spans"),
+        sum(col("_e") - col("_s") + 1).as("_cut"))
+    // rebuild: the token array is the TRANSFORM INPUT (evaluated once
+    // per row) — an element_at(split(..), i) lambda body would
+    // re-evaluate the split per element, the O(tokens^2) HOF pitfall
+    // functions/shingles.scala exists to avoid. Covered tokens map to
+    // null, the filter drops them, join restores single spaces.
+    base.join(spans, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_cut"), lit(0L)).as("n_redacted_tok"),
+        when(col("_spans").isNull, col("_t")).otherwise(
+          array_join(filter(
+            transform(split(col("_t"), " ", -1), (tok, i0) =>
+              when(!exists(col("_spans"),
+                sp => i0 + 1 >= sp.getField("_s") &&
+                  i0 + 1 <= sp.getField("_e")), tok)),
+            t => t.isNotNull), " ")).as("clean_text"))
+  }
+
   /** Asymmetric shingle CONTAINMENT for candidate pairs:
     * |A intersect B| / |A| — Jaccard's directional sibling, and the
     * measure that catches what Jaccard structurally cannot: a short

@@ -796,6 +796,71 @@ object DedupQueries {
            CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_tok
     FROM isl GROUP BY doc_id, island ORDER BY doc_id, start_tok"""))
 
+  /** Cross-document span REDACTION under the oracle (round 18,
+    * [[Dedup.redactCrossDocSpans]]): the Lee-et-al application of
+    * q232 — keep ONE copy (the lowest doc id owning each gram), cut
+    * every other doc's covered tokens, and hash-compare the FULL
+    * rebuilt strings. Same plant as q232 (the 12-token sentence on
+    * every doc_id % 97 == 0 doc): the lowest planted doc keeps its
+    * tail, every other planted doc loses it. The oracle replays
+    * ownership (min(doc_id) per shared gram), the island merge, and
+    * the positional rebuild with DuckDB's indexed list_filter.
+    */
+  private val q234 = Q("q234_span_redact", (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val quote = (1 to 12).map(i => s"sharedquote$i").mkString(" ")
+    val planted = docs
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"),
+        when(col("doc_id") % 97 === 0,
+          concat_ws(" ", col("text"), lit(quote)))
+          .otherwise(col("text")).as("text"))
+    Dedup.redactCrossDocSpans(planted, "doc_id", col("text"), n = 8)
+      .orderBy(col("doc_id"))
+  }, Some(s"""
+    WITH p AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 97 = 0
+                  THEN concat_ws(' ', text,
+                    '${(1 to 12).map(i => s"sharedquote$i").mkString(" ")}')
+                  ELSE text END AS t
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+    t AS (SELECT doc_id, t, string_split(t, ' ') AS toks FROM p),
+    g AS (
+      SELECT t.doc_id, r.i AS pos,
+             CAST(concat('0x', substr(md5(
+               array_to_string(t.toks[r.i:r.i+7], ' ')), 1, 12)) AS BIGINT) AS h
+      FROM t CROSS JOIN LATERAL
+        (SELECT unnest(range(1, greatest(len(t.toks) - 6, 1))) AS i) r),
+    sh AS (SELECT h, min(doc_id) AS lo FROM g GROUP BY h
+           HAVING min(doc_id) <> max(doc_id)),
+    hits AS (SELECT g.doc_id, g.pos FROM g JOIN sh USING (h)
+             WHERE g.doc_id <> sh.lo),
+    w AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                    OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS UNBOUNDED PRECEDING) AS island
+      FROM w),
+    sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+           FROM isl GROUP BY doc_id, island),
+    spl AS (SELECT doc_id, list({'s': s, 'e': e}) AS sps,
+                   CAST(sum(e - s + 1) AS BIGINT) AS cut
+            FROM sp GROUP BY doc_id)
+    SELECT t.doc_id,
+           coalesce(spl.cut, 0) AS n_redacted_tok,
+           CASE WHEN spl.sps IS NULL THEN t.t ELSE
+             coalesce(array_to_string(list_filter(t.toks, (tok, i) ->
+               len(list_filter(spl.sps, x -> i >= x.s AND i <= x.e)) = 0), ' '), '')
+           END AS clean_text
+    FROM t LEFT JOIN spl USING (doc_id)
+    ORDER BY t.doc_id"""))
+
   val list: Seq[Q] = Seq(q40, q41, q42, q43, q44, q75, q77, q87, q94, q95, q130,
-    q177, q184, q202, q205, q207, q230, q232)
+    q177, q184, q202, q205, q207, q230, q232, q234)
 }

@@ -308,6 +308,28 @@ class DedupSpec extends SparkSpec {
       s"back-to-back shared runs must merge into one span: $spans2")
   }
 
+  test("redactCrossDocSpans: the LOWEST doc keeps each shared span, every other copy is cut; a whole-copy doc redacts to empty (round 18)") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val quote = (1 to 12).map(i => s"q$i").mkString(" ")
+    val aBody = (1 to 30).map(i => s"a$i").mkString(" ")
+    val bBody = (1 to 30).map(i => s"b$i").mkString(" ")
+    val a = aBody + " " + quote          // doc 1: owner of the quote grams
+    val b = quote + " " + bBody          // doc 2: quote copy at the front
+    val docs = Seq((1L, a), (2L, b), (3L, a), (4L, "lone wolf text"))
+      .toDF("doc_id", "text")
+    val got = Dedup.redactCrossDocSpans(docs, "doc_id", col("text"), n = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // owner keeps everything
+    assert(got(1L) == ((0L, a)), got(1L).toString)
+    // the copier loses exactly the 12 quote tokens; its own body survives
+    assert(got(2L) == ((12L, bBody)), got(2L).toString)
+    // a verbatim copy of doc 1 redacts to the empty string
+    assert(got(3L) == ((42L, "")), got(3L).toString)
+    // untouched doc passes through
+    assert(got(4L) == ((0L, "lone wolf text")), got(4L).toString)
+  }
+
   test("containmentPairs: a quoted excerpt scores 1.0 directionally while Jaccard stays low") {
     val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma"
