@@ -178,10 +178,28 @@ object Dedup {
     * 48-bit collisions — see prepareHashedShingles).
     */
   def minhashNearDupsPrepared(withHashes: DataFrame, idCol: String,
-      threshold: Double, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+      threshold: Double, k: Int = 8, rowsPerBand: Int = 2,
+      maxBucket: Option[Int] = None): DataFrame = {
     val exploded = withHashes.select(col(idCol), explode_outer(col("_hs")).as("_h"))
     val sigs = minhashSignaturesHashed(exploded, idCol, col("_h"), k)
-    val candidates = lshCandidates(lshBands(sigs, idCol, k, rowsPerBand), idCol)
+    // optional hot-bucket guardrail (round 18, the fuzzyDecontaminate/
+    // q69 discipline): the self-join is QUADRATIC inside a band
+    // bucket, and minhash minima concentrate on globally-frequent
+    // shingles as the corpus grows. Dropping >cap buckets before the
+    // join is part of the recall contract when enabled — a bucket
+    // that wide is a near-uninformative key, and the pair's other
+    // bands still vote. Default None = the exhaustive-banded
+    // semantics every existing oracle states.
+    val bands = lshBands(sigs, idCol, k, rowsPerBand)
+    val pruned = maxBucket match {
+      case Some(cap) =>
+        val small = bands.groupBy(col("band_idx"), col("band_key"))
+          .agg(count(lit(1)).as("_n")).filter(col("_n") <= cap)
+          .select(col("band_idx"), col("band_key"))
+        bands.join(small, Seq("band_idx", "band_key"))
+      case None => bands
+    }
+    val candidates = lshCandidates(pruned, idCol)
     val s1 = withHashes.select(col(idCol).as("id1"), col("_hs").as("_hs1"))
     val s2 = withHashes.select(col(idCol).as("id2"), col("_hs").as("_hs2"))
     candidates.join(s1, "id1").join(s2, "id2")

@@ -624,6 +624,39 @@ class CorpusOpsSpec extends SparkSpec {
     plain.release()
   }
 
+  test("pretrainingRun edges: an all-gated corpus yields only gated rows (null domain); an empty domainTrain fails loudly at construction (round 18)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "tiny"),
+      (2L, "en", "also tiny")
+    ).toDF("doc_id", "lang", "text")
+    val train = Seq((100L, "alpha beta gamma delta", "news"))
+      .toDF("doc_id", "text", "label")
+    // everything gated: the downstream stages (DSIR, router, resample,
+    // packer, every lineage-cut leaf) all run over EMPTY frames and
+    // the result is exactly the gated rows with a null domain
+    val run = CorpusOps.pretrainingRun(docs,
+      minWords = 10L, maxWords = 100L, minMeanLen = 1.0, maxMeanLen = 9.0,
+      stopWords = Seq("the"), minStopHits = 1L, maxTop2Frac = 0.5,
+      targetPred = col("lang") === "en", dim = 16, samplesPerLang = 2,
+      packBudget = 64L, maxOpen = 2, domainTrain = Some(train), nbDim = 32)
+    val rows = run.result.collect()
+    assert(rows.length == 2 && rows.forall(r =>
+      r.getString(2) == "gated" && r.isNullAt(7)), rows.mkString(";"))
+    run.release()
+    // an EMPTY labeled slice cannot train a router: the nbScore
+    // empty-model require fires AT CONSTRUCTION (the classifyStream
+    // fail-at-setup discipline), not as a confusing NPE mid-job
+    intercept[IllegalArgumentException] {
+      CorpusOps.pretrainingRun(docs,
+        minWords = 10L, maxWords = 100L, minMeanLen = 1.0, maxMeanLen = 9.0,
+        stopWords = Seq("the"), minStopHits = 1L, maxTop2Frac = 0.5,
+        targetPred = col("lang") === "en", dim = 16, samplesPerLang = 2,
+        packBudget = 64L, maxOpen = 2,
+        domainTrain = Some(train.filter(col("label").isNull)), nbDim = 32)
+    }
+  }
+
   test("nbClassify: disjoint-vocab domains route correctly; margins positive; deterministic; single-class margin is 0") {
     import spark.implicits._
     val train = Seq(

@@ -308,6 +308,31 @@ class DedupSpec extends SparkSpec {
       s"back-to-back shared runs must merge into one span: $spans2")
   }
 
+  test("minhashNearDupsPrepared maxBucket: the self-join family gets the same guardrail — hot family pruned, cold pair kept (round 18)") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val core = (1 to 50).map(i => s"hot$i").mkString(" ")
+    val hotDocs = (1 to 30).map(i => (100L + i, s"$core uniq$i"))
+    val words = (1 to 60).map(i => s"cold$i")
+    val pair = Seq(
+      1L -> words.mkString(" "),
+      2L -> words.zipWithIndex.collect {
+        case (w, i) if (i + 1) % 11 != 4 => w }.mkString(" "))
+    val docs = (hotDocs ++ pair).toDF("doc_id", "text")
+    val prepared = Dedup.prepareHashedShingles(docs, "doc_id",
+      Dedup.wordShingles("text"))
+    val open = Dedup.minhashNearDupsPrepared(prepared, "doc_id",
+        threshold = 0.5, rowsPerBand = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(open.contains((1L, 2L)) && open.size > 100,
+      s"uncapped: the hot family pairs quadratically + the cold pair: ${open.size}")
+    val capped = Dedup.minhashNearDupsPrepared(prepared, "doc_id",
+        threshold = 0.5, rowsPerBand = 1, maxBucket = Some(5))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)),
+      s"capped: only the cold pair survives the occupancy guard: $capped")
+  }
+
   test("redactCrossDocSpans: the LOWEST doc keeps each shared span, every other copy is cut; a whole-copy doc redacts to empty (round 18)") {
     import spark.implicits._
     import graft.operators.Dedup
