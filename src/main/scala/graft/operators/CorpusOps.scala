@@ -964,6 +964,13 @@ object CorpusOps {
     *
     * Every input document (non-null id and text) lands EXACTLY ONE
     * disposition:
+    *  - `boilerplate`  — (only with `c4`, round 18) dropped by the
+    *                     C4 page rules ([[TextAnalysis.c4Clean]] —
+    *                     lorem-ipsum / curly-brace / bad-word pages,
+    *                     or too few rule-passing lines); runs FIRST,
+    *                     so the Gopher gate scores the text that will
+    *                     actually be trained on, and survivors'
+    *                     `text` is the line-cleaned rebuild;
     *  - `gated`        — failed the Gopher gate (or had no 2-gram for
     *                     its repetition rule: too short is a fail, not
     *                     a crash — the gate's inner-join drop becomes
@@ -1005,10 +1012,50 @@ object CorpusOps {
       dim: Int = 64, samplesPerLang: Int = 30, packBudget: Long = 512L,
       maxOpen: Int = 4, evalDocs: Option[DataFrame] = None,
       fuzzyTau: Double = 0.5, fuzzyRowsPerBand: Int = 2,
-      domainTrain: Option[DataFrame] = None, nbDim: Int = 64): PretrainRun = {
-    val base = docs
+      domainTrain: Option[DataFrame] = None, nbDim: Int = 64,
+      c4: Option[TextAnalysis.C4Policy] = None): PretrainRun = {
+    val base0 = docs
       .filter(col("doc_id").isNotNull && col("text").isNotNull)
       .select(col("doc_id"), col("lang"), col("text"))
+    val nulls = Seq(lit(null).cast("long").as("dsir_weight_u"),
+      lit(null).cast("int").as("sample_rank"),
+      lit(null).cast("long").as("bin_idx"),
+      lit(null).cast("long").as("n_tok"))
+    def cachedLeaf(df: DataFrame): (DataFrame, DataFrame) = {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (org.apache.spark.sql.graft.shims.cutLineage(p), p)
+    }
+    // C4 PRE-CLEAN leg (round 18, Raffel et al. 2020 via
+    // [[TextAnalysis.c4Clean]]): line-level boilerplate is cut and
+    // the page verdict applied BEFORE the Gopher gate — ordering is
+    // load-bearing twice over: (1) the gate's repetition and
+    // word-count signals must score the text that will actually be
+    // trained on, not the boilerplate the cleaner is about to cut;
+    // (2) everything downstream (scrub, DSIR, packer) reads the
+    // CLEANED text, so a dropped page can never shape the importance
+    // weights. Dropped pages exit with their own auditable
+    // disposition ("boilerplate"). The cleaner itself is narrow and
+    // shuffle-free; the persisted frame exists because keep/drop
+    // split it into two consumers.
+    val (c4Dropped, base, c4Cached) = c4 match {
+      case None => (None, base0, Seq.empty[DataFrame])
+      case Some(p) =>
+        val (cleaned, cleanedP) = cachedLeaf(
+          TextAnalysis.c4Clean(base0, col("doc_id"), col("text"), p)
+            .join(base0.select("doc_id", "lang"), "doc_id")
+            .select(col("doc_id"), col("lang"), col("keep"),
+              col("clean_text")))
+        (Some(cleaned.filter(col("keep") === 0)
+          .select(Seq(col("doc_id"), col("lang"),
+            lit("boilerplate").as("disposition")) ++ nulls: _*)),
+          cleaned.filter(col("keep") === 1)
+            // newlines flatten back to spaces: downstream stages are
+            // token-stream operators (split on " "), and a line joint
+            // must not weld "end.\nstart" into one phantom token
+            .select(col("doc_id"), col("lang"),
+              translate(col("clean_text"), "\n", " ").as("text")),
+          Seq(cleanedP))
+    }
     val gate = TextAnalysis.gopherQualityGate(base, col("doc_id"), col("text"),
         minWords, maxWords, minMeanLen, maxMeanLen, stopWords, minStopHits,
         maxTop2Frac)
@@ -1027,20 +1074,13 @@ object CorpusOps {
     // milliseconds at ANY stack depth. Cost of the cut: the run is
     // EAGER (each stage materializes at construction — same total
     // work, moved earlier); the release handle still frees exactly
-    // this run's caches.
-    def cachedLeaf(df: DataFrame): (DataFrame, DataFrame) = {
-      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      (org.apache.spark.sql.graft.shims.cutLineage(p), p)
-    }
+    // this run's caches. (`cachedLeaf` is defined above the C4 leg,
+    // which persists its split point under the same discipline.)
     // persisted: the gate verdict splits into the `gated` branch AND
     // the kept pipeline — without the cache the gate's repetition
     // shuffle (the spine's widest stage) executes once per branch
     val (tagged, taggedP) = cachedLeaf(base.join(gate, Seq("doc_id"), "left")
       .withColumn("_keep", coalesce(col("keep"), lit(false))))
-    val nulls = Seq(lit(null).cast("long").as("dsir_weight_u"),
-      lit(null).cast("int").as("sample_rank"),
-      lit(null).cast("long").as("bin_idx"),
-      lit(null).cast("long").as("n_tok"))
     val gated = tagged.filter(!col("_keep"))
       .select(Seq(col("doc_id"), col("lang"),
         lit("gated").as("disposition")) ++ nulls: _*)
@@ -1151,9 +1191,10 @@ object CorpusOps {
     def u(a: DataFrame, b: DataFrame): DataFrame =
       a.unionByName(b, allowMissingColumns = domainTrain.isDefined)
     PretrainRun(
-      u(contaminated.foldLeft(u(gated, notSampled))(u), packed),
-      Seq(taggedP, scrubbedP, weightedP, sampledP) ++ gateCached ++
-        domainCached ++ dsir.cached)
+      u((c4Dropped.toSeq ++ contaminated.toSeq)
+        .foldLeft(u(gated, notSampled))(u), packed),
+      Seq(taggedP, scrubbedP, weightedP, sampledP) ++ c4Cached ++
+        gateCached ++ domainCached ++ dsir.cached)
   }
 
   /** [[pretrainingRun]] without the cache handle — the one-shot
@@ -1166,11 +1207,12 @@ object CorpusOps {
       dim: Int = 64, samplesPerLang: Int = 30, packBudget: Long = 512L,
       maxOpen: Int = 4, evalDocs: Option[DataFrame] = None,
       fuzzyTau: Double = 0.5, fuzzyRowsPerBand: Int = 2,
-      domainTrain: Option[DataFrame] = None, nbDim: Int = 64): DataFrame =
+      domainTrain: Option[DataFrame] = None, nbDim: Int = 64,
+      c4: Option[TextAnalysis.C4Policy] = None): DataFrame =
     pretrainingRun(docs, minWords, maxWords, minMeanLen, maxMeanLen,
       stopWords, minStopHits, maxTop2Frac, targetPred, dim, samplesPerLang,
       packBudget, maxOpen, evalDocs, fuzzyTau, fuzzyRowsPerBand,
-      domainTrain, nbDim).result
+      domainTrain, nbDim, c4).result
 
   /** Context-window sequence packing, contiguous-chop style: within
     * each shard (`shardCol`), lay documents end-to-end in `orderCol`

@@ -858,4 +858,77 @@ object TextAnalysis {
         (col("stop_hits") >= minStopHits) &&
         (col("top2_frac") <= maxTop2Frac))
   }
+
+  /** The C4 line-level cleaner's thresholds + page-level word list as
+    * one value — the [[GopherGate]] discipline, so streaming and
+    * spine compositions take the whole policy as a single frozen
+    * parameter.
+    */
+  final case class C4Policy(badWords: Seq[String],
+      minWordsPerLine: Int = 3, minKeptLines: Int = 5)
+
+  /** C4-style cleaning (round 18; Raffel et al. 2020 §2.2 — the
+    * heuristics that built the C4 corpus, minus the langdetect and
+    * three-sentence-span steps which exist separately as
+    * [[languageId]] and [[graft.operators.Dedup.crossDocSpans]]):
+    *
+    * LINE rules — a line of the page survives iff it (1) ends in a
+    * terminal punctuation mark (`.` `!` `?` `"`), (2) has at least
+    * `minWordsPerLine` space-separated words, and (3) does not
+    * contain the token "javascript" (case-insensitive substring, the
+    * boilerplate-warning rule).
+    *
+    * PAGE rules — the whole page drops if it (4) contains the phrase
+    * "lorem ipsum" (case-insensitive), (5) contains a curly brace
+    * `{` (code), (6) contains any word from `badWords`
+    * (whole-token match on the lowercased space/newline-split page —
+    * C4 used the public "List of Dirty, Naughty …" list; the list is
+    * a parameter because it is deployment-tuned), or (7) keeps fewer
+    * than `minKeptLines` lines after the line rules (C4's
+    * five-sentence floor, with "kept line" as the sentence unit —
+    * a deterministic adaptation, documented not hidden).
+    *
+    * Emits every signal (`n_lines`, `kept_lines`, `has_lorem`,
+    * `has_brace`, `has_badword`) plus the composite `keep` and the
+    * rebuilt `clean_text` (kept lines re-joined with `\n`) so
+    * downstream curation can audit which rule fired — the
+    * [[graft.operators.CorpusOps]] disposition discipline.
+    *
+    * Shape: pure per-row column expressions over the line array —
+    * NARROW, shuffle-free, embarrassingly parallel; at 100 TB this
+    * is a map over the corpus scan with no exchange at all. The
+    * terminal-punct test is a last-char `isin`, not a regex, so both
+    * engines (and any SQL mirror) agree byte-for-byte.
+    */
+  def c4Clean(df: DataFrame, idCol: Column, textCol: Column,
+      p: C4Policy): DataFrame =
+    c4Clean(df, idCol, textCol, p.badWords, p.minWordsPerLine, p.minKeptLines)
+
+  def c4Clean(df: DataFrame, idCol: Column, textCol: Column,
+      badWords: Seq[String], minWordsPerLine: Int = 3,
+      minKeptLines: Int = 5): DataFrame = {
+    require(badWords.nonEmpty, "badWords must be non-empty (C4's word list)")
+    require(minWordsPerLine >= 1 && minKeptLines >= 1,
+      s"line/page floors must be >= 1, got $minWordsPerLine/$minKeptLines")
+    val lines = split(textCol, "\n")
+    val keptLines = filterArray(lines, l =>
+      substring(l, -1, 1).isin(".", "!", "?", "\"") &&
+        (size(split(l, " ")) >= minWordsPerLine) &&
+        !contains(lower(l), lit("javascript")))
+    // page-level word check on the lowercased page with newlines
+    // flattened to spaces, so line-boundary tokens split cleanly
+    val pageToks = split(translate(lower(textCol), "\n", " "), " ")
+    df.filter(idCol.isNotNull && textCol.isNotNull)
+      .select(idCol.as("doc_id"),
+        size(lines).cast("long").as("n_lines"),
+        size(keptLines).cast("long").as("kept_lines"),
+        contains(lower(textCol), lit("lorem ipsum")).cast("int").as("has_lorem"),
+        contains(textCol, lit("{")).cast("int").as("has_brace"),
+        exists(pageToks, t => t.isInCollection(badWords)).cast("int")
+          .as("has_badword"),
+        array_join(keptLines, "\n").as("clean_text"))
+      .withColumn("keep",
+        ((col("has_lorem") + col("has_brace") + col("has_badword")) === 0 &&
+          col("kept_lines") >= minKeptLines).cast("int"))
+  }
 }

@@ -1208,6 +1208,209 @@ object CorpusQueries {
     FROM sampled sa JOIN rec ON rec.doc_id = sa.doc_id
     ORDER BY doc_id"""))
 
+  /** THE SPINE WITH THE C4 PRE-CLEAN LEG (round 18 — Raffel et al.
+    * 2020 composed in front of the round-17 spine; the q205 -> q207
+    * discipline yet again: the COMPOSITION is oracle-checked, not
+    * just [[graft.operators.TextAnalysis.c4Clean]]'s q235 fragment).
+    * The corpus has no line structure, so both engines build q235's
+    * deterministic page frame (5-token lines, punctuation on the
+    * (doc_id + line) % 4 grid, all four traps on their doc_id
+    * strata), then: C4 line+page rules -> Gopher gate ON THE CLEANED
+    * TEXT -> scrub (identity here: the pages carry no PII — the
+    * stage still runs) -> DSIR -> per-language Gumbel resample ->
+    * FFD packing. Ordering is load-bearing: the gate's word-count /
+    * repetition signals score the text that will actually be trained
+    * on, and a boilerplate page can never shape the DSIR
+    * distributions. Every page lands EXACTLY ONE of four
+    * dispositions (boilerplate / gated / not_sampled / packed); the
+    * newline-flatten seam (clean lines re-enter the token-stream
+    * stages space-joined) is exactly the kind of interop detail this
+    * row exists to pin.
+    */
+  private val q236 = Q("q236_spine_c4", (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+    val toks = split(col("text"), " ")
+    val puncts = array(lit("."), lit("!"), lit("?"), lit(""))
+    val nLines = floor((size(toks) + lit(4)) / lit(5)).cast("long")
+    val lines = transform(sequence(lit(0L), nLines - lit(1L)), i =>
+      concat(array_join(slice(toks, (i * lit(5L) + lit(1L)).cast("int"), lit(5)), " "),
+        element_at(puncts, (pmod(col("doc_id") + i, lit(4L)) + lit(1L)).cast("int"))))
+    val page = concat(array_join(lines, "\n"),
+      when(pmod(col("doc_id"), lit(7L)) === 0,
+        lit("\nclick here to enable javascript now.")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(13L)) === 0,
+        lit("\nlorem ipsum dolor sit amet.")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(11L)) === 0,
+        lit("\nfunction f() { return 1; }")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(17L)) === 0,
+        lit("\nwell frak that plan entirely.")).otherwise(lit("")))
+    CorpusOps.pretrainingPipeline(
+        docs.select(col("doc_id"), col("lang"), page.as("text")),
+        minWords = 28L, maxWords = 72L, minMeanLen = 4.45, maxMeanLen = 5.0,
+        stopWords = Seq("the", "a"), minStopHits = 1L, maxTop2Frac = 0.09,
+        targetPred = col("lang") === "en", dim = 64, samplesPerLang = 20,
+        packBudget = 512L, maxOpen = 4,
+        c4 = Some(graft.operators.TextAnalysis.C4Policy(Seq("frak"),
+          minWordsPerLine = 3, minKeptLines = 5)))
+      .orderBy(col("doc_id"))
+  }, Some("""    WITH RECURSIVE
+    t0 AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+    lx AS (
+      SELECT doc_id, lang, toks, unnest(range(0, (len(toks) + 4) // 5)) AS i FROM t0),
+    ll AS (
+      SELECT doc_id, lang, i,
+             array_to_string(toks[i*5+1 : i*5+5], ' ') ||
+             (['.', '!', '?', ''])[CAST((doc_id + i) % 4 AS INT) + 1] AS line
+      FROM lx),
+    pg AS (
+      SELECT doc_id, lang, string_agg(line, chr(10) ORDER BY i) AS body
+      FROM ll GROUP BY doc_id, lang),
+    page AS (
+      SELECT doc_id, lang, body ||
+        CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'click here to enable javascript now.' ELSE '' END ||
+        CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END ||
+        CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'function f() { return 1; }' ELSE '' END ||
+        CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'well frak that plan entirely.' ELSE '' END AS text
+      FROM pg),
+    cf AS (
+      SELECT doc_id, lang, text,
+             list_filter(string_split(text, chr(10)), ln ->
+               substr(ln, len(ln), 1) IN ('.', '!', '?', '"')
+               AND len(string_split(ln, ' ')) >= 3
+               AND NOT contains(lower(ln), 'javascript')) AS kept
+      FROM page),
+    c4 AS (
+      SELECT doc_id, lang,
+             CAST(contains(lower(text), 'lorem ipsum') = false
+                  AND contains(text, '{') = false
+                  AND NOT list_has_any(string_split(replace(lower(text), chr(10), ' '), ' '), ['frak'])
+                  AND len(kept) >= 5 AS INT) AS c4keep,
+             replace(array_to_string(kept, chr(10)), chr(10), ' ') AS clean
+      FROM cf),
+    t AS (SELECT doc_id, lang, clean, len(clean) AS n_chars,
+                 string_split(clean, ' ') AS toks
+          FROM c4 WHERE c4keep = 1),
+    w AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             floor(CAST(list_reduce(list_transform(toks, s -> CAST(len(s) AS BIGINT)),
+                       (a, b) -> a + b) AS DOUBLE) / len(toks) * 1000000 + 0.5) / 1000000.0 AS mean_word_len,
+             CAST(len(list_filter(toks, s -> s IN ('the', 'a'))) AS BIGINT) AS stop_hits
+      FROM t),
+    g2 AS (
+      SELECT t.doc_id, t.n_chars, array_to_string(t.toks[r.i+1:r.i+2], ' ') AS gram
+      FROM t CROSS JOIN LATERAL (SELECT unnest(range(0, len(t.toks) - 1)) AS i) r),
+    c2 AS (
+      SELECT doc_id, n_chars, gram, CAST(count(*) AS BIGINT) AS cnt
+      FROM g2 GROUP BY doc_id, n_chars, gram),
+    top AS (
+      SELECT doc_id,
+             floor(CAST(cnt * len(gram) AS DOUBLE) / n_chars * 1000000 + 0.5) / 1000000.0 AS top2_frac
+      FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                       ORDER BY cnt DESC, gram) AS rn FROM c2)
+      WHERE rn = 1),
+    gatepass AS (
+      SELECT w.doc_id FROM w JOIN top USING (doc_id)
+      WHERE w.n_words BETWEEN 28 AND 72
+        AND w.mean_word_len BETWEEN 4.45 AND 5.0
+        AND w.stop_hits >= 1 AND top.top2_frac <= 0.09),
+    ntok AS (
+      SELECT t.doc_id, t.lang, t.clean,
+             CAST(len(t.toks) AS BIGINT) AS n_tok, t.toks
+      FROM t JOIN gatepass USING (doc_id)),
+    ge AS (
+      SELECT doc_id, lang, unnest(list_concat(toks,
+        [array_to_string(toks[i+1:i+2], ' ') for i in range(0, len(toks) - 1)])) AS gram
+      FROM ntok),
+    g AS (
+      SELECT doc_id, lang,
+             CAST(concat('0x', substr(md5(gram), 1, 12)) AS BIGINT) % 64 AS bucket
+      FROM ge),
+    tgt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS tc FROM g
+            WHERE lang = 'en' GROUP BY bucket),
+    raws AS (SELECT bucket, CAST(count(*) AS BIGINT) AS rc FROM g GROUP BY bucket),
+    tot AS (SELECT (SELECT coalesce(sum(tc), 0) FROM tgt) AS tt,
+                   (SELECT coalesce(sum(rc), 0) FROM raws) AS rt),
+    lr AS (
+      SELECT b.bucket,
+             CAST(floor(ln((coalesce(tgt.tc, 0) + 1) * 1.0 / (tot.tt + 64)) * 1000000 + 0.5) AS BIGINT)
+           - CAST(floor(ln((coalesce(raws.rc, 0) + 1) * 1.0 / (tot.rt + 64)) * 1000000 + 0.5) AS BIGINT) AS lr_u
+      FROM (SELECT unnest(range(0, 64)) AS bucket) b
+      LEFT JOIN tgt USING (bucket) LEFT JOIN raws USING (bucket), tot),
+    db AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+           FROM g GROUP BY doc_id, bucket),
+    dsir AS (
+      SELECT db.doc_id, CAST(sum(db.cnt * lr.lr_u) AS BIGINT) AS dsir_weight_u
+      FROM db JOIN lr USING (bucket) GROUP BY db.doc_id),
+    j AS (
+      SELECT n.doc_id, n.lang, n.n_tok, s.dsir_weight_u,
+             CAST(concat('0x', substr(md5(CAST(n.doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS hv
+      FROM ntok n JOIN dsir s USING (doc_id)),
+    k2 AS (
+      SELECT *, CAST(floor(-ln((CAST(hv AS DOUBLE) + 1) / 281474976710656.0) * 1000000 + 0.5) AS BIGINT) AS e_unat
+      FROM j),
+    k3 AS (
+      SELECT *, dsir_weight_u
+             - CAST(floor(ln(CAST(greatest(e_unat, 1) AS DOUBLE) / 1000000.0) * 1000000 + 0.5) AS BIGINT) AS key_u
+      FROM k2),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY lang ORDER BY key_u DESC, doc_id) AS rn
+      FROM k3),
+    sampled AS (SELECT doc_id, lang, n_tok, dsir_weight_u,
+                       CAST(rn AS INT) AS sample_rank
+                FROM r WHERE rn <= 20),
+    tp AS (
+      SELECT lang AS shard, doc_id, n_tok,
+             CAST(row_number() OVER (PARTITION BY lang
+                ORDER BY n_tok DESC, doc_id) AS INT) AS pos
+      FROM sampled),
+    rec AS (
+      SELECT shard, pos, doc_id, n_tok,
+             CAST(0 AS BIGINT) AS bin_idx, n_tok AS fill_after,
+             [{'b': CAST(0 AS BIGINT), 'f': n_tok}] AS open,
+             CAST(1 AS BIGINT) AS nbins
+      FROM tp WHERE pos = 1
+      UNION ALL
+      SELECT tp.shard, tp.pos, tp.doc_id, tp.n_tok,
+             CASE WHEN h.hit IS NOT NULL THEN h.hit.b ELSE rec.nbins END,
+             CASE WHEN h.hit IS NOT NULL THEN h.hit.f + tp.n_tok ELSE tp.n_tok END,
+             CASE WHEN h.hit IS NOT NULL
+                  THEN list_transform(rec.open, x ->
+                    CASE WHEN x.b = h.hit.b THEN {'b': x.b, 'f': x.f + tp.n_tok} ELSE x END)
+                  ELSE list_append(
+                    CASE WHEN len(rec.open) >= 4 THEN rec.open[2:] ELSE rec.open END,
+                    {'b': rec.nbins, 'f': tp.n_tok})
+             END,
+             CASE WHEN h.hit IS NOT NULL THEN rec.nbins ELSE rec.nbins + 1 END
+      FROM rec
+      JOIN tp ON tp.shard = rec.shard AND tp.pos = rec.pos + 1
+      CROSS JOIN LATERAL (
+        SELECT list_filter(rec.open, x -> x.f + tp.n_tok <= 512)[1] AS hit) h)
+    SELECT c4.doc_id, c4.lang, 'boilerplate' AS disposition,
+           CAST(NULL AS BIGINT) AS dsir_weight_u,
+           CAST(NULL AS INT) AS sample_rank,
+           CAST(NULL AS BIGINT) AS bin_idx,
+           CAST(NULL AS BIGINT) AS n_tok
+    FROM c4 WHERE c4.c4keep = 0
+    UNION ALL
+    SELECT t.doc_id, t.lang, 'gated',
+           CAST(NULL AS BIGINT), CAST(NULL AS INT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM t WHERE t.doc_id NOT IN (SELECT doc_id FROM gatepass)
+    UNION ALL
+    SELECT n.doc_id, n.lang, 'not_sampled', s.dsir_weight_u,
+           CAST(NULL AS INT), CAST(NULL AS BIGINT), n.n_tok
+    FROM ntok n JOIN dsir s USING (doc_id)
+    WHERE n.doc_id NOT IN (SELECT doc_id FROM sampled)
+    UNION ALL
+    SELECT sa.doc_id, sa.lang, 'packed', sa.dsir_weight_u,
+           sa.sample_rank, rec.bin_idx, sa.n_tok
+    FROM sampled sa JOIN rec ON rec.doc_id = sa.doc_id
+    ORDER BY doc_id"""))
+
   val list: Seq[Q] = Seq(q78, q79, q80, q96, q104, q105, q114, q115, q125,
-    q126, q192, q212, q216, q221, q223, q227, q229, q231, q233)
+    q126, q192, q212, q216, q221, q223, q227, q229, q231, q233, q236)
 }

@@ -1537,7 +1537,87 @@ object TextQueries {
     SELECT day, term, n, rnk FROM r WHERE rnk <= 5
     ORDER BY day, rnk"""))
 
+  /** C4-style cleaning under the oracle (round 18; Raffel et al.
+    * 2020 §2.2, [[graft.operators.TextAnalysis.c4Clean]]): the
+    * corpus has no line structure, so both engines build the SAME
+    * deterministic page frame from the token stream — lines of 5
+    * tokens, terminal punctuation cycling `.` `!` `?` (none) on the
+    * (doc_id + line) % 4 grid so ~1/4 of lines fail rule (1) — then
+    * plant every trap on its own doc_id stratum: a
+    * javascript-warning line (7 | doc_id; line-dropped, page
+    * survives), a "lorem ipsum" line (13), a curly-brace code line
+    * (11 — fails BOTH the line rule and the page rule), and a
+    * bad-word line (17; passes every line rule, kills the page).
+    * Full rebuilt `clean_text` strings are hash-compared, so a
+    * line-splitting or punctuation divergence fails loudly; the
+    * kept-lines floor (5) genuinely fires on the short-doc tail.
+    */
+  private val q235 = Q("q235_c4_clean", (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+    val toks = split(col("text"), " ")
+    val puncts = array(lit("."), lit("!"), lit("?"), lit(""))
+    val nLines = floor((size(toks) + lit(4)) / lit(5)).cast("long")
+    val lines = transform(sequence(lit(0L), nLines - lit(1L)), i =>
+      concat(array_join(slice(toks, (i * lit(5L) + lit(1L)).cast("int"), lit(5)), " "),
+        element_at(puncts, (pmod(col("doc_id") + i, lit(4L)) + lit(1L)).cast("int"))))
+    val page = concat(array_join(lines, "\n"),
+      when(pmod(col("doc_id"), lit(7L)) === 0,
+        lit("\nclick here to enable javascript now.")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(13L)) === 0,
+        lit("\nlorem ipsum dolor sit amet.")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(11L)) === 0,
+        lit("\nfunction f() { return 1; }")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(17L)) === 0,
+        lit("\nwell frak that plan entirely.")).otherwise(lit("")))
+    TextAnalysis.c4Clean(docs.select(col("doc_id"), page.as("text")),
+        col("doc_id"), col("text"), badWords = Seq("frak"),
+        minWordsPerLine = 3, minKeptLines = 5)
+      .orderBy(col("doc_id"))
+  }, Some("""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+    l AS (
+      SELECT doc_id, toks, unnest(range(0, (len(toks) + 4) // 5)) AS i FROM t),
+    ln AS (
+      SELECT doc_id, i,
+             array_to_string(toks[i*5+1 : i*5+5], ' ') ||
+             (['.', '!', '?', ''])[CAST((doc_id + i) % 4 AS INT) + 1] AS line
+      FROM l),
+    pg AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS body
+      FROM ln GROUP BY doc_id),
+    page AS (
+      SELECT doc_id, body ||
+        CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'click here to enable javascript now.' ELSE '' END ||
+        CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END ||
+        CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'function f() { return 1; }' ELSE '' END ||
+        CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'well frak that plan entirely.' ELSE '' END AS text
+      FROM pg),
+    f AS (
+      SELECT doc_id, text,
+             string_split(text, chr(10)) AS ls,
+             list_filter(string_split(text, chr(10)), ll ->
+               substr(ll, len(ll), 1) IN ('.', '!', '?', '"')
+               AND len(string_split(ll, ' ')) >= 3
+               AND NOT contains(lower(ll), 'javascript')) AS kept
+      FROM page)
+    SELECT doc_id,
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS kept_lines,
+           CAST(contains(lower(text), 'lorem ipsum') AS INT) AS has_lorem,
+           CAST(contains(text, '{') AS INT) AS has_brace,
+           CAST(list_has_any(string_split(replace(lower(text), chr(10), ' '), ' '),
+                             ['frak']) AS INT) AS has_badword,
+           array_to_string(kept, chr(10)) AS clean_text,
+           CAST(contains(lower(text), 'lorem ipsum') = false
+                AND contains(text, '{') = false
+                AND NOT list_has_any(string_split(replace(lower(text), chr(10), ' '), ' '), ['frak'])
+                AND len(kept) >= 5 AS INT) AS keep
+    FROM f ORDER BY doc_id"""))
+
   val list: Seq[Q] = Seq(q51, q52, q53, q54, q55, q56, q74, q89, q100, q101, q108, q112,
     q120, q128, q129, q138, q141, q142, q143, q144, q148, q176, q183, q194, q217, q218, q219, q222,
-    q199, q200, q201, q203, q208, q209, q211, q213, q214, q228)
+    q199, q200, q201, q203, q208, q209, q211, q213, q214, q228, q235)
 }

@@ -471,6 +471,50 @@ class CorpusOpsSpec extends SparkSpec {
       org.apache.spark.storage.StorageLevel.NONE))
   }
 
+  test("pretrainingRun + c4: boilerplate pages exit first; the gate scores the CLEANED text; n_tok counts cleaned tokens only (round 18)") {
+    import graft.operators.TextAnalysis
+    def line(seed: Int, n: Int) =
+      (1 to n).map(i => if (i % 4 == 0) "the" else s"w${(seed * 7 + i) % 19}")
+        .mkString(" ") + "."
+    val good = (1 to 6).map(i => line(i, 5)).mkString("\n") // 30 words, all lines kept
+    val junk = (1 to 8).map(i => (1 to 5).map(j => s"j${i}x$j").mkString(" "))
+      .mkString("\n") // no terminal punct -> every line cut
+    val docs = Seq(
+      (1L, "en", good),
+      (2L, "en", good + "\nwell frak that plan entirely."), // bad word -> page drop
+      (3L, "en", good + "\n" + junk), // raw 70 words > maxWords; cleaned 30 -> kept
+      (4L, "en", line(9, 5)) // 1 kept line < minKeptLines -> page drop
+    ).toDF("doc_id", "lang", "text")
+    val run = CorpusOps.pretrainingRun(docs,
+      minWords = 10L, maxWords = 50L, minMeanLen = 1.0, maxMeanLen = 9.0,
+      stopWords = Seq("the"), minStopHits = 1L, maxTop2Frac = 0.9,
+      targetPred = col("lang") === "en", dim = 16, samplesPerLang = 2,
+      packBudget = 64L, maxOpen = 2,
+      c4 = Some(TextAnalysis.C4Policy(Seq("frak"),
+        minWordsPerLine = 3, minKeptLines = 2)))
+    val rows = run.result.collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == (1L to 4L),
+      "every page exactly one disposition")
+    val byId = rows.map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(byId(2L) == "boilerplate" && byId(4L) == "boilerplate", byId.toString)
+    assert(Set("packed", "not_sampled").contains(byId(3L)),
+      s"doc 3 passes the gate ONLY because C4 cut the junk lines first: $byId")
+    assert(Set("packed", "not_sampled").contains(byId(1L)), byId.toString)
+    // n_tok is the CLEANED token count (6 lines x 5 words), not the raw 70
+    val nTok3 = rows.find(_.getLong(0) == 3L).get.getLong(6)
+    assert(nTok3 == 30L, s"cleaned token count, got $nTok3")
+    // boilerplate rows never reach scrub/DSIR: their tail columns are null
+    rows.filter(_.getString(2) == "boilerplate").foreach { r =>
+      assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6),
+        r.toString)
+    }
+    // the C4 split point joins the persist set; release drops it too
+    assert(run.cached.size == 6, s"expected 6 cached frames, got ${run.cached.size}")
+    run.release()
+    assert(run.cached.forall(_.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE))
+  }
+
   test("pretrainingRun + evalDocs: a paraphrased keeper lands contaminated BEFORE the DSIR distributions; gated plants stay gated") {
     import spark.implicits._
     def prose(tag: String, n: Int) = (1 to n)

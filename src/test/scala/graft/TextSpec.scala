@@ -336,4 +336,47 @@ class TextSpec extends SparkSpec {
     assert(d3.getAs[Double]("top2_frac") > 0.5 &&
       d3.getAs[Long]("n_words") == 80L)
   }
+
+  test("c4Clean: each line and page rule fires independently; clean_text rebuilds kept lines") {
+    val page1 = Seq( // survives: 3 of 5 lines kept
+      "the cat sat on the mat.",     // kept
+      "short line",                  // no terminal punct -> dropped
+      "is this a question?",         // kept
+      "enable javascript to view.",  // javascript -> dropped
+      "no.",                         // < 3 words -> dropped
+      "she said \"hello there.\"",   // ends in quote -> kept
+      "done here now!"               // kept
+    ).mkString("\n")
+    val page2 = "lorem ipsum dolor sit amet.\nthe rest is fine today."
+    val page3 = "function f() { return 1; }\nthe rest is fine today."
+    val page4 = "well frak that plan entirely.\nthe rest is fine today."
+    val docs = Seq((1L, page1), (2L, page2), (3L, page3), (4L, page4))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.c4Clean(docs, col("doc_id"), col("text"),
+        badWords = Seq("frak"), minWordsPerLine = 3, minKeptLines = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val d1 = got(1L)
+    assert(d1.getAs[Long]("n_lines") == 7L && d1.getAs[Long]("kept_lines") == 4L,
+      s"page 1 keeps exactly the 4 rule-passing lines: $d1")
+    assert(d1.getAs[Int]("keep") == 1)
+    assert(d1.getAs[String]("clean_text") ==
+      "the cat sat on the mat.\nis this a question?\n" +
+        "she said \"hello there.\"\ndone here now!")
+    // page rules: each trap kills its page and ONLY sets its own flag
+    assert(got(2L).getAs[Int]("has_lorem") == 1 && got(2L).getAs[Int]("keep") == 0)
+    assert(got(2L).getAs[Int]("has_brace") == 0 && got(2L).getAs[Int]("has_badword") == 0)
+    assert(got(3L).getAs[Int]("has_brace") == 1 && got(3L).getAs[Int]("keep") == 0)
+    assert(got(4L).getAs[Int]("has_badword") == 1 && got(4L).getAs[Int]("keep") == 0)
+    // the kept-lines floor fires on its own: page 1 under a floor of 5
+    val floored = TextAnalysis.c4Clean(docs, col("doc_id"), col("text"),
+        badWords = Seq("frak"), minWordsPerLine = 3, minKeptLines = 5)
+      .filter(col("doc_id") === 1L).head()
+    assert(floored.getAs[Int]("keep") == 0 &&
+      floored.getAs[Long]("kept_lines") == 4L)
+    // narrow contract: no exchange anywhere in the plan
+    val plan = TextAnalysis.c4Clean(docs, col("doc_id"), col("text"),
+      badWords = Seq("frak")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"c4Clean must stay shuffle-free:\n${plan.take(600)}")
+  }
 }
