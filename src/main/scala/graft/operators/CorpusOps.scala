@@ -193,9 +193,18 @@ object CorpusOps {
   def curationRun(docs: DataFrame, qualityMin: Double, pairs: DataFrame,
       splits: Seq[(String, Double)], buckets: Int = 1000,
       evalDocs: Option[DataFrame] = None, evalN: Int = 8): CurationRun = {
-    val base = docs.select(col("doc_id"), col("text"),
+    // persisted AND lineage-cut (the round-18 spine discipline,
+    // [[org.apache.spark.sql.graft.shims.cutLineage]]): `base` fans
+    // into low-quality, exact-dup (via a self-join), keeper and split
+    // branches — without the cut every branch re-renders the scored
+    // projection's nested-InMemoryRelation subtree on each AQE stage
+    // update. contamIds below stays a PLAIN persist: its lineage
+    // roots at the cut base leaf (no stacking, so the print stays
+    // shallow) and the gram-semi-join plan pin reads through it.
+    val baseP = docs.select(col("doc_id"), col("text"),
         TextAnalysis.qualityColumn("text").as("quality"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = org.apache.spark.sql.graft.shims.cutLineage(baseP)
     val nulls = Seq(lit(null).cast("long").as("cluster_rep"),
       lit(null).cast("string").as("split"))
     val lowQ = base.filter(col("quality") < qualityMin || col("quality").isNull)
@@ -242,7 +251,7 @@ object CorpusOps {
         col("cluster_rep"), col("split"))
     val result = contaminated.foldLeft(lowQ.unionByName(exactDup))(_ unionByName _)
       .unionByName(kept)
-    CurationRun(result, base +: contamCache.toSeq)
+    CurationRun(result, baseP +: contamCache.toSeq)
   }
 
   /** Temperature-based corpus re-sampling with true UP-sampling — the

@@ -18,12 +18,17 @@ object TimeQ extends App {
       System.err.println(s"[timeq] SPARK_GRAFT_TIMEQ_RUNS='$v' is not an int — using 4"); 4
     }
   }
+  // SPARK_GRAFT_TIMEQ_CLEAR=1 -> clearCache between runs (the Bench
+  // hygiene): every run is then COLD, like the driver's measurement;
+  // without it later runs reuse caches the convenience forms leak.
+  val clearBetween = sys.env.get("SPARK_GRAFT_TIMEQ_CLEAR").contains("1")
   for (name <- args) {
     val ts = (0 until runs).map { i =>
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, sf).write.mode("overwrite").format("noop").save()
       val t = (System.nanoTime() - t0) / 1e9
       println(s"TIME $name run$i $t")
+      if (clearBetween) spark.catalog.clearCache()
       t
     }
     println(f"TIME $name min ${ts.min}%.3f")
