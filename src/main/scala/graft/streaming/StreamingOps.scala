@@ -1190,6 +1190,18 @@ object StreamingOps {
     * shuffle bounded by the micro-batch), stateless across triggers,
     * so replay determinism is untouched. With `gopher` unset the
     * output schema is byte-identical to round 16.
+    *
+    * C4 PRE-CLEAN STAGE (round 18): pass `c4` and every micro-batch
+    * runs [[graft.operators.TextAnalysis.c4Clean]] BEFORE the quality
+    * stage — the batch spine's ordering argument: quality scores the
+    * text the stream would actually ship, and md5/band keys are
+    * computed on the CLEANED text (a page that near-dups an accepted
+    * page only after boilerplate removal is still caught). Dropped
+    * pages land a sixth disposition, `boilerplate` (null quality),
+    * and with the leg on every row carries the cleaner's page-signal
+    * audit columns (n_lines, kept_lines, has_lorem, has_brace,
+    * has_badword). Narrow, per-batch-local, stateless — replay
+    * determinism untouched; schema unchanged with `c4` unset.
     */
   def curationStream(stream: DataFrame, idCol: String, textCol: String,
       qualityMin: Double, stateDir: String, outDir: String,
@@ -1198,6 +1210,7 @@ object StreamingOps {
       evalExpectedGrams: Long = 1L << 20, evalFpp: Double = 0.01,
       evalDir: Option[String] = None,
       gopher: Option[graft.operators.TextAnalysis.GopherGate] = None,
+      c4: Option[graft.operators.TextAnalysis.C4Policy] = None,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.SaveMode
@@ -1227,17 +1240,61 @@ object StreamingOps {
         (ev.sparkSession.sparkContext.broadcast(bf), hashes)
       }
     // with the Gopher stage on, every disposition row also carries
-    // the gate's per-rule audit columns
-    val audit: Seq[String] =
+    // the gate's per-rule audit columns; with the C4 stage on
+    // (round 18), likewise the cleaner's page signals
+    val gopherAudit: Seq[String] =
       if (gopher.isDefined)
         Seq("n_words", "mean_word_len", "stop_hits", "top2_frac")
       else Seq.empty
+    val c4Audit: Seq[String] =
+      if (c4.isDefined)
+        Seq("n_lines", "kept_lines", "has_lorem", "has_brace", "has_badword")
+      else Seq.empty
+    val audit: Seq[String] = c4Audit ++ gopherAudit
     stream.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val scored0 = batch.select(col(idCol).as("doc_id"),
+        // C4 PRE-CLEAN stage (round 18): the cleaner runs FIRST, per
+        // the batch spine's ordering argument — the quality stage
+        // scores the text the stream would actually ship, and every
+        // downstream key (md5, band keys) is computed on the CLEANED
+        // text, so a page that near-dups an accepted page only after
+        // boilerplate removal is still caught. Dropped pages land the
+        // `boilerplate` disposition (null quality — they are never
+        // scored); null-id/text rows bypass the cleaner and fall
+        // through to the quality stage's explicit low_quality reject,
+        // exactly as without the leg. Per-batch-local and stateless:
+        // replay determinism untouched.
+        val (srcBatch, c4State) = c4 match {
+          case None => (batch, None)
+          case Some(p) =>
+            val cleaned = graft.operators.TextAnalysis
+              .c4Clean(batch, col(idCol), col(textCol), p)
+            cleaned.persist()
+            val surv = cleaned.filter(col("keep") === 1)
+              .select(col("doc_id").as(idCol),
+                translate(col("clean_text"), "\n", " ").as(textCol),
+                col("n_lines"), col("kept_lines"), col("has_lorem"),
+                col("has_brace"), col("has_badword"))
+            val nullRows = batch
+              .filter(col(idCol).isNull || col(textCol).isNull)
+              .select(Seq(col(idCol), col(textCol)) ++ c4Audit.map(f =>
+                lit(null).cast(if (f.startsWith("has_")) "int" else "long")
+                  .as(f)): _*)
+            val boiler = cleaned.filter(col("keep") === 0)
+              .select(Seq(col("doc_id"),
+                lit(null).cast("double").as("quality")) ++
+                c4Audit.map(col) ++ gopherAudit.map(f =>
+                  lit(null).cast(
+                    if (f == "n_words" || f == "stop_hits") "long"
+                    else "double").as(f)) :+
+                lit("boilerplate").as("disposition"): _*)
+            (surv.unionByName(nullRows), Some((cleaned, boiler)))
+        }
+        val scored0 = srcBatch.select(Seq(col(idCol).as("doc_id"),
           col(textCol).as("text"),
-          graft.operators.TextAnalysis.qualityColumn(textCol).as("quality"))
+          graft.operators.TextAnalysis.qualityColumn(textCol).as("quality")) ++
+          c4Audit.map(col): _*)
         val scored = gopher match {
           case None =>
             scored0.withColumn("_pass",
@@ -1245,7 +1302,7 @@ object StreamingOps {
           case Some(g) =>
             scored0.join(
               graft.operators.TextAnalysis
-                .gopherQualityGate(batch, col(idCol), col(textCol), g)
+                .gopherQualityGate(srcBatch, col(idCol), col(textCol), g)
                 .select(col("doc_id"), col("n_words"), col("mean_word_len"),
                   col("stop_hits"), col("top2_frac"), col("keep")),
               Seq("doc_id"), "left")
@@ -1349,7 +1406,8 @@ object StreamingOps {
           val kept = cleanFresh.join(collided, Seq("doc_id"), "left_anti")
           kept.persist()
           try {
-            contaminated.foldLeft(lowQ.unionByName(exactDup))(_ unionByName _)
+            (contaminated.toSeq ++ c4State.map(_._2))
+              .foldLeft(lowQ.unionByName(exactDup))(_ unionByName _)
               .unionByName(nearDup)
               .unionByName(out(kept, "kept"))
               .write.mode(SaveMode.Overwrite).parquet(s"$outDir/batchId=$batchId")
@@ -1362,6 +1420,7 @@ object StreamingOps {
         } finally {
           scored.unpersist()
           gateCache.foreach(_.unpersist())
+          c4State.foreach(_._1.unpersist())
         }
         ()
       }

@@ -2337,6 +2337,80 @@ class StreamingSpec extends SparkSpec {
     assert(after == before, "a replayed batch must reproduce its dispositions exactly")
   }
 
+  test("curationStream + C4 pre-clean: boilerplate disposition, history keys on CLEANED text, audit columns, replay stable") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val base = tmp()
+    // prose long enough to pass quality once cleaned (5-word lines)
+    def prose(seed: Int) = (1 to 8).map(i =>
+      (1 to 5).map(j => s"tok${seed}x${(i * 5 + j) % 29}").mkString(" ") + ".")
+      .mkString("\n")
+    val textA = prose(1)
+    val junk = (1 to 6).map(i => s"short $i").mkString("\n") // 2 words, no punct
+    val batches = Seq(
+      // b0: A kept; lorem page -> boilerplate; page w/ too few kept lines
+      Seq((1L, textA), (2L, textA + "\nlorem ipsum dolor sit amet."),
+        (3L, "one line only.")),
+      // b1: raw text DIFFERS from A (junk appended) but cleans to A ->
+      //     exact_dup AGAINST HISTORY proves md5 keys on cleaned text;
+      //     fresh B kept
+      Seq((10L, textA + "\n" + junk), (11L, prose(2))))
+    val now = System.currentTimeMillis()
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      Files.createDirectories(Paths.get(s"$base/in"))
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$base/staging-$i")
+      val part = new java.io.File(s"$base/staging-$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$base/in/b$i.parquet")
+      Files.copy(part.toPath, dst.toPath)
+      assert(dst.setLastModified(now - (5 - i) * 60000L))
+    }
+    val policy = TextAnalysis.C4Policy(Seq("frak"),
+      minWordsPerLine = 3, minKeptLines = 2)
+    val schema = Seq((1L, "x")).toDF("doc_id", "text").schema
+    def start() = StreamingOps.curationStream(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in"),
+      "doc_id", "text", qualityMin = 0.0, s"$base/state", s"$base/out",
+      s"$base/ck", c4 = Some(policy))
+    start().awaitTermination(120000)
+    val outRows = spark.read.parquet(s"$base/out")
+    val got = outRows.select("doc_id", "disposition")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      1L -> "kept", 2L -> "boilerplate", 3L -> "boilerplate",
+      10L -> "exact_dup", 11L -> "kept"),
+      s"C4 stage dispositions: $got")
+    // audit columns match the batch operator's signals for every page
+    val streamSigs = outRows
+      .select("doc_id", "n_lines", "kept_lines", "has_lorem")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getInt(3))).toMap
+    batches.foreach { rows =>
+      TextAnalysis.c4Clean(rows.toDF("doc_id", "text"),
+          col("doc_id"), col("text"), policy)
+        .select("doc_id", "n_lines", "kept_lines", "has_lorem")
+        .collect().foreach { r =>
+          val want = (r.getLong(1), r.getLong(2), r.getInt(3))
+          assert(streamSigs(r.getLong(0)) == want,
+            s"doc ${r.getLong(0)}: stream ${streamSigs(r.getLong(0))} vs batch $want")
+        }
+    }
+    // boilerplate pages are never quality-scored
+    assert(outRows.filter(col("disposition") === "boilerplate")
+      .collect().forall(_.isNullAt(outRows.columns.indexOf("quality"))))
+    // REPLAY: batch 1 reproduces its rows against its original history
+    val before = outRows.filter(col("doc_id") >= 10L).collect()
+      .map(_.toString).sorted.toSeq
+    assert(Files.deleteIfExists(Paths.get(s"$base/ck/commits/1")))
+    Files.deleteIfExists(Paths.get(s"$base/ck/commits/.1.crc"))
+    start().awaitTermination(120000)
+    val after = spark.read.parquet(s"$base/out").filter(col("doc_id") >= 10L)
+      .collect().map(_.toString).sorted.toSeq
+    assert(after == before, "a replayed batch must reproduce its dispositions exactly")
+  }
+
   test("classifyStream: frozen NB model routes every batch; stream == batch scoring; replay overwrites") {
     import spark.implicits._
     import graft.operators.CorpusOps
