@@ -149,6 +149,72 @@ object StatefulOps {
       }
   }
 
+  case class PackDoc(shard: String, doc_id: Long, n_tok: Long)
+  case class PackAssign(shard: String, doc_id: Long, n_tok: Long,
+      bin_idx: Long, fill_after: Long)
+  /** Open-bin state: (bin_idx, fill) pairs OLDEST FIRST + the next
+    * bin id — exactly the batch FFD fold's bounded state
+    * ([[graft.operators.CorpusOps.packBinsFirstFitDecreasing]]),
+    * maxOpen pairs of longs per shard, checkpointed with the query.
+    */
+  case class PackBins(open: List[(Long, Long)], nextBin: Long)
+
+  /** STREAMING sequence packing (round 18) — the ingest-time face of
+    * the corpus packer: documents arrive as a stream of
+    * (shard, doc_id, n_tok) and each is assigned a training bin the
+    * moment it arrives, with the open-bin fill state carried ACROSS
+    * micro-batches per shard.
+    *
+    * Semantics: FIRST-FIT, not FFD — a stream cannot sort the
+    * future, so the batch operator's global n_tok-descending pass
+    * (the "decreasing" that buys FFD its packing bound) is
+    * structurally unavailable at ingest time; this is the same
+    * honest adaptation distance as next-fit vs FFD in the batch
+    * family, stated rather than hidden. Within one trigger docs fold
+    * in doc_id order (an iterator order is not a replay contract);
+    * across triggers, arrival order. Bin rules match the batch fold
+    * exactly: place into the FIRST open bin with room (oldest
+    * first), a no-fit doc opens a new bin, and a new bin past the
+    * `maxOpen` cap closes the OLDEST open bin (which can never
+    * accept again — packed shards ship in bin order). A doc larger
+    * than `budget` gets a bin of its own that never accepts another
+    * doc. n_tok <= 0 fails the trigger loudly (the batch folds'
+    * round-16 contract).
+    *
+    * Scale: state is maxOpen (bin, fill) pairs + one counter per
+    * shard — constant; the only shuffle is the shard groupBy, and
+    * shards are the unit of parallelism exactly as in the batch
+    * packer. Also correct on a batch Dataset (the fold runs once).
+    */
+  def packStream(docs: Dataset[PackDoc], budget: Long,
+      maxOpen: Int): Dataset[PackAssign] = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    require(maxOpen >= 1, s"maxOpen must be >= 1, got $maxOpen")
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.shard)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (shard: String, rows: Iterator[PackDoc], state: GroupState[PackBins]) =>
+          var st = state.getOption.getOrElse(PackBins(Nil, 0L))
+          val out = rows.toVector.sortBy(_.doc_id).map { d =>
+            require(d.n_tok > 0,
+              s"n_tok must be positive, got ${d.n_tok} for doc ${d.doc_id} in shard $shard")
+            st.open.find { case (_, f) => f + d.n_tok <= budget } match {
+              case Some((b, f)) =>
+                st = st.copy(open = st.open.map { case (bb, ff) =>
+                  if (bb == b) (bb, ff + d.n_tok) else (bb, ff) })
+                PackAssign(shard, d.doc_id, d.n_tok, b, f + d.n_tok)
+              case None =>
+                val b = st.nextBin
+                val kept = if (st.open.size >= maxOpen) st.open.tail else st.open
+                st = PackBins(kept :+ (b, d.n_tok), b + 1)
+                PackAssign(shard, d.doc_id, d.n_tok, b, d.n_tok)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   def sessionizeStream(events: Dataset[SessEvent], gapSec: Long,
       delay: String): Dataset[Session] = {
     import events.sparkSession.implicits._

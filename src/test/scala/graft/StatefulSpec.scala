@@ -271,6 +271,47 @@ class StatefulSpec extends SparkSpec {
     assert(bFinal.used == 20L && rows("b").map(_.dropped).sum == 0L)
   }
 
+  test("packStream: open-bin state crosses micro-batches; first-fit + oldest-evicted cap; per-shard bins; stream == batch fold") {
+    import StatefulOps.{PackAssign, PackDoc}
+    val base = Files.createTempDirectory("graft-pack").toString
+    Seq(PackDoc("a", 1L, 6L), PackDoc("a", 2L, 3L), PackDoc("a", 3L, 5L),
+        PackDoc("b", 100L, 9L)).toDS()
+      .coalesce(1).write.json(s"$base/in/f1")
+    Seq(PackDoc("a", 4L, 1L), PackDoc("a", 5L, 6L), PackDoc("a", 6L, 4L),
+        PackDoc("b", 101L, 2L)).toDS()
+      .coalesce(1).write.json(s"$base/in/f2")
+    val stream = spark.readStream
+      .schema("shard STRING, doc_id LONG, n_tok LONG")
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .json(s"$base/in")
+      .as[PackDoc]
+    val q = StatefulOps.packStream(stream, budget = 10L, maxOpen = 2)
+      .writeStream.outputMode("append").format("memory").queryName("pack_out")
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("pack_out").as[PackAssign].collect()
+      .map(a => a.doc_id -> ((a.bin_idx, a.fill_after))).toMap
+    // shard a, trigger 0: 6 -> bin0(6); 3 -> bin0(9); 5 no fit -> bin1(5)
+    // trigger 1 (state carried): 1 -> bin0(10); 6 no fit anywhere -> NEW
+    // bin2 evicts OLDEST bin0 at the maxOpen=2 cap; 4 -> bin1(9)
+    assert(got == Map(
+      1L -> ((0L, 6L)), 2L -> ((0L, 9L)), 3L -> ((1L, 5L)),
+      4L -> ((0L, 10L)), 5L -> ((2L, 6L)), 6L -> ((1L, 9L)),
+      // shard b runs its OWN bin counter: 9 -> bin0; 2 can't fit -> bin1
+      100L -> ((0L, 9L)), 101L -> ((1L, 2L))), s"assignments: $got")
+    // the same fold on a BATCH dataset (arrival order == doc_id order
+    // here) reproduces the streamed assignments exactly
+    val batchGot = StatefulOps.packStream(
+        Seq(PackDoc("a", 1L, 6L), PackDoc("a", 2L, 3L), PackDoc("a", 3L, 5L),
+          PackDoc("a", 4L, 1L), PackDoc("a", 5L, 6L), PackDoc("a", 6L, 4L),
+          PackDoc("b", 100L, 9L), PackDoc("b", 101L, 2L)).toDS(),
+        budget = 10L, maxOpen = 2)
+      .collect().map(a => a.doc_id -> ((a.bin_idx, a.fill_after))).toMap
+    assert(batchGot == got, s"stream $got vs batch $batchGot")
+  }
+
   test("scala UDF registration surface (B45)") {
     spark.udf.register("graft_token_count", (s: String) => s.split(" ").length)
     val n = spark.sql("SELECT graft_token_count('a b c') AS n").head().getInt(0)
