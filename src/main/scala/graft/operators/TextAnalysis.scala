@@ -239,6 +239,69 @@ object TextAnalysis {
         (floor(col("_ssum").cast("double") / col("n_bigrams") + lit(0.5)) / lit(1e6)).as("mean_nll"))
   }
 
+  /** Interpolated KNESER-NEY bigram surprise (round 18; Kneser & Ney
+    * 1995, in the interpolated form of Chen & Goodman 1999 — the
+    * smoothing the CCNet-style perplexity filters actually train
+    * with, where [[bigramLogProb]]'s add-one is the didactic
+    * baseline):
+    *
+    *   P(w2|w1) = max(c(w1,w2) - D, 0) / c(w1·)
+    *            + D·N1+(w1,·)/c(w1·) · N1+(·,w2)/N1+(··)
+    *
+    * with the discount D = 3/4 held RATIONAL so the whole probability
+    * is one ratio of exact integers:
+    *
+    *   P = [ (4·c(w1,w2) - 3)·T + 3·N1+(w1,·)·N1+(·,w2) ]
+    *       / [ 4·c(w1·)·T ]            (T = total bigram types)
+    *
+    * — every factor a count, multiplied in BIGINT on both engines,
+    * one double division + floor-1e6 micro-nat ln at the end (the
+    * q176/q221 grid discipline). Scoring the training corpus itself
+    * (the [[bigramLogProb]] contract) means every scored bigram has
+    * c >= 1, so the max(·,0) clamp never binds and no unseen-event
+    * backoff path is needed. Overflow bound, documented not hidden:
+    * the integer products stay exact while c(w1·)·T < 2^61 — beyond
+    * that (a ~10^9-type corpus) shift both factors onto the double
+    * grid FIRST on both engines.
+    *
+    * Output matches [[bigramLogProb]]: (id, n_bigrams, mean_nll), so
+    * the two smoothers are drop-in comparable. A doc with < 2 tokens
+    * has no bigram and no row — the caller's explicit-reject
+    * decision, as in the add-one variant.
+    *
+    * Shape: three count aggregations over the bigram stream ((w1,w2),
+    * (w1), (w2)) + a one-row type total; the surprise table is
+    * bigram-TYPE-keyed (vocabulary-scale, not corpus-scale) and
+    * broadcast back onto the bigram stream — the same shuffles as
+    * [[bigramLogProb]], one extra (w2) aggregation.
+    */
+  def knBigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol), tokens(textCol).as("_l"))
+    val big = t.where(size(col("_l")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(0, size(_l) - 2), i -> struct(_l[i] AS w1, _l[i + 1] AS w2))")).as("_b"))
+      .select(col(idCol), col("_b.w1").as("w1"), col("_b.w2").as("w2"))
+    val cb = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("_cb"))
+    // per history w1: total continuations c(w1·) and distinct-type
+    // count N1+(w1,·) — one pass over the type table
+    val ch = cb.groupBy(col("w1"))
+      .agg(sum(col("_cb")).as("_ch"), count(lit(1)).as("_n1p"))
+    val n2 = cb.groupBy(col("w2")).agg(count(lit(1)).as("_n2"))
+    val tt = cb.agg(count(lit(1)).as("_tt"))
+    val surprise = cb.join(ch, "w1").join(n2, "w2").crossJoin(broadcast(tt))
+      .select(col("w1"), col("w2"),
+        floor(log((lit(4L) * col("_ch") * col("_tt")).cast("double") /
+            ((lit(4L) * col("_cb") - lit(3L)) * col("_tt") +
+              lit(3L) * col("_n1p") * col("_n2")).cast("double"))
+          * 1e6 + lit(0.5)).cast("long").as("_su"))
+    big.join(broadcast(surprise), Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("_su")).as("_ssum"))
+      .select(col(idCol), col("n_bigrams"),
+        (floor(col("_ssum").cast("double") / col("n_bigrams") + lit(0.5)) / lit(1e6)).as("mean_nll"))
+  }
+
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol), explode(tokens(textCol)).as("term"))
     val vocab = tok.groupBy(col("term")).agg(count(lit(1)).as("_c"))

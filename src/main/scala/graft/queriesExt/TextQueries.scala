@@ -1462,6 +1462,45 @@ object TextQueries {
            floor(CAST(ssum AS DOUBLE) / n_bigrams + 0.5) / 1000000.0 AS mean_nll
     FROM d ORDER BY doc_id"""))
 
+  /** Interpolated Kneser-Ney bigram surprise under the oracle
+    * (round 18, [[graft.operators.TextAnalysis.knBigramLogProb]] —
+    * the CCNet-style LM-filter smoother beside q176's add-one
+    * baseline): the D = 3/4 discount is held rational, so P(w2|w1)
+    * is one ratio of exact BIGINT count products — (4c-3)·T +
+    * 3·N1+(w1,·)·N1+(·,w2) over 4·c(w1·)·T — and both engines meet
+    * on the floor-1e6 micro-nat grid after a single double division.
+    * The oracle rebuilds all four count tables (bigram types, history
+    * totals + distinct continuations, distinct left-contexts, the
+    * type total) from first principles.
+    */
+  private val q237 = Q("q237_kn_bigram", (s, dir) => {
+    TextAnalysis.knBigramLogProb(Tables.load(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }, Some("""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+                 WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+    big AS (
+      SELECT doc_id, l[i] AS w1, l[i + 1] AS w2 FROM
+        (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i
+         FROM tok WHERE len(l) >= 2)),
+    ty AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM big GROUP BY w1, w2),
+    hist AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS ch,
+                    CAST(count(*) AS BIGINT) AS n1p
+             FROM ty GROUP BY w1),
+    lctx AS (SELECT w2, CAST(count(*) AS BIGINT) AS n2 FROM ty GROUP BY w2),
+    tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM ty),
+    su AS (SELECT ty.w1, ty.w2,
+                  CAST(floor(ln(CAST(4 * hist.ch * tt.t AS DOUBLE) /
+                       CAST((4 * ty.cb - 3) * tt.t + 3 * hist.n1p * lctx.n2 AS DOUBLE))
+                       * 1000000 + 0.5) AS BIGINT) AS s_u
+           FROM ty JOIN hist USING (w1) JOIN lctx USING (w2) CROSS JOIN tt),
+    d AS (SELECT big.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                 CAST(sum(s_u) AS BIGINT) AS ssum
+          FROM big JOIN su USING (w1, w2) GROUP BY big.doc_id)
+    SELECT doc_id, n_bigrams,
+           floor(CAST(ssum AS DOUBLE) / n_bigrams + 0.5) / 1000000.0 AS mean_nll
+    FROM d ORDER BY doc_id"""))
+
   /** Vocabulary coverage curve (TextAnalysis.vocabCoverage): surviving
     * type counts and corpus-mass share at rising min-frequency
     * thresholds — the tokenizer-pruning knee finder, computed with
@@ -1619,5 +1658,5 @@ object TextQueries {
 
   val list: Seq[Q] = Seq(q51, q52, q53, q54, q55, q56, q74, q89, q100, q101, q108, q112,
     q120, q128, q129, q138, q141, q142, q143, q144, q148, q176, q183, q194, q217, q218, q219, q222,
-    q199, q200, q201, q203, q208, q209, q211, q213, q214, q228, q235)
+    q199, q200, q201, q203, q208, q209, q211, q213, q214, q228, q235, q237)
 }

@@ -337,6 +337,34 @@ class TextSpec extends SparkSpec {
       d3.getAs[Long]("n_words") == 80L)
   }
 
+  test("knBigramLogProb: hand-computed interpolated KN on a micro corpus; continuation prior separates contexts add-one cannot") {
+    // corpus: "a b a b" + "c b" -> bigrams: (a,b)x2, (b,a)x1, (c,b)x1
+    // types: 3 (T=3)
+    //   history a: ch=2, n1p=1; history b: ch=1, n1p=1; history c: ch=1, n1p=1
+    //   left-contexts: b <- {a, c} n2=2; a <- {b} n2=1
+    val docs = Seq((1L, "a b a b"), (2L, "c b")).toDF("doc_id", "text")
+    val got = TextAnalysis.knBigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // P(b|a) = ((4*2-3)*3 + 3*1*2) / (4*2*3) = 21/24
+    // P(a|b) = ((4*1-3)*3 + 3*1*1) / (4*1*3) = 6/12
+    // P(b|c) = ((4*1-3)*3 + 3*1*2) / (4*1*3) = 9/12
+    def u(p: Double) = math.floor(math.log(1.0 / p) * 1e6 + 0.5).toLong
+    val d1 = math.floor((u(21.0 / 24) + u(6.0 / 12) + u(21.0 / 24)).toDouble / 3 + 0.5) / 1e6
+    val d2 = math.floor(u(9.0 / 12).toDouble + 0.5) / 1e6
+    assert(got(1L) == ((3L, d1)), s"doc 1: ${got(1L)} vs (3, $d1)")
+    assert(got(2L) == ((1L, d2)), s"doc 2: ${got(2L)} vs (1, $d2)")
+    // the continuation prior at work: (b,a) and (c,b) have IDENTICAL
+    // raw counts (1) and history totals (1), so add-one scores them
+    // equal — KN scores (c,b) cheaper because b continues more
+    // distinct contexts than a
+    assert(u(9.0 / 12) < u(6.0 / 12),
+      "KN must prefer the high-continuation target at equal raw counts")
+    // a single-token doc has no bigram and no row
+    val short = TextAnalysis.knBigramLogProb(
+      Seq((9L, "solo")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(short.count() == 0L)
+  }
+
   test("c4Clean: each line and page rule fires independently; clean_text rebuilds kept lines") {
     val page1 = Seq( // survives: 3 of 5 lines kept
       "the cat sat on the mat.",     // kept
