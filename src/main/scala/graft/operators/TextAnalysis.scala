@@ -601,6 +601,83 @@ object TextAnalysis {
     * Output: (id, word_pos, word, tokens, n_subwords) per word
     * occurrence; `tokens` is the space-joined subword sequence.
     */
+  /** BPE merge-table TRAINING (round 18; Sennrich et al. 2016 —
+    * [[bpeTokenize]] APPLIES a merge table, this LEARNS one, closing
+    * the tokenizer loop): k greedy iterations, each (1) counting
+    * adjacent symbol pairs over the word histogram weighted by word
+    * frequency (overlap-counted, the reference get_stats), (2)
+    * picking the most frequent pair — ties to the lexicographically
+    * smallest (lhs, rhs), a DETERMINISTIC adaptation of the
+    * reference's arbitrary dict-order tie, documented not hidden —
+    * and (3) rewriting every word's symbol sequence with the merged
+    * pair, leftmost-non-overlapping (exactly the semantics of a
+    * literal string `replace` over the SEP-delimited sequence, the
+    * [[bpeTokenize]] representation, so train and apply cannot drift).
+    *
+    * THE scale trick, same as every real distributed BPE trainer:
+    * iterate over the DISTINCT-WORD HISTOGRAM, not the corpus — one
+    * corpus-scale shuffle builds (word, cnt) once, then each of the
+    * k rounds is an aggregation + rewrite over the vocabulary-sized
+    * frame. Each round's argmax is ONE collected row (k driver
+    * round-trips of one row each — config-sized by construction);
+    * the histogram is persisted per round and the previous round
+    * released (the trainKMeans iteration discipline). Stops early if
+    * the pair supply runs dry (every word a single symbol).
+    *
+    * Output: (rank, lhs, rhs, pair_count) — the merge table, k rows,
+    * feeding [[bpeTokenize]]/[[subwordCounts]] unchanged.
+    */
+  def trainBpeMerges(df: DataFrame, textCol: Column, k: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    val hist0 = df
+      .select(explode(regexp_extract_all(lower(textCol), lit("[a-z]+"), lit(0)))
+        .as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("tokseq", regexp_replace(col("word"), "(.)", SEP + "$1" + SEP))
+    var hist = hist0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    hist.count()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 0
+    var dry = false
+    while (r < k && !dry) {
+      val best = hist
+        .select(col("cnt"),
+          split(expr("substring(tokseq, 2, length(tokseq) - 2)"), SEP + SEP).as("_s"))
+        .where(size(col("_s")) >= 2) // a single-symbol word has no pair
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(0, size(_s) - 2), i -> struct(_s[i] AS a, _s[i + 1] AS b))")).as("_p"))
+        .groupBy(col("_p.a").as("a"), col("_p.b").as("b"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("a"), col("b")).limit(1)
+        .collect()
+      if (best.isEmpty) dry = true
+      else {
+        val (a, b, c) = (best.head.getString(0), best.head.getString(1),
+          best.head.getLong(2))
+        out += ((r.toLong, a, b, c))
+        val next = hist.withColumn("tokseq",
+            replace(col("tokseq"), lit(SEP + a + SEP + SEP + b + SEP),
+              lit(SEP + a + b + SEP)))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        hist.unpersist()
+        hist = next
+        r += 1
+      }
+    }
+    hist.unpersist()
+    import spark.implicits._
+    out.toSeq.toDF("rank", "lhs", "rhs", "pair_count")
+  }
+
+  /** [[trainBpeMerges]] collected into the (lhs, rhs) table
+    * [[bpeTokenize]] consumes — train-then-apply in one call chain.
+    */
+  def trainedMerges(df: DataFrame, textCol: Column, k: Int = 8): Seq[(String, String)] =
+    trainBpeMerges(df, textCol, k).orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+
   def bpeTokenize(df: DataFrame, idCol: Column, textCol: Column,
       merges: Seq[(String, String)] = BPE_MERGES, rounds: Int = 8): DataFrame = {
     require(rounds >= 1 && merges.nonEmpty, "need rounds >= 1 and a non-empty merge table")

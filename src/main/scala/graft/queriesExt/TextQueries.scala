@@ -1501,6 +1501,54 @@ object TextQueries {
            floor(CAST(ssum AS DOUBLE) / n_bigrams + 0.5) / 1000000.0 AS mean_nll
     FROM d ORDER BY doc_id"""))
 
+  /** BPE merge-table TRAINING under the oracle (round 18,
+    * [[graft.operators.TextAnalysis.trainBpeMerges]] — q141 applies a
+    * merge table, this row proves the LEARNING loop: k greedy rounds
+    * of overlap-counted pair statistics over the frequency-weighted
+    * word histogram, argmax with the (count desc, lhs, rhs)
+    * deterministic tie-break, leftmost-non-overlapping rewrite). The
+    * oracle UNROLLS all k rounds as mechanical CTE blocks — each a
+    * pair count + LIMIT-1 argmax + literal replace over the same
+    * SEP-delimited symbol representation the Spark side (and
+    * bpeTokenize) uses, so train and apply cannot drift. k = 8 is
+    * well inside the corpus's pair supply at every SF (the operator's
+    * early-stop never fires here; the oracle is a fixed unroll).
+    */
+  private val q238 = Q("q238_bpe_train", (s, dir) => {
+    TextAnalysis.trainBpeMerges(Tables.load(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull),
+        col("text"), k = 8)
+      .orderBy(col("rank"))
+  }, Some {
+    val k = 8
+    val init = """    WITH w AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+    h0 AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+             regexp_replace(word, '(.)', chr(31) || '\1' || chr(31), 'g') AS tokseq
+      FROM w GROUP BY word)"""
+    val rounds = (0 until k).flatMap { r =>
+      val pb = s"""    p$r AS (
+      SELECT x.sy[r2.i + 1] AS a, x.sy[r2.i + 2] AS b, CAST(sum(x.cnt) AS BIGINT) AS c
+      FROM (SELECT cnt, string_split(substr(tokseq, 2, len(tokseq) - 2), chr(31) || chr(31)) AS sy
+            FROM h$r WHERE len(tokseq) >= 4) x
+      CROSS JOIN LATERAL (SELECT unnest(range(0, len(x.sy) - 1)) AS i) r2
+      GROUP BY 1, 2),
+    b$r AS (SELECT a, b, c FROM p$r ORDER BY c DESC, a, b LIMIT 1)"""
+      val hn = if (r < k - 1) Seq(s"""    h${r + 1} AS (
+      SELECT h.word, h.cnt,
+             replace(h.tokseq, chr(31) || b.a || chr(31) || chr(31) || b.b || chr(31),
+                     chr(31) || b.a || b.b || chr(31)) AS tokseq
+      FROM h$r h, b$r b)""") else Seq.empty
+      pb +: hn
+    }
+    val finals = (0 until k).map(r =>
+      s"""    SELECT CAST($r AS BIGINT) AS "rank", a AS lhs, b AS rhs, c AS pair_count FROM b$r""")
+      .mkString("\n    UNION ALL\n")
+    (init +: rounds).mkString(",\n") + "\n" + finals + "\n    ORDER BY \"rank\""
+  })
+
   /** Vocabulary coverage curve (TextAnalysis.vocabCoverage): surviving
     * type counts and corpus-mass share at rising min-frequency
     * thresholds — the tokenizer-pruning knee finder, computed with
@@ -1658,5 +1706,5 @@ object TextQueries {
 
   val list: Seq[Q] = Seq(q51, q52, q53, q54, q55, q56, q74, q89, q100, q101, q108, q112,
     q120, q128, q129, q138, q141, q142, q143, q144, q148, q176, q183, q194, q217, q218, q219, q222,
-    q199, q200, q201, q203, q208, q209, q211, q213, q214, q228, q235, q237)
+    q199, q200, q201, q203, q208, q209, q211, q213, q214, q228, q235, q237, q238)
 }

@@ -365,6 +365,38 @@ class TextSpec extends SparkSpec {
     assert(short.count() == 0L)
   }
 
+  test("trainBpeMerges: hand-traced greedy merges, deterministic tie-break, overlap counting, non-overlapping rewrite; trained table feeds bpeTokenize") {
+    val docs = Seq((1L, "low lower lowest low low")).toDF("doc_id", "text")
+    // counts: low 3, lower 1, lowest 1
+    // iter0 pairs: (l,o) 5 ties (o,w) 5 -> lexicographic: (l,o)
+    // iter1: (lo,w) 5; iter2: (low,e) 2
+    val merges = TextAnalysis.trainBpeMerges(docs, col("text"), k = 3)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(merges == Seq(("l", "o", 5L), ("lo", "w", 5L), ("low", "e", 2L)),
+      s"hand-traced merges, got $merges")
+    // overlap COUNTING vs non-overlapping REWRITE: "aaa" x2 counts
+    // (a,a) at every adjacent position (4), but each word merges only
+    // leftmost-non-overlapping -> "aa a", so round 2 learns (aa, a)
+    val aaa = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
+    val m2 = TextAnalysis.trainBpeMerges(aaa, col("text"), k = 2)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(m2 == Seq(("a", "a", 4L), ("aa", "a", 2L)), s"got $m2")
+    // early stop: once every word is one symbol the supply is dry
+    val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    assert(TextAnalysis.trainBpeMerges(tiny, col("text"), k = 5).count() == 1L)
+    // the trained table drops into the applier unchanged: train on the
+    // corpus, tokenize the corpus under the learned merges
+    val learned = TextAnalysis.trainedMerges(docs, col("text"), k = 3)
+    val toks = TextAnalysis.bpeTokenize(docs, col("doc_id"), col("text"),
+        merges = learned, rounds = 8)
+      .select(col("word"), col("tokens")).distinct()
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(toks == Map("low" -> "low", "lower" -> "lowe r",
+      "lowest" -> "lowe s t"), s"trained-table tokenization: $toks")
+  }
+
   test("c4Clean: each line and page rule fires independently; clean_text rebuilds kept lines") {
     val page1 = Seq( // survives: 3 of 5 lines kept
       "the cat sat on the mat.",     // kept
