@@ -566,7 +566,7 @@ object CorpusQueries {
              '@example.com or call 415-555-' ||
              lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t0
       FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
-    t AS (SELECT doc_id, lang, t0, len(t0) AS n_chars,
+    t AS MATERIALIZED (SELECT doc_id, lang, t0, len(t0) AS n_chars,
                  string_split(t0, ' ') AS toks FROM p),
     w AS (
       SELECT doc_id,
@@ -592,7 +592,7 @@ object CorpusQueries {
       WHERE w.n_words BETWEEN 20 AND 95
         AND w.mean_word_len BETWEEN 4.5 AND 5.6
         AND w.stop_hits >= 1 AND top.top2_frac <= 0.12),
-    scrub AS (
+    scrub AS MATERIALIZED (
       SELECT t.doc_id, t.lang,
              regexp_replace(regexp_replace(
                regexp_replace(regexp_replace(
@@ -603,7 +603,7 @@ object CorpusQueries {
                '(^|[^0-9-])(\d{3}-\d{2}-\d{4})($|[^0-9-])', '\1[SSN]\3', 'g'),
                '(^|[^0-9-])(\d{3}-\d{2}-\d{4})($|[^0-9-])', '\1[SSN]\3', 'g') AS clean
       FROM t JOIN gatepass USING (doc_id)),
-    ntok AS (
+    ntok AS MATERIALIZED (
       SELECT doc_id, lang, clean,
              CAST(len(string_split(clean, ' ')) AS BIGINT) AS n_tok
       FROM scrub),
@@ -612,7 +612,7 @@ object CorpusQueries {
       SELECT doc_id, lang, unnest(list_concat(toks,
         [array_to_string(toks[i+1:i+2], ' ') for i in range(0, len(toks) - 1)])) AS gram
       FROM ktoks),
-    g AS (
+    g AS MATERIALIZED (
       SELECT doc_id, lang,
              CAST(concat('0x', substr(md5(gram), 1, 12)) AS BIGINT) % 64 AS bucket
       FROM ge),
@@ -627,12 +627,12 @@ object CorpusQueries {
            - CAST(floor(ln((coalesce(raws.rc, 0) + 1) * 1.0 / (tot.rt + 64)) * 1000000 + 0.5) AS BIGINT) AS lr_u
       FROM (SELECT unnest(range(0, 64)) AS bucket) b
       LEFT JOIN tgt USING (bucket) LEFT JOIN raws USING (bucket), tot),
-    db AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+    db AS MATERIALIZED (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
            FROM g GROUP BY doc_id, bucket),
-    dsir AS (
+    dsir AS MATERIALIZED (
       SELECT db.doc_id, CAST(sum(db.cnt * lr.lr_u) AS BIGINT) AS dsir_weight_u
       FROM db JOIN lr USING (bucket) GROUP BY db.doc_id),
-    j AS (
+    j AS MATERIALIZED (
       SELECT n.doc_id, n.lang, n.n_tok, s.dsir_weight_u,
              CAST(concat('0x', substr(md5(CAST(n.doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS hv
       FROM ntok n JOIN dsir s USING (doc_id)),
@@ -646,10 +646,10 @@ object CorpusQueries {
     r AS (
       SELECT *, row_number() OVER (PARTITION BY lang ORDER BY key_u DESC, doc_id) AS rn
       FROM k3),
-    sampled AS (SELECT doc_id, lang, n_tok, dsir_weight_u,
+    sampled AS MATERIALIZED (SELECT doc_id, lang, n_tok, dsir_weight_u,
                        CAST(rn AS INT) AS sample_rank
                 FROM r WHERE rn <= 25),
-    tp AS (
+    tp AS MATERIALIZED (
       SELECT lang AS shard, doc_id, n_tok,
              CAST(row_number() OVER (PARTITION BY lang
                 ORDER BY n_tok DESC, doc_id) AS INT) AS pos
@@ -807,7 +807,7 @@ object CorpusQueries {
              '@example.com or call 415-555-' ||
              lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t0
       FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
-    t AS (SELECT doc_id, lang, t0, len(t0) AS n_chars,
+    t AS MATERIALIZED (SELECT doc_id, lang, t0, len(t0) AS n_chars,
                  string_split(t0, ' ') AS toks FROM p),
     w AS (
       SELECT doc_id,
@@ -833,7 +833,7 @@ object CorpusQueries {
       WHERE w.n_words BETWEEN 20 AND 95
         AND w.mean_word_len BETWEEN 4.5 AND 5.6
         AND w.stop_hits >= 1 AND top.top2_frac <= 0.12),
-    scrub AS (
+    scrub AS MATERIALIZED (
       SELECT t.doc_id, t.lang,
              regexp_replace(regexp_replace(
                regexp_replace(regexp_replace(
@@ -844,7 +844,7 @@ object CorpusQueries {
                '(^|[^0-9-])(\d{3}-\d{2}-\d{4})($$|[^0-9-])', '\1[SSN]\3', 'g'),
                '(^|[^0-9-])(\d{3}-\d{2}-\d{4})($$|[^0-9-])', '\1[SSN]\3', 'g') AS clean
       FROM t JOIN gatepass USING (doc_id)),
-    scrub83 AS (
+    scrub83 AS MATERIALIZED (
       SELECT t.doc_id,
              regexp_replace(regexp_replace(
                regexp_replace(regexp_replace(
@@ -855,7 +855,7 @@ object CorpusQueries {
                '(^|[^0-9-])(\d{3}-\d{2}-\d{4})($$|[^0-9-])', '\1[SSN]\3', 'g'),
                '(^|[^0-9-])(\d{3}-\d{2}-\d{4})($$|[^0-9-])', '\1[SSN]\3', 'g') AS clean
       FROM t WHERE t.doc_id % 83 = 0),
-    evp AS (
+    evp AS MATERIALIZED (
       SELECT doc_id + 10000000 AS doc_id,
              array_to_string(list_transform(
                list_filter(range(1, len(string_split(clean, ' ')) + 1),
@@ -871,15 +871,15 @@ object CorpusQueries {
         i -> concat_ws(' ', string_split(text, ' ')[i],
           string_split(text, ' ')[i+1], string_split(text, ' ')[i+2]))) AS s
       FROM dsh),
-    hsx AS (
+    hsx AS MATERIALIZED (
       SELECT doc_id, s,
              list_distinct(list_transform(s,
                g -> CAST(concat('0x', substr(md5(g), 1, 12)) AS BIGINT))) AS hs
       FROM shx),
-    sgx AS (
+    sgx AS MATERIALIZED (
       SELECT doc_id, ${(0 until 8).map(graft.queriesExt.DedupQueries.sigSql).mkString(", ")}
       FROM hsx),
-    bnx AS (
+    bnx AS MATERIALIZED (
       SELECT doc_id, b.band_idx,
              concat_ws(':', CAST(b.band_idx AS VARCHAR),
                CASE b.band_idx
@@ -899,14 +899,14 @@ object CorpusQueries {
       FROM cnx JOIN hsx s1 ON s1.doc_id = cnx.doc_id
                JOIN hsx s2 ON s2.doc_id = cnx.eval_id),
     flagged AS (SELECT DISTINCT doc_id FROM vfx WHERE jac >= 0.4),
-    cleank AS (
+    cleank AS MATERIALIZED (
       SELECT * FROM scrub
       WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
-    ntokAll AS (
+    ntokAll AS MATERIALIZED (
       SELECT doc_id, lang, clean,
              CAST(len(string_split(clean, ' ')) AS BIGINT) AS n_tok
       FROM scrub),
-    ntok AS (
+    ntok AS MATERIALIZED (
       SELECT doc_id, lang, clean,
              CAST(len(string_split(clean, ' ')) AS BIGINT) AS n_tok
       FROM cleank),
@@ -915,7 +915,7 @@ object CorpusQueries {
       SELECT doc_id, lang, unnest(list_concat(toks,
         [array_to_string(toks[i+1:i+2], ' ') for i in range(0, len(toks) - 1)])) AS gram
       FROM ktoks),
-    g AS (
+    g AS MATERIALIZED (
       SELECT doc_id, lang,
              CAST(concat('0x', substr(md5(gram), 1, 12)) AS BIGINT) % 64 AS bucket
       FROM ge),
@@ -930,12 +930,12 @@ object CorpusQueries {
            - CAST(floor(ln((coalesce(raws.rc, 0) + 1) * 1.0 / (tot.rt + 64)) * 1000000 + 0.5) AS BIGINT) AS lr_u
       FROM (SELECT unnest(range(0, 64)) AS bucket) b
       LEFT JOIN tgt USING (bucket) LEFT JOIN raws USING (bucket), tot),
-    db AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+    db AS MATERIALIZED (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
            FROM g GROUP BY doc_id, bucket),
-    dsir AS (
+    dsir AS MATERIALIZED (
       SELECT db.doc_id, CAST(sum(db.cnt * lr.lr_u) AS BIGINT) AS dsir_weight_u
       FROM db JOIN lr USING (bucket) GROUP BY db.doc_id),
-    j AS (
+    j AS MATERIALIZED (
       SELECT n.doc_id, n.lang, n.n_tok, s.dsir_weight_u,
              CAST(concat('0x', substr(md5(CAST(n.doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS hv
       FROM ntok n JOIN dsir s USING (doc_id)),
@@ -949,10 +949,10 @@ object CorpusQueries {
     r AS (
       SELECT *, row_number() OVER (PARTITION BY lang ORDER BY key_u DESC, doc_id) AS rn
       FROM k3),
-    sampled AS (SELECT doc_id, lang, n_tok, dsir_weight_u,
+    sampled AS MATERIALIZED (SELECT doc_id, lang, n_tok, dsir_weight_u,
                        CAST(rn AS INT) AS sample_rank
                 FROM r WHERE rn <= 25),
-    tp AS (
+    tp AS MATERIALIZED (
       SELECT lang AS shard, doc_id, n_tok,
              CAST(row_number() OVER (PARTITION BY lang
                 ORDER BY n_tok DESC, doc_id) AS INT) AS pos
@@ -1044,7 +1044,7 @@ object CorpusQueries {
              '@example.com or call 415-555-' ||
              lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t0
       FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
-    t AS (SELECT doc_id, lang, source, t0, len(t0) AS n_chars,
+    t AS MATERIALIZED (SELECT doc_id, lang, source, t0, len(t0) AS n_chars,
                  string_split(t0, ' ') AS toks FROM p),
     w AS (
       SELECT doc_id,
@@ -1070,7 +1070,7 @@ object CorpusQueries {
       WHERE w.n_words BETWEEN 20 AND 95
         AND w.mean_word_len BETWEEN 4.5 AND 5.6
         AND w.stop_hits >= 1 AND top.top2_frac <= 0.12),
-    scrub AS (
+    scrub AS MATERIALIZED (
       SELECT t.doc_id, t.lang,
              regexp_replace(regexp_replace(
                regexp_replace(regexp_replace(
@@ -1081,7 +1081,7 @@ object CorpusQueries {
                '(^|[^0-9-])(\d{3}-\d{2}-\d{4})($|[^0-9-])', '\1[SSN]\3', 'g'),
                '(^|[^0-9-])(\d{3}-\d{2}-\d{4})($|[^0-9-])', '\1[SSN]\3', 'g') AS clean
       FROM t JOIN gatepass USING (doc_id)),
-    ntok AS (
+    ntok AS MATERIALIZED (
       SELECT doc_id, lang, clean,
              CAST(len(string_split(clean, ' ')) AS BIGINT) AS n_tok
       FROM scrub),
@@ -1090,7 +1090,7 @@ object CorpusQueries {
       SELECT doc_id, lang, unnest(list_concat(toks,
         [array_to_string(toks[i+1:i+2], ' ') for i in range(0, len(toks) - 1)])) AS gram
       FROM ktoks),
-    g AS (
+    g AS MATERIALIZED (
       SELECT doc_id, lang,
              CAST(concat('0x', substr(md5(gram), 1, 12)) AS BIGINT) % 64 AS bucket
       FROM ge),
@@ -1105,9 +1105,9 @@ object CorpusQueries {
            - CAST(floor(ln((coalesce(raws.rc, 0) + 1) * 1.0 / (tot.rt + 64)) * 1000000 + 0.5) AS BIGINT) AS lr_u
       FROM (SELECT unnest(range(0, 64)) AS bucket) b
       LEFT JOIN tgt USING (bucket) LEFT JOIN raws USING (bucket), tot),
-    db AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+    db AS MATERIALIZED (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
            FROM g GROUP BY doc_id, bucket),
-    dsir AS (
+    dsir AS MATERIALIZED (
       SELECT db.doc_id, CAST(sum(db.cnt * lr.lr_u) AS BIGINT) AS dsir_weight_u
       FROM db JOIN lr USING (bucket) GROUP BY db.doc_id),
     getr AS (
@@ -1124,7 +1124,7 @@ object CorpusQueries {
     lbls AS (SELECT DISTINCT source AS label FROM t WHERE doc_id % 7 = 0),
     grid AS (SELECT l.label, b.bucket FROM lbls l
              CROSS JOIN (SELECT unnest(range(0, 64)) AS bucket) b),
-    lp AS (
+    lp AS MATERIALIZED (
       SELECT grid.label, grid.bucket,
              CAST(floor(ln((coalesce(cc.cnt, 0) + 1) * 1.0 /
                (coalesce(ct.tot, 0) + 64)) * 1000000 + 0.5) AS BIGINT) AS lp_u
@@ -1140,11 +1140,11 @@ object CorpusQueries {
            FROM db JOIN lp USING (bucket) GROUP BY 1, 2),
     ss AS (SELECT sc.doc_id, sc.label, sc.like_u + pr.prior_u AS score_u
            FROM sc JOIN pr USING (label)),
-    rte AS (SELECT doc_id, label AS domain FROM (
+    rte AS MATERIALIZED (SELECT doc_id, label AS domain FROM (
               SELECT *, row_number() OVER (PARTITION BY doc_id
                          ORDER BY score_u DESC, label) AS rn FROM ss)
             WHERE rn = 1),
-    j AS (
+    j AS MATERIALIZED (
       SELECT n.doc_id, n.lang, n.n_tok, s.dsir_weight_u,
              coalesce(rte.domain, 'unrouted') AS domain,
              CAST(concat('0x', substr(md5(CAST(n.doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS hv
@@ -1160,10 +1160,10 @@ object CorpusQueries {
     r AS (
       SELECT *, row_number() OVER (PARTITION BY lang, domain ORDER BY key_u DESC, doc_id) AS rn
       FROM k3),
-    sampled AS (SELECT doc_id, lang, domain, n_tok, dsir_weight_u,
+    sampled AS MATERIALIZED (SELECT doc_id, lang, domain, n_tok, dsir_weight_u,
                        CAST(rn AS INT) AS sample_rank
                 FROM r WHERE rn <= 3),
-    tp AS (
+    tp AS MATERIALIZED (
       SELECT lang AS shard, doc_id, n_tok,
              CAST(row_number() OVER (PARTITION BY lang
                 ORDER BY n_tok DESC, doc_id) AS INT) AS pos
@@ -1282,7 +1282,7 @@ object CorpusQueries {
                AND len(string_split(ln, ' ')) >= 3
                AND NOT contains(lower(ln), 'javascript')) AS kept
       FROM page),
-    c4 AS (
+    c4 AS MATERIALIZED (
       SELECT doc_id, lang,
              CAST(contains(lower(text), 'lorem ipsum') = false
                   AND contains(text, '{') = false
@@ -1290,7 +1290,7 @@ object CorpusQueries {
                   AND len(kept) >= 5 AS INT) AS c4keep,
              replace(array_to_string(kept, chr(10)), chr(10), ' ') AS clean
       FROM cf),
-    t AS (SELECT doc_id, lang, clean, len(clean) AS n_chars,
+    t AS MATERIALIZED (SELECT doc_id, lang, clean, len(clean) AS n_chars,
                  string_split(clean, ' ') AS toks
           FROM c4 WHERE c4keep = 1),
     w AS (
@@ -1317,7 +1317,7 @@ object CorpusQueries {
       WHERE w.n_words BETWEEN 28 AND 72
         AND w.mean_word_len BETWEEN 4.45 AND 5.0
         AND w.stop_hits >= 1 AND top.top2_frac <= 0.09),
-    ntok AS (
+    ntok AS MATERIALIZED (
       SELECT t.doc_id, t.lang, t.clean,
              CAST(len(t.toks) AS BIGINT) AS n_tok, t.toks
       FROM t JOIN gatepass USING (doc_id)),
@@ -1325,7 +1325,7 @@ object CorpusQueries {
       SELECT doc_id, lang, unnest(list_concat(toks,
         [array_to_string(toks[i+1:i+2], ' ') for i in range(0, len(toks) - 1)])) AS gram
       FROM ntok),
-    g AS (
+    g AS MATERIALIZED (
       SELECT doc_id, lang,
              CAST(concat('0x', substr(md5(gram), 1, 12)) AS BIGINT) % 64 AS bucket
       FROM ge),
@@ -1340,12 +1340,12 @@ object CorpusQueries {
            - CAST(floor(ln((coalesce(raws.rc, 0) + 1) * 1.0 / (tot.rt + 64)) * 1000000 + 0.5) AS BIGINT) AS lr_u
       FROM (SELECT unnest(range(0, 64)) AS bucket) b
       LEFT JOIN tgt USING (bucket) LEFT JOIN raws USING (bucket), tot),
-    db AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+    db AS MATERIALIZED (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
            FROM g GROUP BY doc_id, bucket),
-    dsir AS (
+    dsir AS MATERIALIZED (
       SELECT db.doc_id, CAST(sum(db.cnt * lr.lr_u) AS BIGINT) AS dsir_weight_u
       FROM db JOIN lr USING (bucket) GROUP BY db.doc_id),
-    j AS (
+    j AS MATERIALIZED (
       SELECT n.doc_id, n.lang, n.n_tok, s.dsir_weight_u,
              CAST(concat('0x', substr(md5(CAST(n.doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS hv
       FROM ntok n JOIN dsir s USING (doc_id)),
@@ -1359,10 +1359,10 @@ object CorpusQueries {
     r AS (
       SELECT *, row_number() OVER (PARTITION BY lang ORDER BY key_u DESC, doc_id) AS rn
       FROM k3),
-    sampled AS (SELECT doc_id, lang, n_tok, dsir_weight_u,
+    sampled AS MATERIALIZED (SELECT doc_id, lang, n_tok, dsir_weight_u,
                        CAST(rn AS INT) AS sample_rank
                 FROM r WHERE rn <= 20),
-    tp AS (
+    tp AS MATERIALIZED (
       SELECT lang AS shard, doc_id, n_tok,
              CAST(row_number() OVER (PARTITION BY lang
                 ORDER BY n_tok DESC, doc_id) AS INT) AS pos
@@ -1411,6 +1411,322 @@ object CorpusQueries {
     FROM sampled sa JOIN rec ON rec.doc_id = sa.doc_id
     ORDER BY doc_id"""))
 
+  /** THE FULL SPINE — every leg at once (round 18): C4 pre-clean ->
+    * Gopher gate on the CLEANED text -> scrub (identity: the pages
+    * carry no PII; the stage still runs) -> fuzzy decontamination
+    * (q231's paraphrase construction, built from the C4-CLEANED
+    * flattened text of the %83 pages) -> DSIR -> NB domain routing
+    * (q233's labeled %7 slice, trained on the raw page text) ->
+    * Gumbel resample per (lang, domain) cell -> FFD pack. q236,
+    * q231 and q233 each prove one leg against the spine core; this
+    * row pins that the legs COMPOSE — five dispositions
+    * (boilerplate / gated / contaminated / not_sampled / packed) in
+    * one oracle-checked plan, exactly one per page, domain null on
+    * every row that never reaches the router. The oracle is the
+    * three splices assembled; its shared mid-stack CTEs are marked
+    * MATERIALIZED (DuckDB re-evaluates plain CTEs per consumer — the
+    * five-way disposition union plus the FFD recursion re-executed
+    * the whole stack, 180 s -> 1.0 s at sf0.01 measured; results
+    * identical, evaluation strategy only). MinHash band constants
+    * inlined from Dedup.MINHASH_A/B/P.
+    */
+  private val q239 = Q("q239_spine_full", (s, dir) => {
+    import graft.operators.TextAnalysis
+    val docs = Tables.load(s, dir, "documents")
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+    val toks = split(col("text"), " ")
+    val puncts = array(lit("."), lit("!"), lit("?"), lit(""))
+    val nLines = floor((size(toks) + lit(4)) / lit(5)).cast("long")
+    val lines = transform(sequence(lit(0L), nLines - lit(1L)), i =>
+      concat(array_join(slice(toks, (i * lit(5L) + lit(1L)).cast("int"), lit(5)), " "),
+        element_at(puncts, (pmod(col("doc_id") + i, lit(4L)) + lit(1L)).cast("int"))))
+    val page = concat(array_join(lines, "\n"),
+      when(pmod(col("doc_id"), lit(7L)) === 0,
+        lit("\nclick here to enable javascript now.")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(13L)) === 0,
+        lit("\nlorem ipsum dolor sit amet.")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(11L)) === 0,
+        lit("\nfunction f() { return 1; }")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(17L)) === 0,
+        lit("\nwell frak that plan entirely.")).otherwise(lit("")))
+    val pages = docs.select(col("doc_id"), col("lang"), col("source"), page.as("text"))
+    val policy = TextAnalysis.C4Policy(Seq("frak"),
+      minWordsPerLine = 3, minKeptLines = 5)
+    val cleaned83 = TextAnalysis.c4Clean(pages.filter(col("doc_id") % 83 === 0),
+        col("doc_id"), col("text"), policy)
+      .select(col("doc_id"), translate(col("clean_text"), "\n", " ").as("ctext"))
+    val toksE = split(col("ctext"), " ")
+    val evalDocs = cleaned83.select(
+      (col("doc_id") + 10000000L).as("doc_id"),
+      array_join(transform(
+        filter(sequence(lit(1), size(toksE)), i => i % 7 =!= 4),
+        i => element_at(toksE, i)), " ").as("text"))
+    val train = pages.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("text"), col("source").as("label"))
+    CorpusOps.pretrainingPipeline(
+        pages.select(col("doc_id"), col("lang"), col("text")),
+        minWords = 28L, maxWords = 72L, minMeanLen = 4.45, maxMeanLen = 5.0,
+        stopWords = Seq("the", "a"), minStopHits = 1L, maxTop2Frac = 0.09,
+        targetPred = col("lang") === "en", dim = 64, samplesPerLang = 3,
+        packBudget = 512L, maxOpen = 4,
+        evalDocs = Some(evalDocs), fuzzyTau = 0.4, fuzzyRowsPerBand = 1,
+        domainTrain = Some(train), nbDim = 64, c4 = Some(policy))
+      .orderBy(col("doc_id"))
+  }, Some("""    WITH RECURSIVE
+    t0 AS (
+      SELECT doc_id, lang, source, string_split(text, ' ') AS rtoks
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+    lx AS (
+      SELECT doc_id, lang, source, rtoks, unnest(range(0, (len(rtoks) + 4) // 5)) AS i FROM t0),
+    ll AS (
+      SELECT doc_id, lang, source, i,
+             array_to_string(rtoks[i*5+1 : i*5+5], ' ') ||
+             (['.', '!', '?', ''])[CAST((doc_id + i) % 4 AS INT) + 1] AS line
+      FROM lx),
+    pg AS (
+      SELECT doc_id, lang, source, string_agg(line, chr(10) ORDER BY i) AS body
+      FROM ll GROUP BY doc_id, lang, source),
+    page AS (
+      SELECT doc_id, lang, source, body ||
+        CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'click here to enable javascript now.' ELSE '' END ||
+        CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END ||
+        CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'function f() { return 1; }' ELSE '' END ||
+        CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'well frak that plan entirely.' ELSE '' END AS ptext
+      FROM pg),
+    cf AS (
+      SELECT doc_id, lang, source, ptext,
+             list_filter(string_split(ptext, chr(10)), ln ->
+               substr(ln, len(ln), 1) IN ('.', '!', '?', '"')
+               AND len(string_split(ln, ' ')) >= 3
+               AND NOT contains(lower(ln), 'javascript')) AS kept
+      FROM page),
+    c4 AS MATERIALIZED (
+      SELECT doc_id, lang, source, ptext,
+             CAST(contains(lower(ptext), 'lorem ipsum') = false
+                  AND contains(ptext, '{') = false
+                  AND NOT list_has_any(string_split(replace(lower(ptext), chr(10), ' '), ' '), ['frak'])
+                  AND len(kept) >= 5 AS INT) AS c4keep,
+             replace(array_to_string(kept, chr(10)), chr(10), ' ') AS clean
+      FROM cf),
+    t AS MATERIALIZED (SELECT doc_id, lang, source, clean, len(clean) AS n_chars,
+                 string_split(clean, ' ') AS toks
+          FROM c4 WHERE c4keep = 1),
+    w AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             floor(CAST(list_reduce(list_transform(toks, s -> CAST(len(s) AS BIGINT)),
+                       (a, b) -> a + b) AS DOUBLE) / len(toks) * 1000000 + 0.5) / 1000000.0 AS mean_word_len,
+             CAST(len(list_filter(toks, s -> s IN ('the', 'a'))) AS BIGINT) AS stop_hits
+      FROM t),
+    g2 AS (
+      SELECT t.doc_id, t.n_chars, array_to_string(t.toks[r.i+1:r.i+2], ' ') AS gram
+      FROM t CROSS JOIN LATERAL (SELECT unnest(range(0, len(t.toks) - 1)) AS i) r),
+    c2 AS (
+      SELECT doc_id, n_chars, gram, CAST(count(*) AS BIGINT) AS cnt
+      FROM g2 GROUP BY doc_id, n_chars, gram),
+    top AS (
+      SELECT doc_id,
+             floor(CAST(cnt * len(gram) AS DOUBLE) / n_chars * 1000000 + 0.5) / 1000000.0 AS top2_frac
+      FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                       ORDER BY cnt DESC, gram) AS rn FROM c2)
+      WHERE rn = 1),
+    gatepass AS (
+      SELECT w.doc_id FROM w JOIN top USING (doc_id)
+      WHERE w.n_words BETWEEN 28 AND 72
+        AND w.mean_word_len BETWEEN 4.45 AND 5.0
+        AND w.stop_hits >= 1 AND top.top2_frac <= 0.09),
+    scrub AS MATERIALIZED (
+      SELECT t.doc_id, t.lang, t.clean FROM t JOIN gatepass USING (doc_id)),
+    evp AS (
+      SELECT doc_id + 10000000 AS doc_id,
+             array_to_string(list_transform(
+               list_filter(range(1, len(string_split(clean, ' ')) + 1),
+                 i -> i % 7 <> 4),
+               i -> string_split(clean, ' ')[i]), ' ') AS text
+      FROM c4 WHERE doc_id % 83 = 0),
+    dsh AS (
+      SELECT doc_id, text FROM evp
+      UNION ALL SELECT doc_id, clean AS text FROM scrub),
+    shx AS (
+      SELECT doc_id, list_distinct(list_transform(
+        range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+        i -> concat_ws(' ', string_split(text, ' ')[i],
+          string_split(text, ' ')[i+1], string_split(text, ' ')[i+2]))) AS s
+      FROM dsh),
+    hsx AS (
+      SELECT doc_id, s,
+             list_distinct(list_transform(s,
+               g -> CAST(concat('0x', substr(md5(g), 1, 12)) AS BIGINT))) AS hs
+      FROM shx),
+    sgx AS (
+      SELECT doc_id, list_min(list_transform(hs, h -> (2971 * h + 1409) % 1000000007)) AS sig0, list_min(list_transform(hs, h -> (6011 * h + 2003) % 1000000007)) AS sig1, list_min(list_transform(hs, h -> (9103 * h + 3947) % 1000000007)) AS sig2, list_min(list_transform(hs, h -> (3301 * h + 4241) % 1000000007)) AS sig3, list_min(list_transform(hs, h -> (7873 * h + 5443) % 1000000007)) AS sig4, list_min(list_transform(hs, h -> (4409 * h + 6367) % 1000000007)) AS sig5, list_min(list_transform(hs, h -> (9973 * h + 7237) % 1000000007)) AS sig6, list_min(list_transform(hs, h -> (5087 * h + 8147) % 1000000007)) AS sig7
+      FROM hsx),
+    bnx AS (
+      SELECT doc_id, b.band_idx,
+             concat_ws(':', CAST(b.band_idx AS VARCHAR),
+               CASE b.band_idx
+                 WHEN 0 THEN sig0 WHEN 1 THEN sig1 WHEN 2 THEN sig2
+                 WHEN 3 THEN sig3 WHEN 4 THEN sig4 WHEN 5 THEN sig5
+                 WHEN 6 THEN sig6 ELSE sig7 END) AS band_key
+      FROM sgx, (SELECT unnest(range(8)) AS band_idx) b),
+    cnx AS (
+      SELECT DISTINCT a.doc_id AS doc_id, e.doc_id AS eval_id
+      FROM bnx a JOIN bnx e USING (band_idx, band_key)
+      WHERE a.doc_id < 10000000 AND e.doc_id >= 10000000),
+    vfx AS (
+      SELECT cnx.doc_id,
+             floor(CAST(len(list_intersect(s1.hs, s2.hs)) AS DOUBLE) /
+                   len(list_distinct(list_concat(s1.hs, s2.hs))) * 1000000 + 0.5)
+               / 1000000.0 AS jac
+      FROM cnx JOIN hsx s1 ON s1.doc_id = cnx.doc_id
+               JOIN hsx s2 ON s2.doc_id = cnx.eval_id),
+    flagged AS (SELECT DISTINCT doc_id FROM vfx WHERE jac >= 0.4),
+    cleank AS (
+      SELECT * FROM scrub
+      WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+    ntokAll AS (
+      SELECT doc_id, lang, clean,
+             CAST(len(string_split(clean, ' ')) AS BIGINT) AS n_tok
+      FROM scrub),
+    ntok AS (
+      SELECT doc_id, lang, clean,
+             CAST(len(string_split(clean, ' ')) AS BIGINT) AS n_tok
+      FROM cleank),
+    ktoks AS (SELECT doc_id, lang, string_split(clean, ' ') AS toks FROM cleank),
+    ge AS (
+      SELECT doc_id, lang, unnest(list_concat(toks,
+        [array_to_string(toks[i+1:i+2], ' ') for i in range(0, len(toks) - 1)])) AS gram
+      FROM ktoks),
+    g AS MATERIALIZED (
+      SELECT doc_id, lang,
+             CAST(concat('0x', substr(md5(gram), 1, 12)) AS BIGINT) % 64 AS bucket
+      FROM ge),
+    tgt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS tc FROM g
+            WHERE lang = 'en' GROUP BY bucket),
+    raws AS (SELECT bucket, CAST(count(*) AS BIGINT) AS rc FROM g GROUP BY bucket),
+    tot AS (SELECT (SELECT coalesce(sum(tc), 0) FROM tgt) AS tt,
+                   (SELECT coalesce(sum(rc), 0) FROM raws) AS rt),
+    lr AS (
+      SELECT b.bucket,
+             CAST(floor(ln((coalesce(tgt.tc, 0) + 1) * 1.0 / (tot.tt + 64)) * 1000000 + 0.5) AS BIGINT)
+           - CAST(floor(ln((coalesce(raws.rc, 0) + 1) * 1.0 / (tot.rt + 64)) * 1000000 + 0.5) AS BIGINT) AS lr_u
+      FROM (SELECT unnest(range(0, 64)) AS bucket) b
+      LEFT JOIN tgt USING (bucket) LEFT JOIN raws USING (bucket), tot),
+    db AS MATERIALIZED (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+           FROM g GROUP BY doc_id, bucket),
+    dsir AS MATERIALIZED (
+      SELECT db.doc_id, CAST(sum(db.cnt * lr.lr_u) AS BIGINT) AS dsir_weight_u
+      FROM db JOIN lr USING (bucket) GROUP BY db.doc_id),
+    trn AS (SELECT doc_id, source, string_split(ptext, ' ') AS ptoks
+            FROM page WHERE doc_id % 7 = 0),
+    getr AS (
+      SELECT doc_id, source AS label, unnest(list_concat(ptoks,
+        [array_to_string(ptoks[i+1:i+2], ' ') for i in range(0, len(ptoks) - 1)])) AS gram
+      FROM trn),
+    gtr AS (
+      SELECT doc_id, label,
+             CAST(concat('0x', substr(md5(gram), 1, 12)) AS BIGINT) % 64 AS bucket
+      FROM getr),
+    cc AS (SELECT label, bucket, CAST(count(*) AS BIGINT) AS cnt
+           FROM gtr GROUP BY 1, 2),
+    ct AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS tot FROM cc GROUP BY 1),
+    lbls AS (SELECT DISTINCT source AS label FROM trn),
+    grid AS (SELECT l.label, b.bucket FROM lbls l
+             CROSS JOIN (SELECT unnest(range(0, 64)) AS bucket) b),
+    lp AS (
+      SELECT grid.label, grid.bucket,
+             CAST(floor(ln((coalesce(cc.cnt, 0) + 1) * 1.0 /
+               (coalesce(ct.tot, 0) + 64)) * 1000000 + 0.5) AS BIGINT) AS lp_u
+      FROM grid LEFT JOIN cc ON cc.label = grid.label AND cc.bucket = grid.bucket
+                LEFT JOIN ct ON ct.label = grid.label),
+    dc AS (SELECT source AS label, CAST(count(*) AS BIGINT) AS nd
+           FROM trn GROUP BY 1),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM trn),
+    pr AS (SELECT label,
+                  CAST(floor(ln(nd * 1.0 / nt.n) * 1000000 + 0.5) AS BIGINT) AS prior_u
+           FROM dc, nt),
+    sc AS (SELECT db.doc_id, lp.label, CAST(sum(db.cnt * lp.lp_u) AS BIGINT) AS like_u
+           FROM db JOIN lp USING (bucket) GROUP BY 1, 2),
+    ss AS (SELECT sc.doc_id, sc.label, sc.like_u + pr.prior_u AS score_u
+           FROM sc JOIN pr USING (label)),
+    rte AS MATERIALIZED (SELECT doc_id, label AS domain FROM (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                         ORDER BY score_u DESC, label) AS rn FROM ss)
+            WHERE rn = 1),
+    j AS MATERIALIZED (
+      SELECT n.doc_id, n.lang, n.n_tok, s.dsir_weight_u,
+             coalesce(rte.domain, 'unrouted') AS domain,
+             CAST(concat('0x', substr(md5(CAST(n.doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS hv
+      FROM ntok n JOIN dsir s USING (doc_id)
+                  LEFT JOIN rte ON rte.doc_id = n.doc_id),
+    k2 AS (
+      SELECT *, CAST(floor(-ln((CAST(hv AS DOUBLE) + 1) / 281474976710656.0) * 1000000 + 0.5) AS BIGINT) AS e_unat
+      FROM j),
+    k3 AS (
+      SELECT *, dsir_weight_u
+             - CAST(floor(ln(CAST(greatest(e_unat, 1) AS DOUBLE) / 1000000.0) * 1000000 + 0.5) AS BIGINT) AS key_u
+      FROM k2),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY lang, domain ORDER BY key_u DESC, doc_id) AS rn
+      FROM k3),
+    sampled AS MATERIALIZED (SELECT doc_id, lang, domain, n_tok, dsir_weight_u,
+                       CAST(rn AS INT) AS sample_rank
+                FROM r WHERE rn <= 3),
+    tp AS MATERIALIZED (
+      SELECT lang AS shard, doc_id, n_tok,
+             CAST(row_number() OVER (PARTITION BY lang
+                ORDER BY n_tok DESC, doc_id) AS INT) AS pos
+      FROM sampled),
+    rec AS (
+      SELECT shard, pos, doc_id, n_tok,
+             CAST(0 AS BIGINT) AS bin_idx, n_tok AS fill_after,
+             [{'b': CAST(0 AS BIGINT), 'f': n_tok}] AS open,
+             CAST(1 AS BIGINT) AS nbins
+      FROM tp WHERE pos = 1
+      UNION ALL
+      SELECT tp.shard, tp.pos, tp.doc_id, tp.n_tok,
+             CASE WHEN h.hit IS NOT NULL THEN h.hit.b ELSE rec.nbins END,
+             CASE WHEN h.hit IS NOT NULL THEN h.hit.f + tp.n_tok ELSE tp.n_tok END,
+             CASE WHEN h.hit IS NOT NULL
+                  THEN list_transform(rec.open, x ->
+                    CASE WHEN x.b = h.hit.b THEN {'b': x.b, 'f': x.f + tp.n_tok} ELSE x END)
+                  ELSE list_append(
+                    CASE WHEN len(rec.open) >= 4 THEN rec.open[2:] ELSE rec.open END,
+                    {'b': rec.nbins, 'f': tp.n_tok})
+             END,
+             CASE WHEN h.hit IS NOT NULL THEN rec.nbins ELSE rec.nbins + 1 END
+      FROM rec
+      JOIN tp ON tp.shard = rec.shard AND tp.pos = rec.pos + 1
+      CROSS JOIN LATERAL (
+        SELECT list_filter(rec.open, x -> x.f + tp.n_tok <= 512)[1] AS hit) h)
+    SELECT c4.doc_id, c4.lang, 'boilerplate' AS disposition,
+           CAST(NULL AS BIGINT) AS dsir_weight_u,
+           CAST(NULL AS INT) AS sample_rank,
+           CAST(NULL AS BIGINT) AS bin_idx,
+           CAST(NULL AS BIGINT) AS n_tok,
+           CAST(NULL AS VARCHAR) AS domain
+    FROM c4 WHERE c4.c4keep = 0
+    UNION ALL
+    SELECT t.doc_id, t.lang, 'gated',
+           CAST(NULL AS BIGINT), CAST(NULL AS INT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+    FROM t WHERE t.doc_id NOT IN (SELECT doc_id FROM gatepass)
+    UNION ALL
+    SELECT na.doc_id, na.lang, 'contaminated',
+           CAST(NULL AS BIGINT), CAST(NULL AS INT), CAST(NULL AS BIGINT),
+           na.n_tok, CAST(NULL AS VARCHAR)
+    FROM ntokAll na JOIN flagged USING (doc_id)
+    UNION ALL
+    SELECT jj.doc_id, jj.lang, 'not_sampled', jj.dsir_weight_u,
+           CAST(NULL AS INT), CAST(NULL AS BIGINT), jj.n_tok, jj.domain
+    FROM j jj
+    WHERE jj.doc_id NOT IN (SELECT doc_id FROM sampled)
+    UNION ALL
+    SELECT sa.doc_id, sa.lang, 'packed', sa.dsir_weight_u,
+           sa.sample_rank, rec.bin_idx, sa.n_tok, sa.domain
+    FROM sampled sa JOIN rec ON rec.doc_id = sa.doc_id
+    ORDER BY doc_id"""))
+
   val list: Seq[Q] = Seq(q78, q79, q80, q96, q104, q105, q114, q115, q125,
-    q126, q192, q212, q216, q221, q223, q227, q229, q231, q233, q236)
+    q126, q192, q212, q216, q221, q223, q227, q229, q231, q233, q236, q239)
 }
