@@ -422,6 +422,17 @@ class PlanSpec extends SparkSpec {
       s"no sort-merge on the corpus word stream:\n${plan.take(2000)}")
   }
 
+  test("knBigramLogProb scores the corpus bigram stream through a broadcast surprise table") {
+    // the count tables are bigram-TYPE-keyed (vocabulary-scale); the
+    // corpus-scale bigram stream must meet the assembled surprise
+    // table as a broadcast, never a shuffle on (w1, w2)
+    val d = Tables.load(spark, sfDir, "documents")
+    val plan = graft.operators.TextAnalysis.knBigramLogProb(d, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the surprise table must broadcast onto the bigram stream:\n${plan.take(2000)}")
+  }
+
   test("bm25Retrieve joins stats and query terms broadcast; no sort-merge, no cartesian") {
     // inverted-index shape: the only shuffles are the tf/dl/score
     // aggregations; need/qterms/idf/avgdl all ride broadcasts
