@@ -28,6 +28,36 @@ object CorpusOps {
     * sampled fraction prunes IO-adjacent (after the scan but before
     * any join/agg in the same stage).
     */
+  /** Deterministic EPOCH SHUFFLE (round 18) — the training loader's
+    * data-order step: every document gets a seeded pseudo-random
+    * sort key (hash48 of `seed:doc_id` — the stratifiedSample bucket
+    * discipline, so any engine replays the permutation), a shard
+    * assignment (key mod nShards) and its position WITHIN the shard.
+    * Changing the seed re-permutes everything — epoch 2 reads a
+    * genuinely different order — while the same seed reproduces the
+    * order bit-for-bit on any cluster size, which is what makes a
+    * training run resumable and auditable.
+    *
+    * Scale shape: the key is a narrow per-row expression; the only
+    * shuffle is the shard exchange, and the position window is
+    * PER-SHARD (never a global sort — this is `repartition(shard) +
+    * sortWithinPartitions(key)` with the position materialized for
+    * checkability; a production loader can skip `pos` and keep just
+    * the partition-local sort). Shards are the unit of parallelism,
+    * exactly like the packer's.
+    */
+  def epochShuffle(df: DataFrame, idCol: Column, seed: Long,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val key = Dedup.hash48(concat(lit(seed.toString), lit(":"),
+      idCol.cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
+    df.filter(idCol.isNotNull)
+      .select(idCol.as("doc_id"), key.as("skey"))
+      .withColumn("shard", pmod(col("skey"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
+
   def stratifiedSample(df: DataFrame, idCol: Column, stratumCol: Column,
       rates: Map[String, Double], defaultRate: Double,
       buckets: Int = 1000): DataFrame = {

@@ -1727,6 +1727,26 @@ object CorpusQueries {
     FROM sampled sa JOIN rec ON rec.doc_id = sa.doc_id
     ORDER BY doc_id"""))
 
+  /** Deterministic epoch shuffle under the oracle (round 18,
+    * [[graft.operators.CorpusOps.epochShuffle]]): seeded hash48 sort
+    * key, shard = key mod 8, position by a PER-SHARD window — the
+    * training loader's reproducible data order. The oracle replays
+    * key, shard and position from the md5 arithmetic alone.
+    */
+  private val q240 = Q("q240_epoch_shuffle", (s, dir) => {
+    CorpusOps.epochShuffle(Tables.load(s, dir, "documents"),
+        col("doc_id"), seed = 7L, nShards = 8)
+      .orderBy(col("doc_id"))
+  }, Some("""
+    WITH k AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS skey
+      FROM documents WHERE doc_id IS NOT NULL),
+    sh AS (SELECT doc_id, skey, CAST(skey % 8 AS BIGINT) AS shard FROM k)
+    SELECT doc_id, skey, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS BIGINT) AS pos
+    FROM sh ORDER BY doc_id"""))
+
   val list: Seq[Q] = Seq(q78, q79, q80, q96, q104, q105, q114, q115, q125,
-    q126, q192, q212, q216, q221, q223, q227, q229, q231, q233, q236, q239)
+    q126, q192, q212, q216, q221, q223, q227, q229, q231, q233, q236, q239, q240)
 }

@@ -215,6 +215,30 @@ object StatefulOps {
       }
   }
 
+  /** [[packStream]] wired to a replay-safe manifest sink: each
+    * trigger's bin assignments land under `outDir/batchId=N` as a
+    * batchId-keyed OVERWRITE (the curationStream write discipline),
+    * so a replayed batch — whose state store restores to the
+    * pre-batch version from the checkpoint — rewrites exactly the
+    * rows its first attempt produced instead of appending
+    * duplicates. Downstream shard builders read the manifest by
+    * batchId partition and ship (shard, bin_idx) groups.
+    */
+  def packStreamSink(docs: Dataset[PackDoc], budget: Long, maxOpen: Int,
+      outDir: String, checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    packStream(docs, budget, maxOpen).writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[PackAssign], batchId: Long) =>
+        batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$outDir/batchId=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   def sessionizeStream(events: Dataset[SessEvent], gapSec: Long,
       delay: String): Dataset[Session] = {
     import events.sparkSession.implicits._

@@ -471,6 +471,29 @@ class CorpusOpsSpec extends SparkSpec {
       org.apache.spark.storage.StorageLevel.NONE))
   }
 
+  test("epochShuffle: same seed reproduces bit-for-bit; a new seed re-permutes; per-shard positions are contiguous from 1") {
+    val ids = (1L to 200L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    def run(seed: Long) = CorpusOps.epochShuffle(ids, col("doc_id"), seed, nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sorted.toSeq
+    val a = run(7L)
+    assert(a == run(7L), "same seed must reproduce the permutation exactly")
+    val b = run(8L)
+    assert(a != b, "a new seed must re-permute")
+    // per shard: positions are exactly 1..n
+    a.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted == (1L to rows.size).toSeq,
+        s"shard $shard positions not contiguous")
+    }
+    // every shard populated (200 docs over 4 hash shards)
+    assert(a.map(_._2).distinct.size == 4)
+    // scale contract: the position window is per-shard, never global —
+    // no single-partition exchange in the plan
+    val plan = CorpusOps.epochShuffle(ids, col("doc_id"), 7L, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"the position window must partition by shard:\n${plan.take(600)}")
+  }
+
   test("pretrainingRun + c4: boilerplate pages exit first; the gate scores the CLEANED text; n_tok counts cleaned tokens only (round 18)") {
     import graft.operators.TextAnalysis
     def line(seed: Int, n: Int) =
