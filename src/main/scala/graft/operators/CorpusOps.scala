@@ -58,6 +58,55 @@ object CorpusOps {
       .withColumn("pos", row_number().over(w).cast("long"))
   }
 
+  /** TOKEN-BUDGET MIXTURE FILL (round 18) — the step that turns "the
+    * mix is 60% web / 30% code / 10% books" into an actual document
+    * list: each source gets a token budget (its per-mille weight of
+    * `totalBudget` — integer arithmetic, weights validated to sum to
+    * 1000), documents are drawn in the seeded [[epochShuffle]] hash
+    * order (deterministic, engine-replayable, and unbiased w.r.t.
+    * document content), and a document is KEPT while its running
+    * token total stays within the source's budget — the first
+    * over-the-line document and everything after it are emitted with
+    * kept = 0, so the ledger is auditable (every doc carries its
+    * cumulative position in the draw).
+    *
+    * Scale shape: one shuffle on the source key (tens of partitions),
+    * one per-source running-sum window over the hash order, narrow
+    * everywhere else. The weight table is a literal CASE — no join.
+    * A source absent from `weightsPerMille` fails loudly rather than
+    * silently drawing zero.
+    */
+  def tokenBudgetFill(df: DataFrame, idCol: Column, sourceCol: Column,
+      tokenCountCol: Column, weightsPerMille: Map[String, Long],
+      totalBudget: Long, seed: Long = 0L): DataFrame = {
+    require(weightsPerMille.nonEmpty && weightsPerMille.values.sum == 1000L,
+      s"weights must sum to 1000 per-mille, got ${weightsPerMille.values.sum}")
+    require(totalBudget >= 1, s"totalBudget must be >= 1, got $totalBudget")
+    val budgetCol = weightsPerMille.tail.foldLeft(
+      when(sourceCol === weightsPerMille.head._1,
+        lit(totalBudget * weightsPerMille.head._2 / 1000L))) {
+      case (acc, (k, w)) =>
+        acc.when(sourceCol === k, lit(totalBudget * w / 1000L))
+    }
+    val key = Dedup.hash48(concat(lit(seed.toString), lit(":"),
+      idCol.cast("string")))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("skey"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the no-weight guard rides INSIDE the budget column (a separate
+    // check column would be pruned as unused): an unweighted source
+    // evaluates the raise_error branch the moment `kept` needs it
+    val base = df.filter(idCol.isNotNull && sourceCol.isNotNull)
+      .select(idCol.as("doc_id"), sourceCol.as("source"),
+        tokenCountCol.cast("long").as("n_tok"), key.as("skey"),
+        coalesce(budgetCol,
+          raise_error(concat(lit("source has no mixture weight: "),
+            sourceCol)).cast("long")).as("_budget"))
+    base.withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .withColumn("kept", (col("cum_tok") <= col("_budget")).cast("int"))
+      .drop("_budget")
+  }
+
   def stratifiedSample(df: DataFrame, idCol: Column, stratumCol: Column,
       rates: Map[String, Double], defaultRate: Double,
       buckets: Int = 1000): DataFrame = {

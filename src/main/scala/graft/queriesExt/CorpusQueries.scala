@@ -1747,6 +1747,42 @@ object CorpusQueries {
            CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS BIGINT) AS pos
     FROM sh ORDER BY doc_id"""))
 
+  /** Token-budget mixture fill under the oracle (round 18,
+    * [[graft.operators.CorpusOps.tokenBudgetFill]]): per-mille
+    * weights over the five languages (400/200/200/100/100 of a
+    * 10k-token budget), documents drawn in the seeded hash order,
+    * kept while the per-source running total stays within budget —
+    * the auditable ledger row (cum_tok on EVERY doc, kept flag cast
+    * to int). Budgets small enough that both kept and rejected rows
+    * populate at every SF.
+    */
+  private val q241 = Q("q241_token_budget_fill", (s, dir) => {
+    CorpusOps.tokenBudgetFill(
+        Tables.load(s, dir, "documents")
+          .filter(col("doc_id").isNotNull && col("text").isNotNull),
+        col("doc_id"), col("lang"), size(split(col("text"), " ")),
+        weightsPerMille = Map("en" -> 400L, "de" -> 200L, "es" -> 200L,
+          "fr" -> 100L, "zh" -> 100L),
+        totalBudget = 10000L, seed = 7L)
+      .orderBy(col("doc_id"))
+  }, Some("""
+    WITH d AS (
+      SELECT doc_id, lang AS source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             CAST(concat('0x', substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS skey,
+             CASE lang WHEN 'en' THEN 4000 WHEN 'de' THEN 2000 WHEN 'es' THEN 2000
+                       WHEN 'fr' THEN 1000 WHEN 'zh' THEN 1000 END AS budget
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL),
+    c AS (
+      SELECT doc_id, source, n_tok, skey,
+             CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY skey, doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok,
+             budget
+      FROM d)
+    SELECT doc_id, source, n_tok, skey, cum_tok,
+           CAST(cum_tok <= budget AS INT) AS kept
+    FROM c ORDER BY doc_id"""))
+
   val list: Seq[Q] = Seq(q78, q79, q80, q96, q104, q105, q114, q115, q125,
-    q126, q192, q212, q216, q221, q223, q227, q229, q231, q233, q236, q239, q240)
+    q126, q192, q212, q216, q221, q223, q227, q229, q231, q233, q236, q239, q240, q241)
 }

@@ -471,6 +471,36 @@ class CorpusOpsSpec extends SparkSpec {
       org.apache.spark.storage.StorageLevel.NONE))
   }
 
+  test("tokenBudgetFill: per-source budgets honored in hash order; ledger auditable; unweighted source fails loudly") {
+    val docs = (1L to 40L).map(i =>
+      (i, if (i % 2 == 0) "web" else "code", 10L))
+      .toDF("doc_id", "source", "n_tok")
+    // 100-token budget at 700/300: web 70 -> 7 docs of 10, code 30 -> 3
+    val out = CorpusOps.tokenBudgetFill(docs, col("doc_id"), col("source"),
+        col("n_tok"), Map("web" -> 700L, "code" -> 300L),
+        totalBudget = 100L, seed = 1L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(4), r.getInt(5)))
+    assert(out.count(r => r._2 == "web" && r._4 == 1) == 7)
+    assert(out.count(r => r._2 == "code" && r._4 == 1) == 3)
+    // the ledger carries EVERY doc: rejected rows keep their cum_tok
+    assert(out.length == 40 && out.forall(_._3 > 0))
+    // kept set is the cum_tok <= budget prefix of the hash order
+    out.filter(_._2 == "web").sortBy(_._3).zipWithIndex.foreach { case (r, i) =>
+      assert((r._4 == 1) == (i < 7), s"web draw order violated at $r")
+    }
+    // weights must cover every present source
+    val e = intercept[Exception] {
+      CorpusOps.tokenBudgetFill(docs, col("doc_id"), col("source"),
+        col("n_tok"), Map("web" -> 1000L), 100L).collect()
+    }
+    assert(e.getMessage != null)
+    // weights must sum to 1000 per-mille
+    intercept[IllegalArgumentException] {
+      CorpusOps.tokenBudgetFill(docs, col("doc_id"), col("source"),
+        col("n_tok"), Map("web" -> 700L, "code" -> 200L), 100L)
+    }
+  }
+
   test("epochShuffle: same seed reproduces bit-for-bit; a new seed re-permutes; per-shard positions are contiguous from 1") {
     val ids = (1L to 200L).map(i => (i, s"d$i")).toDF("doc_id", "text")
     def run(seed: Long) = CorpusOps.epochShuffle(ids, col("doc_id"), seed, nShards = 4)
