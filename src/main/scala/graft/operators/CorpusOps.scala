@@ -689,17 +689,20 @@ object CorpusOps {
     */
   private[operators] def gramBuckets(df: DataFrame, idCol: Column,
       textCol: Column, dim: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    // One NARROW generate per row (optimization round 18): unigrams
+    // are the split tokens, bigrams come from the native
+    // [[graft.functions.shingles.wordShingles]] expression — the same
+    // multiset the old posexplode + doc-window + lead pipeline built,
+    // without its token-stream Exchange + Sort + Window (the gram
+    // stream was shuffled by doc_id only to look one token ahead;
+    // the shingle expression does that look-ahead inside the row).
+    // Counts downstream are per-(doc, gram-occurrence), so multiset
+    // equality is all that matters; both tokenize with Spark `split`
+    // semantics (trailing empties kept).
     df.filter(idCol.isNotNull && textCol.isNotNull)
       .select(idCol.as("doc_id"),
-        posexplode(split(textCol, " ")).as(Seq("pos", "term")))
-      .select(col("doc_id"), col("term"),
-        lead(col("term"), 1).over(w).as("_t1"))
-      .select(col("doc_id"), explode(array(col("term"),
-        when(col("_t1").isNotNull,
-          concat_ws(" ", col("term"), col("_t1"))))).as("gram"))
-      .filter(col("gram").isNotNull)
+        explode(concat(split(textCol, " "),
+          graft.functions.shingles.wordShingles(textCol, 2))).as("gram"))
       .select(col("doc_id"),
         pmod(graft.functions.codecs.hash48(col("gram")), lit(dim.toLong))
           .as("bucket"))
@@ -746,6 +749,29 @@ object CorpusOps {
       .agg(sum(col("cnt")).as("n_grams"),
         sum(col("cnt") * col("lr_u")).as("dsir_weight_u"))
     DsirRun(result, Seq(docBuckets))
+  }
+
+  /** [[dsirRun]] over a PRE-COMPUTED (doc_id, bucket, cnt) frame when
+    * the target is a SUBSET of the scored corpus (optimization round
+    * 18, guide §2.4): the target distribution folds from the shared
+    * counts through a semi-join on the target ids instead of paying a
+    * second full gram pass — `sum(cnt)` over a doc subset is exactly
+    * `gramBuckets(subset).groupBy(bucket).count` (the gram stream is
+    * per-occurrence, so per-doc counts partition it). Caller owns the
+    * counts frame's persistence ([[CorpusOps.pretrainingRun]] shares
+    * ONE materialized gram pass between the DSIR raw fold, this
+    * target fold, the scoring join, and the NB router).
+    */
+  private[operators] def dsirFromCounts(spark: org.apache.spark.sql.SparkSession,
+      docBuckets: DataFrame, targetIds: DataFrame, dim: Int): DataFrame = {
+    val tCounts = docBuckets.join(targetIds, Seq("doc_id"), "left_semi")
+      .groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
+    val rCounts = docBuckets.groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
+    val lr = dsirLr(spark, tCounts, rCounts, dim)
+    docBuckets.join(broadcast(lr), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_grams"),
+        sum(col("cnt") * col("lr_u")).as("dsir_weight_u"))
   }
 
   /** The FROZEN DSIR model: the (bucket, lr_u) log-ratio table alone —
@@ -853,24 +879,45 @@ object CorpusOps {
       .join(labeled.select(col("doc_id"), col("label")), "doc_id")
     val classCounts = labelGrams.groupBy(col("label"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
-    val classTotals = classCounts.groupBy(col("label"))
-      .agg(sum(col("cnt")).as("tot"))
-    val labels = labeled.select(col("label")).distinct()
-    val grid = labels.crossJoin(
-      spark.range(0, dim).select(col("id").as("bucket")))
-    val lp = grid
-      .join(classCounts, Seq("label", "bucket"), "left")
-      .join(classTotals, Seq("label"), "left")
-      .select(col("label"), col("bucket"),
-        floor(log((coalesce(col("cnt"), lit(0L)) + 1).cast("double") /
-          (coalesce(col("tot"), lit(0L)) + dim).cast("double")) * 1e6 + lit(0.5))
-          .cast("long").as("lp_u"))
+    // Both model tables are CONFIG-SIZED (labels x dim and labels
+    // rows), so the grid completion and the log arithmetic happen on
+    // the DRIVER over two collected-once aggregates (optimization
+    // round 18): the old distributed form paid a labels-distinct
+    // shuffle + a grid cross-join + two grid joins per table build —
+    // five exchanges of config-sized frames, ~1.5 s of pure stage
+    // overhead per spine/classify call at ANY corpus size. The
+    // arithmetic is unchanged JVM double math (Math.log/Math.floor ==
+    // Spark's LOG/FLOOR on DoubleType), so every lp_u/prior_u is
+    // bit-identical with the old plan. Returned as LocalRelations —
+    // downstream broadcasts build straight from local rows.
+    val ccRows = classCounts.collect()
     val docCounts = labeled.groupBy(col("label")).agg(count(lit(1)).as("nd"))
-    val nTotal = labeled.agg(count(lit(1)).as("_n"))
-    val priors = docCounts.crossJoin(broadcast(nTotal))
-      .select(col("label"),
-        floor(log(col("nd").cast("double") / col("_n").cast("double")) * 1e6 +
-          lit(0.5)).cast("long").as("prior_u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nTotal = docCounts.values.sum
+    val totByLabel = ccRows.groupBy(_.getString(0))
+      .map { case (l, rs) => l -> rs.map(_.getLong(2)).sum }
+    val cntByKey = ccRows
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def microLn(x: Double): Long = math.floor(math.log(x) * 1e6 + 0.5).toLong
+    val labels = docCounts.keys.toSeq.sorted
+    val lpRows: Seq[org.apache.spark.sql.Row] = for {
+      l <- labels; b <- 0L until dim.toLong
+    } yield org.apache.spark.sql.Row(l, b, microLn(
+      (cntByKey.getOrElse((l, b), 0L) + 1).toDouble /
+        (totByLabel.getOrElse(l, 0L) + dim).toDouble))
+    val priorRows: Seq[org.apache.spark.sql.Row] = labels.map(l =>
+      org.apache.spark.sql.Row(l,
+        microLn(docCounts(l).toDouble / nTotal.toDouble)))
+    import org.apache.spark.sql.types._
+    val lp = spark.createDataFrame(
+      java.util.Arrays.asList(lpRows: _*),
+      StructType(Seq(StructField("label", StringType, nullable = false),
+        StructField("bucket", LongType, nullable = false),
+        StructField("lp_u", LongType, nullable = false))))
+    val priors = spark.createDataFrame(
+      java.util.Arrays.asList(priorRows: _*),
+      StructType(Seq(StructField("label", StringType, nullable = false),
+        StructField("prior_u", LongType, nullable = false))))
     (lp, priors)
   }
 
@@ -908,6 +955,20 @@ object CorpusOps {
         corpus.select(idCol.as("doc_id"), textCol.as("_txt")),
         col("doc_id"), col("_txt"), dim)
       .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    nbScoreFromCounts(docBuckets, lp, priors)
+  }
+
+  /** [[nbScore]]'s scoring tail over a PRE-COMPUTED (doc_id, bucket,
+    * cnt) frame (optimization round 18): lets
+    * [[CorpusOps.pretrainingRun]] route documents off the SAME
+    * materialized gram pass the DSIR stage folds from (when
+    * nbDim == dim) instead of paying a third full gram explode +
+    * count shuffle. No self-describing dim check here — the caller
+    * guarantees the counts were bucketed with the model's dim
+    * ([[nbScore]] keeps the eager validation for the public surface).
+    */
+  private[operators] def nbScoreFromCounts(docBuckets: DataFrame,
+      lp: DataFrame, priors: DataFrame): DataFrame = {
     val scores = docBuckets.join(broadcast(lp), "bucket")
       .groupBy(col("doc_id"), col("label"))
       .agg(sum(col("cnt") * col("lp_u")).as("_like_u"))
@@ -1109,9 +1170,21 @@ object CorpusOps {
       lit(null).cast("int").as("sample_rank"),
       lit(null).cast("long").as("bin_idx"),
       lit(null).cast("long").as("n_tok"))
+    // stage-attribution hook (optimization round 18): cutLineage is
+    // EAGER, so timing it times the stage's materialization — set
+    // SPARK_GRAFT_STAGE_TIMING=1 to print per-stage wall to stderr
+    // (diagnostic only; never on in the bench/driver path).
+    val stageTiming = sys.env.contains("SPARK_GRAFT_STAGE_TIMING")
+    var stageNo = 0
     def cachedLeaf(df: DataFrame): (DataFrame, DataFrame) = {
       val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      (org.apache.spark.sql.graft.shims.cutLineage(p), p)
+      val t0 = System.nanoTime()
+      val cut = org.apache.spark.sql.graft.shims.cutLineage(p)
+      if (stageTiming) {
+        stageNo += 1
+        System.err.println(f"[spine-stage] #$stageNo%d ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+      (cut, p)
     }
     // C4 PRE-CLEAN leg (round 18, Raffel et al. 2020 via
     // [[TextAnalysis.c4Clean]]): line-level boilerplate is cut and
@@ -1128,9 +1201,12 @@ object CorpusOps {
     val (c4Dropped, base, c4Cached) = c4 match {
       case None => (None, base0, Seq.empty[DataFrame])
       case Some(p) =>
+        // `lang` rides the cleaner's carry (optimization round 18):
+        // the old join-back against base0 on doc_id was a corpus-wide
+        // exchange pair restoring a column the row already had
         val (cleaned, cleanedP) = cachedLeaf(
-          TextAnalysis.c4Clean(base0, col("doc_id"), col("text"), p)
-            .join(base0.select("doc_id", "lang"), "doc_id")
+          TextAnalysis.c4CleanCarry(base0, col("doc_id"), col("text"), p,
+              carry = Seq("lang"))
             .select(col("doc_id"), col("lang"), col("keep"),
               col("clean_text")))
         (Some(cleaned.filter(col("keep") === 0)
@@ -1144,10 +1220,10 @@ object CorpusOps {
               translate(col("clean_text"), "\n", " ").as("text")),
           Seq(cleanedP))
     }
-    val gate = TextAnalysis.gopherQualityGate(base, col("doc_id"), col("text"),
-        minWords, maxWords, minMeanLen, maxMeanLen, stopWords, minStopHits,
-        maxTop2Frac)
-      .select(col("doc_id"), col("keep"))
+    val gateAll = TextAnalysis.gopherQualityGateAll(base, col("doc_id"),
+      col("text"), TextAnalysis.GopherGate(minWords, maxWords, minMeanLen,
+        maxMeanLen, stopWords, minStopHits, maxTop2Frac),
+      carry = Seq("lang", "text"))
     // Every multi-consumer frame below is PERSISTED and then
     // LINEAGE-CUT ([[org.apache.spark.sql.graft.shims.cutLineage]],
     // round 18): the persist makes each corpus-scale stage execute
@@ -1166,16 +1242,21 @@ object CorpusOps {
     // which persists its split point under the same discipline.)
     // persisted: the gate verdict splits into the `gated` branch AND
     // the kept pipeline — without the cache the gate's repetition
-    // shuffle (the spine's widest stage) executes once per branch
-    val (tagged, taggedP) = cachedLeaf(base.join(gate, Seq("doc_id"), "left")
-      .withColumn("_keep", coalesce(col("keep"), lit(false))))
+    // shuffle (the spine's widest stage) executes once per branch.
+    // gopherQualityGateAll carries lang/text and keeps the no-2-gram
+    // rows with an explicit keep=false, so the old join-back of the
+    // inner gate onto base (a second corpus exchange pair) is gone
+    // (optimization round 18).
+    val (tagged, taggedP) = cachedLeaf(gateAll
+      .select(col("doc_id"), col("lang"), col("text"),
+        col("keep").as("_keep")))
     val gated = tagged.filter(!col("_keep"))
       .select(Seq(col("doc_id"), col("lang"),
         lit("gated").as("disposition")) ++ nulls: _*)
     val kept = tagged.filter(col("_keep")).select("doc_id", "lang", "text")
     val (scrubbed, scrubbedP) = cachedLeaf(
-      TextAnalysis.scrubPii(kept, col("doc_id"), col("text"))
-        .join(kept.select("doc_id", "lang"), "doc_id")
+      TextAnalysis.scrubPii(kept, col("doc_id"), col("text"),
+          carry = Seq("lang"))
         .select(col("doc_id"), col("lang"), col("clean_text"),
           size(split(col("clean_text"), " ")).cast("long").as("n_tok")))
     // fuzzy decontamination gate (scrubbed text vs the benchmark set):
@@ -1211,8 +1292,20 @@ object CorpusOps {
           cleanL,
           Seq(corpusShP, evalShP, flaggedP, cleanP))
     }
-    val dsir = dsirRun(clean, clean.filter(targetPred),
-      col("doc_id"), col("clean_text"), dim)
+    // ONE materialized gram pass for the whole trunk (optimization
+    // round 18, guide §2.4 "remove shuffles outright"): the (doc_id,
+    // bucket, cnt) counts over the clean keepers feed (1) the DSIR raw
+    // fold, (2) the DSIR target fold — a semi-join on the target ids,
+    // exactly gramBuckets(target) folded, since the target is a subset
+    // of clean — (3) the DSIR scoring join, and (4) the NB router
+    // (when nbDim == dim, below). Before, each consumer re-ran the
+    // posexplode + lead-window + hash48 gram pipeline: three full
+    // token-stream shuffles per spine run at ANY scale.
+    val (docBuckets, docBucketsP) = cachedLeaf(
+      gramBuckets(clean, col("doc_id"), col("clean_text"), dim)
+        .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("cnt")))
+    val dsirResult = dsirFromCounts(docs.sparkSession, docBuckets,
+      clean.filter(targetPred).select(col("doc_id")), dim)
     // DOMAIN ROUTING leg (round 18, the q229 NB classifier composed
     // in): with `domainTrain` (a (doc_id, text, label) labeled
     // slice), every clean keeper is routed by the frozen NB model —
@@ -1227,23 +1320,43 @@ object CorpusOps {
     // they never reach the router) ONLY when the leg is active, so
     // the plain spine's schema is untouched.
     val weightedBase = clean.select("doc_id", "lang", "n_tok")
-      .join(dsir.result.select(col("doc_id"), col("dsir_weight_u")), "doc_id")
+      .join(dsirResult.select(col("doc_id"), col("dsir_weight_u")), "doc_id")
     val (withDomain, domainCached) = domainTrain match {
       case None => (weightedBase, Seq.empty[DataFrame])
       case Some(tr) =>
+        // The model tables are CONFIG-SIZED (labels x nbDim and labels
+        // rows): collect them once and rebuild as LocalRelations (the
+        // classifyStream discipline) instead of persisting two more
+        // eager cache stages — the scoring broadcast then builds from
+        // local rows, no cache-scan job per reference (optimization
+        // round 18).
         val (lpRaw, priorsRaw) = nbModel(tr, col("doc_id"), col("text"),
           col("label"), nbDim)
-        val (lp, lpP) = cachedLeaf(lpRaw)
-        val (priors, priorsP) = cachedLeaf(priorsRaw)
-        val routed = nbScore(clean.select(col("doc_id"), col("clean_text")),
-            lp, priors, col("doc_id"), col("clean_text"), nbDim)
+        val tNb = System.nanoTime()
+        val lpRows = lpRaw.collect()
+        require(lpRows.nonEmpty,
+          "empty NB model (lp has no rows) — train on a non-empty labeled set")
+        val priorRows = priorsRaw.collect()
+        if (stageTiming) System.err.println(
+          f"[spine-stage] nb-model-collect ${(System.nanoTime() - tNb) / 1e9}%.3f s")
+        val spark = docs.sparkSession
+        val lp = spark.createDataFrame(
+          java.util.Arrays.asList(lpRows: _*), lpRaw.schema)
+        val priors = spark.createDataFrame(
+          java.util.Arrays.asList(priorRows: _*), priorsRaw.schema)
+        // route off the SHARED gram-bucket counts when the router's
+        // feature dim matches DSIR's (the declared spine queries run
+        // both at 64); a diverging nbDim pays its own gram pass
+        val routed = (if (nbDim == dim) nbScoreFromCounts(docBuckets, lp, priors)
+          else nbScore(clean.select(col("doc_id"), col("clean_text")),
+            lp, priors, col("doc_id"), col("clean_text"), nbDim))
           .select(col("doc_id"), col("predicted").as("domain"))
         // every gate-passing doc has >= minWords grams, so the router
         // covers it; the coalesce is the explicit-reject discipline
         // for callers who lower the gate below the 1-gram floor
         (weightedBase.join(routed, Seq("doc_id"), "left")
           .withColumn("domain", coalesce(col("domain"), lit("unrouted"))),
-          Seq(lpP, priorsP))
+          Seq.empty[DataFrame])
     }
     // `weighted` (narrow 4/5-column corpus frame): read by the
     // resample AND the not_sampled anti-join; `sampled` (k rows per
@@ -1281,8 +1394,8 @@ object CorpusOps {
     PretrainRun(
       u((c4Dropped.toSeq ++ contaminated.toSeq)
         .foldLeft(u(gated, notSampled))(u), packed),
-      Seq(taggedP, scrubbedP, weightedP, sampledP) ++ c4Cached ++
-        gateCached ++ domainCached ++ dsir.cached)
+      Seq(taggedP, scrubbedP, weightedP, sampledP, docBucketsP) ++
+        c4Cached ++ gateCached ++ domainCached)
   }
 
   /** [[pretrainingRun]] without the cache handle — the one-shot

@@ -25,6 +25,22 @@ object Dedup {
     */
   def hash48(s: Column): Column = graft.functions.codecs.hash48(s)
 
+  /** Persist + lineage-cut an operator-internal multi-consumer frame
+    * (the round-18 spine discipline, see
+    * [[org.apache.spark.sql.graft.shims.cutLineage]]): the persist
+    * makes the frame's derivation execute once no matter how many
+    * downstream joins reference it; the cut makes each reference a
+    * LogicalRDD leaf (no nested-InMemoryRelation re-rendering). EAGER
+    * — materializes at construction. The cache entry stays registered
+    * until `spark.catalog.clearCache()` (the bench clears per run);
+    * operators whose callers need scoped release take prepared frames
+    * instead (the [[minhashNearDupsPrepared]] contract).
+    */
+  private def cached(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    org.apache.spark.sql.graft.shims.cutLineage(p)
+  }
+
   /** Fixed MinHash seed pairs (a_k * h + b_k mod P). */
   val MINHASH_A: Seq[Long] = Seq(2971L, 6011L, 9103L, 3301L, 7873L, 4409L, 9973L, 5087L)
   val MINHASH_B: Seq[Long] = Seq(1409L, 2003L, 3947L, 4241L, 5443L, 6367L, 7237L, 8147L)
@@ -538,10 +554,26 @@ object Dedup {
     // the first draft's explode().distinct() paid a full token-stream
     // exchange for what array_distinct computes per row, and a
     // separate groupBy for the _n that size() already knows.
-    val arrs = df
+    //
+    // PERSISTED + LINEAGE-CUT (optimization round 18, guide §2.4/§5):
+    // the un-persisted frame was referenced SIX times in the physical
+    // plan (both prefix sides, both hashed-screen sides, both exact-
+    // verify sides), so the scan + shingle split + array_distinct
+    // subplan executed 6-8x per action — measured 8 parquet scans in
+    // q177's executed plan and 6.4 s bench time at sf0.1; with the
+    // three multi-consumer frames below persisted it is ONE derivation
+    // pass each (same cache discipline as minhashNearDupsPrepared —
+    // here the operator owns the frames, so it persists them itself).
+    // The caches are session-registered until clearCache (the bench
+    // clears per run); MEMORY_AND_DISK so a 100 TB corpus spills
+    // rather than OOMs.
+    val arrs = cached(df
       .select(col(idCol).as("_id"), array_distinct(setCol).as("_set"))
-      .select(col("_id"), col("_set"), size(col("_set")).cast("long").as("_n"))
-    val prefix = jaccardPrefixes(arrs, tauPct)
+      .select(col("_id"), col("_set"), size(col("_set")).cast("long").as("_n")))
+    // referenced twice (the candidate self-join): without the persist
+    // the token-explode + doc-frequency + prefix-window pipeline runs
+    // once per side.
+    val prefix = cached(jaccardPrefixes(arrs, tauPct))
     val cand = prefix.select(col("_id").as("id_a"), col("_n").as("n_a"), col("_t"))
       .join(prefix.select(col("_id").as("id_b"), col("_n").as("n_b"), col("_t")), "_t")
       .where(col("id_a") < col("id_b") &&
@@ -562,9 +594,11 @@ object Dedup {
     // reports. Both stages are narrow per-pair expressions — the
     // first draft's re-explode of every candidate into |pair|·|set|
     // (id, token) rows was a 15M-row shuffle for 300k candidates.
-    val hashedArrs = arrs.select(col("_id"),
+    // referenced twice (both sides of the hashed screen); one
+    // xxhash64-transform pass over the cached arrs instead of two
+    val hashedArrs = cached(arrs.select(col("_id"),
       transform(col("_set"), t => xxhash64(t)).as("_seth"), col("_n"))
-      .withColumn("_cf", size(array_distinct(col("_seth"))).cast("long") === col("_n"))
+      .withColumn("_cf", size(array_distinct(col("_seth"))).cast("long") === col("_n")))
     val screened = cand
       .join(hashedArrs.select(col("_id").as("id_a"), col("_seth").as("_ha"),
         col("_n").as("n_a"), col("_cf").as("_cfa")), "id_a")

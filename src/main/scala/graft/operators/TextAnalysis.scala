@@ -843,7 +843,8 @@ object TextAnalysis {
     * Shape: one narrow projection — regexp_replace + length
     * arithmetic per row, no shuffle, no UDF.
     */
-  def scrubPii(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+  def scrubPii(df: DataFrame, idCol: Column, textCol: Column,
+      carry: Seq[String] = Nil): DataFrame = {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val phone = "(^|[^0-9-])(\\d{3}-\\d{3}-\\d{4})($|[^0-9-])"
     val ssn = "(^|[^0-9-])(\\d{3}-\\d{2}-\\d{4})($|[^0-9-])"
@@ -857,14 +858,18 @@ object TextAnalysis {
     val t1 = regexp_replace(textCol, email, "[EMAIL]")
     val t2 = twice(t1, phone, "$1[PHONE]$3")
     val t3 = twice(t2, ssn, "$1[SSN]$3")
+    // `carry` columns pass straight through (optimization round 18):
+    // composed pipelines (the spine) used to re-join this projection
+    // against its own input on doc_id just to restore `lang` — a
+    // corpus-wide exchange pair for a column that was already in hand
     df.filter(idCol.isNotNull && textCol.isNotNull)
-      .select(idCol.as("doc_id"), textCol.as("_t0"),
-        t1.as("_t1"), t2.as("_t2"), t3.as("_t3"))
-      .select(col("doc_id"),
+      .select(Seq(idCol.as("doc_id")) ++ carry.map(col) ++ Seq(
+        textCol.as("_t0"), t1.as("_t1"), t2.as("_t2"), t3.as("_t3")): _*)
+      .select(Seq(col("doc_id")) ++ carry.map(col) ++ Seq(
         (occ(col("_t1"), "[EMAIL]") - occ(col("_t0"), "[EMAIL]")).as("n_emails"),
         (occ(col("_t2"), "[PHONE]") - occ(col("_t1"), "[PHONE]")).as("n_phones"),
         (occ(col("_t3"), "[SSN]") - occ(col("_t2"), "[SSN]")).as("n_ssns"),
-        col("_t3").as("clean_text"))
+        col("_t3").as("clean_text")): _*)
   }
 
   /** Gopher-style REPETITION signals (round 16; Rae et al. 2021,
@@ -880,13 +885,14 @@ object TextAnalysis {
     * deterministic adaptation — documented, not hidden). Ties for
     * the top gram break to the lexicographically smallest.
     *
-    * Shape: tokens posexplode (codegen'd generator), one window pass
-    * per shard of `lead`s builds every n-gram by string concat —
-    * NO higher-order-function lambdas (the first formulation built
+    * Shape: per-row native shingle arrays (graft.functions.shingles —
+    * NO higher-order-function lambdas: the first formulation built
     * grams with transform+slice per row and spent ~10 s at sf0.1
-    * interpreting lambda trees; leads + concat stay inside
-    * whole-stage codegen) — then one (doc, n, gram) count shuffle,
-    * one per-(doc, n) fold, one pivot back to a row per document.
+    * interpreting lambda trees; an interim one shuffled the token
+    * stream by doc_id just to `lead` n-1 tokens ahead — the round-18
+    * optimization pass moved that look-ahead inside the row), then
+    * one (doc, n, gram) count shuffle (map-side combined), one
+    * per-(doc, n) fold, one pivot back to a row per document.
     * Fractions on the 1e-6 floor grid.
     */
   def repetitionStats(df: DataFrame, idCol: Column, textCol: Column,
@@ -894,28 +900,26 @@ object TextAnalysis {
     require(topNs.nonEmpty && (topNs :+ dupN).forall(_ >= 1),
       s"n-gram sizes must be >= 1, got topNs=$topNs dupN=$dupN")
     val allNs = (topNs :+ dupN).distinct.sorted
-    val maxN = allNs.max
-    val toks = split(textCol, " ")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val leads = (1 until maxN).map(j => lead(col("term"), j).over(w).as(s"_t$j"))
-    val withLeads = df
+    // Gram construction is one NARROW generate pair per row
+    // (optimization round 18): the native
+    // [[graft.functions.shingles.wordShingles]] expression emits each
+    // n's gram array inside the row, so the old posexplode ->
+    // Exchange(doc_id) -> Sort -> Window(lead x maxN-1) pipeline —
+    // a full token-stream shuffle whose only purpose was looking
+    // n-1 tokens ahead — disappears from the plan (plan diff:
+    // 2 Exchange -> 1, the remaining one is the (doc, n, gram) count
+    // shuffle, now fed map-side). Gram strings are identical: same
+    // `split` tokenization (trailing empties kept), same space joins,
+    // windows never cross documents, and a doc shorter than n grams
+    // emits an empty array exactly where every lead was null before.
+    val rows = df
       .filter(idCol.isNotNull && textCol.isNotNull)
       .select(idCol.as("doc_id"), length(textCol).as("n_chars"),
-        posexplode(toks).as(Seq("pos", "term")))
-      .select(col("doc_id") +: col("n_chars") +: col("term") +: leads: _*)
-    def gramOf(n: Int): Column = {
-      val parts = col("term") +: (1 until n).map(j => col(s"_t$j"))
-      // a lead past the shard tail is null -> no n-gram starts here
-      if (n == 1) struct(lit(1).as("n"), col("term").as("gram"))
-      else struct(lit(n).as("n"),
-        when(col(s"_t${n - 1}").isNotNull, concat_ws(" ", parts: _*)).as("gram"))
-    }
-    val rows = withLeads
-      .select(col("doc_id"), col("n_chars"),
-        explode(array(allNs.map(gramOf): _*)).as("_g"))
-      .select(col("doc_id"), col("n_chars"), col("_g.n"), col("_g.gram"))
-      .filter(col("gram").isNotNull)
+        explode(array(allNs.map(n => struct(lit(n).as("n"),
+          graft.functions.shingles.wordShingles(textCol, n).as("grams"))): _*))
+          .as("_g"))
+      .select(col("doc_id"), col("n_chars"), col("_g.n").as("n"),
+        explode(col("_g.grams")).as("gram"))
     val counts = rows.groupBy(col("doc_id"), col("n_chars"), col("n"), col("gram"))
       .agg(count(lit(1)).as("cnt"))
     // per (doc, n): total occurrences, duplicated occurrences, and the
@@ -979,24 +983,59 @@ object TextAnalysis {
       maxMeanLen: Double, stopWords: Seq[String], minStopHits: Long,
       maxTop2Frac: Double): DataFrame = {
     require(stopWords.nonEmpty, "stopWords must be non-empty")
+    val narrow = gopherNarrow(df, idCol, textCol, stopWords, Nil)
+    val top2 = repetitionStats(df, idCol, textCol, topNs = Seq(2), dupN = 2)
+      .select(col("doc_id"), col("top2_frac"))
+    narrow.join(top2, "doc_id")
+      .withColumn("keep", gopherKeep(minWords, maxWords, minMeanLen,
+        maxMeanLen, minStopHits, maxTop2Frac))
+  }
+
+  /** Rules 1-3's narrow per-row signal projection — the shared front
+    * of [[gopherQualityGate]] and [[gopherQualityGateAll]]. `carry`
+    * columns pass straight through (the scrubPii carry note).
+    */
+  private def gopherNarrow(df: DataFrame, idCol: Column, textCol: Column,
+      stopWords: Seq[String], carry: Seq[String]): DataFrame = {
     val toks = split(textCol, " ")
-    val narrow = df.filter(idCol.isNotNull && textCol.isNotNull)
-      .select(idCol.as("doc_id"),
+    df.filter(idCol.isNotNull && textCol.isNotNull)
+      .select(Seq(idCol.as("doc_id")) ++ carry.map(col) ++ Seq(
         size(toks).cast("long").as("n_words"),
         graft.functions.quantize.q6(
           aggregate(transformArray(toks, t => length(t).cast("long")),
             lit(0L), (a, x) => a + x).cast("double") / size(toks))
           .as("mean_word_len"),
         size(filterArray(toks, t => t.isInCollection(stopWords)))
-          .cast("long").as("stop_hits"))
+          .cast("long").as("stop_hits")): _*)
+  }
+
+  /** The gate's composite keep rule over the four signal columns. */
+  private def gopherKeep(minWords: Long, maxWords: Long, minMeanLen: Double,
+      maxMeanLen: Double, minStopHits: Long, maxTop2Frac: Double): Column =
+    col("n_words").between(minWords, maxWords) &&
+      col("mean_word_len").between(minMeanLen, maxMeanLen) &&
+      (col("stop_hits") >= minStopHits) &&
+      (col("top2_frac") <= maxTop2Frac)
+
+  /** [[gopherQualityGate]] with EVERY input row in the output
+    * (optimization round 18): the repetition side joins LEFT, and a
+    * document with no 2-gram — which the inner gate drops — keeps
+    * `keep = false` explicitly (too short is a fail, not a crash: the
+    * exact rule [[graft.operators.CorpusOps.pretrainingRun]] used to
+    * re-derive by left-joining the inner gate back onto its own input
+    * on doc_id, paying a second corpus-wide exchange pair). `carry`
+    * columns pass straight through for the same reason.
+    */
+  def gopherQualityGateAll(df: DataFrame, idCol: Column, textCol: Column,
+      g: GopherGate, carry: Seq[String] = Nil): DataFrame = {
+    require(g.stopWords.nonEmpty, "stopWords must be non-empty")
+    val narrow = gopherNarrow(df, idCol, textCol, g.stopWords, carry)
     val top2 = repetitionStats(df, idCol, textCol, topNs = Seq(2), dupN = 2)
       .select(col("doc_id"), col("top2_frac"))
-    narrow.join(top2, "doc_id")
-      .withColumn("keep",
-        col("n_words").between(minWords, maxWords) &&
-        col("mean_word_len").between(minMeanLen, maxMeanLen) &&
-        (col("stop_hits") >= minStopHits) &&
-        (col("top2_frac") <= maxTop2Frac))
+    narrow.join(top2, Seq("doc_id"), "left")
+      .withColumn("keep", coalesce(gopherKeep(g.minWords, g.maxWords,
+        g.minMeanLen, g.maxMeanLen, g.minStopHits, g.maxTop2Frac),
+        lit(false)))
   }
 
   /** The C4 line-level cleaner's thresholds + page-level word list as
@@ -1042,11 +1081,20 @@ object TextAnalysis {
     */
   def c4Clean(df: DataFrame, idCol: Column, textCol: Column,
       p: C4Policy): DataFrame =
-    c4Clean(df, idCol, textCol, p.badWords, p.minWordsPerLine, p.minKeptLines)
+    c4Clean(df, idCol, textCol, p.badWords, p.minWordsPerLine,
+      p.minKeptLines)
+
+  /** [[c4Clean]] from a policy bundle with carry columns (the
+    * overload split keeps Scala's one-default-argument-list rule).
+    */
+  def c4CleanCarry(df: DataFrame, idCol: Column, textCol: Column,
+      p: C4Policy, carry: Seq[String]): DataFrame =
+    c4Clean(df, idCol, textCol, p.badWords, p.minWordsPerLine,
+      p.minKeptLines, carry)
 
   def c4Clean(df: DataFrame, idCol: Column, textCol: Column,
       badWords: Seq[String], minWordsPerLine: Int = 3,
-      minKeptLines: Int = 5): DataFrame = {
+      minKeptLines: Int = 5, carry: Seq[String] = Nil): DataFrame = {
     require(badWords.nonEmpty, "badWords must be non-empty (C4's word list)")
     require(minWordsPerLine >= 1 && minKeptLines >= 1,
       s"line/page floors must be >= 1, got $minWordsPerLine/$minKeptLines")
@@ -1058,15 +1106,19 @@ object TextAnalysis {
     // page-level word check on the lowercased page with newlines
     // flattened to spaces, so line-boundary tokens split cleanly
     val pageToks = split(translate(lower(textCol), "\n", " "), " ")
+    // `carry` columns pass straight through (optimization round 18,
+    // the scrubPii note): the cleaner is narrow, so restoring a
+    // caller column by re-joining on doc_id paid a corpus exchange
+    // pair for nothing
     df.filter(idCol.isNotNull && textCol.isNotNull)
-      .select(idCol.as("doc_id"),
+      .select(Seq(idCol.as("doc_id")) ++ carry.map(col) ++ Seq(
         size(lines).cast("long").as("n_lines"),
         size(keptLines).cast("long").as("kept_lines"),
         contains(lower(textCol), lit("lorem ipsum")).cast("int").as("has_lorem"),
         contains(textCol, lit("{")).cast("int").as("has_brace"),
         exists(pageToks, t => t.isInCollection(badWords)).cast("int")
           .as("has_badword"),
-        array_join(keptLines, "\n").as("clean_text"))
+        array_join(keptLines, "\n").as("clean_text")): _*)
       .withColumn("keep",
         ((col("has_lorem") + col("has_brace") + col("has_badword")) === 0 &&
           col("kept_lines") >= minKeptLines).cast("int"))

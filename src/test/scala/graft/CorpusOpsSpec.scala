@@ -708,8 +708,11 @@ class CorpusOpsSpec extends SparkSpec {
         cell.count(_.getString(2) == "not_sampled") == 1,
         s"$d: ${cell.map(r => r.getLong(0) -> r.getString(2)).mkString(";")}")
     }
-    // the model tables ride the release handle (+2 over the plain spine)
-    assert(run.cached.size == 7, run.cached.size.toString)
+    // the model tables are config-sized LocalRelations since the
+    // round-18 optimization pass (collected once, nothing to release),
+    // so the handle carries exactly the plain spine's five persisted
+    // frames: tagged, scrubbed, weighted, sampled, docBuckets
+    assert(run.cached.size == 5, run.cached.size.toString)
     run.release()
     // the plain spine's schema stays 7 columns — no domain leakage
     val plain = CorpusOps.pretrainingRun(docs,
