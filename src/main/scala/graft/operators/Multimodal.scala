@@ -330,6 +330,7 @@ object Multimodal {
         encode(col("text"), "UTF-8").as("_src"))
       .filter(col("media_id").isNotNull && octet_length(col("_src")) > 0)
       .as[(Long, Array[Byte])]
+      .transform(Par.widen(_))
       .mapPartitions(_.map { case (id, src) =>
         (id, encodeImaAdpcmWav(src.map(b => ((b & 0xff) - 128) * 256), rate))
       }).toDF("media_id", "payload")
@@ -481,7 +482,7 @@ object Multimodal {
   def audioRmsWindows(audio: Dataset[AudioRecord], winSamples: Int): DataFrame = {
     require(winSamples > 0, s"winSamples must be positive, got $winSamples")
     import audio.sparkSession.implicits._
-    audio.mapPartitions { it =>
+    Par.widen(audio).mapPartitions { it =>
       it.flatMap { a =>
         val samples: Array[Int] = decodeAudioPcm(a.payload) match {
           case Some((_, pcm)) => pcm
@@ -513,7 +514,7 @@ object Multimodal {
     */
   def extractFeatures(media: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions { it =>
+    Par.widen(media).mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.map { m =>
           val values = decodeValues(m.payload)
@@ -541,7 +542,7 @@ object Multimodal {
     */
   def aHash(media: Dataset[MediaRecord], batchSize: Int = 64): DataFrame = {
     import media.sparkSession.implicits._
-    media.mapPartitions { it =>
+    Par.widen(media).mapPartitions { it =>
       it.grouped(batchSize).flatMap(_.map { m =>
         val bits = decodeImage(m.payload) match {
           case Some((w, h, px)) => ahash64(w, h, px)
@@ -574,7 +575,7 @@ object Multimodal {
     */
   def pHash(media: Dataset[MediaRecord], batchSize: Int = 64): DataFrame = {
     import media.sparkSession.implicits._
-    media.mapPartitions { it =>
+    Par.widen(media).mapPartitions { it =>
       it.grouped(batchSize).flatMap(_.map { m =>
         val grid = decodeImage(m.payload) match {
           case Some((w, h, px)) => pool32(w, h, px)
@@ -738,9 +739,9 @@ object Multimodal {
     // cast to long, and an UNCASTABLE id (cast yields null) is dropped
     // the same way a genuinely-null id is — callers with string keys
     // must map them to longs (e.g. xxhash64) before calling
-    video.select(col("media_id").cast("long"), col("payload"))
+    Par.widen(video.select(col("media_id").cast("long"), col("payload"))
       .filter(col("media_id").isNotNull && col("payload").isNotNull)
-      .as[(Long, Array[Byte])]
+      .as[(Long, Array[Byte])])
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap(_.flatMap { case (id, payload) =>
           // ONE probe per payload; its Meta drives both fps and the
@@ -997,6 +998,7 @@ object Multimodal {
         encode(col("text"), "UTF-8").as("_src"))
       .filter(col("media_id").isNotNull && octet_length(col("_src")) > 0)
       .as[(Long, Array[Byte])]
+      .transform(Par.widen(_))
       .mapPartitions { it =>
         it.map { case (id, src) =>
           val nf = src.length % 7 + 2

@@ -636,8 +636,61 @@ object TextAnalysis {
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .withColumn("tokseq", regexp_replace(col("word"), "(.)", SEP + "$1" + SEP))
     var hist = hist0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    hist.count()
+    val vocabRows = hist.count()
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    // SMALL-VOCAB FAST PATH (optimization round 18, the
+    // connectedComponents collectThreshold discipline): the k greedy
+    // rounds are each an argmax job + a rewrite/persist/count job over
+    // the vocabulary histogram — ~2k fixed scheduling overhead
+    // regardless of vocab size. When the materialized histogram is
+    // measured small (the count above is already paid), run the rounds
+    // on the driver over the collected rows: pair counting replays the
+    // exact Spark expressions (substring/split(regex, -1)/literal
+    // replace are the same Java semantics; tie-break compares in UTF8
+    // binary order), so the merge table is bit-identical. Above the
+    // threshold — a real corpus vocabulary — the distributed loop
+    // below is unchanged.
+    if (vocabRows <= 200000L) {
+      val seqs = hist.select(col("cnt"), col("tokseq")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      var cur = seqs
+      var r = 0
+      var dry = false
+      def lt(x: String, y: String): Boolean =
+        org.apache.spark.unsafe.types.UTF8String.fromString(x)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)) < 0
+      while (r < k && !dry) {
+        val counts = new java.util.HashMap[(String, String), Long]()
+        cur.foreach { case (cnt, ts) =>
+          val syms = ts.substring(1, ts.length - 1).split(SEP + SEP, -1)
+          if (syms.length >= 2) {
+            var i = 0
+            while (i < syms.length - 1) {
+              counts.merge((syms(i), syms(i + 1)), cnt, (a, b) => a + b)
+              i += 1
+            }
+          }
+        }
+        if (counts.isEmpty) dry = true
+        else {
+          var best: ((String, String), Long) = null
+          counts.forEach { (p, c) =>
+            if (best == null || c > best._2 ||
+              (c == best._2 && (lt(p._1, best._1._1) ||
+                (p._1 == best._1._1 && lt(p._2, best._1._2)))))
+              best = (p, c)
+          }
+          val ((a, b), c) = best
+          out += ((r.toLong, a, b, c))
+          val (pat, rep) = (SEP + a + SEP + SEP + b + SEP, SEP + a + b + SEP)
+          cur = cur.map { case (cnt, ts) => (cnt, ts.replace(pat, rep)) }
+          r += 1
+        }
+      }
+      hist.unpersist()
+      import spark.implicits._
+      return out.toSeq.toDF("rank", "lhs", "rhs", "pair_count")
+    }
     var r = 0
     var dry = false
     while (r < k && !dry) {
@@ -861,8 +914,11 @@ object TextAnalysis {
     // `carry` columns pass straight through (optimization round 18):
     // composed pipelines (the spine) used to re-join this projection
     // against its own input on doc_id just to restore `lang` — a
-    // corpus-wide exchange pair for a column that was already in hand
-    df.filter(idCol.isNotNull && textCol.isNotNull)
+    // corpus-wide exchange pair for a column that was already in hand.
+    // The feed is widened (Par.widen, gated no-op at scale): five
+    // regex passes per row are the cost here, and a single-row-group
+    // input would otherwise run them all on one core.
+    graft.operators.Par.widen(df.filter(idCol.isNotNull && textCol.isNotNull))
       .select(Seq(idCol.as("doc_id")) ++ carry.map(col) ++ Seq(
         textCol.as("_t0"), t1.as("_t1"), t2.as("_t2"), t3.as("_t3")): _*)
       .select(Seq(col("doc_id")) ++ carry.map(col) ++ Seq(
@@ -1109,8 +1165,10 @@ object TextAnalysis {
     // `carry` columns pass straight through (optimization round 18,
     // the scrubPii note): the cleaner is narrow, so restoring a
     // caller column by re-joining on doc_id paid a corpus exchange
-    // pair for nothing
-    df.filter(idCol.isNotNull && textCol.isNotNull)
+    // pair for nothing. Widened like scrubPii: the line-rule lambdas
+    // are interpreted per row and a single-row-group input would run
+    // them on one core.
+    graft.operators.Par.widen(df.filter(idCol.isNotNull && textCol.isNotNull))
       .select(Seq(idCol.as("doc_id")) ++ carry.map(col) ++ Seq(
         size(lines).cast("long").as("n_lines"),
         size(keptLines).cast("long").as("kept_lines"),
