@@ -150,7 +150,7 @@ object Dedup {
     * this stage; see DedupQueries.shingled).
     */
   def prepareShingles(df: DataFrame, idCol: String, shingles: Column): DataFrame =
-    df.select(col(idCol), array_distinct(shingles).as("_sh"))
+    Par.widen(df).select(col(idCol), array_distinct(shingles).as("_sh"))
 
   /** The hashed equivalent: `(id, distinct 48-bit shingle hashes)`.
     * This is the frame worth materializing — the md5 pass (the
@@ -170,7 +170,10 @@ object Dedup {
     * two engines agree on the set even if a collision ever fired.
     */
   def prepareHashedShingles(df: DataFrame, idCol: String, shingles: Column): DataFrame =
-    df.select(col(idCol),
+    // widened (Par.widen, gated no-op at scale): the md5 pass over
+    // every shingle is the dominant near-dup cost, and a
+    // single-row-group input would hash ~4M shingles on one core
+    Par.widen(df).select(col(idCol),
       array_distinct(transformArray(shingles, s => hash48(s))).as("_hs"))
 
   /** Generalized near-dup pipeline over an arbitrary shingle column
@@ -555,25 +558,21 @@ object Dedup {
     // exchange for what array_distinct computes per row, and a
     // separate groupBy for the _n that size() already knows.
     //
-    // PERSISTED + LINEAGE-CUT (optimization round 18, guide §2.4/§5):
-    // the un-persisted frame was referenced SIX times in the physical
-    // plan (both prefix sides, both hashed-screen sides, both exact-
-    // verify sides), so the scan + shingle split + array_distinct
-    // subplan executed 6-8x per action — measured 8 parquet scans in
-    // q177's executed plan and 6.4 s bench time at sf0.1; with the
-    // three multi-consumer frames below persisted it is ONE derivation
-    // pass each (same cache discipline as minhashNearDupsPrepared —
-    // here the operator owns the frames, so it persists them itself).
-    // The caches are session-registered until clearCache (the bench
-    // clears per run); MEMORY_AND_DISK so a 100 TB corpus spills
-    // rather than OOMs.
-    val arrs = cached(df
+    // The frame is referenced six times in the plan (both prefix
+    // sides, both hashed-screen sides, both exact-verify sides) but
+    // every reference is column-pruned differently and the references
+    // feed broadcast builds — an optimization-round experiment that
+    // persisted+cut arrs/prefix/hashedArrs measured 2.6x SLOWER at
+    // sf0.1 (2.3 s -> 5.9 s: materializing the full string-array
+    // frame into the block manager costs more than the pruned
+    // recomputations it saves, and the accurate cache stats flip the
+    // self-join from broadcast to sort-merge). Kept UNCACHED by
+    // measurement; only the derivation feed is widened (Par.widen —
+    // the shingle split ran single-core on single-row-group inputs).
+    val arrs = df
       .select(col(idCol).as("_id"), array_distinct(setCol).as("_set"))
-      .select(col("_id"), col("_set"), size(col("_set")).cast("long").as("_n")))
-    // referenced twice (the candidate self-join): without the persist
-    // the token-explode + doc-frequency + prefix-window pipeline runs
-    // once per side.
-    val prefix = cached(jaccardPrefixes(arrs, tauPct))
+      .select(col("_id"), col("_set"), size(col("_set")).cast("long").as("_n"))
+    val prefix = jaccardPrefixes(arrs, tauPct)
     val cand = prefix.select(col("_id").as("id_a"), col("_n").as("n_a"), col("_t"))
       .join(prefix.select(col("_id").as("id_b"), col("_n").as("n_b"), col("_t")), "_t")
       .where(col("id_a") < col("id_b") &&
@@ -594,11 +593,9 @@ object Dedup {
     // reports. Both stages are narrow per-pair expressions — the
     // first draft's re-explode of every candidate into |pair|·|set|
     // (id, token) rows was a 15M-row shuffle for 300k candidates.
-    // referenced twice (both sides of the hashed screen); one
-    // xxhash64-transform pass over the cached arrs instead of two
-    val hashedArrs = cached(arrs.select(col("_id"),
+    val hashedArrs = arrs.select(col("_id"),
       transform(col("_set"), t => xxhash64(t)).as("_seth"), col("_n"))
-      .withColumn("_cf", size(array_distinct(col("_seth"))).cast("long") === col("_n")))
+      .withColumn("_cf", size(array_distinct(col("_seth"))).cast("long") === col("_n"))
     val screened = cand
       .join(hashedArrs.select(col("_id").as("id_a"), col("_seth").as("_ha"),
         col("_n").as("n_a"), col("_cf").as("_cfa")), "id_a")
