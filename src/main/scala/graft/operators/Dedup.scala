@@ -150,7 +150,7 @@ object Dedup {
     * this stage; see DedupQueries.shingled).
     */
   def prepareShingles(df: DataFrame, idCol: String, shingles: Column): DataFrame =
-    Par.widen(df).select(col(idCol), array_distinct(shingles).as("_sh"))
+    df.select(col(idCol), array_distinct(shingles).as("_sh"))
 
   /** The hashed equivalent: `(id, distinct 48-bit shingle hashes)`.
     * This is the frame worth materializing — the md5 pass (the
@@ -170,10 +170,14 @@ object Dedup {
     * two engines agree on the set even if a collision ever fired.
     */
   def prepareHashedShingles(df: DataFrame, idCol: String, shingles: Column): DataFrame =
-    // widened (Par.widen, gated no-op at scale): the md5 pass over
-    // every shingle is the dominant near-dup cost, and a
-    // single-row-group input would hash ~4M shingles on one core
-    Par.widen(df).select(col(idCol),
+    // NOT widened here (measured, optimization round 18): this frame
+    // is multi-referenced by every consumer, so an in-operator widen
+    // re-executes its repartition once per reference on un-persisted
+    // inputs (q230's eval side regressed 0.73 s -> 1.1 s). Callers
+    // that persist the frame widen the feed themselves (see
+    // DedupQueries.shingled) — there the repartition runs once into
+    // the cache and the md5 pass parallelizes.
+    df.select(col(idCol),
       array_distinct(transformArray(shingles, s => hash48(s))).as("_hs"))
 
   /** Generalized near-dup pipeline over an arbitrary shingle column

@@ -482,7 +482,15 @@ object Multimodal {
   def audioRmsWindows(audio: Dataset[AudioRecord], winSamples: Int): DataFrame = {
     require(winSamples > 0, s"winSamples must be positive, got $winSamples")
     import audio.sparkSession.implicits._
-    Par.widen(audio).mapPartitions { it =>
+    // NOT widened (measured, optimization round 18): the G.711 leg
+    // decodes through javax.sound's AudioSystem, whose provider
+    // registry is process-global and synchronized — 32 concurrent
+    // tasks contend on it and a widened q208/q209 ran 1.7x SLOWER
+    // than the single-task scan (2.9 s vs 1.7 s at 32 cores); the
+    // per-byte table expansion itself is too cheap to amortize the
+    // repartition. The in-JVM ADPCM leg has no such lock and its
+    // queries were flat either way.
+    audio.mapPartitions { it =>
       it.flatMap { a =>
         val samples: Array[Int] = decodeAudioPcm(a.payload) match {
           case Some((_, pcm)) => pcm

@@ -165,24 +165,56 @@ object FirehoseDelivery {
       // rotation: split the batch into ~flushBytes-sized objects.
       val ok = governed.filter(col("result") === Ok)
         .select(regexp_replace(unbase64(col("data")).cast("string"), "\\n\\z", "").as("value"))
-      val okBytes = ok.agg(sum(octet_length(col("value")))).head().getAs[Any](0) match {
+      // ONE probe job per batch (optimization round 18): the primary
+      // sink's byte total and the re-ingest leg's emptiness test used
+      // to be two separate actions over `governed`; this agg feeds
+      // both (and doubles as the persist's materializing action, so
+      // the concurrent sinks below race only over cached blocks).
+      val statsRow = governed.agg(
+        sum(when(col("result") === Ok,
+          octet_length(regexp_replace(unbase64(col("data")).cast("string"),
+            "\\n\\z", "")))).as("_ok_bytes"),
+        count(when(col("result") === Dropped, lit(1))).as("_n_dropped")).head()
+      val okBytes = statsRow.getAs[Any](0) match {
         case null => 0L
         case n: Long => n
         case n: Number => n.longValue()
       }
+      val anyDropped = statsRow.getLong(1) > 0L
       val nFiles = math.max(1, math.ceil(okBytes.toDouble / conf.flushBytes).toInt)
-      ok.repartition(nFiles)
-        .write.mode(SaveMode.Overwrite)
-        .text(s"${conf.primaryDir}/batchId=$batchId")
-      // A16 backup: raw source records, untransformed (s3_backup_mode
-      // = Enabled, main.tf:27-41).
-      batch.write.mode(SaveMode.Overwrite)
-        .json(s"${conf.backupDir}/batchId=$batchId")
-      // A17 error side channel (main.py:36-38).
-      governed.filter(col("result") === ProcessingFailed)
-        .select(col("recordId"))
-        .write.mode(SaveMode.Overwrite)
-        .json(s"${conf.failedDir}/batchId=$batchId")
+      // The three sinks are independent actions over PERSISTED frames
+      // writing to disjoint directories — run them concurrently
+      // (guide §2.6 "overlap independent jobs"): each job's tail no
+      // longer serializes the batch, and the trigger wall drops to the
+      // slowest write instead of their sum. Failures propagate — the
+      // batch fails if any sink fails, exactly as before.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      try {
+        val sinks = Seq(
+          scala.concurrent.Future {
+            ok.repartition(nFiles)
+              .write.mode(SaveMode.Overwrite)
+              .text(s"${conf.primaryDir}/batchId=$batchId")
+          },
+          // A16 backup: raw source records, untransformed
+          // (s3_backup_mode = Enabled, main.tf:27-41).
+          scala.concurrent.Future {
+            batch.write.mode(SaveMode.Overwrite)
+              .json(s"${conf.backupDir}/batchId=$batchId")
+          },
+          // A17 error side channel (main.py:36-38).
+          scala.concurrent.Future {
+            governed.filter(col("result") === ProcessingFailed)
+              .select(col("recordId"))
+              .write.mode(SaveMode.Overwrite)
+              .json(s"${conf.failedDir}/batchId=$batchId")
+          })
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(sinks),
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
       // A13 re-ingest self-loop: Dropped payloads go back into the
       // stream. The payload is wrapped as a JSON *string* (gzip+b64)
       // so it re-enters through the bare-string branch of the
@@ -199,17 +231,17 @@ object FirehoseDelivery {
           concat(lit(s"reingest-$batchId-"), col("recordId")).as("recordId"),
           codecs.base64Unchunked(codecs.gzip(encode(
             concat(lit("\""), escaped, lit("\"")), "UTF-8"))).as("data"))
+      // emptiness decided by the batch's single probe agg above — a
+      // drop-free batch skips the whole leg without its own job
       conf.reingestSink match {
         case Some(sink) =>
           // per-record protocol: chunked put_record_batch with
           // failed-subset retry, bounded by the same attempt budget.
-          // governed is persisted, so the emptiness probe is cheap and
-          // saves a foreachPartition job on drop-free batches.
-          if (!toReingest.isEmpty) {
+          if (anyDropped) {
             RecordSink.deliver(toReingest, sink, maxAttempts = conf.maxAttempts)
           }
         case None =>
-          if (!toReingest.isEmpty) {
+          if (anyDropped) {
             putRecords(toReingest, s"${conf.inputDir}/reingest-batch-$batchId",
               attemptsMade = 0, maxAttempts = conf.maxAttempts)
           }
