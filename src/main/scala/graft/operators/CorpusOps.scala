@@ -1370,8 +1370,16 @@ object CorpusOps {
       // partitions by the two columns directly — equivalent
       if (domainTrain.isDefined) concat_ws("\u0001", col("lang"), col("domain"))
       else col("lang")
-    val (sampled, sampledP) = cachedLeaf(gumbelTopK(weighted, col("doc_id"),
-      col("dsir_weight_u"), sampleGroup, samplesPerLang))
+    // `sampled` is CONFIG-SIZED by construction (k rows per (lang[,
+    // domain]) group), so it is collected once and rebuilt as a
+    // LocalRelation (the nbModel discipline, optimization round 18)
+    // instead of holding a persisted stage: the packer's fold, the
+    // pack join and the anti-join read local rows, and the anti-join
+    // broadcasts for free.
+    val sampledDf = gumbelTopK(weighted, col("doc_id"),
+      col("dsir_weight_u"), sampleGroup, samplesPerLang)
+    val sampled = docs.sparkSession.createDataFrame(
+      java.util.Arrays.asList(sampledDf.collect(): _*), sampledDf.schema)
     val domTail: Seq[Column] =
       if (domainTrain.isDefined) Seq(col("domain")) else Seq.empty
     val bins = packBinsFirstFitDecreasing(sampled, col("lang"), col("doc_id"),
@@ -1394,7 +1402,7 @@ object CorpusOps {
     PretrainRun(
       u((c4Dropped.toSeq ++ contaminated.toSeq)
         .foldLeft(u(gated, notSampled))(u), packed),
-      Seq(taggedP, scrubbedP, weightedP, sampledP, docBucketsP) ++
+      Seq(taggedP, scrubbedP, weightedP, docBucketsP) ++
         c4Cached ++ gateCached ++ domainCached)
   }
 

@@ -463,9 +463,9 @@ class CorpusOpsSpec extends SparkSpec {
     val nTok1 = rows.find(_.getLong(0) == 1L).get.getLong(6)
     assert(nTok1 == 43L, s"40 words + 'mail [EMAIL] now' = 43 scrubbed tokens, got $nTok1")
     // handle releases its caches (gate verdicts + scrubbed projection
-    // + weighted + sampled + dsir buckets — round 18 added the
-    // weighted/sampled stages to the lineage-cut persist set)
-    assert(run.cached.size == 5)
+    // + weighted + the shared gram-bucket counts; `sampled` became a
+    // collected-once LocalRelation in the round-18 optimization pass)
+    assert(run.cached.size == 4)
     run.release()
     assert(run.cached.forall(_.storageLevel ==
       org.apache.spark.storage.StorageLevel.NONE))
@@ -562,7 +562,7 @@ class CorpusOpsSpec extends SparkSpec {
         r.toString)
     }
     // the C4 split point joins the persist set; release drops it too
-    assert(run.cached.size == 6, s"expected 6 cached frames, got ${run.cached.size}")
+    assert(run.cached.size == 5, s"expected 5 cached frames, got ${run.cached.size}")
     run.release()
     assert(run.cached.forall(_.storageLevel ==
       org.apache.spark.storage.StorageLevel.NONE))
@@ -632,10 +632,10 @@ class CorpusOpsSpec extends SparkSpec {
       targetPred = col("lang") === "en", dim = 16, samplesPerLang = 5,
       packBudget = 64L, maxOpen = 2, evalDocs = Some(eval),
       fuzzyTau = 0.35, fuzzyRowsPerBand = 1)
-    // the handle owns all 9 run-scoped caches: tagged, scrubbed,
-    // weighted, sampled + corpusSh, evalSh, flagged, clean + the
-    // dsirRun (doc, bucket) frame
-    assert(run.cached.size == 9, s"expected 9 cached frames, got ${run.cached.size}")
+    // the handle owns all 8 run-scoped caches: tagged, scrubbed,
+    // weighted, the shared (doc, bucket) counts + corpusSh, evalSh,
+    // flagged, clean
+    assert(run.cached.size == 8, s"expected 8 cached frames, got ${run.cached.size}")
     assert(run.cached.forall(df =>
       df.storageLevel.useMemory || df.storageLevel.useDisk),
       "every handle entry must be persisted")
@@ -708,11 +708,12 @@ class CorpusOpsSpec extends SparkSpec {
         cell.count(_.getString(2) == "not_sampled") == 1,
         s"$d: ${cell.map(r => r.getLong(0) -> r.getString(2)).mkString(";")}")
     }
-    // the model tables are config-sized LocalRelations since the
-    // round-18 optimization pass (collected once, nothing to release),
-    // so the handle carries exactly the plain spine's five persisted
-    // frames: tagged, scrubbed, weighted, sampled, docBuckets
-    assert(run.cached.size == 5, run.cached.size.toString)
+    // the model tables and the resample are config-sized
+    // LocalRelations since the round-18 optimization pass (collected
+    // once, nothing to release), so the handle carries exactly the
+    // plain spine's four persisted frames: tagged, scrubbed,
+    // weighted, docBuckets
+    assert(run.cached.size == 4, run.cached.size.toString)
     run.release()
     // the plain spine's schema stays 7 columns — no domain leakage
     val plain = CorpusOps.pretrainingRun(docs,
