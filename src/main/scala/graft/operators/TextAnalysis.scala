@@ -976,7 +976,14 @@ object TextAnalysis {
           .as("_g"))
       .select(col("doc_id"), col("n_chars"), col("_g.n").as("n"),
         explode(col("_g.grams")).as("gram"))
-    val counts = rows.groupBy(col("doc_id"), col("n_chars"), col("n"), col("gram"))
+    // ONE shuffle for all three aggregation grains (guide §2.4 "two
+    // operations keyed the same way can share one exchange"): the
+    // explicit doc_id repartition satisfies every downstream
+    // clustering — (doc, n, gram) count, the per-(doc, n) fold, the
+    // per-doc pivot — so none of them exchanges again (without it the
+    // planner inserts three successively-narrower exchanges).
+    val counts = rows.repartition(col("doc_id"))
+      .groupBy(col("doc_id"), col("n_chars"), col("n"), col("gram"))
       .agg(count(lit(1)).as("cnt"))
     // per (doc, n): total occurrences, duplicated occurrences, and the
     // top gram via min(struct(-cnt, gram)) — largest count, ties to
