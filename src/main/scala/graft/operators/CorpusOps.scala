@@ -688,7 +688,7 @@ object CorpusOps {
     * codegen (the repetitionStats lesson — no per-row lambda trees).
     */
   private[operators] def gramBuckets(df: DataFrame, idCol: Column,
-      textCol: Column, dim: Int): DataFrame = {
+      textCol: Column, dim: Int, carry: Seq[String] = Nil): DataFrame = {
     // One NARROW generate per row (optimization round 18): unigrams
     // are the split tokens, bigrams come from the native
     // [[graft.functions.shingles.wordShingles]] expression — the same
@@ -699,13 +699,18 @@ object CorpusOps {
     // Counts downstream are per-(doc, gram-occurrence), so multiset
     // equality is all that matters; both tokenize with Spark `split`
     // semantics (trailing empties kept).
+    // `carry` columns pass straight through per gram row (optimization
+    // round 19, the scrubPii carry discipline): [[nbModel]] used to
+    // join this stream back against its own input on doc_id just to
+    // restore `label` — an exchange of the full training gram stream
+    // at any corpus scale, for a column the row already had.
     df.filter(idCol.isNotNull && textCol.isNotNull)
-      .select(idCol.as("doc_id"),
+      .select(Seq(idCol.as("doc_id")) ++ carry.map(col) ++ Seq(
         explode(concat(split(textCol, " "),
-          graft.functions.shingles.wordShingles(textCol, 2))).as("gram"))
-      .select(col("doc_id"),
+          graft.functions.shingles.wordShingles(textCol, 2))).as("gram")): _*)
+      .select(Seq(col("doc_id")) ++ carry.map(col) ++ Seq(
         pmod(graft.functions.codecs.hash48(col("gram")), lit(dim.toLong))
-          .as("bucket"))
+          .as("bucket")): _*)
   }
 
   /** The smoothed log-ratio table from two bucket-count frames — the
@@ -860,6 +865,12 @@ object CorpusOps {
     * every scoring call. Split from the scorer so streaming serving
     * ([[graft.streaming.StreamingOps.classifyStream]]) can train ONCE
     * and score every micro-batch against the same frozen tables.
+    *
+    * Id contract: each training row is its own document (`idCol`
+    * unique). Rows are featurized independently — a doc_id duplicated
+    * across rows contributes each copy's grams once under its own
+    * label (before round 19 a duplicate was CROSSED with its copies'
+    * labels by the internal join-back; no caller relied on that).
     */
   def nbModel(train: DataFrame, idCol: Column, textCol: Column,
       labelCol: Column, dim: Int = 64): (DataFrame, DataFrame) = {
@@ -874,9 +885,17 @@ object CorpusOps {
       .filter(labelCol.isNotNull && idCol.isNotNull && textCol.isNotNull)
       .select(idCol.as("doc_id"), labelCol.cast("string").as("label"),
         textCol.as("_txt"))
-    // class-conditional bucket counts over the dim-bucket support
-    val labelGrams = gramBuckets(labeled, col("doc_id"), col("_txt"), dim)
-      .join(labeled.select(col("doc_id"), col("label")), "doc_id")
+    // class-conditional bucket counts over the dim-bucket support.
+    // `label` RIDES the gram stream (optimization round 19, the carry
+    // discipline): the old derive-by-join shape — gramBuckets(labeled)
+    // joined back against labeled on doc_id — exchanged the full
+    // training gram stream just to restore the label each gram row's
+    // source already carried. Same (label, bucket) multiset when each
+    // training row is its own document (the id contract every caller
+    // satisfies; a duplicated doc_id used to CROSS its copies' grams
+    // with its copies' labels — a join artifact, not a semantic).
+    val labelGrams = gramBuckets(labeled, col("doc_id"), col("_txt"), dim,
+      carry = Seq("label"))
     val classCounts = labelGrams.groupBy(col("label"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
     // Both model tables are CONFIG-SIZED (labels x dim and labels
@@ -1162,7 +1181,10 @@ object CorpusOps {
       maxOpen: Int = 4, evalDocs: Option[DataFrame] = None,
       fuzzyTau: Double = 0.5, fuzzyRowsPerBand: Int = 2,
       domainTrain: Option[DataFrame] = None, nbDim: Int = 64,
-      c4: Option[TextAnalysis.C4Policy] = None): PretrainRun = {
+      c4: Option[TextAnalysis.C4Policy] = None,
+      sampleCollectCap: Int = 200000): PretrainRun = {
+    require(sampleCollectCap >= 0,
+      s"sampleCollectCap must be >= 0, got $sampleCollectCap")
     val base0 = docs
       .filter(col("doc_id").isNotNull && col("text").isNotNull)
       .select(col("doc_id"), col("lang"), col("text"))
@@ -1175,16 +1197,60 @@ object CorpusOps {
     // SPARK_GRAFT_STAGE_TIMING=1 to print per-stage wall to stderr
     // (diagnostic only; never on in the bench/driver path).
     val stageTiming = sys.env.contains("SPARK_GRAFT_STAGE_TIMING")
-    var stageNo = 0
+    val stageNo = new java.util.concurrent.atomic.AtomicInteger(0)
     def cachedLeaf(df: DataFrame): (DataFrame, DataFrame) = {
       val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val t0 = System.nanoTime()
       val cut = org.apache.spark.sql.graft.shims.cutLineage(p)
       if (stageTiming) {
-        stageNo += 1
-        System.err.println(f"[spine-stage] #$stageNo%d ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        val n = stageNo.incrementAndGet()
+        System.err.println(f"[spine-stage] #$n%d ${(System.nanoTime() - t0) / 1e9}%.3f s" +
+          s" [${Thread.currentThread().getName}]")
       }
       (cut, p)
+    }
+    // OVERLAP independent stage materializations (optimization round
+    // 19, guide §2.6 — the round-18 verdict's #1 item: the spine ran
+    // ~8-12 eager stage materializations strictly sequentially, and
+    // four of its five queries were NO faster at 32 cores than at 8
+    // because the serial driver round-trips, not the data, were the
+    // wall). Two stages depend ONLY on the operator's side inputs,
+    // never on the gate->scrub trunk: the benchmark-shingle prep
+    // (evalDocs) and the NB model build + config-sized collect
+    // (domainTrain). Kick both off on the shared bounded pool NOW so
+    // they materialize while the trunk runs; the trunk awaits each at
+    // its existing consumption point. Results are unchanged — the
+    // exact same frames materialize, just not one-at-a-time — and a
+    // background failure surfaces at the await, as it did inline.
+    val evalShFut = evalDocs.map { ev =>
+      Par.inheritedFuture(docs.sparkSession.sparkContext) {
+        cachedLeaf(Dedup.prepareHashedShingles(
+          ev.filter(col("doc_id").isNotNull && col("text").isNotNull),
+          "doc_id", Dedup.wordShingles("text")))
+      }
+    }
+    val nbFut = domainTrain.map { tr =>
+      Par.inheritedFuture(docs.sparkSession.sparkContext) {
+        // The model tables are CONFIG-SIZED (labels x nbDim and labels
+        // rows): collect them once and rebuild as LocalRelations (the
+        // classifyStream discipline) instead of persisting two more
+        // eager cache stages — the scoring broadcast then builds from
+        // local rows, no cache-scan job per reference (optimization
+        // round 18).
+        val (lpRaw, priorsRaw) = nbModel(tr, col("doc_id"), col("text"),
+          col("label"), nbDim)
+        val tNb = System.nanoTime()
+        val lpRows = lpRaw.collect()
+        require(lpRows.nonEmpty,
+          "empty NB model (lp has no rows) — train on a non-empty labeled set")
+        val priorRows = priorsRaw.collect()
+        if (stageTiming) System.err.println(
+          f"[spine-stage] nb-model-collect ${(System.nanoTime() - tNb) / 1e9}%.3f s" +
+            s" [${Thread.currentThread().getName}]")
+        val spark = docs.sparkSession
+        (spark.createDataFrame(java.util.Arrays.asList(lpRows: _*), lpRaw.schema),
+          spark.createDataFrame(java.util.Arrays.asList(priorRows: _*), priorsRaw.schema))
+      }
     }
     // C4 PRE-CLEAN leg (round 18, Raffel et al. 2020 via
     // [[TextAnalysis.c4Clean]]): line-level boilerplate is cut and
@@ -1268,15 +1334,16 @@ object CorpusOps {
     // AND the anti-join consume it; `clean` because it stands where
     // `scrubbed` stands in the gate-less spine — DSIR raw side, target
     // side, weight join, resample, packer.
-    val (contaminated, clean, gateCached) = evalDocs match {
+    val (contaminated, clean, gateCached) = evalShFut match {
       case None => (None, scrubbed, Seq.empty[DataFrame])
-      case Some(ev) =>
+      case Some(fut) =>
         val (corpusSh, corpusShP) = cachedLeaf(Dedup.prepareHashedShingles(
           scrubbed.select(col("doc_id"), col("clean_text").as("text")),
           "doc_id", Dedup.wordShingles("text")))
-        val (evalSh, evalShP) = cachedLeaf(Dedup.prepareHashedShingles(
-          ev.filter(col("doc_id").isNotNull && col("text").isNotNull),
-          "doc_id", Dedup.wordShingles("text")))
+        // materialized in the background since function entry (it
+        // depends only on evalDocs); by now it is usually done
+        val (evalSh, evalShP) = scala.concurrent.Await.result(fut,
+          scala.concurrent.duration.Duration.Inf)
         val (flagged, flaggedP) = cachedLeaf(
           Dedup.fuzzyDecontaminate(corpusSh, evalSh, "doc_id",
               fuzzyTau, rowsPerBand = fuzzyRowsPerBand)
@@ -1321,29 +1388,13 @@ object CorpusOps {
     // the plain spine's schema is untouched.
     val weightedBase = clean.select("doc_id", "lang", "n_tok")
       .join(dsirResult.select(col("doc_id"), col("dsir_weight_u")), "doc_id")
-    val (withDomain, domainCached) = domainTrain match {
+    val (withDomain, domainCached) = nbFut match {
       case None => (weightedBase, Seq.empty[DataFrame])
-      case Some(tr) =>
-        // The model tables are CONFIG-SIZED (labels x nbDim and labels
-        // rows): collect them once and rebuild as LocalRelations (the
-        // classifyStream discipline) instead of persisting two more
-        // eager cache stages — the scoring broadcast then builds from
-        // local rows, no cache-scan job per reference (optimization
-        // round 18).
-        val (lpRaw, priorsRaw) = nbModel(tr, col("doc_id"), col("text"),
-          col("label"), nbDim)
-        val tNb = System.nanoTime()
-        val lpRows = lpRaw.collect()
-        require(lpRows.nonEmpty,
-          "empty NB model (lp has no rows) — train on a non-empty labeled set")
-        val priorRows = priorsRaw.collect()
-        if (stageTiming) System.err.println(
-          f"[spine-stage] nb-model-collect ${(System.nanoTime() - tNb) / 1e9}%.3f s")
-        val spark = docs.sparkSession
-        val lp = spark.createDataFrame(
-          java.util.Arrays.asList(lpRows: _*), lpRaw.schema)
-        val priors = spark.createDataFrame(
-          java.util.Arrays.asList(priorRows: _*), priorsRaw.schema)
+      case Some(fut) =>
+        // trained + collected in the background since function entry
+        // (it depends only on domainTrain); by now it is usually done
+        val (lp, priors) = scala.concurrent.Await.result(fut,
+          scala.concurrent.duration.Duration.Inf)
         // route off the SHARED gram-bucket counts when the router's
         // feature dim matches DSIR's (the declared spine queries run
         // both at 64); a diverging nbDim pays its own gram pass
@@ -1376,10 +1427,30 @@ object CorpusOps {
     // instead of holding a persisted stage: the packer's fold, the
     // pack join and the anti-join read local rows, and the anti-join
     // broadcasts for free.
+    // The collect is GATED (round 19, the connectedComponents
+    // collectThreshold discipline — round-18 review item): "k rows per
+    // group" is config-sized only while the GROUP CARDINALITY is, and
+    // nothing upstream bounds a pathological lang(/domain) cardinality
+    // — an ungated collect could OOM the driver. limit(cap + 1) makes
+    // the probe itself safe (the driver never holds more than cap + 1
+    // rows); at or under the cap the probe IS the collect (a limit
+    // above the true row count returns every row — downstream
+    // consumers are order-insensitive: the packer re-sorts per shard,
+    // the joins key on doc_id). Over the cap, fall back to the
+    // persisted-stage path (round 17's shape) and let the cluster
+    // carry what the driver cannot.
     val sampledDf = gumbelTopK(weighted, col("doc_id"),
       col("dsir_weight_u"), sampleGroup, samplesPerLang)
-    val sampled = docs.sparkSession.createDataFrame(
-      java.util.Arrays.asList(sampledDf.collect(): _*), sampledDf.schema)
+    val probe = sampledDf.limit(sampleCollectCap + 1).collect()
+    val (sampled, sampleCached) =
+      if (probe.length <= sampleCollectCap)
+        (docs.sparkSession.createDataFrame(
+          java.util.Arrays.asList(probe: _*), sampledDf.schema),
+          Seq.empty[DataFrame])
+      else {
+        val (s, p) = cachedLeaf(sampledDf)
+        (s, Seq(p))
+      }
     val domTail: Seq[Column] =
       if (domainTrain.isDefined) Seq(col("domain")) else Seq.empty
     val bins = packBinsFirstFitDecreasing(sampled, col("lang"), col("doc_id"),
@@ -1403,7 +1474,7 @@ object CorpusOps {
       u((c4Dropped.toSeq ++ contaminated.toSeq)
         .foldLeft(u(gated, notSampled))(u), packed),
       Seq(taggedP, scrubbedP, weightedP, docBucketsP) ++
-        c4Cached ++ gateCached ++ domainCached)
+        c4Cached ++ gateCached ++ domainCached ++ sampleCached)
   }
 
   /** [[pretrainingRun]] without the cache handle — the one-shot
@@ -1417,11 +1488,12 @@ object CorpusOps {
       maxOpen: Int = 4, evalDocs: Option[DataFrame] = None,
       fuzzyTau: Double = 0.5, fuzzyRowsPerBand: Int = 2,
       domainTrain: Option[DataFrame] = None, nbDim: Int = 64,
-      c4: Option[TextAnalysis.C4Policy] = None): DataFrame =
+      c4: Option[TextAnalysis.C4Policy] = None,
+      sampleCollectCap: Int = 200000): DataFrame =
     pretrainingRun(docs, minWords, maxWords, minMeanLen, maxMeanLen,
       stopWords, minStopHits, maxTop2Frac, targetPred, dim, samplesPerLang,
       packBudget, maxOpen, evalDocs, fuzzyTau, fuzzyRowsPerBand,
-      domainTrain, nbDim, c4).result
+      domainTrain, nbDim, c4, sampleCollectCap).result
 
   /** Context-window sequence packing, contiguous-chop style: within
     * each shard (`shardCol`), lay documents end-to-end in `orderCol`

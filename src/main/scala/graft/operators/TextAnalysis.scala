@@ -627,7 +627,8 @@ object TextAnalysis {
     * Output: (rank, lhs, rhs, pair_count) — the merge table, k rows,
     * feeding [[bpeTokenize]]/[[subwordCounts]] unchanged.
     */
-  def trainBpeMerges(df: DataFrame, textCol: Column, k: Int = 8): DataFrame = {
+  def trainBpeMerges(df: DataFrame, textCol: Column, k: Int = 8,
+      collectThreshold: Long = 200000L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val spark = df.sparkSession
     val hist0 = df
@@ -649,8 +650,12 @@ object TextAnalysis {
     // replace are the same Java semantics; tie-break compares in UTF8
     // binary order), so the merge table is bit-identical. Above the
     // threshold — a real corpus vocabulary — the distributed loop
-    // below is unchanged.
-    if (vocabRows <= 200000L) {
+    // below is unchanged. The threshold is a PARAMETER (round 19,
+    // review item: it was a hardcoded literal, the one gate in the
+    // codebase a tight-driver-heap caller could not lower), bounding
+    // driver memory exactly like connectedComponents' collectThreshold;
+    // callers force the distributed path in tests with 0.
+    if (vocabRows <= collectThreshold) {
       val seqs = hist.select(col("cnt"), col("tokseq")).collect()
         .map(r => (r.getLong(0), r.getString(1)))
       var cur = seqs

@@ -182,39 +182,22 @@ object FirehoseDelivery {
       }
       val anyDropped = statsRow.getLong(1) > 0L
       val nFiles = math.max(1, math.ceil(okBytes.toDouble / conf.flushBytes).toInt)
-      // The three sinks are independent actions over PERSISTED frames
-      // writing to disjoint directories — run them concurrently
-      // (guide §2.6 "overlap independent jobs"): each job's tail no
-      // longer serializes the batch, and the trigger wall drops to the
-      // slowest write instead of their sum. Failures propagate — the
-      // batch fails if any sink fails, exactly as before.
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
-      implicit val ec: scala.concurrent.ExecutionContext =
-        scala.concurrent.ExecutionContext.fromExecutor(pool)
-      try {
-        val sinks = Seq(
-          scala.concurrent.Future {
-            ok.repartition(nFiles)
-              .write.mode(SaveMode.Overwrite)
-              .text(s"${conf.primaryDir}/batchId=$batchId")
-          },
-          // A16 backup: raw source records, untransformed
-          // (s3_backup_mode = Enabled, main.tf:27-41).
-          scala.concurrent.Future {
-            batch.write.mode(SaveMode.Overwrite)
-              .json(s"${conf.backupDir}/batchId=$batchId")
-          },
-          // A17 error side channel (main.py:36-38).
-          scala.concurrent.Future {
-            governed.filter(col("result") === ProcessingFailed)
-              .select(col("recordId"))
-              .write.mode(SaveMode.Overwrite)
-              .json(s"${conf.failedDir}/batchId=$batchId")
-          })
-        scala.concurrent.Await.result(
-          scala.concurrent.Future.sequence(sinks),
-          scala.concurrent.duration.Duration.Inf)
-      } finally pool.shutdown()
+      // The three sinks AND the re-ingest leg are independent actions
+      // over PERSISTED frames writing to disjoint directories — run
+      // them concurrently (guide §2.6 "overlap independent jobs"):
+      // each job's tail no longer serializes the batch, and the
+      // trigger wall drops to the slowest write instead of their sum.
+      // Failures propagate — the batch fails if any sink fails,
+      // exactly as before. Round 19: the pool is the SHARED lazy
+      // executor (a fresh 3-thread pool was built and torn down every
+      // 200 ms trigger — round-18 review item), with the submitting
+      // thread's scheduler properties (job group, streaming query tag)
+      // re-installed per task so StreamingQuery.stop()'s group-cancel
+      // still reaches every sink job; and the re-ingest leg — which
+      // used to serialize AFTER the three parallel sinks despite
+      // depending only on the same persisted `governed` frame and the
+      // already-computed anyDropped probe — joins the same fan-out
+      // (round-18 "not yet optimized" #5).
       // A13 re-ingest self-loop: Dropped payloads go back into the
       // stream. The payload is wrapped as a JSON *string* (gzip+b64)
       // so it re-enters through the bare-string branch of the
@@ -231,21 +214,50 @@ object FirehoseDelivery {
           concat(lit(s"reingest-$batchId-"), col("recordId")).as("recordId"),
           codecs.base64Unchunked(codecs.gzip(encode(
             concat(lit("\""), escaped, lit("\"")), "UTF-8"))).as("data"))
-      // emptiness decided by the batch's single probe agg above — a
-      // drop-free batch skips the whole leg without its own job
-      conf.reingestSink match {
-        case Some(sink) =>
-          // per-record protocol: chunked put_record_batch with
-          // failed-subset retry, bounded by the same attempt budget.
-          if (anyDropped) {
-            RecordSink.deliver(toReingest, sink, maxAttempts = conf.maxAttempts)
+      val sc = spark.sparkContext
+      def fork(body: => Unit) = graft.operators.Par.inheritedFuture(sc)(body)
+      val sinks = Seq(
+        fork {
+          ok.repartition(nFiles)
+            .write.mode(SaveMode.Overwrite)
+            .text(s"${conf.primaryDir}/batchId=$batchId")
+        },
+        // A16 backup: raw source records, untransformed
+        // (s3_backup_mode = Enabled, main.tf:27-41).
+        fork {
+          batch.write.mode(SaveMode.Overwrite)
+            .json(s"${conf.backupDir}/batchId=$batchId")
+        },
+        // A17 error side channel (main.py:36-38).
+        fork {
+          governed.filter(col("result") === ProcessingFailed)
+            .select(col("recordId"))
+            .write.mode(SaveMode.Overwrite)
+            .json(s"${conf.failedDir}/batchId=$batchId")
+        },
+        // A13 re-ingest: emptiness decided by the batch's single probe
+        // agg above — a drop-free batch skips the whole leg without
+        // its own job (the Future resolves immediately).
+        fork {
+          conf.reingestSink match {
+            case Some(sink) =>
+              // per-record protocol: chunked put_record_batch with
+              // failed-subset retry, bounded by the same attempt budget.
+              if (anyDropped) {
+                RecordSink.deliver(toReingest, sink, maxAttempts = conf.maxAttempts)
+              }
+            case None =>
+              if (anyDropped) {
+                putRecords(toReingest, s"${conf.inputDir}/reingest-batch-$batchId",
+                  attemptsMade = 0, maxAttempts = conf.maxAttempts)
+              }
           }
-        case None =>
-          if (anyDropped) {
-            putRecords(toReingest, s"${conf.inputDir}/reingest-batch-$batchId",
-              attemptsMade = 0, maxAttempts = conf.maxAttempts)
-          }
-      }
+        })
+      implicit val ec: scala.concurrent.ExecutionContext =
+        graft.operators.Par.overlapPool
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(sinks),
+        scala.concurrent.duration.Duration.Inf)
     } finally {
       governed.unpersist()
       batch.unpersist()

@@ -471,6 +471,37 @@ class CorpusOpsSpec extends SparkSpec {
       org.apache.spark.storage.StorageLevel.NONE))
   }
 
+  test("pretrainingRun: an over-cap resample falls back to the persisted-stage path with identical dispositions") {
+    // Round-19 pin (round-18 review item): the resample collect is
+    // config-sized only while the GROUP cardinality is — the gate must
+    // exist and the fallback must be row-identical. sampleCollectCap=0
+    // makes every non-empty resample "over cap", exercising the
+    // persisted-stage path on the same corpus the collect path runs.
+    import spark.implicits._
+    def prose(n: Int, seed: Int) = (1 to n)
+      .map(i => if (i % 5 == 0) "the" else s"word${(i * seed) % 23}").mkString(" ")
+    val docs = Seq(
+      (1L, "en", prose(40, 3)), (2L, "en", prose(45, 7)),
+      (3L, "en", prose(44, 11)), (4L, "fr", prose(42, 5)),
+      (5L, "en", "tiny")).toDF("doc_id", "lang", "text")
+    def run(cap: Int) = CorpusOps.pretrainingRun(docs,
+      minWords = 10L, maxWords = 100L, minMeanLen = 1.0, maxMeanLen = 9.0,
+      stopWords = Seq("the"), minStopHits = 1L, maxTop2Frac = 0.5,
+      targetPred = col("lang") === "en", dim = 16, samplesPerLang = 2,
+      packBudget = 64L, maxOpen = 2, sampleCollectCap = cap)
+    val collected = run(200000)
+    val fellBack = run(0)
+    val a = collected.result.collect().map(_.toSeq).toSet
+    val b = fellBack.result.collect().map(_.toSeq).toSet
+    assert(a == b, s"fallback diverged: ${a.diff(b)} vs ${b.diff(a)}")
+    // the fallback holds ONE extra cached frame (the resample stage)
+    assert(collected.cached.size == 4 && fellBack.cached.size == 5,
+      s"got ${collected.cached.size}/${fellBack.cached.size}")
+    collected.release(); fellBack.release()
+    assert(fellBack.cached.forall(_.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE))
+  }
+
   test("tokenBudgetFill: per-source budgets honored in hash order; ledger auditable; unweighted source fails loudly") {
     val docs = (1L to 40L).map(i =>
       (i, if (i % 2 == 0) "web" else "code", 10L))

@@ -125,6 +125,37 @@ class DedupSpec extends SparkSpec {
     assert(y.getLong(0) == 512L && y.getLong(1) == 1L && y.getLong(2) == 0L)
   }
 
+  test("connected components: the distributed contraction loop (collectThreshold = 0) is row-identical to the driver fast path") {
+    // Round-19 pin (round-18 review item): every bench/oracle graph
+    // sits under the default 200k collect gate, so the AT-SCALE
+    // contraction loop would otherwise execute in no test at all and
+    // semantic drift in the 100 TB path would be invisible. Force it
+    // with collectThreshold = 0 and assert set equality with the
+    // driver union-find on the regression topologies.
+    val graphs: Seq[Seq[(Long, Long)]] = Seq(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)) ++
+        (20L until 25L).map(i => (i, i + 1)),      // chains + pair
+      (1L until 50L).map(i => (i, i + 1)),         // monotone chain
+      (0L until 64L).map(i => (i, (i + 1) % 64L)), // cycle
+      Seq((7L, 7L)))                               // pure self-loop
+    graphs.foreach { g =>
+      val pairs = g.toDF("id1", "id2")
+      val fast = Dedup.connectedComponents(pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val dist = Dedup.connectedComponents(pairs, collectThreshold = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(dist == fast, s"distributed != driver on $g")
+    }
+    // string ids: the representative must follow UTF8 BINARY order on
+    // both paths ("Z" < "a" — uppercase sorts before lowercase)
+    val sp = Seq(("b", "a"), ("c", "b"), ("Z", "a")).toDF("id1", "id2")
+    val f2 = Dedup.connectedComponents(sp).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val d2 = Dedup.connectedComponents(sp, collectThreshold = 0L).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(d2 == f2 && f2.forall(_._2 == "Z"), s"got $d2 vs $f2")
+  }
+
   test("segment dedup drops repeated segments, keeps first occurrence, reassembles in order") {
     // doc 1: segments "a b c" + "d e f"; doc 2 repeats doc 1's first
     // segment then has its own; doc 3 is entirely doc 1's segments

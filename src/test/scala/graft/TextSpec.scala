@@ -365,6 +365,27 @@ class TextSpec extends SparkSpec {
     assert(short.count() == 0L)
   }
 
+  test("trainBpeMerges: the distributed loop (collectThreshold = 0) learns a bit-identical merge table to the driver fast path") {
+    // Round-19 pin (round-18 review item): every bench/test vocabulary
+    // sits under the default 200k gate, so the distributed greedy
+    // rounds would otherwise run in no test. Force them and assert the
+    // full (rank, lhs, rhs, pair_count) table matches the driver
+    // replay — tie-breaks, overlap counting and the non-overlapping
+    // rewrite all ride the same assertions.
+    val docs = Seq(
+      (1L, "low lower lowest low low"),
+      (2L, "aaa aaa banana band bandana")).toDF("doc_id", "text")
+    def table(threshold: Long) = TextAnalysis
+      .trainBpeMerges(docs, col("text"), k = 6, collectThreshold = threshold)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    val driver = table(200000L)
+    val dist = table(0L)
+    assert(dist == driver, s"distributed $dist != driver $driver")
+    assert(driver.size == 6)
+  }
+
   test("trainBpeMerges: hand-traced greedy merges, deterministic tie-break, overlap counting, non-overlapping rewrite; trained table feeds bpeTokenize") {
     val docs = Seq((1L, "low lower lowest low low")).toDF("doc_id", "text")
     // counts: low 3, lower 1, lowest 1
