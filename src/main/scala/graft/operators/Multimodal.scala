@@ -422,6 +422,40 @@ object Multimodal {
     * the q203 discipline applied to audio (q208; MultimodalSpec pins
     * javax == the G.711 closed form over all 256 µ-law bytes).
     */
+  /** G.711 expansion captured from the JDK codec ONCE per JVM
+    * (optimization round 19, guide §4.5 "initialise heavyweight state
+    * once"): µ-law/A-law expansion is a pure function of each encoded
+    * BYTE, so running javax.sound's own ULAW/ALAW -> PCM_SIGNED
+    * conversion over the 256 possible bytes yields the codec's entire
+    * behavior as two lookup tables. The JDK codec stays the source of
+    * truth (the table is DERIVED from it at runtime, not transcribed
+    * into literals — MultimodalSpec additionally pins it to the CCITT
+    * closed form); what changes is the per-row cost: the old shape
+    * built an AudioSystem conversion STREAM per payload, a path that
+    * walks the process-global synchronized provider registry per call
+    * — the measured round-18 contention that made widening these
+    * queries 1.7x slower, and the measured round-19 full-bench rot
+    * (q208 1.4 s in isolation, 7.2 s after 200 queries' worth of
+    * loaded classes/JIT state). Per-row work is now: container parse
+    * + one table lookup per channel-0 byte.
+    */
+  private lazy val g711Tables: (Array[Int], Array[Int]) = {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+    def table(enc: AudioFormat.Encoding): Array[Int] = {
+      val bytes = Array.tabulate[Byte](256)(i => i.toByte)
+      val src = new AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes),
+        new AudioFormat(enc, 8000f, 8, 1, 1, 8000f, false), 256L)
+      val pcm = AudioSystem.getAudioInputStream(
+        new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          8000f, 16, 1, 2, 8000f, false), src)
+      val data = pcm.readAllBytes()
+      require(data.length == 512, s"G.711 table probe decoded ${data.length} bytes")
+      Array.tabulate(256)(i => (data(2 * i + 1) << 8) | (data(2 * i) & 0xff))
+    }
+    (table(AudioFormat.Encoding.ULAW), table(AudioFormat.Encoding.ALAW))
+  }
+
   private[graft] def decodeAudioPcm(payload: Array[Byte]): Option[(Float, Array[Int])] =
     if (!isWavPayload(payload)) None
     // IMA ADPCM (round 15): no JDK codec exists — dispatch on the fmt
@@ -432,17 +466,37 @@ object Multimodal {
       val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
       val enc = raw.getFormat.getEncoding
-      val ais =
-        if (enc == javax.sound.sampled.AudioFormat.Encoding.ULAW ||
-            enc == javax.sound.sampled.AudioFormat.Encoding.ALAW) {
-          val f = raw.getFormat
-          javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new javax.sound.sampled.AudioFormat(
-              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
-              f.getSampleRate, 16, f.getChannels, 2 * f.getChannels,
-              f.getSampleRate, false),
-            raw)
-        } else raw
+      if (enc == javax.sound.sampled.AudioFormat.Encoding.ULAW ||
+          enc == javax.sound.sampled.AudioFormat.Encoding.ALAW) {
+        // compressed leg: expand channel 0 through the JVM-wide table
+        // captured from the JDK codec above — same samples the per-row
+        // conversion stream produced, none of its per-call machinery
+        val t = if (enc == javax.sound.sampled.AudioFormat.Encoding.ULAW)
+          g711Tables._1 else g711Tables._2
+        val f = raw.getFormat
+        val frameSize = f.getFrameSize // = channels for 8-bit G.711
+        // fuzz hardening (MultimodalSpec's bit-flipped fmt chunks): a
+        // corrupted header can carry frameSize <= 0, and
+        // AudioInputStream.read returns 0 — not -1 — for any request
+        // shorter than a frame, which sends readAllBytes into an
+        // allocation spin. Reject nonsense frames and treat a <= 0
+        // read as EOF in an explicit frame-aligned loop.
+        if (frameSize <= 0 || frameSize > (1 << 20)) return None
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](math.max(1, 65536 / frameSize) * frameSize)
+        var n = raw.read(buf)
+        while (n > 0) { bos.write(buf, 0, n); n = raw.read(buf) }
+        val data = bos.toByteArray
+        val nFrames = data.length / frameSize
+        val out = new Array[Int](nFrames)
+        var i = 0
+        while (i < nFrames) {
+          out(i) = t(data(i * frameSize) & 0xff)
+          i += 1
+        }
+        return Some((f.getSampleRate, out))
+      }
+      val ais = raw
       val fmt = ais.getFormat
       val data = ais.readAllBytes()
       val frameSize = fmt.getFrameSize
