@@ -764,33 +764,34 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, idCol1: String = "id1",
       idCol2: String = "id2", maxIter: Int = 25,
       collectThreshold: Long = 200000L): DataFrame = {
-    val nodes = pairs.select(col(idCol1).as("id"))
-      .union(pairs.select(col(idCol2).as("id"))).distinct()
-    // measured (not just checkpointed) so the small-graph gate below
-    // can read the node count off the same materializing job
-    val (labels0, nodeRows) = Graph.ckptMeasuredN(
-      nodes.select(col("id"), col("id").as("rep")))
-    var labels = labels0
-    // symmetric region graph; self-loops carry no merge information
-    val (e0, e0Rows) = Graph.ckptMeasuredN(
-      pairs.select(col(idCol1).as("a"), col(idCol2).as("b"))
-        .union(pairs.select(col(idCol2).as("a"), col(idCol1).as("b")))
-        .filter(col("a") =!= col("b"))
-        .distinct())
+    // ONE materialization of the caller's pair pipeline (optimization
+    // round 19, guide §2.4): the old shape derived the node set AND
+    // the symmetric edge set straight from `pairs`, so the caller's
+    // candidate lineage (a full MinHash/banding pipeline in every
+    // dedup query) executed once per checkpoint JOB — twice, plus two
+    // more collect jobs on the fast path. Persist the two-column
+    // projection first; everything below reads cached blocks, and the
+    // cache is dropped before returning.
+    val p0 = pairs.select(col(idCol1).as("a"), col(idCol2).as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairRows = p0.count()
     // SMALL-GRAPH FAST PATH (optimization round 18, the broadcast-
     // threshold discipline): the contraction loop costs a fixed 5-15
     // driver jobs (checkpoints, hop probes, relabel joins) regardless
     // of graph size — ~2 s of pure scheduling for the dozens-of-nodes
-    // graphs the dedup/linkage queries produce (q42's pairs take
-    // 0.74 s; q75 = pairs + this loop took 2.76 s). When BOTH frames
-    // are measured under `collectThreshold` (both counts come free off
-    // the checkpoints above), run union-find on the driver over the
-    // already-materialized blocks and return a LocalRelation —
-    // identical output (smallest-member representative; string ids
-    // compare in Spark's binary UTF8 order), zero iterative jobs.
-    // Above the threshold — the 100 TB path — nothing changes.
+    // graphs the dedup/linkage queries produce. Round 19 moves the
+    // gate to the RAW pair count (nodes <= 2x pairs and distinct
+    // edges <= 2x pairs, so the driver bound is the same class), which
+    // lets the driver path skip the node/edge checkpoints entirely:
+    // union-find needs neither distinct edges nor a prebuilt node
+    // list — duplicate and symmetric edges are no-op unions, a
+    // self-loop just registers its endpoint. Identical output
+    // (smallest-member representative; string ids compare in Spark's
+    // binary UTF8 order — the collectThreshold=0 spec pins driver ==
+    // distributed). Above the threshold — the 100 TB path — the
+    // contraction loop is unchanged.
     val idType = pairs.schema(idCol1).dataType
-    val smallOk = e0Rows <= collectThreshold && nodeRows <= collectThreshold &&
+    val smallOk = pairRows <= collectThreshold &&
       (idType match {
         case _: org.apache.spark.sql.types.LongType => true
         case _: org.apache.spark.sql.types.IntegerType => true
@@ -816,13 +817,21 @@ object Dedup {
         }
         r
       }
-      labels.select(col("id")).collect().foreach(r => parent.put(r.get(0), r.get(0)))
-      e0.select(col("a"), col("b")).collect().foreach { r =>
-        val (ra, rb) = (find(r.get(0)), find(r.get(1)))
-        if (ra != rb) { // smaller id becomes the representative
-          if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+      p0.collect().foreach { r =>
+        val (a, b) = (r.get(0), r.get(1))
+        // every endpoint registers as a node — including a null id,
+        // which the node-set derivation of the distributed path also
+        // keeps (union+distinct); null and self edges carry no merge
+        parent.putIfAbsent(a, a)
+        parent.putIfAbsent(b, b)
+        if (a != null && b != null && a != b) {
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { // smaller id becomes the representative
+            if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+          }
         }
       }
+      p0.unpersist()
       val ids = new java.util.ArrayList[Any](parent.keySet())
       val reps = new java.util.HashMap[Any, Any]()
       val sizes = new java.util.HashMap[Any, Long]()
@@ -841,6 +850,23 @@ object Dedup {
           StructField("cluster_rep", idType),
           StructField("cluster_size", LongType, nullable = false))))
     }
+    // Distributed path: the node-label and symmetric-edge checkpoints
+    // both derive from the CACHED pair projection and are mutually
+    // independent — materialize them concurrently (guide §2.6), then
+    // drop the pair cache; the contraction loop below is unchanged.
+    val labelsFut = Par.inheritedFuture(pairs.sparkSession.sparkContext) {
+      Graph.ckptMeasuredN(
+        p0.select(col("a").as("id")).union(p0.select(col("b").as("id")))
+          .distinct().select(col("id"), col("id").as("rep")))
+    }
+    // symmetric region graph; self-loops carry no merge information
+    val (e0, e0Rows) = Graph.ckptMeasuredN(
+      p0.union(p0.select(col("b").as("a"), col("a").as("b")))
+        .filter(col("a") =!= col("b"))
+        .distinct())
+    var labels = scala.concurrent.Await.result(labelsFut,
+      scala.concurrent.duration.Duration.Inf)._1
+    p0.unpersist()
     var e = e0
     var done = e0Rows == 0L
     var round = 0
