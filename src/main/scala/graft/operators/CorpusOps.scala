@@ -1453,9 +1453,60 @@ object CorpusOps {
       }
     val domTail: Seq[Column] =
       if (domainTrain.isDefined) Seq(col("domain")) else Seq.empty
-    val bins = packBinsFirstFitDecreasing(sampled, col("lang"), col("doc_id"),
-        col("n_tok"), packBudget, maxOpen)
-      .select(col("doc_id"), col("bin_idx"))
+    // FFD bin assignment replayed on the DRIVER when the resample is
+    // local rows of the exact spine types (optimization round 19): the
+    // Spark plan is repartition(shard) + sortWithinPartitions + a
+    // sequential per-shard fold — 3 stages of pure scheduling over a
+    // <= cap LocalRelation. The replay is the same fold verbatim
+    // ([[packBinsFirstFitDecreasing]]'s mapPartitions body): same
+    // null filter, same (n_tok desc, doc_id) order within a shard
+    // (the fold resets at shard boundaries, so shard ORDER is
+    // irrelevant), same maxOpen eviction, same positive-token
+    // require. Gated on the schema types so the replay never has to
+    // replicate Spark cast semantics; any other shape (or the
+    // over-cap fallback) takes the distributed packer unchanged.
+    val sSchema = sampledDf.schema
+    val localPackOk = probe.length <= sampleCollectCap && {
+      import org.apache.spark.sql.types._
+      sSchema("lang").dataType == StringType &&
+        sSchema("doc_id").dataType == LongType &&
+        sSchema("n_tok").dataType == LongType
+    }
+    val bins =
+      if (localPackOk) {
+        val (iS, iD, iT) = (sSchema.fieldIndex("lang"),
+          sSchema.fieldIndex("doc_id"), sSchema.fieldIndex("n_tok"))
+        val triples = probe.iterator
+          .filter(r => !r.isNullAt(iS) && !r.isNullAt(iD) && !r.isNullAt(iT))
+          .map(r => (r.getString(iS), r.getLong(iD), r.getLong(iT))).toArray
+        val outRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+        triples.groupBy(_._1).foreach { case (s, rs) =>
+          var nbins = 0L
+          val open = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          rs.sortBy { case (_, id, tok) => (-tok, id) }.foreach {
+            case (_, id, tok) =>
+              require(tok > 0,
+                s"n_tok must be positive, got $tok for doc $id in shard $s")
+              val slot = open.indexWhere { case (_, f) => f + tok <= packBudget }
+              val binIdx =
+                if (slot >= 0) { val (b, f) = open(slot); open(slot) = (b, f + tok); b }
+                else {
+                  val b = nbins
+                  nbins += 1L
+                  if (open.size >= maxOpen) open.remove(0)
+                  open += ((b, tok))
+                  b
+                }
+              outRows.add(org.apache.spark.sql.Row(id, binIdx)); ()
+          }
+        }
+        import org.apache.spark.sql.types._
+        docs.sparkSession.createDataFrame(outRows,
+          StructType(Seq(StructField("doc_id", LongType, nullable = false),
+            StructField("bin_idx", LongType, nullable = false))))
+      } else packBinsFirstFitDecreasing(sampled, col("lang"), col("doc_id"),
+          col("n_tok"), packBudget, maxOpen)
+        .select(col("doc_id"), col("bin_idx"))
     val packed = sampled.join(bins, "doc_id")
       .select(Seq(col("doc_id"), col("lang"), lit("packed").as("disposition"),
         col("dsir_weight_u"), col("sample_rank"), col("bin_idx"),
